@@ -1,0 +1,22 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from web_scrapper_spark.session import get_spark
+
+    spark = get_spark(app_name="wss-tests", cpus=4, shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.path.join(TESTDATA, "sf0.001")

@@ -1,0 +1,123 @@
+"""Unit tests for the stdlib HTML DOM + CSS selector engine."""
+
+import re
+
+from web_scrapper_spark import minisoup as ms
+
+HTML = """
+<html><head>
+<meta property="og:title" content="T"/>
+<meta name="description" content="D">
+</head><body>
+<div id="main" class="wrap outer">
+  <ul>
+    <li class="item"><a href="/a">Alpha</a></li>
+    <li class="item hot"><a href="/b">Beta</a></li>
+  </ul>
+  <div class="pagination"><span class="current">2</span><a href="/page/3/">3</a></div>
+  <article><h1>Title</h1><p>Para one text here.</p><p>Para two text here.</p></article>
+</div>
+</body></html>
+"""
+
+
+def root():
+    return ms.parse(HTML)
+
+
+class TestParse:
+    def test_nesting_and_text(self):
+        r = root()
+        assert r.select_one("h1").get_text() == "Title"
+
+    def test_void_elements(self):
+        r = ms.parse("<div><img src='x'><span>s</span></div>")
+        img = r.select_one("img")
+        assert img["src"] == "x"
+        assert r.select_one("div span").get_text() == "s"
+
+    def test_implicit_li_close(self):
+        r = ms.parse("<ul><li>a<li>b</ul>")
+        assert [li.get_text() for li in r.select("li")] == ["a", "b"]
+
+    def test_bytes_input(self):
+        assert ms.parse("<p>é</p>".encode("utf-8")).select_one("p").get_text() == "é"
+
+    def test_entities(self):
+        assert ms.parse("<p>a &amp; b</p>").select_one("p").get_text() == "a & b"
+
+    def test_get_text_strip(self):
+        r = ms.parse("<div> a <b> b </b> c </div>")
+        assert r.select_one("div").get_text(strip=True) == "abc"
+        assert r.select_one("div").get_text() == " a  b  c "
+
+
+class TestSelect:
+    def test_class_and_id(self):
+        assert root().select_one("#main") is not None
+        assert len(root().select(".item")) == 2
+        assert len(root().select(".item.hot")) == 1
+
+    def test_attr_selectors(self):
+        r = root()
+        assert r.select_one("meta[property='og:title']")["content"] == "T"
+        assert r.select_one("a[href^='/page']")["href"] == "/page/3/"
+        assert r.select_one("[href*='age']") is not None
+        assert r.select_one("a[href$='/3/']") is not None
+
+    def test_descendant_and_child(self):
+        r = root()
+        assert len(r.select("ul a")) == 2
+        assert len(r.select("ul > li")) == 2
+        assert r.select("ul > a") == []
+
+    def test_group(self):
+        assert len(root().select("h1, .current")) == 2
+
+    def test_contains(self):
+        assert root().select_one("a:contains('Beta')")["href"] == "/b"
+
+    def test_first_of_type(self):
+        r = ms.parse("<div><img src='1'><img src='2'></div>")
+        assert r.select_one("div img:first-of-type")["src"] == "1"
+
+    def test_document_order(self):
+        hrefs = [a["href"] for a in root().select("a")]
+        assert hrefs == ["/a", "/b", "/page/3/"]
+
+
+class TestFind:
+    def test_find_by_name_list(self):
+        assert root().find(["h1", "h2"]).name == "h1"
+
+    def test_find_class_callable(self):
+        hits = root().find_all(
+            ["li"], class_=lambda x: x and "hot" in str(x).lower()
+        )
+        assert len(hits) == 1
+
+    def test_find_attr_true(self):
+        assert root().find("a", href=True)["href"] == "/a"
+
+    def test_find_attr_regex(self):
+        assert root().find("a", href=re.compile(r"/page/\d+/$")) is not None
+
+    def test_find_text_returns_string(self):
+        hit = root().find(text=re.compile(r"Para one"))
+        assert isinstance(hit, str)
+        assert "Para one" in hit
+
+    def test_find_kwarg_attr(self):
+        assert root().find("meta", property="og:title")["content"] == "T"
+
+    def test_find_name_and_text(self):
+        link = root().find("a", href=True, text=re.compile(r"\d+"))
+        assert link["href"] == "/page/3/"
+
+    def test_next_sibling(self):
+        cur = root().select_one(".current")
+        assert cur.find_next_sibling()["href"] == "/page/3/"
+
+    def test_string_property(self):
+        assert root().select_one("h1").string == "Title"
+        assert root().select_one("ul").string is None

@@ -1,0 +1,427 @@
+"""minisoup — a stdlib-only HTML DOM with a CSS-selector subset.
+
+The reference drives all extraction through BeautifulSoup with the
+``html.parser`` backend (/root/reference/src/webscraper/scrapers/
+ecommerce.py:119). bs4 is not available in this runtime, so this module
+provides the small slice of that API the extraction cascades actually
+use, implemented on :class:`html.parser.HTMLParser`:
+
+- ``parse(html) -> Tag`` (document root)
+- ``tag.select(css)`` / ``tag.select_one(css)`` with: tag names,
+  ``.class``, ``#id``, ``[attr]``, ``[attr=v]``, ``[attr^=v]``,
+  ``[attr*=v]``, ``[attr$=v]``, compound selectors, descendant/child
+  combinators, selector groups (``,``), ``:first-of-type`` and
+  ``:contains('txt')`` (every selector shape that appears in
+  SURVEY.md §2.2's cascade inventory).
+- ``tag.find`` / ``tag.find_all`` with name str/list, ``class_``
+  str-or-callable, ``attrs`` dict, keyword attr filters (value
+  str / True / compiled regex), and ``text=<regex>`` which — like bs4 —
+  returns the matching *string* rather than a tag.
+- ``tag.get_text(separator="", strip=False)`` with bs4 semantics
+  (strip=True strips each descendant string and drops empties).
+- ``tag.attrs`` / ``tag[attr]`` / ``tag.get`` / ``tag.has_attr``,
+  ``tag.parent``, ``tag.find_next_sibling()``, ``tag.string``.
+
+Pure Python, no per-row JVM crossing: the engine calls this inside
+Arrow-batched ``mapInPandas`` UDFs, one DOM per page, vectorized over
+Arrow record batches.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Callable, Dict, Iterator, List, Optional, Union
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Elements whose open tag implicitly closes a same-name ancestor.
+_IMPLICIT_CLOSE_SAME = frozenset("li p option tr td th dt dd".split())
+
+
+class Tag:
+    """An element node. ``children`` holds Tag and str (text) nodes."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: Optional[Dict[str, str]] = None):
+        self.name = name
+        self.attrs: Dict[str, str] = attrs or {}
+        self.children: List[Union["Tag", str]] = []
+        self.parent: Optional["Tag"] = None
+
+    # -- attribute access ------------------------------------------------
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def __getitem__(self, key: str) -> str:
+        return self.attrs[key]
+
+    # -- traversal -------------------------------------------------------
+    def descendants(self) -> Iterator[Union["Tag", str]]:
+        """Document-order traversal of all descendant nodes."""
+        for child in self.children:
+            yield child
+            if isinstance(child, Tag):
+                yield from child.descendants()
+
+    def iter_tags(self) -> Iterator["Tag"]:
+        for node in self.descendants():
+            if isinstance(node, Tag):
+                yield node
+
+    @property
+    def strings(self) -> Iterator[str]:
+        for node in self.descendants():
+            if isinstance(node, str):
+                yield node
+
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        if strip:
+            return separator.join(s.strip() for s in self.strings if s.strip())
+        return separator.join(self.strings)
+
+    @property
+    def string(self) -> Optional[str]:
+        """bs4 ``.string``: the single string child, recursing through
+        single-tag wrappers; None when ambiguous."""
+        non_blank = [c for c in self.children if not (isinstance(c, str) and not c)]
+        if len(non_blank) == 1:
+            child = non_blank[0]
+            if isinstance(child, str):
+                return child
+            return child.string
+        return None
+
+    def find_next_sibling(self) -> Optional["Tag"]:
+        if self.parent is None:
+            return None
+        siblings = self.parent.children
+        idx = None
+        for i, node in enumerate(siblings):
+            if node is self:
+                idx = i
+                break
+        if idx is None:
+            return None
+        for node in siblings[idx + 1 :]:
+            if isinstance(node, Tag):
+                return node
+        return None
+
+    # -- find / find_all ---------------------------------------------------
+    def find_all(
+        self,
+        name=None,
+        attrs: Optional[Dict] = None,
+        text=None,
+        class_=None,
+        limit: Optional[int] = None,
+        **kwargs,
+    ) -> List:
+        results: List = []
+        want_text = text is not None and name is None
+        for node in self.descendants():
+            if want_text:
+                if isinstance(node, str) and _match_text(text, node):
+                    results.append(node)
+            elif isinstance(node, Tag):
+                if _match_tag(node, name, attrs, class_, kwargs) and (
+                    text is None or _match_text(text, node.string)
+                ):
+                    results.append(node)
+            if limit is not None and len(results) >= limit:
+                break
+        return results
+
+    def find(self, name=None, attrs=None, text=None, class_=None, **kwargs):
+        hits = self.find_all(name, attrs, text, class_, limit=1, **kwargs)
+        return hits[0] if hits else None
+
+    # -- CSS select --------------------------------------------------------
+    def select(self, selector: str) -> List["Tag"]:
+        matchers = [_compile_complex(s) for s in _split_group(selector)]
+        out: List[Tag] = []
+        for tag in self.iter_tags():
+            if any(m(tag, self) for m in matchers):
+                out.append(tag)
+        return out
+
+    def select_one(self, selector: str) -> Optional["Tag"]:
+        matchers = [_compile_complex(s) for s in _split_group(selector)]
+        for tag in self.iter_tags():
+            if any(m(tag, self) for m in matchers):
+                return tag
+        return None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        attrs = " ".join(f'{k}="{v}"' for k, v in self.attrs.items())
+        return f"<{self.name}{' ' + attrs if attrs else ''}> ({len(self.children)} children)"
+
+
+# ---------------------------------------------------------------------------
+# find/find_all matching
+# ---------------------------------------------------------------------------
+
+
+def _match_text(pattern, value: Optional[str]) -> bool:
+    if value is None:
+        return False
+    if hasattr(pattern, "search"):
+        return bool(pattern.search(value))
+    if pattern is True:
+        return True
+    return pattern == value
+
+
+def _match_attr_value(expected, actual: Optional[str]) -> bool:
+    if expected is True:
+        return actual is not None
+    if actual is None:
+        return False
+    if hasattr(expected, "search"):
+        return bool(expected.search(actual))
+    if callable(expected):
+        return bool(expected(actual))
+    return expected == actual
+
+
+def _match_tag(tag: Tag, name, attrs, class_, kwargs) -> bool:
+    if name is not None:
+        if isinstance(name, str):
+            if tag.name != name:
+                return False
+        elif tag.name not in name:
+            return False
+    if class_ is not None:
+        cls = tag.attrs.get("class")
+        if callable(class_):
+            if not class_(cls):
+                return False
+        else:
+            if cls is None or class_ not in cls.split():
+                return False
+    if attrs:
+        for key, expected in attrs.items():
+            if not _match_attr_value(expected, tag.attrs.get(key)):
+                return False
+    for key, expected in kwargs.items():
+        key = key.rstrip("_")
+        if not _match_attr_value(expected, tag.attrs.get(key)):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# CSS selector engine
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][a-zA-Z0-9_-]*|\*)
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w:-]+)(?:(?P<op>[\^\$\*]?=)(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>(?:"[^"]*"|'[^']*'|[^)])*)\))?
+    """,
+    re.VERBOSE,
+)
+
+
+def _split_group(selector: str) -> List[str]:
+    parts, depth, buf = [], 0, []
+    for ch in selector:
+        if ch == "(" or ch == "[":
+            depth += 1
+        elif ch == ")" or ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _tokenize_complex(selector: str) -> List[tuple]:
+    """Split a complex selector into (combinator, compound) pairs.
+
+    combinator is ' ' (descendant) or '>' (child); the first compound
+    has combinator None.
+    """
+    # Normalize child combinator spacing, then split on whitespace.
+    selector = re.sub(r"\s*>\s*", " >", selector.strip())
+    pieces = selector.split()
+    out: List[tuple] = []
+    for i, piece in enumerate(pieces):
+        comb = None if i == 0 else " "
+        if piece.startswith(">"):
+            comb = ">"
+            piece = piece[1:]
+        out.append((comb, piece))
+    return out
+
+
+class _Compound:
+    __slots__ = ("tag", "classes", "id", "attr_tests", "pseudos")
+
+    def __init__(self, compound: str):
+        self.tag: Optional[str] = None
+        self.classes: List[str] = []
+        self.id: Optional[str] = None
+        self.attr_tests: List[tuple] = []
+        self.pseudos: List[tuple] = []
+        pos = 0
+        while pos < len(compound):
+            m = _SIMPLE_RE.match(compound, pos)
+            if not m:
+                raise ValueError(f"unsupported selector: {compound!r} at {pos}")
+            pos = m.end()
+            if m.group("tag"):
+                if m.group("tag") != "*":
+                    self.tag = m.group("tag").lower()
+            elif m.group("cls"):
+                self.classes.append(m.group("cls"))
+            elif m.group("id"):
+                self.id = m.group("id")
+            elif m.group("attr"):
+                self.attr_tests.append(
+                    (m.group("attr"), m.group("op"), m.group("val"))
+                )
+            elif m.group("pseudo"):
+                arg = m.group("parg")
+                if arg is not None:
+                    arg = arg.strip()
+                    if len(arg) >= 2 and arg[0] in "\"'" and arg[-1] == arg[0]:
+                        arg = arg[1:-1]
+                self.pseudos.append((m.group("pseudo"), arg))
+
+    def matches(self, tag: Tag) -> bool:
+        if self.tag is not None and tag.name != self.tag:
+            return False
+        if self.classes:
+            cls = tag.attrs.get("class")
+            if cls is None:
+                return False
+            have = cls.split()
+            if any(c not in have for c in self.classes):
+                return False
+        if self.id is not None and tag.attrs.get("id") != self.id:
+            return False
+        for attr, op, val in self.attr_tests:
+            actual = tag.attrs.get(attr)
+            if actual is None:
+                return False
+            if op is None or op == "":
+                continue
+            if op == "=" and actual != val:
+                return False
+            if op == "^=" and not actual.startswith(val):
+                return False
+            if op == "$=" and not actual.endswith(val):
+                return False
+            if op == "*=" and val not in actual:
+                return False
+        for name, arg in self.pseudos:
+            if name == "contains":
+                if arg is None or arg not in tag.get_text():
+                    return False
+            elif name == "first-of-type":
+                parent = tag.parent
+                if parent is None:
+                    return False
+                for sib in parent.children:
+                    if isinstance(sib, Tag) and sib.name == tag.name:
+                        if sib is not tag:
+                            return False
+                        break
+            else:
+                raise ValueError(f"unsupported pseudo-class :{name}")
+        return True
+
+
+def _compile_complex(selector: str) -> Callable[[Tag, Tag], bool]:
+    parts = _tokenize_complex(selector)
+    compounds = [(comb, _Compound(c)) for comb, c in parts]
+
+    def match_at(idx: int, tag: Tag, scope: Tag) -> bool:
+        comb, compound = compounds[idx]
+        if not compound.matches(tag):
+            return False
+        if idx == 0:
+            return True
+        # `comb` describes how THIS compound attaches to the previous one.
+        if comb == ">":
+            parent = tag.parent
+            if parent is None or parent is scope:
+                return False
+            return match_at(idx - 1, parent, scope)
+        # descendant: any proper ancestor strictly inside the scope
+        anc = tag.parent
+        while anc is not None and anc is not scope:
+            if match_at(idx - 1, anc, scope):
+                return True
+            anc = anc.parent
+        return False
+
+    def matcher(tag: Tag, scope: Tag) -> bool:
+        return match_at(len(compounds) - 1, tag, scope)
+
+    return matcher
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Tag("[document]")
+        self.stack: List[Tag] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs):
+        if tag in _IMPLICIT_CLOSE_SAME and self.stack[-1].name == tag:
+            self.stack.pop()
+        node = Tag(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs):
+        node = Tag(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str):
+        if tag in VOID_ELEMENTS:
+            return
+        # Pop to the nearest matching open tag (tolerate misnesting).
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse(html: Union[str, bytes]) -> Tag:
+    """Parse HTML into a DOM; accepts str or UTF-8 bytes (the ``html``
+    binary column from the pages table decodes here)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
