@@ -1,0 +1,206 @@
+"""Crawl parity: the Spark epoch engine vs the sequential
+reference-semantics simulator over the same synthetic site
+(SURVEY.md §5.2-1/2; BASELINE.json invariants).
+
+Asserts, under the same seed list + politeness/robots/depth policy:
+- identical final URL-seen sets (url → ok|failed),
+- identical crawl ordering (engine ok-visits sorted by ord_key ==
+  simulator's sequential visit order),
+- byte-identical extracted article ``content`` per url (and equality of
+  every other extracted field) — the input_hint invariant,
+- product/business row parity,
+- resumability: interrupt after epoch k, resume, equal final state.
+"""
+
+import pytest
+
+from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+from web_scrapper_spark.crawl.simulator import merged_articles, simulate_crawl
+from web_scrapper_spark.fixtures import (
+    SiteSpec,
+    all_urls,
+    page_html,
+    pages_dataframe,
+    robots_dataframe,
+    robots_rules,
+    seed_urls,
+)
+from web_scrapper_spark.frontier.store import SnapshotStore
+
+SPEC = SiteSpec()
+
+
+def _seeds():
+    def stype(url):
+        if url.endswith("/products"):
+            return "ecommerce"
+        if url.endswith("/directory"):
+            return "business"
+        return "content"
+
+    return [(u, stype(u)) for u in seed_urls(SPEC)] + [
+        # a seed that exists nowhere in the pages table → retry ×3 → failed
+        ("https://host0.example-crawl.org/gone", "content")
+    ]
+
+
+def _pages_map():
+    return {u: page_html(u, SPEC).encode("utf-8") for u in all_urls(SPEC)}
+
+
+@pytest.fixture(scope="module")
+def engine_state(spark, tmp_path_factory):
+    store = SnapshotStore(str(tmp_path_factory.mktemp("crawl") / "store"))
+    pages = pages_dataframe(spark, SPEC).persist()
+    engine = CrawlEngine(
+        spark, store, pages, robots_dataframe(spark, SPEC), CrawlConfig()
+    )
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    return engine, results
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate_crawl(
+        _pages_map(), _seeds(), robots_rules(SPEC), max_depth=CrawlConfig().max_depth
+    )
+
+
+def test_terminates(engine_state):
+    engine, results = engine_state
+    assert results[-1]["done"]
+    assert len(results) > 2  # multi-epoch crawl, not a single batch
+
+
+def test_seen_set_parity(engine_state, sim):
+    engine, _ = engine_state
+    engine_seen = {
+        r["url"]: r["status"] for r in engine.seen().collect()
+    }
+    assert engine_seen == sim.seen
+
+
+def test_failed_seed_parked(engine_state):
+    engine, _ = engine_state
+    failed = [r["url"] for r in engine.seen().filter("status = 'failed'").collect()]
+    assert failed == ["https://host0.example-crawl.org/gone"]
+
+
+def test_visit_order_parity(engine_state, sim):
+    engine, _ = engine_state
+    rows = (
+        engine.seen().filter("status = 'ok'").select("url", "ord_key").collect()
+    )
+    engine_order = [r["url"] for r in sorted(rows, key=lambda r: r["ord_key"])]
+    assert engine_order == sim.visit_order
+    engine_keys = {r["url"]: r["ord_key"] for r in rows}
+    assert engine_keys == {u: k for u, k in sim.ord_keys.items() if sim.seen[u] == "ok"}
+
+
+def test_robots_respected(engine_state, sim):
+    engine, _ = engine_state
+    seen_urls = set(sim.seen)
+    # host0 disallows /private → never fetched there; host1-3 allow it
+    assert "https://host0.example-crawl.org/private/internal" not in seen_urls
+    assert "https://host1.example-crawl.org/private/internal" in seen_urls
+    engine_urls = {r["url"] for r in engine.seen().collect()}
+    assert "https://host0.example-crawl.org/private/internal" not in engine_urls
+
+
+def _article_key(row):
+    return (row["src_url"], row["item_pos"])
+
+
+def test_article_parity_byte_identical(engine_state, sim):
+    engine, _ = engine_state
+    engine_rows = {_article_key(r): r.asDict() for r in engine.articles().collect()}
+    sim_rows = {_article_key(a): a for a in merged_articles(sim)}
+    assert set(engine_rows) == set(sim_rows)
+    for key, sim_row in sim_rows.items():
+        eng = engine_rows[key]
+        for field in (
+            "url", "title", "date", "author", "content", "excerpt", "image",
+            "images", "categories", "metadata", "keywords", "merge_kind",
+        ):
+            assert eng.get(field) == sim_row.get(field), (key, field)
+        # the input_hint invariant, stated explicitly:
+        if sim_row.get("content"):
+            assert eng["content"].encode("utf-8") == sim_row["content"].encode("utf-8")
+
+
+def test_content_matches_pages_text_column(engine_state):
+    """Article content must equal the pages table's precomputed ``text``
+    column (FIXTURES.md §1) — byte identity against stored truth."""
+    engine, _ = engine_state
+    arts = (
+        engine.articles()
+        .filter("merge_kind in ('merged','full') and content is not null")
+        .select("url", "content")
+    )
+    pages = engine.pages.select("url", "text")
+    diff = arts.join(pages, "url").filter("content <> text").count()
+    assert diff == 0
+    assert arts.count() > 10
+
+
+def test_product_parity(engine_state, sim):
+    engine, _ = engine_state
+    engine_rows = {
+        (r["src_url"], r["item_pos"]): r.asDict() for r in engine.products().collect()
+    }
+    sim_rows = {(p["src_url"], p["item_pos"]): p for p in sim.products}
+    assert set(engine_rows) == set(sim_rows)
+    for key, sim_row in sim_rows.items():
+        eng = engine_rows[key]
+        for field in ("name", "price", "currency", "url", "availability", "images"):
+            assert eng[field] == sim_row.get(field), (key, field)
+        sim_reviews = sim_row.get("reviews")
+        eng_reviews = eng["reviews"].asDict() if eng["reviews"] else None
+        if sim_reviews:
+            assert eng_reviews == {
+                "rating": sim_reviews.get("rating"),
+                "count": sim_reviews.get("count"),
+            }
+
+
+def test_business_parity(engine_state, sim):
+    engine, _ = engine_state
+    engine_rows = {
+        (r["src_url"], r["item_pos"]): r.asDict() for r in engine.businesses().collect()
+    }
+    sim_rows = {(b["src_url"], b["item_pos"]): b for b in sim.businesses}
+    assert set(engine_rows) == set(sim_rows)
+    for key, sim_row in sim_rows.items():
+        eng = engine_rows[key]
+        for field in ("name", "address", "phone", "email", "website", "categories"):
+            assert eng[field] == sim_row.get(field), (key, field)
+        assert eng["social_media"] == sim_row.get("social_media", {})
+
+
+def test_metrics_lineage(engine_state):
+    engine, _ = engine_state
+    metrics = engine.metrics()
+    crawl_epochs = [m for m in metrics if m["epoch"] >= 0]
+    assert all("urls_per_sec" in m for m in crawl_epochs)
+    assert sum(m["dequeued"] for m in crawl_epochs) >= len(_seeds())
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, engine_state, sim):
+    """§5.2-5: run 2 epochs, 'crash', resume from the manifest, finish;
+    final seen-set equals the uninterrupted run's."""
+    store = SnapshotStore(str(tmp_path / "resume-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    engine.run_epoch()
+    engine.run_epoch()
+    del engine  # crash
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, CrawlConfig())
+    resumed.run(max_epochs=30)
+    seen = {r["url"]: r["status"] for r in resumed.seen().collect()}
+    assert seen == sim.seen
+    full_engine, _ = engine_state
+    assert seen == {r["url"]: r["status"] for r in full_engine.seen().collect()}

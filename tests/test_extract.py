@@ -174,9 +174,10 @@ class TestContent:
         url = f"{SPEC.base(0)}/blog"
         cfg = ContentConfig(selectors={})
         items = extract_articles(page_html(url, SPEC), url, cfg)
-        assert len(items) == SPEC.blog_page_size
+        # blog_page_size posts + the /private item injected on page 1
+        assert len(items) == SPEC.blog_page_size + 1
         for item in items:
-            assert item["title"].startswith("Post ")
+            assert item["title"].startswith(("Post ", "Private note"))
             assert item["url"].startswith(SPEC.base(0))
             assert item["fetch_full"] is True
 

@@ -1,0 +1,161 @@
+"""Unit tests for the snapshot store, bloom filter, and frontier ops."""
+
+import numpy as np
+import pytest
+
+from web_scrapper_spark.frontier.bloom import PyBloom, bloom_prefilter, build_bloom
+from web_scrapper_spark.frontier.core import (
+    dequeue,
+    first_discovery_wins,
+    robots_filter,
+    seeds_frontier,
+)
+from web_scrapper_spark.frontier.store import SnapshotStore
+
+
+class TestPyBloom:
+    def test_no_false_negatives(self):
+        bloom = PyBloom.sized(1000, 0.01)
+        keys = np.arange(1000, dtype=np.int64) * 7919 - 500
+        bloom.add_many(keys)
+        assert bloom.might_contain_many(keys).all()
+
+    def test_fpp_bounded(self):
+        bloom = PyBloom.sized(5000, 0.01)
+        bloom.add_many(np.arange(5000, dtype=np.int64))
+        probe = np.arange(100_000, 200_000, dtype=np.int64)
+        fp = bloom.might_contain_many(probe).mean()
+        assert fp < 0.05
+
+    def test_union(self):
+        a, b = PyBloom.sized(100, 0.01), PyBloom.sized(100, 0.01)
+        a.add_many(np.array([1, 2, 3], dtype=np.int64))
+        b.add_many(np.array([100, 200], dtype=np.int64))
+        u = a.union(b)
+        assert u.might_contain_many(np.array([1, 200], dtype=np.int64)).all()
+
+    def test_roundtrip_bytes(self):
+        a = PyBloom.sized(100, 0.01)
+        a.add_many(np.array([42], dtype=np.int64))
+        b = PyBloom.from_bytes(a.n_bits, a.k, a.to_bytes())
+        assert b.might_contain_many(np.array([42], dtype=np.int64)).all()
+
+
+class TestBloomSpark:
+    def test_build_and_prefilter(self, spark):
+        seen = spark.range(0, 2000).selectExpr("cast(id as int) as url_hash")
+        bloom = build_bloom(seen, "url_hash", expected=2000, fpp=0.01)
+        cand = spark.range(1500, 2500).selectExpr("cast(id as int) as url_hash")
+        new = bloom_prefilter(cand, bloom, "url_hash", keep_maybe_seen=False)
+        maybe = bloom_prefilter(cand, bloom, "url_hash", keep_maybe_seen=True)
+        n_new, n_maybe = new.count(), maybe.count()
+        assert n_new + n_maybe == 1000
+        # all 500 truly-seen keys must be flagged maybe-seen (no false negatives)
+        truly_seen_cleared = new.filter("url_hash < 2000").count()
+        assert truly_seen_cleared == 0
+        assert n_maybe >= 500
+
+
+class TestSnapshotStore:
+    def test_commit_read_time_travel(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "store"))
+        df1 = spark.range(5).selectExpr("id as n")
+        df2 = spark.range(9).selectExpr("id as n")
+        s1 = store.commit("t", df1, epoch=0)
+        s2 = store.commit("t", df2, epoch=1)
+        assert store.read(spark, "t").count() == 9
+        assert store.read(spark, "t", s1).count() == 5
+        assert store.latest_id("t") == s2
+        assert store.snapshots("t")[1]["parent"] == s1
+
+    def test_read_union_append_semantics(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "store"))
+        store.commit("a", spark.range(3), epoch=0)
+        store.commit("a", spark.range(4), epoch=1)
+        assert store.read_union(spark, "a").count() == 7
+        assert store.read_union(spark, "a", up_to_epoch=0).count() == 3
+
+    def test_epoch_manifest(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "store"))
+        s = store.commit("t", spark.range(2), epoch=0)
+        store.commit_epoch(0, {"t": s}, {"rows": 2})
+        assert store.last_epoch()["epoch"] == 0
+        assert store.epoch_metrics() == [{"epoch": 0, "rows": 2}]
+
+    def test_expire_snapshots(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "store"))
+        for e in range(4):
+            store.commit("t", spark.range(e + 1), epoch=e)
+        removed = store.expire_snapshots("t", keep_last=2)
+        assert removed == 2
+        assert store.read(spark, "t").count() == 4  # latest still readable
+
+
+class TestFrontierOps:
+    def test_seeds_ordering_and_salt(self, spark):
+        seeds = [("https://A.org/x", "content"), ("https://b.org/y", "ecommerce")]
+        df = seeds_frontier(spark, seeds, salt_buckets=4).orderBy("ord_key")
+        rows = df.collect()
+        assert rows[0]["ord_key"] == "00000" and rows[0]["host"] == "a.org"
+        assert rows[1]["stype"] == "ecommerce"
+        assert all("#" in r["host_salt"] for r in rows)
+        assert all(r["priority"] == 1.0 for r in rows)
+
+    def test_first_discovery_wins(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u1", "00001/00002", 2, "content"),
+                ("u1", "00000/00001", 2, "content"),
+                ("u2", "00003", 1, "content"),
+            ],
+            "url string, ord_key string, depth int, stype string",
+        )
+        rows = {r["url"]: r["ord_key"] for r in first_discovery_wins(df).collect()}
+        assert rows == {"u1": "00000/00001", "u2": "00003"}
+
+    def test_robots_filter(self, spark):
+        cand = spark.createDataFrame(
+            [
+                ("https://h0.org/private/x", "k1", 1, "content"),
+                ("https://h0.org/blog/a", "k2", 1, "content"),
+                ("https://h1.org/private/x", "k3", 1, "content"),
+            ],
+            "url string, ord_key string, depth int, stype string",
+        )
+        robots = spark.createDataFrame(
+            [("h0.org", ["/private"], 2.0), ("h1.org", [], 2.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        kept = sorted(r["url"] for r in robots_filter(cand, robots).collect())
+        assert kept == ["https://h0.org/blog/a", "https://h1.org/private/x"]
+
+    def test_dequeue_politeness_budget(self, spark):
+        # 10 urls on one host, delay 2.0, epoch 8s → budget 4
+        seeds = [(f"https://h.org/p{i}", "content") for i in range(10)]
+        frontier = seeds_frontier(spark, seeds)
+        robots = spark.createDataFrame(
+            [("h.org", [], 2.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        batch = dequeue(frontier, robots, epoch_seconds=8.0, default_delay=2.0)
+        rows = batch.orderBy("ord_key").collect()
+        assert len(rows) == 4
+        # earliest ord_keys picked; fetch slots spaced by delay
+        assert [r["ord_key"] for r in rows] == ["00000", "00001", "00002", "00003"]
+        assert [r["fetch_slot"] for r in rows] == [0.0, 2.0, 4.0, 6.0]
+
+    def test_dequeue_hot_host_fairness(self, spark):
+        seeds = [(f"https://hot.org/p{i}", "content") for i in range(20)] + [
+            ("https://cold.org/x", "content")
+        ]
+        frontier = seeds_frontier(spark, seeds)
+        robots = spark.createDataFrame(
+            [("hot.org", [], 0.5), ("cold.org", [], 2.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        batch = dequeue(frontier, robots, epoch_seconds=4.0, default_delay=2.0)
+        by_host = {
+            r["host"]: r["cnt"]
+            for r in batch.groupBy("host").count().withColumnRenamed("count", "cnt").collect()
+        }
+        assert by_host == {"hot.org": 8, "cold.org": 1}

@@ -1,0 +1,394 @@
+"""The crawl-epoch engine (north rule; SURVEY.md §3, §7 Phases 0/2/3).
+
+Each epoch is one checkpointed Spark batch:
+
+    frontier dequeue → politeness-bucketed fetch partitions →
+    parse/extract (Arrow UDFs) → dedup-merge into seen + frontier
+    snapshots
+
+The reference's sequential loop (base.py:183-216) nests fetches inside
+extraction (content.py:146-229); here discovery is staged — links found
+in epoch N are fetched in epoch N+1 — with ordering preserved through
+``ord_key`` (frontier/core.py). "Fetching" a URL is the lookup-join
+against the pages table (SURVEY.md §2.3 J2): the politeness-dequeued
+batch is broadcast against the (huge) pages scan, so the fetch is one
+pass over pages with no shuffle of the big side. Fetch misses model the
+reference's retry (T9, tenacity ×3): attempts+1 and re-enqueue next
+epoch until ``max_attempts``, then parked as ``failed`` in the seen set
+(base.py:197-199 semantics, minus wall-clock sleeps).
+
+Every epoch commits frontier/seen snapshots plus append-snapshots of
+the extracted tables, and records the epoch in the manifest only after
+all its snapshots are durable — so a crash mid-epoch resumes from the
+previous complete epoch with no partial state (resume test §5.2-5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract.business import BusinessConfig
+from ..extract.content import ContentConfig
+from ..extract.ecommerce import EcommerceConfig
+from ..frontier.bloom import bloom_prefilter, build_bloom
+from ..frontier.core import (
+    POS_PAD,
+    dequeue,
+    first_discovery_wins,
+    robots_filter,
+    seeds_frontier,
+    with_frontier_columns,
+)
+from ..frontier.store import SnapshotStore
+from ..operators.udfs import (
+    extract_businesses_df,
+    extract_content_df,
+    extract_products_df,
+)
+
+
+@dataclass
+class CrawlConfig:
+    epoch_seconds: float = 8.0       # politeness window per epoch
+    default_delay: float = 2.0       # reference's declared delay (base.py:34)
+    max_depth: int = 6               # max_pages analog (content.py:57)
+    max_attempts: int = 3            # tenacity stop_after_attempt(3)
+    salt_buckets: int = 8            # hot-host skew defusal (north rule)
+    global_budget: Optional[int] = None
+    bloom_fpp: float = 0.01
+    bloom_min_seen: int = 50_000     # below this the exact anti-join is cheaper
+    content: ContentConfig = field(
+        default_factory=lambda: ContentConfig(
+            selectors={}, follow_next_page=True, max_pages=10**6
+        )
+    )
+    ecommerce: EcommerceConfig = field(default_factory=EcommerceConfig)
+    business: BusinessConfig = field(default_factory=BusinessConfig)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        pages: DataFrame,
+        robots: Optional[DataFrame] = None,
+        cfg: Optional[CrawlConfig] = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.pages = pages
+        self.robots = robots
+        self.cfg = cfg or CrawlConfig()
+        self._epoch: Optional[int] = None
+        self._frontier_snap: Optional[int] = None
+        self._seen_snap: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    def init(self, seeds: List[tuple]) -> None:
+        """Seed the frontier (epoch 0 base state). seeds = [(url, stype)]
+        in reference urls-list order."""
+        frontier = seeds_frontier(self.spark, seeds, self.cfg.salt_buckets)
+        frontier = frontier.repartition(
+            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
+        )
+        empty_seen = self.spark.createDataFrame(
+            [], "url string, url_hash int, host string, stype string, "
+                "status string, ord_key string, depth int, fetched_epoch int"
+        )
+        fsnap = self.store.commit("frontier", frontier, epoch=-1)
+        ssnap = self.store.commit("seen", empty_seen, epoch=-1)
+        self.store.commit_epoch(
+            -1, {"frontier": fsnap, "seen": ssnap}, {"seeds": len(seeds)}
+        )
+        self._epoch, self._frontier_snap, self._seen_snap = -1, fsnap, ssnap
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        store: SnapshotStore,
+        pages: DataFrame,
+        robots: Optional[DataFrame] = None,
+        cfg: Optional[CrawlConfig] = None,
+    ) -> "CrawlEngine":
+        """Resume from the last COMPLETE epoch in the manifest; snapshots
+        written by a crashed epoch are ignored (never referenced)."""
+        engine = cls(spark, store, pages, robots, cfg)
+        last = store.last_epoch()
+        if last is None:
+            raise RuntimeError("nothing to resume: store has no committed epochs")
+        engine._epoch = last["epoch"]
+        engine._frontier_snap = last["tables"]["frontier"]
+        engine._seen_snap = last["tables"]["seen"]
+        return engine
+
+    # ------------------------------------------------------------------
+    def frontier(self) -> DataFrame:
+        return self.store.read(self.spark, "frontier", self._frontier_snap)
+
+    def seen(self) -> DataFrame:
+        return self.store.read(self.spark, "seen", self._seen_snap)
+
+    def articles(self, merged: bool = True) -> Optional[DataFrame]:
+        raw = self.store.read_union(self.spark, "articles", self._epoch)
+        if raw is None or not merged:
+            return raw
+        return merge_articles(raw)
+
+    def products(self) -> Optional[DataFrame]:
+        return self.store.read_union(self.spark, "products", self._epoch)
+
+    def businesses(self) -> Optional[DataFrame]:
+        return self.store.read_union(self.spark, "businesses", self._epoch)
+
+    def metrics(self) -> List[Dict]:
+        return self.store.epoch_metrics()
+
+    # ------------------------------------------------------------------
+    def run_epoch(self) -> Dict:
+        """One checkpointed batch. Returns the epoch's metrics (empty
+        dequeue → {'done': True})."""
+        cfg = self.cfg
+        epoch = self._epoch + 1
+        t0 = time.time()
+        frontier = self.frontier()
+        seen = self.seen()
+
+        batch = dequeue(
+            frontier,
+            self.robots,
+            epoch_seconds=cfg.epoch_seconds,
+            default_delay=cfg.default_delay,
+            global_budget=cfg.global_budget,
+        ).persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return {"epoch": epoch, "done": True, "dequeued": 0}
+
+        # --- fetch = lookup join against pages (J2) --------------------
+        # broadcast the politeness batch; the pages scan is the only
+        # pass over big data and carries url+html only (column pruning).
+        fetched = self.pages.select("url", "html").join(
+            F.broadcast(batch), "url", "inner"
+        ).persist()
+        n_fetched = fetched.count()
+        found_urls = fetched.select("url")
+        misses = batch.join(F.broadcast(found_urls), "url", "left_anti").persist()
+
+        # --- parse/extract (Arrow UDFs), routed by scraper type --------
+        content_rows = (
+            extract_content_df(
+                fetched.filter(F.col("stype") == "content"), cfg.content
+            )
+            .persist()
+        )
+        product_rows = extract_products_df(
+            fetched.filter(F.col("stype") == "ecommerce"), cfg.ecommerce
+        )
+        business_rows = extract_businesses_df(
+            fetched.filter(F.col("stype") == "business"), cfg.business
+        )
+
+        # --- discovered links → frontier candidates --------------------
+        links = content_rows.filter(F.col("row_kind") == "link").select(
+            "src_url", "url", "item_pos", "link_kind"
+        )
+        parents = batch.select(
+            F.col("url").alias("src_url"),
+            F.col("ord_key").alias("parent_key"),
+            F.col("depth").alias("parent_depth"),
+            F.col("stype").alias("parent_stype"),
+        )
+        candidates = (
+            links.join(F.broadcast(parents), "src_url")
+            .select(
+                canonical_url_col("url").alias("url"),
+                F.concat(
+                    F.col("parent_key"),
+                    F.lit("/"),
+                    F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
+                ).alias("ord_key"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                F.col("parent_stype").alias("stype"),
+            )
+            .filter(F.col("depth") <= cfg.max_depth)
+        )
+        candidates = first_discovery_wins(candidates)
+        candidates = robots_filter(candidates, self.robots)
+
+        # bloom pre-filter: provably-unseen candidates skip nothing —
+        # they still anti-join pending frontier; maybe-seen ones go
+        # through the exact seen anti-join. Below the threshold the
+        # exact join alone is cheaper than building the filter.
+        n_seen_prev = _snapshot_rows(self.store, "seen", self._seen_snap)
+        if n_seen_prev >= cfg.bloom_min_seen:
+            bloom = build_bloom(
+                seen.select("url_hash"), "url_hash", expected=max(n_seen_prev, 1),
+                fpp=cfg.bloom_fpp,
+            )
+            definitely_new = bloom_prefilter(
+                candidates.withColumn("url_hash", F.hash("url")),
+                bloom, "url_hash", keep_maybe_seen=False,
+            ).drop("url_hash")
+            maybe_seen = bloom_prefilter(
+                candidates.withColumn("url_hash", F.hash("url")),
+                bloom, "url_hash", keep_maybe_seen=True,
+            ).drop("url_hash")
+            survivors = maybe_seen.join(seen.select("url"), "url", "left_anti")
+            candidates = definitely_new.unionByName(survivors)
+        else:
+            candidates = candidates.join(seen.select("url"), "url", "left_anti")
+
+        pending_after = frontier.join(F.broadcast(batch.select("url")), "url", "left_anti")
+        candidates = candidates.join(pending_after.select("url"), "url", "left_anti")
+        new_frontier_rows = with_frontier_columns(
+            candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
+        )
+
+        # --- retry bookkeeping (T7/T9) ----------------------------------
+        retry = (
+            misses.filter(F.col("attempts") + 1 < cfg.max_attempts)
+            .withColumn("attempts", F.col("attempts") + 1)
+            .select(*[c for c in frontier.columns])
+        )
+        parked = (
+            misses.filter(F.col("attempts") + 1 >= cfg.max_attempts)
+            .select(
+                "url", "url_hash", "host", "stype",
+                F.lit("failed").alias("status"),
+                "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
+            )
+        )
+        fetched_seen = fetched.select(
+            "url", "url_hash", "host", "stype",
+            F.lit("ok").alias("status"),
+            "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
+        )
+
+        # --- dedup-merge commits ----------------------------------------
+        new_seen = seen.unionByName(fetched_seen).unionByName(parked)
+        new_frontier = (
+            pending_after.unionByName(retry).unionByName(new_frontier_rows)
+            .repartition(
+                max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
+            )
+        )
+
+        fsnap = self.store.commit("frontier", new_frontier, epoch=epoch)
+        ssnap = self.store.commit("seen", new_seen, epoch=epoch)
+        tables = {"frontier": fsnap, "seen": ssnap}
+
+        articles_out = content_rows.filter(F.col("row_kind") != "link").drop("link_kind")
+        tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
+        tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
+        tables["businesses"] = self.store.commit("businesses", business_rows, epoch=epoch)
+
+        duration = time.time() - t0
+        n_failed = parked.count()
+        metrics = {
+            "dequeued": n_batch,
+            "fetched_ok": n_fetched,
+            "fetch_miss": n_batch - n_fetched,
+            "failed_parked": n_failed,
+            "new_frontier_rows": _snapshot_rows(self.store, "frontier", fsnap),
+            "seen_total": _snapshot_rows(self.store, "seen", ssnap),
+            "articles_rows": _snapshot_rows(self.store, "articles", tables["articles"]),
+            "products_rows": _snapshot_rows(self.store, "products", tables["products"]),
+            "businesses_rows": _snapshot_rows(self.store, "businesses", tables["businesses"]),
+            "duration_s": round(duration, 3),
+            "urls_per_sec": round(n_batch / duration, 2) if duration > 0 else None,
+        }
+        self.store.commit_epoch(epoch, tables, metrics)
+        self._epoch, self._frontier_snap, self._seen_snap = epoch, fsnap, ssnap
+
+        batch.unpersist()
+        fetched.unpersist()
+        misses.unpersist()
+        content_rows.unpersist()
+        return {"epoch": epoch, "done": False, **metrics}
+
+    def run(self, max_epochs: int = 100) -> List[Dict]:
+        """Run epochs until the frontier drains (T1's batch-loop model)."""
+        results = []
+        for _ in range(max_epochs):
+            result = self.run_epoch()
+            results.append(result)
+            if result.get("done"):
+                break
+        return results
+
+
+def canonical_url_col(col: str):
+    """Engine canonicalization (F21) in native expressions, matching
+    urlutils.canonicalize_url for http(s) URLs: lowercase scheme+host,
+    strip default port and fragment, keep path+query, '/' for empty
+    path. JVM-side — no Python in this hot path."""
+    scheme = F.lower(F.regexp_extract(F.col(col), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    host = F.lower(F.parse_url(F.col(col), F.lit("HOST")))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.expr(f"substring(lower(parse_url({col}, 'HOST')), 1, length(lower(parse_url({col}, 'HOST'))) - 3)"),
+    ).otherwise(host)
+    path = F.parse_url(F.col(col), F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.parse_url(F.col(col), F.lit("QUERY"))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query.isNull() | (query == ""), F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+
+
+def merge_articles(raw: DataFrame) -> DataFrame:
+    """J1 — the listing ⟕ full merge (content.py:160-165) as a
+    DataFrame join: listing value wins when truthy ('' / [] / {} / NULL
+    lose). Listing-only and full-only rows pass through (full outer)."""
+    listing = raw.filter(F.col("row_kind") == "listing").alias("l")
+    full = raw.filter(F.col("row_kind") == "full").alias("f")
+
+    def prefer(col: str, empty_test):
+        lcol, fcol = F.col(f"l.{col}"), F.col(f"f.{col}")
+        return F.when(lcol.isNull() | empty_test(lcol), F.coalesce(fcol, lcol)).otherwise(lcol)
+
+    str_empty = lambda c: c == ""  # noqa: E731
+    arr_empty = lambda c: F.size(c) == 0  # noqa: E731
+
+    joined = listing.join(full, F.col("l.url") == F.col("f.url"), "full_outer")
+    url = F.coalesce(F.col("l.url"), F.col("f.url"))
+    return joined.select(
+        url.alias("url"),
+        F.coalesce(F.col("l.src_url"), F.col("f.src_url")).alias("src_url"),
+        prefer("title", str_empty).alias("title"),
+        prefer("date", str_empty).alias("date"),
+        prefer("author", str_empty).alias("author"),
+        prefer("content", str_empty).alias("content"),
+        prefer("excerpt", str_empty).alias("excerpt"),
+        prefer("image", str_empty).alias("image"),
+        prefer("images", arr_empty).alias("images"),
+        prefer("categories", arr_empty).alias("categories"),
+        prefer("metadata", lambda c: F.size(F.map_keys(c)) == 0).alias("metadata"),
+        prefer("keywords", arr_empty).alias("keywords"),
+        F.coalesce(F.col("l.item_pos"), F.col("f.item_pos")).alias("item_pos"),
+        F.when(
+            F.col("l.url").isNotNull() & F.col("f.url").isNotNull(), F.lit("merged")
+        )
+        .when(F.col("l.url").isNotNull(), F.lit("listing"))
+        .otherwise(F.lit("full"))
+        .alias("merge_kind"),
+    )
+
+
+def _snapshot_rows(store: SnapshotStore, table: str, snap_id: Optional[int]) -> int:
+    for entry in store.snapshots(table):
+        if entry["id"] == snap_id:
+            return entry["rows"]
+    return 0

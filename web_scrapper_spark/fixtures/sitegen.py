@@ -265,6 +265,17 @@ def _blog_listing_html(spec: SiteSpec, h: int, page: int, url: str) -> str:
             f'<p class="excerpt">A short summary of post {a} long enough to keep.</p>'
             f"</article>"
         )
+    if page == 1:
+        # a listing item pointing into /private — robots-disallowed on
+        # every 5th host (exercises the enqueue-time robots filter J4);
+        # on allowed hosts it resolves to the private page.
+        items.append(
+            f'<article class="post-item">'
+            f'<h2><a href="/private/internal">Private note {h}</a></h2>'
+            f'<span class="date">2025-01-05</span>'
+            f'<p class="excerpt">An internal note that robots should skip sometimes.</p>'
+            f"</article>"
+        )
     # Listing marker classes push the classifier to "listing"
     # (content.py:258-266) even for single-article pages.
     body = f'<div class="blog-list post-list">{"".join(items)}</div>'

@@ -1,0 +1,6 @@
+"""URL frontier + seen-set engine (SURVEY.md §2.3 J3/J4, §2.5, §7 Phase 2)."""
+
+from .store import SnapshotStore
+from .bloom import PyBloom, build_bloom, bloom_prefilter
+
+__all__ = ["SnapshotStore", "PyBloom", "build_bloom", "bloom_prefilter"]

@@ -1,0 +1,197 @@
+"""Frontier dataflow primitives (SURVEY.md §2.5, §2.7 U5, §4.1).
+
+Key design decisions vs the reference's sequential loop (base.py:188):
+
+**ord_key — distributed total order without a global shuffle.** The
+reference's crawl order is DFS preorder: each listing's articles are
+fetched immediately after it, then the next page (content.py:146-229).
+We encode that order as a path string: seeds get ``zfill(seed_index)``,
+a link discovered at position p on a page with key K gets ``K/ppppp``.
+Lexicographic ord_key order IS the reference's sequential visit order,
+computed per-row with zero coordination — no ``row_number`` over an
+unpartitioned window, which would single-thread at 10^10 scale. Parity
+tests sort by ord_key; the politeness scheduler decides *which epoch* a
+URL is fetched in, never its ord_key.
+
+**Salted host partitioning.** ``host_salt = host || '#' || pmod(hash(url), S)``
+(north rule): repartitioning the frontier by host alone would put 50%
+of a Zipf frontier in one task; the salt bounds any task's share to
+~hot_share/S while keeping politeness groupable by ``host``.
+
+**Politeness budget as a window.** The reference declares ``delay`` but
+never sleeps (base.py:34,62; SURVEY.md §2.9 T8). We enforce it as batch
+composition: an epoch spans ``epoch_seconds`` of crawl time, so host h
+gets ``max(1, floor(epoch_seconds / crawl_delay(h)))`` fetch slots,
+assigned by ``row_number() OVER (PARTITION BY host ORDER BY priority
+DESC, ord_key)``.
+
+**Dedup-merge.** First-discovery-wins (min ord_key) within the batch,
+bloom pre-filter against the seen-set (frontier/bloom.py), then the
+exact ``left_anti`` joins against seen and pending frontier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash int, host string, host_salt string, stype string, "
+    "depth int, priority double, ord_key string, attempts int, "
+    "discovered_epoch int"
+)
+
+SEEN_SCHEMA = (
+    "url string, url_hash int, host string, stype string, status string, "
+    "ord_key string, depth int, fetched_epoch int"
+)
+
+SEED_PAD = 5  # zero-pad width for seed indices
+POS_PAD = 5  # zero-pad width for on-page link positions
+
+
+def with_frontier_columns(
+    candidates: DataFrame, epoch: int, salt_buckets: int = 8
+) -> DataFrame:
+    """candidates(url, stype, depth, ord_key, attempts?) → full frontier
+    schema. URL must already be canonical (the extraction UDFs
+    canonicalize at emission; seeds canonicalize on the driver)."""
+    if "attempts" not in candidates.columns:
+        candidates = candidates.withColumn("attempts", F.lit(0))
+    return candidates.select(
+        "url",
+        F.hash("url").alias("url_hash"),
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.concat(
+            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.lit("#"),
+            F.pmod(F.hash("url"), F.lit(salt_buckets)).cast("string"),
+        ).alias("host_salt"),
+        "stype",
+        "depth",
+        (F.lit(1.0) / (F.lit(1.0) + F.col("depth"))).alias("priority"),
+        "ord_key",
+        "attempts",
+        F.lit(epoch).alias("discovered_epoch"),
+    )
+
+
+def seeds_frontier(spark, seeds, salt_buckets: int = 8) -> DataFrame:
+    """seeds: list of (url, stype) in reference ``urls``-list order
+    (base.py:188 — seed order drives ordering parity)."""
+    from ..urlutils import canonicalize_url
+
+    rows = [
+        (canonicalize_url(url), stype, 0, str(i).zfill(SEED_PAD))
+        for i, (url, stype) in enumerate(seeds)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, stype string, depth int, ord_key string"
+    )
+    return with_frontier_columns(df, epoch=0, salt_buckets=salt_buckets)
+
+
+def politeness_budgets(robots: Optional[DataFrame], epoch_seconds: float, default_delay: float):
+    """host → per-epoch fetch budget from crawl_delay (T8/J4)."""
+
+    def attach(frontier: DataFrame) -> DataFrame:
+        if robots is None:
+            return frontier.withColumn(
+                "budget",
+                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds / default_delay))).cast("int"),
+            )
+        rb = robots.select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(epoch_seconds) / F.coalesce(F.col("crawl_delay"), F.lit(default_delay))),
+            ).cast("int").alias("budget"),
+        )
+        joined = frontier.join(F.broadcast(rb), "host", "left")
+        return joined.withColumn(
+            "budget",
+            F.coalesce(
+                F.col("budget"),
+                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds / default_delay))).cast("int"),
+            ),
+        )
+
+    return attach
+
+
+def dequeue(
+    frontier: DataFrame,
+    robots: Optional[DataFrame],
+    epoch_seconds: float = 8.0,
+    default_delay: float = 2.0,
+    global_budget: Optional[int] = None,
+) -> DataFrame:
+    """Politeness-bounded dequeue (SURVEY.md §2.5): per-host fair slots
+    by priority/ord_key; optional global cap keeps epochs bounded."""
+    with_budget = politeness_budgets(robots, epoch_seconds, default_delay)(frontier)
+    host_window = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("depth"), F.asc("ord_key")
+    )
+    batch = (
+        with_budget.withColumn("host_rank", F.row_number().over(host_window))
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .withColumn(
+            # fetch slot inside the epoch: rank_in_host × crawl_delay —
+            # the token-bucket schedule (north rule), carried as lineage
+            "fetch_slot",
+            (F.col("host_rank") - F.lit(1)).cast("double")
+            * (F.lit(epoch_seconds) / F.col("budget").cast("double")),
+        )
+        .drop("budget")
+    )
+    if global_budget is not None:
+        # bounded epochs: keep best-ranked rows; ties broken by ord_key.
+        batch = (
+            batch.orderBy(F.asc("depth"), F.asc("ord_key"))
+            .limit(global_budget)
+        )
+    return batch
+
+
+def first_discovery_wins(candidates: DataFrame) -> DataFrame:
+    """U5 dedup within a discovery batch: keep the occurrence with the
+    smallest ord_key — the one the reference's sequential loop would
+    have reached first."""
+    return (
+        candidates.groupBy("url")
+        .agg(
+            F.min(
+                F.struct("ord_key", "depth", "stype")
+            ).alias("first")
+        )
+        .select(
+            "url",
+            F.col("first.ord_key").alias("ord_key"),
+            F.col("first.depth").alias("depth"),
+            F.col("first.stype").alias("stype"),
+        )
+    )
+
+
+def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
+    """J4: drop candidates whose path matches a disallow prefix for
+    their host — broadcast map-side lookup, no shuffle."""
+    if robots is None:
+        return candidates
+    rules = robots.select("host", "disallow_prefixes")
+    with_host = candidates.withColumn(
+        "_host", F.lower(F.parse_url("url", F.lit("HOST")))
+    ).withColumn("_path", F.parse_url("url", F.lit("PATH")))
+    joined = with_host.join(
+        F.broadcast(rules), with_host["_host"] == rules["host"], "left"
+    )
+    allowed = joined.filter(
+        F.col("disallow_prefixes").isNull()
+        | ~F.exists(
+            "disallow_prefixes",
+            lambda p: F.col("_path").startswith(p),
+        )
+    )
+    return allowed.drop("host", "disallow_prefixes", "_host", "_path")

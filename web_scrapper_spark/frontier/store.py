@@ -1,0 +1,169 @@
+"""Snapshot-committed parquet tables (Iceberg-style semantics).
+
+The north rule calls for frontier/seen state "maintained as Iceberg
+tables ... resumable from any snapshot". This runtime has no Iceberg
+jar, so this module provides the same commit semantics on plain
+parquet + an atomic JSON manifest (SURVEY.md §7 Phase 2 decision):
+
+- every commit writes a NEW immutable snapshot directory
+  (``<root>/<table>/snap-<n>/`` parquet) and atomically swaps the
+  manifest (write-temp + ``os.replace``) — readers never see a partial
+  snapshot;
+- the manifest records per-snapshot lineage: epoch, parent snapshot,
+  row count, and arbitrary metrics — the per-partition lineage +
+  fetch/parse metrics of the north rule live here;
+- ``read(..., snapshot=k)`` time-travels; resume = read latest
+  committed epoch (crawl/epoch.py).
+
+On a real cluster the identical API maps 1:1 onto Iceberg
+(``df.writeTo(...).createOrReplace()`` / snapshot ids); only this file
+would change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> Dict:
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return {"tables": {}, "epochs": []}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: Dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    # -- commits -----------------------------------------------------------
+    def commit(
+        self,
+        table: str,
+        df: DataFrame,
+        epoch: int,
+        metrics: Optional[Dict] = None,
+    ) -> int:
+        """Write ``df`` as the next snapshot of ``table``; returns its id."""
+        manifest = self.manifest()
+        snaps: List[Dict] = manifest["tables"].setdefault(table, [])
+        snap_id = (snaps[-1]["id"] + 1) if snaps else 0
+        rel = os.path.join(table, f"snap-{snap_id:05d}")
+        path = os.path.join(self.root, rel)
+        df.write.mode("overwrite").parquet(path)
+        count = _parquet_rows(path)
+        snaps.append(
+            {
+                "id": snap_id,
+                "epoch": epoch,
+                "path": rel,
+                "rows": count,
+                "parent": snaps[-1]["id"] if snaps else None,
+                "committed_at": time.time(),
+                "metrics": metrics or {},
+            }
+        )
+        self._write_manifest(manifest)
+        return snap_id
+
+    def commit_epoch(self, epoch: int, tables: Dict[str, int], metrics: Dict) -> None:
+        """Record a completed epoch: table→snapshot-id mapping + metrics.
+        An epoch absent from this list is treated as never having
+        happened on resume (its orphan snapshots are ignored)."""
+        manifest = self.manifest()
+        manifest["epochs"] = [e for e in manifest["epochs"] if e["epoch"] != epoch]
+        manifest["epochs"].append(
+            {"epoch": epoch, "tables": tables, "metrics": metrics}
+        )
+        manifest["epochs"].sort(key=lambda e: e["epoch"])
+        self._write_manifest(manifest)
+
+    # -- reads -------------------------------------------------------------
+    def snapshots(self, table: str) -> List[Dict]:
+        return self.manifest()["tables"].get(table, [])
+
+    def latest_id(self, table: str) -> Optional[int]:
+        snaps = self.snapshots(table)
+        return snaps[-1]["id"] if snaps else None
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot: Optional[int] = None
+    ) -> DataFrame:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise KeyError(f"no snapshots for table {table!r}")
+        if snapshot is None:
+            entry = snaps[-1]
+        else:
+            matches = [s for s in snaps if s["id"] == snapshot]
+            if not matches:
+                raise KeyError(f"snapshot {snapshot} of {table!r} not found")
+            entry = matches[0]
+        return spark.read.parquet(os.path.join(self.root, entry["path"]))
+
+    def read_union(
+        self, spark: SparkSession, table: str, up_to_epoch: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Append-semantics read: each snapshot of an append table holds
+        one epoch's increment; the table's content is the union of all
+        snapshot dirs (what Iceberg's append commit gives natively)."""
+        snaps = self.snapshots(table)
+        if up_to_epoch is not None:
+            snaps = [s for s in snaps if s["epoch"] <= up_to_epoch]
+        paths = [os.path.join(self.root, s["path"]) for s in snaps if s.get("path")]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def last_epoch(self) -> Optional[Dict]:
+        epochs = self.manifest()["epochs"]
+        return epochs[-1] if epochs else None
+
+    def epoch_metrics(self) -> List[Dict]:
+        return [
+            {"epoch": e["epoch"], **e["metrics"]} for e in self.manifest()["epochs"]
+        ]
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Iceberg-style maintenance: drop old snapshot dirs, keep the
+        manifest lineage rows (paths nulled). Returns #removed."""
+        manifest = self.manifest()
+        snaps = manifest["tables"].get(table, [])
+        removed = 0
+        for entry in snaps[:-keep_last] if keep_last else snaps:
+            if entry.get("path"):
+                shutil.rmtree(os.path.join(self.root, entry["path"]), ignore_errors=True)
+                entry["path"] = None
+                removed += 1
+        self._write_manifest(manifest)
+        return removed
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job, no full scan."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
