@@ -1,0 +1,258 @@
+"""Tests for distributed analytics operators (textops, dedup family,
+similarity search, multimodal plumbing, sources)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapper_spark.operators import dedup as dd
+from web_scrapper_spark.operators import multimodal as mm
+from web_scrapper_spark.operators import similarity as sim
+from web_scrapper_spark.operators import textops as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+class TestTextops:
+    def test_corpus_keywords_match_pure_python(self, docs):
+        from web_scrapper_spark.textutils import STOP_WORDS
+        import re
+
+        top = tx.corpus_keywords_topk(docs, k=10).collect()
+        rows = docs.select("text").collect()
+        freq = {}
+        for r in rows:
+            for w in re.split(r"[^a-z0-9_]+", r["text"].lower()):
+                if w and len(w) > 2 and w not in STOP_WORDS:
+                    freq[w] = freq.get(w, 0) + 1
+        expected = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [(r["word"], r["freq"]) for r in top] == expected
+
+    def test_doc_keywords_rank_bounded(self, docs):
+        out = tx.doc_keywords_topk(docs, k=3)
+        assert out.groupBy("doc_id").count().agg(F.max("count")).first()[0] <= 3
+
+    def test_doc_stats_sane(self, docs):
+        stats = tx.doc_stats(docs).collect()
+        for r in stats:
+            assert r["word_count"] >= 0
+            assert 0.0 <= r["punct_ratio"] <= 1.0
+            assert 0.0 <= r["stopword_ratio"] <= 1.0
+            assert 0.0 <= r["quality_score"] <= 1.0
+            assert r["reading_time_min"] >= 1
+
+    def test_language_id_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is in that house with food"),
+                (2, "der hund und die katze ist nicht mit ein haus"),
+                (3, "le chat est dans la maison pour les amis"),
+                (4, "xyzzy qwerty plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred"] for r in tx.language_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+    def test_fingerprint_equals_md5(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df).collect()}
+        import hashlib
+
+        assert out[1] == out[2] == hashlib.md5(b"hello world").hexdigest()
+
+    def test_token_count_bpe(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
+        row = tx.token_count_bpe(df).first()
+        # Hello , world ! x2 → ["Hello", ",", "world", "!", "x2"]
+        assert row["bpe_token_count"] == 5
+        assert row["word_token_count"] == 3
+
+    def test_validator_columns(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a@real.org", "212-867-5309", "https://x.org/a", "192.168.0.1", "2025-07-18"),
+                ("bad@example.com", "1234567890", "gopher://x", "999.0.0.1", "not a date"),
+            ],
+            "email string, phone string, url string, ip string, d string",
+        )
+        rows = df.select(
+            tx.email_valid_col(F.col("email")).alias("e"),
+            tx.phone_valid_col(F.col("phone")).alias("p"),
+            tx.url_valid_col(F.col("url")).alias("u"),
+            tx.ip_valid_col(F.col("ip")).alias("i"),
+            tx.date_valid_col(F.col("d")).alias("d"),
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            (True, True, True, True, True),
+            (False, False, False, False, False),
+        ]
+
+    def test_price_parse_col(self, spark):
+        df = spark.createDataFrame(
+            [("$12.34",), ("12,34 €",), ("99",), ("none",)], "p string"
+        )
+        vals = [r[0] for r in df.select(tx.price_parse_col(F.col("p"))).collect()]
+        assert vals == [12.34, 12.34, 99.0, None]
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Same  Text"), (2, "same text"), (3, "other")],
+            "doc_id long, text string",
+        )
+        rows = {r["keep_id"]: r["dup_count"] for r in dd.dedup_exact(df).collect()}
+        assert rows == {1: 2, 3: 1}
+
+    def test_minhash_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely different words describing spark shuffle partitions nicely"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        pairs = dd.minhash_lsh_pairs(df, jaccard_threshold=0.4).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+        # exact jaccard verified against a hand computation
+        def shingles(t):
+            toks = [w for w in t.lower().split() if w]
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        expect = len(shingles(base) & shingles(near)) / len(shingles(base) | shingles(near))
+        assert pairs[0]["jaccard"] == round(expect, 6)
+
+    def test_simhash_properties(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz yyy xxx www")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["simhash"] for r in dd.simhash_df(df).collect()}
+        assert out[1] == out[2] != out[3]
+        assert out[1] == dd.simhash64("alpha beta gamma delta")
+
+    def test_simhash_near_pairs(self, spark):
+        base = " ".join(f"w{i}" for i in range(60))
+        near = base.replace("w3 ", "w3x ")
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, "unrelated totally different text")],
+            "doc_id long, text string",
+        )
+        pairs = dd.simhash_near_pairs(df, max_hamming=8).collect()
+        ids = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (1, 2) in ids
+        assert not any(3 in p for p in ids)
+
+    def test_embedding_near_pairs(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.01, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),  # other block: never paired with 1
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = dd.embedding_near_pairs(df, threshold=0.99).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestSimilarity:
+    def test_exact_topk_matches_numpy(self, embeddings):
+        queries = embeddings.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = sim.cosine_topk(queries, embeddings, k=5).collect()
+        emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+        qids = {r["query_id"] for r in out}
+        for qid in qids:
+            got = [(r["rank"], r["vec_id"]) for r in out if r["query_id"] == qid]
+            got.sort()
+            q = emb[qid]
+            scores = {
+                vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+                for vid, v in emb.items()
+            }
+            expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            assert [vid for _, vid in got] == [vid for vid, _ in expect]
+            # self-match first at cos≈1
+            assert got[0][1] == qid
+
+    def test_ivf_recall_monotone_and_exact_at_full_probe(self, embeddings):
+        queries = embeddings.limit(20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = sim.cosine_topk(queries, embeddings, k=10).persist()
+        n_cells = embeddings.select("label").distinct().count()
+        r1 = sim.recall_at_k(sim.ivf_topk(queries, embeddings, k=10, n_probe=1), exact)
+        r3 = sim.recall_at_k(sim.ivf_topk(queries, embeddings, k=10, n_probe=3), exact)
+        r_all = sim.recall_at_k(
+            sim.ivf_topk(queries, embeddings, k=10, n_probe=n_cells), exact
+        )
+        assert r1 <= r3 <= r_all  # more probes never hurt
+        assert r3 >= 0.4          # partial probe recovers a solid share
+        assert r_all == 1.0       # probing every cell == exact search
+
+
+class TestMultimodal:
+    def setup_method(self):
+        mm.clear_decoders()
+
+    def test_no_decoder_raises(self, spark):
+        media = mm.synthetic_media_df(spark, n=4)
+        with pytest.raises(Exception) as err:
+            mm.image_features_df(media).collect()
+        assert "no decoder registered" in str(err.value)
+
+    def test_fake_decoder_pipeline(self, spark):
+        mm.register_decoder("image", mm.deterministic_fake_decoder)
+        media = mm.synthetic_media_df(spark, n=6)
+        rows = mm.image_features_df(media, resize_to=4).orderBy("media_id").collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert len(r["feature"]) == 16
+            assert 0 <= r["mean_luma"] <= 255
+        # deterministic across runs
+        again = mm.image_features_df(media, resize_to=4).orderBy("media_id").collect()
+        assert [r["feature"] for r in rows] == [r["feature"] for r in again]
+
+    def test_frame_sampling(self, spark):
+        media = mm.synthetic_media_df(spark, n=5, kind="video")
+        frames = mm.frame_sample_df(media, every_n=2).collect()
+        metas = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()}
+        by_media = {}
+        for f in frames:
+            by_media.setdefault(f["media_id"], []).append(f["frame_idx"])
+        for mid, idxs in by_media.items():
+            assert idxs == list(range(0, metas[mid], 2))
+
+
+class TestSources:
+    def test_roundtrip_formats(self, spark, tmp_path):
+        from web_scrapper_spark.sources import export_data, read_any, write_any
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        write_any(df, str(tmp_path / "x.csv"), "csv")
+        n = export_data(spark, str(tmp_path / "x.csv"), "csv", str(tmp_path / "x.json"), "json")
+        assert n == 2
+        back = read_any(spark, str(tmp_path / "x.json"), "json")
+        assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    def test_query_table(self, spark):
+        from web_scrapper_spark.sources import query_table
+
+        df = spark.range(100).selectExpr("id", "id % 7 as grp")
+        out = query_table(
+            df, columns=["id"], where="grp = 3", order_by="id DESC", limit=3, offset=2
+        ).collect()
+        ids = [r["id"] for r in out]
+        expected = sorted([i for i in range(100) if i % 7 == 3], reverse=True)[2:5]
+        assert ids == expected

@@ -1,0 +1,316 @@
+"""Deduplication family for training-data pipelines (task brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Scale notes (the 100 TB story):
+- exact dedup is a single hash aggregate with map-side partials;
+- MinHash/LSH never materializes the O(n²) pair space — candidates come
+  from equality self-joins on band keys (shuffle keyed by band, salted
+  by construction since band values are hashes);
+- hash functions are md5-based so the DuckDB SQL oracles are
+  bit-identical (Spark md5 == DuckDB md5);
+- SimHash is a vectorized Arrow UDF (bit-level majority vote doesn't
+  express well in SQL) and is checked rows-only by the driver plus
+  property tests here;
+- embedding near-dup blocks by a coarse key (label/IVF cell) before the
+  cosine check — the same blocking an IVF index gives.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per group.
+    One hash aggregate — Catalyst gives map-side combine for the min."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct sorted n-gram (word) shingles of the token stream.
+    Expressed with transform over an index sequence so it stays native;
+    sorted for deterministic comparisons in both engines."""
+    toks = tokens_col(F.col(text_col))
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    short = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(joined)
+    return F.array_sort(F.array_distinct(F.filter(short, lambda s: s != F.lit(""))))
+
+
+def minhash_signature_cols(shingles, num_hashes: int = 12) -> List:
+    """MinHash h_i(doc) = min over shingles of md5(i || ':' || shingle).
+
+    Lexicographic min over hex digests is a valid uniform min-hash and —
+    crucially — reproducible verbatim in DuckDB SQL for the oracle.
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """doc → (band_id, band_key) rows. Docs sharing any band key are
+    LSH candidates."""
+    shingled = docs.select(
+        F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
+    )
+    sig = shingled.select(
+        F.col(id_col), "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes)
+    )
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding → candidate equality join →
+    exact Jaccard verification over distinct shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
+    """
+    bands = minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    shingled = docs.select(
+        F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
+    )
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_hashes: int = 2,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with cheap minhash blocking: candidates
+    share the first `block_hashes` minhashes (a 1-band LSH), then exact
+    Jaccard filters. Avoids the O(n²) cross join."""
+    return minhash_lsh_pairs(
+        docs,
+        id_col,
+        text_col,
+        num_hashes=block_hashes,
+        band_size=block_hashes,
+        shingle_n=shingle_n,
+        jaccard_threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized Arrow UDF — rows-only oracle)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens: per-token md5-derived 64 bits,
+    per-bit majority vote. Pure function shared by the UDF and tests."""
+    import hashlib
+    import re as _re
+
+    tokens = [t for t in _re.split(r"[^a-z0-9_]+", text.lower()) if t]
+    if not tokens:
+        return 0
+    counts = [0] * 64
+    for tok in tokens:
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            counts[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if counts[bit] > 0:
+            out |= 1 << bit
+    # signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": [simhash64(t or "") for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks: two hashes within Hamming k<=3 must agree exactly on at
+    least one of 4 16-bit chunks (pigeonhole), so candidates come from
+    4 equality self-joins — never a cross join."""
+    hashed = simhash_df(docs, id_col, text_col)
+    chunks = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two float array columns, computed in double
+    with sequential folds (matches DuckDB's list_cosine_similarity
+    evaluation order for oracle stability)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup embedding pairs within coarse blocks (label = the IVF
+    cell): equality self-join on the block key, cosine filter."""
+    cols = embeddings.select(id_col, vec_col, block_col)
+    a, b = cols.alias("a"), cols.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (task brief: brute-force
+cosine top-k baseline + an IVF-bucketed scale path).
+
+- ``cosine_topk``: exact baseline — queries × corpus join with a
+  per-query rank window. Correct at any scale but O(|Q|·|C|); used as
+  the recall oracle and for small query sets (broadcast the queries, so
+  the corpus is scanned once with no shuffle of the big side).
+- ``ivf_topk``: the scale path — k-means-style coarse centroids (here
+  seeded from the data's block labels, Lloyd-refined), queries probe
+  the ``n_probe`` nearest cells, candidates come from an equality join
+  on cell id. At 100 TB the corpus is partitioned by cell; a query
+  touches n_probe/n_cells of the data instead of all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Output: (query_id, rank, vec_id, cos). Ties break on corpus id so
+    results are totally ordered and oracle-comparable.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    scored = c.join(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine_col(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+    )
+    win = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, F.round("cos", 6).alias("cos"))
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF coarse quantizer: centroids seeded by averaging per
+    ``seed_col`` cell, then Lloyd-refined ``iterations`` times. All
+    native aggregates (posexplode → mean per position → collect back),
+    deterministic — no RNG.
+
+    Returns (cell_id, centroid array<double>).
+    """
+    def mean_vectors(df: DataFrame, group_col: str) -> DataFrame:
+        pos = df.select(
+            F.col(group_col).alias("cell_id"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        return (
+            pos.groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "cell_id",
+                F.transform("pm", lambda s: s["mean"]).alias("centroid"),
+            )
+        )
+
+    centroids = mean_vectors(
+        corpus.select(F.col(seed_col), F.col(vec_col)), seed_col
+    )
+    for _ in range(iterations):
+        assigned = assign_cells(corpus, centroids, vec_col=vec_col, n_probe=1).select(
+            F.col("cell_id").alias("assigned_cell"), vec_col
+        )
+        centroids = mean_vectors(
+            assigned.select(F.col("assigned_cell"), F.col(vec_col)), "assigned_cell"
+        )
+    return centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Attach the n_probe nearest centroid cell_ids to each vector row
+    (centroids broadcast — they are tiny)."""
+    joined = vectors.join(F.broadcast(centroids)).withColumn(
+        "_cell_cos", cosine_col(F.col(vec_col), F.col("centroid"))
+    )
+    win = Window.partitionBy(*vectors.columns).orderBy(
+        F.desc("_cell_cos"), F.asc("cell_id")
+    )
+    return (
+        joined.withColumn("_cr", F.row_number().over(win))
+        .filter(F.col("_cr") <= n_probe)
+        .drop("centroid", "_cell_cos", "_cr")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest IVF cells, exact
+    cosine within candidates. Same output shape as cosine_topk."""
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col=vec_col, seed_col=seed_col)
+    corpus_cells = assign_cells(
+        corpus.select(corpus_id, vec_col), centroids, vec_col, n_probe=1
+    )
+    query_cells = assign_cells(
+        queries.select(query_id, vec_col), centroids, vec_col, n_probe=n_probe
+    ).select(query_id, F.col(vec_col).alias("_qvec"), "cell_id")
+    cand = corpus_cells.join(query_cells, "cell_id").select(
+        query_id,
+        corpus_id,
+        cosine_col(F.col("_qvec"), F.col(vec_col)).alias("cos"),
+    ).dropDuplicates([query_id, corpus_id])
+    win = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, F.round("cos", 6).alias("cos"))
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, query_id: str = "query_id", corpus_id: str = "vec_id") -> float:
+    """Fraction of exact top-k neighbors recovered by the approximate
+    search (the standard ANN quality metric)."""
+    hits = approx.select(query_id, corpus_id).intersect(
+        exact.select(query_id, corpus_id)
+    )
+    total = exact.count()
+    return hits.count() / total if total else 1.0

@@ -1,0 +1,274 @@
+"""Distributed text analytics (SURVEY.md §2.4 A1-A3, §2.8 F1-F13, plus
+the training-data text ops the 100 TB pipeline needs: language-ID,
+quality scoring, token counting, fingerprinting).
+
+Everything here is built from native ``pyspark.sql.functions`` so the
+whole stage stays inside whole-stage codegen — no Python in these hot
+paths. Each op has an ANSI-SQL twin in ``__spark_entry__.oracle_sql``
+checked against DuckDB at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..textutils import STOP_WORDS
+
+# Stable, sorted stop-word list shared with the SQL oracles.
+STOP_WORDS_SORTED = sorted(STOP_WORDS)
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible; precedence order breaks
+# ties (en > de > fr > es).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "une", "pour"],
+    "es": ["el", "la", "los", "y", "es", "en", "una", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+TOKEN_SPLIT_REGEX = r"[^a-z0-9_]+"
+# BPE-ish token regex: word pieces OR single non-space punctuation
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def clean_text_col(col: Column) -> Column:
+    """F1 as native expressions (the distributed twin of
+    textutils.clean_text; the byte-exact Python version runs inside
+    extraction UDFs — this one serves SQL analytics)."""
+    cleaned = F.regexp_replace(col, r"\s+", " ")
+    cleaned = F.trim(cleaned)
+    cleaned = F.regexp_replace(cleaned, "\u00A0", " ")
+    cleaned = F.translate(cleaned, "“”‘’", "\"\"''")
+    return F.regexp_replace(cleaned, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+
+
+def tokens_col(text: Column) -> Column:
+    """lower → split on non-word — A1's tokenizer (text.py:187)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+    )
+
+
+def keyword_tokens_col(text: Column) -> Column:
+    """A1's filter: drop stop words and len<=2 (text.py:190)."""
+    stop = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    return F.filter(
+        tokens_col(text),
+        lambda t: (F.length(t) > 2) & ~F.array_contains(stop, t),
+    )
+
+
+def corpus_keywords_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """A1 distributed: corpus-wide top-K keyword frequencies.
+
+    explode → groupBy(word).count() gets a map-side partial aggregate
+    from Catalyst; the final top-K is an orderBy+limit (TakeOrdered —
+    no full sort shuffle). Ties break on word ascending so results are
+    total-order deterministic.
+    """
+    words = docs.select(
+        F.explode(keyword_tokens_col(F.col(text_col))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("word")).limit(k)
+
+
+def doc_keywords_topk(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-K keywords via a rank window (the reference
+    computes this per document inside extraction, text.py:146-203)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(keyword_tokens_col(F.col(text_col))).alias("word"),
+    )
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("freq"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "freq", "rank")
+    )
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A2/A3 + quality features: word count, reading time, char length,
+    punctuation ratio, stop-word ratio, mean word length, and a
+    composite quality score in [0,1]."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    words_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("word_count"),
+        F.greatest(
+            F.lit(1), F.round(n_words.cast("double") / F.lit(200.0)).cast("int")
+        ).alias("reading_time_min"),
+        n_chars.alias("char_count"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            words_len.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ).alias("mean_word_len"),
+    )
+    quality = (
+        F.least(F.col("word_count").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", F.round(quality, 6))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: argmax of per-language marker hits
+    with fixed precedence on ties."""
+    toks = tokens_col(F.col(text_col))
+
+    def marker_hits(lang):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    scores = [marker_hits(lang).alias(f"score_{lang}") for lang in LANG_ORDER]
+    scored = docs.select(F.col(id_col), F.col(text_col), *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col,
+        *[f"score_{lang}" for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: words + digit runs + punctuation marks."""
+    return docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"(?<=[^\sA-Za-z0-9])|(?=[^\sA-Za-z0-9])|\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("bpe_token_count"),
+        F.size(tokens_col(F.col(text_col))).alias("word_token_count"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace/case-normalized text
+    (md5 is bit-identical in Spark and DuckDB → exact SQL oracle)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col), F.md5(normalized).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validator predicates as native Column expressions (F7-F13)
+# ---------------------------------------------------------------------------
+
+EMAIL_REGEX = r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$"
+EMAIL_BLACKLIST_REGEX = r"(?i)@(example|test|sample|invalid)\.com$"
+IPV4_REGEX = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def email_valid_col(col: Column) -> Column:
+    """F7 (validators.py:16-48) as predicates."""
+    return col.rlike(EMAIL_REGEX) & ~col.rlike(EMAIL_BLACKLIST_REGEX)
+
+
+def phone_digits_col(col: Column) -> Column:
+    """F8 digit-strip (validators.py:73)."""
+    return F.regexp_replace(col, r"[^\d+]", "")
+
+
+def phone_valid_col(col: Column) -> Column:
+    """F8 core rules (length, intl, fake patterns) as predicates."""
+    digits = phone_digits_col(col)
+    n = F.length(digits)
+    fake = (
+        digits.rlike(r"^0{7,}$")
+        | digits.rlike(r"^1{7,}$")
+        | digits.rlike(r"^(.)\1{6,}$")
+        | digits.rlike(r"^12345\d*$")
+    )
+    intl_short = digits.startswith("+") & (n < 8)
+    return (n >= 7) & (n <= 15) & ~intl_short & ~fake
+
+
+def url_valid_col(col: Column) -> Column:
+    """F9 simplified to the pure-regex subset (scheme + domain shape +
+    no localhost/IP + TLD>=2); the full urlparse port lives in
+    validators.is_valid_url for UDF contexts."""
+    scheme_ok = col.rlike(r"^(https?|ftp)://")
+    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    domain_ok = host.rlike(
+        r"^[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?(\.[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?)*$"
+    )
+    not_local = (host != "localhost") & ~host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    tld_ok = F.length(F.element_at(F.split(host, r"\."), -1)) >= 2
+    return scheme_ok & domain_ok & not_local & tld_ok
+
+
+def ip_valid_col(col: Column) -> Column:
+    """F11 IPv4 (octet check) + simple IPv6."""
+    octets_ok = (
+        col.rlike(IPV4_REGEX)
+        & (F.regexp_extract(col, IPV4_REGEX, 1).cast("int") <= 255)
+        & (F.regexp_extract(col, IPV4_REGEX, 2).cast("int") <= 255)
+        & (F.regexp_extract(col, IPV4_REGEX, 3).cast("int") <= 255)
+        & (F.regexp_extract(col, IPV4_REGEX, 4).cast("int") <= 255)
+    )
+    ipv6 = col.rlike(r"^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$")
+    return octets_ok | ipv6
+
+
+def date_valid_col(col: Column) -> Column:
+    """F10: any of the reference's strptime formats parses
+    (validators.py:190-201) via try-parse coalesce."""
+    attempts = [
+        F.try_to_timestamp(col, F.lit(fmt))
+        for fmt in (
+            "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "dd/MM/yyyy",
+            "MM-dd-yyyy", "dd-MM-yyyy", "MMM d, yyyy", "d MMM yyyy",
+            "MMMM d, yyyy", "d MMMM yyyy",
+        )
+    ]
+    return F.coalesce(*attempts).isNotNull()
+
+
+def price_parse_col(col: Column) -> Column:
+    """F19/P4: first numeric group, comma→dot, cast double
+    (ecommerce.py:307-327)."""
+    num = F.regexp_extract(col, r"(\d+[.,]\d{2}|\d+)", 1)
+    return F.when(num == "", None).otherwise(
+        F.regexp_replace(num, ",", ".").cast("double")
+    )
+
+
+def availability_normalize_col(col: Column) -> Column:
+    """P7 text patterns → canonical labels (ecommerce.py:393-405)."""
+    low = F.lower(col)
+    # NOTE: reference order checks "available" before "unavailable"
+    # (ecommerce.py:393-398), so "unavailable" normalizes to "Available"
+    # — we reproduce that faithfully.
+    return (
+        F.when(low.rlike(r"in\s*stock"), "In Stock")
+        .when(low.rlike(r"out\s*of\s*stock"), "Out of Stock")
+        .when(low.rlike(r"available"), "Available")
+        .when(low.rlike(r"unavailable"), "Unavailable")
+        .otherwise("Unknown")
+    )
