@@ -74,8 +74,8 @@ class TestTextops:
     def test_token_count_bpe(self, spark):
         df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
         row = tx.token_count_bpe(df).first()
-        # Hello , world ! x2 → ["Hello", ",", "world", "!", "x2"]
-        assert row["bpe_token_count"] == 5
+        # ["Hello", ",", "world", "!", "x", "2"] — letter/digit runs split
+        assert row["bpe_token_count"] == 6
         assert row["word_token_count"] == 3
 
     def test_validator_columns(self, spark):

@@ -154,14 +154,13 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """BPE-ish token counting: words + digit runs + punctuation marks."""
+    """BPE-ish token counting: words + digit runs + punctuation marks.
+    Uses regexp_extract_all with an RE2-safe pattern (no lookarounds) so
+    the DuckDB oracle is expression-identical."""
     return docs.select(
         F.col(id_col),
         F.size(
-            F.filter(
-                F.split(F.col(text_col), r"(?<=[^\sA-Za-z0-9])|(?=[^\sA-Za-z0-9])|\s+"),
-                lambda t: t != F.lit(""),
-            )
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), 0)
         ).alias("bpe_token_count"),
         F.size(tokens_col(F.col(text_col))).alias("word_token_count"),
     )
