@@ -175,20 +175,8 @@ def _q_dedup_minhash(spark, sf_dir):
     pairs = _dd.minhash_lsh_pairs(
         docs, num_hashes=4, band_size=1, shingle_n=3, jaccard_threshold=0.0
     )
-    shingled = docs.select("doc_id", _dd.shingles_col("text", 3).alias("sh"))
-    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.select("id_a", "id_b")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter_size"),
-            F.size(F.array_union("sh_a", "sh_b")).alias("union_size"),
-        )
-        .filter(F.col("inter_size") * 5 >= F.col("union_size") * 2)
+    return pairs.filter(F.col("inter_size") * 5 >= F.col("union_size") * 2).select(
+        "id_a", "id_b", "inter_size", "union_size"
     )
 
 

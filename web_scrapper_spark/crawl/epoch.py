@@ -183,23 +183,40 @@ class CrawlEngine:
         misses = batch.join(F.broadcast(found_urls), "url", "left_anti").persist()
 
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
-        content_rows = (
-            extract_content_df(
+        # only run the extraction families present in this batch — an
+        # all-content epoch skips two UDF+write jobs entirely
+        stypes = {
+            r["stype"] for r in batch.select("stype").distinct().collect()
+        }
+        content_rows = None
+        if "content" in stypes:
+            content_rows = extract_content_df(
                 fetched.filter(F.col("stype") == "content"), cfg.content
+            ).persist()
+        product_rows = (
+            extract_products_df(
+                fetched.filter(F.col("stype") == "ecommerce"), cfg.ecommerce
             )
-            .persist()
+            if "ecommerce" in stypes
+            else None
         )
-        product_rows = extract_products_df(
-            fetched.filter(F.col("stype") == "ecommerce"), cfg.ecommerce
-        )
-        business_rows = extract_businesses_df(
-            fetched.filter(F.col("stype") == "business"), cfg.business
+        business_rows = (
+            extract_businesses_df(
+                fetched.filter(F.col("stype") == "business"), cfg.business
+            )
+            if "business" in stypes
+            else None
         )
 
         # --- discovered links → frontier candidates --------------------
-        links = content_rows.filter(F.col("row_kind") == "link").select(
-            "src_url", "url", "item_pos", "link_kind"
-        )
+        if content_rows is not None:
+            links = content_rows.filter(F.col("row_kind") == "link").select(
+                "src_url", "url", "item_pos", "link_kind"
+            )
+        else:
+            links = self.spark.createDataFrame(
+                [], "src_url string, url string, item_pos int, link_kind string"
+            )
         parents = batch.select(
             F.col("url").alias("src_url"),
             F.col("ord_key").alias("parent_key"),
@@ -285,23 +302,35 @@ class CrawlEngine:
         ssnap = self.store.commit("seen", new_seen, epoch=epoch)
         tables = {"frontier": fsnap, "seen": ssnap}
 
-        articles_out = content_rows.filter(F.col("row_kind") != "link").drop("link_kind")
-        tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
-        tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
-        tables["businesses"] = self.store.commit("businesses", business_rows, epoch=epoch)
+        if content_rows is not None:
+            articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
+                "link_kind"
+            )
+            tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
+        if product_rows is not None:
+            tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
+        if business_rows is not None:
+            tables["businesses"] = self.store.commit(
+                "businesses", business_rows, epoch=epoch
+            )
 
         duration = time.time() - t0
-        n_failed = parked.count()
+        seen_prev = _snapshot_rows(self.store, "seen", self._seen_snap)
+        seen_now = _snapshot_rows(self.store, "seen", ssnap)
+        # parked-failed count from footer math — no extra Spark action
+        n_failed = seen_now - seen_prev - n_fetched
         metrics = {
             "dequeued": n_batch,
             "fetched_ok": n_fetched,
             "fetch_miss": n_batch - n_fetched,
             "failed_parked": n_failed,
             "new_frontier_rows": _snapshot_rows(self.store, "frontier", fsnap),
-            "seen_total": _snapshot_rows(self.store, "seen", ssnap),
-            "articles_rows": _snapshot_rows(self.store, "articles", tables["articles"]),
-            "products_rows": _snapshot_rows(self.store, "products", tables["products"]),
-            "businesses_rows": _snapshot_rows(self.store, "businesses", tables["businesses"]),
+            "seen_total": seen_now,
+            "articles_rows": _snapshot_rows(self.store, "articles", tables.get("articles")),
+            "products_rows": _snapshot_rows(self.store, "products", tables.get("products")),
+            "businesses_rows": _snapshot_rows(
+                self.store, "businesses", tables.get("businesses")
+            ),
             "duration_s": round(duration, 3),
             "urls_per_sec": round(n_batch / duration, 2) if duration > 0 else None,
         }
@@ -311,7 +340,8 @@ class CrawlEngine:
         batch.unpersist()
         fetched.unpersist()
         misses.unpersist()
-        content_rows.unpersist()
+        if content_rows is not None:
+            content_rows.unpersist()
         return {"epoch": epoch, "done": False, **metrics}
 
     def run(self, max_epochs: int = 100) -> List[Dict]:

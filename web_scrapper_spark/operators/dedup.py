@@ -17,7 +17,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,6 +74,16 @@ def minhash_signature_cols(shingles, num_hashes: int = 12) -> List:
     ]
 
 
+def shingled_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, shingles) — computed once, shared by banding and
+    verification so the (expensive) shingle arrays are never rebuilt."""
+    return docs.select(
+        F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
+    )
+
+
 def minhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -81,12 +91,12 @@ def minhash_bands(
     num_hashes: int = 12,
     band_size: int = 3,
     shingle_n: int = 3,
+    shingled: Optional[DataFrame] = None,
 ) -> DataFrame:
     """doc → (band_id, band_key) rows. Docs sharing any band key are
     LSH candidates."""
-    shingled = docs.select(
-        F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
-    )
+    if shingled is None:
+        shingled = shingled_docs(docs, id_col, text_col, shingle_n)
     sig = shingled.select(
         F.col(id_col), "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes)
     )
@@ -113,9 +123,14 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: LSH banding → candidate equality join →
     exact Jaccard verification over distinct shingle sets.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
+    Returns (id_a, id_b, inter_size, union_size, jaccard) with
+    id_a < id_b, one row per pair. The shingle arrays are computed once
+    and cached — banding and verification both read the cached copy.
     """
-    bands = minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
+    shingled = shingled_docs(docs, id_col, text_col, shingle_n).persist()
+    bands = minhash_bands(
+        docs, id_col, text_col, num_hashes, band_size, shingle_n, shingled=shingled
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -130,9 +145,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingled = docs.select(
-        F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
-    )
     sa = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -142,13 +154,17 @@ def minhash_lsh_pairs(
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union_size", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter_size").cast("double") / F.col("union_size"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a", "id_b", "inter_size", "union_size",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
     return verified
 
