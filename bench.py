@@ -132,8 +132,12 @@ def run_bulk_crawl(spark, sf_dir: str, n_urls: int | None = None) -> dict:
         for h in range(spec.n_hosts)
         for a in range(arts[h])
     ]
+    # budget sized so the Zipf-hot host (~26% of URLs) drains in ~2
+    # epochs — serial per-epoch costs (commits, manifest, scheduling)
+    # then amortize over tens of thousands of URLs
+    delay = 16.0 / max(1.0, 0.30 * n_urls)
     robots_df = spark.createDataFrame(
-        [(spec.host(h), [], 0.002) for h in range(spec.n_hosts)],
+        [(spec.host(h), [], delay) for h in range(spec.n_hosts)],
         "host string, disallow_prefixes array<string>, crawl_delay double",
     )
     cfg = CrawlConfig(
@@ -193,7 +197,7 @@ def default_mode() -> None:
 
 def scaling_mode() -> None:
     """BASELINE.md evidence: same job, same input, local[8] vs local[32]."""
-    n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "40000"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "160000"))
     results = {}
     for cpus in (8, 32):
         spark = make_spark(cpus)

@@ -1,0 +1,158 @@
+"""Tests for the config system (P36), RSS sink (S14), and CLI (§3)."""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+import yaml
+
+from web_scrapper_spark import config as cfg_mod
+from web_scrapper_spark.sources.rss import generate_rss
+
+
+def _write_config(tmp_path, overrides=None):
+    config = {
+        "scraper": {
+            "type": "content",
+            "urls": ["https://host0.example-crawl.org/blog"],
+            "selectors": {"content": ".entry-content"},
+            "delay": 0.5,
+            "retries": 3,
+            "follow_next_page": True,
+            "max_pages": 10,
+            "output": {"format": "json", "path": "./out.json"},
+        }
+    }
+    if overrides:
+        config["scraper"].update(overrides)
+    path = tmp_path / "job.yaml"
+    path.write_text(yaml.safe_dump(config))
+    return str(path)
+
+
+class TestConfig:
+    def test_load_and_bind(self, tmp_path):
+        job = cfg_mod.bind_job(cfg_mod.load_config(_write_config(tmp_path)))
+        assert job.stype == "content"
+        assert job.seeds == [("https://host0.example-crawl.org/blog", "content")]
+        assert job.crawl_delay == 0.5
+        assert job.content.follow_next_page is True
+        assert job.content.selectors == {"content": ".entry-content"}
+        assert job.output_format == "json"
+
+    def test_validation_errors(self, tmp_path):
+        with pytest.raises(cfg_mod.ConfigError):
+            cfg_mod.validate_config({})
+        with pytest.raises(cfg_mod.ConfigError):
+            cfg_mod.validate_config({"scraper": {"type": "nope", "urls": ["x"]}})
+        with pytest.raises(cfg_mod.ConfigError):
+            cfg_mod.validate_config({"scraper": {"type": "content", "urls": []}})
+        with pytest.raises(cfg_mod.ConfigError):
+            cfg_mod.validate_config(
+                {"scraper": {"type": "content", "urls": ["x"],
+                             "output": {"format": "tsv", "path": "p"}}}
+            )
+
+    def test_dot_paths(self):
+        config = {"scraper": {"delay": 2}}
+        assert cfg_mod.get_value(config, "scraper.delay") == 2
+        assert cfg_mod.get_value(config, "scraper.nope", "dflt") == "dflt"
+        cfg_mod.set_value(config, "scraper.output.format", "csv")
+        assert config["scraper"]["output"]["format"] == "csv"
+
+    def test_reference_example_configs_bind(self, tmp_path):
+        """The reference's shipped example YAMLs load unchanged."""
+        import shutil, os
+
+        src = "/root/reference/config/examples"
+        if not os.path.isdir(src):
+            pytest.skip("reference examples unavailable")
+        for name in ("ecommerce.yaml", "business.yaml", "content.yaml"):
+            dst = tmp_path / name
+            shutil.copy(os.path.join(src, name), dst)
+            job = cfg_mod.bind_job(cfg_mod.load_config(str(dst)))
+            assert job.seeds
+
+
+class TestRss:
+    def test_feed_shape_and_escaping(self):
+        now = datetime(2025, 7, 18, tzinfo=timezone.utc)
+        xml = generate_rss(
+            [
+                {
+                    "title": "A & B",
+                    "url": "https://x.org/a?b=1&c=2",
+                    "date": "2025-01-05",
+                    "author": "Jane",
+                    "excerpt": "Exc",
+                    "content": "Body <b>html</b>",
+                    "categories": ["T1", "T2"],
+                    "image": "https://x.org/i.png",
+                },
+                {"title": "", "url": "https://skip.me"},  # skipped: no title
+            ],
+            "Feed", "Desc", "https://x.org/feed", now=now,
+        )
+        assert xml.startswith('<?xml version="1.0"')
+        assert "<title>A &amp; B</title>" in xml
+        assert "<pubDate>Sun, 05 Jan 2025 00:00:00 +0000</pubDate>" in xml
+        assert "<![CDATA[Body <b>html</b>]]>" in xml
+        assert xml.count("<category>") == 2
+        assert "skip.me" not in xml
+        assert "<lastBuildDate>Fri, 18 Jul 2025 00:00:00 +0000</lastBuildDate>" in xml
+
+
+class TestCli:
+    def test_scrape_end_to_end(self, spark, tmp_path):
+        """CLI scrape over a pages parquet written from the fixtures.
+        Runs the command functions in-process (no subprocess JVM spinup);
+        the CLI's spark factory is monkeypatched to the shared session."""
+        from click.testing import CliRunner
+
+        from web_scrapper_spark import cli as cli_mod
+        from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
+
+        pages_dir = str(tmp_path / "pages")
+        pages_dataframe(spark, SiteSpec()).write.parquet(pages_dir)
+
+        cfg_path = _write_config(
+            tmp_path, {"urls": ["https://host1.example-crawl.org/blog"],
+                       "selectors": {}}
+        )
+        out_path = str(tmp_path / "articles.json")
+        store = str(tmp_path / "store")
+
+        real_stop = spark.stop
+        spark.stop = lambda: None  # keep the shared test session alive
+        try:
+            cli_mod._spark = lambda cpus: spark
+            runner = CliRunner()
+            result = runner.invoke(
+                cli_mod.scrape,
+                ["-c", cfg_path, "-p", pages_dir, "-s", store,
+                 "-o", out_path, "-f", "json", "--max-epochs", "20"],
+            )
+            assert result.exit_code == 0, result.output
+            report = json.loads(result.output)
+            assert report["urls_visited"] > 3
+            assert report["items_extracted"] > 3
+            back = spark.read.json(out_path)
+            assert back.count() == report["items_extracted"]
+
+            # report command reads the lineage
+            result2 = runner.invoke(cli_mod.report, ["-s", store])
+            metrics = json.loads(result2.output)
+            assert any(m.get("fetched_ok") for m in metrics)
+        finally:
+            spark.stop = real_stop
+
+    def test_create_config_roundtrip(self, tmp_path):
+        from click.testing import CliRunner
+
+        from web_scrapper_spark import cli as cli_mod
+
+        out = str(tmp_path / "c.yaml")
+        result = CliRunner().invoke(cli_mod.create_config, ["-t", "business", "-o", out])
+        assert result.exit_code == 0
+        job = cfg_mod.bind_job(cfg_mod.load_config(out))
+        assert job.stype == "business"

@@ -1,0 +1,102 @@
+"""Structured Streaming surface tests (stream ingest, watermarked
+windows, stateful op, foreachBatch incremental extraction)."""
+
+import os
+import time
+
+import pytest
+
+from web_scrapper_spark import streaming as st
+from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
+
+
+@pytest.fixture(scope="module")
+def paged_dir(spark, tmp_path_factory):
+    """Pages parquet split into two 'arrival' file batches."""
+    base = tmp_path_factory.mktemp("stream")
+    pages = pages_dataframe(spark, SiteSpec()).persist()
+    first = pages.filter("pmod(hash(url), 2) = 0")
+    second = pages.filter("pmod(hash(url), 2) = 1")
+    d = str(base / "pages")
+    first.coalesce(1).write.mode("append").parquet(d)
+    second.coalesce(1).write.mode("append").parquet(d)
+    pages.unpersist()
+    return d
+
+
+def _run_to_memory(df, name, mode="append", timeout=120):
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout)
+    return query
+
+
+class TestStreaming:
+    def test_extraction_stream_matches_batch(self, spark, paged_dir):
+        stream = st.pages_stream(spark, paged_dir, max_files_per_trigger=1)
+        out = st.extract_articles_stream(stream)
+        _run_to_memory(out.filter("row_kind = 'full'"), "arts")
+        streamed = {
+            r["url"] for r in spark.sql("select url from arts").collect()
+        }
+        batch = st.extract_articles_stream(spark.read.parquet(paged_dir))
+        expected = {
+            r["url"] for r in batch.filter("row_kind = 'full'").select("url").collect()
+        }
+        assert streamed == expected
+        assert len(streamed) > 5
+
+    def test_host_rate_metrics_windowed(self, spark, paged_dir):
+        stream = st.pages_stream(spark, paged_dir)
+        metrics = st.host_rate_metrics(stream, "1 minute", "2 minutes")
+        _run_to_memory(metrics, "rates", mode="append")
+        rows = spark.sql("select * from rates").collect()
+        # append mode only emits watermark-closed windows; the fixture's
+        # warc_ts span is short, so just assert the aggregation ran and
+        # produced the right shape with per-host granularity
+        batch_hosts = (
+            spark.read.parquet(paged_dir)
+            .selectExpr("lower(parse_url(url, 'HOST')) as host")
+            .distinct()
+            .count()
+        )
+        assert batch_hosts >= 4
+        for r in rows:
+            assert r["pages"] > 0 and r["host"]
+
+    def test_host_state_stream_cumulative(self, spark, paged_dir):
+        stream = st.pages_stream(spark, paged_dir, max_files_per_trigger=1)
+        out = st.host_state_stream(stream)
+        _run_to_memory(out, "hoststate", mode="update")
+        rows = spark.sql(
+            "select host, max(pages) as pages from hoststate group by host"
+        ).collect()
+        expected = {
+            r["host"]: r["cnt"]
+            for r in spark.read.parquet(paged_dir)
+            .selectExpr("lower(parse_url(url, 'HOST')) as host")
+            .groupBy("host")
+            .count()
+            .withColumnRenamed("count", "cnt")
+            .collect()
+        }
+        got = {r["host"]: r["pages"] for r in rows}
+        assert got == expected
+
+    def test_incremental_extraction_checkpointed(self, spark, paged_dir, tmp_path):
+        out_dir = str(tmp_path / "inc")
+        query = st.run_incremental_extraction(spark, paged_dir, out_dir)
+        query.awaitTermination(120)
+        first = spark.read.parquet(os.path.join(out_dir, "articles"))
+        n_first = first.count()
+        assert n_first > 0
+        # re-run with same checkpoint: no new files → no duplicates
+        query2 = st.run_incremental_extraction(spark, paged_dir, out_dir)
+        query2.awaitTermination(120)
+        again = spark.read.parquet(os.path.join(out_dir, "articles"))
+        assert again.count() == n_first

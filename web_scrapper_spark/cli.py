@@ -1,0 +1,212 @@
+"""Command-line interface (SURVEY.md §3; reference cli/main.py).
+
+Mirrors the reference's commands on the Spark engine:
+
+- ``scrape``      — run a crawl job from a YAML/JSON config over a
+                    pages parquet table (the engine's fetch source per
+                    BASELINE.json input_hint; live HTTP is out of scope
+                    by design — "fetching" is the pages lookup join)
+- ``schedule``    — the epoch loop with checkpoint/resume (the analog
+                    of the reference's cron scheduler: each run
+                    continues from the last committed epoch)
+- ``export-data`` — format-conversion ETL (S13)
+- ``create-config`` — emit a default config (utils/config.py:280-380)
+- ``report``      — per-epoch lineage metrics from a store manifest
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+
+from .config import ConfigError, bind_job, load_config
+
+
+@click.group()
+def cli() -> None:
+    """web_scrapper_spark — PySpark-native crawl/extraction engine."""
+
+
+def _spark(cpus: int):
+    from .session import get_spark
+
+    return get_spark(app_name="wss-cli", cpus=cpus)
+
+
+def _engine_from_config(spark, config_path, pages_path, store_dir, epoch_seconds):
+    from .crawl.epoch import CrawlEngine
+    from .frontier.store import SnapshotStore
+
+    config = load_config(config_path)
+    job = bind_job(config)
+    pages = spark.read.parquet(pages_path)
+    store = SnapshotStore(store_dir)
+    engine = CrawlEngine(
+        spark, store, pages, robots=None, cfg=job.crawl_config(epoch_seconds)
+    )
+    return engine, job
+
+
+@cli.command()
+@click.option("--config", "-c", "config_path", required=True, type=str)
+@click.option("--pages", "-p", "pages_path", required=True, type=str,
+              help="parquet dir of (url, warc_ts, html, text, lang)")
+@click.option("--store", "-s", "store_dir", required=True, type=str,
+              help="snapshot store directory (crawl state + outputs)")
+@click.option("--output", "-o", "output_path", type=str, default=None,
+              help="override scraper.output.path")
+@click.option("--format", "-f", "output_format", type=str, default=None,
+              help="override scraper.output.format")
+@click.option("--max-epochs", type=int, default=100)
+@click.option("--epoch-seconds", type=float, default=8.0)
+@click.option("--cpus", type=int, default=8)
+def scrape(config_path, pages_path, store_dir, output_path, output_format,
+           max_epochs, epoch_seconds, cpus) -> None:
+    """Run a crawl job to completion and write the extracted items."""
+    from .sources import write_any
+
+    spark = _spark(cpus)
+    try:
+        engine, job = _engine_from_config(
+            spark, config_path, pages_path, store_dir, epoch_seconds
+        )
+        engine.init(job.seeds)
+        results = engine.run(max_epochs=max_epochs)
+        out_df = {
+            "content": engine.articles,
+            "ecommerce": engine.products,
+            "business": engine.businesses,
+        }[job.stype]()
+        fmt = output_format or job.output_format or "json"
+        path = output_path or job.output_path
+        if out_df is not None and path:
+            write_any(out_df, path, fmt if fmt not in ("db", "database") else "parquet")
+        report = {
+            "epochs": len([r for r in results if not r.get("done")]),
+            "urls_total": sum(r.get("dequeued", 0) for r in results),
+            "urls_visited": sum(r.get("fetched_ok", 0) for r in results),
+            "urls_failed": sum(r.get("failed_parked", 0) for r in results),
+            "items_extracted": 0 if out_df is None else out_df.count(),
+            "duration_seconds": sum(r.get("duration_s", 0) for r in results),
+        }
+        click.echo(json.dumps(report, indent=2))
+    except ConfigError as err:
+        click.echo(f"config error: {err}", err=True)
+        sys.exit(2)
+    finally:
+        spark.stop()
+
+
+@cli.command()
+@click.option("--config", "-c", "config_path", required=True, type=str)
+@click.option("--pages", "-p", "pages_path", required=True, type=str)
+@click.option("--store", "-s", "store_dir", required=True, type=str)
+@click.option("--epochs", type=int, default=1, help="epochs per invocation")
+@click.option("--epoch-seconds", type=float, default=8.0)
+@click.option("--cpus", type=int, default=8)
+def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus) -> None:
+    """Run N more epochs, resuming from the store's last committed
+    epoch — invoke from cron for the reference's scheduled-job flow
+    (job persistence = the snapshot manifest, T1/T2)."""
+    from .crawl.epoch import CrawlEngine
+
+    spark = _spark(cpus)
+    try:
+        engine, job = _engine_from_config(
+            spark, config_path, pages_path, store_dir, epoch_seconds
+        )
+        if engine.store.last_epoch() is None:
+            engine.init(job.seeds)
+        else:
+            engine = CrawlEngine.resume(
+                spark, engine.store, engine.pages, None, engine.cfg
+            )
+        for _ in range(epochs):
+            result = engine.run_epoch()
+            click.echo(json.dumps(result))
+            if result.get("done"):
+                break
+    finally:
+        spark.stop()
+
+
+@cli.command("export-data")
+@click.option("--input", "-i", "in_path", required=True, type=str)
+@click.option("--input-format", "in_fmt", type=str, default=None)
+@click.option("--output", "-o", "out_path", required=True, type=str)
+@click.option("--output-format", "out_fmt", type=str, default=None)
+@click.option("--cpus", type=int, default=4)
+def export_data_cmd(in_path, in_fmt, out_path, out_fmt, cpus) -> None:
+    """Convert data between formats (cli/main.py:275-334); formats are
+    inferred from extensions when omitted."""
+    from .sources import export_data
+
+    def infer(path):
+        ext = path.rstrip("/").rsplit(".", 1)[-1].lower()
+        return {"csv": "csv", "json": "json", "parquet": "parquet"}.get(ext, "parquet")
+
+    spark = _spark(cpus)
+    try:
+        n = export_data(
+            spark, in_path, in_fmt or infer(in_path), out_path, out_fmt or infer(out_path)
+        )
+        click.echo(json.dumps({"rows_exported": n}))
+    finally:
+        spark.stop()
+
+
+@cli.command("create-config")
+@click.option("--type", "-t", "stype", type=click.Choice(["ecommerce", "business", "content"]),
+              default="ecommerce")
+@click.option("--output", "-o", "out_path", required=True, type=str)
+def create_config(stype, out_path) -> None:
+    """Emit a default config for a scraper type."""
+    import yaml
+
+    selectors = {
+        "ecommerce": {
+            "product_container": ".product", "name": ".product-title",
+            "price": ".price", "availability": ".availability",
+            "images": ".product-image img", "rating": ".rating",
+            "review_count": ".review-count",
+        },
+        "business": {
+            "business_container": ".business", "name": ".business-name",
+            "address": ".address", "phone": ".phone", "email": ".email",
+            "website": ".website", "categories": ".category",
+        },
+        "content": {
+            "article_container": ".article", "title": ".article-title",
+            "date": ".article-date", "author": ".article-author",
+            "content": ".article-content", "excerpt": ".article-excerpt",
+            "image": ".article-image img", "categories": ".article-category",
+        },
+    }[stype]
+    config = {
+        "scraper": {
+            "type": stype,
+            "urls": [f"https://example.org/{stype}"],
+            "selectors": selectors,
+            "delay": 2,
+            "retries": 3,
+            "output": {"format": "json", "path": f"./data/{stype}.json"},
+        }
+    }
+    with open(out_path, "w") as fh:
+        yaml.safe_dump(config, fh, sort_keys=False)
+    click.echo(f"wrote {out_path}")
+
+
+@cli.command()
+@click.option("--store", "-s", "store_dir", required=True, type=str)
+def report(store_dir) -> None:
+    """Per-epoch lineage metrics (the reference's run report, A4)."""
+    from .frontier.store import SnapshotStore
+
+    click.echo(json.dumps(SnapshotStore(store_dir).epoch_metrics(), indent=2))
+
+
+if __name__ == "__main__":
+    cli()

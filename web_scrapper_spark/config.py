@@ -1,0 +1,187 @@
+"""Engine configuration (SURVEY.md §2.2 P36, §3 step 1).
+
+Loads the reference's YAML/JSON config documents
+(/root/reference/src/webscraper/utils/config.py:41-217 semantics:
+nested dict, dot-path get/set, fail-fast validation) and binds them to
+the Spark engine's config objects — the analog of the reference's
+``get_scraper(type, cfg)`` factory (scrapers/__init__.py:13-49).
+
+A reference user's YAML runs unchanged: ``type``/``urls``/``selectors``
+map onto seeds + extraction configs; ``delay`` becomes the politeness
+crawl_delay the engine actually enforces (the reference declares it but
+never sleeps — SURVEY.md §2.9 T8); ``retries`` caps fetch attempts;
+``output`` maps onto sources.write_any.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from .extract.business import BusinessConfig
+from .extract.content import ContentConfig
+from .extract.ecommerce import EcommerceConfig
+
+
+class ConfigError(ValueError):
+    pass
+
+
+VALID_TYPES = ["ecommerce", "business", "content"]
+VALID_FORMATS = [
+    "csv", "json", "excel", "db", "database", "xlsx", "sqlite",
+    "postgresql", "postgres", "mysql", "parquet",
+]
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    """YAML or JSON by extension (utils/config.py:41-89)."""
+    if not os.path.exists(path):
+        raise ConfigError(f"Configuration file not found: {path}")
+    ext = os.path.splitext(path)[1].lower()
+    with open(path) as fh:
+        if ext in (".yaml", ".yml"):
+            import yaml
+
+            config = yaml.safe_load(fh)
+        elif ext == ".json":
+            config = json.load(fh)
+        else:
+            raise ConfigError(f"Unsupported configuration format: {ext}")
+    validate_config(config)
+    return config
+
+
+def validate_config(config: Dict[str, Any]) -> None:
+    """Fail-fast checks (utils/config.py:91-157)."""
+    if not config:
+        raise ConfigError("Configuration is empty")
+    if "scraper" not in config:
+        raise ConfigError("Missing required configuration section: scraper")
+    scraper = config["scraper"]
+    for fld in ("type", "urls"):
+        if fld not in scraper:
+            raise ConfigError(f"Missing required field in scraper configuration: {fld}")
+    if scraper["type"] not in VALID_TYPES:
+        raise ConfigError(
+            f"Invalid scraper type: {scraper['type']}. Valid types: {VALID_TYPES}"
+        )
+    urls = scraper["urls"]
+    if not isinstance(urls, list) or not urls:
+        raise ConfigError("URLs must be a non-empty list")
+    if "output" in scraper:
+        output = scraper["output"]
+        if "format" not in output:
+            raise ConfigError("Missing required field in output configuration: format")
+        if output["format"] not in VALID_FORMATS:
+            raise ConfigError(
+                f"Invalid output format: {output['format']}. "
+                f"Valid formats: {VALID_FORMATS}"
+            )
+        if "path" not in output and output["format"] not in (
+            "database", "db", "sqlite", "postgresql", "postgres", "mysql"
+        ):
+            raise ConfigError("Missing required field in output configuration: path")
+
+
+def get_value(config: Dict[str, Any], key_path: str, default: Any = None) -> Any:
+    """Dot-path get (utils/config.py:168-192)."""
+    node = config
+    for key in key_path.split("."):
+        if not isinstance(node, dict) or key not in node:
+            return default
+        node = node[key]
+    return node
+
+
+def set_value(config: Dict[str, Any], key_path: str, value: Any) -> None:
+    """Dot-path set, creating intermediate dicts (utils/config.py:194-217)."""
+    keys = key_path.split(".")
+    node = config
+    for key in keys[:-1]:
+        node = node.setdefault(key, {})
+        if not isinstance(node, dict):
+            raise ConfigError(f"Cannot set {key_path}: {key} is not a mapping")
+    node[keys[-1]] = value
+
+
+@dataclass
+class BoundJob:
+    """A reference config bound to engine objects — the analog of the
+    configured-scraper 'physical plan' of SURVEY.md §3 step 2."""
+
+    stype: str
+    seeds: List[Tuple[str, str]]
+    crawl_delay: float
+    max_attempts: int
+    max_depth: int
+    content: ContentConfig = field(default_factory=lambda: ContentConfig(selectors={}))
+    ecommerce: EcommerceConfig = field(default_factory=EcommerceConfig)
+    business: BusinessConfig = field(default_factory=BusinessConfig)
+    output_format: Optional[str] = None
+    output_path: Optional[str] = None
+
+    def crawl_config(self, epoch_seconds: float = 8.0):
+        from .crawl.epoch import CrawlConfig
+
+        return CrawlConfig(
+            epoch_seconds=epoch_seconds,
+            default_delay=self.crawl_delay,
+            max_attempts=self.max_attempts,
+            max_depth=self.max_depth,
+            content=self.content,
+            ecommerce=self.ecommerce,
+            business=self.business,
+        )
+
+
+def bind_job(config: Dict[str, Any]) -> BoundJob:
+    """scraper config dict → engine configs (the get_scraper analog)."""
+    validate_config(config)
+    scraper = config["scraper"]
+    stype = scraper["type"]
+    selectors = scraper.get("selectors", {}) or {}
+    seeds = [(url, stype) for url in scraper["urls"]]
+    common = dict(
+        stype=stype,
+        seeds=seeds,
+        crawl_delay=float(scraper.get("delay", 2.0)),  # base.py:34 default
+        max_attempts=int(scraper.get("retries", 3)),
+        max_depth=int(scraper.get("max_pages", 1)) + 5
+        if scraper.get("follow_next_page")
+        else 6,
+        output_format=get_value(config, "scraper.output.format"),
+        output_path=get_value(config, "scraper.output.path"),
+    )
+    job = BoundJob(**common)
+    if stype == "ecommerce":
+        job.ecommerce = EcommerceConfig(
+            selectors=selectors,
+            currency_symbol=scraper.get("currency_symbol", "$"),
+            extract_reviews=scraper.get("extract_reviews", True),
+            extract_images=scraper.get("extract_images", True),
+        )
+    elif stype == "business":
+        job.business = BusinessConfig(
+            selectors=selectors,
+            extract_social_media=scraper.get("extract_social_media", True),
+            validate_emails=scraper.get("validate_emails", True),
+            validate_phones=scraper.get("validate_phones", True),
+            validate_urls=scraper.get("validate_urls", True),
+            country_code=scraper.get("country_code", "US"),
+        )
+    else:
+        job.content = ContentConfig(
+            selectors=selectors,
+            extract_images=scraper.get("extract_images", True),
+            extract_metadata=scraper.get("extract_metadata", True),
+            generate_summary=scraper.get("generate_summary", True),
+            summary_length=int(scraper.get("summary_length", 150)),
+            extract_keywords=scraper.get("extract_keywords", True),
+            max_keywords=int(scraper.get("max_keywords", 5)),
+            follow_next_page=scraper.get("follow_next_page", False),
+            max_pages=int(scraper.get("max_pages", 1)),
+        )
+    return job

@@ -1,0 +1,24 @@
+"""Structured Streaming surface (task brief; SURVEY.md §2.9).
+
+The crawl loop itself is a checkpointed *batch* epoch driver by design
+(T1: "batch-loop is simpler and matches resumable-from-any-snapshot");
+this package covers the genuinely streaming surfaces: continuous page
+ingest, windowed+watermarked fetch-rate metrics, stateful per-host
+accounting, and a foreachBatch incremental-extraction runner.
+"""
+
+from .stream import (
+    extract_articles_stream,
+    host_rate_metrics,
+    host_state_stream,
+    pages_stream,
+    run_incremental_extraction,
+)
+
+__all__ = [
+    "pages_stream",
+    "extract_articles_stream",
+    "host_rate_metrics",
+    "host_state_stream",
+    "run_incremental_extraction",
+]

@@ -1,0 +1,151 @@
+"""Streaming operators over the pages table.
+
+- ``pages_stream``          — file-source readStream of page parquet
+                              (new files = newly crawled/ingested pages)
+- ``extract_articles_stream`` — the same Arrow extraction UDF as batch,
+                              applied per micro-batch (stateless)
+- ``host_rate_metrics``     — windowed per-host page counts with a
+                              watermark for late WARC timestamps
+- ``host_state_stream``     — custom stateful operator
+                              (applyInPandasWithState): cumulative
+                              per-host totals + first/last seen ts
+- ``run_incremental_extraction`` — foreachBatch runner appending
+                              extracted articles per micro-batch with
+                              checkpointed exactly-once file sink
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..extract.content import ContentConfig
+from ..fixtures.sitegen import PAGES_SCHEMA
+from ..operators.udfs import extract_content_df
+
+HOST_STATE_SCHEMA = "host string, pages long, first_ts timestamp, last_ts timestamp"
+_HOST_STATE_INTERNAL = "pages long, first_ts long, last_ts long"
+
+
+def pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def extract_articles_stream(
+    pages: DataFrame, cfg: Optional[ContentConfig] = None
+) -> DataFrame:
+    """Stateless Arrow extraction on a streaming DF — identical code
+    path to the batch engine (operators/udfs.py)."""
+    return extract_content_df(pages, cfg or ContentConfig(selectors={}))
+
+
+def host_rate_metrics(
+    pages: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Fetch-rate telemetry: per-host page counts in event-time windows
+    of ``warc_ts``; the watermark bounds state for late pages."""
+    host = F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+    return (
+        pages.select("url", "warc_ts")
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), host)
+        .agg(F.count("*").alias("pages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "pages",
+        )
+    )
+
+
+def _host_state_fn(
+    key: Tuple[str], batches: Iterator, state: GroupState
+) -> Iterator:
+    """Cumulative per-host accounting across micro-batches."""
+    import pandas as pd
+
+    pages = 0
+    first_us = None
+    last_us = None
+    if state.exists:
+        pages, first_us, last_us = state.get
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ts = pd.to_datetime(pdf["warc_ts"])
+        pages += len(pdf)
+        batch_first = ts.min().value // 1000
+        batch_last = ts.max().value // 1000
+        first_us = batch_first if first_us is None else min(first_us, batch_first)
+        last_us = batch_last if last_us is None else max(last_us, batch_last)
+    state.update((pages, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "pages": [pages],
+            "first_ts": [pd.Timestamp(first_us * 1000) if first_us else pd.NaT],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+        }
+    )
+
+
+def host_state_stream(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-host totals via
+    applyInPandasWithState (the task brief's stateful-op surface)."""
+    with_host = pages.select(
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "warc_ts"
+    )
+    return with_host.groupBy("host").applyInPandasWithState(
+        _host_state_fn,
+        outputStructType=HOST_STATE_SCHEMA,
+        stateStructType=_HOST_STATE_INTERNAL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_incremental_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    cfg: Optional[ContentConfig] = None,
+    available_now: bool = True,
+):
+    """foreachBatch runner: each micro-batch of new page files is
+    extracted and appended to ``out_dir`` parquet. With
+    ``Trigger.AvailableNow`` this is the streaming twin of one crawl
+    epoch over newly-landed pages; the checkpoint gives exactly-once
+    resumability (T2)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = pages_stream(spark, pages_dir)
+    extraction_cfg = cfg or ContentConfig(selectors={})
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_content_df(batch_df, extraction_cfg).filter(
+            F.col("row_kind") != "link"
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "articles")
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query
