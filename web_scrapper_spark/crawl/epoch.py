@@ -179,8 +179,11 @@ class CrawlEngine:
             F.broadcast(batch), "url", "inner"
         ).persist()
         n_fetched = fetched.count()
-        found_urls = fetched.select("url")
-        misses = batch.join(F.broadcast(found_urls), "url", "left_anti").persist()
+        # misses via a shuffled anti-join: broadcasting found_urls back
+        # through the driver would serialize ~batch-sized data per epoch
+        misses = batch.join(
+            fetched.select("url"), "url", "left_anti"
+        ).persist()
 
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
         # only run the extraction families present in this batch — an
@@ -263,7 +266,7 @@ class CrawlEngine:
         else:
             candidates = candidates.join(seen.select("url"), "url", "left_anti")
 
-        pending_after = frontier.join(F.broadcast(batch.select("url")), "url", "left_anti")
+        pending_after = frontier.join(batch.select("url"), "url", "left_anti")
         candidates = candidates.join(pending_after.select("url"), "url", "left_anti")
         new_frontier_rows = with_frontier_columns(
             candidates, epoch=epoch, salt_buckets=cfg.salt_buckets

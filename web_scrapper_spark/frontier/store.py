@@ -159,11 +159,22 @@ class SnapshotStore:
 
 
 def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers — no Spark job, no full scan."""
+    """Row count from parquet footers — no Spark job, no full scan;
+    footer reads threaded so many-file snapshots don't serialize."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+    files = [
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".parquet")
+    ]
+    if not files:
+        return 0
+    if len(files) == 1:
+        return pq.ParquetFile(files[0]).metadata.num_rows
+
+    def rows(f: str) -> int:
+        return pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        return sum(pool.map(rows, files))

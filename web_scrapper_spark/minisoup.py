@@ -41,15 +41,26 @@ _IMPLICIT_CLOSE_SAME = frozenset("li p option tr td th dt dd".split())
 
 
 class Tag:
-    """An element node. ``children`` holds Tag and str (text) nodes."""
+    """An element node. ``children`` holds Tag and str (text) nodes.
 
-    __slots__ = ("name", "attrs", "children", "parent")
+    After :func:`parse`, every tag carries a document-order interval
+    (``start``/``end``: descendant ⇔ interval containment) and a pointer
+    to the root, which holds name/class/id indexes — so CSS selects are
+    index lookups instead of full-tree walks (the extraction cascades
+    evaluate ~25 selectors per page; this is the UDF hot path).
+    """
+
+    __slots__ = ("name", "attrs", "children", "parent", "start", "end", "root", "index")
 
     def __init__(self, name: str, attrs: Optional[Dict[str, str]] = None):
         self.name = name
         self.attrs: Dict[str, str] = attrs or {}
         self.children: List[Union["Tag", str]] = []
         self.parent: Optional["Tag"] = None
+        self.start = 0
+        self.end = 0
+        self.root: Optional["Tag"] = None
+        self.index: Optional[dict] = None
 
     # -- attribute access ------------------------------------------------
     def has_attr(self, key: str) -> bool:
@@ -62,22 +73,30 @@ class Tag:
         return self.attrs[key]
 
     # -- traversal -------------------------------------------------------
+    # Iterative stack walks: these run millions of times inside the
+    # extraction UDFs; recursive generators cost ~3x more.
     def descendants(self) -> Iterator[Union["Tag", str]]:
         """Document-order traversal of all descendant nodes."""
-        for child in self.children:
-            yield child
-            if isinstance(child, Tag):
-                yield from child.descendants()
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                node = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            yield node
+            if node.__class__ is Tag and node.children:
+                stack.append(iter(node.children))
 
     def iter_tags(self) -> Iterator["Tag"]:
         for node in self.descendants():
-            if isinstance(node, Tag):
+            if node.__class__ is Tag:
                 yield node
 
     @property
     def strings(self) -> Iterator[str]:
         for node in self.descendants():
-            if isinstance(node, str):
+            if node.__class__ is str:
                 yield node
 
     def get_text(self, separator: str = "", strip: bool = False) -> str:
@@ -143,18 +162,53 @@ class Tag:
         return hits[0] if hits else None
 
     # -- CSS select --------------------------------------------------------
+    def _candidates(self, compound: "_Compound") -> Optional[List["Tag"]]:
+        """Index-narrowed candidate tags (document order, contained in
+        self), or None when no index / no narrowing key applies."""
+        root = self.root
+        if root is None or root.index is None:
+            return None
+        index = root.index
+        if compound.id is not None:
+            pool = index["id"].get(compound.id, ())
+        elif compound.classes:
+            pool = index["class"].get(compound.classes[0], ())
+        elif compound.tag is not None:
+            pool = index["name"].get(compound.tag, ())
+        elif compound.attr_tests:
+            pool = index["attr"].get(compound.attr_tests[0][0], ())
+        else:
+            return None
+        if self is root:
+            return list(pool)
+        lo, hi = self.start, self.end
+        return [t for t in pool if lo < t.start <= hi]
+
     def select(self, selector: str) -> List["Tag"]:
-        matchers = [_compile_complex(s) for s in _split_group(selector)]
+        matchers = _compiled_selector(selector)
+        if len(matchers) == 1:
+            matcher, compound = matchers[0]
+            pool = self._candidates(compound)
+            if pool is not None:
+                return [t for t in pool if matcher(t, self)]
         out: List[Tag] = []
         for tag in self.iter_tags():
-            if any(m(tag, self) for m in matchers):
+            if any(m(tag, self) for m, _ in matchers):
                 out.append(tag)
         return out
 
     def select_one(self, selector: str) -> Optional["Tag"]:
-        matchers = [_compile_complex(s) for s in _split_group(selector)]
+        matchers = _compiled_selector(selector)
+        if len(matchers) == 1:
+            matcher, compound = matchers[0]
+            pool = self._candidates(compound)
+            if pool is not None:
+                for tag in pool:
+                    if matcher(tag, self):
+                        return tag
+                return None
         for tag in self.iter_tags():
-            if any(m(tag, self) for m in matchers):
+            if any(m(tag, self) for m, _ in matchers):
                 return tag
         return None
 
@@ -347,7 +401,20 @@ class _Compound:
         return True
 
 
-def _compile_complex(selector: str) -> Callable[[Tag, Tag], bool]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _compiled_selector(selector: str) -> tuple:
+    """Selector-string → ((matcher, rightmost_compound), ...), cached:
+    the extraction cascades evaluate the same ~100 selector strings on
+    every page, so compiling per call would dominate the parse cost.
+    The rightmost compound is exposed for index-based candidate
+    narrowing in Tag.select/_candidates."""
+    return tuple(_compile_complex(s) for s in _split_group(selector))
+
+
+def _compile_complex(selector: str) -> tuple:
     parts = _tokenize_complex(selector)
     compounds = [(comb, _Compound(c)) for comb, c in parts]
 
@@ -374,7 +441,7 @@ def _compile_complex(selector: str) -> Callable[[Tag, Tag], bool]:
     def matcher(tag: Tag, scope: Tag) -> bool:
         return match_at(len(compounds) - 1, tag, scope)
 
-    return matcher
+    return matcher, compounds[-1][1]
 
 
 # ---------------------------------------------------------------------------
@@ -416,12 +483,52 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+def _build_index(root: Tag) -> None:
+    """One DFS pass: document-order intervals + name/class/id indexes."""
+    by_name: Dict[str, List[Tag]] = {}
+    by_class: Dict[str, List[Tag]] = {}
+    by_id: Dict[str, List[Tag]] = {}
+    by_attr: Dict[str, List[Tag]] = {}
+    counter = 0
+    root.start = 0
+    root.root = root
+    stack = [(root, iter(root.children))]
+    while stack:
+        parent, it = stack[-1]
+        child = next(it, None)
+        if child is None:
+            parent.end = counter
+            stack.pop()
+            continue
+        if child.__class__ is not Tag:
+            continue
+        counter += 1
+        child.start = counter
+        child.root = root
+        by_name.setdefault(child.name, []).append(child)
+        attrs = child.attrs
+        cls = attrs.get("class")
+        if cls:
+            for token in cls.split():
+                by_class.setdefault(token, []).append(child)
+        tag_id = attrs.get("id")
+        if tag_id:
+            by_id.setdefault(tag_id, []).append(child)
+        for attr_name in attrs:
+            by_attr.setdefault(attr_name, []).append(child)
+        stack.append((child, iter(child.children)))
+    root.end = counter
+    root.index = {"name": by_name, "class": by_class, "id": by_id, "attr": by_attr}
+
+
 def parse(html: Union[str, bytes]) -> Tag:
     """Parse HTML into a DOM; accepts str or UTF-8 bytes (the ``html``
-    binary column from the pages table decodes here)."""
+    binary column from the pages table decodes here). The returned tree
+    is indexed for fast selects and treated as immutable."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
+    _build_index(builder.root)
     return builder.root
