@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the pure-Python core — these
+functions run on every page on every executor, so fuzz them hard."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_scrapper_spark import minisoup, textutils as tu, urlutils as uu
+from web_scrapper_spark.extract.ecommerce import parse_price, parse_rating
+
+text_strategy = st.text(max_size=300)
+
+
+class TestCleanTextProperties:
+    """NOTE: the reference's clean_text removes control chars AFTER the
+    whitespace collapse+strip (utils/text.py:29-42), so inputs like
+    'a \\x1b b' legitimately yield 'a  b' — double spaces and edge
+    spaces can reappear. We reproduce that faithfully, so the invariants
+    here are exactly the reference's: no control chars, deterministic,
+    and idempotent for control-free inputs."""
+
+    @given(text_strategy)
+    @settings(max_examples=200)
+    def test_idempotent_when_control_free(self, s):
+        s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+        once = tu.clean_text(s)
+        assert tu.clean_text(once) == once
+
+    @given(text_strategy)
+    def test_no_control_chars_and_deterministic(self, s):
+        out = tu.clean_text(s)
+        assert not re.search(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", out)
+        assert tu.clean_text(s) == out
+
+
+class TestSummarizeProperties:
+    @given(text_strategy, st.integers(min_value=10, max_value=200))
+    @settings(max_examples=100)
+    def test_never_crashes_and_bounded(self, s, max_len):
+        out = tu.summarize_text(s, max_len)
+        cleaned = tu.clean_text(s)
+        if len(cleaned) <= max_len:
+            assert out == cleaned
+        else:
+            # sentence-fill keeps whole sentences ≤ max_len, or
+            # word-boundary truncation adds "..." (≤ max_len + 3)
+            assert len(out) <= max(max_len + 3, len(out.split(" ")[0]) + 3)
+
+
+class TestMurmurProperties:
+    @given(st.binary(max_size=64))
+    @settings(max_examples=300)
+    def test_signed_32bit_and_deterministic(self, b):
+        h = uu.murmur3_32(b)
+        assert -(2**31) <= h < 2**31
+        assert h == uu.murmur3_32(b)
+
+
+class TestCanonicalizeProperties:
+    @given(
+        st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=10),
+        st.text(alphabet=string.ascii_letters + string.digits + "/", max_size=20),
+    )
+    def test_idempotent(self, host, path):
+        url = f"https://{host}.org/{path}"
+        once = uu.canonicalize_url(url)
+        assert uu.canonicalize_url(once) == once
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=100)
+    def test_never_crashes(self, junk):
+        try:
+            uu.canonicalize_url(f"https://h.org/{junk}")
+        except ValueError:
+            pass  # urlparse rejects some junk (e.g. bad ports) — fine
+
+
+class TestMinisoupProperties:
+    @given(text_strategy)
+    @settings(max_examples=150)
+    def test_parse_never_crashes(self, s):
+        root = minisoup.parse(s)
+        root.get_text()
+        root.find_all("a", href=True)
+        root.select("div .x, a[href]")
+
+    @given(st.lists(st.sampled_from(["<div>", "</div>", "<p>", "x", "<a href='u'>",
+                                     "</a>", "<br>", "&amp;", "<!-- c -->"]),
+                    max_size=30))
+    def test_malformed_nesting_tolerated(self, parts):
+        root = minisoup.parse("".join(parts))
+        assert isinstance(root.get_text(), str)
+
+    @given(text_strategy)
+    def test_text_roundtrip_through_escaped_html(self, s):
+        import html as h
+
+        root = minisoup.parse(f"<p>{h.escape(s)}</p>")
+        node = root.select_one("p")
+        if node is not None:
+            # convert_charrefs folds entities back; whitespace preserved
+            assert node.get_text() == s
+
+
+class TestParsers:
+    @given(text_strategy)
+    def test_parse_price_never_crashes(self, s):
+        out = parse_price(s)
+        assert out is None or isinstance(out, float)
+
+    @given(text_strategy)
+    def test_parse_rating_bounded_types(self, s):
+        out = parse_rating(s)
+        assert out is None or isinstance(out, float)

@@ -60,6 +60,10 @@ class CrawlConfig:
     max_attempts: int = 3            # tenacity stop_after_attempt(3)
     salt_buckets: int = 8            # hot-host skew defusal (north rule)
     global_budget: Optional[int] = None
+    # broadcast the fetch batch only while it's genuinely small; above
+    # this the driver-side serialize is slower than a shuffled join and
+    # AQE picks the strategy
+    fetch_broadcast_max: int = 50_000
     bloom_fpp: float = 0.01
     bloom_min_seen: int = 50_000     # below this the exact anti-join is cheaper
     content: ContentConfig = field(
@@ -157,6 +161,14 @@ class CrawlEngine:
         cfg = self.cfg
         epoch = self._epoch + 1
         t0 = time.time()
+        phases = {}
+
+        def mark(name):
+            now = time.time()
+            phases[name] = round(now - mark.last, 3)
+            mark.last = now
+
+        mark.last = t0
         frontier = self.frontier()
         seen = self.seen()
 
@@ -168,15 +180,21 @@ class CrawlEngine:
             global_budget=cfg.global_budget,
         ).persist()
         n_batch = batch.count()
+        mark("dequeue")
         if n_batch == 0:
             batch.unpersist()
             return {"epoch": epoch, "done": True, "dequeued": 0}
 
         # --- fetch = lookup join against pages (J2) --------------------
-        # broadcast the politeness batch; the pages scan is the only
-        # pass over big data and carries url+html only (column pruning).
+        # the pages scan is the only pass over big data and carries
+        # url+html only (column pruning). Small batches broadcast (no
+        # shuffle of the big side); large batches go through AQE's
+        # join choice — n_batch is already known, so this is exact.
+        batch_side = (
+            F.broadcast(batch) if n_batch <= cfg.fetch_broadcast_max else batch
+        )
         fetched = self.pages.select("url", "html").join(
-            F.broadcast(batch), "url", "inner"
+            batch_side, "url", "inner"
         ).persist()
         n_fetched = fetched.count()
         # misses via a shuffled anti-join: broadcasting found_urls back
@@ -184,6 +202,7 @@ class CrawlEngine:
         misses = batch.join(
             fetched.select("url"), "url", "left_anti"
         ).persist()
+        mark("fetch")
 
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
         # only run the extraction families present in this batch — an
@@ -227,7 +246,7 @@ class CrawlEngine:
             F.col("stype").alias("parent_stype"),
         )
         candidates = (
-            links.join(F.broadcast(parents), "src_url")
+            links.join(parents, "src_url")  # links are tiny; AQE broadcasts them
             .select(
                 canonical_url_col("url").alias("url"),
                 F.concat(
@@ -301,10 +320,10 @@ class CrawlEngine:
             )
         )
 
-        fsnap = self.store.commit("frontier", new_frontier, epoch=epoch)
-        ssnap = self.store.commit("seen", new_seen, epoch=epoch)
-        tables = {"frontier": fsnap, "seen": ssnap}
-
+        # extraction tables first: this materializes (and caches) the
+        # Arrow extraction exactly once; the frontier/seen commits below
+        # then reuse the cached link rows instead of re-deriving them
+        tables = {}
         if content_rows is not None:
             articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
                 "link_kind"
@@ -316,6 +335,14 @@ class CrawlEngine:
             tables["businesses"] = self.store.commit(
                 "businesses", business_rows, epoch=epoch
             )
+        mark("extract_commit")
+
+        fsnap = self.store.commit("frontier", new_frontier, epoch=epoch)
+        mark("frontier_commit")
+        ssnap = self.store.commit("seen", new_seen, epoch=epoch)
+        mark("seen_commit")
+        tables["frontier"] = fsnap
+        tables["seen"] = ssnap
 
         duration = time.time() - t0
         seen_prev = _snapshot_rows(self.store, "seen", self._seen_snap)
@@ -336,6 +363,7 @@ class CrawlEngine:
             ),
             "duration_s": round(duration, 3),
             "urls_per_sec": round(n_batch / duration, 2) if duration > 0 else None,
+            "phases": phases,
         }
         self.store.commit_epoch(epoch, tables, metrics)
         self._epoch, self._frontier_snap, self._seen_snap = epoch, fsnap, ssnap
