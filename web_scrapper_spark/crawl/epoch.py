@@ -38,7 +38,7 @@ from ..extract.ecommerce import EcommerceConfig
 from ..frontier.bloom import bloom_prefilter, build_bloom
 from ..frontier.core import (
     POS_PAD,
-    dequeue,
+    dequeue_ranked,
     first_discovery_wins,
     robots_filter,
     seeds_frontier,
@@ -66,6 +66,10 @@ class CrawlConfig:
     fetch_broadcast_max: int = 50_000
     bloom_fpp: float = 0.01
     bloom_min_seen: int = 50_000     # below this the exact anti-join is cheaper
+    # above this frontier size, pre-rank per (host, salt) before the
+    # per-host politeness window so a Zipf-hot host can't put a huge
+    # share of the frontier into one window task (core.dequeue_ranked)
+    skew_prerank_rows: int = 20_000_000
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -137,19 +141,23 @@ class CrawlEngine:
         return self.store.read(self.spark, "frontier", self._frontier_snap)
 
     def seen(self) -> DataFrame:
-        return self.store.read(self.spark, "seen", self._seen_snap)
+        """The URL-seen set: union of committed per-epoch APPEND deltas
+        (dequeued URLs are never already in seen, so the dedup-merge is
+        a pure append — O(batch) per epoch, not an O(|seen|) rewrite;
+        on Iceberg this is the append commit)."""
+        return self.store.read_committed(self.spark, "seen", self._epoch)
 
     def articles(self, merged: bool = True) -> Optional[DataFrame]:
-        raw = self.store.read_union(self.spark, "articles", self._epoch)
+        raw = self.store.read_committed(self.spark, "articles", self._epoch)
         if raw is None or not merged:
             return raw
         return merge_articles(raw)
 
     def products(self) -> Optional[DataFrame]:
-        return self.store.read_union(self.spark, "products", self._epoch)
+        return self.store.read_committed(self.spark, "products", self._epoch)
 
     def businesses(self) -> Optional[DataFrame]:
-        return self.store.read_union(self.spark, "businesses", self._epoch)
+        return self.store.read_committed(self.spark, "businesses", self._epoch)
 
     def metrics(self) -> List[Dict]:
         return self.store.epoch_metrics()
@@ -157,9 +165,15 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def run_epoch(self) -> Dict:
         """One checkpointed batch. Returns the epoch's metrics (empty
-        dequeue → {'done': True})."""
+        frontier → {'done': True})."""
         cfg = self.cfg
         epoch = self._epoch + 1
+
+        # drained frontier: known from the manifest's footer row count —
+        # the terminal epoch costs zero Spark jobs
+        if _snapshot_rows(self.store, "frontier", self._frontier_snap) == 0:
+            return {"epoch": epoch, "done": True, "dequeued": 0}
+
         t0 = time.time()
         phases = {}
 
@@ -170,132 +184,189 @@ class CrawlEngine:
 
         mark.last = t0
         frontier = self.frontier()
+        frontier_cols = frontier.columns
         seen = self.seen()
+        to_unpersist = []
 
-        batch = dequeue(
+        # --- dequeue: ONE window pass yields both the fetch batch and
+        # the carried-over pending frontier (host_rank vs budget) — no
+        # frontier ⟕ batch anti-join shuffle (SURVEY.md §2.5)
+        n_frontier = _snapshot_rows(self.store, "frontier", self._frontier_snap)
+        ranked = dequeue_ranked(
             frontier,
             self.robots,
             epoch_seconds=cfg.epoch_seconds,
             default_delay=cfg.default_delay,
-            global_budget=cfg.global_budget,
+            skew_prerank=n_frontier > cfg.skew_prerank_rows,
         ).persist()
-        n_batch = batch.count()
+        to_unpersist.append(ranked)
+        batch = ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")
+        if cfg.global_budget is not None:
+            batch = (
+                batch.orderBy(F.asc("depth"), F.asc("ord_key"))
+                .limit(cfg.global_budget)
+                .persist()
+            )
+            to_unpersist.append(batch)
+            pending_after = ranked.select(*frontier_cols).join(
+                batch.select("url"), "url", "left_anti"
+            )
+        else:
+            pending_after = ranked.filter(
+                F.col("host_rank") > F.col("budget")
+            ).select(*frontier_cols)
+
+        # one action gives the batch size AND the scraper types present
+        stype_counts = {
+            r["stype"]: r["cnt"]
+            for r in batch.groupBy("stype").agg(F.count("*").alias("cnt")).collect()
+        }
+        n_batch = sum(stype_counts.values())
         mark("dequeue")
         if n_batch == 0:
-            batch.unpersist()
+            for df in to_unpersist:
+                df.unpersist()
             return {"epoch": epoch, "done": True, "dequeued": 0}
 
         # --- fetch = lookup join against pages (J2) --------------------
-        # the pages scan is the only pass over big data and carries
-        # url+html only (column pruning). Small batches broadcast (no
-        # shuffle of the big side); large batches go through AQE's
-        # join choice — n_batch is already known, so this is exact.
-        batch_side = (
-            F.broadcast(batch) if n_batch <= cfg.fetch_broadcast_max else batch
-        )
-        fetched = self.pages.select("url", "html").join(
-            batch_side, "url", "inner"
-        ).persist()
-        n_fetched = fetched.count()
-        # misses via a shuffled anti-join: broadcasting found_urls back
-        # through the driver would serialize ~batch-sized data per epoch
-        misses = batch.join(
-            fetched.select("url"), "url", "left_anti"
-        ).persist()
+        # Small batch: broadcast inner join — the huge pages side is
+        # never shuffled (one pruned url+html scan); misses via an
+        # anti-join of two small cached sides. Large batch: ONE shuffled
+        # left join yields hits and misses together (html null ⇒ miss) —
+        # at real scale this path assumes pages bucketed by url (Iceberg
+        # bucket partitioning) so only the batch side shuffles.
+        if n_batch <= cfg.fetch_broadcast_max:
+            fetched = self.pages.select("url", "html").join(
+                F.broadcast(batch), "url", "inner"
+            ).persist()
+            to_unpersist.append(fetched)
+            n_fetched = fetched.count()
+            misses = batch.join(
+                fetched.select("url"), "url", "left_anti"
+            ).persist()
+            to_unpersist.append(misses)
+        else:
+            enriched = batch.join(
+                self.pages.select("url", "html"), "url", "left"
+            ).persist()
+            to_unpersist.append(enriched)
+            fetched = enriched.filter(F.col("html").isNotNull())
+            misses = enriched.filter(F.col("html").isNull()).drop("html")
+            n_fetched = fetched.count()
         mark("fetch")
 
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
-        # only run the extraction families present in this batch — an
+        # only the extraction families present in this batch run — an
         # all-content epoch skips two UDF+write jobs entirely
-        stypes = {
-            r["stype"] for r in batch.select("stype").distinct().collect()
-        }
         content_rows = None
-        if "content" in stypes:
+        if stype_counts.get("content"):
             content_rows = extract_content_df(
                 fetched.filter(F.col("stype") == "content"), cfg.content
             ).persist()
+            to_unpersist.append(content_rows)
         product_rows = (
             extract_products_df(
                 fetched.filter(F.col("stype") == "ecommerce"), cfg.ecommerce
             )
-            if "ecommerce" in stypes
+            if stype_counts.get("ecommerce")
             else None
         )
         business_rows = (
             extract_businesses_df(
                 fetched.filter(F.col("stype") == "business"), cfg.business
             )
-            if "business" in stypes
+            if stype_counts.get("business")
             else None
         )
 
-        # --- discovered links → frontier candidates --------------------
+        # extraction tables commit first: this materializes (and caches)
+        # the Arrow extraction exactly once; the frontier commit below
+        # reuses the cached link rows instead of re-deriving them
+        tables = {}
         if content_rows is not None:
+            articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
+                "link_kind"
+            )
+            tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
+        if product_rows is not None:
+            tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
+        if business_rows is not None:
+            tables["businesses"] = self.store.commit(
+                "businesses", business_rows, epoch=epoch
+            )
+        mark("extract_commit")
+
+        # --- discovered links → frontier candidates --------------------
+        # counted on the cached extraction output (no recompute); a
+        # link-free epoch skips the whole candidate pipeline INCLUDING
+        # its shuffle of the seen set
+        n_links = (
+            content_rows.filter(F.col("row_kind") == "link").count()
+            if content_rows is not None
+            else 0
+        )
+        new_frontier_rows = None
+        if n_links:
             links = content_rows.filter(F.col("row_kind") == "link").select(
                 "src_url", "url", "item_pos", "link_kind"
             )
-        else:
-            links = self.spark.createDataFrame(
-                [], "src_url string, url string, item_pos int, link_kind string"
+            parents = batch.select(
+                F.col("url").alias("src_url"),
+                F.col("ord_key").alias("parent_key"),
+                F.col("depth").alias("parent_depth"),
+                F.col("stype").alias("parent_stype"),
             )
-        parents = batch.select(
-            F.col("url").alias("src_url"),
-            F.col("ord_key").alias("parent_key"),
-            F.col("depth").alias("parent_depth"),
-            F.col("stype").alias("parent_stype"),
-        )
-        candidates = (
-            links.join(parents, "src_url")  # links are tiny; AQE broadcasts them
-            .select(
-                canonical_url_col("url").alias("url"),
-                F.concat(
-                    F.col("parent_key"),
-                    F.lit("/"),
-                    F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
-                ).alias("ord_key"),
-                (F.col("parent_depth") + 1).alias("depth"),
-                F.col("parent_stype").alias("stype"),
+            candidates = (
+                links.join(parents, "src_url")  # links are small; AQE broadcasts
+                .select(
+                    canonical_url_col("url").alias("url"),
+                    F.concat(
+                        F.col("parent_key"),
+                        F.lit("/"),
+                        F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
+                    ).alias("ord_key"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    F.col("parent_stype").alias("stype"),
+                )
+                .filter(F.col("depth") <= cfg.max_depth)
             )
-            .filter(F.col("depth") <= cfg.max_depth)
-        )
-        candidates = first_discovery_wins(candidates)
-        candidates = robots_filter(candidates, self.robots)
+            candidates = first_discovery_wins(candidates)
+            candidates = robots_filter(candidates, self.robots)
 
-        # bloom pre-filter: provably-unseen candidates skip nothing —
-        # they still anti-join pending frontier; maybe-seen ones go
-        # through the exact seen anti-join. Below the threshold the
-        # exact join alone is cheaper than building the filter.
-        n_seen_prev = _snapshot_rows(self.store, "seen", self._seen_snap)
-        if n_seen_prev >= cfg.bloom_min_seen:
-            bloom = build_bloom(
-                seen.select("url_hash"), "url_hash", expected=max(n_seen_prev, 1),
-                fpp=cfg.bloom_fpp,
-            )
-            definitely_new = bloom_prefilter(
-                candidates.withColumn("url_hash", F.hash("url")),
-                bloom, "url_hash", keep_maybe_seen=False,
-            ).drop("url_hash")
-            maybe_seen = bloom_prefilter(
-                candidates.withColumn("url_hash", F.hash("url")),
-                bloom, "url_hash", keep_maybe_seen=True,
-            ).drop("url_hash")
-            survivors = maybe_seen.join(seen.select("url"), "url", "left_anti")
-            candidates = definitely_new.unionByName(survivors)
-        else:
-            candidates = candidates.join(seen.select("url"), "url", "left_anti")
+            # bloom pre-filter: provably-unseen candidates skip the
+            # exact seen anti-join; maybe-seen ones go through it.
+            # Below the threshold the exact join alone is cheaper.
+            n_seen_prev = self.store.committed_rows("seen", self._epoch)
+            if n_seen_prev >= cfg.bloom_min_seen:
+                bloom = build_bloom(
+                    seen.select("url_hash"), "url_hash",
+                    expected=max(n_seen_prev, 1), fpp=cfg.bloom_fpp,
+                )
+                definitely_new = bloom_prefilter(
+                    candidates.withColumn("url_hash", F.hash("url")),
+                    bloom, "url_hash", keep_maybe_seen=False,
+                ).drop("url_hash")
+                maybe_seen = bloom_prefilter(
+                    candidates.withColumn("url_hash", F.hash("url")),
+                    bloom, "url_hash", keep_maybe_seen=True,
+                ).drop("url_hash")
+                survivors = maybe_seen.join(seen.select("url"), "url", "left_anti")
+                candidates = definitely_new.unionByName(survivors)
+            else:
+                candidates = candidates.join(seen.select("url"), "url", "left_anti")
 
-        pending_after = frontier.join(batch.select("url"), "url", "left_anti")
-        candidates = candidates.join(pending_after.select("url"), "url", "left_anti")
-        new_frontier_rows = with_frontier_columns(
-            candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
-        )
+            candidates = candidates.join(
+                pending_after.select("url"), "url", "left_anti"
+            )
+            new_frontier_rows = with_frontier_columns(
+                candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
+            )
 
         # --- retry bookkeeping (T7/T9) ----------------------------------
         retry = (
             misses.filter(F.col("attempts") + 1 < cfg.max_attempts)
             .withColumn("attempts", F.col("attempts") + 1)
-            .select(*[c for c in frontier.columns])
+            .select(*frontier_cols)
         )
         parked = (
             misses.filter(F.col("attempts") + 1 >= cfg.max_attempts)
@@ -312,43 +383,30 @@ class CrawlEngine:
         )
 
         # --- dedup-merge commits ----------------------------------------
-        new_seen = seen.unionByName(fetched_seen).unionByName(parked)
-        new_frontier = (
-            pending_after.unionByName(retry).unionByName(new_frontier_rows)
-            .repartition(
-                max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
-            )
+        # seen is APPEND-ONLY: every dequeued url is new to it by
+        # construction (candidates were anti-joined against seen before
+        # entering the frontier), so the epoch writes an O(batch) delta,
+        # never an O(|seen|) rewrite — Iceberg's append commit.
+        seen_delta = fetched_seen.unionByName(parked)
+        new_frontier = pending_after.unionByName(retry)
+        if new_frontier_rows is not None:
+            new_frontier = new_frontier.unionByName(new_frontier_rows)
+        new_frontier = new_frontier.repartition(
+            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
         )
-
-        # extraction tables first: this materializes (and caches) the
-        # Arrow extraction exactly once; the frontier/seen commits below
-        # then reuse the cached link rows instead of re-deriving them
-        tables = {}
-        if content_rows is not None:
-            articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
-                "link_kind"
-            )
-            tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
-        if product_rows is not None:
-            tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
-        if business_rows is not None:
-            tables["businesses"] = self.store.commit(
-                "businesses", business_rows, epoch=epoch
-            )
-        mark("extract_commit")
 
         fsnap = self.store.commit("frontier", new_frontier, epoch=epoch)
         mark("frontier_commit")
-        ssnap = self.store.commit("seen", new_seen, epoch=epoch)
+        ssnap = self.store.commit("seen", seen_delta, epoch=epoch)
         mark("seen_commit")
         tables["frontier"] = fsnap
         tables["seen"] = ssnap
 
         duration = time.time() - t0
-        seen_prev = _snapshot_rows(self.store, "seen", self._seen_snap)
-        seen_now = _snapshot_rows(self.store, "seen", ssnap)
+        delta_rows = _snapshot_rows(self.store, "seen", ssnap)
+        seen_now = self.store.committed_rows("seen", self._epoch) + delta_rows
         # parked-failed count from footer math — no extra Spark action
-        n_failed = seen_now - seen_prev - n_fetched
+        n_failed = delta_rows - n_fetched
         metrics = {
             "dequeued": n_batch,
             "fetched_ok": n_fetched,
@@ -368,11 +426,8 @@ class CrawlEngine:
         self.store.commit_epoch(epoch, tables, metrics)
         self._epoch, self._frontier_snap, self._seen_snap = epoch, fsnap, ssnap
 
-        batch.unpersist()
-        fetched.unpersist()
-        misses.unpersist()
-        if content_rows is not None:
-            content_rows.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
         return {"epoch": epoch, "done": False, **metrics}
 
     def run(self, max_epochs: int = 100) -> List[Dict]:

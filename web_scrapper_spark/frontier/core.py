@@ -121,6 +121,61 @@ def politeness_budgets(robots: Optional[DataFrame], epoch_seconds: float, defaul
     return attach
 
 
+def dequeue_ranked(
+    frontier: DataFrame,
+    robots: Optional[DataFrame],
+    epoch_seconds: float = 8.0,
+    default_delay: float = 2.0,
+    skew_prerank: bool = False,
+) -> DataFrame:
+    """Rank the whole frontier for this epoch's politeness windows
+    (SURVEY.md §2.5) WITHOUT splitting it: every row gets ``budget``,
+    ``host_rank`` and ``fetch_slot`` columns. The caller derives both
+    the fetch batch (``host_rank <= budget``) and the carried-over
+    pending frontier (``host_rank > budget``) from ONE window pass —
+    no frontier ⟕ batch anti-join (one full shuffle saved per epoch).
+
+    ``skew_prerank``: at 10^10-URL scale a Zipf-hot host can put a
+    double-digit share of the frontier into one window task. A first
+    row_number over ``(host, salt-bucket)`` keeps only ``budget`` rows
+    per salt bucket as batch *candidates* (host_rank ≤ budget implies
+    salt_rank ≤ budget within that row's bucket), bounding the per-host
+    window input to salt_buckets × budget rows; the rest go straight to
+    pending. Costs an extra shuffle — worth it only on huge frontiers.
+    """
+    with_budget = politeness_budgets(robots, epoch_seconds, default_delay)(frontier)
+    host_window = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("depth"), F.asc("ord_key")
+    )
+    if skew_prerank:
+        salt_window = Window.partitionBy("host_salt").orderBy(
+            F.desc("priority"), F.asc("depth"), F.asc("ord_key")
+        )
+        pre = with_budget.withColumn(
+            "_salt_rank", F.row_number().over(salt_window)
+        )
+        contenders = pre.filter(F.col("_salt_rank") <= F.col("budget")).drop(
+            "_salt_rank"
+        )
+        # rows pruned here can never make the batch: give them a rank
+        # past any budget so they land in pending without a host window
+        overflow = pre.filter(F.col("_salt_rank") > F.col("budget")).drop(
+            "_salt_rank"
+        ).withColumn("host_rank", F.col("budget") + F.lit(1_000_000_000))
+        ranked = contenders.withColumn(
+            "host_rank", F.row_number().over(host_window)
+        ).unionByName(overflow)
+    else:
+        ranked = with_budget.withColumn("host_rank", F.row_number().over(host_window))
+    return ranked.withColumn(
+        # fetch slot inside the epoch: rank_in_host × crawl_delay —
+        # the token-bucket schedule (north rule), carried as lineage
+        "fetch_slot",
+        (F.col("host_rank") - F.lit(1)).cast("double")
+        * (F.lit(epoch_seconds) / F.col("budget").cast("double")),
+    )
+
+
 def dequeue(
     frontier: DataFrame,
     robots: Optional[DataFrame],
@@ -130,22 +185,8 @@ def dequeue(
 ) -> DataFrame:
     """Politeness-bounded dequeue (SURVEY.md §2.5): per-host fair slots
     by priority/ord_key; optional global cap keeps epochs bounded."""
-    with_budget = politeness_budgets(robots, epoch_seconds, default_delay)(frontier)
-    host_window = Window.partitionBy("host").orderBy(
-        F.desc("priority"), F.asc("depth"), F.asc("ord_key")
-    )
-    batch = (
-        with_budget.withColumn("host_rank", F.row_number().over(host_window))
-        .filter(F.col("host_rank") <= F.col("budget"))
-        .withColumn(
-            # fetch slot inside the epoch: rank_in_host × crawl_delay —
-            # the token-bucket schedule (north rule), carried as lineage
-            "fetch_slot",
-            (F.col("host_rank") - F.lit(1)).cast("double")
-            * (F.lit(epoch_seconds) / F.col("budget").cast("double")),
-        )
-        .drop("budget")
-    )
+    ranked = dequeue_ranked(frontier, robots, epoch_seconds, default_delay)
+    batch = ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")
     if global_budget is not None:
         # bounded epochs: keep best-ranked rows; ties broken by ord_key.
         batch = (

@@ -134,6 +134,43 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*paths)
 
+    def committed_ids(
+        self, table: str, up_to_epoch: Optional[int] = None
+    ) -> List[int]:
+        """Snapshot ids of ``table`` referenced by COMMITTED epochs —
+        orphan snapshots written by a crashed epoch (present in
+        ``tables`` but never in an epoch record) are excluded, so a
+        resumed run that re-writes the same epoch never double-counts."""
+        ids = []
+        for e in self.manifest()["epochs"]:
+            if up_to_epoch is not None and e["epoch"] > up_to_epoch:
+                continue
+            if table in e.get("tables", {}):
+                ids.append(e["tables"][table])
+        return ids
+
+    def read_committed(
+        self, spark: SparkSession, table: str, up_to_epoch: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Append-semantics read over committed epochs only: the
+        table's content is the union of the delta snapshots referenced
+        by epoch records (what Iceberg's snapshot-isolation read gives
+        natively). Use this — not ``read_union`` — for crash safety."""
+        ids = set(self.committed_ids(table, up_to_epoch))
+        snaps = [s for s in self.snapshots(table) if s["id"] in ids and s.get("path")]
+        paths = [os.path.join(self.root, s["path"]) for s in snaps]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def committed_rows(self, table: str, up_to_epoch: Optional[int] = None) -> int:
+        """Total rows across committed delta snapshots (footer counts —
+        no Spark job)."""
+        ids = set(self.committed_ids(table, up_to_epoch))
+        return sum(
+            s["rows"] for s in self.snapshots(table) if s["id"] in ids
+        )
+
     def last_epoch(self) -> Optional[Dict]:
         epochs = self.manifest()["epochs"]
         return epochs[-1] if epochs else None

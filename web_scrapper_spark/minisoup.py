@@ -133,6 +133,49 @@ class Tag:
         return None
 
     # -- find / find_all ---------------------------------------------------
+    def _index_pool(self, name, attrs, class_, kwargs) -> Optional[List["Tag"]]:
+        """Document-order candidate tags from the root index for a
+        find/find_all query, or None when no index key applies (caller
+        falls back to the tree walk). The classifier/cascade probes run
+        15+ finds per page — index pools turn each from an O(tree) walk
+        into an O(matches) scan."""
+        root = self.root
+        if root is None or root.index is None:
+            return None
+        index = root.index
+        if attrs:
+            key, value = next(iter(attrs.items()))
+            if key == "id" and isinstance(value, str):
+                pool = index["id"].get(value, [])
+            elif key == "class" and isinstance(value, str):
+                pool = index["class"].get(value, [])
+            else:
+                pool = index["attr"].get(key, [])
+        elif isinstance(class_, str):
+            pool = index["class"].get(class_, [])
+        elif class_ is not None:  # callable / True / regex: any classed tag
+            pool = index["attr"].get("class", [])
+        elif kwargs:
+            pool = index["attr"].get(next(iter(kwargs)).rstrip("_"), [])
+        elif isinstance(name, str):
+            pool = index["name"].get(name, [])
+        elif isinstance(name, (list, tuple, set, frozenset)) and all(
+            isinstance(n, str) for n in name
+        ):
+            merged: List[Tag] = []
+            for n in name:
+                merged.extend(index["name"].get(n, ()))
+            merged.sort(key=lambda t: t.start)
+            pool = merged
+        else:
+            return None
+        if self is not root:
+            lo, hi = self.start, self.end
+            if len(pool) > hi - lo:
+                return None  # subtree walk is cheaper than pool scan
+            pool = [t for t in pool if lo < t.start <= hi]
+        return pool
+
     def find_all(
         self,
         name=None,
@@ -144,6 +187,17 @@ class Tag:
     ) -> List:
         results: List = []
         want_text = text is not None and name is None
+        if not want_text:
+            pool = self._index_pool(name, attrs, class_, kwargs)
+            if pool is not None:
+                for node in pool:
+                    if _match_tag(node, name, attrs, class_, kwargs) and (
+                        text is None or _match_text(text, node.string)
+                    ):
+                        results.append(node)
+                        if limit is not None and len(results) >= limit:
+                            break
+                return results
         for node in self.descendants():
             if want_text:
                 if isinstance(node, str) and _match_text(text, node):
@@ -521,10 +575,141 @@ def _build_index(root: Tag) -> None:
     root.index = {"name": by_name, "class": by_class, "id": by_id, "attr": by_attr}
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a regex scanner replacing html.parser.HTMLParser in
+# the hot path. Produces the same trees as _TreeBuilder (verified by a
+# differential test over fixtures + adversarial HTML): charrefs
+# unescaped in text and attribute values, script/style as raw text,
+# comments/doctype/PIs dropped, void elements, misnesting tolerance,
+# implicit close of li/p/... . ~3x faster and far fewer intermediate
+# allocations than HTMLParser's callback machinery — this matters
+# because allocation pressure is what caps multi-core scaling of the
+# parse stage (BENCH/BASELINE.md control experiments).
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+
+_START_TAG_RE = re.compile(
+    r"<([a-zA-Z][^\s/>\x00]*)"
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"(/?)>"
+)
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][^\s/>]*)[^>]*>")
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+
+def _parse_attrs(blob: str) -> Dict[str, str]:
+    attrs: Dict[str, str] = {}
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        value = m.group(2)
+        if value is None:
+            value = ""
+        elif value[:1] in ('"', "'") and value[-1:] == value[:1]:
+            value = value[1:-1]
+        if "&" in value:
+            value = _unescape(value)
+        attrs[name] = value
+    return attrs
+
+
+def _fast_build(html: str) -> Tag:
+    root = Tag("[document]")
+    stack = [root]
+    pos, n = 0, len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            text = html[pos:]
+            if text:
+                stack[-1].children.append(
+                    _unescape(text) if "&" in text else text
+                )
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            stack[-1].children.append(_unescape(text) if "&" in text else text)
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "/":
+            m = _END_TAG_RE.match(html, lt)
+            if m is None:
+                gt = find(">", lt)
+                pos = gt + 1 if gt >= 0 else n
+                continue
+            pos = m.end()
+            name = m.group(1).lower()
+            if name in VOID_ELEMENTS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == name:
+                    del stack[i:]
+                    break
+        elif nxt == "!" or nxt == "?":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = end + 3 if end >= 0 else n
+            else:
+                gt = find(">", lt)
+                pos = gt + 1 if gt >= 0 else n
+        else:
+            m = _START_TAG_RE.match(html, lt)
+            if m is None:
+                # bare '<' (or truncated tag): literal text, as
+                # html.parser's tolerant mode effectively yields
+                stack[-1].children.append("<")
+                pos = lt + 1
+                continue
+            pos = m.end()
+            name = m.group(1).lower()
+            blob = m.group(2)
+            attrs = _parse_attrs(blob) if blob and not blob.isspace() else {}
+            top = stack[-1]
+            if name in _IMPLICIT_CLOSE_SAME and top.name == name:
+                stack.pop()
+                top = stack[-1]
+            node = Tag(name, attrs)
+            node.parent = top
+            top.children.append(node)
+            if m.group(3) == "/" or name in VOID_ELEMENTS:
+                continue
+            raw_close = _RAWTEXT_CLOSE.get(name)
+            if raw_close is not None:
+                mm = raw_close.search(html, pos)
+                if mm is None:
+                    # unterminated script/style: html.parser buffers to
+                    # EOF and drops the content — match that
+                    pos = n
+                    continue
+                end = mm.start()
+                if end > pos:
+                    node.children.append(html[pos:end])  # raw: no unescape
+                pos = end
+                continue
+            stack.append(node)
+    return root
+
+
 def parse(html: Union[str, bytes]) -> Tag:
     """Parse HTML into a DOM; accepts str or UTF-8 bytes (the ``html``
     binary column from the pages table decodes here). The returned tree
     is indexed for fast selects and treated as immutable."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    root = _fast_build(html)
+    _build_index(root)
+    return root
+
+
+def parse_reference(html: Union[str, bytes]) -> Tag:
+    """The html.parser-backed builder, kept as the differential oracle
+    for the fast tokenizer (tests/test_minisoup.py)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
