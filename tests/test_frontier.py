@@ -6,6 +6,7 @@ import pytest
 from web_scrapper_spark.frontier.bloom import PyBloom, bloom_prefilter, build_bloom
 from web_scrapper_spark.frontier.core import (
     dequeue,
+    dequeue_ranked,
     first_discovery_wins,
     robots_filter,
     seeds_frontier,
@@ -159,3 +160,63 @@ class TestFrontierOps:
             for r in batch.groupBy("host").count().withColumnRenamed("count", "cnt").collect()
         }
         assert by_host == {"hot.org": 8, "cold.org": 1}
+
+    def test_dequeue_ranked_split_equals_dequeue(self, spark):
+        """batch (rank<=budget) from dequeue_ranked must equal dequeue();
+        batch + pending must partition the frontier exactly."""
+        from pyspark.sql import functions as F
+
+        seeds = [(f"https://h{i % 3}.org/p{i}", "content") for i in range(30)]
+        frontier = seeds_frontier(spark, seeds)
+        robots = spark.createDataFrame(
+            [("h0.org", [], 1.0), ("h1.org", [], 4.0), ("h2.org", [], 8.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        ranked = dequeue_ranked(frontier, robots, epoch_seconds=8.0)
+        batch = ranked.filter(F.col("host_rank") <= F.col("budget"))
+        pending = ranked.filter(F.col("host_rank") > F.col("budget"))
+        via_dequeue = dequeue(frontier, robots, epoch_seconds=8.0)
+        assert sorted(r["url"] for r in batch.collect()) == sorted(
+            r["url"] for r in via_dequeue.collect()
+        )
+        b_urls = {r["url"] for r in batch.collect()}
+        p_urls = {r["url"] for r in pending.collect()}
+        assert not (b_urls & p_urls)
+        assert b_urls | p_urls == {u for u, _ in seeds}
+
+    def test_dequeue_skew_prerank_same_batch(self, spark):
+        """The per-(host,salt) pre-rank must select the identical batch
+        and route every pruned row to pending (host_rank > budget)."""
+        from pyspark.sql import functions as F
+
+        seeds = [(f"https://hot.org/p{i:03d}", "content") for i in range(40)] + [
+            (f"https://cold{i}.org/x", "content") for i in range(5)
+        ]
+        frontier = seeds_frontier(spark, seeds)
+        robots = spark.createDataFrame(
+            [("hot.org", [], 1.0)]
+            + [(f"cold{i}.org", [], 2.0) for i in range(5)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        plain = dequeue_ranked(frontier, robots, epoch_seconds=8.0)
+        skewed = dequeue_ranked(
+            frontier, robots, epoch_seconds=8.0, skew_prerank=True
+        )
+
+        def split(df):
+            b = sorted(
+                r["url"]
+                for r in df.filter(F.col("host_rank") <= F.col("budget")).collect()
+            )
+            p = sorted(
+                r["url"]
+                for r in df.filter(F.col("host_rank") > F.col("budget")).collect()
+            )
+            return b, p
+
+        b1, p1 = split(plain)
+        b2, p2 = split(skewed)
+        assert b1 == b2
+        assert p1 == p2
+        # hot host got exactly its budget (8s / 1s delay = 8 slots)
+        assert sum(1 for u in b2 if "hot.org" in u) == 8
