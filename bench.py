@@ -123,8 +123,10 @@ def run_bulk_crawl(
 
     sf = _sf_from_dir(sf_dir)
     if n_urls is None:
+        # sized so per-epoch fixed costs (commits, scheduling) amortize
+        # and the reported URLs/sec reflects pipeline throughput
         n_urls = int(os.environ.get(
-            "SPARK_GRAFT_BULK_URLS", str(max(5000, int(sf * 200_000)))
+            "SPARK_GRAFT_BULK_URLS", str(max(5000, int(sf * 1_600_000)))
         ))
     spec = SiteSpec(n_hosts=64, n_articles=n_urls, blog_page_size=50)
     if pages_path is not None:
@@ -275,8 +277,39 @@ def default_mode() -> None:
         "bulk_crawl": bulk,
         "urls_per_sec": bulk["urls_per_sec"],
         "cpus": CPUS,
+        "scaling": _last_scaling_summary(),
     }
     print(json.dumps(out))
+
+
+def _last_scaling_summary() -> dict:
+    """Key numbers from the most recent `--scaling` run (the N→4N
+    evidence lives in BENCH/BASELINE.md; this surfaces the headline
+    efficiencies in the per-round JSON)."""
+    import re as _re
+
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            md = fh.read()
+    except OSError:
+        return {}
+    out = {}
+    sections = _re.split(r"^## ", md, flags=_re.M)
+    for sec in sections:
+        if sec.startswith("1. Frontier"):
+            key = "frontier"
+        elif sec.startswith("2. Full pipeline"):
+            key = "pipeline"
+        else:
+            continue
+        for lo, hi, _su, eff in _re.findall(
+            r"speedup (\d+)→(\d+) cores: \*\*([\d.]+)×\*\*, scaling\s+"
+            r"efficiency(?: \(speedup/4\))?: \*\*([\d.]+)\*\*",
+            sec,
+        ):
+            out[f"{key}_eff_{lo}_to_{hi}"] = float(eff)
+    out["evidence"] = "BENCH/BASELINE.md"
+    return out
 
 
 def scaling_mode() -> None:

@@ -17,7 +17,11 @@ def _dump(node, out):
     if isinstance(node, str):
         out.append(("T", node))
         return
-    out.append(("E", node.name, tuple(sorted(node.attrs.items()))))
+    # start/end intervals included: the fused index build must assign
+    # the same document-order intervals as the two-pass reference path
+    out.append(
+        ("E", node.name, tuple(sorted(node.attrs.items())), node.start, node.end)
+    )
     for c in node.children:
         _dump(c, out)
     out.append(("/", node.name))

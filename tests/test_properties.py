@@ -114,3 +114,54 @@ class TestParsers:
     def test_parse_rating_bounded_types(self, s):
         out = parse_rating(s)
         assert out is None or isinstance(out, float)
+
+
+class TestFastPathEquivalence:
+    """The perf fast paths must be byte-equivalent to the reference
+    pipeline they shortcut."""
+
+    @given(text_strategy)
+    @settings(max_examples=400)
+    def test_clean_text_fast_path_equiv(self, s):
+        # the reference pipeline, run unconditionally
+        ref = tu._WS_RE.sub(" ", s).strip().replace("\xa0", " ")
+        ref = ref.replace("“", '"').replace("”", '"')
+        ref = ref.replace("‘", "'").replace("’", "'")
+        ref = tu._CTRL_RE.sub("", ref)
+        assert tu.clean_text(s) == ref
+
+    @given(st.lists(st.sampled_from(
+        ["spark", "crawl", "the", "dedup", "abc", "engine", "a", "of",
+         "frontier", "epoch", "merge"]), max_size=120), st.integers(1, 8))
+    @settings(max_examples=200)
+    def test_keywords_counter_equiv(self, words, k):
+        text = " ".join(words)
+        # reference algorithm: plain dict count + stable sort by freq desc
+        cleaned = tu.clean_text(text.lower())
+        toks = tu._WORD_RE.findall(cleaned)
+        filtered = [w for w in toks if w not in tu.STOP_WORDS and len(w) > 2]
+        freq = {}
+        for w in filtered:
+            freq[w] = freq.get(w, 0) + 1
+        ranked = sorted(freq.items(), key=lambda x: x[1], reverse=True)
+        expected = [w for w, _ in ranked[:k]]
+        assert tu.extract_keywords(text, max_keywords=k) == expected
+
+    @given(st.integers(1990, 2030), st.integers(0, 13), st.integers(0, 32))
+    @settings(max_examples=300)
+    def test_iso_date_fast_path_equiv(self, y, m, d):
+        from datetime import datetime
+        from web_scrapper_spark.extract import content as C
+        date_str = f"{y:04d}-{m:02d}-{d:02d}"
+        try:
+            expected = datetime.strptime(date_str, "%Y-%m-%d").date().isoformat()
+        except ValueError:
+            expected = None
+        got = None
+        if C._ISO_DATE_RE.match(date_str):
+            yy, mm, dd = date_str.split("-")
+            try:
+                got = datetime(int(yy), int(mm), int(dd)).date().isoformat()
+            except ValueError:
+                got = None
+        assert got == expected

@@ -301,7 +301,9 @@ _DATE_TEXT_PATTERNS = [
     r"\d{2}/\d{2}/\d{4}",
     r"\d{1,2}/\d{1,2}/\d{2,4}",
 ]
+_DATE_TEXT_RES = [re.compile(p) for p in _DATE_TEXT_PATTERNS]
 _DATE_TEXT_FORMATS = ["%d %B %Y", "%B %d, %Y", "%B %d %Y", "%Y-%m-%d", "%m/%d/%Y", "%d/%m/%Y"]
+_ISO_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}$")
 _PARSE_DATE_PATTERNS = [
     (re.compile(r"\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4}"), "%d %B %Y"),
     (re.compile(r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s+\d{4}"), "%B %d, %Y"),
@@ -335,6 +337,12 @@ def parse_date_node(element: Tag) -> Optional[str]:
         if m:
             date_str = m.group(0)
             try:
+                if fmt == "%Y-%m-%d":
+                    # fast path: strptime is ~20x the cost of a direct
+                    # construct; identical result + identical ValueError
+                    # behavior on out-of-range fields
+                    y, mo, d = date_str.split("-")
+                    return datetime(int(y), int(mo), int(d)).date().isoformat()
                 return datetime.strptime(date_str, fmt).date().isoformat()
             except ValueError:
                 if fmt == "%m/%d/%Y":
@@ -367,13 +375,21 @@ def _extract_date(element: Tag, selectors: Dict[str, str]) -> Optional[str]:
         node = element.select_one(selector)
         if node:
             return parse_date_node(node)
-    for pattern in _DATE_TEXT_PATTERNS:
-        rx = re.compile(pattern)
+    for rx in _DATE_TEXT_RES:
         match = element.find(text=rx)
         if match:
             m = rx.search(match)
             if m:
                 date_str = m.group(0)
+                if _ISO_DATE_RE.match(date_str):
+                    # fast path for the ISO shape: the first three
+                    # formats always raise on it, the fourth parses it —
+                    # construct directly with identical semantics
+                    y, mo, d = date_str.split("-")
+                    try:
+                        return datetime(int(y), int(mo), int(d)).isoformat()[:10]
+                    except ValueError:
+                        continue
                 for fmt in _DATE_TEXT_FORMATS:
                     try:
                         return datetime.strptime(date_str, fmt).isoformat()[:10]

@@ -244,6 +244,8 @@ class Tag:
             matcher, compound = matchers[0]
             pool = self._candidates(compound)
             if pool is not None:
+                if compound.trivial:
+                    return pool  # _candidates always returns a fresh list
                 return [t for t in pool if matcher(t, self)]
         out: List[Tag] = []
         for tag in self.iter_tags():
@@ -257,6 +259,8 @@ class Tag:
             matcher, compound = matchers[0]
             pool = self._candidates(compound)
             if pool is not None:
+                if compound.trivial:
+                    return pool[0] if pool else None
                 for tag in pool:
                     if matcher(tag, self):
                         return tag
@@ -378,7 +382,7 @@ def _tokenize_complex(selector: str) -> List[tuple]:
 
 
 class _Compound:
-    __slots__ = ("tag", "classes", "id", "attr_tests", "pseudos")
+    __slots__ = ("tag", "classes", "id", "attr_tests", "pseudos", "trivial")
 
     def __init__(self, compound: str):
         self.tag: Optional[str] = None
@@ -410,6 +414,30 @@ class _Compound:
                     if len(arg) >= 2 and arg[0] in "\"'" and arg[-1] == arg[0]:
                         arg = arg[1:-1]
                 self.pseudos.append((m.group("pseudo"), arg))
+        # trivial ⇔ the compound's ONLY test is the index key that
+        # _candidates narrows by — every pool member matches by
+        # construction, so select can skip the matcher entirely (most
+        # cascade selectors are bare '.class' or 'tag')
+        if self.pseudos:
+            self.trivial = False
+        elif self.id is not None:
+            self.trivial = (
+                self.tag is None and not self.classes and not self.attr_tests
+            )
+        elif self.classes:
+            self.trivial = (
+                self.tag is None
+                and len(self.classes) == 1
+                and not self.attr_tests
+            )
+        elif self.attr_tests:
+            self.trivial = (
+                self.tag is None
+                and len(self.attr_tests) == 1
+                and self.attr_tests[0][1] in (None, "")
+            )
+        else:
+            self.trivial = self.tag is not None
 
     def matches(self, tag: Tag) -> bool:
         if self.tag is not None and tag.name != self.tag:
@@ -418,7 +446,7 @@ class _Compound:
             cls = tag.attrs.get("class")
             if cls is None:
                 return False
-            have = cls.split()
+            have = _class_tokens(cls)
             if any(c not in have for c in self.classes):
                 return False
         if self.id is not None and tag.attrs.get("id") != self.id:
@@ -471,6 +499,10 @@ def _compiled_selector(selector: str) -> tuple:
 def _compile_complex(selector: str) -> tuple:
     parts = _tokenize_complex(selector)
     compounds = [(comb, _Compound(c)) for comb, c in parts]
+    if len(compounds) > 1:
+        # the rightmost compound alone being trivial is not enough —
+        # the matcher must still verify the ancestor combinators
+        compounds[-1][1].trivial = False
 
     def match_at(idx: int, tag: Tag, scope: Tag) -> bool:
         comb, compound = compounds[idx]
@@ -604,7 +636,7 @@ _RAWTEXT_CLOSE = {
 }
 
 
-def _parse_attrs(blob: str) -> Dict[str, str]:
+def _parse_attrs_uncached(blob: str) -> Dict[str, str]:
     attrs: Dict[str, str] = {}
     for m in _ATTR_RE.finditer(blob):
         name = m.group(1).lower()
@@ -619,8 +651,33 @@ def _parse_attrs(blob: str) -> Dict[str, str]:
     return attrs
 
 
+@lru_cache(maxsize=8192)
+def _parse_attrs(blob: str) -> Dict[str, str]:
+    """Attr blobs repeat heavily across real pages (class= boilerplate),
+    so identical blobs share ONE parsed dict. Safe because parsed trees
+    are treated as immutable (module docstring) — Tag.attrs is never
+    mutated after construction."""
+    return _parse_attrs_uncached(blob)
+
+
+@lru_cache(maxsize=4096)
+def _class_tokens(cls: str) -> tuple:
+    return tuple(cls.split())
+
+
 def _fast_build(html: str) -> Tag:
+    """Tokenize + build the tree + build the root index in ONE pass
+    (document-order intervals assigned at push/pop time — identical to
+    the separate :func:`_build_index` DFS, verified by the differential
+    test including start/end)."""
     root = Tag("[document]")
+    root.root = root
+    root.start = 0
+    by_name: Dict[str, List[Tag]] = {}
+    by_class: Dict[str, List[Tag]] = {}
+    by_id: Dict[str, List[Tag]] = {}
+    by_attr: Dict[str, List[Tag]] = {}
+    counter = 0
     stack = [root]
     pos, n = 0, len(html)
     find = html.find
@@ -649,6 +706,8 @@ def _fast_build(html: str) -> Tag:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == name:
+                    for popped in stack[i:]:
+                        popped.end = counter
                     del stack[i:]
                     break
         elif nxt == "!" or nxt == "?":
@@ -672,12 +731,28 @@ def _fast_build(html: str) -> Tag:
             attrs = _parse_attrs(blob) if blob and not blob.isspace() else {}
             top = stack[-1]
             if name in _IMPLICIT_CLOSE_SAME and top.name == name:
+                top.end = counter
                 stack.pop()
                 top = stack[-1]
             node = Tag(name, attrs)
             node.parent = top
             top.children.append(node)
+            counter += 1
+            node.start = counter
+            node.root = root
+            by_name.setdefault(name, []).append(node)
+            if attrs:
+                cls = attrs.get("class")
+                if cls:
+                    for token in _class_tokens(cls):
+                        by_class.setdefault(token, []).append(node)
+                tag_id = attrs.get("id")
+                if tag_id:
+                    by_id.setdefault(tag_id, []).append(node)
+                for attr_name in attrs:
+                    by_attr.setdefault(attr_name, []).append(node)
             if m.group(3) == "/" or name in VOID_ELEMENTS:
+                node.end = counter
                 continue
             raw_close = _RAWTEXT_CLOSE.get(name)
             if raw_close is not None:
@@ -685,26 +760,30 @@ def _fast_build(html: str) -> Tag:
                 if mm is None:
                     # unterminated script/style: html.parser buffers to
                     # EOF and drops the content — match that
+                    node.end = counter
                     pos = n
                     continue
                 end = mm.start()
                 if end > pos:
                     node.children.append(html[pos:end])  # raw: no unescape
+                node.end = counter
                 pos = end
                 continue
             stack.append(node)
+    for leftover in stack:
+        leftover.end = counter
+    root.index = {"name": by_name, "class": by_class, "id": by_id, "attr": by_attr}
     return root
 
 
 def parse(html: Union[str, bytes]) -> Tag:
     """Parse HTML into a DOM; accepts str or UTF-8 bytes (the ``html``
     binary column from the pages table decodes here). The returned tree
-    is indexed for fast selects and treated as immutable."""
+    is indexed for fast selects (index built in the same pass) and
+    treated as immutable."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
-    root = _fast_build(html)
-    _build_index(root)
-    return root
+    return _fast_build(html)
 
 
 def parse_reference(html: Union[str, bytes]) -> Tag:

@@ -18,10 +18,16 @@ from __future__ import annotations
 
 import json
 import re
+from collections import Counter
 from typing import Dict, List
 
 _WS_RE = re.compile(r"\s+")
 _CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+# clean_text fast path: if none of these occur, the full pipeline is a
+# no-op beyond strip() — run-of-whitespace (incl. any non-space \s),
+# nbsp, curly quotes, control chars. Verified equivalent by a
+# hypothesis property test (test_properties.py).
+_NEEDS_CLEAN_RE = re.compile(r"[^\S ]|  |\xa0|[“”‘’\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
 _WORD_RE = re.compile(r"\b\w+\b")
 _TAG_RE = re.compile(r"<[^>]+>")
 _ENT_NAME_RE = re.compile(r"&[a-zA-Z]+;")
@@ -53,6 +59,8 @@ def clean_text(text: str) -> str:
     """
     if not text:
         return ""
+    if _NEEDS_CLEAN_RE.search(text) is None:
+        return text.strip()
     cleaned = _WS_RE.sub(" ", text)
     cleaned = cleaned.strip()
     cleaned = cleaned.replace("\xa0", " ")
@@ -126,12 +134,13 @@ def extract_keywords(text: str, max_keywords: int = 5) -> List[str]:
         return []
     cleaned_text = clean_text(text.lower())
     words = _WORD_RE.findall(cleaned_text)
-    filtered = [w for w in words if w not in STOP_WORDS and len(w) > 2]
-    freq: Dict[str, int] = {}
-    for w in filtered:
-        freq[w] = freq.get(w, 0) + 1
-    ranked = sorted(freq.items(), key=lambda x: x[1], reverse=True)
-    return [w for w, _ in ranked[:max_keywords]]
+    # Counter + most_common == the reference's dict-count + stable sort
+    # by freq desc: both preserve first-encounter order among ties
+    # (dict insertion order, stable sort).
+    freq = Counter(
+        w for w in words if w not in STOP_WORDS and len(w) > 2
+    )
+    return [w for w, _ in freq.most_common(max_keywords)]
 
 
 _EMAIL_ENT_RE = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
