@@ -43,6 +43,18 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in _tx.STOP_WORDS_SORTED)
 
+# MinHash universal-hash constants shared verbatim with the Spark side
+# (operators/dedup.py minhash_params) so both engines compute identical
+# signatures.
+_MH_P = _dd.MINHASH_PRIME
+
+
+def _mh_sql_cols(num_hashes: int) -> str:
+    return ",\n                     ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_dd.minhash_params(num_hashes))
+    )
+
 _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 )
@@ -665,13 +677,16 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (
               SELECT doc_id, {shingles1} AS s FROM documents
               WHERE len({_TOKS_SQL}) > 0
+            ), hb AS (
+              SELECT doc_id, s,
+                     list_transform(
+                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}
+                     ) AS h
+              FROM sh
             ), sig AS (
               SELECT doc_id, s,
-                     list_min(list_transform(s, x -> md5('0:' || x))) AS mh0,
-                     list_min(list_transform(s, x -> md5('1:' || x))) AS mh1,
-                     list_min(list_transform(s, x -> md5('2:' || x))) AS mh2,
-                     list_min(list_transform(s, x -> md5('3:' || x))) AS mh3
-              FROM sh
+                     {_mh_sql_cols(4)}
+              FROM hb
             ), pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id

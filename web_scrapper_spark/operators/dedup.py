@@ -49,28 +49,66 @@ def dedup_exact(
 
 def shingles_col(text_col: str, n: int = 3):
     """Distinct sorted n-gram (word) shingles of the token stream.
-    Expressed with transform over an index sequence so it stays native;
-    sorted for deterministic comparisons in both engines."""
+
+    Built from ``zip_with`` over shifted copies of the token array —
+    O(n·L) per doc. (The naive ``transform(sequence(...), i ->
+    concat_ws(slice(toks, i, n)))`` is O(n·L²): ``slice`` copies per
+    position; on multi-KB docs that made shingling the dominant cost
+    of the whole MinHash pipeline.) Sorted for deterministic
+    comparisons in both engines."""
     toks = tokens_col(F.col(text_col))
-    joined = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    short = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(joined)
+    size = F.size(toks)
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws skips
+        # NULLs, and the final slice drops those partial tail shingles
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    joined = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0)))
+    short = F.when(size < n, F.array(F.concat_ws(" ", toks))).otherwise(joined)
     return F.array_sort(F.array_distinct(F.filter(short, lambda s: s != F.lit(""))))
 
 
-def minhash_signature_cols(shingles, num_hashes: int = 12) -> List:
-    """MinHash h_i(doc) = min over shingles of md5(i || ':' || shingle).
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
 
-    Lexicographic min over hex digests is a valid uniform min-hash and —
-    crucially — reproducible verbatim in DuckDB SQL for the oracle.
-    """
+
+def minhash_params(num_hashes: int) -> List[tuple]:
+    """Deterministic (a_i, b_i) for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod p — shared verbatim with the DuckDB
+    oracle SQL builder so both engines compute identical signatures."""
     return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
+        (
+            (i * 2654435761 + 1) % MINHASH_PRIME or 1,
+            (i * 40503 + 7) % MINHASH_PRIME,
+        )
         for i in range(num_hashes)
+    ]
+
+
+def minhash_signature_cols(shingles, num_hashes: int = 12) -> List:
+    """MinHash h_i(doc) = min over shingles of (a_i·H(s) + b_i) mod p,
+    where H(s) = first 60 bits of md5(s) mod p.
+
+    ONE md5 per shingle (the expensive part), then ``num_hashes`` cheap
+    arithmetic re-hashes — a proper universal family, ~12x less hashing
+    than an md5 per (i, shingle). Every step (md5, hex→int, mod) is
+    reproducible verbatim in DuckDB SQL for the oracle: Spark
+    ``conv(substr(md5(s),1,15),16,10)`` ≡ DuckDB
+    ``('0x' || substr(md5(s),1,15))::BIGINT``.
+    """
+    base = F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+    def rehash(a: int, b: int):
+        return lambda x: F.pmod(x * a + b, F.lit(MINHASH_PRIME))
+
+    return [
+        F.array_min(F.transform(base, rehash(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
 
 
