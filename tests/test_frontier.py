@@ -220,3 +220,31 @@ class TestFrontierOps:
         assert p1 == p2
         # hot host got exactly its budget (8s / 1s delay = 8 slots)
         assert sum(1 for u in b2 if "hot.org" in u) == 8
+
+    def test_salted_partitioning_bounds_hot_host(self, spark):
+        """SURVEY §5.2-6 skew smoke: one host holds ~50% of the
+        frontier; repartitioning by host_salt must spread it so no
+        partition holds more than ~hot_share/S (+slack), and the salt
+        must not change WHICH rows exist."""
+        from pyspark.sql import functions as F
+
+        hot = [(f"https://hot.org/p{i}", "content") for i in range(500)]
+        cold = [(f"https://c{i % 50}.org/p{i}", "content") for i in range(500)]
+        salted = seeds_frontier(spark, hot + cold, salt_buckets=8)
+        n_part = 16
+        parts = (
+            salted.repartition(n_part, "host_salt")
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        max_share = max(r["count"] for r in parts) / 1000.0
+        # unsalted, the hot host would put 0.5 in one partition; with
+        # S=8 the hot host's per-bucket share is ~0.0625
+        assert max_share < 0.30, f"hot host not spread: {max_share}"
+        # salting changes layout only, never membership
+        unsalted = seeds_frontier(spark, hot + cold, salt_buckets=1)
+        assert sorted(r["url"] for r in salted.collect()) == sorted(
+            r["url"] for r in unsalted.collect()
+        )
