@@ -204,3 +204,45 @@ def test_resume_equals_uninterrupted(spark, tmp_path, engine_state, sim):
     assert seen == sim.seen
     full_engine, _ = engine_state
     assert seen == {r["url"]: r["status"] for r in full_engine.seen().collect()}
+
+
+def test_resume_ignores_orphan_snapshots(spark, tmp_path, engine_state, sim):
+    """Crash MID-epoch: table snapshots written but commit_epoch never
+    reached. Resume must treat the epoch as never having happened —
+    orphan deltas invisible in seen()/articles() — and re-running must
+    converge to the uninterrupted final state with no duplicates."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(str(tmp_path / "orphan-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    engine.run_epoch()
+    seen_after_0 = sorted(r["url"] for r in engine.seen().collect())
+
+    # simulate a crash mid-epoch-1: seen/articles deltas durable,
+    # epoch record absent (run_epoch commits snapshots before
+    # commit_epoch, so this is exactly the partial state a kill leaves)
+    orphan_seen = engine.seen().limit(3).withColumn(
+        "fetched_epoch", F.lit(1)
+    )
+    store.commit("seen", orphan_seen, epoch=1)
+    orphan_articles = spark.createDataFrame(
+        [("https://x.org/a", "full")], "src_url string, row_kind string"
+    )
+    store.commit("articles", orphan_articles, epoch=1)
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, CrawlConfig())
+    # orphan rows invisible before any new epoch
+    assert sorted(r["url"] for r in resumed.seen().collect()) == seen_after_0
+    arts = resumed.articles(merged=False)
+    if arts is not None:
+        assert arts.filter(F.col("src_url") == "https://x.org/a").count() == 0
+
+    resumed.run(max_epochs=30)
+    seen = {r["url"]: r["status"] for r in resumed.seen().collect()}
+    assert seen == sim.seen
+    # no url appears twice (the re-run epoch 1 must not double-append)
+    urls = [r["url"] for r in resumed.seen().collect()]
+    assert len(urls) == len(set(urls))

@@ -28,9 +28,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cpus)
+    builder = SparkSession.builder
+    # under spark-submit the master comes from the launcher
+    # (--master / cluster manager) — only default to local[cpus] when
+    # nothing configured it, so the same code path serves both
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
