@@ -395,10 +395,18 @@ class CrawlEngine:
             max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
         )
 
-        fsnap = self.store.commit("frontier", new_frontier, epoch=epoch)
-        mark("frontier_commit")
-        ssnap = self.store.commit("seen", seen_delta, epoch=epoch)
-        mark("seen_commit")
+        # the two merge commits are independent Spark jobs over
+        # different tables — submit them from two threads so their
+        # stages interleave (store serializes the manifest updates)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_fut = pool.submit(
+                self.store.commit, "frontier", new_frontier, epoch
+            )
+            s_fut = pool.submit(self.store.commit, "seen", seen_delta, epoch)
+            fsnap, ssnap = f_fut.result(), s_fut.result()
+        mark("merge_commits")
         tables["frontier"] = fsnap
         tables["seen"] = ssnap
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -34,8 +35,16 @@ MANIFEST = "_manifest.json"
 
 
 class SnapshotStore:
+    """Commits to DIFFERENT tables may run concurrently (the epoch
+    engine overlaps the frontier and seen writes from two threads);
+    the manifest read-modify-write is serialized by ``_lock``.
+    Concurrent commits to the SAME table are not supported — snapshot
+    ids are assigned under the lock but per-table ordering is the
+    caller's responsibility."""
+
     def __init__(self, root: str):
         self.root = root
+        self._lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -64,25 +73,28 @@ class SnapshotStore:
         metrics: Optional[Dict] = None,
     ) -> int:
         """Write ``df`` as the next snapshot of ``table``; returns its id."""
-        manifest = self.manifest()
-        snaps: List[Dict] = manifest["tables"].setdefault(table, [])
-        snap_id = (snaps[-1]["id"] + 1) if snaps else 0
+        with self._lock:
+            snaps = self.manifest()["tables"].get(table, [])
+            snap_id = (snaps[-1]["id"] + 1) if snaps else 0
         rel = os.path.join(table, f"snap-{snap_id:05d}")
         path = os.path.join(self.root, rel)
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path)  # concurrent-safe: own dir
         count = _parquet_rows(path)
-        snaps.append(
-            {
-                "id": snap_id,
-                "epoch": epoch,
-                "path": rel,
-                "rows": count,
-                "parent": snaps[-1]["id"] if snaps else None,
-                "committed_at": time.time(),
-                "metrics": metrics or {},
-            }
-        )
-        self._write_manifest(manifest)
+        with self._lock:
+            manifest = self.manifest()
+            snaps = manifest["tables"].setdefault(table, [])
+            snaps.append(
+                {
+                    "id": snap_id,
+                    "epoch": epoch,
+                    "path": rel,
+                    "rows": count,
+                    "parent": snaps[-1]["id"] if snaps else None,
+                    "committed_at": time.time(),
+                    "metrics": metrics or {},
+                }
+            )
+            self._write_manifest(manifest)
         return snap_id
 
     def commit_epoch(self, epoch: int, tables: Dict[str, int], metrics: Dict) -> None:
