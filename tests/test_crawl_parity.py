@@ -246,3 +246,33 @@ def test_resume_ignores_orphan_snapshots(spark, tmp_path, engine_state, sim):
     # no url appears twice (the re-run epoch 1 must not double-append)
     urls = [r["url"] for r in resumed.seen().collect()]
     assert len(urls) == len(set(urls))
+
+
+def test_frontier_expiry_keeps_resume_working(spark, tmp_path, sim):
+    """Old frontier snapshot dirs are expired during the crawl (the
+    frontier is a per-epoch rewrite); lineage rows survive and resume
+    from the last committed epoch is unaffected."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "expire-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    cfg = CrawlConfig(expire_frontier_keep=2)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    engine.run_epoch()
+    engine.run_epoch()
+    engine.run_epoch()
+
+    snaps = store.snapshots("frontier")
+    assert len(snaps) >= 4  # lineage rows all retained
+    live = [s for s in snaps if s.get("path")]
+    assert len(live) == 2  # only the last two dirs on disk
+    for s in snaps[:-2]:
+        assert s["path"] is None or not os.path.exists(
+            os.path.join(store.root, s["path"])
+        )
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
+    resumed.run(max_epochs=30)
+    assert {r["url"]: r["status"] for r in resumed.seen().collect()} == sim.seen

@@ -70,6 +70,13 @@ class CrawlConfig:
     # per-host politeness window so a Zipf-hot host can't put a huge
     # share of the frontier into one window task (core.dequeue_ranked)
     skew_prerank_rows: int = 20_000_000
+    # Iceberg-style maintenance: keep this many frontier snapshots
+    # (the frontier is rewritten per epoch — a 1000-epoch crawl would
+    # otherwise hold 1000 full copies). None = never expire. Lineage
+    # rows stay in the manifest; only data dirs beyond the last N are
+    # removed, so resume (which reads the LAST committed epoch) is
+    # unaffected. Seen/articles are append deltas and never expired.
+    expire_frontier_keep: Optional[int] = 4
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -433,6 +440,10 @@ class CrawlEngine:
         }
         self.store.commit_epoch(epoch, tables, metrics)
         self._epoch, self._frontier_snap, self._seen_snap = epoch, fsnap, ssnap
+        if cfg.expire_frontier_keep is not None:
+            self.store.expire_snapshots(
+                "frontier", keep_last=cfg.expire_frontier_keep
+            )
 
         for df in to_unpersist:
             df.unpersist()
