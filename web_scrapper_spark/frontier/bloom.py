@@ -103,7 +103,33 @@ def build_bloom(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> Py
         else:
             yield pd.DataFrame({"bits": pd.Series([], dtype=object)})
 
-    partials = df.select(col).mapInPandas(partial, schema="bits binary").collect()
+    partials_df = df.select(col).mapInPandas(partial, schema="bits binary")
+
+    if n_bits // 8 >= 4 * 1024 * 1024:
+        # big bitmap: one partial per input partition would ship
+        # partitions × bitmap bytes to the driver. Insert a tree level
+        # that OR-combines partials executor-side down to ≤8 rows first
+        # (treeAggregate shape).
+        def combine(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            acc = PyBloom(n_bits, k)
+            saw = False
+            for pdf in batches:
+                for raw in pdf["bits"]:
+                    if raw is not None:
+                        saw = True
+                        acc.bits |= np.frombuffer(raw, dtype=np.uint64)
+            if saw:
+                yield pd.DataFrame({"bits": [acc.to_bytes()]})
+            else:
+                yield pd.DataFrame({"bits": pd.Series([], dtype=object)})
+
+        partials_df = partials_df.repartition(8).mapInPandas(
+            combine, schema="bits binary"
+        )
+
+    partials = partials_df.collect()
     bloom = PyBloom(n_bits, k)
     for row in partials:
         if row["bits"] is not None:
