@@ -203,8 +203,8 @@ def run_frontier_bench(spark, n_urls: int = 1_000_000, n_hosts: int = 512) -> di
     ).persist()
     pages.count()
 
-    # frontier seeded distributed (no driver-side list at 10^6 scale)
-    from web_scrapper_spark.frontier.core import SEED_PAD, with_frontier_columns
+    # frontier seeded distributed (no driver-side list at 10^6+ scale)
+    from web_scrapper_spark.frontier.core import SEED_PAD
 
     seeds_df = base.select(
         "url",
@@ -212,21 +212,13 @@ def run_frontier_bench(spark, n_urls: int = 1_000_000, n_hosts: int = 512) -> di
         F.lit(0).alias("depth"),
         F.lpad(F.col("id").cast("string"), SEED_PAD + 2, "0").alias("ord_key"),
     )
-    frontier = with_frontier_columns(seeds_df, epoch=0).repartition(par, "host_salt")
     store = SnapshotStore(tempfile.mkdtemp(prefix="wss-frontier-"))
     cfg = CrawlConfig(
         epoch_seconds=16.0,
         content=ContentConfig(selectors={}, follow_next_page=False, max_pages=1),
     )
     engine = CrawlEngine(spark, store, pages, None, cfg)
-    fsnap = store.commit("frontier", frontier, epoch=-1)
-    empty_seen = spark.createDataFrame(
-        [], "url string, url_hash int, host string, stype string, "
-            "status string, ord_key string, depth int, fetched_epoch int"
-    )
-    ssnap = store.commit("seen", empty_seen, epoch=-1)
-    store.commit_epoch(-1, {"frontier": fsnap, "seen": ssnap}, {})
-    engine._epoch, engine._frontier_snap, engine._seen_snap = -1, fsnap, ssnap
+    engine.init_from_df(seeds_df)  # distributed seeding — no driver list
     # politeness: uniform hosts, budget covers the per-host share
     engine.robots = spark.createDataFrame(
         [(f"h{i}.example-crawl.org", [], 16.0 / max(1, 2 * n_urls / n_hosts))

@@ -38,6 +38,7 @@ from ..extract.ecommerce import EcommerceConfig
 from ..frontier.bloom import bloom_prefilter, build_bloom
 from ..frontier.core import (
     POS_PAD,
+    SEEN_SCHEMA,
     dequeue_ranked,
     first_discovery_wins,
     robots_filter,
@@ -112,15 +113,27 @@ class CrawlEngine:
         frontier = frontier.repartition(
             max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
         )
-        empty_seen = self.spark.createDataFrame(
-            [], "url string, url_hash int, host string, stype string, "
-                "status string, ord_key string, depth int, fetched_epoch int"
-        )
+        empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         fsnap = self.store.commit("frontier", frontier, epoch=-1)
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
         self.store.commit_epoch(
             -1, {"frontier": fsnap, "seen": ssnap}, {"seeds": len(seeds)}
         )
+        self._epoch, self._frontier_snap, self._seen_snap = -1, fsnap, ssnap
+
+    def init_from_df(self, seeds_df: DataFrame) -> None:
+        """Distributed seeding for huge seed sets (the 10^10-frontier
+        path — never materializes seeds on the driver). ``seeds_df``
+        columns: url (pre-canonicalized), stype, depth, ord_key."""
+        frontier = with_frontier_columns(
+            seeds_df, epoch=0, salt_buckets=self.cfg.salt_buckets
+        ).repartition(
+            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
+        )
+        empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+        fsnap = self.store.commit("frontier", frontier, epoch=-1)
+        ssnap = self.store.commit("seen", empty_seen, epoch=-1)
+        self.store.commit_epoch(-1, {"frontier": fsnap, "seen": ssnap}, {})
         self._epoch, self._frontier_snap, self._seen_snap = -1, fsnap, ssnap
 
     @classmethod
