@@ -248,3 +248,75 @@ class TestFrontierOps:
         assert sorted(r["url"] for r in salted.collect()) == sorted(
             r["url"] for r in unsalted.collect()
         )
+
+
+class TestRobotsTxt:
+    BODY = """
+# example robots file
+User-agent: *
+Disallow: /private
+Disallow: /tmp/
+Crawl-delay: 2
+
+User-agent: wss-crawler
+User-agent: otherbot
+Disallow: /internal
+Crawl-delay: 0.5
+
+User-agent: greedybot
+Disallow:
+"""
+
+    def test_parse_star_group(self):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        r = parse_robots_txt(self.BODY)
+        assert r["disallow_prefixes"] == ["/private", "/tmp/"]
+        assert r["crawl_delay"] == 2.0
+
+    def test_parse_specific_agent_longest_prefix(self):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        r = parse_robots_txt(self.BODY, agent="WSS-Crawler/1.0")
+        assert r["disallow_prefixes"] == ["/internal"]
+        assert r["crawl_delay"] == 0.5
+
+    def test_parse_empty_disallow_and_defaults(self):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        r = parse_robots_txt(self.BODY, agent="greedybot")
+        assert r["disallow_prefixes"] == []
+        assert r["crawl_delay"] is None
+        r2 = parse_robots_txt("", default_delay=1.5)
+        assert r2 == {"disallow_prefixes": [], "crawl_delay": 1.5}
+
+    def test_robots_from_pages_roundtrip(self, spark):
+        from web_scrapper_spark.frontier.robots import robots_from_pages
+        from web_scrapper_spark.frontier.core import robots_filter
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.org/robots.txt", None,
+                 "User-agent: *\nDisallow: /private\nCrawl-delay: 1", "en"),
+                ("https://b.org/robots.txt",
+                 b"User-agent: *\nCrawl-delay: 4", None, "en"),
+                ("https://a.org/page", b"<html></html>", "x", "en"),
+            ],
+            "url string, html binary, text string, lang string",
+        )
+        rules = robots_from_pages(pages, default_delay=2.0)
+        rows = {r["host"]: r for r in rules.collect()}
+        assert set(rows) == {"a.org", "b.org"}
+        assert rows["a.org"]["disallow_prefixes"] == ["/private"]
+        assert rows["a.org"]["crawl_delay"] == 1.0
+        assert rows["b.org"]["crawl_delay"] == 4.0
+        # pipes straight into the enqueue-time robots filter
+        cand = spark.createDataFrame(
+            [
+                ("https://a.org/private/x", "k1", 1, "content"),
+                ("https://a.org/blog", "k2", 1, "content"),
+            ],
+            "url string, ord_key string, depth int, stype string",
+        )
+        kept = [r["url"] for r in robots_filter(cand, rules).collect()]
+        assert kept == ["https://a.org/blog"]

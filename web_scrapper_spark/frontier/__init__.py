@@ -2,5 +2,13 @@
 
 from .store import SnapshotStore
 from .bloom import PyBloom, build_bloom, bloom_prefilter
+from .robots import parse_robots_txt, robots_from_pages
 
-__all__ = ["SnapshotStore", "PyBloom", "build_bloom", "bloom_prefilter"]
+__all__ = [
+    "SnapshotStore",
+    "PyBloom",
+    "build_bloom",
+    "bloom_prefilter",
+    "parse_robots_txt",
+    "robots_from_pages",
+]

@@ -1,0 +1,130 @@
+"""robots.txt ingestion (north rule J4: "per-host politeness scheduler
+(token-bucket delay + robots cache broadcast)").
+
+The reference never parses robots.txt (its ``delay`` config is declared
+but unenforced — SURVEY.md §2.9 T8); this module closes the loop for a
+real crawl: ``/robots.txt`` bodies already sitting in the pages table
+become the broadcast rules table the dequeue/enqueue filters consume.
+
+Parsing follows the de-facto robots.txt format (a practical subset of
+RFC 9309): ``User-agent`` groups, ``Disallow`` path prefixes,
+``Crawl-delay``; the ``*`` group applies when no specific group matches
+the configured agent. ``Allow`` lines and wildcards inside paths are
+ignored (prefix semantics only — matching the engine's
+``robots_filter``, frontier/core.py). Empty ``Disallow:`` means
+allow-all, per the original spec.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROBOTS_SCHEMA = (
+    "host string, disallow_prefixes array<string>, crawl_delay double"
+)
+
+
+def parse_robots_txt(
+    text: str, agent: str = "*", default_delay: Optional[float] = None
+) -> Dict:
+    """robots.txt body → {disallow_prefixes, crawl_delay}.
+
+    Group selection: the longest ``User-agent`` token that is a
+    case-insensitive prefix of ``agent`` wins; the ``*`` group is the
+    fallback. Consecutive User-agent lines share one group.
+    """
+    groups: Dict[str, Dict] = {}
+    current: List[str] = []
+    expecting_agents = True
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            token = value.lower()
+            if not expecting_agents:
+                current = []
+            expecting_agents = True
+            group = groups.setdefault(
+                token, {"disallow": [], "crawl_delay": None}
+            )
+            current.append(token)
+            continue
+        if not current:
+            continue
+        expecting_agents = False
+        if field == "disallow":
+            if value:  # empty Disallow: = allow all
+                for token in current:
+                    groups[token]["disallow"].append(value)
+        elif field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for token in current:
+                groups[token]["crawl_delay"] = delay
+
+    agent_l = agent.lower()
+    chosen = None
+    if agent_l != "*":
+        matches = [
+            t for t in groups if t != "*" and agent_l.startswith(t)
+        ]
+        if matches:
+            chosen = groups[max(matches, key=len)]
+    if chosen is None:
+        chosen = groups.get("*", {"disallow": [], "crawl_delay": None})
+    delay = chosen["crawl_delay"]
+    return {
+        "disallow_prefixes": list(chosen["disallow"]),
+        "crawl_delay": delay if delay is not None else default_delay,
+    }
+
+
+def robots_from_pages(
+    pages: DataFrame,
+    agent: str = "*",
+    default_delay: Optional[float] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the broadcast robots rules table from ``/robots.txt``
+    pages already present in the pages table — an Arrow-batched pass
+    over only those rows (the filter prunes the scan to robots URLs
+    before any Python runs). Result schema = ROBOTS_SCHEMA, one row
+    per host; joinable/broadcastable by ``robots_filter`` and
+    ``politeness_budgets`` (frontier/core.py)."""
+    robots_pages = pages.filter(F.col("url").endswith("/robots.txt")).select(
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.coalesce(
+            F.col(text_col), F.decode(F.col("html"), "utf-8")
+        ).alias("body"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                parsed = parse_robots_txt(
+                    body or "", agent=agent, default_delay=default_delay
+                )
+                rows.append(
+                    {
+                        "host": host,
+                        "disallow_prefixes": parsed["disallow_prefixes"],
+                        "crawl_delay": parsed["crawl_delay"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["host", "disallow_prefixes", "crawl_delay"]
+            )
+
+    return robots_pages.mapInPandas(run, schema=ROBOTS_SCHEMA)
