@@ -35,16 +35,30 @@ def _spark(cpus: int):
     return get_spark(app_name="wss-cli", cpus=cpus)
 
 
-def _engine_from_config(spark, config_path, pages_path, store_dir, epoch_seconds):
+def _engine_from_config(
+    spark, config_path, pages_path, store_dir, epoch_seconds, robots="none"
+):
     from .crawl.epoch import CrawlEngine
     from .frontier.store import SnapshotStore
 
     config = load_config(config_path)
     job = bind_job(config)
     pages = spark.read.parquet(pages_path)
+    if robots == "from-pages":
+        # honor /robots.txt bodies already in the pages table (J4);
+        # delay falls back to the config's declared per-request delay
+        from .frontier.robots import robots_from_pages
+
+        robots_df = robots_from_pages(
+            pages, default_delay=job.crawl_delay or 2.0
+        )
+    elif robots and robots != "none":
+        robots_df = spark.read.parquet(robots)
+    else:
+        robots_df = None
     store = SnapshotStore(store_dir)
     engine = CrawlEngine(
-        spark, store, pages, robots=None, cfg=job.crawl_config(epoch_seconds)
+        spark, store, pages, robots=robots_df, cfg=job.crawl_config(epoch_seconds)
     )
     return engine, job
 
@@ -62,15 +76,18 @@ def _engine_from_config(spark, config_path, pages_path, store_dir, epoch_seconds
 @click.option("--max-epochs", type=int, default=100)
 @click.option("--epoch-seconds", type=float, default=8.0)
 @click.option("--cpus", type=int, default=8)
+@click.option("--robots", type=str, default="none",
+              help="'none', 'from-pages' (parse /robots.txt bodies in the "
+                   "pages table), or a parquet path of rules")
 def scrape(config_path, pages_path, store_dir, output_path, output_format,
-           max_epochs, epoch_seconds, cpus) -> None:
+           max_epochs, epoch_seconds, cpus, robots) -> None:
     """Run a crawl job to completion and write the extracted items."""
     from .sources import write_any
 
     spark = _spark(cpus)
     try:
         engine, job = _engine_from_config(
-            spark, config_path, pages_path, store_dir, epoch_seconds
+            spark, config_path, pages_path, store_dir, epoch_seconds, robots
         )
         engine.init(job.seeds)
         results = engine.run(max_epochs=max_epochs)
@@ -106,7 +123,9 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
 @click.option("--epochs", type=int, default=1, help="epochs per invocation")
 @click.option("--epoch-seconds", type=float, default=8.0)
 @click.option("--cpus", type=int, default=8)
-def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus) -> None:
+@click.option("--robots", type=str, default="none",
+              help="'none', 'from-pages', or a parquet path of rules")
+def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus, robots) -> None:
     """Run N more epochs, resuming from the store's last committed
     epoch — invoke from cron for the reference's scheduled-job flow
     (job persistence = the snapshot manifest, T1/T2)."""
@@ -115,13 +134,13 @@ def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus) ->
     spark = _spark(cpus)
     try:
         engine, job = _engine_from_config(
-            spark, config_path, pages_path, store_dir, epoch_seconds
+            spark, config_path, pages_path, store_dir, epoch_seconds, robots
         )
         if engine.store.last_epoch() is None:
             engine.init(job.seeds)
         else:
             engine = CrawlEngine.resume(
-                spark, engine.store, engine.pages, None, engine.cfg
+                spark, engine.store, engine.pages, engine.robots, engine.cfg
             )
         for _ in range(epochs):
             result = engine.run_epoch()
