@@ -484,17 +484,22 @@ Plain ``multiprocessing.Pool`` on this VM, same inputs:
 | workload | 2→8 procs | 8→32 procs |
 |---|---|---|
 | register-only CPU burn | ~1.0 | 3.27× (eff 0.82) |
-| minisoup parse+extract (full cascade) | 3.72× (**eff 0.93**) | 2.34× (eff 0.59) |
+| minisoup parse+extract (full cascade) | 3.75× (**eff 0.94**) | 3.18× (eff 0.80) |
 | Spark JVM codegen (xxhash chain) | — | 4.07× (eff 1.02) |
+| Spark shuffle (groupBy 20M rows) | — | eff 0.2-0.5 (run-dependent) |
 
-The parse stage scales at 0.93 while per-core memory bandwidth is
-available and collapses to 0.59 once 32 workers share one bus — with
-no Spark in the loop. On a real N→4N *executor* scale-out every
-executor keeps its own bus, so the 2→8 regime is the faithful sandbox
-model of cluster scaling; the engine adds no serial bottleneck beyond
-the measured ~5-6 s/epoch of driver-side commit+scheduling overhead,
-which amortizes with epoch size (and is why the measured efficiency
-rises with frontier size).
+(The parse control originally measured eff 0.59 at 8→32; the
+allocation-reduction work on the tokenizer/selector path — shared attr
+dicts, fused one-pass index, pool-shortcut selects — lifted the
+memory-bus ceiling to 0.80.) At 8→32 the remaining sub-0.8 pipeline
+efficiency is the shuffle/commit fraction: Spark's shuffle on one
+box's single NVMe + bus does not scale past ~8 active cores, a
+property the controls reproduce with a bare groupBy. On a real N→4N
+*executor* scale-out every executor brings its own bus and disks, so
+the 2→8 regime is the faithful sandbox model of cluster scaling; the
+engine adds no serial bottleneck beyond ~2-4 s/epoch of driver-side
+commit+scheduling overhead, which amortizes with epoch size (and is
+why the measured efficiency rises with frontier size).
 
 Reference baseline for context: the reference crawler is strictly
 sequential (≤1 URL in flight, 30 s timeout, declared 2 s delay — see
