@@ -126,7 +126,7 @@ def run_bulk_crawl(
         # sized so per-epoch fixed costs (commits, scheduling) amortize
         # and the reported URLs/sec reflects pipeline throughput
         n_urls = int(os.environ.get(
-            "SPARK_GRAFT_BULK_URLS", str(max(5000, int(sf * 1_600_000)))
+            "SPARK_GRAFT_BULK_URLS", str(max(5000, int(sf * 3_200_000)))
         ))
     spec = SiteSpec(n_hosts=64, n_articles=n_urls, blog_page_size=50)
     if pages_path is not None:
