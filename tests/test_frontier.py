@@ -320,3 +320,15 @@ Disallow:
         )
         kept = [r["url"] for r in robots_filter(cand, rules).collect()]
         assert kept == ["https://a.org/blog"]
+
+    def test_zero_crawl_delay_means_unlimited(self, spark):
+        """robots.txt 'Crawl-delay: 0' must mean no rate limit, not a
+        divide-by-zero (ANSI mode) — the whole host dequeues at once."""
+        seeds = [(f"https://h.org/p{i}", "content") for i in range(5)]
+        frontier = seeds_frontier(spark, seeds)
+        robots = spark.createDataFrame(
+            [("h.org", [], 0.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        batch = dequeue(frontier, robots, epoch_seconds=8.0)
+        assert batch.count() == 5

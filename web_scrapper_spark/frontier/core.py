@@ -93,29 +93,41 @@ def seeds_frontier(spark, seeds, salt_buckets: int = 8) -> DataFrame:
     return with_frontier_columns(df, epoch=0, salt_buckets=salt_buckets)
 
 
+# budget for hosts with no rate limit (Crawl-delay: 0 or unset policy):
+# effectively "the whole frontier", still a finite int for the window
+NO_LIMIT_BUDGET = 1_000_000_000
+
+
+def _py_budget(epoch_seconds: float, delay: float) -> int:
+    if delay <= 0:
+        return NO_LIMIT_BUDGET
+    return max(1, int(epoch_seconds // delay))
+
+
 def politeness_budgets(robots: Optional[DataFrame], epoch_seconds: float, default_delay: float):
-    """host → per-epoch fetch budget from crawl_delay (T8/J4)."""
+    """host → per-epoch fetch budget from crawl_delay (T8/J4).
+    ``crawl_delay <= 0`` (robots.txt ``Crawl-delay: 0``) means
+    unlimited — never a divide-by-zero under ANSI mode."""
+
+    default_budget = _py_budget(epoch_seconds, default_delay)
 
     def attach(frontier: DataFrame) -> DataFrame:
         if robots is None:
-            return frontier.withColumn(
-                "budget",
-                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds / default_delay))).cast("int"),
-            )
+            return frontier.withColumn("budget", F.lit(default_budget))
+        delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
         rb = robots.select(
             "host",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(epoch_seconds) / F.coalesce(F.col("crawl_delay"), F.lit(default_delay))),
-            ).cast("int").alias("budget"),
+            F.when(
+                delay > 0,
+                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds) / delay)),
+            )
+            .otherwise(F.lit(NO_LIMIT_BUDGET))
+            .cast("int")
+            .alias("budget"),
         )
         joined = frontier.join(F.broadcast(rb), "host", "left")
         return joined.withColumn(
-            "budget",
-            F.coalesce(
-                F.col("budget"),
-                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds / default_delay))).cast("int"),
-            ),
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
         )
 
     return attach
