@@ -256,3 +256,33 @@ class TestSources:
         ids = [r["id"] for r in out]
         expected = sorted([i for i in range(100) if i % 7 == 3], reverse=True)[2:5]
         assert ids == expected
+
+
+class TestAnsiEdgeCases:
+    """ANSI mode (Spark 4 default) turns division-by-zero into runtime
+    errors; degenerate inputs must not crash the operators."""
+
+    def test_zero_vectors_dont_crash_cosine(self, spark):
+        import web_scrapper_spark.operators.dedup as dd
+        import web_scrapper_spark.operators.similarity as sim
+
+        emb = spark.createDataFrame(
+            [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [1.0, 0.1], 0)],
+            "vec_id int, embedding array<float>, label int",
+        )
+        pairs = dd.embedding_near_pairs(emb, threshold=0.5).collect()
+        assert [(r.id_a, r.id_b) for r in pairs] == [(2, 3)]
+        q = emb.selectExpr("vec_id as query_id", "embedding")
+        assert sim.cosine_topk(q, emb, k=2).count() == 6
+
+    def test_empty_docs_dont_crash_minhash(self, spark):
+        import web_scrapper_spark.operators.dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "alpha beta gamma"), (4, "alpha beta gamma")],
+            "doc_id int, text string",
+        )
+        pairs = dd.minhash_lsh_pairs(
+            docs, num_hashes=4, band_size=1, jaccard_threshold=0.5
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} >= {(3, 4)}

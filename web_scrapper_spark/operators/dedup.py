@@ -195,8 +195,11 @@ def minhash_lsh_pairs(
         .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("union_size", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn(
+            # two empty shingle sets give union 0 (and inter 0) — define
+            # their jaccard as 0 instead of an ANSI divide-by-zero
             "jaccard",
-            F.col("inter_size").cast("double") / F.col("union_size"),
+            F.col("inter_size").cast("double")
+            / F.greatest(F.col("union_size"), F.lit(1)),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(
@@ -342,7 +345,10 @@ def cosine_col(a, b):
     norm = lambda v: F.sqrt(  # noqa: E731
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    return dot / (norm(a) * norm(b))
+    # zero vectors: cosine undefined → NULL (sorts last under desc,
+    # fails every >= threshold), never an ANSI divide-by-zero
+    norms = norm(a) * norm(b)
+    return F.when(norms > 0, dot / norms)
 
 
 def embedding_near_pairs(
@@ -374,6 +380,7 @@ def embedding_near_pairs(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    norms = F.col("a._norm") * F.col("b._norm")
     pairs = a.join(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -381,7 +388,7 @@ def embedding_near_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (dot / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        F.when(norms > 0, dot / norms).alias("cos"),  # NULL for zero vectors
     )
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
