@@ -276,3 +276,22 @@ def test_frontier_expiry_keeps_resume_working(spark, tmp_path, sim):
     resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
     resumed.run(max_epochs=30)
     assert {r["url"]: r["status"] for r in resumed.seen().collect()} == sim.seen
+
+
+def test_partition_metrics_lineage(spark, tmp_path):
+    """Per-partition fetch metrics: one (host, status) row group per
+    epoch, consistent with the epoch counters."""
+    store = SnapshotStore(str(tmp_path / "pm-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    r0 = engine.run_epoch()
+    r1 = engine.run_epoch()
+    pm = engine.partition_metrics()
+    assert pm is not None
+    rows = pm.collect()
+    assert {r["epoch"] for r in rows} == {0, 1}
+    for epoch, res in ((0, r0), (1, r1)):
+        ok = sum(r["urls"] for r in rows if r["epoch"] == epoch and r["status"] == "ok")
+        assert ok == res["fetched_ok"]

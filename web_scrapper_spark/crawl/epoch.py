@@ -78,6 +78,9 @@ class CrawlConfig:
     # removed, so resume (which reads the LAST committed epoch) is
     # unaffected. Seen/articles are append deltas and never expired.
     expire_frontier_keep: Optional[int] = 4
+    # per-partition lineage (north star): per-(host, status) fetch
+    # counts appended to a `metrics` table every epoch
+    partition_metrics: bool = True
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -181,6 +184,11 @@ class CrawlEngine:
 
     def metrics(self) -> List[Dict]:
         return self.store.epoch_metrics()
+
+    def partition_metrics(self) -> Optional[DataFrame]:
+        """Per-partition lineage (north star): (host, status, urls,
+        min_depth, max_depth, epoch) rows, one delta per epoch."""
+        return self.store.read_committed(self.spark, "metrics", self._epoch)
 
     # ------------------------------------------------------------------
     def run_epoch(self) -> Dict:
@@ -420,12 +428,27 @@ class CrawlEngine:
         # stages interleave (store serializes the manifest updates)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as pool:
+        with ThreadPoolExecutor(3) as pool:
             f_fut = pool.submit(
                 self.store.commit, "frontier", new_frontier, epoch
             )
             s_fut = pool.submit(self.store.commit, "seen", seen_delta, epoch)
+            m_fut = None
+            if cfg.partition_metrics:
+                # per-partition lineage (north star): fetch outcome
+                # counts per host for this epoch, appended alongside
+                # the seen delta it describes
+                partition_rows = seen_delta.groupBy("host", "status").agg(
+                    F.count("*").alias("urls"),
+                    F.min("depth").alias("min_depth"),
+                    F.max("depth").alias("max_depth"),
+                ).withColumn("epoch", F.lit(epoch))
+                m_fut = pool.submit(
+                    self.store.commit, "metrics", partition_rows, epoch
+                )
             fsnap, ssnap = f_fut.result(), s_fut.result()
+            if m_fut is not None:
+                tables["metrics"] = m_fut.result()
         mark("merge_commits")
         tables["frontier"] = fsnap
         tables["seen"] = ssnap
