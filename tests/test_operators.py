@@ -286,3 +286,36 @@ class TestAnsiEdgeCases:
             docs, num_hashes=4, band_size=1, jaccard_threshold=0.5
         ).collect()
         assert {(r.id_a, r.id_b) for r in pairs} >= {(3, 4)}
+
+
+class TestExcelIO:
+    """S8/S9: stdlib xlsx sink/source (sources/excel.py)."""
+
+    def test_roundtrip_types_and_escaping(self, spark, tmp_path):
+        from web_scrapper_spark.sources.excel import read_xlsx, write_xlsx
+
+        df = spark.createDataFrame(
+            [("alpha", 1.5, True, None), ("beta & <co>", 2.0, False, "x"),
+             ("gamma", None, True, "y")],
+            "name string, score double, flag boolean, note string",
+        )
+        path = str(tmp_path / "t.xlsx")
+        write_xlsx(df, path)
+        back = read_xlsx(spark, path)
+        assert back.schema.simpleString() == df.schema.simpleString()
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_multi_sheet_and_dispatch(self, spark, tmp_path):
+        from web_scrapper_spark.sources.excel import (
+            list_sheets, read_xlsx, write_xlsx_sheets,
+        )
+        from web_scrapper_spark.sources import read_any, write_any
+
+        df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+        multi = str(tmp_path / "m.xlsx")
+        write_xlsx_sheets({"s1": df.select("k"), "s2": df}, multi)
+        assert list_sheets(multi) == ["s1", "s2"]
+        assert read_xlsx(spark, multi, sheet_name="s2").columns == ["k", "v"]
+        etl = str(tmp_path / "e.xlsx")
+        write_any(df, etl, "excel")
+        assert read_any(spark, etl, "xls").count() == 2

@@ -11,8 +11,11 @@ Covers the reference's storage handlers Spark-natively:
                                   reference's only declarative surface,
                                   database_handler.py:117-208)
 - S13    format-conversion ETL  → read_any → write_any one-liner
-- S8/S9  Excel                  → out of scope (no native Spark reader;
-                                  covered by csv/json/parquet)
+- S8/S9  Excel                  → stdlib xlsx reader/writer
+                                  (sources/excel.py; openpyxl absent
+                                  from this runtime). Driver-sized by
+                                  nature — matches the reference's
+                                  per-job local-file usage.
 """
 
 from __future__ import annotations
@@ -28,6 +31,9 @@ _FORMAT_ALIASES = {
     "parquet": "parquet",
     "db": "parquet",
     "database": "parquet",
+    "excel": "xlsx",
+    "xlsx": "xlsx",
+    "xls": "xlsx",
 }
 
 
@@ -41,9 +47,13 @@ def _norm_format(fmt: str) -> str:
 
 
 def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
-    """S4/S6 + parquet. CSV defaults mirror the reference's pandas
+    """S4/S6/S8 + parquet. CSV defaults mirror the reference's pandas
     read_csv usage: header row + schema inference."""
     fmt = _norm_format(fmt)
+    if fmt == "xlsx":
+        from .excel import read_xlsx
+
+        return read_xlsx(spark, path, sheet_name=options.get("sheet_name"))
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", True)
@@ -52,8 +62,13 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
 
 
 def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options) -> None:
-    """S5/S7 + parquet sink."""
+    """S5/S7/S9 + parquet sink."""
     fmt = _norm_format(fmt)
+    if fmt == "xlsx":
+        from .excel import write_xlsx
+
+        write_xlsx(df, path, sheet_name=options.get("sheet_name", "Sheet1"))
+        return
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("header", True)
