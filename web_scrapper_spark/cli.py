@@ -164,7 +164,10 @@ def export_data_cmd(in_path, in_fmt, out_path, out_fmt, cpus) -> None:
 
     def infer(path):
         ext = path.rstrip("/").rsplit(".", 1)[-1].lower()
-        return {"csv": "csv", "json": "json", "parquet": "parquet"}.get(ext, "parquet")
+        return {
+            "csv": "csv", "json": "json", "parquet": "parquet",
+            "xlsx": "xlsx", "xls": "xlsx",
+        }.get(ext, "parquet")
 
     spark = _spark(cpus)
     try:
