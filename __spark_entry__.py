@@ -739,8 +739,10 @@ def oracle_sql() -> dict[str, str]:
             FROM listing l FULL OUTER JOIN fullt f ON l.c_custkey = f.c_custkey
         """,
         "j2_lookup_join": """
+            -- outer CAST: DuckDB sum(BIGINT) yields HUGEINT -> pandas float64,
+            -- which would hash-mismatch Spark's long
             SELECT p_brand, count(*) AS n_items,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
         """,
@@ -752,8 +754,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1ish": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -767,14 +769,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events QUALIFY rank <= 3
         """,
         "t_sessionize": """
+            -- session_id CAST: sum(INT) OVER yields HUGEINT -> pandas float64;
+            -- cumulative window ordered by (ts, event_id) to match the Spark side
             WITH gapped AS (
-              SELECT user_id, event_id,
+              SELECT user_id, ts, event_id,
                      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), sessions AS (
               SELECT user_id, event_id,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ASC
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM gapped
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -783,7 +787,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4_run_report": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "u1_union_dedup": """

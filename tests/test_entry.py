@@ -30,15 +30,21 @@ def duck():
 
 
 def _norm_cell(v):
+    # driver-faithful: the driver hashes pandas string renderings, so a
+    # DuckDB HUGEINT arriving as float64 ("3.0") must NOT compare equal
+    # to Spark's long ("3") — repr-compare, never numeric-compare.
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return repr(round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, dict)):
-        return str(v)
-    return v
+    return repr(v)
 
 
 def _normalize(rows, cols):
@@ -64,7 +70,10 @@ def test_query_matches_oracle(name, spark, duck):
 
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # fetch through pandas exactly like the driver does, so dtype drift
+    # (HUGEINT -> float64) is caught here and not only in the driver gate
+    pdf = res.df()
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
