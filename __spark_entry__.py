@@ -14,10 +14,17 @@ value-hashes after sorting columns by name):
 - shared hash functions are md5 (bit-identical in Spark and DuckDB);
 - every aggregate/computed column is aliased identically on both sides.
 
-Crawl-engine operators that DuckDB cannot oracle (the epoch pipeline,
-SimHash, IVF ANN, multimodal plumbing) are exposed as rows-only
-entries; their strong verification lives in tests/ (sequential-oracle
-parity, recall properties).
+Every query has an oracle. The ones DuckDB cannot recompute from the
+parquet tables alone are oracled differently but no less strictly:
+- ``crawl_epoch_seen`` — the pure-Python sequential reference
+  simulator (crawl/simulator.py) runs inside ``oracle_sql()`` (no
+  Spark) and its seen set is frozen into a VALUES table;
+- ``multimodal_features`` — the deterministic fake decoder's expected
+  features are recomputed in plain numpy and frozen into VALUES;
+- ``dedup_simhash`` — the 64-bit bit-majority vote is expressed
+  directly in DuckDB SQL (unnest → per-bit signed counts → bit sum);
+- ``sim_ivf_topk`` — runs under a deterministic medoid quantizer so
+  the full assign/probe/search pipeline is SQL-reproducible.
 """
 
 from __future__ import annotations
@@ -193,8 +200,11 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
+    # threshold 0.3: the synthetic embeddings top out at ~0.47 within-label
+    # cosine, so 0.8 matched zero pairs and the check was vacuous; 0.3
+    # yields ~100 pairs at sf0.01 and actually exercises the cosine path
     emb = _read(spark, sf_dir, "embeddings")
-    return _dd.embedding_near_pairs(emb, threshold=0.8).select("id_a", "id_b")
+    return _dd.embedding_near_pairs(emb, threshold=0.3).select("id_a", "id_b")
 
 
 def _q_sim_topk(spark, sf_dir):
@@ -548,11 +558,28 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_sim_ivf_topk(spark, sf_dir):
+    """IVF probe/search path under a deterministic medoid quantizer
+    (centroid = the min-vec_id member of each label cell). Medoids are
+    exact in both engines — no FP-averaging order to drift — so the
+    whole assign → probe → candidate-join → rank pipeline is fully
+    SQL-oracle-able. (Lloyd-refined centroids stay the operator default;
+    they are covered by the recall property tests in tests/.)"""
+    from pyspark.sql import Window
+
     emb = _read(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    medoids = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return _sim.ivf_topk(queries, emb, k=5, n_probe=3).select(
+    return _sim.ivf_topk(queries, emb, k=5, n_probe=3, centroids=medoids).select(
         "query_id", "rank", "vec_id"
     )
 
@@ -563,7 +590,16 @@ def _q_multimodal_features(spark, sf_dir):
     mm.register_decoder("image", mm.deterministic_fake_decoder)
     media = mm.synthetic_media_df(spark, n=64)
     out = mm.image_features_df(media, resize_to=4)
-    return out.select("media_id", "width", "height", F.size("feature").alias("feat_dim"))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("feature").alias("feat_dim"),
+        # integer-scaled luma so no raw float crosses the oracle compare;
+        # floor (not round) — Python round() is banker's, Spark's is
+        # HALF_UP, floor is identical in both
+        F.floor(F.col("mean_luma") * 1000000).cast("long").alias("luma_micro"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -579,10 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
-        "dedup_simhash": _q_dedup_simhash,  # rows-only
+        "dedup_simhash": _q_dedup_simhash,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
-        "sim_ivf_topk": _q_sim_ivf_topk,  # rows-only
+        "sim_ivf_topk": _q_sim_ivf_topk,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "o2_topk": _q_o2_topk,
@@ -608,9 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f19_price_parse": _q_f19_price_parse,
         "p7_availability": _q_p7_availability,
         "f21_canonicalize": _q_f21_canonicalize,
-        # crawl engine (rows-only; parity-tested in tests/)
+        # crawl engine (oracled against the sequential simulator; full
+        # parity also tested in tests/)
         "crawl_epoch_seen": _q_crawl_epoch_seen,
-        # multimodal plumbing (rows-only)
+        # multimodal plumbing (oracled against numpy-recomputed features)
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -618,6 +655,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, ANSI-leaning)
 # ---------------------------------------------------------------------------
+
+_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _crawl_seen_oracle_sql() -> str:
+    """Expected seen table from the pure-Python sequential reference
+    simulator (SURVEY.md §5.2-2) over the same deterministic fixture
+    site `_q_crawl_epoch_seen` crawls — frozen into a VALUES table.
+    No Spark involved: page rendering and the crawl replay are plain
+    Python, so this runs in the driver's oracle process."""
+    if "crawl_seen" not in _ORACLE_CACHE:
+        from web_scrapper_spark.crawl.epoch import CrawlConfig
+        from web_scrapper_spark.crawl.simulator import simulate_crawl
+        from web_scrapper_spark.fixtures.sitegen import (
+            SiteSpec,
+            all_urls,
+            page_html,
+            robots_rules,
+            seed_urls,
+        )
+
+        spec = SiteSpec()
+        pages = {u: page_html(u, spec).encode("utf-8") for u in all_urls(spec)}
+        seeds = [
+            (u, "ecommerce" if u.endswith("/products") else
+             "business" if u.endswith("/directory") else "content")
+            for u in seed_urls(spec)
+        ]
+        sim = simulate_crawl(
+            pages, seeds, robots_rules(spec), max_depth=CrawlConfig().max_depth
+        )
+        rows = ",\n              ".join(
+            f"('{u}', '{sim.seen[u]}', '{sim.ord_keys[u]}', {sim.depths[u]})"
+            for u in sorted(sim.seen)
+        )
+        _ORACLE_CACHE["crawl_seen"] = (
+            f"SELECT * FROM (VALUES {rows}) AS t(url, status, ord_key, depth)"
+        )
+    return _ORACLE_CACHE["crawl_seen"]
+
+
+def _multimodal_oracle_sql() -> str:
+    """Expected image features recomputed in plain numpy (decode via
+    the shared deterministic fake decoder — it defines the fixture's
+    semantics — then an independent mean/shape derivation), frozen
+    into a VALUES table."""
+    if "multimodal" not in _ORACLE_CACHE:
+        import math
+
+        import numpy as np
+
+        from web_scrapper_spark.operators.multimodal import (
+            deterministic_fake_decoder,
+            synthetic_media_rows,
+        )
+
+        values = []
+        for media_id, kind, payload, meta in synthetic_media_rows(n=64):
+            grid = deterministic_fake_decoder(payload, meta).astype(np.float64)
+            height, width = grid.shape
+            luma_micro = math.floor(float(grid.mean()) * 1000000)
+            feat_dim = 4 * 4  # resize_to=4 pooled grid, flattened
+            values.append(
+                f"({media_id}, {width}, {height}, {feat_dim}, {luma_micro})"
+            )
+        rows = ",\n              ".join(values)
+        _ORACLE_CACHE["multimodal"] = (
+            f"SELECT * FROM (VALUES {rows}) "
+            "AS t(media_id, width, height, feat_dim, luma_micro)"
+        )
+    return _ORACLE_CACHE["multimodal"]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -702,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         """,
         "sim_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -950,6 +1058,73 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 THEN '?page=2' ELSE '' END AS canonical_url
             FROM t
         """,
+        # 64-bit SimHash bit-majority in SQL: per-token md5 → first 8
+        # bytes big-endian as UBIGINT → per-bit signed vote → bit sum;
+        # HUGEINT intermediate folded back to signed 64-bit like the
+        # Python simhash64 does. Empty token lists → 0 via the left join.
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks
+            ), bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << b)::HUGEINT
+                              ELSE 0::HUGEINT END) AS u
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(sh.u, 0) >= 9223372036854775808::HUGEINT
+                             THEN COALESCE(sh.u, 0) - 18446744073709551616::HUGEINT
+                             ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        """,
+        # IVF under the deterministic medoid quantizer (see
+        # _q_sim_ivf_topk): corpus assigned to its nearest cell
+        # (n_probe=1), queries probe 3 cells, exact cosine within
+        # candidates, rank ties on vec_id. All cosines in DOUBLE.
+        "sim_ivf_topk": """
+            WITH med AS (
+              SELECT label AS cell_id, embedding::DOUBLE[] AS centroid
+              FROM embeddings
+              QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1
+            ), corpus_assign AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT e.vec_id, e.embedding, m.cell_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], m.centroid)
+                                  DESC NULLS LAST, m.cell_id ASC) AS rn
+                FROM embeddings e CROSS JOIN med m
+              ) WHERE rn = 1
+            ), query_assign AS (
+              SELECT vec_id AS query_id, embedding AS qv, cell_id FROM (
+                SELECT e.vec_id, e.embedding, m.cell_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], m.centroid)
+                                  DESC NULLS LAST, m.cell_id ASC) AS rn
+                FROM embeddings e CROSS JOIN med m
+                WHERE e.vec_id < 8
+              ) WHERE rn <= 3
+            ), cand AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+              FROM corpus_assign c JOIN query_assign q USING (cell_id)
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rank,
+                   vec_id
+            FROM cand QUALIFY rank <= 5
+        """,
+        "crawl_epoch_seen": _crawl_seen_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
     }
 
 

@@ -8,9 +8,9 @@ Scale notes (the 100 TB story):
   by construction since band values are hashes);
 - hash functions are md5-based so the DuckDB SQL oracles are
   bit-identical (Spark md5 == DuckDB md5);
-- SimHash is a vectorized Arrow UDF (bit-level majority vote doesn't
-  express well in SQL) and is checked rows-only by the driver plus
-  property tests here;
+- SimHash is a vectorized Arrow UDF; the driver oracle recomputes the
+  bit-majority vote in DuckDB SQL (unnest → per-bit signed counts →
+  bit sum), plus property tests here;
 - embedding near-dup blocks by a coarse key (label/IVF cell) before the
   cosine check — the same blocking an IVF index gives.
 """

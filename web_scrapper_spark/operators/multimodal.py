@@ -144,8 +144,10 @@ def frame_sample_df(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def synthetic_media_df(spark, n: int = 32, kind: str = "image") -> DataFrame:
-    """Deterministic media fixture rows (payload = md5 chain bytes)."""
+def synthetic_media_rows(n: int = 32, kind: str = "image") -> list:
+    """Deterministic media fixture rows (payload = md5 chain bytes).
+    Pure function — shared by the Spark fixture and the driver-oracle
+    builder so both sides see identical payload/meta definitions."""
     rows = []
     for i in range(n):
         payload = hashlib.md5(f"media{i}".encode()).digest() * 8
@@ -163,4 +165,8 @@ def synthetic_media_df(spark, n: int = 32, kind: str = "image") -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media_df(spark, n: int = 32, kind: str = "image") -> DataFrame:
+    return spark.createDataFrame(synthetic_media_rows(n, kind), MEDIA_SCHEMA)

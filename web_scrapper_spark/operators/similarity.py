@@ -98,18 +98,50 @@ def assign_cells(
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """Attach the n_probe nearest centroid cell_ids to each vector row
-    (centroids broadcast — they are tiny)."""
-    joined = vectors.join(F.broadcast(centroids)).withColumn(
-        "_cell_cos", cosine_col(F.col(vec_col), F.col("centroid"))
+    """Attach the n_probe nearest centroid cell_ids to each vector row.
+
+    Scale path: the centroid table is collected (it is tiny — it would
+    be broadcast anyway) and embedded as a literal array; each row
+    computes its cosine to every centroid and takes the top n_probe via
+    a comparator ``array_sort`` — a narrow per-row projection. No join,
+    no window, no Exchange: the corpus side (n_probe=1) never shuffles,
+    and the N×C candidate space never materializes. Ties break on
+    cell_id ascending; zero vectors (NULL cosine) fold to -2 so they
+    deterministically land in the lowest cell_id."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["cell_id"]).alias("cell_id"),
+                F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("centroid"),
+            )
+            for r in rows
+        ]
     )
-    win = Window.partitionBy(*vectors.columns).orderBy(
-        F.desc("_cell_cos"), F.asc("cell_id")
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.coalesce(cosine_col(F.col(vec_col), c["centroid"]), F.lit(-2.0)).alias(
+                "cos"
+            ),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
+
+    def cmp(l, r):
+        return (
+            F.when(l["cos"] > r["cos"], -1)
+            .when(l["cos"] < r["cos"], 1)
+            .when(l["cell_id"] < r["cell_id"], -1)
+            .when(l["cell_id"] > r["cell_id"], 1)
+            .otherwise(0)
+        )
+
+    topn = F.slice(F.array_sort(scored, cmp), 1, n_probe)
     return (
-        joined.withColumn("_cr", F.row_number().over(win))
-        .filter(F.col("_cr") <= n_probe)
-        .drop("centroid", "_cell_cos", "_cr")
+        vectors.withColumn("_probe", F.explode(topn))
+        .withColumn("cell_id", F.col("_probe.cell_id"))
+        .drop("_probe")
     )
 
 
@@ -134,11 +166,19 @@ def ivf_topk(
     query_cells = assign_cells(
         queries.select(query_id, vec_col), centroids, vec_col, n_probe=n_probe
     ).select(query_id, F.col(vec_col).alias("_qvec"), "cell_id")
-    cand = corpus_cells.join(query_cells, "cell_id").select(
-        query_id,
-        corpus_id,
-        cosine_col(F.col("_qvec"), F.col(vec_col)).alias("cos"),
-    ).dropDuplicates([query_id, corpus_id])
+    # dedup candidate ids BEFORE the cosine so multi-probe duplicates
+    # never pay the O(dim) fold twice (duplicate rows carry identical
+    # vectors, so keeping an arbitrary survivor is exact)
+    cand = (
+        corpus_cells.join(query_cells, "cell_id")
+        .select(query_id, corpus_id, "_qvec", vec_col)
+        .dropDuplicates([query_id, corpus_id])
+        .select(
+            query_id,
+            corpus_id,
+            cosine_col(F.col("_qvec"), F.col(vec_col)).alias("cos"),
+        )
+    )
     win = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
     return (
         cand.withColumn("rank", F.row_number().over(win))
