@@ -295,3 +295,36 @@ def test_partition_metrics_lineage(spark, tmp_path):
     for epoch, res in ((0, r0), (1, r1)):
         ok = sum(r["urls"] for r in rows if r["epoch"] == epoch and r["status"] == "ok")
         assert ok == res["fetched_ok"]
+
+
+def test_same_epoch_discovery_not_reenqueued(spark, tmp_path):
+    """A link discovered in epoch N that points at a URL fetched in the
+    SAME epoch N must not be re-enqueued (it is in neither previous
+    seen nor pending): seeding /blog and /blog/page/2/ together puts
+    page 2 in the epoch-0 batch while page 1's pagination link
+    discovers it — regression: page 2 was re-fetched in epoch 1 and
+    seen got a duplicate row, breaking the append-only invariant."""
+    from pyspark.sql import functions as F
+
+    spec = SiteSpec(n_hosts=1, n_articles=25, blog_page_size=10)
+    store = SnapshotStore(str(tmp_path / "dup-store"))
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, spec),
+        robots_dataframe(spark, spec), CrawlConfig(),
+    )
+    base = "https://host0.example-crawl.org"
+    engine.init([
+        (f"{base}/blog", "content"),
+        (f"{base}/blog/page/2/", "content"),
+    ])
+    engine.run(max_epochs=30)
+    seen = engine.seen()
+    dups = (
+        seen.groupBy("url").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert dups == []
+    # page 2 was fetched exactly once, as a seed
+    p2 = seen.filter(F.col("url") == f"{base}/blog/page/2/").collect()
+    assert len(p2) == 1 and p2[0]["status"] == "ok"

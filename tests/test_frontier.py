@@ -332,3 +332,30 @@ Disallow:
         )
         batch = dequeue(frontier, robots, epoch_seconds=8.0)
         assert batch.count() == 5
+
+    def test_robots_from_pages_one_row_per_host(self, spark):
+        """http+https (or multiple snapshots) of one host must collapse
+        to ONE rules row — a duplicate host row would fan out every
+        frontier row for that host through the politeness broadcast
+        join (double fetches, duplicate seen rows). Also: only pages
+        whose PATH is exactly /robots.txt qualify."""
+        from web_scrapper_spark.frontier.robots import robots_from_pages
+
+        pages = spark.createDataFrame(
+            [
+                ("http://a.org/robots.txt", None,
+                 "User-agent: *\nDisallow: /x\nCrawl-delay: 1", "en"),
+                ("https://a.org/robots.txt", None,
+                 "User-agent: *\nDisallow: /y\nCrawl-delay: 3", "en"),
+                # path is /blog/robots.txt — not a robots file
+                ("https://a.org/blog/robots.txt", None,
+                 "User-agent: *\nDisallow: /", "en"),
+            ],
+            "url string, html binary, text string, lang string",
+        )
+        rows = robots_from_pages(pages).collect()
+        assert len(rows) == 1
+        row = rows[0]
+        assert row["host"] == "a.org"
+        assert row["disallow_prefixes"] == ["/x", "/y"]  # unioned, sorted
+        assert row["crawl_delay"] == 3.0  # most polite wins

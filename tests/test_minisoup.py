@@ -121,3 +121,35 @@ class TestFind:
     def test_string_property(self):
         assert root().select_one("h1").string == "Title"
         assert root().select_one("ul").string is None
+
+    def test_find_all_multitoken_class_attr_matches_walk(self):
+        # attrs={"class": "a b"} means EXACT attribute value (BS4
+        # semantics); the token-keyed class index must not short-circuit
+        # it to [] — regression: indexed parse returned [] while the
+        # walk matched <li class="item hot">
+        doc = root()
+        indexed = doc.find_all("li", attrs={"class": "item hot"})
+        doc.index = None
+        walked = doc.find_all("li", attrs={"class": "item hot"})
+        assert [t.attrs.get("class") for t in indexed] == ["item hot"]
+        assert [t.start for t in indexed] == [t.start for t in walked]
+
+    def test_find_all_empty_class_attr_matches_walk(self):
+        doc = ms.parse('<p class="">x</p><p class="a">y</p>')
+        indexed = doc.find_all("p", attrs={"class": ""})
+        doc.index = None
+        walked = doc.find_all("p", attrs={"class": ""})
+        assert len(indexed) == len(walked) == 1
+        assert indexed[0].get_text() == "x"
+
+    def test_attrs_mutation_raises_not_corrupts(self):
+        # _parse_attrs shares one mapping across all tags with identical
+        # attribute blobs, process-wide; mutation must raise instead of
+        # silently contaminating unrelated tags/documents
+        import pytest
+
+        a = ms.parse('<div class="shared-blob">1</div>').select_one("div")
+        with pytest.raises(TypeError):
+            a.attrs["class"] = "mutated"
+        b = ms.parse('<div class="shared-blob">2</div>').select_one("div")
+        assert b.attrs["class"] == "shared-blob"

@@ -319,3 +319,17 @@ class TestExcelIO:
         etl = str(tmp_path / "e.xlsx")
         write_any(df, etl, "excel")
         assert read_any(spark, etl, "xls").count() == 2
+
+    def test_sheet_name_with_quote_roundtrips(self, spark, tmp_path):
+        # '"' in a sheet name lands in an XML attribute — must be
+        # escaped as &quot; or workbook.xml is malformed
+        from web_scrapper_spark.sources.excel import (
+            list_sheets, read_xlsx, write_xlsx_sheets,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        path = str(tmp_path / "q.xlsx")
+        name = 'say "hi" <&>'
+        write_xlsx_sheets({name: df}, path)
+        assert list_sheets(path) == [name]
+        assert read_xlsx(spark, path, sheet_name=name).count() == 1

@@ -386,6 +386,15 @@ class CrawlEngine:
             candidates = candidates.join(
                 pending_after.select("url"), "url", "left_anti"
             )
+            # the current batch is being appended to seen this very
+            # epoch but is in neither `seen` (previous epochs) nor
+            # `pending_after` — without this anti-join a link to a URL
+            # fetched in the SAME epoch re-enqueues it, re-fetches it
+            # next epoch, and appends a duplicate seen row, breaking
+            # the append-only seen invariant the footer metrics rely on
+            candidates = candidates.join(
+                batch.select("url"), "url", "left_anti"
+            )
             new_frontier_rows = with_frontier_columns(
                 candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
             )

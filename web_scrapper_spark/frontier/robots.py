@@ -99,8 +99,19 @@ def robots_from_pages(
     over only those rows (the filter prunes the scan to robots URLs
     before any Python runs). Result schema = ROBOTS_SCHEMA, one row
     per host; joinable/broadcastable by ``robots_filter`` and
-    ``politeness_budgets`` (frontier/core.py)."""
-    robots_pages = pages.filter(F.col("url").endswith("/robots.txt")).select(
+    ``politeness_budgets`` (frontier/core.py).
+
+    One row per host is an invariant consumers rely on: the broadcast
+    join in ``politeness_budgets`` is keyed on host, so a duplicate
+    host row would fan out every frontier row for that host (double
+    fetches, duplicate seen rows). http+https snapshots of the same
+    host are therefore aggregated — disallow prefixes unioned, the
+    largest (most polite) crawl delay kept — and only pages whose PATH
+    is exactly ``/robots.txt`` qualify, not any URL that merely ends
+    with the suffix."""
+    robots_pages = pages.filter(
+        F.parse_url("url", F.lit("PATH")) == "/robots.txt"
+    ).select(
         F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
         F.coalesce(
             F.col(text_col), F.decode(F.col("html"), "utf-8")
@@ -127,4 +138,10 @@ def robots_from_pages(
                 rows, columns=["host", "disallow_prefixes", "crawl_delay"]
             )
 
-    return robots_pages.mapInPandas(run, schema=ROBOTS_SCHEMA)
+    parsed = robots_pages.mapInPandas(run, schema=ROBOTS_SCHEMA)
+    return parsed.groupBy("host").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("disallow_prefixes")))
+        ).alias("disallow_prefixes"),
+        F.max("crawl_delay").alias("crawl_delay"),
+    )

@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import Callable, Dict, Iterator, List, Optional, Union
+from types import MappingProxyType
+from typing import Callable, Dict, Iterator, List, Mapping, Optional, Union
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -54,7 +55,7 @@ class Tag:
 
     def __init__(self, name: str, attrs: Optional[Dict[str, str]] = None):
         self.name = name
-        self.attrs: Dict[str, str] = attrs or {}
+        self.attrs: Mapping[str, str] = attrs or {}
         self.children: List[Union["Tag", str]] = []
         self.parent: Optional["Tag"] = None
         self.start = 0
@@ -148,7 +149,17 @@ class Tag:
             if key == "id" and isinstance(value, str):
                 pool = index["id"].get(value, [])
             elif key == "class" and isinstance(value, str):
-                pool = index["class"].get(value, [])
+                # the class index is TOKEN-keyed, but attrs={"class": v}
+                # means exact-attribute-value match (_match_attr_value):
+                # only a single clean token can be answered from the
+                # token index (as a superset the matcher then filters);
+                # multi-token / empty / padded values fall back to the
+                # all-classed-tags pool so the matcher decides
+                toks = value.split()
+                if len(toks) == 1 and toks[0] == value:
+                    pool = index["class"].get(value, [])
+                else:
+                    pool = index["attr"].get("class", [])
             else:
                 pool = index["attr"].get(key, [])
         elif isinstance(class_, str):
@@ -652,12 +663,13 @@ def _parse_attrs_uncached(blob: str) -> Dict[str, str]:
 
 
 @lru_cache(maxsize=8192)
-def _parse_attrs(blob: str) -> Dict[str, str]:
+def _parse_attrs(blob: str) -> Mapping[str, str]:
     """Attr blobs repeat heavily across real pages (class= boilerplate),
-    so identical blobs share ONE parsed dict. Safe because parsed trees
-    are treated as immutable (module docstring) — Tag.attrs is never
-    mutated after construction."""
-    return _parse_attrs_uncached(blob)
+    so identical blobs share ONE parsed mapping. The shared object is a
+    read-only MappingProxyType: the cache spans documents process-wide,
+    so an accidental ``tag.attrs[...] = ...`` must raise instead of
+    silently corrupting every tag (and future parse) sharing the blob."""
+    return MappingProxyType(_parse_attrs_uncached(blob))
 
 
 @lru_cache(maxsize=4096)

@@ -102,7 +102,9 @@ def write_xlsx_sheets(sheets: Dict[str, DataFrame], path: str) -> int:
         total += len(rows)
         payloads[f"xl/worksheets/sheet{i}.xml"] = _sheet_xml(header, rows)
         sheet_entries.append(
-            f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+            # attribute context: escape() alone leaves '"' unescaped,
+            # which would break the name="..." attribute
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i}" r:id="rId{i}"/>'
         )
         rel_entries.append(
             f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
