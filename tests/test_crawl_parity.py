@@ -328,3 +328,39 @@ def test_same_epoch_discovery_not_reenqueued(spark, tmp_path):
     # page 2 was fetched exactly once, as a seed
     p2 = seen.filter(F.col("url") == f"{base}/blog/page/2/").collect()
     assert len(p2) == 1 and p2[0]["status"] == "ok"
+
+
+def test_incremental_bloom_odelta_and_parity(spark, tmp_path, sim):
+    """With the bloom active (tiny activation threshold): the seen set
+    still equals the simulator's (the bloom is an optimization, never a
+    correctness dependency), full O(|seen|) builds happen only at
+    activation + geometric capacity doublings, every other bloom-active
+    epoch pays only an O(delta) union, and the bitmap blob is persisted
+    so resume reuses it instead of rebuilding."""
+    cfg = CrawlConfig(bloom_min_seen=5)
+    store = SnapshotStore(str(tmp_path / "bloom-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+
+    seen = {r["url"]: r["status"] for r in engine.seen().collect()}
+    assert seen == sim.seen
+
+    done = [r for r in results if not r.get("done")]
+    fulls = [r for r in done if "bloom_full_build" in r.get("phases", {})]
+    deltas = [r for r in done if "bloom_delta" in r.get("phases", {})]
+    assert deltas, "bloom never activated — threshold too high for fixture"
+    # activation + at most two capacity doublings over this tiny crawl;
+    # NOT one full rebuild per epoch (the scale bug this guards against)
+    assert 1 <= len(fulls) <= 3
+    assert len(deltas) >= len(fulls)
+
+    blob = store.read_blob("seen_bloom")
+    assert blob is not None and blob["epoch"] == engine._epoch
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
+    assert resumed._bloom is not None  # blob reused, no rebuild needed
+    assert resumed._bloom_capacity == blob["meta"]["capacity"]
+    assert resumed.run_epoch().get("done")

@@ -91,6 +91,18 @@ class TestSnapshotStore:
         assert removed == 2
         assert store.read(spark, "t").count() == 4  # latest still readable
 
+    def test_blob_commit_read_expire(self, tmp_path):
+        store = SnapshotStore(str(tmp_path / "store"))
+        assert store.read_blob("x") is None
+        store.commit_blob("x", b"abc", epoch=3, meta={"k": 1})
+        store.commit_blob("x", b"abcd", epoch=4, meta={"k": 2})
+        blob = store.read_blob("x")
+        assert blob["epoch"] == 4
+        assert blob["data"] == b"abcd"
+        assert blob["meta"]["k"] == 2
+        store.expire_snapshots("x", keep_last=1)
+        assert store.read_blob("x")["data"] == b"abcd"
+
 
 class TestFrontierOps:
     def test_seeds_ordering_and_salt(self, spark):

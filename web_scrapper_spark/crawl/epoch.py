@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..extract.business import BusinessConfig
 from ..extract.content import ContentConfig
 from ..extract.ecommerce import EcommerceConfig
-from ..frontier.bloom import bloom_prefilter, build_bloom
+from ..frontier.bloom import PyBloom, bloom_prefilter, build_bloom
 from ..frontier.core import (
     POS_PAD,
     SEEN_SCHEMA,
@@ -107,6 +107,10 @@ class CrawlEngine:
         self._epoch: Optional[int] = None
         self._frontier_snap: Optional[int] = None
         self._seen_snap: Optional[int] = None
+        # incremental seen-set bloom: built once, delta-unioned per
+        # epoch, persisted as a store blob (superset-safe on crash)
+        self._bloom = None
+        self._bloom_capacity = 0
 
     # ------------------------------------------------------------------
     def init(self, seeds: List[tuple]) -> None:
@@ -157,6 +161,19 @@ class CrawlEngine:
         engine._epoch = last["epoch"]
         engine._frontier_snap = last["tables"]["frontier"]
         engine._seen_snap = last["tables"]["seen"]
+        # reuse the persisted bloom when it covers the resume epoch
+        # (blob epoch >= resume epoch ⇒ superset of committed seen —
+        # safe: extra keys only cause false positives, dropped by the
+        # exact anti-join; an OLDER blob would have false NEGATIVES
+        # (missed dedup ⇒ duplicate fetches) so it is ignored and the
+        # filter is rebuilt on demand)
+        blob = store.read_blob("seen_bloom")
+        if blob is not None and blob["epoch"] >= engine._epoch:
+            meta = blob["meta"]
+            engine._bloom = PyBloom.from_bytes(
+                meta["n_bits"], meta["k"], blob["data"]
+            )
+            engine._bloom_capacity = meta["capacity"]
         return engine
 
     # ------------------------------------------------------------------
@@ -364,12 +381,24 @@ class CrawlEngine:
             # bloom pre-filter: provably-unseen candidates skip the
             # exact seen anti-join; maybe-seen ones go through it.
             # Below the threshold the exact join alone is cheaper.
+            # The filter is INCREMENTAL: full O(|seen|) builds happen
+            # only at first activation and at geometric capacity
+            # doublings (amortized O(1)/key over the crawl); every
+            # other epoch pays only an O(delta) union (see the
+            # seen_delta union below), not a rescan of the seen set.
             n_seen_prev = self.store.committed_rows("seen", self._epoch)
             if n_seen_prev >= cfg.bloom_min_seen:
-                bloom = build_bloom(
-                    seen.select("url_hash"), "url_hash",
-                    expected=max(n_seen_prev, 1), fpp=cfg.bloom_fpp,
-                )
+                if self._bloom is None or n_seen_prev > self._bloom_capacity:
+                    t_bloom = time.time()
+                    self._bloom_capacity = max(
+                        4 * cfg.bloom_min_seen, 2 * n_seen_prev
+                    )
+                    self._bloom = build_bloom(
+                        seen.select("url_hash"), "url_hash",
+                        expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
+                    )
+                    phases["bloom_full_build"] = round(time.time() - t_bloom, 3)
+                bloom = self._bloom
                 definitely_new = bloom_prefilter(
                     candidates.withColumn("url_hash", F.hash("url")),
                     bloom, "url_hash", keep_maybe_seen=False,
@@ -462,6 +491,27 @@ class CrawlEngine:
         tables["frontier"] = fsnap
         tables["seen"] = ssnap
 
+        # --- incremental bloom maintenance -----------------------------
+        # OR-in only this epoch's seen DELTA (O(delta), not O(|seen|))
+        # and persist the bitmap; written BEFORE commit_epoch so a crash
+        # leaves a blob whose epoch exceeds the committed one — a
+        # superset, which resume accepts safely
+        if self._bloom is not None:
+            delta_bloom = build_bloom(
+                seen_delta.select("url_hash"), "url_hash",
+                expected=1, n_bits=self._bloom.n_bits, k=self._bloom.k,
+            )
+            self._bloom = self._bloom.union(delta_bloom)
+            self.store.commit_blob(
+                "seen_bloom", self._bloom.to_bytes(), epoch,
+                {
+                    "n_bits": self._bloom.n_bits,
+                    "k": self._bloom.k,
+                    "capacity": self._bloom_capacity,
+                },
+            )
+            mark("bloom_delta")
+
         duration = time.time() - t0
         delta_rows = _snapshot_rows(self.store, "seen", ssnap)
         seen_now = self.store.committed_rows("seen", self._epoch) + delta_rows
@@ -489,6 +539,9 @@ class CrawlEngine:
             self.store.expire_snapshots(
                 "frontier", keep_last=cfg.expire_frontier_keep
             )
+            # bloom blobs are full bitmaps, one per epoch — only the
+            # latest matters (it contains all earlier keys)
+            self.store.expire_snapshots("seen_bloom", keep_last=2)
 
         for df in to_unpersist:
             df.unpersist()

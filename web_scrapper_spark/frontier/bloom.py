@@ -79,15 +79,27 @@ class PyBloom:
         return cls(n_bits, k, np.frombuffer(raw, dtype=np.uint64).copy())
 
 
-def build_bloom(df: DataFrame, col: str, expected: int, fpp: float = 0.01) -> PyBloom:
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected: int,
+    fpp: float = 0.01,
+    n_bits: int | None = None,
+    k: int | None = None,
+) -> PyBloom:
     """Distributed build: per-partition partial bitmaps OR-reduced.
 
     One binary row per input partition flows back (bitmap-sized, not
     data-sized); the OR-reduce is associative so at cluster scale this
     is a treeAggregate-shaped combine.
+
+    Pass ``n_bits``/``k`` to build with a FIXED geometry — required when
+    the result will be unioned into an existing filter (incremental
+    delta maintenance): union is only defined for identical geometry.
     """
-    proto = PyBloom.sized(expected, fpp)
-    n_bits, k = proto.n_bits, proto.k
+    if n_bits is None or k is None:
+        proto = PyBloom.sized(expected, fpp)
+        n_bits, k = proto.n_bits, proto.k
 
     def partial(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -97,6 +97,54 @@ class SnapshotStore:
             self._write_manifest(manifest)
         return snap_id
 
+    def commit_blob(
+        self, name: str, data: bytes, epoch: int, meta: Optional[Dict] = None
+    ) -> int:
+        """Commit an opaque binary sidecar (e.g. the seen-set bloom
+        bitmap) as the next snapshot of ``name``. Same lineage rules as
+        table snapshots; bitmap-sized, not data-sized."""
+        with self._lock:
+            snaps = self.manifest()["tables"].get(name, [])
+            snap_id = (snaps[-1]["id"] + 1) if snaps else 0
+        rel = os.path.join(name, f"blob-{snap_id:05d}.bin")
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        with self._lock:
+            manifest = self.manifest()
+            snaps = manifest["tables"].setdefault(name, [])
+            snaps.append(
+                {
+                    "id": snap_id,
+                    "epoch": epoch,
+                    "path": rel,
+                    "rows": len(data),
+                    "parent": snaps[-1]["id"] if snaps else None,
+                    "committed_at": time.time(),
+                    "metrics": meta or {},
+                }
+            )
+            self._write_manifest(manifest)
+        return snap_id
+
+    def read_blob(self, name: str) -> Optional[Dict]:
+        """Latest blob snapshot of ``name``: {'epoch', 'data', 'meta'},
+        or None. Unlike tables, the LATEST blob is returned even if its
+        epoch never committed: a bloom written by a crashed epoch is a
+        SUPERSET of the committed seen set, and supersets are safe
+        (extra keys only cause false positives, which the exact
+        anti-join drops; missing keys would cause duplicate fetches)."""
+        snaps = [s for s in self.snapshots(name) if s.get("path")]
+        if not snaps:
+            return None
+        entry = snaps[-1]
+        with open(os.path.join(self.root, entry["path"]), "rb") as fh:
+            data = fh.read()
+        return {"epoch": entry["epoch"], "data": data, "meta": entry["metrics"]}
+
     def commit_epoch(self, epoch: int, tables: Dict[str, int], metrics: Dict) -> None:
         """Record a completed epoch: table→snapshot-id mapping + metrics.
         An epoch absent from this list is treated as never having
@@ -200,7 +248,14 @@ class SnapshotStore:
         removed = 0
         for entry in snaps[:-keep_last] if keep_last else snaps:
             if entry.get("path"):
-                shutil.rmtree(os.path.join(self.root, entry["path"]), ignore_errors=True)
+                target = os.path.join(self.root, entry["path"])
+                if os.path.isdir(target):
+                    shutil.rmtree(target, ignore_errors=True)
+                else:  # blob snapshots are single files
+                    try:
+                        os.remove(target)
+                    except OSError:
+                        pass
                 entry["path"] = None
                 removed += 1
         self._write_manifest(manifest)
