@@ -146,6 +146,96 @@ class TestCli:
         finally:
             spark.stop = real_stop
 
+    def test_job_control_cli_pause_resume_delete(self, spark, tmp_path):
+        """T3: the CLI drives create → pause (run refused) → resume →
+        run-now → update → delete on a registry-backed job."""
+        from click.testing import CliRunner
+
+        from web_scrapper_spark import cli as cli_mod
+        from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
+
+        pages_dir = str(tmp_path / "pages")
+        pages_dataframe(spark, SiteSpec()).write.parquet(pages_dir)
+        cfg_path = _write_config(
+            tmp_path, {"urls": ["https://host1.example-crawl.org/blog"],
+                       "selectors": {}}
+        )
+        jobs_dir = str(tmp_path / "jobs")
+
+        real_stop = spark.stop
+        spark.stop = lambda: None
+        try:
+            cli_mod._spark = lambda cpus: spark
+            runner = CliRunner()
+            created = runner.invoke(
+                cli_mod.cli,
+                ["job", "create", "-j", jobs_dir, "-n", "blogjob",
+                 "-c", cfg_path, "-p", pages_dir, "--cron", "0 3 * * *"],
+            )
+            assert created.exit_code == 0, created.output
+            job_id = json.loads(created.output)["job_id"]
+
+            paused = runner.invoke(cli_mod.cli, ["job", "pause", "-j", jobs_dir, job_id])
+            assert json.loads(paused.output)["status"] == "paused"
+            refused = runner.invoke(
+                cli_mod.cli, ["job", "run-now", "-j", jobs_dir, job_id]
+            )
+            assert refused.exit_code == 2
+            assert "paused" in refused.output
+
+            resumed = runner.invoke(cli_mod.cli, ["job", "resume", "-j", jobs_dir, job_id])
+            assert json.loads(resumed.output)["status"] == "active"
+            ran = runner.invoke(
+                cli_mod.cli,
+                ["job", "run-now", "-j", jobs_dir, "--epochs", "3", job_id],
+            )
+            assert ran.exit_code == 0, ran.output
+            epochs = [json.loads(line) for line in ran.output.splitlines()]
+            assert sum(e.get("fetched_ok", 0) for e in epochs) > 0
+
+            # status reflects run state from BOTH registry and store
+            status = runner.invoke(cli_mod.cli, ["job", "status", "-j", jobs_dir, "blogjob"])
+            row = json.loads(status.output)
+            assert row["run_count"] == 1
+            assert row["store_last_epoch"]["epoch"] >= 0
+
+            # update re-validates; a bad config path is refused
+            bad = runner.invoke(
+                cli_mod.cli,
+                ["job", "update", "-j", jobs_dir, "--config", "/nope.yaml", job_id],
+            )
+            assert bad.exit_code == 2
+            renamed = runner.invoke(
+                cli_mod.cli, ["job", "update", "-j", jobs_dir, "--name", "renamed", job_id]
+            )
+            assert json.loads(renamed.output)["name"] == "renamed"
+
+            deleted = runner.invoke(
+                cli_mod.cli, ["job", "delete", "-j", jobs_dir, "--remove-store", job_id]
+            )
+            assert deleted.exit_code == 0, deleted.output
+            listing = runner.invoke(cli_mod.cli, ["job", "list", "-j", jobs_dir])
+            assert json.loads(listing.output) == []
+        finally:
+            spark.stop = real_stop
+
+    def test_job_registry_validation(self, tmp_path):
+        from web_scrapper_spark.schedulers import JobError, JobRegistry
+
+        reg = JobRegistry(str(tmp_path / "jobs"))
+        with pytest.raises(JobError):
+            reg.create("x", str(tmp_path / "missing.yaml"), "pages")
+        with pytest.raises(cfg_mod.ConfigError):
+            bad = tmp_path / "bad.yaml"
+            bad.write_text(yaml.safe_dump({"scraper": {"type": "nope", "urls": ["u"]}}))
+            reg.create("x", str(bad), "pages")
+        job_id = reg.create("ok", _write_config(tmp_path), "pages")
+        assert reg.get("ok")["job_id"] == job_id  # lookup by name too
+        with pytest.raises(JobError):
+            reg.update(job_id, nonsense_field=1)
+        with pytest.raises(JobError):
+            reg.get("ghost")
+
     def test_create_config_roundtrip(self, tmp_path):
         from click.testing import CliRunner
 

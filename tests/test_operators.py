@@ -246,6 +246,46 @@ class TestSources:
         back = read_any(spark, str(tmp_path / "x.json"), "json")
         assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
 
+    def test_db_format_falls_back_loudly_without_driver(self, spark, tmp_path):
+        # S10: no JDBC jar in this sandbox — 'db' must warn LOUDLY and
+        # write readable parquet, never silently alias
+        import warnings
+
+        from web_scrapper_spark.sources import read_any, write_any
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        path = str(tmp_path / "dbsink")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            write_any(df, path, "db", table="items")
+        assert any("JDBC driver" in str(w.message) for w in caught)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            back = read_any(spark, path, "database", table="items")
+        assert any("JDBC driver" in str(w.message) for w in caught)
+        assert back.count() == 2
+
+    def test_jdbc_capability_probe_and_errors(self, spark):
+        # the probe resolves real classpath classes and rejects absent
+        # drivers; the explicit jdbc entry points fail fast with a
+        # clear message instead of an opaque py4j stack
+        import pytest
+
+        from web_scrapper_spark.sources import (
+            jdbc_driver_available, read_jdbc, write_jdbc,
+        )
+
+        assert jdbc_driver_available(spark, "org.not.a.Driver") is None
+        # any JVM class proves the probe mechanism works end-to-end
+        assert (
+            jdbc_driver_available(spark, "java.lang.String") == "java.lang.String"
+        )
+        with pytest.raises(RuntimeError, match="no JDBC driver"):
+            read_jdbc(spark, "jdbc:postgresql://h/d", "items")
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(RuntimeError, match="no JDBC driver"):
+            write_jdbc(df, "jdbc:postgresql://h/d", "items")
+
     def test_query_table(self, spark):
         from web_scrapper_spark.sources import query_table
 

@@ -99,7 +99,9 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
         fmt = output_format or job.output_format or "json"
         path = output_path or job.output_path
         if out_df is not None and path:
-            write_any(out_df, path, fmt if fmt not in ("db", "database") else "parquet")
+            # 'db' goes through write_any's JDBC capability probe and
+            # warns loudly on the parquet fallback (S10)
+            write_any(out_df, path, fmt)
         report = {
             "epochs": len([r for r in results if not r.get("done")]),
             "urls_total": sum(r.get("dequeued", 0) for r in results),
@@ -219,6 +221,162 @@ def create_config(stype, out_path) -> None:
     with open(out_path, "w") as fh:
         yaml.safe_dump(config, fh, sort_keys=False)
     click.echo(f"wrote {out_path}")
+
+
+@cli.group()
+def job() -> None:
+    """Job control (T3/T5; reference job_scheduler.py:522-859):
+    create/list/status/pause/resume/update/delete/run-now over a
+    manifest-backed job registry."""
+
+
+def _registry(jobs_dir):
+    from .schedulers import JobRegistry
+
+    return JobRegistry(jobs_dir)
+
+
+@job.command("create")
+@click.option("--jobs-dir", "-j", required=True, type=str,
+              help="registry directory (holds _jobs.json + default stores)")
+@click.option("--name", "-n", required=True, type=str)
+@click.option("--config", "-c", "config_path", required=True, type=str)
+@click.option("--pages", "-p", "pages_path", required=True, type=str)
+@click.option("--store", "-s", "store_dir", type=str, default=None)
+@click.option("--cron", "cron_expression", type=str, default=None,
+              help="informational cron spec; firing is the cluster "
+                   "scheduler's job (cron + spark-submit)")
+def job_create(jobs_dir, name, config_path, pages_path, store_dir, cron_expression) -> None:
+    """Register a job; the config is validated now, not at first run."""
+    from .schedulers import JobError
+
+    try:
+        job_id = _registry(jobs_dir).create(
+            name, config_path, pages_path, store_dir, cron_expression
+        )
+        click.echo(json.dumps({"job_id": job_id}))
+    except (JobError, ConfigError) as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+
+
+@job.command("list")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+def job_list(jobs_dir) -> None:
+    click.echo(json.dumps(_registry(jobs_dir).list(), indent=2))
+
+
+@job.command("status")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.argument("job_id")
+def job_status(jobs_dir, job_id) -> None:
+    """Job row + its store's last committed epoch."""
+    from .frontier.store import SnapshotStore
+    from .schedulers import JobError
+
+    try:
+        row = _registry(jobs_dir).get(job_id)
+    except JobError as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+    last = SnapshotStore(row["store_dir"]).last_epoch()
+    click.echo(json.dumps({**row, "store_last_epoch": last}, indent=2))
+
+
+@job.command("pause")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.argument("job_id")
+def job_pause(jobs_dir, job_id) -> None:
+    _job_mutate(jobs_dir, job_id, "pause")
+
+
+@job.command("resume")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.argument("job_id")
+def job_resume(jobs_dir, job_id) -> None:
+    _job_mutate(jobs_dir, job_id, "resume")
+
+
+def _job_mutate(jobs_dir, job_id, op) -> None:
+    from .schedulers import JobError
+
+    try:
+        row = getattr(_registry(jobs_dir), op)(job_id)
+        click.echo(json.dumps({"job_id": row["job_id"], "status": row["status"]}))
+    except JobError as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+
+
+@job.command("update")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.option("--name", type=str, default=None)
+@click.option("--config", "config_path", type=str, default=None)
+@click.option("--pages", "pages_path", type=str, default=None)
+@click.option("--cron", "cron_expression", type=str, default=None)
+@click.argument("job_id")
+def job_update(jobs_dir, job_id, name, config_path, pages_path, cron_expression) -> None:
+    """Update job fields; a new config is re-validated before commit."""
+    from .schedulers import JobError
+
+    changes = {
+        k: v
+        for k, v in {
+            "name": name, "config_path": config_path,
+            "pages_path": pages_path, "cron_expression": cron_expression,
+        }.items()
+        if v is not None
+    }
+    try:
+        row = _registry(jobs_dir).update(job_id, **changes)
+        click.echo(json.dumps(row, indent=2))
+    except (JobError, ConfigError) as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+
+
+@job.command("delete")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.option("--remove-store", is_flag=True, default=False,
+              help="also delete the job's snapshot store (crawl data)")
+@click.argument("job_id")
+def job_delete(jobs_dir, job_id, remove_store) -> None:
+    from .schedulers import JobError
+
+    try:
+        _registry(jobs_dir).delete(job_id, remove_store=remove_store)
+        click.echo(json.dumps({"deleted": job_id}))
+    except JobError as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+
+
+@job.command("run-now")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.option("--epochs", type=int, default=1)
+@click.option("--epoch-seconds", type=float, default=8.0)
+@click.option("--cpus", type=int, default=8)
+@click.option("--robots", type=str, default="none")
+@click.option("--force", is_flag=True, default=False,
+              help="run even if the job is paused")
+@click.argument("job_id")
+def job_run_now(jobs_dir, job_id, epochs, epoch_seconds, cpus, robots, force) -> None:
+    """Run N more epochs of the job, resume-or-init (run_job_now)."""
+    from .schedulers import JobError
+
+    spark = _spark(cpus)
+    try:
+        results = _registry(jobs_dir).run_now(
+            spark, job_id, epochs=epochs, epoch_seconds=epoch_seconds,
+            robots=robots, force=force,
+        )
+        for result in results:
+            click.echo(json.dumps(result))
+    except JobError as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+    finally:
+        spark.stop()
 
 
 @cli.command()

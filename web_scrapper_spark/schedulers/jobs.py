@@ -1,0 +1,223 @@
+"""Manifest-backed crawl-job registry (SURVEY.md §2.9 T1/T3/T5).
+
+The reference's ``JobScheduler`` (job_scheduler.py:522-859) keeps job
+metadata in sqlite and delegates firing to an in-process APScheduler:
+schedule_job / get_jobs / get_job / run_job_now / pause_job /
+resume_job / update_job / delete_job. On a Spark cluster the firing
+side belongs to the cluster scheduler (cron + spark-submit, Airflow,
+…), so this module keeps the *job-control* surface — the part users
+drive — and stores it in an atomic JSON registry next to the snapshot
+stores:
+
+- a job binds a config to a pages table and a snapshot store; its
+  durable execution state is the store's epoch manifest (T2), so
+  ``run_now`` is always resume-or-init and a job can be paused mid
+  crawl and picked up epochs later with no lost state;
+- ``pause``/``resume`` flip a status flag that ``run_now`` (and the
+  CLI ``schedule`` command) refuse to cross — the APScheduler
+  pause_job/resume_job analog (job_scheduler.py:722-760);
+- ``update`` re-validates the new config before committing, exactly
+  like the reference's update_job (job_scheduler.py:762-859);
+- ``delete`` removes the registry row and optionally the store dir
+  (job_scheduler.py:661-694 removes metadata only; data removal is
+  explicit here because stores are big).
+
+The registry file is swapped atomically (write-temp + ``os.replace``)
+like the snapshot manifest, so concurrent CLI invocations never see a
+torn registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from ..config import ConfigError, bind_job, load_config
+
+REGISTRY = "_jobs.json"
+
+
+class JobError(ValueError):
+    """Raised for unknown job ids and invalid job mutations (the
+    reference's SchedulingError analog)."""
+
+
+class JobRegistry:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- persistence -------------------------------------------------------
+    def _path(self) -> str:
+        return os.path.join(self.root, REGISTRY)
+
+    def _load(self) -> Dict[str, Dict[str, Any]]:
+        if not os.path.exists(self._path()):
+            return {}
+        with open(self._path()) as fh:
+            return json.load(fh)
+
+    def _save(self, jobs: Dict[str, Dict[str, Any]]) -> None:
+        tmp = self._path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(jobs, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._path())
+
+    # -- job control -------------------------------------------------------
+    def create(
+        self,
+        name: str,
+        config_path: str,
+        pages_path: str,
+        store_dir: Optional[str] = None,
+        cron_expression: Optional[str] = None,
+        metadata: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        """Register a job (schedule_job analog). The config is bound
+        NOW so a broken config fails at create time, not at first
+        firing. Returns the job id."""
+        if not os.path.exists(config_path):
+            raise JobError(f"configuration file not found: {config_path}")
+        bind_job(load_config(config_path))  # raises ConfigError if invalid
+        job_id = str(uuid.uuid4())
+        jobs = self._load()
+        jobs[job_id] = {
+            "job_id": job_id,
+            "name": name,
+            "config_path": os.path.abspath(config_path),
+            "pages_path": pages_path,
+            "store_dir": os.path.abspath(
+                store_dir or os.path.join(self.root, f"store-{job_id[:8]}")
+            ),
+            "cron_expression": cron_expression,
+            "metadata": metadata or {},
+            "status": "active",
+            "created_at": time.time(),
+            "updated_at": time.time(),
+            "run_count": 0,
+            "last_run_at": None,
+            "last_epoch": None,
+        }
+        self._save(jobs)
+        return job_id
+
+    def get(self, job_id: str) -> Dict[str, Any]:
+        jobs = self._load()
+        job = jobs.get(job_id) or next(
+            (j for j in jobs.values() if j["name"] == job_id), None
+        )
+        if job is None:
+            raise JobError(f"no such job: {job_id}")
+        return job
+
+    def list(self) -> List[Dict[str, Any]]:
+        return sorted(self._load().values(), key=lambda j: j["created_at"])
+
+    def pause(self, job_id: str) -> Dict[str, Any]:
+        return self._set_status(job_id, "paused")
+
+    def resume(self, job_id: str) -> Dict[str, Any]:
+        return self._set_status(job_id, "active")
+
+    def _set_status(self, job_id: str, status: str) -> Dict[str, Any]:
+        job = self.get(job_id)
+        jobs = self._load()
+        jobs[job["job_id"]]["status"] = status
+        jobs[job["job_id"]]["updated_at"] = time.time()
+        self._save(jobs)
+        return jobs[job["job_id"]]
+
+    def update(self, job_id: str, **changes) -> Dict[str, Any]:
+        """update_job analog: only known fields, config re-validated
+        before the registry is touched."""
+        allowed = {
+            "name", "config_path", "pages_path", "store_dir",
+            "cron_expression", "metadata",
+        }
+        unknown = set(changes) - allowed
+        if unknown:
+            raise JobError(f"unknown job fields: {sorted(unknown)}")
+        job = self.get(job_id)
+        if "config_path" in changes:
+            if not os.path.exists(changes["config_path"]):
+                raise JobError(
+                    f"configuration file not found: {changes['config_path']}"
+                )
+            bind_job(load_config(changes["config_path"]))
+            changes["config_path"] = os.path.abspath(changes["config_path"])
+        jobs = self._load()
+        jobs[job["job_id"]].update(changes)
+        jobs[job["job_id"]]["updated_at"] = time.time()
+        self._save(jobs)
+        return jobs[job["job_id"]]
+
+    def delete(self, job_id: str, remove_store: bool = False) -> None:
+        """delete_job analog. ``remove_store`` additionally deletes the
+        job's snapshot store — explicit, because unlike the reference's
+        sqlite row the store holds the crawl data itself."""
+        job = self.get(job_id)
+        jobs = self._load()
+        del jobs[job["job_id"]]
+        self._save(jobs)
+        if remove_store and os.path.isdir(job["store_dir"]):
+            shutil.rmtree(job["store_dir"], ignore_errors=True)
+
+    # -- execution ---------------------------------------------------------
+    def run_now(
+        self,
+        spark,
+        job_id: str,
+        epochs: int = 1,
+        epoch_seconds: float = 8.0,
+        robots: str = "none",
+        force: bool = False,
+    ) -> List[Dict[str, Any]]:
+        """run_job_now analog: run ``epochs`` more crawl epochs,
+        resume-or-init from the job's store. Refuses paused jobs unless
+        ``force`` (the reference fires paused jobs only through the
+        explicit run_job_now path — ``force`` models that)."""
+        from ..crawl.epoch import CrawlEngine
+        from ..frontier.store import SnapshotStore
+
+        job = self.get(job_id)
+        if job["status"] == "paused" and not force:
+            raise JobError(f"job {job['job_id']} is paused; resume it or force")
+        bound = bind_job(load_config(job["config_path"]))
+        pages = spark.read.parquet(job["pages_path"])
+        if robots == "from-pages":
+            from ..frontier.robots import robots_from_pages
+
+            robots_df = robots_from_pages(
+                pages, default_delay=bound.crawl_delay or 2.0
+            )
+        elif robots and robots != "none":
+            robots_df = spark.read.parquet(robots)
+        else:
+            robots_df = None
+        store = SnapshotStore(job["store_dir"])
+        cfg = bound.crawl_config(epoch_seconds)
+        if store.last_epoch() is None:
+            engine = CrawlEngine(spark, store, pages, robots_df, cfg)
+            engine.init(bound.seeds)
+        else:
+            engine = CrawlEngine.resume(spark, store, pages, robots_df, cfg)
+        results = []
+        for _ in range(epochs):
+            result = engine.run_epoch()
+            results.append(result)
+            if result.get("done"):
+                break
+        jobs = self._load()
+        row = jobs[job["job_id"]]
+        row["run_count"] += 1
+        row["last_run_at"] = time.time()
+        row["last_epoch"] = results[-1].get("epoch") if results else None
+        self._save(jobs)
+        return results
+
+
+__all__ = ["JobError", "JobRegistry", "ConfigError"]

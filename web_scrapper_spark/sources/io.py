@@ -4,8 +4,11 @@ Covers the reference's storage handlers Spark-natively:
 
 - S4/S5  CSV source/sink        → spark.read/write.csv
 - S6/S7  JSON source/sink       → spark.read/write.json
-- S10    table sink             → parquet/SnapshotStore (JDBC on a real
-                                  cluster — no driver jar here)
+- S10    database source/sink   → spark.read/write.jdbc behind a
+                                  capability probe (jdbc_driver_available);
+                                  no driver jar in this sandbox, so the
+                                  `db` format falls back to parquet WITH
+                                  a loud warning — never silently
 - S11    query-pushdown loader  → select/where/orderBy/limit + OFFSET
                                   via a row_number window (the
                                   reference's only declarative surface,
@@ -20,6 +23,7 @@ Covers the reference's storage handlers Spark-natively:
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,12 +33,90 @@ _FORMAT_ALIASES = {
     "csv": "csv",
     "json": "json",
     "parquet": "parquet",
-    "db": "parquet",
-    "database": "parquet",
+    "db": "db",
+    "database": "db",
     "excel": "xlsx",
     "xlsx": "xlsx",
     "xls": "xlsx",
 }
+
+#: JDBC driver classes probed (in order) when the caller asks for the
+#: ``db`` format without naming a driver — the ones the reference's
+#: SQLAlchemy handler resolves from its connection-string scheme
+#: (database_handler.py:34-115).
+DEFAULT_JDBC_DRIVERS = (
+    "org.postgresql.Driver",
+    "com.mysql.cj.jdbc.Driver",
+    "org.sqlite.JDBC",
+)
+
+
+def jdbc_driver_available(spark: SparkSession, driver: Optional[str] = None) -> Optional[str]:
+    """Capability probe (S10): the first JDBC driver class loadable in
+    the session's JVM, or None. A cluster ships the jar via
+    ``spark.jars``/``--packages``; this sandbox ships none, so callers
+    must branch rather than assume."""
+    candidates = (driver,) if driver else DEFAULT_JDBC_DRIVERS
+    jvm = spark.sparkContext._jvm
+    for cls in candidates:
+        try:
+            jvm.java.lang.Class.forName(cls)
+            return cls
+        except Exception:
+            continue
+    return None
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver: Optional[str] = None, **options
+) -> DataFrame:
+    """S10 source — ``spark.read.jdbc`` behind the capability probe.
+    Declarative: pass a ``(SELECT ...) AS q`` dbtable for pushdown, or
+    partitionColumn/lowerBound/upperBound/numPartitions for a
+    parallel scan (the scale path — one JDBC cursor per partition)."""
+    resolved = jdbc_driver_available(spark, driver)
+    if resolved is None:
+        raise RuntimeError(
+            f"no JDBC driver on the classpath (tried {driver or DEFAULT_JDBC_DRIVERS}); "
+            "add the jar via spark.jars / --packages"
+        )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", resolved)
+        .options(**options)
+        .load()
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: Optional[str] = None,
+    **options,
+) -> None:
+    """S10 sink — ``df.write.jdbc`` behind the capability probe
+    (reference database_handler.py:34-115 save path). Each task opens
+    its own connection and batch-inserts its partition; coalesce
+    upstream if the target DB can't take one connection per task."""
+    resolved = jdbc_driver_available(df.sparkSession, driver)
+    if resolved is None:
+        raise RuntimeError(
+            f"no JDBC driver on the classpath (tried {driver or DEFAULT_JDBC_DRIVERS}); "
+            "add the jar via spark.jars / --packages"
+        )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", resolved)
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
 
 
 def _norm_format(fmt: str) -> str:
@@ -48,12 +130,28 @@ def _norm_format(fmt: str) -> str:
 
 def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
     """S4/S6/S8 + parquet. CSV defaults mirror the reference's pandas
-    read_csv usage: header row + schema inference."""
+    read_csv usage: header row + schema inference.
+
+    ``db`` format: ``path`` is the JDBC url and ``options['table']``
+    the table name when a driver is on the classpath; otherwise a loud
+    warning and ``path`` is read as parquet (the sandbox fallback)."""
     fmt = _norm_format(fmt)
     if fmt == "xlsx":
         from .excel import read_xlsx
 
         return read_xlsx(spark, path, sheet_name=options.get("sheet_name"))
+    if fmt == "db":
+        if jdbc_driver_available(spark, options.get("driver")) is not None:
+            table = options.pop("table")
+            return read_jdbc(spark, path, table, **options)
+        warnings.warn(
+            "format 'db' requested but no JDBC driver is on the classpath; "
+            f"reading {path!r} as PARQUET instead. Ship the driver jar via "
+            "spark.jars / --packages for a real database source.",
+            stacklevel=2,
+        )
+        options.pop("table", None)
+        fmt = "parquet"
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", True)
@@ -62,13 +160,31 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
 
 
 def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options) -> None:
-    """S5/S7/S9 + parquet sink."""
+    """S5/S7/S9 + parquet sink.
+
+    ``db`` format: ``path`` is the JDBC url and ``options['table']``
+    the target table when a driver is on the classpath; otherwise a
+    loud warning and a parquet write at ``path`` (the sandbox
+    fallback — data is never silently dropped)."""
     fmt = _norm_format(fmt)
     if fmt == "xlsx":
         from .excel import write_xlsx
 
         write_xlsx(df, path, sheet_name=options.get("sheet_name", "Sheet1"))
         return
+    if fmt == "db":
+        if jdbc_driver_available(df.sparkSession, options.get("driver")) is not None:
+            table = options.pop("table")
+            write_jdbc(df, path, table, mode=mode, **options)
+            return
+        warnings.warn(
+            "format 'db' requested but no JDBC driver is on the classpath; "
+            f"writing PARQUET to {path!r} instead. Ship the driver jar via "
+            "spark.jars / --packages for a real database sink.",
+            stacklevel=2,
+        )
+        options.pop("table", None)
+        fmt = "parquet"
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("header", True)
