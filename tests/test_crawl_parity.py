@@ -248,30 +248,95 @@ def test_resume_ignores_orphan_snapshots(spark, tmp_path, engine_state, sim):
     assert len(urls) == len(set(urls))
 
 
-def test_frontier_expiry_keeps_resume_working(spark, tmp_path, sim):
-    """Old frontier snapshot dirs are expired during the crawl (the
-    frontier is a per-epoch rewrite); lineage rows survive and resume
-    from the last committed epoch is unaffected."""
+def test_frontier_writes_scale_with_delta_not_frontier(spark, tmp_path):
+    """Merge-on-read write-amplification bound: a normal epoch's
+    frontier bytes are the enqueue delta + dequeue tombstones — NEVER a
+    rewrite of the |frontier| pending rows (compaction disabled here
+    via a huge tombstone floor)."""
+    store = SnapshotStore(str(tmp_path / "wamp-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    cfg = CrawlConfig(compact_min_tombstones=10**9)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    results = []
+    for _ in range(6):
+        result = engine.run_epoch()
+        if result.get("done"):
+            break
+        results.append(result)
+
+    for r in results:
+        epoch = r["epoch"]
+        if epoch == 0:
+            continue  # no pending rows yet — nothing to prove
+        delta_rows = sum(
+            s["rows"] for s in store.snapshots("frontier_delta")
+            if s["epoch"] == epoch
+        )
+        tomb_rows = sum(
+            s["rows"] for s in store.snapshots("frontier_tomb")
+            if s["epoch"] == epoch
+        )
+        # per-epoch write = enqueued + dequeued rows exactly; the
+        # pending frontier (live - dequeued) is NOT rewritten
+        assert delta_rows == r["new_frontier_rows"]
+        assert tomb_rows == r["dequeued"]
+        assert not store.snapshots("frontier")  # old rewrite table gone
+        # base untouched after init: one snapshot, epoch -1
+        assert [s["epoch"] for s in store.snapshots("frontier_base")] == [-1]
+        # footer math agrees with the live count the engine reports
+        assert r["frontier_live"] == engine._frontier_live_rows() or epoch != results[-1]["epoch"]
+
+
+def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
+    """Compaction: when tombstones pass the trigger, deltas+tombstones
+    fold into a new frontier_base, their dirs are expired (lineage rows
+    remain), and the crawl result is unchanged."""
     import os
 
+    store = SnapshotStore(str(tmp_path / "compact-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    # floor 1 → compact as soon as tombstones ≥ half the live rows
+    cfg = CrawlConfig(compact_min_tombstones=1, expire_frontier_keep=2)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    assert any(r.get("compacted") for r in results)
+
+    # after the last compaction, folded delta/tomb dirs are gone from
+    # disk but their lineage rows survive in the manifest
+    last_base_epoch = max(s["epoch"] for s in store.snapshots("frontier_base"))
+    for table in ("frontier_delta", "frontier_tomb"):
+        for s in store.snapshots(table):
+            if s["epoch"] <= last_base_epoch and s["path"] is None:
+                continue  # expired: lineage kept, dir dropped
+            if s["epoch"] <= last_base_epoch:
+                assert not os.path.exists(os.path.join(store.root, s["path"]))
+
+    # the aggressively-compacting crawl matches the reference exactly
+    assert {r["url"]: r["status"] for r in engine.seen().collect()} == sim.seen
+
+
+def test_frontier_expiry_keeps_resume_working(spark, tmp_path, sim):
+    """Old frontier BASE snapshot dirs are expired as compactions
+    supersede them; lineage rows survive and resume from the last
+    committed epoch is unaffected."""
     store = SnapshotStore(str(tmp_path / "expire-store"))
     pages = pages_dataframe(spark, SPEC)
     robots = robots_dataframe(spark, SPEC)
-    cfg = CrawlConfig(expire_frontier_keep=2)
+    cfg = CrawlConfig(compact_min_tombstones=1, expire_frontier_keep=1)
     engine = CrawlEngine(spark, store, pages, robots, cfg)
     engine.init(_seeds())
     engine.run_epoch()
     engine.run_epoch()
     engine.run_epoch()
 
-    snaps = store.snapshots("frontier")
-    assert len(snaps) >= 4  # lineage rows all retained
+    snaps = store.snapshots("frontier_base")
+    assert len(snaps) >= 2  # init base + ≥1 compaction, lineage retained
     live = [s for s in snaps if s.get("path")]
-    assert len(live) == 2  # only the last two dirs on disk
-    for s in snaps[:-2]:
-        assert s["path"] is None or not os.path.exists(
-            os.path.join(store.root, s["path"])
-        )
+    assert len(live) == 1  # only the latest base dir on disk
 
     resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
     resumed.run(max_epochs=30)

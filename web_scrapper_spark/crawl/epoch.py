@@ -21,6 +21,33 @@ Every epoch commits frontier/seen snapshots plus append-snapshots of
 the extracted tables, and records the epoch in the manifest only after
 all its snapshots are durable — so a crash mid-epoch resumes from the
 previous complete epoch with no partial state (resume test §5.2-5).
+
+**Merge-on-read frontier (bounded write amplification).** The frontier
+is NOT rewritten per epoch. It is three tables:
+
+- ``frontier_base``  — full snapshots: the seed set at init, then one
+  per compaction;
+- ``frontier_delta`` — per-epoch appends: retry rows + newly
+  discovered links (O(delta) per epoch);
+- ``frontier_tomb``  — per-epoch appends of ``(url, tomb_epoch)``
+  dequeue tombstones (O(batch) per epoch).
+
+A delta row enqueued at epoch e (``discovered_epoch = e``) is dead iff
+some tombstone for its url has ``tomb_epoch > e`` — a retry re-enqueued
+in the same epoch its fetch failed survives its own dequeue tombstone,
+while every earlier incarnation dies. Seeds carry
+``discovered_epoch = -1`` so the epoch-0 tombstone kills them. The
+live view is ``(base ∪ deltas) ⟕ max(tomb_epoch) per url`` — exactly
+Iceberg's MERGE-ON-READ equality deletes, and on a real cluster these
+three tables map onto one Iceberg table with positional/equality
+delete files. Because every tombstone kills exactly one live row, the
+live count is pure footer math: ``base + Σdelta − Σtomb`` — the
+drained-frontier check costs zero Spark jobs.
+
+Compaction (Iceberg's rewrite_data_files) folds deltas+tombstones into
+a new base when tombstones exceed ``compact_ratio`` of the live rows:
+per-epoch frontier bytes written scale with the DELTA, and the full
+|frontier| write cost is paid only every ~1/ratio epochs, amortized.
 """
 
 from __future__ import annotations
@@ -71,13 +98,21 @@ class CrawlConfig:
     # per-host politeness window so a Zipf-hot host can't put a huge
     # share of the frontier into one window task (core.dequeue_ranked)
     skew_prerank_rows: int = 20_000_000
-    # Iceberg-style maintenance: keep this many frontier snapshots
-    # (the frontier is rewritten per epoch — a 1000-epoch crawl would
-    # otherwise hold 1000 full copies). None = never expire. Lineage
+    # Iceberg-style maintenance: keep this many frontier BASE
+    # snapshots (one per compaction). None = never expire. Lineage
     # rows stay in the manifest; only data dirs beyond the last N are
     # removed, so resume (which reads the LAST committed epoch) is
     # unaffected. Seen/articles are append deltas and never expired.
     expire_frontier_keep: Optional[int] = 4
+    # merge-on-read compaction trigger: fold deltas+tombstones into a
+    # new frontier_base when accumulated tombstones exceed BOTH this
+    # floor and compact_ratio × live rows. The floor keeps small crawls
+    # from paying a full rewrite every few epochs; the ratio bounds
+    # read amplification (a scan reads ≤ 1+ratio dead rows per live
+    # row) and amortizes the O(live) compaction write to
+    # O(delta / ratio) per epoch.
+    compact_min_tombstones: int = 250_000
+    compact_ratio: float = 0.5
     # per-partition lineage (north star): per-(host, status) fetch
     # counts appended to a `metrics` table every epoch
     partition_metrics: bool = True
@@ -105,8 +140,6 @@ class CrawlEngine:
         self.robots = robots
         self.cfg = cfg or CrawlConfig()
         self._epoch: Optional[int] = None
-        self._frontier_snap: Optional[int] = None
-        self._seen_snap: Optional[int] = None
         # incremental seen-set bloom: built once, delta-unioned per
         # epoch, persisted as a store blob (superset-safe on crash)
         self._bloom = None
@@ -121,27 +154,27 @@ class CrawlEngine:
             max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
         )
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
-        fsnap = self.store.commit("frontier", frontier, epoch=-1)
+        fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
         self.store.commit_epoch(
-            -1, {"frontier": fsnap, "seen": ssnap}, {"seeds": len(seeds)}
+            -1, {"frontier_base": fsnap, "seen": ssnap}, {"seeds": len(seeds)}
         )
-        self._epoch, self._frontier_snap, self._seen_snap = -1, fsnap, ssnap
+        self._epoch = -1
 
     def init_from_df(self, seeds_df: DataFrame) -> None:
         """Distributed seeding for huge seed sets (the 10^10-frontier
         path — never materializes seeds on the driver). ``seeds_df``
         columns: url (pre-canonicalized), stype, depth, ord_key."""
         frontier = with_frontier_columns(
-            seeds_df, epoch=0, salt_buckets=self.cfg.salt_buckets
+            seeds_df, epoch=-1, salt_buckets=self.cfg.salt_buckets
         ).repartition(
             max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
         )
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
-        fsnap = self.store.commit("frontier", frontier, epoch=-1)
+        fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
-        self.store.commit_epoch(-1, {"frontier": fsnap, "seen": ssnap}, {})
-        self._epoch, self._frontier_snap, self._seen_snap = -1, fsnap, ssnap
+        self.store.commit_epoch(-1, {"frontier_base": fsnap, "seen": ssnap}, {})
+        self._epoch = -1
 
     @classmethod
     def resume(
@@ -159,8 +192,6 @@ class CrawlEngine:
         if last is None:
             raise RuntimeError("nothing to resume: store has no committed epochs")
         engine._epoch = last["epoch"]
-        engine._frontier_snap = last["tables"]["frontier"]
-        engine._seen_snap = last["tables"]["seen"]
         # reuse the persisted bloom when it covers the resume epoch
         # (blob epoch >= resume epoch ⇒ superset of committed seen —
         # safe: extra keys only cause false positives, dropped by the
@@ -177,8 +208,55 @@ class CrawlEngine:
         return engine
 
     # ------------------------------------------------------------------
+    def _frontier_base_entry(self) -> Dict:
+        entry = self.store.latest_committed("frontier_base", self._epoch)
+        if entry is None:
+            raise RuntimeError("store has no frontier_base — init() not run?")
+        return entry
+
     def frontier(self) -> DataFrame:
-        return self.store.read(self.spark, "frontier", self._frontier_snap)
+        """The LIVE frontier: merge-on-read over base ∪ deltas with the
+        dequeue tombstones applied as equality deletes (a row enqueued
+        at epoch e is dead iff a tombstone for its url has
+        tomb_epoch > e). On Iceberg this whole method is one MERGE-ON-
+        READ table scan."""
+        base_entry = self._frontier_base_entry()
+        rows = self.store.read(self.spark, "frontier_base", base_entry["id"])
+        deltas = self.store.read_committed(
+            self.spark, "frontier_delta", self._epoch,
+            after_epoch=base_entry["epoch"],
+        )
+        if deltas is not None:
+            rows = rows.unionByName(deltas)
+        tombs = self.store.read_committed(
+            self.spark, "frontier_tomb", self._epoch,
+            after_epoch=base_entry["epoch"],
+        )
+        if tombs is None:
+            return rows
+        dead = tombs.groupBy("url").agg(F.max("tomb_epoch").alias("_tomb_epoch"))
+        return (
+            rows.join(dead, "url", "left")
+            .filter(
+                F.col("_tomb_epoch").isNull()
+                | (F.col("discovered_epoch") >= F.col("_tomb_epoch"))
+            )
+            .drop("_tomb_epoch")
+        )
+
+    def _frontier_live_rows(self) -> int:
+        """Live frontier size from parquet footers alone (no Spark
+        job): every tombstone kills exactly one enqueued row, so
+        live = base + Σdeltas − Σtombstones."""
+        base_entry = self._frontier_base_entry()
+        base_rows = _snapshot_rows(self.store, "frontier_base", base_entry["id"])
+        delta_rows = self.store.committed_rows(
+            "frontier_delta", self._epoch, after_epoch=base_entry["epoch"]
+        )
+        tomb_rows = self.store.committed_rows(
+            "frontier_tomb", self._epoch, after_epoch=base_entry["epoch"]
+        )
+        return base_rows + delta_rows - tomb_rows
 
     def seen(self) -> DataFrame:
         """The URL-seen set: union of committed per-epoch APPEND deltas
@@ -214,9 +292,10 @@ class CrawlEngine:
         cfg = self.cfg
         epoch = self._epoch + 1
 
-        # drained frontier: known from the manifest's footer row count —
+        # drained frontier: known from footer-count arithmetic —
         # the terminal epoch costs zero Spark jobs
-        if _snapshot_rows(self.store, "frontier", self._frontier_snap) == 0:
+        n_frontier = self._frontier_live_rows()
+        if n_frontier == 0:
             return {"epoch": epoch, "done": True, "dequeued": 0}
 
         t0 = time.time()
@@ -236,7 +315,6 @@ class CrawlEngine:
         # --- dequeue: ONE window pass yields both the fetch batch and
         # the carried-over pending frontier (host_rank vs budget) — no
         # frontier ⟕ batch anti-join shuffle (SURVEY.md §2.5)
-        n_frontier = _snapshot_rows(self.store, "frontier", self._frontier_snap)
         ranked = dequeue_ranked(
             frontier,
             self.robots,
@@ -412,26 +490,28 @@ class CrawlEngine:
             else:
                 candidates = candidates.join(seen.select("url"), "url", "left_anti")
 
+            # ranked IS the pre-dequeue live frontier (pending ∪ this
+            # epoch's batch), so ONE anti-join covers both the rows
+            # still enqueued and the URLs fetched this very epoch —
+            # without the batch side a link to a same-epoch-fetched URL
+            # would re-enqueue it, re-fetch it next epoch, and append a
+            # duplicate seen row, breaking the append-only seen
+            # invariant the footer metrics rely on
             candidates = candidates.join(
-                pending_after.select("url"), "url", "left_anti"
-            )
-            # the current batch is being appended to seen this very
-            # epoch but is in neither `seen` (previous epochs) nor
-            # `pending_after` — without this anti-join a link to a URL
-            # fetched in the SAME epoch re-enqueues it, re-fetches it
-            # next epoch, and appends a duplicate seen row, breaking
-            # the append-only seen invariant the footer metrics rely on
-            candidates = candidates.join(
-                batch.select("url"), "url", "left_anti"
+                ranked.select("url"), "url", "left_anti"
             )
             new_frontier_rows = with_frontier_columns(
                 candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
             )
 
         # --- retry bookkeeping (T7/T9) ----------------------------------
+        # a retry is RE-ENQUEUED at this epoch: discovered_epoch moves
+        # to `epoch` so the row survives its own dequeue tombstone
+        # (tombstones kill rows enqueued strictly before their epoch)
         retry = (
             misses.filter(F.col("attempts") + 1 < cfg.max_attempts)
             .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn("discovered_epoch", F.lit(epoch))
             .select(*frontier_cols)
         )
         parked = (
@@ -453,23 +533,62 @@ class CrawlEngine:
         # construction (candidates were anti-joined against seen before
         # entering the frontier), so the epoch writes an O(batch) delta,
         # never an O(|seen|) rewrite — Iceberg's append commit.
+        # The frontier is merge-on-read: a normal epoch appends ONLY the
+        # O(delta) enqueue rows (retry + discovered) and the O(batch)
+        # dequeue tombstones. Compaction epochs — triggered when
+        # tombstones exceed compact_ratio × live — fold everything into
+        # a fresh O(live) base instead (Iceberg rewrite_data_files).
         seen_delta = fetched_seen.unionByName(parked)
-        new_frontier = pending_after.unionByName(retry)
+        frontier_delta = retry
         if new_frontier_rows is not None:
-            new_frontier = new_frontier.unionByName(new_frontier_rows)
-        new_frontier = new_frontier.repartition(
-            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
+            frontier_delta = frontier_delta.unionByName(new_frontier_rows)
+
+        base_entry = self._frontier_base_entry()
+        tombs_since_base = (
+            self.store.committed_rows(
+                "frontier_tomb", self._epoch, after_epoch=base_entry["epoch"]
+            )
+            + n_batch
+        )
+        compact = tombs_since_base >= max(
+            cfg.compact_min_tombstones, cfg.compact_ratio * n_frontier
         )
 
-        # the two merge commits are independent Spark jobs over
-        # different tables — submit them from two threads so their
-        # stages interleave (store serializes the manifest updates)
+        parallelism = max(self.spark.sparkContext.defaultParallelism, 4)
+
+        # commits are independent Spark jobs over different tables —
+        # submit them from threads so their stages interleave (store
+        # serializes the manifest updates)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(3) as pool:
-            f_fut = pool.submit(
-                self.store.commit, "frontier", new_frontier, epoch
-            )
+        with ThreadPoolExecutor(4) as pool:
+            if compact:
+                # pending ∪ retry ∪ discovered IS the post-epoch live
+                # frontier: committing it as the new base folds every
+                # outstanding delta and tombstone in one O(live) write
+                new_base = pending_after.unionByName(frontier_delta).repartition(
+                    parallelism, "host_salt"
+                )
+                f_futs = {
+                    "frontier_base": pool.submit(
+                        self.store.commit, "frontier_base", new_base, epoch
+                    )
+                }
+            else:
+                tomb_delta = batch.select(
+                    "url", F.lit(epoch).alias("tomb_epoch")
+                )
+                f_futs = {
+                    "frontier_delta": pool.submit(
+                        self.store.commit,
+                        "frontier_delta",
+                        frontier_delta.repartition(parallelism, "host_salt"),
+                        epoch,
+                    ),
+                    "frontier_tomb": pool.submit(
+                        self.store.commit, "frontier_tomb", tomb_delta, epoch
+                    ),
+                }
             s_fut = pool.submit(self.store.commit, "seen", seen_delta, epoch)
             m_fut = None
             if cfg.partition_metrics:
@@ -484,11 +603,12 @@ class CrawlEngine:
                 m_fut = pool.submit(
                     self.store.commit, "metrics", partition_rows, epoch
                 )
-            fsnap, ssnap = f_fut.result(), s_fut.result()
+            for name, fut in f_futs.items():
+                tables[name] = fut.result()
+            ssnap = s_fut.result()
             if m_fut is not None:
                 tables["metrics"] = m_fut.result()
         mark("merge_commits")
-        tables["frontier"] = fsnap
         tables["seen"] = ssnap
 
         # --- incremental bloom maintenance -----------------------------
@@ -517,12 +637,32 @@ class CrawlEngine:
         seen_now = self.store.committed_rows("seen", self._epoch) + delta_rows
         # parked-failed count from footer math — no extra Spark action
         n_failed = delta_rows - n_fetched
+        # frontier accounting, all footer math: live = pending + rows
+        # enqueued this epoch; the enqueued count falls out of the
+        # delta snapshot (normal epoch) or base − pending (compaction)
+        n_pending = n_frontier - n_batch
+        if compact:
+            base_rows = _snapshot_rows(
+                self.store, "frontier_base", tables["frontier_base"]
+            )
+            enqueued_rows = base_rows - n_pending
+            live_after = base_rows
+            tombs_outstanding = 0
+        else:
+            enqueued_rows = _snapshot_rows(
+                self.store, "frontier_delta", tables["frontier_delta"]
+            )
+            live_after = n_pending + enqueued_rows
+            tombs_outstanding = tombs_since_base
         metrics = {
             "dequeued": n_batch,
             "fetched_ok": n_fetched,
             "fetch_miss": n_batch - n_fetched,
             "failed_parked": n_failed,
-            "new_frontier_rows": _snapshot_rows(self.store, "frontier", fsnap),
+            "new_frontier_rows": enqueued_rows,
+            "frontier_live": live_after,
+            "frontier_tombstones": tombs_outstanding,
+            "compacted": compact,
             "seen_total": seen_now,
             "articles_rows": _snapshot_rows(self.store, "articles", tables.get("articles")),
             "products_rows": _snapshot_rows(self.store, "products", tables.get("products")),
@@ -534,10 +674,16 @@ class CrawlEngine:
             "phases": phases,
         }
         self.store.commit_epoch(epoch, tables, metrics)
-        self._epoch, self._frontier_snap, self._seen_snap = epoch, fsnap, ssnap
+        self._epoch = epoch
+        if compact:
+            # deltas/tombstones folded into the new base are dead for
+            # every reader at or after this epoch — drop their dirs
+            # (manifest lineage rows remain, paths nulled)
+            self.store.expire_snapshots("frontier_delta", keep_last=0)
+            self.store.expire_snapshots("frontier_tomb", keep_last=0)
         if cfg.expire_frontier_keep is not None:
             self.store.expire_snapshots(
-                "frontier", keep_last=cfg.expire_frontier_keep
+                "frontier_base", keep_last=cfg.expire_frontier_keep
             )
             # bloom blobs are full bitmaps, one per epoch — only the
             # latest matters (it contains all earlier keys)

@@ -80,7 +80,11 @@ def with_frontier_columns(
 
 def seeds_frontier(spark, seeds, salt_buckets: int = 8) -> DataFrame:
     """seeds: list of (url, stype) in reference ``urls``-list order
-    (base.py:188 — seed order drives ordering parity)."""
+    (base.py:188 — seed order drives ordering parity).
+
+    Seeds carry ``discovered_epoch = -1``: the merge-on-read frontier
+    treats a dequeue tombstone at epoch t as killing rows enqueued
+    strictly before t, and seeds may be dequeued as early as epoch 0."""
     from ..urlutils import canonicalize_url
 
     rows = [
@@ -90,7 +94,7 @@ def seeds_frontier(spark, seeds, salt_buckets: int = 8) -> DataFrame:
     df = spark.createDataFrame(
         rows, "url string, stype string, depth int, ord_key string"
     )
-    return with_frontier_columns(df, epoch=0, salt_buckets=salt_buckets)
+    return with_frontier_columns(df, epoch=-1, salt_buckets=salt_buckets)
 
 
 # budget for hosts with no rate limit (Crawl-delay: 0 or unset policy):

@@ -195,38 +195,68 @@ class SnapshotStore:
         return spark.read.parquet(*paths)
 
     def committed_ids(
-        self, table: str, up_to_epoch: Optional[int] = None
+        self,
+        table: str,
+        up_to_epoch: Optional[int] = None,
+        after_epoch: Optional[int] = None,
     ) -> List[int]:
         """Snapshot ids of ``table`` referenced by COMMITTED epochs —
         orphan snapshots written by a crashed epoch (present in
         ``tables`` but never in an epoch record) are excluded, so a
-        resumed run that re-writes the same epoch never double-counts."""
+        resumed run that re-writes the same epoch never double-counts.
+        ``after_epoch`` keeps only epochs strictly later (merge-on-read
+        readers use it to skip deltas already folded into a base)."""
         ids = []
         for e in self.manifest()["epochs"]:
             if up_to_epoch is not None and e["epoch"] > up_to_epoch:
+                continue
+            if after_epoch is not None and e["epoch"] <= after_epoch:
                 continue
             if table in e.get("tables", {}):
                 ids.append(e["tables"][table])
         return ids
 
+    def latest_committed(
+        self, table: str, up_to_epoch: Optional[int] = None
+    ) -> Optional[Dict]:
+        """The newest committed epoch record that wrote ``table``:
+        {'epoch', 'id'} — how a merge-on-read reader finds its base."""
+        best = None
+        for e in self.manifest()["epochs"]:
+            if up_to_epoch is not None and e["epoch"] > up_to_epoch:
+                continue
+            if table in e.get("tables", {}):
+                if best is None or e["epoch"] > best["epoch"]:
+                    best = {"epoch": e["epoch"], "id": e["tables"][table]}
+        return best
+
     def read_committed(
-        self, spark: SparkSession, table: str, up_to_epoch: Optional[int] = None
+        self,
+        spark: SparkSession,
+        table: str,
+        up_to_epoch: Optional[int] = None,
+        after_epoch: Optional[int] = None,
     ) -> Optional[DataFrame]:
         """Append-semantics read over committed epochs only: the
         table's content is the union of the delta snapshots referenced
         by epoch records (what Iceberg's snapshot-isolation read gives
         natively). Use this — not ``read_union`` — for crash safety."""
-        ids = set(self.committed_ids(table, up_to_epoch))
+        ids = set(self.committed_ids(table, up_to_epoch, after_epoch))
         snaps = [s for s in self.snapshots(table) if s["id"] in ids and s.get("path")]
         paths = [os.path.join(self.root, s["path"]) for s in snaps]
         if not paths:
             return None
         return spark.read.parquet(*paths)
 
-    def committed_rows(self, table: str, up_to_epoch: Optional[int] = None) -> int:
+    def committed_rows(
+        self,
+        table: str,
+        up_to_epoch: Optional[int] = None,
+        after_epoch: Optional[int] = None,
+    ) -> int:
         """Total rows across committed delta snapshots (footer counts —
         no Spark job)."""
-        ids = set(self.committed_ids(table, up_to_epoch))
+        ids = set(self.committed_ids(table, up_to_epoch, after_epoch))
         return sum(
             s["rows"] for s in self.snapshots(table) if s["id"] in ids
         )
