@@ -236,6 +236,165 @@ class TestCli:
         with pytest.raises(JobError):
             reg.get("ghost")
 
+class TestNotifications:
+    """T4: email/webhook notifications (reference job_scheduler.py:259-484)."""
+
+    def _payload(self, status="success", **kw):
+        from datetime import datetime, timezone
+
+        from web_scrapper_spark.schedulers import build_payload
+
+        return build_payload(
+            "jid-1", "blogjob", status,
+            now=datetime(2025, 7, 18, tzinfo=timezone.utc), **kw,
+        )
+
+    def test_payload_shapes(self):
+        ok = self._payload(report={"urls_visited": 5}, results=[{"t": "x"}])
+        assert ok["status"] == "success"
+        assert ok["report"] == {"urls_visited": 5}
+        assert ok["results"] == [{"t": "x"}]
+        assert ok["timestamp"].startswith("2025-07-18")
+        # oversize results elided with a summary (reference's 1 MB cap)
+        big = self._payload(results=[{"t": "y" * 2_000_000}])
+        assert "results" not in big
+        assert big["results_summary"]["count"] == 1
+        bad = self._payload(status="failure", error="boom")
+        assert bad["error"] == "boom"
+        assert "report" not in bad
+
+    def test_email_builder_and_fake_smtp(self):
+        from web_scrapper_spark.schedulers import EmailSender, build_payload
+
+        sent = {}
+
+        class FakeSMTP:
+            def __init__(self, server, port):
+                sent["endpoint"] = (server, port)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def starttls(self):
+                sent["tls"] = True
+
+            def login(self, u, p):
+                sent["login"] = (u, p)
+
+            def send_message(self, msg):
+                sent["msg"] = msg
+
+        sender = EmailSender(
+            to="ops@example.org", server="smtp.local", port=2525,
+            username="bot", password="pw", transport=FakeSMTP,
+        )
+        ok = self._payload(report={"items": 3})
+        assert sender.send(ok) is True
+        assert sent["endpoint"] == ("smtp.local", 2525)
+        assert sent["tls"] and sent["login"] == ("bot", "pw")
+        assert "Completed Successfully" in sent["msg"]["Subject"]
+        body = sent["msg"].get_payload()[-1].get_payload()
+        assert "<strong>items:</strong> 3" in body
+        fail = self._payload(status="failure", error="boom")
+        sender.send(fail)
+        assert "Failed" in sent["msg"]["Subject"]
+        assert "<pre>boom</pre>" in sent["msg"].get_payload()[-1].get_payload()
+
+    def test_email_skipped_without_credentials(self, monkeypatch):
+        from web_scrapper_spark.schedulers import EmailSender
+
+        for var in ("WEBSCRAPER_SMTP_USERNAME", "WEBSCRAPER_SMTP_PASSWORD"):
+            monkeypatch.delenv(var, raising=False)
+        sender = EmailSender(to="ops@example.org", transport=None.__class__)
+        assert sender.send(self._payload()) is False  # skip, never connect
+
+    def test_webhook_sender_posts_json(self):
+        import json as _json
+
+        from web_scrapper_spark.schedulers import WebhookSender
+
+        posts = {}
+
+        class FakeResp:
+            status = 204
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def opener(req, timeout):
+            posts["url"] = req.full_url
+            posts["body"] = _json.loads(req.data)
+            posts["ctype"] = req.get_header("Content-type")
+            return FakeResp()
+
+        sender = WebhookSender("https://hooks.example.org/x", opener=opener)
+        assert sender.send(self._payload(report={"n": 1})) is True
+        assert posts["url"] == "https://hooks.example.org/x"
+        assert posts["body"]["job_name"] == "blogjob"
+        assert posts["ctype"] == "application/json"
+
+    def test_dispatch_logs_and_swallows_errors(self, tmp_path):
+        from web_scrapper_spark.schedulers import NotificationLog, dispatch
+
+        class Boom:
+            kind = "webhook"
+
+            def send(self, payload):
+                raise OSError("network unreachable")
+
+        class Ok:
+            kind = "email"
+
+            def send(self, payload):
+                return True
+
+        log = NotificationLog(str(tmp_path / "n.jsonl"))
+        outcomes = dispatch(self._payload(), [Boom(), Ok()], log=log)
+        assert outcomes["email"] == "sent"
+        assert outcomes["webhook"].startswith("error:")
+        rows = log.read()
+        assert len(rows) == 1 and rows[0]["deliveries"] == outcomes
+
+    def test_run_now_fires_notifications(self, spark, tmp_path):
+        from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
+        from web_scrapper_spark.schedulers import JobError, JobRegistry
+
+        pages_dir = str(tmp_path / "pages")
+        pages_dataframe(spark, SiteSpec()).write.parquet(pages_dir)
+        cfg_path = _write_config(
+            tmp_path, {"urls": ["https://host1.example-crawl.org/blog"],
+                       "selectors": {}}
+        )
+        reg = JobRegistry(str(tmp_path / "jobs"))
+        # invalid notify targets rejected at create time, like the reference
+        with pytest.raises(JobError, match="invalid email"):
+            reg.create("x", cfg_path, pages_dir, email="not-an-email")
+        with pytest.raises(JobError, match="invalid webhook"):
+            reg.create("x", cfg_path, pages_dir, webhook="nope")
+
+        job_id = reg.create("blogjob", cfg_path, pages_dir)
+        captured = []
+
+        class Capture:
+            kind = "webhook"
+
+            def send(self, payload):
+                captured.append(payload)
+                return True
+
+        reg.run_now(spark, job_id, epochs=2, senders=[Capture()])
+        assert len(captured) == 1
+        assert captured[0]["status"] == "success"
+        assert captured[0]["report"]["urls_visited"] > 0
+        rows = reg.notification_log().read()
+        assert rows and rows[0]["deliveries"] == {"webhook": "sent"}
+
     def test_create_config_roundtrip(self, tmp_path):
         from click.testing import CliRunner
 

@@ -246,13 +246,19 @@ def _registry(jobs_dir):
 @click.option("--cron", "cron_expression", type=str, default=None,
               help="informational cron spec; firing is the cluster "
                    "scheduler's job (cron + spark-submit)")
-def job_create(jobs_dir, name, config_path, pages_path, store_dir, cron_expression) -> None:
+@click.option("--email", type=str, default=None,
+              help="notify this address after each run (T4)")
+@click.option("--webhook", type=str, default=None,
+              help="POST the run report to this URL after each run (T4)")
+def job_create(jobs_dir, name, config_path, pages_path, store_dir,
+               cron_expression, email, webhook) -> None:
     """Register a job; the config is validated now, not at first run."""
     from .schedulers import JobError
 
     try:
         job_id = _registry(jobs_dir).create(
-            name, config_path, pages_path, store_dir, cron_expression
+            name, config_path, pages_path, store_dir, cron_expression,
+            email=email, webhook=webhook,
         )
         click.echo(json.dumps({"job_id": job_id}))
     except (JobError, ConfigError) as err:
@@ -314,8 +320,11 @@ def _job_mutate(jobs_dir, job_id, op) -> None:
 @click.option("--config", "config_path", type=str, default=None)
 @click.option("--pages", "pages_path", type=str, default=None)
 @click.option("--cron", "cron_expression", type=str, default=None)
+@click.option("--email", type=str, default=None)
+@click.option("--webhook", type=str, default=None)
 @click.argument("job_id")
-def job_update(jobs_dir, job_id, name, config_path, pages_path, cron_expression) -> None:
+def job_update(jobs_dir, job_id, name, config_path, pages_path,
+               cron_expression, email, webhook) -> None:
     """Update job fields; a new config is re-validated before commit."""
     from .schedulers import JobError
 
@@ -324,6 +333,7 @@ def job_update(jobs_dir, job_id, name, config_path, pages_path, cron_expression)
         for k, v in {
             "name": name, "config_path": config_path,
             "pages_path": pages_path, "cron_expression": cron_expression,
+            "email": email, "webhook": webhook,
         }.items()
         if v is not None
     }
@@ -349,6 +359,14 @@ def job_delete(jobs_dir, job_id, remove_store) -> None:
     except JobError as err:
         click.echo(f"job error: {err}", err=True)
         sys.exit(2)
+
+
+@job.command("notifications")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+def job_notifications(jobs_dir) -> None:
+    """The registry's notification audit log (T4): every payload sent
+    (or attempted) with per-sender outcomes."""
+    click.echo(json.dumps(_registry(jobs_dir).notification_log().read(), indent=2))
 
 
 @job.command("run-now")

@@ -76,13 +76,17 @@ class JobRegistry:
         store_dir: Optional[str] = None,
         cron_expression: Optional[str] = None,
         metadata: Optional[Dict[str, Any]] = None,
+        email: Optional[str] = None,
+        webhook: Optional[str] = None,
     ) -> str:
         """Register a job (schedule_job analog). The config is bound
         NOW so a broken config fails at create time, not at first
-        firing. Returns the job id."""
+        firing; email/webhook are validated like the reference's
+        schedule_job (job_scheduler.py:556-569). Returns the job id."""
         if not os.path.exists(config_path):
             raise JobError(f"configuration file not found: {config_path}")
         bind_job(load_config(config_path))  # raises ConfigError if invalid
+        self._validate_notify(email, webhook)
         job_id = str(uuid.uuid4())
         jobs = self._load()
         jobs[job_id] = {
@@ -95,6 +99,8 @@ class JobRegistry:
             ),
             "cron_expression": cron_expression,
             "metadata": metadata or {},
+            "email": email,
+            "webhook": webhook,
             "status": "active",
             "created_at": time.time(),
             "updated_at": time.time(),
@@ -136,12 +142,13 @@ class JobRegistry:
         before the registry is touched."""
         allowed = {
             "name", "config_path", "pages_path", "store_dir",
-            "cron_expression", "metadata",
+            "cron_expression", "metadata", "email", "webhook",
         }
         unknown = set(changes) - allowed
         if unknown:
             raise JobError(f"unknown job fields: {sorted(unknown)}")
         job = self.get(job_id)
+        self._validate_notify(changes.get("email"), changes.get("webhook"))
         if "config_path" in changes:
             if not os.path.exists(changes["config_path"]):
                 raise JobError(
@@ -154,6 +161,21 @@ class JobRegistry:
         jobs[job["job_id"]]["updated_at"] = time.time()
         self._save(jobs)
         return jobs[job["job_id"]]
+
+    @staticmethod
+    def _validate_notify(email: Optional[str], webhook: Optional[str]) -> None:
+        """Reference schedule_job validation (job_scheduler.py:556-569)."""
+        from ..validators import is_valid_email, is_valid_url
+
+        if email and not is_valid_email(email):
+            raise JobError(f"invalid email address: {email}")
+        if webhook and not is_valid_url(webhook):
+            raise JobError(f"invalid webhook URL: {webhook}")
+
+    def notification_log(self):
+        from .notifications import NotificationLog
+
+        return NotificationLog(os.path.join(self.root, "_notifications.jsonl"))
 
     def delete(self, job_id: str, remove_store: bool = False) -> None:
         """delete_job analog. ``remove_store`` additionally deletes the
@@ -175,49 +197,93 @@ class JobRegistry:
         epoch_seconds: float = 8.0,
         robots: str = "none",
         force: bool = False,
+        senders: Optional[List] = None,
     ) -> List[Dict[str, Any]]:
         """run_job_now analog: run ``epochs`` more crawl epochs,
         resume-or-init from the job's store. Refuses paused jobs unless
         ``force`` (the reference fires paused jobs only through the
-        explicit run_job_now path — ``force`` models that)."""
+        explicit run_job_now path — ``force`` models that). After the
+        run — success OR failure — the job's configured email/webhook
+        notifications fire (T4); ``senders`` overrides them for tests.
+        Notification failures never fail the run."""
         from ..crawl.epoch import CrawlEngine
         from ..frontier.store import SnapshotStore
 
         job = self.get(job_id)
         if job["status"] == "paused" and not force:
             raise JobError(f"job {job['job_id']} is paused; resume it or force")
-        bound = bind_job(load_config(job["config_path"]))
-        pages = spark.read.parquet(job["pages_path"])
-        if robots == "from-pages":
-            from ..frontier.robots import robots_from_pages
+        try:
+            bound = bind_job(load_config(job["config_path"]))
+            pages = spark.read.parquet(job["pages_path"])
+            if robots == "from-pages":
+                from ..frontier.robots import robots_from_pages
 
-            robots_df = robots_from_pages(
-                pages, default_delay=bound.crawl_delay or 2.0
-            )
-        elif robots and robots != "none":
-            robots_df = spark.read.parquet(robots)
-        else:
-            robots_df = None
-        store = SnapshotStore(job["store_dir"])
-        cfg = bound.crawl_config(epoch_seconds)
-        if store.last_epoch() is None:
-            engine = CrawlEngine(spark, store, pages, robots_df, cfg)
-            engine.init(bound.seeds)
-        else:
-            engine = CrawlEngine.resume(spark, store, pages, robots_df, cfg)
-        results = []
-        for _ in range(epochs):
-            result = engine.run_epoch()
-            results.append(result)
-            if result.get("done"):
-                break
+                robots_df = robots_from_pages(
+                    pages, default_delay=bound.crawl_delay or 2.0
+                )
+            elif robots and robots != "none":
+                robots_df = spark.read.parquet(robots)
+            else:
+                robots_df = None
+            store = SnapshotStore(job["store_dir"])
+            cfg = bound.crawl_config(epoch_seconds)
+            if store.last_epoch() is None:
+                engine = CrawlEngine(spark, store, pages, robots_df, cfg)
+                engine.init(bound.seeds)
+            else:
+                engine = CrawlEngine.resume(spark, store, pages, robots_df, cfg)
+            results = []
+            for _ in range(epochs):
+                result = engine.run_epoch()
+                results.append(result)
+                if result.get("done"):
+                    break
+        except Exception as exc:
+            self._notify(job, "failure", error=str(exc), senders=senders)
+            raise
         jobs = self._load()
         row = jobs[job["job_id"]]
         row["run_count"] += 1
         row["last_run_at"] = time.time()
         row["last_epoch"] = results[-1].get("epoch") if results else None
         self._save(jobs)
+        report = {
+            "epochs": len([r for r in results if not r.get("done")]),
+            "urls_total": sum(r.get("dequeued", 0) for r in results),
+            "urls_visited": sum(r.get("fetched_ok", 0) for r in results),
+            "urls_failed": sum(r.get("failed_parked", 0) for r in results),
+            "duration_seconds": round(
+                sum(r.get("duration_s", 0) for r in results), 3
+            ),
+        }
+        self._notify(job, "success", report=report, senders=senders)
         return results
+
+    def _notify(
+        self,
+        job: Dict[str, Any],
+        status: str,
+        report: Optional[Dict[str, Any]] = None,
+        error: Optional[str] = None,
+        senders: Optional[List] = None,
+    ) -> None:
+        """T4 dispatch (reference _send_notifications,
+        job_scheduler.py:259-316): email + webhook when configured,
+        every attempt logged, exceptions swallowed."""
+        from .notifications import EmailSender, WebhookSender, build_payload, dispatch
+
+        if senders is None:
+            senders = []
+            if job.get("email"):
+                senders.append(EmailSender(to=job["email"]))
+            if job.get("webhook"):
+                senders.append(WebhookSender(job["webhook"]))
+        if not senders:
+            return
+        payload = build_payload(
+            job["job_id"], job["name"], status, report=report, error=error
+        )
+        dispatch(payload, senders, log=self.notification_log())
 
 
 __all__ = ["JobError", "JobRegistry", "ConfigError"]
