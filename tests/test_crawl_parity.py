@@ -319,6 +319,28 @@ def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
     assert {r["url"]: r["status"] for r in engine.seen().collect()} == sim.seen
 
 
+def test_sharded_bloom_crawl_matches_reference(spark, tmp_path, sim):
+    """bloom_shards > 1 routes the seen-set pre-filter through the
+    sharded filter (in-memory probe mode) — identical final crawl state,
+    and resume restores the sharded filter from its blob."""
+    store = SnapshotStore(str(tmp_path / "shardbloom-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    cfg = CrawlConfig(bloom_min_seen=1, bloom_shards=4)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    engine.run_epoch()
+    engine.run_epoch()
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
+    from web_scrapper_spark.frontier.bloom import ShardedBloom
+
+    if resumed._bloom is not None:  # blob written once the filter activates
+        assert isinstance(resumed._bloom, ShardedBloom)
+    resumed.run(max_epochs=30)
+    assert {r["url"]: r["status"] for r in resumed.seen().collect()} == sim.seen
+
+
 def test_frontier_expiry_keeps_resume_working(spark, tmp_path, sim):
     """Old frontier BASE snapshot dirs are expired as compactions
     supersede them; lineage rows survive and resume from the last

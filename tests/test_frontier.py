@@ -3,7 +3,14 @@
 import numpy as np
 import pytest
 
-from web_scrapper_spark.frontier.bloom import PyBloom, bloom_prefilter, build_bloom
+from web_scrapper_spark.frontier.bloom import (
+    PyBloom,
+    ShardedBloom,
+    bloom_prefilter,
+    build_bloom,
+    build_sharded_bloom,
+    sharded_bloom_prefilter,
+)
 from web_scrapper_spark.frontier.core import (
     dequeue,
     dequeue_ranked,
@@ -55,6 +62,81 @@ class TestBloomSpark:
         truly_seen_cleared = new.filter("url_hash < 2000").count()
         assert truly_seen_cleared == 0
         assert n_maybe >= 500
+
+
+class TestShardedBloom:
+    """The 10^10-key seen-set path: pmod-sharded bitmaps, built in one
+    grouped pass, probed in-memory or from per-shard files on disk."""
+
+    def test_no_false_negatives_and_sparse_shards(self):
+        sb = ShardedBloom(8, 1 << 12, 4)
+        keys = (np.arange(500, dtype=np.int64) * 7919) - 1000  # negatives too
+        sb.add_many(keys)
+        assert sb.might_contain_many(keys).all()
+        # a key whose shard never saw data is definitely absent
+        empty_shard_keys = np.array(
+            [s for s in range(10_000, 10_100)], dtype=np.int64
+        )
+        present = {int(k) for k in keys}
+        fresh = np.array(
+            [k for k in empty_shard_keys if k not in present], dtype=np.int64
+        )
+        assert sb.might_contain_many(fresh).mean() < 0.2
+
+    def test_union_and_blob_roundtrip(self):
+        a = ShardedBloom(4, 1 << 10, 3)
+        b = ShardedBloom(4, 1 << 10, 3)
+        a.add_many(np.array([1, 2, 3], dtype=np.int64))
+        b.add_many(np.array([101, -7], dtype=np.int64))
+        u = a.union(b)
+        back = ShardedBloom.from_bytes(u.to_bytes())
+        assert (back.n_shards, back.n_bits, back.k) == (4, 1 << 10, 3)
+        assert back.might_contain_many(
+            np.array([1, 2, 3, 101, -7], dtype=np.int64)
+        ).all()
+
+    def test_shard_routing_matches_spark_pmod(self, spark):
+        keys = np.array([-5, -1, 0, 7, 123456789, -987654], dtype=np.int64)
+        sb = ShardedBloom(8, 1 << 10, 3)
+        ours = sb.shard_of(keys)
+        rows = spark.createDataFrame(
+            [(int(k),) for k in keys], "url_hash long"
+        ).selectExpr("pmod(url_hash, 8) as s").collect()
+        assert list(ours) == [r["s"] for r in rows]
+
+    def test_distributed_build_and_both_probe_modes(self, spark, tmp_path):
+        seen = spark.range(0, 2000).selectExpr("cast(id as int) as url_hash")
+        sb = build_sharded_bloom(seen, "url_hash", n_shards=8, expected=2000)
+        cand = spark.range(1500, 2500).selectExpr("cast(id as int) as url_hash")
+
+        new_mem = sharded_bloom_prefilter(
+            cand, "url_hash", sharded=sb, keep_maybe_seen=False
+        )
+        maybe_mem = sharded_bloom_prefilter(
+            cand, "url_hash", sharded=sb, keep_maybe_seen=True
+        )
+        assert new_mem.count() + maybe_mem.count() == 1000
+        assert new_mem.filter("url_hash < 2000").count() == 0  # no false negs
+
+        # disk-backed mode: per-shard files, no filter broadcast
+        shard_dir = str(tmp_path / "bloomshards")
+        sb.save_dir(shard_dir)
+        new_disk = sharded_bloom_prefilter(
+            cand, "url_hash", dir_path=shard_dir, keep_maybe_seen=False
+        )
+        assert sorted(r["url_hash"] for r in new_disk.collect()) == sorted(
+            r["url_hash"] for r in new_mem.collect()
+        )
+
+    def test_matches_flat_filter_semantics(self, spark):
+        # same expected/fpp: the sharded filter must flag every truly
+        # seen key exactly like the flat one (both no-false-negative)
+        seen = spark.range(0, 3000).selectExpr("cast(id as int) as url_hash")
+        flat = build_bloom(seen, "url_hash", expected=3000)
+        sb = build_sharded_bloom(seen, "url_hash", n_shards=4, expected=3000)
+        probe = np.arange(0, 3000, dtype=np.int64)
+        assert sb.might_contain_many(probe).all()
+        assert flat.might_contain_many(probe).all()
 
 
 class TestSnapshotStore:

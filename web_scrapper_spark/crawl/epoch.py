@@ -62,7 +62,14 @@ from pyspark.sql import functions as F
 from ..extract.business import BusinessConfig
 from ..extract.content import ContentConfig
 from ..extract.ecommerce import EcommerceConfig
-from ..frontier.bloom import PyBloom, bloom_prefilter, build_bloom
+from ..frontier.bloom import (
+    PyBloom,
+    ShardedBloom,
+    bloom_prefilter,
+    build_bloom,
+    build_sharded_bloom,
+    sharded_bloom_prefilter,
+)
 from ..frontier.core import (
     POS_PAD,
     SEEN_SCHEMA,
@@ -94,6 +101,11 @@ class CrawlConfig:
     fetch_broadcast_max: int = 50_000
     bloom_fpp: float = 0.01
     bloom_min_seen: int = 50_000     # below this the exact anti-join is cheaper
+    # >1 → shard the seen-set bloom by pmod(url_hash, S)
+    # (frontier/bloom.ShardedBloom). At 10^10 seen URLs a flat bitmap
+    # (~12 GB) can't broadcast; shards build in one grouped pass and
+    # probe per-shard. 1 (default) = flat filter, right for ≤10^8.
+    bloom_shards: int = 1
     # above this frontier size, pre-rank per (host, salt) before the
     # per-host politeness window so a Zipf-hot host can't put a huge
     # share of the frontier into one window task (core.dequeue_ranked)
@@ -201,9 +213,12 @@ class CrawlEngine:
         blob = store.read_blob("seen_bloom")
         if blob is not None and blob["epoch"] >= engine._epoch:
             meta = blob["meta"]
-            engine._bloom = PyBloom.from_bytes(
-                meta["n_bits"], meta["k"], blob["data"]
-            )
+            if meta.get("sharded"):
+                engine._bloom = ShardedBloom.from_bytes(blob["data"])
+            else:
+                engine._bloom = PyBloom.from_bytes(
+                    meta["n_bits"], meta["k"], blob["data"]
+                )
             engine._bloom_capacity = meta["capacity"]
         return engine
 
@@ -471,20 +486,34 @@ class CrawlEngine:
                     self._bloom_capacity = max(
                         4 * cfg.bloom_min_seen, 2 * n_seen_prev
                     )
-                    self._bloom = build_bloom(
-                        seen.select("url_hash"), "url_hash",
-                        expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
-                    )
+                    if cfg.bloom_shards > 1:
+                        self._bloom = build_sharded_bloom(
+                            seen.select("url_hash"), "url_hash",
+                            n_shards=cfg.bloom_shards,
+                            expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
+                        )
+                    else:
+                        self._bloom = build_bloom(
+                            seen.select("url_hash"), "url_hash",
+                            expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
+                        )
                     phases["bloom_full_build"] = round(time.time() - t_bloom, 3)
                 bloom = self._bloom
-                definitely_new = bloom_prefilter(
-                    candidates.withColumn("url_hash", F.hash("url")),
-                    bloom, "url_hash", keep_maybe_seen=False,
-                ).drop("url_hash")
-                maybe_seen = bloom_prefilter(
-                    candidates.withColumn("url_hash", F.hash("url")),
-                    bloom, "url_hash", keep_maybe_seen=True,
-                ).drop("url_hash")
+                hashed = candidates.withColumn("url_hash", F.hash("url"))
+                if isinstance(bloom, ShardedBloom):
+                    definitely_new = sharded_bloom_prefilter(
+                        hashed, "url_hash", sharded=bloom, keep_maybe_seen=False
+                    ).drop("url_hash")
+                    maybe_seen = sharded_bloom_prefilter(
+                        hashed, "url_hash", sharded=bloom, keep_maybe_seen=True
+                    ).drop("url_hash")
+                else:
+                    definitely_new = bloom_prefilter(
+                        hashed, bloom, "url_hash", keep_maybe_seen=False
+                    ).drop("url_hash")
+                    maybe_seen = bloom_prefilter(
+                        hashed, bloom, "url_hash", keep_maybe_seen=True
+                    ).drop("url_hash")
                 survivors = maybe_seen.join(seen.select("url"), "url", "left_anti")
                 candidates = definitely_new.unionByName(survivors)
             else:
@@ -617,18 +646,26 @@ class CrawlEngine:
         # leaves a blob whose epoch exceeds the committed one — a
         # superset, which resume accepts safely
         if self._bloom is not None:
-            delta_bloom = build_bloom(
-                seen_delta.select("url_hash"), "url_hash",
-                expected=1, n_bits=self._bloom.n_bits, k=self._bloom.k,
-            )
-            self._bloom = self._bloom.union(delta_bloom)
-            self.store.commit_blob(
-                "seen_bloom", self._bloom.to_bytes(), epoch,
-                {
+            if isinstance(self._bloom, ShardedBloom):
+                delta_bloom = build_sharded_bloom(
+                    seen_delta.select("url_hash"), "url_hash",
+                    n_shards=self._bloom.n_shards, expected=1,
+                    n_bits=self._bloom.n_bits, k=self._bloom.k,
+                )
+                meta = {"sharded": True, "capacity": self._bloom_capacity}
+            else:
+                delta_bloom = build_bloom(
+                    seen_delta.select("url_hash"), "url_hash",
+                    expected=1, n_bits=self._bloom.n_bits, k=self._bloom.k,
+                )
+                meta = {
                     "n_bits": self._bloom.n_bits,
                     "k": self._bloom.k,
                     "capacity": self._bloom_capacity,
-                },
+                }
+            self._bloom = self._bloom.union(delta_bloom)
+            self.store.commit_blob(
+                "seen_bloom", self._bloom.to_bytes(), epoch, meta
             )
             mark("bloom_delta")
 
