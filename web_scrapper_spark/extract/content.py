@@ -62,7 +62,120 @@ class ContentConfig:
 # ---------------------------------------------------------------------------
 
 
+def _text_len_exceeds(root: Tag, n: int) -> bool:
+    """``len(root.get_text()) > n`` without materializing the join —
+    O(1) on a fast-built document (text length tracked at parse time),
+    early-exit iteration otherwise."""
+    known = getattr(root, "text_len", None)
+    if known is not None:
+        return known > n
+    total = 0
+    for s in root.strings:
+        total += len(s)
+        if total > n:
+            return True
+    return False
+
+
 def is_article_page(root: Tag) -> bool:
+    """Article-vs-listing classifier (reference content.py heuristics,
+    P20). The indicator set probes the classed-tag pool ~7 times; on an
+    indexed tree all seven fuse into ONE pass over that pool (the
+    classifier runs once per crawled page — at 10^10 pages this is a
+    top-3 fixed cost). The un-indexed fallback keeps the original
+    probe-per-indicator shape; both compute identical booleans."""
+    doc = root.root
+    idx = doc.index if doc is not None else None
+    if idx is None or doc is not root:
+        return _is_article_page_probes(root)
+
+    # one pass over every classed tag, computing all class indicators
+    art_article_cls = art_post_cls = art_title_heading = False
+    listing_archive = listing_container = content_cls = False
+    post_dash_count = 0
+    for t in idx["attr"].get("class", ()):
+        v = t.attrs.get("class")
+        if not v:
+            continue
+        lv = v.lower()
+        if "article" in v:
+            art_article_cls = True
+        if "post" in v and "post-list" not in v:
+            art_post_cls = True
+        if "post-" in v:
+            post_dash_count += 1
+        name = t.name
+        if (
+            not art_title_heading
+            and name in ("h1", "h2")
+            and ("title" in lv or "headline" in lv or "heading" in lv)
+        ):
+            art_title_heading = True
+        if not listing_archive and (
+            "archive" in lv or "listing" in lv or "index" in lv
+            or "blog-list" in lv or "post-list" in lv
+        ):
+            listing_archive = True
+        if (
+            not listing_container
+            and name in ("ul", "div")
+            and ("posts" in lv or "articles" in lv or "entries" in lv)
+        ):
+            listing_container = True
+        if (
+            not content_cls
+            and name in ("p", "div")
+            and ("content" in lv or "body" in lv or "entry" in lv
+                 or "article-text" in lv)
+        ):
+            content_cls = True
+
+    articles = idx["name"].get("article", ())
+    itemprops = idx["attr"].get("itemprop", ())
+    article_score = sum(
+        1
+        for i in (
+            bool(articles),
+            art_article_cls,
+            art_post_cls,
+            art_title_heading,
+            any(t.attrs.get("itemprop") == "headline" for t in itemprops),
+            any(
+                t.attrs.get("property") == "og:type"
+                and t.attrs.get("content") == "article"
+                for t in idx["attr"].get("property", ())
+            ),
+        )
+        if i
+    )
+    listing_score = sum(
+        1
+        for i in (
+            len(articles) > 1,
+            post_dash_count > 3,
+            listing_archive,
+            listing_container,
+        )
+        if i
+    )
+    if listing_score > article_score:
+        return False
+    content_score = sum(
+        1
+        for i in (
+            _text_len_exceeds(root, 2000),
+            content_cls,
+            any(t.attrs.get("itemprop") == "articleBody" for t in itemprops),
+            len(idx["name"].get("p", ())) > 5,
+        )
+        if i
+    )
+    return content_score >= 2 or article_score > listing_score
+
+
+def _is_article_page_probes(root: Tag) -> bool:
+    """Probe-per-indicator classifier for un-indexed trees (subtree
+    calls, index=None parses) — the original reference-shaped code."""
     article_indicators = [
         root.find("article"),
         root.find(class_=lambda x: x and "article" in x),
@@ -96,7 +209,7 @@ def is_article_page(root: Tag) -> bool:
     if listing_score > article_score:
         return False
     content_indicators = [
-        len(root.get_text()) > 2000,
+        _text_len_exceeds(root, 2000),
         root.find(
             ["p", "div"],
             class_=lambda x: x
@@ -120,22 +233,49 @@ _LISTING_KEYWORDS = ("post", "article", "entry", "item", "content")
 
 
 def find_article_elements(root: Tag, selectors: Dict[str, str]) -> List[Tag]:
-    for selector in (
-        selectors.get("article_container"),
-        "article",
-        ".post",
-        ".entry",
-        ".article",
-        ".blog-post",
-        ".blog-entry",
-        "[itemtype*='BlogPosting']",
-        "[itemtype*='Article']",
-    ):
-        if not selector:
-            continue
-        elements = root.select(selector)
-        if elements:
-            return elements
+    doc = root.root
+    idx = doc.index if doc is not None and doc is root else None
+    if idx is not None:
+        # indexed fast path: the 8 built-in container probes are plain
+        # index lookups in the SAME cascade order (each select()'s
+        # single-compound pool IS the index pool) — this runs once per
+        # crawled page, so probe setup cost matters at 10^10 pages
+        custom = selectors.get("article_container")
+        if custom:
+            elements = root.select(custom)
+            if elements:
+                return elements
+        pool = idx["name"].get("article")
+        if pool:
+            return list(pool)
+        for token in ("post", "entry", "article", "blog-post", "blog-entry"):
+            pool = idx["class"].get(token)
+            if pool:
+                return list(pool)
+        itemtyped = idx["attr"].get("itemtype", ())
+        for sub in ("BlogPosting", "Article"):
+            hits = [
+                t for t in itemtyped if sub in t.attrs.get("itemtype", "")
+            ]
+            if hits:
+                return hits
+    else:
+        for selector in (
+            selectors.get("article_container"),
+            "article",
+            ".post",
+            ".entry",
+            ".article",
+            ".blog-post",
+            ".blog-entry",
+            "[itemtype*='BlogPosting']",
+            "[itemtype*='Article']",
+        ):
+            if not selector:
+                continue
+            elements = root.select(selector)
+            if elements:
+                return elements
 
     candidates = root.find_all(
         ["div", "li", "article"],

@@ -51,7 +51,7 @@ class Tag:
     evaluate ~25 selectors per page; this is the UDF hot path).
     """
 
-    __slots__ = ("name", "attrs", "children", "parent", "start", "end", "root", "index")
+    __slots__ = ("name", "attrs", "children", "parent", "start", "end", "root", "index", "text_len")
 
     def __init__(self, name: str, attrs: Optional[Dict[str, str]] = None):
         self.name = name
@@ -62,6 +62,9 @@ class Tag:
         self.end = 0
         self.root: Optional["Tag"] = None
         self.index: Optional[dict] = None
+        # total document text length, tracked by _fast_build on the
+        # root only (== len(get_text()); None elsewhere)
+        self.text_len: Optional[int] = None
 
     # -- attribute access ------------------------------------------------
     def has_attr(self, key: str) -> bool:
@@ -690,6 +693,7 @@ def _fast_build(html: str) -> Tag:
     by_id: Dict[str, List[Tag]] = {}
     by_attr: Dict[str, List[Tag]] = {}
     counter = 0
+    text_len = 0
     stack = [root]
     pos, n = 0, len(html)
     find = html.find
@@ -698,13 +702,15 @@ def _fast_build(html: str) -> Tag:
         if lt < 0:
             text = html[pos:]
             if text:
-                stack[-1].children.append(
-                    _unescape(text) if "&" in text else text
-                )
+                text = _unescape(text) if "&" in text else text
+                text_len += len(text)
+                stack[-1].children.append(text)
             break
         if lt > pos:
             text = html[pos:lt]
-            stack[-1].children.append(_unescape(text) if "&" in text else text)
+            text = _unescape(text) if "&" in text else text
+            text_len += len(text)
+            stack[-1].children.append(text)
         nxt = html[lt + 1 : lt + 2]
         if nxt == "/":
             m = _END_TAG_RE.match(html, lt)
@@ -778,6 +784,7 @@ def _fast_build(html: str) -> Tag:
                 end = mm.start()
                 if end > pos:
                     node.children.append(html[pos:end])  # raw: no unescape
+                    text_len += end - pos
                 node.end = counter
                 pos = end
                 continue
@@ -785,6 +792,7 @@ def _fast_build(html: str) -> Tag:
     for leftover in stack:
         leftover.end = counter
     root.index = {"name": by_name, "class": by_class, "id": by_id, "attr": by_attr}
+    root.text_len = text_len  # == len(root.get_text()), O(1) for callers
     return root
 
 

@@ -75,7 +75,7 @@ def extract_products_df(pages: DataFrame, cfg: Optional[EcommerceConfig] = None)
 
         for pdf in batches:
             rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 for pos, item in enumerate(extract_products(html, url, cfg)):
                     extra = {
                         k: _stringify_extra(v)
@@ -124,7 +124,7 @@ def extract_businesses_df(pages: DataFrame, cfg: Optional[BusinessConfig] = None
 
         for pdf in batches:
             rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 for pos, item in enumerate(extract_businesses(html, url, cfg)):
                     extra = {
                         k: _stringify_extra(v)
@@ -213,7 +213,7 @@ def extract_content_df(pages: DataFrame, cfg: Optional[ContentConfig] = None) ->
 
         for pdf in batches:
             rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 root = minisoup.parse(html)
                 if is_article_page(root):
                     item = extract_single_article(root, url, cfg)
