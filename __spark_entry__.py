@@ -147,7 +147,9 @@ def _q_a1_doc_keywords(spark, sf_dir):
 
 
 def _q_a2_doc_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    from web_scrapper_spark.operators.partitioning import fan_out
+
+    docs = fan_out(_read(spark, sf_dir, "documents"))
     text = F.col("text")
     toks = _tx.tokens_col(text)
     stop = F.array(*[F.lit(w) for w in _tx.STOP_WORDS_SORTED])
@@ -186,9 +188,13 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
+    from web_scrapper_spark.operators.partitioning import fan_out
+
     # integer-exact output: set sizes instead of the float ratio; the
     # 0.4 jaccard threshold becomes the rational 5*inter >= 2*union.
-    docs = _read(spark, sf_dir, "documents").filter(
+    # fan_out BEFORE the tokenizing filter: the one-row-group scan
+    # would otherwise run the whole tokenize pass on a single core.
+    docs = fan_out(_read(spark, sf_dir, "documents")).filter(
         F.size(_tx.tokens_col(F.col("text"))) > 0
     )
     pairs = _dd.minhash_lsh_pairs(

@@ -20,6 +20,7 @@ from typing import Iterator, List, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
 from .sitegen import PAGES_COLUMNS, PAGES_SCHEMA, WARC_EPOCH
 
 
@@ -99,7 +100,10 @@ def docsite_pages(
                 )
             yield pd.DataFrame(rows, columns=PAGES_COLUMNS)
 
-    article_pages = docs.select("doc_id", "text").mapInPandas(
+    # fan_out: the sf* documents parquet is one row group → one scan
+    # partition; without it article rendering AND every downstream
+    # fetch-join/extraction over the persisted pages runs on one core
+    article_pages = fan_out(docs.select("doc_id", "text")).mapInPandas(
         render_articles, schema=PAGES_SCHEMA
     )
 

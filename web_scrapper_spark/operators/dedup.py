@@ -22,6 +22,7 @@ from typing import Iterator, List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .textops import tokens_col
 
 # ---------------------------------------------------------------------------
@@ -36,7 +37,7 @@ def dedup_exact(
     One hash aggregate — Catalyst gives map-side combine for the min."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return (
-        docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+        fan_out(docs).select(F.col(id_col), F.md5(normalized).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )
@@ -116,7 +117,10 @@ def shingled_docs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
     """(id, shingles) — computed once, shared by banding and
-    verification so the (expensive) shingle arrays are never rebuilt."""
+    verification so the (expensive) shingle arrays are never rebuilt.
+    ``fan_out`` spreads a one-row-group scan over every core before the
+    tokenize→shingle→md5 chain (a no-op on many-partition inputs)."""
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col), shingles_col(text_col, shingle_n).alias("shingles")
     )
@@ -164,11 +168,22 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, inter_size, union_size, jaccard) with
     id_a < id_b, one row per pair. The shingle arrays are computed once
     and cached — banding and verification both read the cached copy.
+
+    Both cached intermediates are materialized EAGERLY (count actions):
+    inside one big job the two sides of the band self-join are planned
+    as separate stages that race on the still-cold cache and each
+    recompute the full tokenize→shingle→md5 chain — measured ~2x the
+    whole pipeline's cost at sf0.1. The extra count jobs are scans of
+    already-cached partitions (amortized free); at cluster scale the
+    cache spills to disk (MEMORY_AND_DISK default) and the reuse is
+    exactly what an LSH pipeline wants — shingles are read three times.
     """
     shingled = shingled_docs(docs, id_col, text_col, shingle_n).persist()
+    shingled.count()
     bands = minhash_bands(
         docs, id_col, text_col, num_hashes, band_size, shingle_n, shingled=shingled
-    )
+    ).persist()
+    bands.count()
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -259,19 +274,56 @@ def simhash64(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def _simhash64_batch(texts, _cache: dict) -> list:
+    """Vectorized twin of :func:`simhash64` — identical output, ~10x
+    faster: one md5 per UNIQUE token (memoized across the partition —
+    web text reuses a small vocabulary heavily) and the 64-bit majority
+    vote as a numpy matrix product instead of a per-token bit loop."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for text in texts:
+        tokens = [t for t in _re.split(r"[^a-z0-9_]+", (text or "").lower()) if t]
+        if not tokens:
+            out.append(0)
+            continue
+        counts: dict = {}
+        for tok in tokens:
+            counts[tok] = counts.get(tok, 0) + 1
+        hs = np.empty(len(counts), dtype=np.uint64)
+        w = np.empty(len(counts), dtype=np.int64)
+        for j, (tok, c) in enumerate(counts.items()):
+            h = _cache.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                _cache[tok] = h
+            hs[j] = h
+            w[j] = c
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        score = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+        val = int(np.packbits((score > 0)[::-1]).view(">u8")[0])
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return out
+
+
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        cache: dict = {}
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "simhash": [simhash64(t or "") for t in pdf[text_col]],
+                    "simhash": _simhash64_batch(list(pdf[text_col]), cache),
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} long, simhash long"
     )
 
@@ -366,7 +418,7 @@ def embedding_near_pairs(
     yields k(k-1)/2 pairs, so per-pair norms were the dominant cost).
     Bit-identical to the per-pair formula: the cast is exact and the
     dot fold order is unchanged."""
-    cols = embeddings.select(
+    cols = fan_out(embeddings).select(
         id_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vecd"),
         block_col,

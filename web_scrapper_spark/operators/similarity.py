@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine_col
+from .partitioning import fan_out
 
 
 def cosine_topk(
@@ -36,7 +37,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    c = fan_out(corpus).select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
     scored = c.join(F.broadcast(q)).select(
         query_id,
         corpus_id,
@@ -139,7 +140,7 @@ def assign_cells(
 
     topn = F.slice(F.array_sort(scored, cmp), 1, n_probe)
     return (
-        vectors.withColumn("_probe", F.explode(topn))
+        fan_out(vectors).withColumn("_probe", F.explode(topn))
         .withColumn("cell_id", F.col("_probe.cell_id"))
         .drop("_probe")
     )
@@ -160,6 +161,13 @@ def ivf_topk(
     cosine within candidates. Same output shape as cosine_topk."""
     if centroids is None:
         centroids = train_centroids(corpus, vec_col=vec_col, seed_col=seed_col)
+    # materialize the (tiny) centroid table ONCE: assign_cells collects
+    # it, and collecting a lazy plan twice would re-run the whole Lloyd
+    # training job for each of the two assignment calls below
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        centroids.collect(), schema=centroids.schema
+    )
     corpus_cells = assign_cells(
         corpus.select(corpus_id, vec_col), centroids, vec_col, n_probe=1
     )

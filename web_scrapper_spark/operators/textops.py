@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..textutils import STOP_WORDS
+from .partitioning import fan_out
 
 # Stable, sorted stop-word list shared with the SQL oracles.
 STOP_WORDS_SORTED = sorted(STOP_WORDS)
@@ -69,7 +70,7 @@ def corpus_keywords_topk(docs: DataFrame, text_col: str = "text", k: int = 20) -
     no full sort shuffle). Ties break on word ascending so results are
     total-order deterministic.
     """
-    words = docs.select(
+    words = fan_out(docs).select(
         F.explode(keyword_tokens_col(F.col(text_col))).alias("word")
     )
     counts = words.groupBy("word").agg(F.count("*").alias("freq"))
@@ -81,7 +82,7 @@ def doc_keywords_topk(
 ) -> DataFrame:
     """Per-document top-K keywords via a rank window (the reference
     computes this per document inside extraction, text.py:146-203)."""
-    words = docs.select(
+    words = fan_out(docs).select(
         F.col(id_col),
         F.explode(keyword_tokens_col(F.col(text_col))).alias("word"),
     )
@@ -106,7 +107,7 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     words_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    out = docs.select(
+    out = fan_out(docs).select(
         F.col(id_col),
         n_words.alias("word_count"),
         F.greatest(
@@ -141,7 +142,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
     scores = [marker_hits(lang).alias(f"score_{lang}") for lang in LANG_ORDER]
-    scored = docs.select(F.col(id_col), F.col(text_col), *scores)
+    scored = fan_out(docs).select(F.col(id_col), F.col(text_col), *scores)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_ORDER:
@@ -157,7 +158,7 @@ def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """BPE-ish token counting: words + digit runs + punctuation marks.
     Uses regexp_extract_all with an RE2-safe pattern (no lookarounds) so
     the DuckDB oracle is expression-identical."""
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), 0)
@@ -170,7 +171,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Document fingerprint: md5 of the whitespace/case-normalized text
     (md5 is bit-identical in Spark and DuckDB → exact SQL oracle)."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col), F.md5(normalized).alias("fingerprint")
     )
 
