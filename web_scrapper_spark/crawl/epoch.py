@@ -162,9 +162,10 @@ class CrawlEngine:
         """Seed the frontier (epoch 0 base state). seeds = [(url, stype)]
         in reference urls-list order."""
         frontier = seeds_frontier(self.spark, seeds, self.cfg.salt_buckets)
-        frontier = frontier.repartition(
-            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
-        )
+        # hash-partition on host_salt, partition COUNT chosen by AQE:
+        # a huge seed list fans out to shuffle.partitions, a small one
+        # coalesces to a single file instead of 32 near-empty ones
+        frontier = frontier.repartition("host_salt")
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
@@ -179,9 +180,7 @@ class CrawlEngine:
         columns: url (pre-canonicalized), stype, depth, ord_key."""
         frontier = with_frontier_columns(
             seeds_df, epoch=-1, salt_buckets=self.cfg.salt_buckets
-        ).repartition(
-            max(self.spark.sparkContext.defaultParallelism, 4), "host_salt"
-        )
+        ).repartition("host_salt")
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
@@ -583,8 +582,6 @@ class CrawlEngine:
             cfg.compact_min_tombstones, cfg.compact_ratio * n_frontier
         )
 
-        parallelism = max(self.spark.sparkContext.defaultParallelism, 4)
-
         # commits are independent Spark jobs over different tables —
         # submit them from threads so their stages interleave (store
         # serializes the manifest updates)
@@ -595,8 +592,11 @@ class CrawlEngine:
                 # pending ∪ retry ∪ discovered IS the post-epoch live
                 # frontier: committing it as the new base folds every
                 # outstanding delta and tombstone in one O(live) write
+                # partition count left to AQE: O(live) bases fan out,
+                # near-drained ones coalesce instead of writing 32
+                # near-empty files
                 new_base = pending_after.unionByName(frontier_delta).repartition(
-                    parallelism, "host_salt"
+                    "host_salt"
                 )
                 f_futs = {
                     "frontier_base": pool.submit(
@@ -611,7 +611,9 @@ class CrawlEngine:
                     "frontier_delta": pool.submit(
                         self.store.commit,
                         "frontier_delta",
-                        frontier_delta.repartition(parallelism, "host_salt"),
+                        # AQE sizes the delta write: O(delta) rows is
+                        # usually far below a full fan-out's worth
+                        frontier_delta.repartition("host_salt"),
                         epoch,
                     ),
                     "frontier_tomb": pool.submit(
