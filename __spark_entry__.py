@@ -608,6 +608,67 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_s3_ua_rotation(spark, sf_dir):
+    """S3: deterministic UA rotation over a synthetic request frame
+    derived from documents — hash mode (≈ random.choice, reproducible)
+    and sequential mode (the reference's rotating cursor) side by side
+    (web_scrapper_spark/crawl/fetchpolicy.py; reference
+    utils/user_agents.py:56-137)."""
+    from pyspark.sql import Window
+
+    from web_scrapper_spark.crawl.fetchpolicy import FetchPolicy, user_agent_col
+
+    policy = FetchPolicy()
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 8).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+    )
+    win = Window.partitionBy("host").orderBy("doc_id")
+    reqs = docs.withColumn("host_rank", F.row_number().over(win))
+    seq_policy = FetchPolicy(rotation="sequential")
+    return reqs.select(
+        "doc_id",
+        user_agent_col(policy, epoch=3, url_col="url").alias("ua_hash"),
+        user_agent_col(
+            seq_policy, epoch=3, url_col="url", rank_col="host_rank"
+        ).alias("ua_seq"),
+    )
+
+
+def _q_s2_fetch_session(spark, sf_dir):
+    """S2: session affinity + sticky proxy + rendered header line
+    (web_scrapper_spark/crawl/fetchpolicy.py; reference
+    scrapers/base.py:40-75)."""
+    from web_scrapper_spark.crawl.fetchpolicy import (
+        FetchPolicy,
+        with_fetch_metadata,
+    )
+
+    policy = FetchPolicy(
+        proxies=["http://egress-a:3128", "http://egress-b:3128", "http://egress-c:3128"],
+        headers={"Accept": "text/html", "Accept-Language": "en"},
+        cookies={"sid": "abc", "region": "eu"},
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 8).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+    )
+    out = with_fetch_metadata(docs, policy, epoch=5, rank_col=None)
+    return out.select("doc_id", "session_id", "proxy", "header_line")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / text analytics (A1-A4, training-data ops)
@@ -627,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
+        # session/header/proxy + UA rotation (S2/S3)
+        "s2_fetch_session": _q_s2_fetch_session,
+        "s3_ua_rotation": _q_s3_ua_rotation,
         "o2_topk": _q_o2_topk,
         # joins (J1-J3)
         "j1_coalesce_merge": _q_j1_coalesce_merge,
@@ -734,6 +798,65 @@ def _multimodal_oracle_sql() -> str:
     return _ORACLE_CACHE["multimodal"]
 
 
+def _ua_pool_sql() -> str:
+    from web_scrapper_spark.crawl.fetchpolicy import DEFAULT_USER_AGENTS
+
+    quoted = ", ".join("'" + u.replace("'", "''") + "'" for u in DEFAULT_USER_AGENTS)
+    return f"[{quoted}]"
+
+
+_MD5_IDX_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % 2147483647) % {n}"
+
+
+def _s3_ua_rotation_sql() -> str:
+    """DuckDB twin of crawl/fetchpolicy.user_agent_col (hash and
+    sequential modes, epoch=3, 12-entry default pool)."""
+    idx = _MD5_IDX_SQL.format(x="url || ':3'", n=12)
+    return f"""
+        WITH reqs AS (
+          SELECT doc_id,
+                 'https://h' || (doc_id % 8) || '.example.org/p/' || doc_id AS url,
+                 'h' || (doc_id % 8) || '.example.org' AS host
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, url, host,
+                 row_number() OVER (PARTITION BY host ORDER BY doc_id) AS host_rank
+          FROM reqs
+        )
+        SELECT doc_id,
+               list_extract({_ua_pool_sql()}, CAST({idx} AS INT) + 1) AS ua_hash,
+               list_extract({_ua_pool_sql()}, CAST((host_rank - 1 + 3) % 12 AS INT) + 1) AS ua_seq
+        FROM ranked
+    """
+
+
+def _s2_fetch_session_sql() -> str:
+    """DuckDB twin of crawl/fetchpolicy.with_fetch_metadata (epoch=5,
+    3-proxy pool, Accept/Accept-Language headers + 2 cookies)."""
+    ua_idx = _MD5_IDX_SQL.format(x="url || ':5'", n=12)
+    proxy_idx = _MD5_IDX_SQL.format(x="host", n=3)
+    crlf = "chr(13) || chr(10)"
+    return f"""
+        WITH reqs AS (
+          SELECT doc_id,
+                 'https://h' || (doc_id % 8) || '.example.org/p/' || doc_id AS url,
+                 'h' || (doc_id % 8) || '.example.org' AS host
+          FROM documents
+        )
+        SELECT doc_id,
+               substr(md5(host || ':5'), 1, 16) AS session_id,
+               list_extract(['http://egress-a:3128', 'http://egress-b:3128',
+                             'http://egress-c:3128'],
+                            CAST({proxy_idx} AS INT) + 1) AS proxy,
+               'Accept: text/html' || {crlf} ||
+               'Accept-Language: en' || {crlf} ||
+               'Cookie: region=eu; sid=abc' || {crlf} ||
+               'User-Agent: ' ||
+               list_extract({_ua_pool_sql()}, CAST({ua_idx} AS INT) + 1) AS header_line
+        FROM reqs
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # 3-word shingles matching dedup.shingles_col(text, 3)
     shingles1 = f"""list_sort(list_distinct(list_filter(
@@ -836,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 50 OFFSET 10
         """,
+        "s3_ua_rotation": _s3_ua_rotation_sql(),
+        "s2_fetch_session": _s2_fetch_session_sql(),
         "o2_topk": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20

@@ -122,6 +122,7 @@ class BoundJob:
     business: BusinessConfig = field(default_factory=BusinessConfig)
     output_format: Optional[str] = None
     output_path: Optional[str] = None
+    fetch_policy: Optional[object] = None  # crawl.fetchpolicy.FetchPolicy
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -134,7 +135,41 @@ class BoundJob:
             content=self.content,
             ecommerce=self.ecommerce,
             business=self.business,
+            fetch_policy=self.fetch_policy,
         )
+
+
+def _bind_fetch_policy(scraper: Dict[str, Any]):
+    """S2/S3 session keys (reference base.py:40-75): user_agent /
+    user_agents + rotation, proxy / proxies, headers, cookies. Returns
+    None when none are set — the engine then skips metadata columns."""
+    keys = ("user_agent", "user_agents", "ua_rotation", "proxy", "proxies",
+            "headers", "cookies")
+    if not any(k in scraper for k in keys):
+        return None
+    from .crawl.fetchpolicy import DEFAULT_USER_AGENTS, FetchPolicy
+
+    uas = scraper.get("user_agents")
+    if not uas:
+        single = scraper.get("user_agent")
+        uas = [single] if single else list(DEFAULT_USER_AGENTS)
+    proxies = scraper.get("proxies")
+    if not proxies:
+        single = scraper.get("proxy")
+        proxies = [single] if single else []
+    rotation = scraper.get("ua_rotation", "hash")
+    if rotation not in ("hash", "sequential"):
+        raise ConfigError(
+            f"scraper.ua_rotation must be 'hash' or 'sequential', got {rotation!r}"
+        )
+    headers = scraper.get("headers") or {}
+    cookies = scraper.get("cookies") or {}
+    if not isinstance(headers, dict) or not isinstance(cookies, dict):
+        raise ConfigError("scraper.headers and scraper.cookies must be mappings")
+    return FetchPolicy(
+        user_agents=list(uas), rotation=rotation, proxies=list(proxies),
+        headers=dict(headers), cookies=dict(cookies),
+    )
 
 
 def bind_job(config: Dict[str, Any]) -> BoundJob:
@@ -154,6 +189,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         else 6,
         output_format=get_value(config, "scraper.output.format"),
         output_path=get_value(config, "scraper.output.path"),
+        fetch_policy=_bind_fetch_policy(scraper),
     )
     job = BoundJob(**common)
     if stype == "ecommerce":

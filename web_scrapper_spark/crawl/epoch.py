@@ -80,6 +80,7 @@ from ..frontier.core import (
     with_frontier_columns,
 )
 from ..frontier.store import SnapshotStore
+from .fetchpolicy import FetchPolicy, with_fetch_metadata
 from ..operators.udfs import (
     extract_businesses_df,
     extract_content_df,
@@ -128,6 +129,10 @@ class CrawlConfig:
     # per-partition lineage (north star): per-(host, status) fetch
     # counts appended to a `metrics` table every epoch
     partition_metrics: bool = True
+    # S2/S3: request-metadata policy (UA rotation, session affinity,
+    # proxy stickiness, headers) attached to each fetch batch as
+    # deterministic columns; None = no metadata columns
+    fetch_policy: Optional["FetchPolicy"] = None
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -364,6 +369,12 @@ class CrawlEngine:
             for df in to_unpersist:
                 df.unpersist()
             return {"epoch": epoch, "done": True, "dequeued": 0}
+
+        # S2/S3: rotate UA / assign session + proxy as columns on the
+        # batch (narrow codegen projection — the broadcast carries a
+        # few extra strings per row, nothing shuffles)
+        if cfg.fetch_policy is not None:
+            batch = with_fetch_metadata(batch, cfg.fetch_policy, epoch)
 
         # --- fetch = lookup join against pages (J2) --------------------
         # Small batch: broadcast inner join — the huge pages side is
@@ -621,6 +632,20 @@ class CrawlEngine:
                     ),
                 }
             s_fut = pool.submit(self.store.commit, "seen", seen_delta, epoch)
+            fl_fut = None
+            if cfg.fetch_policy is not None:
+                # S2/S3 lineage: which UA/session/proxy each request
+                # used this epoch — the distributed analog of the
+                # reference's per-request session logging. Only
+                # committed when a policy is configured (zero cost
+                # otherwise).
+                fetch_log = batch.select(
+                    "url", "host", "user_agent", "session_id", "proxy",
+                    F.lit(epoch).alias("epoch"),
+                )
+                fl_fut = pool.submit(
+                    self.store.commit, "fetch_log", fetch_log, epoch
+                )
             m_fut = None
             if cfg.partition_metrics:
                 # per-partition lineage (north star): fetch outcome
@@ -639,6 +664,8 @@ class CrawlEngine:
             ssnap = s_fut.result()
             if m_fut is not None:
                 tables["metrics"] = m_fut.result()
+            if fl_fut is not None:
+                tables["fetch_log"] = fl_fut.result()
         mark("merge_commits")
         tables["seen"] = ssnap
 
