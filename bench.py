@@ -332,7 +332,13 @@ def scaling_mode() -> None:
     job in a fresh JVM pays JIT + codegen + Python-worker spawn, a
     fixed cost that would otherwise be misread as non-scaling work.
     """
-    n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "320000"))
+    # sized so the parallel fraction dominates per-epoch serial
+    # overhead (driver planning + commits) while each level's working
+    # set still fits per-core cache/bandwidth comfortably — measured
+    # 3M is the frontier sweet spot on this box (8M drops local[8]
+    # throughput ~10% from bandwidth pressure without changing the
+    # story)
+    n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "640000"))
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "3000000"))
     levels = tuple(
         int(c) for c in os.environ.get("SPARK_GRAFT_LEVELS", "2,8,32").split(",")
@@ -352,15 +358,24 @@ def scaling_mode() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     results = {"bulk": {}, "frontier": {}}
-    for cpus in levels:
-        spark = make_spark(cpus)
-        # warmup: the same epoch machinery at small scale
-        run_frontier_bench(spark, n_urls=60_000, n_hosts=64)
-        run_bulk_crawl(spark, SF_DIR, n_urls=12_000)
-        # best-of-N per level: single-box wall times vary ±10% run to
-        # run (page cache, GC, JIT recompiles); the max throughput is
-        # the least-interference estimate of what the level can do
-        for _ in range(reps):
+    # best-of-N per level, levels INTERLEAVED across repetitions: the
+    # sandbox host has multi-minute slow periods (CPU steal from
+    # co-tenants, observed 3-4x wall-time swings on identical jobs).
+    # Running 2,8,32,2,8,32 instead of 2,2,8,8,32,32 means a slow
+    # period degrades all levels instead of silently inflating one
+    # side of an efficiency ratio; the per-level max-throughput is the
+    # least-interference estimate of what the level can do.
+    for rep in range(reps):
+        for cpus in levels:
+            spark = make_spark(cpus)
+            # warmup: the same epoch machinery at small then mid scale
+            # (JIT, codegen, Python-worker spawn are per-session costs;
+            # the FIRST multi-million-row job in a fresh JVM also pays
+            # allocator/JIT ramp — measured up to 3x — so a 1M leg
+            # absorbs it before anything is timed)
+            run_frontier_bench(spark, n_urls=60_000, n_hosts=64)
+            run_frontier_bench(spark, n_urls=1_000_000)
+            run_bulk_crawl(spark, SF_DIR, n_urls=12_000)
             b = run_bulk_crawl(spark, SF_DIR, n_urls=n_urls, pages_path=pages_path)
             prev = results["bulk"].get(cpus)
             if prev is None or b["urls_per_sec"] > prev["urls_per_sec"]:
@@ -369,7 +384,7 @@ def scaling_mode() -> None:
             prev = results["frontier"].get(cpus)
             if prev is None or f["urls_per_sec"] > prev["urls_per_sec"]:
                 results["frontier"][cpus] = f
-        spark.stop()
+            spark.stop()
 
     # headline: the north-metric loop at the largest frontier the
     # sandbox holds (the protocol's 10^7 target), at full parallelism

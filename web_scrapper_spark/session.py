@@ -18,6 +18,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _launcher_sets_master() -> bool:
+    """True iff spark-submit / a cluster launcher provided the master.
+
+    Evaluated ONCE at import: ``SparkConf()`` reads the JVM's system
+    properties, and once any session has started in this process those
+    properties contain the FIRST session's ``spark.master`` — so a
+    per-call check would silently pin every later ``local[N]`` session
+    to the first N (this exact bug made an in-process scaling sweep
+    run all its parallelism levels at local[2]). At import time, before
+    any session exists, the property is only present when the launcher
+    set it.
+    """
+    from pyspark import SparkConf
+
+    try:
+        return SparkConf().contains("spark.master")
+    except Exception:
+        return False
+
+
+_MASTER_FROM_LAUNCHER = _launcher_sets_master()
+
+
 def get_spark(
     app_name: str = "web_scrapper_spark",
     cpus: int | None = None,
@@ -31,10 +54,9 @@ def get_spark(
     builder = SparkSession.builder
     # under spark-submit the master comes from the launcher
     # (--master / cluster manager) — only default to local[cpus] when
-    # nothing configured it, so the same code path serves both
-    from pyspark import SparkConf
-
-    if not SparkConf().contains("spark.master"):
+    # nothing configured it, so the same code path serves both.
+    # The launcher check is latched at import (see _launcher_sets_master)
+    if not _MASTER_FROM_LAUNCHER:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.appName(app_name)
