@@ -608,6 +608,14 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) local fingerprints — MOSS algorithm
+    over 3-word shingles, window 4 (operators/textops.py
+    winnow_fingerprints)."""
+    docs = _read(spark, sf_dir, "documents")
+    return _tx.winnow_fingerprints(docs, k=3, w=4)
+
+
 def _q_s3_ua_rotation(spark, sf_dir):
     """S3: deterministic UA rotation over a synthetic request frame
     derived from documents — hash mode (≈ random.choice, reproducible)
@@ -678,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "tok_bpe": _q_tok_bpe,
         "fingerprint_md5": _q_fingerprint,
+        "fingerprint_winnow": _q_fingerprint_winnow,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -904,6 +913,34 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "fingerprint_winnow": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_filter(
+                       CASE WHEN len({_TOKS_SQL}) < 3
+                            THEN [array_to_string({_TOKS_SQL}, ' ')]
+                            ELSE list_transform(
+                                   generate_series(1, len({_TOKS_SQL}) - 2),
+                                   i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))
+                       END, x -> x <> '') AS grams
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+                     ) AS h
+              FROM sh
+            ), fps AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4
+                          THEN list_transform(generate_series(1, len(h) - 3),
+                                              i -> list_min(h[i:i+3]))
+                          WHEN len(h) > 0 THEN [list_min(h)]
+                          ELSE [] END AS mins
+              FROM hashed
+            )
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM fps
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

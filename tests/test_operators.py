@@ -71,6 +71,63 @@ class TestTextops:
 
         assert out[1] == out[2] == hashlib.md5(b"hello world").hexdigest()
 
+    def test_winnow_matches_pure_python(self, spark):
+        """Spark winnowing == straight-line reference implementation."""
+        import hashlib
+        import re
+
+        def ref_winnow(text, k=3, w=4):
+            toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+            grams = (
+                [" ".join(toks)]
+                if 0 < len(toks) < k
+                else [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            )
+            grams = [g for g in grams if g]
+            h = [
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 2147483647
+                for g in grams
+            ]
+            if not h:
+                return set()
+            if len(h) < w:
+                return {min(h)}
+            return {min(h[i : i + w]) for i in range(len(h) - w + 1)}
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "short doc",
+            "a b c d e f g h i j k l m n o p",
+            "",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = tx.winnow_fingerprints(df, k=3, w=4).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, t in enumerate(texts):
+            assert got.get(i, set()) == ref_winnow(t), f"doc {i}"
+
+    def test_winnow_shared_run_guarantee(self, spark):
+        """Winnowing's core property: documents sharing a run of
+        >= w+k-1 tokens share at least one fingerprint."""
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+        df = spark.createDataFrame(
+            [
+                (1, f"unrelated prefix words here {shared} and a suffix"),
+                (2, f"{shared} totally different continuation tokens"),
+                (3, "nothing in common with either document at all"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = tx.winnow_fingerprints(df, k=3, w=4).collect()
+        fps = {}
+        for r in rows:
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+
     def test_token_count_bpe(self, spark):
         df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
         row = tx.token_count_bpe(df).first()

@@ -48,15 +48,15 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text_col: str, n: int = 3):
-    """Distinct sorted n-gram (word) shingles of the token stream.
+def ordered_shingles_col(text_col: str, n: int = 3):
+    """n-gram (word) shingles in DOCUMENT ORDER, repeats kept — the
+    positional sequence winnowing and rolling-hash fingerprints need.
 
     Built from ``zip_with`` over shifted copies of the token array —
     O(n·L) per doc. (The naive ``transform(sequence(...), i ->
     concat_ws(slice(toks, i, n)))`` is O(n·L²): ``slice`` copies per
     position; on multi-KB docs that made shingling the dominant cost
-    of the whole MinHash pipeline.) Sorted for deterministic
-    comparisons in both engines."""
+    of the whole MinHash pipeline.)"""
     toks = tokens_col(F.col(text_col))
     size = F.size(toks)
     acc = toks
@@ -67,7 +67,13 @@ def shingles_col(text_col: str, n: int = 3):
         acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
     joined = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0)))
     short = F.when(size < n, F.array(F.concat_ws(" ", toks))).otherwise(joined)
-    return F.array_sort(F.array_distinct(F.filter(short, lambda s: s != F.lit(""))))
+    return F.filter(short, lambda s: s != F.lit(""))
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct sorted shingle SET (MinHash/Jaccard form) — sorted for
+    deterministic comparisons in both engines."""
+    return F.array_sort(F.array_distinct(ordered_shingles_col(text_col, n)))
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)

@@ -176,6 +176,61 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+WINNOW_MOD = 2147483647  # 2^31-1, the engine's shared md5→long modulus
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Local document fingerprints by winnowing (Schleimer, Wilkerson,
+    Aiken, SIGMOD'03 — the MOSS algorithm): hash every k-gram (word
+    shingle), slide a window of ``w`` consecutive hashes, keep each
+    window's minimum. Guarantees any shared run of ≥ w+k-1 tokens
+    between two documents yields at least one shared fingerprint —
+    the partial-overlap detector that a whole-document digest can't be.
+
+    All native expressions: the shingle hash is the engine's standard
+    ``md5 → first 60 bits → mod 2^31-1`` (bit-identical in DuckDB for
+    the exact SQL oracle), the window minima come from
+    ``transform(sequence(...)) → array_min(slice(...))`` — O(m·w) per
+    doc with w small, no shuffle, whole-stage codegen. Output: one row
+    per distinct fingerprint, (id, fp) — the set form used for
+    overlap joins (docs sharing a fp are plagiarism/near-dup
+    candidates via a plain equality self-join, never a cross join).
+    """
+    from .dedup import ordered_shingles_col
+
+    hashes = F.transform(
+        ordered_shingles_col(text_col, k),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(WINNOW_MOD),
+        ),
+    )
+    m = F.size(hashes)
+    # windows exist only when m >= w; shorter docs contribute their
+    # global minimum (the standard degenerate case)
+    mins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Validator predicates as native Column expressions (F7-F13)
 # ---------------------------------------------------------------------------
