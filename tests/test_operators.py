@@ -128,6 +128,27 @@ class TestTextops:
             fps.setdefault(r["doc_id"], set()).add(r["fp"])
         assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
 
+    def test_pii_redact(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@site.co.uk or call (555) 867-5309 now"),
+                (2, "server 192.168.10.1 charged 4111 1111 1111 1234 ok"),
+                (3, "intl +1 800-555-1234 and 10.0.0.1 and x@y.io"),
+                (4, "nothing sensitive here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in tx.pii_redact(df).collect()}
+        assert rows[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+        assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
+        assert rows[2]["redacted"] == "server <IP> charged <CC> ok"
+        assert (rows[2]["n_cc"], rows[2]["n_ip"]) == (1, 1)
+        assert rows[3]["redacted"] == "intl <PHONE> and <IP> and <EMAIL>"
+        assert rows[4]["redacted"] == "nothing sensitive here"
+        assert (
+            rows[4]["n_email"] + rows[4]["n_cc"] + rows[4]["n_ip"] + rows[4]["n_phone"]
+        ) == 0
+
     def test_token_count_bpe(self, spark):
         df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
         row = tx.token_count_bpe(df).first()

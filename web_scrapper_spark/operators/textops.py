@@ -232,6 +232,46 @@ def winnow_fingerprints(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction — the scrub stage every web-text training pipeline runs
+# before tokenization. Patterns are RE2-safe (no lookaround, no
+# backrefs) so Spark's java.util.regex and DuckDB's RE2 agree exactly,
+# giving this op a hash-exact SQL oracle. Precedence chain matters and
+# is part of the contract: email → credit-card → ip → phone (the CC
+# pattern would otherwise be eaten group-wise by the phone pattern, and
+# IP octets by phone digit runs).
+# ---------------------------------------------------------------------------
+
+PII_STAGES = (
+    # (name, pattern, replacement) — applied IN ORDER, each stage
+    # counting matches on the text as left by the previous stage
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\(\d{3}\) ?\d{3}-\d{4}|\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / credit cards / IPv4s / phone numbers to typed
+    placeholders and count each kind — one narrow projection, all
+    native ``regexp_count``/``regexp_replace`` (whole-stage codegen; at
+    100 TB this runs as a map-only stage with zero shuffle).
+
+    Returns (id, redacted, n_email, n_cc, n_ip, n_phone).
+    """
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, tag in PII_STAGES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, tag)
+    return fan_out(docs).select(
+        F.col(id_col), cur.alias("redacted"), *counts
+    )
+
+
+# ---------------------------------------------------------------------------
 # Validator predicates as native Column expressions (F7-F13)
 # ---------------------------------------------------------------------------
 
