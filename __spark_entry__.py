@@ -66,6 +66,35 @@ _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 )
 
+# Winnowing fingerprint pipeline (k=3, w=4) as a DuckDB CTE chain —
+# shared by the fingerprint_winnow and winnow_overlap_pairs oracles.
+# Hash matches the engine's md5 → first 60 bits → mod 2^31-1 exactly.
+_WINNOW_FPS_CTE = f"""sh AS (
+              SELECT doc_id,
+                     list_filter(
+                       CASE WHEN len({_TOKS_SQL}) < 3
+                            THEN [array_to_string({_TOKS_SQL}, ' ')]
+                            ELSE list_transform(
+                                   generate_series(1, len({_TOKS_SQL}) - 2),
+                                   i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))
+                       END, x -> x <> '') AS grams
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+                     ) AS h
+              FROM sh
+            ), fps AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4
+                          THEN list_transform(generate_series(1, len(h) - 3),
+                                              i -> list_min(h[i:i+3]))
+                          WHEN len(h) > 0 THEN [list_min(h)]
+                          ELSE [] END AS mins
+              FROM hashed
+            )"""
+
 
 def _cents(col):
     return F.round(col * 100).cast("long")
@@ -616,6 +645,13 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return _tx.winnow_fingerprints(docs, k=3, w=4)
 
 
+def _q_winnow_overlap(spark, sf_dir):
+    """MOSS pair report: docs sharing >=2 winnow fingerprints, hot
+    (boilerplate) fps capped at df<=50 (textops.winnow_overlap_pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    return _tx.winnow_overlap_pairs(docs, k=3, w=4, min_shared=2, max_df=50)
+
+
 def _q_pii_redact(spark, sf_dir):
     """PII scrub over documents.text salted with deterministic
     synthetic PII (email + phone + IP derived from doc_id) so every
@@ -712,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "pii_redact": _q_pii_redact,
+        "winnow_overlap_pairs": _q_winnow_overlap,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -940,32 +977,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_winnow": f"""
-            WITH sh AS (
-              SELECT doc_id,
-                     list_filter(
-                       CASE WHEN len({_TOKS_SQL}) < 3
-                            THEN [array_to_string({_TOKS_SQL}, ' ')]
-                            ELSE list_transform(
-                                   generate_series(1, len({_TOKS_SQL}) - 2),
-                                   i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))
-                       END, x -> x <> '') AS grams
-              FROM documents
-            ), hashed AS (
-              SELECT doc_id,
-                     list_transform(grams,
-                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
-                     ) AS h
-              FROM sh
-            ), fps AS (
-              SELECT doc_id,
-                     CASE WHEN len(h) >= 4
-                          THEN list_transform(generate_series(1, len(h) - 3),
-                                              i -> list_min(h[i:i+3]))
-                          WHEN len(h) > 0 THEN [list_min(h)]
-                          ELSE [] END AS mins
-              FROM hashed
-            )
+            WITH {_WINNOW_FPS_CTE}
             SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM fps
+        """,
+        "winnow_overlap_pairs": f"""
+            WITH {_WINNOW_FPS_CTE},
+            fpx AS (
+              SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM fps
+            ), rare AS (
+              SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 50
+            ), fpr AS (
+              SELECT fpx.doc_id, fpx.fp FROM fpx JOIN rare USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM fpr a JOIN fpr b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "pii_redact": """
             WITH salted AS (

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "a4_run_report",
     "lang_id",
     "fingerprint_md5",
+    "fingerprint_winnow",
+    "pii_redact",
 ]
 
 
@@ -334,12 +336,16 @@ def scaling_mode() -> None:
     """
     # sized so the parallel fraction dominates per-epoch serial
     # overhead (driver planning + commits) while each level's working
-    # set still fits per-core cache/bandwidth comfortably — measured
-    # 3M is the frontier sweet spot on this box (8M drops local[8]
-    # throughput ~10% from bandwidth pressure without changing the
-    # story)
+    # set still fits per-core cache/bandwidth comfortably. The round-2
+    # engine is ~30% faster per URL than round 1, which shrank the
+    # parallel work at 3M below the ~6 s of fixed per-epoch driver
+    # cost (Amdahl fit from phase timings: dequeue 2.9 s + fetch 1.5 s
+    # + commits 1.6 s serial); 4.5M restores P/S ≈ 30 (measured
+    # 2→8 efficiency 0.83 at 4.5M vs 0.75-0.80 at 3M) while local[8]
+    # per-URL throughput stays within a few % of its 3M level (8M is
+    # where bandwidth pressure starts costing ~10%)
     n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "640000"))
-    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "3000000"))
+    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4500000"))
     levels = tuple(
         int(c) for c in os.environ.get("SPARK_GRAFT_LEVELS", "2,8,32").split(",")
     )

@@ -128,6 +128,25 @@ class TestTextops:
             fps.setdefault(r["doc_id"], set()).add(r["fp"])
         assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
 
+    def test_winnow_overlap_pairs(self, spark):
+        """Docs sharing a long run pair up; boilerplate fps (present in
+        every doc) are capped out by max_df and create no pairs."""
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        boiler = "site footer copyright terms privacy contact"
+        df = spark.createDataFrame(
+            [
+                (1, f"one unique intro {shared} tail a {boiler}"),
+                (2, f"{shared} two other continuation words {boiler}"),
+                (3, f"three completely different body text here {boiler}"),
+                (4, f"four nothing shared with anyone else at all {boiler}"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = tx.winnow_overlap_pairs(df, min_shared=2, max_df=3).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (1, 2) in pairs
+        assert all(p == (1, 2) for p in pairs), pairs
+
     def test_pii_redact(self, spark):
         df = spark.createDataFrame(
             [

@@ -204,13 +204,20 @@ def winnow_fingerprints(
     """
     from .dedup import ordered_shingles_col
 
-    hashes = F.transform(
+    hash_expr = F.transform(
         ordered_shingles_col(text_col, k),
         lambda s: F.pmod(
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             F.lit(WINNOW_MOD),
         ),
     )
+    # Materialize the hash array in its own projection: every window's
+    # array_min(slice(...)) references it, and an inlined expression
+    # would recompute all m md5s per window — O(m²) per doc. As a
+    # non-cheap alias with multiple references, CollapseProject keeps
+    # the projection, so the md5 pass runs once per row.
+    hashed = fan_out(docs).select(F.col(id_col), hash_expr.alias("_h"))
+    hashes = F.col("_h")
     m = F.size(hashes)
     # windows exist only when m >= w; shorter docs contribute their
     # global minimum (the standard degenerate case)
@@ -225,9 +232,47 @@ def winnow_fingerprints(
             F.array().cast("array<bigint>")
         )
     )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints:
+    docs sharing ≥ ``min_shared`` fingerprints copied a run of text
+    from each other (MOSS's pair report). An equality self-join on
+    ``fp`` — never a cross join; the shuffle key is the fingerprint,
+    so cost is Σ df(fp)² over fingerprints, bounded by dropping fps
+    present in more than ``max_df`` docs (boilerplate n-grams — chrome,
+    footers — carry no plagiarism signal and would otherwise make one
+    hot fp a quadratic straggler at 100 TB).
+
+    Returns (id_a, id_b, shared_fps), id_a < id_b.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (
-        fan_out(docs)
-        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 
