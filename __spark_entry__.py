@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_scrapper_spark.operators import dedup as _dd
+from web_scrapper_spark.operators import quality as _qual
 from web_scrapper_spark.operators import similarity as _sim
 from web_scrapper_spark.operators import textops as _tx
 from web_scrapper_spark.sources import query_table as _query_table
@@ -94,6 +95,105 @@ _WINNOW_FPS_CTE = f"""sh AS (
                           ELSE [] END AS mins
               FROM hashed
             )"""
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of operators/quality.gopher_quality.
+
+    Re-derives the modal-n-gram counts via unnest + GROUP BY +
+    row_number (vs the engine's per-row sorted-run fold) — same
+    answers, independent algorithm. All ratios are ppm BIGINTs built
+    as round(num * 1e6 / den) with operand order matching the Spark
+    side exactly, so the IEEE division is bit-identical.
+    """
+    t = _qual.GOPHER_THRESHOLDS_PPM
+
+    def gram_ctes(n: int) -> str:
+        return f"""g{n} AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= {n}
+                                 THEN list_transform(
+                                        generate_series(1, len(t) - {n - 1}),
+                                        i -> array_to_string(t[i:i+{n - 1}], ' '))
+                                 ELSE [] END) AS g
+              FROM feat
+            ), c{n} AS (
+              SELECT doc_id, g, count(*) AS c, len(g) - {n - 1} AS gl
+              FROM g{n} GROUP BY doc_id, g
+            )"""
+
+    mode_cte = """m{n} AS (
+              SELECT doc_id, c * gl AS chars{n}
+              FROM (SELECT doc_id, c, gl,
+                           row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY c DESC, gl DESC, g ASC) AS rn
+                    FROM c{n})
+              WHERE rn = 1
+            )"""
+    return f"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS_SQL} AS t,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, t,
+                     len(t) AS word_count,
+                     COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS wchars,
+                     len(lines) AS line_count,
+                     len(lines) - len(list_distinct(lines)) AS dup_lines,
+                     COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) AS lchars,
+                     COALESCE(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0) AS dlchars,
+                     len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ell_lines,
+                     len(list_filter(lines, l -> substr(l, 1, 1) IN ('•', '-', '*'))) AS bullet_lines,
+                     len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+                     len(text) - len(replace(text, '#', '')) AS hash_count,
+                     (len(text) - len(replace(text, '...', ''))) / 3 AS ell_count
+              FROM base
+            ), {gram_ctes(2)}, {mode_cte.format(n=2)},
+            {gram_ctes(3)}, {mode_cte.format(n=3)},
+            {gram_ctes(4)}, {mode_cte.format(n=4)},
+            {gram_ctes(5)}, d5 AS (
+              SELECT doc_id, SUM((c - 1) * gl) AS dup5
+              FROM c5 GROUP BY doc_id
+            ), ppm AS (
+              SELECT f.doc_id,
+                     f.word_count,
+                     CAST(round(f.wchars * 1000000.0 / greatest(f.word_count, 1)) AS BIGINT) AS mean_word_len_ppm,
+                     f.line_count,
+                     CAST(round(f.dup_lines * 1000000.0 / greatest(f.line_count, 1)) AS BIGINT) AS dup_line_ppm,
+                     CAST(round((f.lchars - f.dlchars) * 1000000.0 / greatest(f.lchars, 1)) AS BIGINT) AS dup_line_char_ppm,
+                     CAST(round(COALESCE(m2.chars2, 0) * 1000000.0 / greatest(f.wchars, 1)) AS BIGINT) AS top2_char_ppm,
+                     CAST(round(COALESCE(m3.chars3, 0) * 1000000.0 / greatest(f.wchars, 1)) AS BIGINT) AS top3_char_ppm,
+                     CAST(round(COALESCE(m4.chars4, 0) * 1000000.0 / greatest(f.wchars, 1)) AS BIGINT) AS top4_char_ppm,
+                     CAST(round(COALESCE(d5.dup5, 0) * 1000000.0 / greatest(f.wchars, 1)) AS BIGINT) AS dup5_char_ppm,
+                     CAST(round(f.ell_lines * 1000000.0 / greatest(f.line_count, 1)) AS BIGINT) AS ellipsis_line_ppm,
+                     CAST(round(f.bullet_lines * 1000000.0 / greatest(f.line_count, 1)) AS BIGINT) AS bullet_line_ppm,
+                     CAST(round(f.alpha_words * 1000000.0 / greatest(f.word_count, 1)) AS BIGINT) AS alpha_word_ppm,
+                     CAST(round((f.hash_count + f.ell_count) * 1000000.0 / greatest(f.word_count, 1)) AS BIGINT) AS symbol_word_ppm
+              FROM feat f
+              LEFT JOIN m2 ON f.doc_id = m2.doc_id
+              LEFT JOIN m3 ON f.doc_id = m3.doc_id
+              LEFT JOIN m4 ON f.doc_id = m4.doc_id
+              LEFT JOIN d5 ON f.doc_id = d5.doc_id
+            )
+            SELECT *,
+                   (word_count BETWEEN {t["min_words"]} AND {t["max_words"]}
+                    AND mean_word_len_ppm BETWEEN {t["min_mean_word_len_ppm"]} AND {t["max_mean_word_len_ppm"]}
+                    AND dup_line_ppm <= {t["max_dup_line_ppm"]}
+                    AND dup_line_char_ppm <= {t["max_dup_line_char_ppm"]}
+                    AND top2_char_ppm <= {t["max_top2_char_ppm"]}
+                    AND top3_char_ppm <= {t["max_top3_char_ppm"]}
+                    AND top4_char_ppm <= {t["max_top4_char_ppm"]}
+                    AND dup5_char_ppm <= {t["max_dup5_char_ppm"]}
+                    AND ellipsis_line_ppm <= {t["max_ellipsis_line_ppm"]}
+                    AND bullet_line_ppm <= {t["max_bullet_line_ppm"]}
+                    AND alpha_word_ppm >= {t["min_alpha_word_ppm"]}
+                    AND symbol_word_ppm <= {t["max_symbol_word_ppm"]}) AS gopher_keep
+            FROM ppm
+        """
 
 
 def _cents(col):
@@ -676,6 +776,15 @@ def _q_pii_redact(spark, sf_dir):
     return _tx.pii_redact(salted)
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher repetition/quality filter (Rae et al. 2021, Table A1)
+    over documents — duplicate-line fractions, modal-n-gram char
+    fractions via a zero-shuffle sorted-run fold, shape heuristics,
+    and the composite keep flag (operators/quality.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    return _qual.gopher_quality(docs)
+
+
 def _q_s3_ua_rotation(spark, sf_dir):
     """S3: deterministic UA rotation over a synthetic request frame
     derived from documents — hash mode (≈ random.choice, reproducible)
@@ -749,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": _q_fingerprint_winnow,
         "pii_redact": _q_pii_redact,
         "winnow_overlap_pairs": _q_winnow_overlap,
+        "gopher_quality": _q_gopher_quality,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1029,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t3, '\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b')) AS BIGINT) AS n_phone
             FROM s3
         """,
+        "gopher_quality": _gopher_oracle_sql(),
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
                    min(doc_id) AS keep_id, count(*) AS dup_count

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "fingerprint_md5",
     "fingerprint_winnow",
     "pii_redact",
+    "gopher_quality",
 ]
 
 

@@ -470,3 +470,80 @@ class TestExcelIO:
         write_xlsx_sheets({name: df}, path)
         assert list_sheets(path) == [name]
         assert read_xlsx(spark, path, sheet_name=name).count() == 1
+
+
+class TestGopherQuality:
+    """operators/quality.py — Gopher (Rae et al. 2021) repetition and
+    shape heuristics, hand-computed on tiny documents."""
+
+    def _run(self, spark, rows):
+        from web_scrapper_spark.operators.quality import gopher_quality
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    def test_duplicate_lines(self, spark):
+        out = self._run(
+            spark,
+            [(1, "the cat sat on the mat\nthe cat sat on the mat\nunique line here")],
+        )[1]
+        # 3 lines, 1 is a repeat -> 1/3; 22 of 60 line chars are repeats
+        assert out["line_count"] == 3
+        assert out["dup_line_ppm"] == 333333
+        assert out["dup_line_char_ppm"] == 366667  # 22/60
+
+    def test_modal_ngram_char_fraction(self, spark):
+        out = self._run(
+            spark,
+            [(1, "the cat sat on the mat\nthe cat sat on the mat\nunique line here")],
+        )[1]
+        # modal bigram at count 2, tie broken by longest then smallest
+        # gram -> 'cat sat' (6 chars): 2*6 of 48 token chars
+        assert out["top2_char_ppm"] == 250000
+
+    def test_overlapping_repeat_exceeds_one(self, spark):
+        # 'spam' x6: modal bigram 'spam spam' occurs 5x overlapping ->
+        # fraction 5*8/24 > 1, matching Gopher's overlap-counting
+        out = self._run(spark, [(1, "spam spam spam spam spam spam")])[1]
+        assert out["top2_char_ppm"] == 1666667
+        assert not out["gopher_keep"]
+
+    def test_dup5_counts_occurrences_beyond_first(self, spark):
+        # 7 tokens 'a b c d e a b': single 5-gram each -> no dup
+        out = self._run(spark, [(1, "a b c d e a b")])[1]
+        assert out["dup5_char_ppm"] == 0
+        # 'a b c d e a b c d e' -> 5-gram 'a b c d e' twice (positions
+        # 1 and 6): dup chars = (2-1)*5 of 10
+        out2 = self._run(spark, [(1, "a b c d e a b c d e")])[1]
+        assert out2["dup5_char_ppm"] == 500000
+
+    def test_shape_heuristics(self, spark):
+        out = self._run(spark, [(1, "• one\n• two\n• three\nend...")])[1]
+        assert out["bullet_line_ppm"] == 750000
+        assert out["ellipsis_line_ppm"] == 250000
+        assert out["symbol_word_ppm"] == 250000  # one '...' / 4 words
+
+    def test_empty_and_keep(self, spark):
+        rows = [
+            (1, ""),
+            (
+                2,
+                " ".join(
+                    f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+                    for i in range(20)
+                ),
+            ),
+        ]
+        out = self._run(spark, rows)
+        assert out[1]["word_count"] == 0 and not out[1]["gopher_keep"]
+        # 100 distinct-ish words, mean len in range, no repetition
+        assert out[2]["gopher_keep"]
+
+    def test_thresholds_reject_repetitive(self, spark):
+        # a 60-word doc that is one sentence repeated 10x: dup lines 0
+        # (single line) but modal 3-gram fraction is huge
+        text = "tokens repeat endlessly in this document " * 10
+        out = self._run(spark, [(1, text.strip())])[1]
+        assert out["word_count"] == 60
+        assert out["top3_char_ppm"] > 180000
+        assert not out["gopher_keep"]

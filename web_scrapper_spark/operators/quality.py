@@ -1,0 +1,207 @@
+"""Gopher-style repetition / quality filtering for web text.
+
+Implements the document-quality heuristics published in "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher"
+(Rae et al. 2021, Table A1) — the standard pre-training corpus filter
+set: duplicate-line fractions, most-common-n-gram character fractions,
+duplicate-n-gram character fraction, bullet/ellipsis line shape,
+symbol-to-word ratio, and alphabetic-word fraction.
+
+Everything is computed PER ROW with native higher-order functions
+(``transform`` / ``filter`` / ``aggregate`` over token arrays) — zero
+shuffles, zero Python, whole-stage codegen end to end.  The modal
+n-gram is found by sorting the row's n-gram array and folding a
+longest-run struct over it (O(m log m) per document) instead of an
+explode → groupBy(doc, gram) shuffle, so the operator's cost scales
+linearly with corpus bytes and is embarrassingly parallel at 100 TB.
+
+The DuckDB oracle twin (``__spark_entry__.oracle_sql``) re-derives the
+same numbers independently via ``unnest`` + ``GROUP BY`` — same
+answers, different algorithm — so the fold is cross-checked against
+plain SQL semantics at sf0.01.
+
+Reference parity note: the reference scraper has no corpus-quality
+surface; this operator is part of the training-data pipeline layer
+(SURVEY.md §6) alongside dedup/similarity/fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .partitioning import fan_out
+from .textops import tokens_col
+
+# Published Gopher thresholds (Rae et al. 2021, Table A1), expressed in
+# parts-per-million so every ratio crossing the oracle hash gate is an
+# integer (house rule: no raw float columns in compared outputs).
+GOPHER_THRESHOLDS_PPM = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len_ppm": 3_000_000,
+    "max_mean_word_len_ppm": 10_000_000,
+    "max_dup_line_ppm": 300_000,
+    "max_dup_line_char_ppm": 200_000,
+    "max_top2_char_ppm": 200_000,
+    "max_top3_char_ppm": 180_000,
+    "max_top4_char_ppm": 160_000,
+    "max_dup5_char_ppm": 150_000,
+    "max_ellipsis_line_ppm": 300_000,
+    "max_bullet_line_ppm": 900_000,
+    "min_alpha_word_ppm": 800_000,
+    "max_symbol_word_ppm": 100_000,
+}
+
+_BULLETS = ("•", "-", "*")
+
+
+def _ngrams_col(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the doc is shorter
+    than n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _mode_run_fold(sorted_grams: Column, joiner_chars: int) -> Column:
+    """Fold a longest-run tracker over a SORTED gram array.
+
+    Returns struct(bn, bl, dup): ``bn`` = occurrences of the modal
+    gram, ``bl`` = its character length excluding the ``joiner_chars``
+    joining spaces, ``dup`` = total characters in occurrences beyond
+    the first of every duplicated gram ((count-1) * len summed).
+
+    Ties on count break by longer gram, then lexicographically
+    smaller gram — mirrored exactly in the SQL oracle's arg-max.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bn"),
+        F.lit(0).alias("bl"),
+        F.lit("").alias("bg"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        nr = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        gl = F.length(x) - F.lit(joiner_chars)
+        better = (nr > acc["bn"]) | (
+            (nr == acc["bn"])
+            & ((gl > acc["bl"]) | ((gl == acc["bl"]) & (x < acc["bg"])))
+        )
+        return F.struct(
+            x.alias("prev"),
+            nr.alias("run"),
+            F.when(better, nr).otherwise(acc["bn"]).alias("bn"),
+            F.when(better, gl).otherwise(acc["bl"]).alias("bl"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            (acc["dup"] + F.when(nr > 1, gl).otherwise(F.lit(0))).alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["bn"].alias("bn"), acc["bl"].alias("bl"), acc["dup"].alias("dup")
+        ),
+    )
+
+
+def _ppm(num: Column, den: Column) -> Column:
+    """round(num * 1e6 / den) as a long — both engines compute the
+    IEEE-754 division on identical integers and round half away from
+    zero, so the result is bit-deterministic cross-engine."""
+    return F.round(num.cast("double") * F.lit(1_000_000.0) / den).cast("long")
+
+
+def gopher_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher repetition/quality metrics + keep flag.
+
+    Output: one row per document with integer ppm repetition ratios,
+    shape heuristics, and ``gopher_keep`` — true iff the document
+    passes every published threshold in
+    :data:`GOPHER_THRESHOLDS_PPM`.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    wchars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    d_words = F.greatest(n_words, F.lit(1)).cast("double")
+    d_wchars = F.greatest(wchars, F.lit(1)).cast("double")
+
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda l: l != F.lit("")
+    )
+    n_lines = F.size(lines)
+    d_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    dlines = F.array_distinct(lines)
+    lchars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dlchars = F.aggregate(dlines, F.lit(0), lambda a, l: a + F.length(l))
+
+    ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin(*_BULLETS),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    hash_count = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # '...' removals strip exactly 3 chars each, so the diff/3 below is
+    # an exact integer-valued double
+    ell_count = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+
+    mode2 = _mode_run_fold(F.array_sort(_ngrams_col(toks, 2)), 1)
+    mode3 = _mode_run_fold(F.array_sort(_ngrams_col(toks, 3)), 2)
+    mode4 = _mode_run_fold(F.array_sort(_ngrams_col(toks, 4)), 3)
+    mode5 = _mode_run_fold(F.array_sort(_ngrams_col(toks, 5)), 4)
+
+    out = fan_out(docs).select(
+        F.col(id_col),
+        n_words.alias("word_count"),
+        _ppm(wchars, d_words).alias("mean_word_len_ppm"),
+        n_lines.alias("line_count"),
+        _ppm(n_lines - F.size(dlines), d_lines).alias("dup_line_ppm"),
+        _ppm(lchars - dlchars, F.greatest(lchars, F.lit(1))).alias(
+            "dup_line_char_ppm"
+        ),
+        _ppm(mode2["bn"] * mode2["bl"], d_wchars).alias("top2_char_ppm"),
+        _ppm(mode3["bn"] * mode3["bl"], d_wchars).alias("top3_char_ppm"),
+        _ppm(mode4["bn"] * mode4["bl"], d_wchars).alias("top4_char_ppm"),
+        _ppm(mode5["dup"], d_wchars).alias("dup5_char_ppm"),
+        _ppm(ell_lines, d_lines).alias("ellipsis_line_ppm"),
+        _ppm(bullet_lines, d_lines).alias("bullet_line_ppm"),
+        _ppm(alpha_words, d_words).alias("alpha_word_ppm"),
+        _ppm(hash_count + ell_count, d_words).alias("symbol_word_ppm"),
+    )
+    t = GOPHER_THRESHOLDS_PPM
+    keep = (
+        F.col("word_count").between(t["min_words"], t["max_words"])
+        & F.col("mean_word_len_ppm").between(
+            t["min_mean_word_len_ppm"], t["max_mean_word_len_ppm"]
+        )
+        & (F.col("dup_line_ppm") <= t["max_dup_line_ppm"])
+        & (F.col("dup_line_char_ppm") <= t["max_dup_line_char_ppm"])
+        & (F.col("top2_char_ppm") <= t["max_top2_char_ppm"])
+        & (F.col("top3_char_ppm") <= t["max_top3_char_ppm"])
+        & (F.col("top4_char_ppm") <= t["max_top4_char_ppm"])
+        & (F.col("dup5_char_ppm") <= t["max_dup5_char_ppm"])
+        & (F.col("ellipsis_line_ppm") <= t["max_ellipsis_line_ppm"])
+        & (F.col("bullet_line_ppm") <= t["max_bullet_line_ppm"])
+        & (F.col("alpha_word_ppm") >= t["min_alpha_word_ppm"])
+        & (F.col("symbol_word_ppm") <= t["max_symbol_word_ppm"])
+    )
+    return out.withColumn("gopher_keep", keep)
