@@ -776,6 +776,43 @@ def _q_pii_redact(spark, sf_dir):
     return _tx.pii_redact(salted)
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over documents
+    — line-level terminal-punctuation / <3-word / javascript drops
+    with per-rule counters, page-level lorem-ipsum / brace / sentence
+    gates; cleaned text crosses the gate as md5
+    (operators/quality.py c4_clean).
+
+    The synthetic corpus is single-line unpunctuated prose, so the raw
+    table would exercise no rule; the doc is salted deterministically
+    with one line per rule class (kept / short / nopunct / js) and
+    doc_id-modular lorem and brace lines so every counter and both
+    keep outcomes appear in the gate."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Short line"),
+            F.concat(
+                F.lit("This sentence number "),
+                did.cast("string"),
+                F.lit(" is properly terminated."),
+            ),
+            F.lit("Beware javascript code here today."),
+            F.lit("Another good sentence follows here!"),
+            F.lit("The quick brown fox jumps over the lazy dog."),
+            F.when(did % 7 == 0, F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("A clean closing line comes here?")),
+            F.when(did % 11 == 0, F.lit("code { block }"))
+            .otherwise(F.lit("The final sentence stands well.")),
+        ).alias("text"),
+    )
+    return _qual.c4_clean(salted)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher repetition/quality filter (Rae et al. 2021, Table A1)
     over documents — duplicate-line fractions, modal-n-gram char
@@ -859,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1140,6 +1178,59 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "gopher_quality": _gopher_oracle_sql(),
+        # plain (non-f) string: literal '{' below must not interpolate
+        "c4_clean": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || chr(10) || 'Short line' || chr(10) ||
+                     'This sentence number ' || CAST(doc_id AS VARCHAR) ||
+                     ' is properly terminated.' || chr(10) ||
+                     'Beware javascript code here today.' || chr(10) ||
+                     'Another good sentence follows here!' || chr(10) ||
+                     'The quick brown fox jumps over the lazy dog.' || chr(10) ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+                          ELSE 'A clean closing line comes here?' END || chr(10) ||
+                     CASE WHEN doc_id % 11 = 0 THEN 'code ' || chr(123) || ' block ' || chr(125)
+                          ELSE 'The final sentence stands well.' END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text,
+                     list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+              FROM salted
+            ), feat AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l ->
+                       len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 3
+                       AND regexp_matches(l, '[.!?"]$')
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM base
+            ), agg AS (
+              SELECT doc_id, text,
+                     len(lines) AS line_count,
+                     len(kept) AS kept_line_count,
+                     len(list_filter(lines, l ->
+                       len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) < 3)) AS short_dropped,
+                     len(list_filter(lines, l ->
+                       len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 3
+                       AND NOT regexp_matches(l, '[.!?"]$'))) AS nopunct_dropped,
+                     len(list_filter(lines, l ->
+                       len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 3
+                       AND regexp_matches(l, '[.!?"]$')
+                       AND contains(lower(l), 'javascript'))) AS js_dropped,
+                     COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+              FROM feat
+            )
+            SELECT doc_id, line_count, kept_line_count, short_dropped,
+                   nopunct_dropped, js_dropped,
+                   len(cleaned) - len(regexp_replace(cleaned, '[.!?]', '', 'g')) AS sentence_count,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, chr(123)) AS has_brace,
+                   md5(cleaned) AS cleaned_md5,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, chr(123))
+                    AND len(cleaned) - len(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5) AS c4_keep
+            FROM agg
+        """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
                    min(doc_id) AS keep_id, count(*) AS dup_count

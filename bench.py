@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "fingerprint_winnow",
     "pii_redact",
     "gopher_quality",
+    "c4_clean",
 ]
 
 

@@ -547,3 +547,68 @@ class TestGopherQuality:
         assert out["word_count"] == 60
         assert out["top3_char_ppm"] > 180000
         assert not out["gopher_keep"]
+
+
+class TestC4Clean:
+    """operators/quality.py c4_clean — C4 (Raffel et al. 2020 §2.2)
+    line and page heuristics."""
+
+    def _run(self, spark, rows):
+        from web_scrapper_spark.operators.quality import c4_clean
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+
+    def test_line_rules_and_precedence(self, spark):
+        text = "\n".join(
+            [
+                "Too short",                               # <3 words
+                "no terminal punctuation on this line",    # >=3 words, no punct
+                "Enable javascript to continue reading.",  # terminal but js
+                "This line survives the filter.",          # kept
+                "So does this second sentence!",           # kept
+            ]
+        )
+        out = self._run(spark, [(1, text)])[1]
+        assert out["line_count"] == 5
+        assert out["short_dropped"] == 1
+        assert out["nopunct_dropped"] == 1
+        assert out["js_dropped"] == 1
+        assert out["kept_line_count"] == 2
+        assert out["sentence_count"] == 2
+
+    def test_page_gates(self, spark):
+        good = "\n".join(
+            f"Sentence number {i} is here and properly done." for i in range(6)
+        )
+        out = self._run(
+            spark,
+            [
+                (1, good),
+                (2, good + "\nsome lorem ipsum filler text."),
+                (3, good + "\nfunction f() { return 1; }"),
+                (4, "Only two sentences exist here.\nAnd this is the second."),
+            ],
+        )
+        assert out[1]["c4_keep"]
+        assert out[2]["has_lorem"] and not out[2]["c4_keep"]
+        assert out[3]["has_brace"] and not out[3]["c4_keep"]
+        assert out[4]["sentence_count"] == 2 and not out[4]["c4_keep"]
+
+    def test_cleaned_md5_matches_joined_kept_lines(self, spark):
+        import hashlib
+
+        text = "Drop me\nKeep this first line.\nKeep this second line."
+        out = self._run(spark, [(1, text)])[1]
+        expect = hashlib.md5(
+            "Keep this first line.\nKeep this second line.".encode()
+        ).hexdigest()
+        assert out["cleaned_md5"] == expect
+
+    def test_empty_doc(self, spark):
+        out = self._run(spark, [(1, "")])[1]
+        import hashlib
+
+        assert out["kept_line_count"] == 0
+        assert out["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+        assert not out["c4_keep"]

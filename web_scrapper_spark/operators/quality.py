@@ -114,6 +114,74 @@ def _mode_run_fold(sorted_grams: Column, joiner_chars: int) -> Column:
     )
 
 
+_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2) per document.
+
+    Line level (first matching rule wins, counted separately):
+    lines with <3 whitespace words are dropped as ``short``; surviving
+    lines not ending in terminal punctuation (. ! ? \") are dropped as
+    ``nopunct``; surviving lines containing "javascript" are dropped
+    as ``js``.  Page level: ``c4_keep`` is false when the page
+    contains "lorem ipsum" or a curly brace, or the cleaned text has
+    fewer than ``min_sentences`` terminal punctuation marks.
+
+    Entirely per-row native expressions — zero shuffle, codegen end to
+    end.  The cleaned text crosses the oracle gate as an md5 so no
+    multi-KB strings enter the value hash.
+    """
+    text = F.col(text_col)
+    lines = F.transform(F.split(text, "\n"), F.trim)
+
+    def words(l: Column) -> Column:
+        return F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+
+    def is_short(l: Column) -> Column:
+        return words(l) < 3
+
+    def no_punct(l: Column) -> Column:
+        return ~l.rlike(_TERMINAL_RE)
+
+    def has_js(l: Column) -> Column:
+        return F.lower(l).contains("javascript")
+
+    kept = F.filter(lines, lambda l: ~is_short(l) & ~no_punct(l) & ~has_js(l))
+    cleaned = F.array_join(kept, "\n")
+    sentence_count = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[.!?]", "")
+    )
+
+    out = fan_out(docs).select(
+        F.col(id_col),
+        F.size(lines).alias("line_count"),
+        F.size(kept).alias("kept_line_count"),
+        F.size(F.filter(lines, is_short)).alias("short_dropped"),
+        F.size(F.filter(lines, lambda l: ~is_short(l) & no_punct(l))).alias(
+            "nopunct_dropped"
+        ),
+        F.size(
+            F.filter(lines, lambda l: ~is_short(l) & ~no_punct(l) & has_js(l))
+        ).alias("js_dropped"),
+        sentence_count.alias("sentence_count"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+        text.contains("{").alias("has_brace"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("sentence_count") >= min_sentences),
+    )
+
+
 def _ppm(num: Column, den: Column) -> Column:
     """round(num * 1e6 / den) as a long — both engines compute the
     IEEE-754 division on identical integers and round half away from
