@@ -813,6 +813,26 @@ def _q_c4_clean(spark, sf_dir):
     return _qual.c4_clean(salted)
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus paragraph dedup — first occurrence
+    wins by (doc_id, para_idx) (operators/dedup.py paragraph_dedup).
+
+    Docs are salted with two boilerplate paragraphs appended to every
+    page so the corpus-wide dedup path (one keeper, 499 dups) is
+    actually exercised; each doc's own text stays a unique para."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter for updates today."),
+            F.lit("All rights reserved by the example site."),
+        ).alias("text"),
+    )
+    return _dd.paragraph_dedup(salted)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher repetition/quality filter (Rae et al. 2021, Table A1)
     over documents — duplicate-line fractions, modal-n-gram char
@@ -899,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "paragraph_dedup": _q_paragraph_dedup,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
@@ -1235,6 +1256,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
                    min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY fp
+        """,
+        "paragraph_dedup": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     'Subscribe to our newsletter for updates today.' || chr(10) ||
+                     'All rights reserved by the example site.' AS text
+              FROM documents
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM salted
+            ), paras AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l)),
+                                           i -> struct_pack(idx := i, p := l[i]))) AS u
+              FROM split
+            ), clean AS (
+              SELECT doc_id, u.idx - 1 AS para_idx, trim(u.p) AS para
+              FROM paras
+              WHERE trim(u.p) <> ''
+            ), hashed AS (
+              SELECT doc_id, para_idx,
+                     md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))) AS para_md5,
+                     len(list_filter(string_split_regex(para, '\\s+'), w -> w <> '')) AS n_words
+              FROM clean
+            )
+            SELECT doc_id, para_idx, para_md5, n_words,
+                   count(*) OVER (PARTITION BY para_md5) AS dup_count,
+                   (row_number() OVER (PARTITION BY para_md5
+                                       ORDER BY doc_id, para_idx) = 1) AS keep
+            FROM hashed
         """,
         "dedup_minhash_lsh": f"""
             WITH sh AS (

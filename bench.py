@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "gopher_quality",
     "c4_clean",
+    "paragraph_dedup",
 ]
 
 

@@ -612,3 +612,39 @@ class TestC4Clean:
         assert out["kept_line_count"] == 0
         assert out["cleaned_md5"] == hashlib.md5(b"").hexdigest()
         assert not out["c4_keep"]
+
+
+class TestParagraphDedup:
+    """operators/dedup.py paragraph_dedup — CCNet cross-corpus
+    boilerplate paragraph removal."""
+
+    def test_first_occurrence_wins_across_docs(self, spark):
+        boiler = "All rights reserved by the site."
+        df = spark.createDataFrame(
+            [
+                (2, f"unique alpha text.\n{boiler}"),
+                (1, f"unique beta text.\n{boiler}"),
+                (3, boiler),
+            ],
+            "doc_id int, text string",
+        )
+        rows = dd.paragraph_dedup(df).collect()
+        by = {(r["doc_id"], r["para_idx"]): r for r in rows}
+        # boiler: 3 occurrences, keeper is (1,1) — smallest (doc, idx)
+        assert by[(1, 1)]["keep"] and by[(1, 1)]["dup_count"] == 3
+        assert not by[(2, 1)]["keep"] and not by[(3, 0)]["keep"]
+        # unique paras keep with dup_count 1
+        assert by[(1, 0)]["keep"] and by[(1, 0)]["dup_count"] == 1
+
+    def test_normalization_and_positions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Same   Para  here\n\n  same para HERE  \nother line")],
+            "doc_id int, text string",
+        )
+        rows = {r["para_idx"]: r for r in dd.paragraph_dedup(df).collect()}
+        # whitespace/case-normalized hash makes idx 0 and idx 2 dups;
+        # the empty line keeps its slot in para_idx numbering
+        assert rows[0]["para_md5"] == rows[2]["para_md5"]
+        assert rows[0]["keep"] and not rows[2]["keep"]
+        assert rows[0]["n_words"] == 3
+        assert set(rows) == {0, 2, 3}

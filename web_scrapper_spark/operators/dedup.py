@@ -43,6 +43,66 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-corpus paragraph dedup (the CCNet / RefinedWeb pass that
+    strips boilerplate repeated across pages: nav, footers, cookie
+    banners).
+
+    Explodes documents into newline-separated paragraphs, hashes each
+    (md5 of the whitespace-normalized lowercase paragraph), and keeps
+    the FIRST occurrence corpus-wide — first = smallest (doc_id,
+    para_idx), deterministic under any partitioning.
+
+    Scale: one shuffle keyed by paragraph hash (md5 ⇒ uniformly
+    distributed, no skew by construction; a pathological mega-dup
+    paragraph lands on one reducer but carries only (id, idx) pairs,
+    not text). Window + row_number gives first-wins and group size in
+    a single pass; text never crosses the shuffle — only the 32-byte
+    hash and two ints.
+
+    Output: one row per non-empty paragraph — (doc_id, para_idx,
+    para_md5, n_words, dup_count, keep).
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim(F.col("para")))
+        .filter(F.col("para") != "")
+    )
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    hashed = paras.select(
+        F.col(id_col),
+        "para_idx",
+        F.md5(normalized).alias("para_md5"),
+        F.size(
+            F.filter(F.split(F.col("para"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("n_words"),
+    )
+    win = Window.partitionBy("para_md5").orderBy(id_col, "para_idx")
+    grp = Window.partitionBy("para_md5")
+    return (
+        hashed.withColumn("rn", F.row_number().over(win))
+        .withColumn("dup_count", F.count("*").over(grp))
+        .select(
+            id_col,
+            "para_idx",
+            "para_md5",
+            "n_words",
+            "dup_count",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

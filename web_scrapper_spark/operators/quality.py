@@ -1,4 +1,5 @@
-"""Gopher-style repetition / quality filtering for web text.
+"""Corpus quality filtering for web text: Gopher repetition metrics
+and C4 cleaning rules.
 
 Implements the document-quality heuristics published in "Scaling
 Language Models: Methods, Analysis & Insights from Training Gopher"
