@@ -10,7 +10,9 @@ symbol-to-word ratio, and alphabetic-word fraction.
 
 Everything is computed PER ROW with native higher-order functions
 (``transform`` / ``filter`` / ``aggregate`` over token arrays) — zero
-shuffles, zero Python, whole-stage codegen end to end.  The modal
+shuffles, zero Python (HOF lambdas evaluate JVM-side outside the
+codegen spans; the only Exchange in the plan is the fan_out guard,
+a no-op at production scale).  The modal
 n-gram is found by sorting the row's n-gram array and folding a
 longest-run struct over it (O(m log m) per document) instead of an
 explode → groupBy(doc, gram) shuffle, so the operator's cost scales
@@ -134,9 +136,9 @@ def c4_clean(
     contains "lorem ipsum" or a curly brace, or the cleaned text has
     fewer than ``min_sentences`` terminal punctuation marks.
 
-    Entirely per-row native expressions — zero shuffle, codegen end to
-    end.  The cleaned text crosses the oracle gate as an md5 so no
-    multi-KB strings enter the value hash.
+    Entirely per-row native expressions — zero shuffle, zero Python.
+    The cleaned text crosses the oracle gate as an md5 so no multi-KB
+    strings enter the value hash.
     """
     text = F.col(text_col)
     lines = F.transform(F.split(text, "\n"), F.trim)
