@@ -490,7 +490,8 @@ class CrawlEngine:
             # other epoch pays only an O(delta) union (see the
             # seen_delta union below), not a rescan of the seen set.
             n_seen_prev = self.store.committed_rows("seen", self._epoch)
-            if n_seen_prev >= cfg.bloom_min_seen:
+            bloom_active = n_seen_prev >= cfg.bloom_min_seen
+            if bloom_active:
                 if self._bloom is None or n_seen_prev > self._bloom_capacity:
                     t_bloom = time.time()
                     self._bloom_capacity = max(
@@ -524,21 +525,33 @@ class CrawlEngine:
                     maybe_seen = bloom_prefilter(
                         hashed, bloom, "url_hash", keep_maybe_seen=True
                     ).drop("url_hash")
-                survivors = maybe_seen.join(seen.select("url"), "url", "left_anti")
-                candidates = definitely_new.unionByName(survivors)
-            else:
-                candidates = candidates.join(seen.select("url"), "url", "left_anti")
-
             # ranked IS the pre-dequeue live frontier (pending ∪ this
-            # epoch's batch), so ONE anti-join covers both the rows
+            # epoch's batch), so anti-joining it covers both the rows
             # still enqueued and the URLs fetched this very epoch —
             # without the batch side a link to a same-epoch-fetched URL
             # would re-enqueue it, re-fetch it next epoch, and append a
             # duplicate seen row, breaking the append-only seen
-            # invariant the footer metrics rely on
-            candidates = candidates.join(
-                ranked.select("url"), "url", "left_anti"
-            )
+            # invariant the footer metrics rely on. Anti vs A then
+            # anti vs B ≡ anti vs (A ∪ B), so both exclusion sets ride
+            # ONE shuffle: seen ∪ ranked in the exact path, ranked
+            # alone for bloom-cleared rows (the bloom already proved
+            # them unseen).
+            ranked_urls = ranked.select("url")
+            if bloom_active:
+                survivors = maybe_seen.join(
+                    seen.select("url").unionByName(ranked_urls),
+                    "url",
+                    "left_anti",
+                )
+                candidates = definitely_new.join(
+                    ranked_urls, "url", "left_anti"
+                ).unionByName(survivors)
+            else:
+                candidates = candidates.join(
+                    seen.select("url").unionByName(ranked_urls),
+                    "url",
+                    "left_anti",
+                )
             new_frontier_rows = with_frontier_columns(
                 candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
             )
