@@ -104,9 +104,6 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - diagnostic path
             row["err"] = f"{type(e).__name__}: {e}"[:300]
         results[name] = row
-        green = row["hash_match"] is True or (
-            row["err"] == "no_oracle" and (row["spark_rows"] or 0) >= 0
-        )
         flag = "OK " if row["hash_match"] else ("--- " if row["err"] == "no_oracle" else "RED")
         if row["hash_match"] is False or (row["err"] and row["err"] != "no_oracle"):
             n_red += 1
@@ -114,7 +111,6 @@ def main() -> int:
             f"{flag:4s} {name:28s} spark={row['spark_rows']} "
             f"oracle={row['oracle_rows']} err={row['err']}"
         )
-        del green
 
     with open("/tmp/check_oracles.json", "w") as f:
         json.dump(results, f, indent=1)

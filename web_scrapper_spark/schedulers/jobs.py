@@ -218,8 +218,14 @@ class JobRegistry:
             if robots == "from-pages":
                 from ..frontier.robots import robots_from_pages
 
+                # `delay: 0` is an explicit "no rate limit" (the
+                # politeness path treats <=0 as unlimited) — only an
+                # ABSENT delay falls back to the reference's 2 s default
                 robots_df = robots_from_pages(
-                    pages, default_delay=bound.crawl_delay or 2.0
+                    pages,
+                    default_delay=(
+                        2.0 if bound.crawl_delay is None else bound.crawl_delay
+                    ),
                 )
             elif robots and robots != "none":
                 robots_df = spark.read.parquet(robots)
