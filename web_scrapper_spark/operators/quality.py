@@ -140,9 +140,6 @@ def c4_clean(
     The cleaned text crosses the oracle gate as an md5 so no multi-KB
     strings enter the value hash.
     """
-    text = F.col(text_col)
-    lines = F.transform(F.split(text, "\n"), F.trim)
-
     def words(l: Column) -> Column:
         return F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
 
@@ -155,16 +152,37 @@ def c4_clean(
     def has_js(l: Column) -> Column:
         return F.lower(l).contains("javascript")
 
-    kept = F.filter(lines, lambda l: ~is_short(l) & ~no_punct(l) & ~has_js(l))
-    cleaned = F.array_join(kept, "\n")
+    # Staged like gopher_quality: HOFs are CodegenFallback with no
+    # subexpression elimination, so `lines` (6 refs) and `cleaned`
+    # (3 refs) are aliased once per Project and referenced by
+    # attribute downstream instead of being re-evaluated per use.
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.transform(F.split(F.col(text_col), "\n"), F.trim).alias("_lines"),
+    )
+    lines = F.col("_lines")
+    staged = staged.select(
+        F.col(id_col),
+        "_text",
+        "_lines",
+        F.array_join(
+            F.filter(lines, lambda l: ~is_short(l) & ~no_punct(l) & ~has_js(l)),
+            "\n",
+        ).alias("_cleaned"),
+    )
+    text = F.col("_text")
+    cleaned = F.col("_cleaned")
     sentence_count = F.length(cleaned) - F.length(
         F.regexp_replace(cleaned, r"[.!?]", "")
     )
 
-    out = fan_out(docs).select(
+    out = staged.select(
         F.col(id_col),
         F.size(lines).alias("line_count"),
-        F.size(kept).alias("kept_line_count"),
+        F.size(
+            F.filter(lines, lambda l: ~is_short(l) & ~no_punct(l) & ~has_js(l))
+        ).alias("kept_line_count"),
         F.size(F.filter(lines, is_short)).alias("short_dropped"),
         F.size(F.filter(lines, lambda l: ~is_short(l) & no_punct(l))).alias(
             "nopunct_dropped"

@@ -99,15 +99,23 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """A2/A3 + quality features: word count, reading time, char length,
     punctuation ratio, stop-word ratio, mean word length, and a
     composite quality score in [0,1]."""
-    text = F.col(text_col)
-    toks = tokens_col(text)
+    # tokenize ONCE into an attribute: tokens_col is a HOF chain
+    # (CodegenFallback, no subexpression elimination) and is referenced
+    # by three downstream aggregates — inline it and it runs 3x per row
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    text = F.col("_text")
+    toks = F.col("_toks")
     stop = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
     n_words = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     words_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    out = fan_out(docs).select(
+    out = staged.select(
         F.col(id_col),
         n_words.alias("word_count"),
         F.greatest(
@@ -135,14 +143,19 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-lexicon language ID: argmax of per-language marker hits
     with fixed precedence on ties."""
-    toks = tokens_col(F.col(text_col))
+    # tokenize ONCE (see doc_stats): inlining tokens_col here would
+    # re-split the text once per language in the marker loop
+    staged = fan_out(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
 
     def marker_hits(lang):
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
     scores = [marker_hits(lang).alias(f"score_{lang}") for lang in LANG_ORDER]
-    scored = fan_out(docs).select(F.col(id_col), F.col(text_col), *scores)
+    scored = staged.select(F.col(id_col), *scores)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_ORDER:
