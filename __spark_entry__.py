@@ -316,7 +316,7 @@ def _q_dedup_exact(spark, sf_dir):
     return _dd.dedup_exact(docs)
 
 
-def _q_dedup_minhash(spark, sf_dir):
+def _minhash_pair_candidates(spark, sf_dir):
     from web_scrapper_spark.operators.partitioning import fan_out
 
     # integer-exact output: set sizes instead of the float ratio; the
@@ -329,9 +329,31 @@ def _q_dedup_minhash(spark, sf_dir):
     pairs = _dd.minhash_lsh_pairs(
         docs, num_hashes=4, band_size=1, shingle_n=3, jaccard_threshold=0.0
     )
-    return pairs.filter(F.col("inter_size") * 5 >= F.col("union_size") * 2).select(
+    return pairs.filter(F.col("inter_size") * 5 >= F.col("union_size") * 2)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return _minhash_pair_candidates(spark, sf_dir).select(
         "id_a", "id_b", "inter_size", "union_size"
     )
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster transitive closure over the MinHash/LSH pair
+    graph (alternating large-star/small-star, operators/dedup.py) —
+    one canonical document per near-dup CLUSTER, not per pair."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _minhash_pair_candidates(spark, sf_dir).select("id_a", "id_b")
+    return _dd.dedup_components(docs, pairs)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (operators/quality.py): the
+    'eval set' is the deterministic doc_id % 50 == 0 slice, so hits are
+    self-contamination plus genuine cross-document 5-gram shares."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return _qual.decontaminate(docs, bench, n=5)
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -917,10 +939,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": _q_winnow_overlap,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "decontaminate": _q_decontaminate,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "paragraph_dedup": _q_paragraph_dedup,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         # similarity search
@@ -1104,6 +1128,33 @@ def oracle_sql() -> dict[str, str]:
              ELSE list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
                                  i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')) END,
         x -> x <> '')))"""
+    # MinHash/LSH candidate-pair CTE chain shared by the
+    # dedup_minhash_lsh and dedup_components oracles (mh_pairs yields
+    # id_a, id_b, inter_size, union_size at the 0.4-Jaccard gate).
+    mh_pair_ctes = f"""sh AS (
+              SELECT doc_id, {shingles1} AS s FROM documents
+              WHERE len({_TOKS_SQL}) > 0
+            ), hb AS (
+              SELECT doc_id, s,
+                     list_transform(
+                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}
+                     ) AS h
+              FROM sh
+            ), sig AS (
+              SELECT doc_id, s,
+                     {_mh_sql_cols(4)}
+              FROM hb
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+               AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+            ), mh_pairs AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa, sb)) AS inter_size,
+                     len(list_distinct(sa || sb)) AS union_size
+              FROM cand
+              WHERE len(list_intersect(sa, sb)) * 5 >= len(list_distinct(sa || sb)) * 2
+            )"""
     return {
         "a1_keywords_topk": f"""
             WITH words AS (
@@ -1288,29 +1339,46 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
         """,
         "dedup_minhash_lsh": f"""
-            WITH sh AS (
-              SELECT doc_id, {shingles1} AS s FROM documents
-              WHERE len({_TOKS_SQL}) > 0
-            ), hb AS (
-              SELECT doc_id, s,
-                     list_transform(
-                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}
-                     ) AS h
-              FROM sh
-            ), sig AS (
-              SELECT doc_id, s,
-                     {_mh_sql_cols(4)}
-              FROM hb
-            ), pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-               AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+            WITH {mh_pair_ctes}
+            SELECT id_a, id_b, inter_size, union_size FROM mh_pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {mh_pair_ctes}, e AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
+            ), walk(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
             )
-            SELECT id_a, id_b,
-                   len(list_intersect(sa, sb)) AS inter_size,
-                   len(list_distinct(sa || sb)) AS union_size
-            FROM pairs
-            WHERE len(list_intersect(sa, sb)) * 5 >= len(list_distinct(sa || sb)) * 2
+            SELECT node AS doc_id,
+                   min(lbl) AS component,
+                   min(lbl) = node AS is_canonical
+            FROM walk GROUP BY node
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), dg AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(t) >= 5
+                            THEN list_transform(
+                                   generate_series(1, len(t) - 4),
+                                   i -> array_to_string(t[i:i+4], ' '))
+                            ELSE [] END)) AS gram
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT dg.doc_id, count(*) AS c
+              FROM dg JOIN bench USING (gram) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+                   COALESCE(h.c, 0) = 0 AS contam_keep
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

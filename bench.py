@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     "c4_clean",
     "paragraph_dedup",
+    "dedup_components",
+    "decontaminate",
 ]
 
 

@@ -648,3 +648,106 @@ class TestParagraphDedup:
         assert rows[0]["keep"] and not rows[2]["keep"]
         assert rows[0]["n_words"] == 3
         assert set(rows) == {0, 2, 3}
+
+
+class TestConnectedComponents:
+    def _expected(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def _run(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in dd.connected_components(df).collect()
+        }
+        assert got == self._expected(edges)
+
+    def test_chain_worst_case_diameter(self, spark):
+        # a path graph exercises the O(log n) round bound — min-label
+        # propagation would need n rounds here, alternating stars ~log n
+        self._run(spark, [(i, i + 1) for i in range(40)])
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        edges = [
+            (rnd.randrange(60), rnd.randrange(60)) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(spark, edges)
+
+    def test_two_cliques_and_reversed_edges(self, spark):
+        edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+        edges += [(b, a) for a in range(10, 14) for b in range(a + 1, 14)]
+        self._run(spark, edges)
+
+    def test_dedup_components_canonical_per_cluster(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+        )
+        rows = {r["doc_id"]: r for r in dd.dedup_components(docs, pairs).collect()}
+        assert len(rows) == 8
+        assert rows[5]["component"] == 1 and not rows[5]["is_canonical"]
+        assert rows[3]["component"] == 1 and not rows[3]["is_canonical"]
+        assert rows[1]["is_canonical"]
+        assert rows[7]["component"] == 6 and not rows[7]["is_canonical"]
+        # singletons are their own canonical component
+        for i in (0, 2, 4):
+            assert rows[i]["component"] == i and rows[i]["is_canonical"]
+
+
+class TestDecontaminate:
+    def test_flags_docs_sharing_benchmark_ngrams(self, spark):
+        from web_scrapper_spark.operators.quality import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                # contains the benchmark 5-gram "quick brown fox jumps over"
+                (0, "a quick brown fox jumps over a fence"),
+                # shares only 4-grams, not 5 — clean at n=5
+                (1, "quick brown fox jumps somewhere else entirely"),
+                (2, "no overlap at all here in this text"),
+                # two distinct contaminated 5-grams
+                (3, "the quick brown fox jumps over the lazy dog again"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decontaminate(docs, bench, n=5).collect()
+        }
+        assert not rows[0]["contam_keep"] and rows[0]["contaminated_ngrams"] == 1
+        assert rows[1]["contam_keep"]
+        assert rows[2]["contam_keep"]
+        assert not rows[3]["contam_keep"] and rows[3]["contaminated_ngrams"] >= 5
+
+    def test_short_docs_and_empty_benchmark(self, spark):
+        from web_scrapper_spark.operators.quality import decontaminate
+
+        bench = spark.createDataFrame([], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(0, "too short"), (1, "")], "doc_id long, text string"
+        )
+        rows = decontaminate(docs, bench, n=5).collect()
+        assert all(r["contam_keep"] and r["contaminated_ngrams"] == 0 for r in rows)

@@ -511,3 +511,113 @@ def embedding_near_pairs(
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step after any pairwise near-dup pass (MinHash/SimHash/embedding
+    pairs only say "a~b"; corpus dedup needs the transitive closure so
+    one canonical document survives per CLUSTER, not per pair).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round is two
+    hash-aggregate + join passes over the edge list, and the edge set
+    contracts toward star graphs rooted at each component's minimum id
+    in O(log n) rounds — no giant-component bottleneck, no driver-side
+    union-find. Per round the lineage is truncated with an eager
+    ``localCheckpoint`` so the plan does not grow with the iteration
+    count (on a real cluster: ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()`` for executor-loss resilience).
+
+    Returns ``(node, component)`` for every node appearing in
+    ``edges``, where ``component`` is the minimum node id reachable —
+    deterministic under any partitioning.
+    """
+    u, v = F.col("u"), F.col("v")
+    cur = (
+        edges.select(
+            F.least(id_a, id_b).alias("v"), F.greatest(id_a, id_b).alias("u")
+        )
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (the edge set is distinct, so xor cancellation can't collide)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bidir = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), u).alias("m"))
+        return (
+            bidir.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # invariant after large-star: every edge points big -> small
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            e.join(mins, "u")
+            .filter(v != F.col("m"))
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+        return relinked.unionByName(
+            mins.select(u, F.col("m").alias("v"))
+        ).distinct()
+
+    fp = _fingerprint(cur)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nfp = _fingerprint(nxt)
+        cur = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+
+    roots = cur.select(v.alias("node"), v.alias("component")).distinct()
+    return cur.select(u.alias("node"), v.alias("component")).unionByName(roots)
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-level dedup verdict for every document: its duplicate
+    component id (min doc_id reachable through the pair graph; its own
+    id when it has no duplicates) and ``is_canonical`` — true for the
+    one survivor per cluster.
+
+    Scale: ``pairs`` (near-dup edges) is tiny relative to the corpus,
+    so the components run on the edge list only; the corpus-wide left
+    join is a broadcast of the component map, never a corpus shuffle.
+    """
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    out = docs.select(id_col).join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        component.alias("component"),
+        (component == F.col(id_col)).alias("is_canonical"),
+    )

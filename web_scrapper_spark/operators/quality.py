@@ -323,3 +323,56 @@ def gopher_quality(
         & (F.col("symbol_word_ppm") <= t["max_symbol_word_ppm"])
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM
+    pre-training hygiene pass): flag every training document that
+    shares a word ``n``-gram with an evaluation/benchmark corpus, so
+    eval examples can be scrubbed from the training set.
+
+    Scale shape: the benchmark side is SMALL by construction (an eval
+    set, not a corpus) — its distinct grams broadcast, so the corpus
+    scan is shuffle-free up to the hit aggregation, and that shuffle
+    carries only (doc_id, gram) HITS (rare), never the corpus's full
+    gram stream. Grams are distinct-per-document, so
+    ``contaminated_ngrams`` counts distinct shared grams.
+
+    Output: ``(id_col, contaminated_ngrams, contam_keep)`` — one row
+    per input document; ``contam_keep`` is true iff no benchmark gram
+    occurs in the document.
+    """
+    bench_grams = (
+        fan_out(benchmark)
+        .select(
+            F.explode(
+                F.array_distinct(_ngrams_col(tokens_col(F.col(bench_text_col)), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_ngrams_col(tokens_col(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    out = docs.select(id_col).join(hits, id_col, "left")
+    contaminated = F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        contaminated.alias("contaminated_ngrams"),
+        (contaminated == 0).alias("contam_keep"),
+    )
