@@ -133,6 +133,16 @@ class CrawlConfig:
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
     fetch_policy: Optional["FetchPolicy"] = None
+    # hot-state carry: keep the live frontier / seen set cached across
+    # epochs (lineage truncated per epoch with an eager
+    # localCheckpoint) so a normal epoch never re-reads the
+    # base∪deltas∖tombstones parquet chain it just wrote. Commits are
+    # untouched — the store remains the durability path and resume
+    # reads it cold. Above this row count the carry is dropped and
+    # every epoch scans the committed snapshots instead (at that scale
+    # the read amortizes; the cap bounds executor cache memory).
+    # None disables the carry entirely.
+    hot_state_max_rows: Optional[int] = 20_000_000
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -161,6 +171,11 @@ class CrawlEngine:
         # epoch, persisted as a store blob (superset-safe on crash)
         self._bloom = None
         self._bloom_capacity = 0
+        # hot-state carry (cfg.hot_state_max_rows): the post-commit
+        # live frontier / seen set of the previous epoch, lineage
+        # truncated; None ⇒ cold read from the store
+        self._hot_frontier: Optional[DataFrame] = None
+        self._hot_seen: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------
     def init(self, seeds: List[tuple]) -> None:
@@ -238,7 +253,11 @@ class CrawlEngine:
         dequeue tombstones applied as equality deletes (a row enqueued
         at epoch e is dead iff a tombstone for its url has
         tomb_epoch > e). On Iceberg this whole method is one MERGE-ON-
-        READ table scan."""
+        READ table scan. Within a run the hot carry (identical rows,
+        checkpointed in memory at the previous epoch's commit) answers
+        instead."""
+        if self._hot_frontier is not None:
+            return self._hot_frontier
         base_entry = self._frontier_base_entry()
         rows = self.store.read(self.spark, "frontier_base", base_entry["id"])
         deltas = self.store.read_committed(
@@ -281,7 +300,10 @@ class CrawlEngine:
         """The URL-seen set: union of committed per-epoch APPEND deltas
         (dequeued URLs are never already in seen, so the dedup-merge is
         a pure append — O(batch) per epoch, not an O(|seen|) rewrite;
-        on Iceberg this is the append commit)."""
+        on Iceberg this is the append commit). Hot carry as in
+        :meth:`frontier`."""
+        if self._hot_seen is not None:
+            return self._hot_seen
         return self.store.read_committed(self.spark, "seen", self._epoch)
 
     def articles(self, merged: bool = True) -> Optional[DataFrame]:
@@ -635,9 +657,14 @@ class CrawlEngine:
                     "frontier_delta": pool.submit(
                         self.store.commit,
                         "frontier_delta",
-                        # AQE sizes the delta write: O(delta) rows is
-                        # usually far below a full fan-out's worth
-                        frontier_delta.repartition("host_salt"),
+                        # written with whatever (AQE-coalesced)
+                        # partitioning the candidate anti-joins left —
+                        # a host_salt repartition here would be a whole
+                        # extra Exchange per epoch for clustering the
+                        # NEXT dequeue's window re-shuffles anyway;
+                        # only the long-lived compacted base (below)
+                        # pays for salt clustering
+                        frontier_delta,
                         epoch,
                     ),
                     "frontier_tomb": pool.submit(
@@ -711,7 +738,6 @@ class CrawlEngine:
             )
             mark("bloom_delta")
 
-        duration = time.time() - t0
         delta_rows = _snapshot_rows(self.store, "seen", ssnap)
         seen_now = self.store.committed_rows("seen", self._epoch) + delta_rows
         # parked-failed count from footer math — no extra Spark action
@@ -733,6 +759,50 @@ class CrawlEngine:
             )
             live_after = n_pending + enqueued_rows
             tombs_outstanding = tombs_since_base
+
+        # --- hot-state carry ---------------------------------------------
+        # Materialize the post-epoch live frontier / seen set in memory
+        # so the next epoch never re-reads the base∪deltas∖tombstones
+        # parquet chain it just wrote (the cold merge-on-read scan costs
+        # O(committed deltas) per epoch — O(epochs²) over a long crawl).
+        # Deltas are read back from the snapshots JUST written (no
+        # recompute, bit-identical to a cold reader); localCheckpoint
+        # truncates lineage so plans don't grow with the epoch count.
+        # Checkpointed here (inside the timed epoch, before the
+        # unpersist sweep — pending_after references the cached ranked)
+        # but ASSIGNED only after commit_epoch below, so a crash leaves
+        # the carry at the last committed epoch.
+        hot_f_cp = hot_s_cp = None
+        if (
+            cfg.hot_state_max_rows is not None
+            and live_after <= cfg.hot_state_max_rows
+            and seen_now <= cfg.hot_state_max_rows
+        ):
+            if compact:
+                hot_f = self.store.read(
+                    self.spark, "frontier_base", tables["frontier_base"]
+                )
+            else:
+                hot_f = pending_after
+                if enqueued_rows:
+                    hot_f = hot_f.unionByName(
+                        self.store.read(
+                            self.spark, "frontier_delta",
+                            tables["frontier_delta"],
+                        )
+                    )
+            hot_s = self.store.read(self.spark, "seen", ssnap)
+            if seen is not None and seen_now > delta_rows:
+                hot_s = seen.unionByName(hot_s)
+            # two independent materialization jobs — interleave them
+            with ThreadPoolExecutor(2) as cp:
+                f_cp = cp.submit(hot_f.localCheckpoint, eager=True)
+                s_cp = cp.submit(hot_s.localCheckpoint, eager=True)
+                hot_f_cp = f_cp.result()
+                hot_s_cp = s_cp.result()
+            mark("hot_carry")
+
+        duration = time.time() - t0
         metrics = {
             "dequeued": n_batch,
             "fetched_ok": n_fetched,
@@ -767,6 +837,13 @@ class CrawlEngine:
             # bloom blobs are full bitmaps, one per epoch — only the
             # latest matters (it contains all earlier keys)
             self.store.expire_snapshots("seen_bloom", keep_last=2)
+
+        # adopt the carry only once the epoch is committed; past the
+        # cap both are None and readers fall back to the store's
+        # merge-on-read scan (old checkpoint blocks are freed by the
+        # ContextCleaner once unreferenced)
+        self._hot_frontier = hot_f_cp
+        self._hot_seen = hot_s_cp
 
         for df in to_unpersist:
             df.unpersist()
