@@ -451,3 +451,50 @@ def test_incremental_bloom_odelta_and_parity(spark, tmp_path, sim):
     assert resumed._bloom is not None  # blob reused, no rebuild needed
     assert resumed._bloom_capacity == blob["meta"]["capacity"]
     assert resumed.run_epoch().get("done")
+
+
+def test_hot_carry_matches_cold_store_view(spark, tmp_path):
+    """The in-memory hot carry must be row-identical to the committed
+    merge-on-read view a cold reader (resume) computes — frontier AND
+    seen — after every epoch."""
+    store = SnapshotStore(str(tmp_path / "hot-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    for _ in range(3):
+        result = engine.run_epoch()
+        if result.get("done"):
+            break
+        assert engine._hot_frontier is not None
+        cold = CrawlEngine.resume(spark, store, pages, robots, CrawlConfig())
+        hot_f = {tuple(r) for r in engine.frontier().collect()}
+        cold_f = {
+            tuple(r)
+            for r in cold.frontier().select(*engine.frontier().columns).collect()
+        }
+        assert hot_f == cold_f
+        hot_s = {tuple(r) for r in engine.seen().collect()}
+        cold_s = {
+            tuple(r)
+            for r in cold.seen().select(*engine.seen().columns).collect()
+        }
+        assert hot_s == cold_s
+
+
+def test_hot_carry_cap_disables(spark, tmp_path):
+    """hot_state_max_rows below the live row count ⇒ no carry is kept
+    and every read goes to the store (and the crawl still finishes
+    with the same seen set)."""
+    cfg = CrawlConfig(hot_state_max_rows=0)
+    store = SnapshotStore(str(tmp_path / "cap-store"))
+    pages = pages_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots_dataframe(spark, SPEC), cfg)
+    engine.init(_seeds())
+    engine.run_epoch()
+    assert engine._hot_frontier is None and engine._hot_seen is None
+    engine.run(max_epochs=30)
+    expected = simulate_crawl(
+        _pages_map(), _seeds(), robots_rules(SPEC), max_depth=cfg.max_depth
+    )
+    assert {r["url"]: r["status"] for r in engine.seen().collect()} == expected.seen
