@@ -347,6 +347,16 @@ def _q_dedup_components(spark, sf_dir):
     return _dd.dedup_components(docs, pairs)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/quality.py): target domain =
+    the deterministic doc_id % 10 == 0 slice; bigram features hashed
+    into 512 buckets; ln computed on exact integer counts driver-side
+    and reproduced by DuckDB's ln in the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return _qual.dsir_weights(docs, target, n=2, buckets=512)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark n-gram decontamination (operators/quality.py): the
     'eval set' is the deterministic doc_id % 50 == 0 slice, so hits are
@@ -940,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "decontaminate": _q_decontaminate,
+        "dsir_weights": _q_dsir_weights,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1356,6 +1367,55 @@ def oracle_sql() -> dict[str, str]:
                    min(lbl) AS component,
                    min(lbl) = node AS is_canonical
             FROM walk GROUP BY node
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))
+                          ELSE [] END AS g
+              FROM toks
+            ), gb AS (
+              SELECT doc_id,
+                     list_transform(
+                       g, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 512
+                     ) AS b
+              FROM grams
+            ), rawx AS (
+              SELECT unnest(b) AS bk, doc_id FROM gb
+            ), rawc AS (
+              SELECT bk, count(*) AS rc FROM rawx GROUP BY bk
+            ), tgtc AS (
+              SELECT bk, count(*) AS tc FROM rawx WHERE doc_id % 10 = 0 GROUP BY bk
+            ), tot AS (
+              SELECT (SELECT count(*) FROM rawx) AS R,
+                     (SELECT count(*) FROM rawx WHERE doc_id % 10 = 0) AS T
+            ), ratio AS (
+              SELECT r.range AS bk,
+                     ln((COALESCE(tc, 0) + 1.0) * (tot.R + 512)
+                        / ((COALESCE(rc, 0) + 1.0) * (tot.T + 512))) AS lr
+              FROM range(512) r
+              LEFT JOIN rawc ON rawc.bk = r.range
+              LEFT JOIN tgtc ON tgtc.bk = r.range
+              CROSS JOIN tot
+            ), rarr AS (
+              SELECT list(lr ORDER BY bk) AS arr FROM ratio
+            )
+            SELECT gb.doc_id,
+                   CAST(len(gb.b) AS INT) AS gram_count,
+                   CAST(round(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                                    list_transform(gb.b, x -> rarr.arr[x + 1])),
+                       (a, c) -> a + c) * 1000000.0) AS BIGINT) AS score_ppm,
+                   CAST(round(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                                    list_transform(gb.b, x -> rarr.arr[x + 1])),
+                       (a, c) -> a + c) * 1000000.0) AS BIGINT) > 0 AS dsir_keep
+            FROM gb CROSS JOIN rarr
         """,
         "decontaminate": f"""
             WITH toks AS (

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dedup_components",
     "decontaminate",
+    "dsir_weights",
 ]
 
 

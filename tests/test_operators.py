@@ -751,3 +751,45 @@ class TestDecontaminate:
         )
         rows = decontaminate(docs, bench, n=5).collect()
         assert all(r["contam_keep"] and r["contaminated_ngrams"] == 0 for r in rows)
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        from web_scrapper_spark.operators.quality import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100 + i, "quantum physics lecture notes on entanglement")
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "quantum physics lecture notes on entanglement"),
+                (1, "cheap shoes buy now discount sale free shipping"),
+                (2, "physics lecture about quantum theory"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in dsir_weights(docs, target, n=2, buckets=64).collect()
+        }
+        # exact target replica beats the spam doc, and the verdicts split
+        assert rows[0]["score_ppm"] > rows[1]["score_ppm"]
+        assert rows[2]["score_ppm"] > rows[1]["score_ppm"]
+        assert rows[0]["dsir_keep"] and not rows[1]["dsir_keep"]
+
+    def test_empty_and_short_docs(self, spark):
+        from web_scrapper_spark.operators.quality import dsir_weights
+
+        target = spark.createDataFrame(
+            [(9, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "single")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+        for i in (0, 1):
+            assert rows[i]["gram_count"] == 0
+            assert rows[i]["score_ppm"] == 0
+            assert not rows[i]["dsir_keep"]

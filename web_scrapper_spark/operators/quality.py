@@ -376,3 +376,103 @@ def decontaminate(
         contaminated.alias("contaminated_ngrams"),
         (contaminated == 0).alias("contam_keep"),
     )
+
+
+def _bucket_col(gram: Column, buckets: int) -> Column:
+    """Hash a gram into [0, buckets) via the engine's md5→long scheme
+    (first 60 bits of md5) — reproducible verbatim in DuckDB SQL and
+    Python hashlib, so the oracle and the fit stage agree bit-for-bit."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dsir_bucket_counts(
+    corpus: DataFrame,
+    n: int = 2,
+    buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram bucket histogram of a corpus — the sufficient
+    statistic DSIR fits. One explode + ONE aggregate keyed by bucket:
+    map-side partial combine collapses every partition to ≤``buckets``
+    rows before the shuffle, so the exchange carries O(buckets ×
+    partitions) rows no matter how many petabytes were scanned."""
+    grams = F.explode(_ngrams_col(tokens_col(F.col(text_col)), n)).alias("gram")
+    return (
+        fan_out(corpus)
+        .select(grams)
+        .select(_bucket_col(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of its hashed n-gram features
+    under the TARGET distribution vs the RAW distribution, with add-1
+    smoothing. Positive score ⇒ the document looks more like the
+    target domain than the average raw document.
+
+    Scale shape: the fit is two bucket histograms (map-side-combined
+    aggregates — the shuffle carries buckets, not grams); the two
+    ≤``buckets``-row tables are collected (they would broadcast
+    anyway), the per-bucket log-ratios become ONE literal array, and
+    scoring is a narrow per-row projection — ``element_at`` lookups
+    folded over the gram array, no join, no shuffle, nothing keyed.
+
+    Output: ``(id_col, gram_count, score_ppm, dsir_keep)`` with
+    ``score_ppm = round(score × 1e6)`` as a BIGINT (cross-engine
+    hash-stable) and ``dsir_keep = score_ppm > 0``.
+    """
+    import math
+
+    raw_rows = dsir_bucket_counts(docs, n, buckets, text_col).collect()
+    tgt_rows = dsir_bucket_counts(target, n, buckets, target_text_col).collect()
+    rc = {r["bucket"]: r["cnt"] for r in raw_rows}
+    tc = {r["bucket"]: r["cnt"] for r in tgt_rows}
+    R = sum(rc.values())
+    T = sum(tc.values())
+    # ln((tc+1)(R+B) / ((rc+1)(T+B))): one libm log per bucket, done
+    # driver-side on exact integer counts — DuckDB's ln reproduces it
+    ratios = [
+        math.log(
+            (tc.get(b, 0) + 1.0) * (R + buckets)
+            / ((rc.get(b, 0) + 1.0) * (T + buckets))
+        )
+        for b in range(buckets)
+    ]
+    ratio_arr = F.array(*[F.lit(r) for r in ratios])
+
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        _ngrams_col(tokens_col(F.col(text_col)), n).alias("_grams"),
+    )
+    grams = F.col("_grams")
+    score = F.aggregate(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                ratio_arr, (_bucket_col(g, buckets) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.size(grams).alias("gram_count"),
+        F.round(score * F.lit(1_000_000.0)).cast("long").alias("score_ppm"),
+    )
+    return out.withColumn("dsir_keep", F.col("score_ppm") > 0)
