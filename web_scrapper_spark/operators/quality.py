@@ -61,7 +61,14 @@ _BULLETS = ("•", "-", "*")
 
 def _ngrams_col(toks: Column, n: int) -> Column:
     """Space-joined word n-grams; empty array when the doc is shorter
-    than n tokens."""
+    than n tokens.
+
+    ``toks`` MUST be an attribute (a staged column), never an inline
+    expression chain: the lambda below references ``toks`` per
+    element, and interpreted HOFs re-evaluate the captured subtree on
+    every access — an inline ``tokens_col(text)`` here re-tokenizes
+    the document once PER GRAM, O(m²) per doc (measured 15.3 s → 0.9 s
+    on sf0.1 bigrams when staged)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -351,18 +358,23 @@ def decontaminate(
     """
     bench_grams = (
         fan_out(benchmark)
+        .select(tokens_col(F.col(bench_text_col)).alias("_toks"))
         .select(
             F.explode(
-                F.array_distinct(_ngrams_col(tokens_col(F.col(bench_text_col)), n))
+                F.array_distinct(_ngrams_col(F.col("_toks"), n))
             ).alias("gram")
         )
         .distinct()
     )
-    doc_grams = fan_out(docs).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(_ngrams_col(tokens_col(F.col(text_col)), n))
-        ).alias("gram"),
+    doc_grams = (
+        fan_out(docs)
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_ngrams_col(F.col("_toks"), n))
+            ).alias("gram"),
+        )
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
@@ -399,10 +411,11 @@ def dsir_bucket_counts(
     map-side partial combine collapses every partition to ≤``buckets``
     rows before the shuffle, so the exchange carries O(buckets ×
     partitions) rows no matter how many petabytes were scanned."""
-    grams = F.explode(_ngrams_col(tokens_col(F.col(text_col)), n)).alias("gram")
+    staged = fan_out(corpus).select(
+        tokens_col(F.col(text_col)).alias("_toks")
+    )
     return (
-        fan_out(corpus)
-        .select(grams)
+        staged.select(F.explode(_ngrams_col(F.col("_toks"), n)).alias("gram"))
         .select(_bucket_col(F.col("gram"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
@@ -457,7 +470,10 @@ def dsir_weights(
 
     staged = fan_out(docs).select(
         F.col(id_col),
-        _ngrams_col(tokens_col(F.col(text_col)), n).alias("_grams"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    staged = staged.select(
+        F.col(id_col), _ngrams_col(F.col("_toks"), n).alias("_grams")
     )
     grams = F.col("_grams")
     score = F.aggregate(
