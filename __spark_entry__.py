@@ -935,6 +935,141 @@ def _q_s2_fetch_session(spark, sf_dir):
     return out.select("doc_id", "session_id", "proxy", "header_line")
 
 
+def _url_filter_oracle_sql() -> str:
+    """DuckDB twin of _q_url_filter: same derived URLs, host via regex
+    (vs Spark's parse_url), suffix list via 1-based list slices, the
+    soft-word fold unrolled into a CASE sum — all from the shared
+    DEFAULT_SOFT_WORDS / _UF_* constants."""
+    from web_scrapper_spark.operators.urlfilter import DEFAULT_SOFT_WORDS
+
+    hosts_sql = ", ".join(f"'{h}'" for h in _UF_HOSTS)
+    block_sql = ", ".join(f"'{d}'" for d in _UF_BLOCKLIST)
+    score = " + ".join(
+        f"CASE WHEN contains(lower(url), '{w}') THEN {c} ELSE 0 END"
+        for w, c in sorted(DEFAULT_SOFT_WORDS.items())
+    )
+    return f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || [{hosts_sql}][CAST(doc_id % 4 AS INT) + 1]
+                     || '/' || source || '/page' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 0 THEN '?ref=casino'
+                             WHEN doc_id % 7 = 0 THEN '?ref=poker-pills'
+                             ELSE '' END AS url
+              FROM documents
+            ), hh AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+              FROM u
+            ), fx AS (
+              SELECT doc_id, url, host,
+                     CASE WHEN len(string_split(host, '.')) >= 2
+                          THEN list_transform(
+                                 generate_series(
+                                   1, len(string_split(host, '.')) - 1),
+                                 i -> array_to_string(
+                                   string_split(host, '.')[i:], '.'))
+                          ELSE [host] END AS sfx
+              FROM hh
+            )
+            SELECT doc_id, url, host,
+                   list_has_any(sfx, [{block_sql}]) AS domain_blocked,
+                   CAST({score} AS BIGINT) AS word_score_centi,
+                   list_has_any(sfx, [{block_sql}])
+                     OR ({score}) >= 100 AS url_blocked
+            FROM fx
+        """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    """DuckDB twin of _q_stratified_sample: same md5-60-bit rank."""
+    in_sql = ", ".join(f"'{k}'" for k in sorted(_STRAT_QUOTAS))
+    case_sql = " ".join(
+        f"WHEN '{k}' THEN {q}" for k, q in sorted(_STRAT_QUOTAS.items())
+    )
+    return f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS hh
+              FROM documents
+              WHERE source IN ({in_sql})
+            ), r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY hh, doc_id) AS rk
+              FROM h
+            )
+            SELECT doc_id, source FROM r
+            WHERE rk <= CASE source {case_sql} END
+        """
+
+
+#: url_filter query fixture: host cycle + query-string soft words, all
+#: derived from doc_id so Spark and DuckDB construct identical URLs.
+_UF_HOSTS = [
+    "news.example.org",
+    "ads.tracker.example.com",
+    "tracker.example.com",
+    "clean.example.net",
+]
+_UF_BLOCKLIST = ["tracker.example.com"]
+
+
+def _q_url_filter(spark, sf_dir):
+    """URL filtering (operators/urlfilter.py): suffix blocklist +
+    soft-word centi-score over deterministically derived URLs."""
+    from web_scrapper_spark.operators import urlfilter as _uf
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _UF_HOSTS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/page"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?ref=casino"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("?ref=poker-pills"))
+        .otherwise(F.lit("")),
+    )
+    out = _uf.url_filter(
+        docs.select("doc_id", url.alias("url")), blocklist=_UF_BLOCKLIST
+    )
+    return out.select(
+        "doc_id", "url", "host", "domain_blocked", "word_score_centi", "url_blocked"
+    )
+
+
+#: stratified_sample query fixture: exact quotas for 4 strata (others
+#: dropped), exercising both quota < stratum and quota > stratum.
+_STRAT_QUOTAS = {"src0": 10, "src1": 5, "src2": 40, "src3": 1}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic quota sampling (operators/sampling.py): smallest
+    (md5, id) rows per stratum; src2's quota exceeds the sf0.01
+    stratum size so the whole stratum survives."""
+    from web_scrapper_spark.operators import sampling as _sp
+
+    docs = _read(spark, sf_dir, "documents")
+    return _sp.stratified_sample(docs, _STRAT_QUOTAS).select("doc_id", "source")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concatenate-then-chunk
+    documents into 512-token shards across 8 parallel hash bins. The
+    oracle recomputes the same window arithmetic in DuckDB SQL."""
+    from web_scrapper_spark.operators import packing as _pk
+
+    docs = _read(spark, sf_dir, "documents")
+    return _pk.pack_sequences(docs, budget=512, n_bins=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / text analytics (A1-A4, training-data ops)
@@ -951,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "decontaminate": _q_decontaminate,
         "dsir_weights": _q_dsir_weights,
+        "pack_sequences": _q_pack_sequences,
+        "url_filter": _q_url_filter,
+        "stratified_sample": _q_stratified_sample,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1367,6 +1505,31 @@ def oracle_sql() -> dict[str, str]:
                    min(lbl) AS component,
                    min(lbl) = node AS is_canonical
             FROM walk GROUP BY node
+        """,
+        "url_filter": _url_filter_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS bin_id,
+                     CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, bin_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY bin_id ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS excl
+              FROM toks
+            )
+            SELECT doc_id, bin_id, n_tok,
+                   CAST(excl // 512 AS BIGINT) AS shard_id,
+                   CAST(excl % 512 AS BIGINT) AS shard_offset,
+                   (excl % 512) + n_tok > 512 AS spans_boundary
+            FROM cum
         """,
         "dsir_weights": f"""
             WITH toks AS (

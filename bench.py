@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_components",
     "decontaminate",
     "dsir_weights",
+    "pack_sequences",
+    "url_filter",
+    "stratified_sample",
 ]
 
 

@@ -1,0 +1,274 @@
+"""Tests for sequence packing, URL filtering, and stratified sampling
+(training-data pipeline layer)."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapper_spark.operators import packing as pk
+from web_scrapper_spark.operators import sampling as sp
+from web_scrapper_spark.operators import urlfilter as uf
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+def _py_bpe_count(text):
+    return len(re.findall(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]", text))
+
+
+class TestPacking:
+    def test_pack_matches_sequential_simulation(self, spark, docs):
+        """Concatenate-then-chunk per bin, simulated in plain Python."""
+        budget, n_bins = 64, 4
+        out = {
+            r["doc_id"]: r
+            for r in pk.pack_sequences(
+                docs, budget=budget, n_bins=n_bins
+            ).collect()
+        }
+        rows = docs.select("doc_id", "text").collect()
+        import hashlib
+
+        bins = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+            bins.setdefault(h % n_bins, []).append(r)
+        checked = 0
+        for bin_id, members in bins.items():
+            cum = 0
+            for r in members:
+                n = _py_bpe_count(r["text"])
+                got = out[r["doc_id"]]
+                assert got["bin_id"] == bin_id
+                assert got["n_tok"] == n
+                assert got["shard_id"] == cum // budget
+                assert got["shard_offset"] == cum % budget
+                assert got["spans_boundary"] == (cum % budget + n > budget)
+                cum += n
+                checked += 1
+        assert checked == len(rows) == len(out)
+
+    def test_every_token_assigned_exactly_once(self, spark, docs):
+        """Within a bin the shards tile the token stream: doc k's
+        start = doc k-1's start + n_tok (no gaps, no overlap)."""
+        out = pk.pack_sequences(docs, budget=100, n_bins=2).collect()
+        bins = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            bins.setdefault(r["bin_id"], []).append(r)
+        for members in bins.values():
+            pos = 0
+            for r in members:
+                assert r["shard_id"] * 100 + r["shard_offset"] == pos
+                pos += r["n_tok"]
+
+    def test_manifest_rollup(self, spark, docs):
+        budget = 128
+        packed = pk.pack_sequences(docs, budget=budget, n_bins=4).persist()
+        man = pk.shard_manifest(packed, budget=budget).collect()
+        by_key = {(r["bin_id"], r["shard_id"]): r for r in man}
+        agg = (
+            packed.groupBy("bin_id", "shard_id")
+            .agg(F.count("*").alias("n"), F.sum("n_tok").alias("t"))
+            .collect()
+        )
+        assert len(by_key) == len(agg)
+        for r in agg:
+            m = by_key[(r["bin_id"], r["shard_id"])]
+            assert m["n_docs"] == r["n"]
+            assert m["docs_tok"] == r["t"]
+            assert m["tok_begin"] == r["shard_id"] * budget
+        packed.unpersist()
+
+    def test_tok_col_passthrough(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], ["doc_id", "nt"]
+        )
+        out = pk.pack_sequences(
+            df, budget=25, n_bins=1, tok_col="nt"
+        ).collect()
+        got = {r["doc_id"]: (r["shard_id"], r["shard_offset"]) for r in out}
+        # order by doc_id: excl cumsums 0,10,30,60
+        assert got == {1: (0, 0), 2: (0, 10), 3: (1, 5), 4: (2, 10)}
+
+    def test_bad_args(self, spark, docs):
+        with pytest.raises(ValueError):
+            pk.pack_sequences(docs, budget=0)
+        with pytest.raises(ValueError):
+            pk.pack_sequences(docs, budget=10, n_bins=0)
+
+    def test_no_single_partition_window(self, spark, docs):
+        """The plan must never sort globally: the window partitions by
+        bin_id, so no Exchange SinglePartition appears."""
+        plan = pk.pack_sequences(
+            docs, budget=64, n_bins=8
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+class TestUrlFilter:
+    def _df(self, spark):
+        rows = [
+            (1, "https://news.example.org/a"),
+            (2, "https://ads.tracker.example.com/x?id=1"),
+            (3, "https://tracker.example.com/y"),
+            (4, "https://example.com/clean"),
+            (5, "https://safe.org/casino-reviews"),
+            (6, "https://safe.org/poker-and-pills"),
+            (7, "https://CASINO.safe.org/ok"),
+            (8, "https://localhost/z"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "url"])
+
+    def test_suffix_blocking(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in uf.url_filter(
+                self._df(spark), blocklist=["tracker.example.com"]
+            ).collect()
+        }
+        assert out[2]["domain_blocked"] and out[2]["url_blocked"]
+        assert out[3]["domain_blocked"]
+        assert not out[4]["domain_blocked"]  # sibling, not parent
+        assert not out[1]["domain_blocked"]
+
+    def test_parent_domain_blocks_children_only(self, spark):
+        out = {
+            r["doc_id"]: r["domain_blocked"]
+            for r in uf.url_filter(
+                self._df(spark), blocklist=["example.com"]
+            ).collect()
+        }
+        assert out[2] and out[3] and out[4]
+        assert not out[1] and not out[5]
+
+    def test_soft_word_scoring(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in uf.url_filter(self._df(spark)).collect()
+        }
+        assert out[5]["word_score_centi"] == 100  # casino
+        assert out[5]["url_blocked"]
+        assert out[6]["word_score_centi"] == 140  # poker+pills
+        assert out[6]["url_blocked"]
+        assert out[7]["word_score_centi"] == 100  # case-folded host hit
+        assert out[4]["word_score_centi"] == 0
+        assert not out[4]["url_blocked"]
+
+    def test_dataframe_blocklist_matches_literal(self, spark):
+        df = self._df(spark)
+        bl = ["tracker.example.com", "safe.org"]
+        lit = {
+            (r["doc_id"], r["domain_blocked"], r["url_blocked"])
+            for r in uf.url_filter(df, blocklist=bl).collect()
+        }
+        bdf = spark.createDataFrame([(d,) for d in bl], ["domain"])
+        viadf = {
+            (r["doc_id"], r["domain_blocked"], r["url_blocked"])
+            for r in uf.url_filter(df, blocklist=bdf).collect()
+        }
+        assert lit == viadf
+
+    def test_single_label_host(self, spark):
+        out = {
+            r["doc_id"]: r["domain_blocked"]
+            for r in uf.url_filter(
+                self._df(spark), blocklist=["localhost"]
+            ).collect()
+        }
+        assert out[8]
+
+
+def _h60(x):
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+class TestSampling:
+    def test_hash_fraction_deterministic_and_close(self, docs):
+        out = sp.hash_fraction_sample(docs, 0.25)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        expected = {
+            r["doc_id"]
+            for r in docs.select("doc_id").collect()
+            if _h60(r["doc_id"]) < int(0.25 * sp.HASH_SPACE)
+        }
+        assert ids == expected
+        n = docs.count()
+        assert abs(len(ids) / n - 0.25) < 0.1
+
+    def test_stratified_exact_quotas(self, docs):
+        quotas = {"src0": 7, "src1": 3}
+        out = sp.stratified_sample(docs, quotas).persist()
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == quotas
+        # selected = smallest (h, id) per stratum, recomputed in python
+        rows = docs.select("doc_id", "source").collect()
+        for s, q in quotas.items():
+            member = sorted(
+                (r["doc_id"] for r in rows if r["source"] == s),
+                key=lambda i: (_h60(i), i),
+            )[:q]
+            got = sorted(
+                r["doc_id"] for r in out.filter(F.col("source") == s).collect()
+            )
+            assert got == sorted(member)
+        out.unpersist()
+
+    def test_quota_larger_than_stratum_keeps_all(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(5)], ["doc_id", "source"]
+        )
+        out = sp.stratified_sample(df, {"a": 100})
+        assert out.count() == 5
+
+    def test_prefilter_same_selection(self, docs):
+        quotas = {"src0": 5, "src1": 5}
+        counts = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        exact = {
+            r["doc_id"]
+            for r in sp.stratified_sample(docs, quotas).collect()
+        }
+        pre = {
+            r["doc_id"]
+            for r in sp.stratified_sample(
+                docs, quotas, prefilter_margin=8.0, stratum_counts=counts
+            ).collect()
+        }
+        assert exact == pre
+
+    def test_domain_mix_rounding(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b") for i in range(300)],
+            ["doc_id", "source"],
+        )
+        out = sp.domain_mix(df, {"a": 2, "b": 1}, total=100)
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 100
+        assert counts["a"] == 67 and counts["b"] == 33
+
+    def test_quota_rounding_sums_to_total(self):
+        q = sp._quotas_from_weights({"a": 1, "b": 1, "c": 1}, 100)
+        assert sum(q.values()) == 100 and sorted(q.values()) == [33, 33, 34]
+
+    def test_bad_args(self, spark, docs):
+        with pytest.raises(ValueError):
+            sp.hash_fraction_sample(docs, 1.5)
+        with pytest.raises(ValueError):
+            sp.stratified_sample(docs, {})
+        with pytest.raises(ValueError):
+            sp.stratified_sample(docs, {"a": 1}, prefilter_margin=2.0)
+        with pytest.raises(ValueError):
+            sp.domain_mix(docs, {"a": 0.0}, total=10)

@@ -1,0 +1,147 @@
+"""Sequence packing: assign documents to fixed token-budget training
+shards, the last mile of an LLM data pipeline (tokenized corpus →
+contiguous shards a trainer can memory-map).
+
+Semantics are GPT-style concatenate-then-chunk: within a bin, documents
+are laid end-to-end in a deterministic order and the byte stream is
+chopped every ``budget`` tokens.  A document therefore starts in shard
+``floor(exclusive_cumsum / budget)`` at offset
+``exclusive_cumsum % budget``; a document that crosses a boundary is
+split across consecutive shards at training time (standard packing —
+no padding, no discarded tail).
+
+Scale design: a global concatenation order would need a single-
+partition window (the classic cumsum scale-killer).  Instead documents
+are first routed to ``n_bins`` independent bins by a hash of their id
+— bins are packed in parallel, each with its own window — so the only
+shuffle is an Exchange on ``bin_id`` and the per-bin sort, both
+embarrassingly parallel across bins.  At 100 TB pick ``n_bins`` ≈
+shard-writer parallelism (thousands); each bin's window then sorts
+|corpus|/n_bins rows.  Determinism: bin routing and in-bin order
+depend only on ``doc_id``, never on partitioning or timing.
+
+Reference parity note: the reference scraper has no training-shard
+surface; this operator belongs to the training-data pipeline layer
+(SURVEY.md §6) alongside dedup/quality/DSIR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .partitioning import fan_out
+from .textops import BPE_TOKEN_REGEX
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Token count under the engine's BPE-ish regex (textops
+    ``token_count_bpe``), as a composable column."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), 0),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+
+
+def pack_bin_col(id_col: Column, n_bins: int) -> Column:
+    """Deterministic bin router: first 15 md5 hex chars (60 bits) mod
+    n_bins — bit-identical in DuckDB (``('0x'||substr(md5(..),1,15))``)
+    and uniform enough that bins stay balanced at any corpus size."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_bins
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_bins: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tok_col: str | None = None,
+) -> DataFrame:
+    """Assign every document a (bin_id, shard_id, shard_offset) under
+    concatenate-then-chunk packing with ``budget`` tokens per shard.
+
+    Returns one row per document:
+      ``doc_id, bin_id, n_tok, shard_id, shard_offset, spans_boundary``
+    where ``shard_id`` is the bin-local shard the document STARTS in,
+    ``shard_offset`` its token offset inside that shard, and
+    ``spans_boundary`` whether it crosses into the next shard(s).
+    All outputs are integers/booleans (oracle hash-stable).
+
+    ``tok_col``: use an existing token-count column instead of
+    re-tokenizing ``text_col``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+
+    n_tok = (
+        F.col(tok_col).cast("long")
+        if tok_col
+        else bpe_token_count_col(F.col(text_col))
+    )
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        pack_bin_col(F.col(id_col), n_bins).alias("bin_id"),
+        n_tok.alias("n_tok"),
+    )
+    win = (
+        Window.partitionBy("bin_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    return (
+        staged.withColumn("_excl", excl)
+        .select(
+            "doc_id",
+            "bin_id",
+            "n_tok",
+            (F.col("_excl") / budget).cast("long").alias("shard_id"),
+            (F.col("_excl") % budget).alias("shard_offset"),
+            (
+                (F.col("_excl") % budget) + F.col("n_tok") > budget
+            ).alias("spans_boundary"),
+        )
+    )
+
+
+def shard_manifest(
+    packed: DataFrame,
+    budget: int,
+) -> DataFrame:
+    """Roll a ``pack_sequences`` output up to one row per (bin_id,
+    shard_id): the shard a trainer actually reads.
+
+    ``n_docs`` counts documents STARTING in the shard; ``tok_begin``/
+    ``tok_end`` are the shard's token interval in the bin's stream
+    (every shard except a bin's last spans exactly ``budget`` tokens
+    once boundary-crossing tails are accounted for — asserted in
+    tests, not recomputed here).  Pure groupBy on (bin_id, shard_id):
+    map-side combine, one small shuffle.
+    """
+    return (
+        packed.groupBy("bin_id", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("docs_tok"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "bin_id",
+            "shard_id",
+            "n_docs",
+            "docs_tok",
+            (F.col("shard_id") * budget).alias("tok_begin"),
+            "first_doc",
+            "last_doc",
+        )
+    )

@@ -1,0 +1,153 @@
+"""Deterministic corpus sampling and domain mixing: pick a reproducible
+subset of a 100 TB corpus with per-stratum quotas (the Pile/Dolma-style
+"mixing weights" step) without ever using a random number generator.
+
+Two primitives, both keyed on md5 of the document id so any two runs —
+any partitioning, any cluster size — select the same rows:
+
+- ``hash_fraction_sample`` — keep a row iff its 60-bit md5 value falls
+  under ``fraction`` of the hash space.  Pure per-row filter: zero
+  shuffle, the scale path when an approximate per-stratum rate is
+  enough (law of large numbers makes realized rates exact to ~1/sqrt(n)).
+- ``stratified_sample`` — EXACT per-stratum quotas: rank rows inside
+  each stratum by (md5, id) and keep ``rank <= quota``.  One Exchange
+  on the stratum key + a per-stratum sort.  For skewed strata at 10^10
+  rows, ``prefilter_margin`` first applies the zero-shuffle hash
+  filter at ``margin × quota/stratum_count`` to bound the sorted data
+  (the exact rank then runs over the surviving sliver), so the window
+  never sorts a full hot stratum — same selected set as long as the
+  margin keeps >= quota survivors (asserted at runtime by comparing
+  counts; quotas larger than the stratum keep the whole stratum).
+
+``domain_mix`` turns fractional mixing weights over a stratum column
+into integer quotas (largest-remainder rounding so quotas sum exactly
+to ``total``) and delegates to ``stratified_sample``.
+
+Reference parity note: no sampling surface exists in the reference
+scraper; training-data layer (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .partitioning import fan_out
+
+#: 60 bits of md5 — shared with DuckDB oracles via
+#: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+HASH_SPACE = 1 << 60
+
+
+def sample_hash_col(id_col: Column) -> Column:
+    """Deterministic uniform 60-bit hash of the id's decimal string."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_fraction_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Zero-shuffle deterministic ~``fraction`` sample: keep rows whose
+    hash < fraction × 2^60. Scale path for approximate rates."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bound = int(fraction * HASH_SPACE)
+    return fan_out(df).filter(sample_hash_col(F.col(id_col)) < F.lit(bound))
+
+
+def _quotas_from_weights(weights: Mapping[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) rounding: integer quotas summing to
+    exactly ``total``, ties broken by stratum name for determinism."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    raw = {k: total * (w / wsum) for k, w in weights.items()}
+    base = {k: int(v) for k, v in raw.items()}
+    left = total - sum(base.values())
+    order = sorted(raw, key=lambda k: (-(raw[k] - base[k]), k))
+    for k in order[:left]:
+        base[k] += 1
+    return base
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: Mapping[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    prefilter_margin: float | None = None,
+    stratum_counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Exact deterministic quota sample: within each stratum keep the
+    ``quota`` rows with the smallest (md5, id) keys. Strata absent
+    from ``quotas`` are dropped; quotas >= stratum size keep the whole
+    stratum.
+
+    ``prefilter_margin`` (with ``stratum_counts``, e.g. from a prior
+    cheap ``groupBy().count()``): apply the zero-shuffle hash filter
+    at rate ``margin × quota / count`` per stratum before ranking, so
+    the window sorts O(margin × quota) rows instead of the full
+    stratum — the skew-safe shape for hot domains at 10^10 rows.
+    Selected set is identical whenever the margin keeps >= quota rows
+    (a margin >= 1 guarantees this in expectation; use >= 1.5 in
+    production and fall back to the exact path on shortfall).
+    """
+    if not quotas:
+        raise ValueError("quotas must be non-empty")
+    qpairs = F.create_map(
+        *[x for k, q in sorted(quotas.items()) for x in (F.lit(k), F.lit(int(q)))]
+    )
+    staged = fan_out(df).withColumn(
+        "_h", sample_hash_col(F.col(id_col))
+    ).withColumn("_q", qpairs[F.col(stratum_col)]).filter(F.col("_q").isNotNull())
+
+    if prefilter_margin is not None:
+        if stratum_counts is None:
+            raise ValueError("prefilter_margin requires stratum_counts")
+        bounds = {
+            k: min(
+                HASH_SPACE,
+                int(
+                    prefilter_margin
+                    * quotas.get(k, 0)
+                    / max(1, stratum_counts.get(k, 1))
+                    * HASH_SPACE
+                ),
+            )
+            for k in quotas
+        }
+        bmap = F.create_map(
+            *[x for k, b in sorted(bounds.items()) for x in (F.lit(k), F.lit(b))]
+        )
+        staged = staged.filter(F.col("_h") < bmap[F.col(stratum_col)])
+
+    win = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        staged.withColumn("_rank", F.row_number().over(win))
+        .filter(F.col("_rank") <= F.col("_q"))
+        .drop("_h", "_q", "_rank")
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ``total`` rows matching the mixing ``weights`` over
+    ``stratum_col`` (exact integer quotas via largest-remainder
+    rounding), deterministically."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    return stratified_sample(
+        df,
+        _quotas_from_weights(weights, total),
+        stratum_col=stratum_col,
+        id_col=id_col,
+    )
