@@ -935,6 +935,75 @@ def _q_s2_fetch_session(spark, sf_dir):
     return out.select("doc_id", "session_id", "proxy", "header_line")
 
 
+def _ccnet_ppl_oracle_sql() -> str:
+    """DuckDB twin of _q_ccnet_ppl. The per-bigram NLL terms are built
+    as an ordered diff list and folded sequentially (list_reduce with a
+    0.0 prepend) so the FP accumulation order matches Spark's
+    zip_with + aggregate exactly; the two smoothed-log arrays come from
+    range() LEFT JOINs over the same hashed counts."""
+    c = _CCNET
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), ref AS (
+              SELECT t FROM toks WHERE doc_id % {c["ref_mod"]} = {c["ref_rem"]}
+            ), rbi AS (
+              SELECT unnest(CASE WHEN len(t) >= 2
+                            THEN list_transform(generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))
+                            ELSE [] END) AS g
+              FROM ref
+            ), rbc AS (
+              SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {c["b2"]} AS bk,
+                     count(*) AS cnt
+              FROM rbi GROUP BY bk
+            ), runi AS (
+              SELECT unnest(t) AS g FROM ref
+            ), rcc AS (
+              SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {c["b1"]} AS bk,
+                     count(*) AS cnt
+              FROM runi GROUP BY bk
+            ), barr AS (
+              SELECT list(ln(COALESCE(cnt, 0) + 1.0) ORDER BY r.range) AS arr
+              FROM range({c["b2"]}) r LEFT JOIN rbc ON rbc.bk = r.range
+            ), carr AS (
+              SELECT list(ln(COALESCE(cnt, 0) + {c["b2"]}.0) ORDER BY r.range) AS arr
+              FROM range({c["b1"]}) r LEFT JOIN rcc ON rcc.bk = r.range
+            ), db AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                 i -> ('0x' || substr(md5(
+                                   array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT
+                                   % {c["b2"]})
+                          ELSE [] END AS bi,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(t[1:len(t) - 1],
+                                 w -> ('0x' || substr(md5(w), 1, 15))::BIGINT
+                                   % {c["b1"]})
+                          ELSE [] END AS ctx
+              FROM toks
+            ), scored AS (
+              SELECT db.doc_id,
+                     CAST(len(bi) AS INT) AS bigram_count,
+                     CASE WHEN len(bi) > 0 THEN
+                       CAST(round(list_reduce(
+                         list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, len(bi)),
+                             i -> carr.arr[ctx[i] + 1] - barr.arr[bi[i] + 1])),
+                         (a, x) -> a + x) / len(bi) * 1000000.0) AS BIGINT)
+                     END AS nll_ppm
+              FROM db CROSS JOIN barr CROSS JOIN carr
+            )
+            SELECT doc_id, bigram_count, nll_ppm,
+                   CASE WHEN nll_ppm IS NULL THEN 'short'
+                        WHEN nll_ppm <= {c["head_ppm"]} THEN 'head'
+                        WHEN nll_ppm <= {c["tail_ppm"]} THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored
+        """
+
+
 def _url_filter_oracle_sql() -> str:
     """DuckDB twin of _q_url_filter: same derived URLs, host via regex
     (vs Spark's parse_url), suffix list via 1-based list slices, the
@@ -1060,6 +1129,49 @@ def _q_stratified_sample(spark, sf_dir):
     return _sp.stratified_sample(docs, _STRAT_QUOTAS).select("doc_id", "source")
 
 
+#: ccnet query fixture: reference slice + hashed-LM sizes + frozen
+#: ppm cutoffs (chosen so sf0.01 populates head/middle/tail).
+_CCNET = {"ref_mod": 7, "ref_rem": 3, "b2": 512, "b1": 128,
+          "head_ppm": 4_066_000, "tail_ppm": 4_148_000}
+
+
+def _q_ccnet_ppl(spark, sf_dir):
+    """CCNet perplexity buckets (operators/quality.py): hashed bigram
+    LM fit on the doc_id % 7 == 3 reference slice, mean NLL in ppm,
+    head/middle/tail by frozen cutoffs."""
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % _CCNET["ref_mod"] == _CCNET["ref_rem"])
+    return _qual.ccnet_ppl_buckets(
+        docs,
+        ref,
+        bigram_buckets=_CCNET["b2"],
+        context_buckets=_CCNET["b1"],
+        head_ppm=_CCNET["head_ppm"],
+        tail_ppm=_CCNET["tail_ppm"],
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py): medoid quantizer (min-vec_id per
+    label — deterministic, SQL-reproducible), eps=0.7 so sf0.01 yields
+    real duplicate groups; keeper = least-centroid-similar member."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    medoids = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    return _dd.semdedup(emb, medoids, eps=0.7).select(
+        "vec_id", "cell_id", "component", "is_kept"
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing (operators/packing.py): concatenate-then-chunk
     documents into 512-token shards across 8 parallel hash bins. The
@@ -1096,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
+        "semdedup": _q_semdedup,
+        "ccnet_ppl": _q_ccnet_ppl,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -1508,6 +1622,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_filter": _url_filter_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "ccnet_ppl": _ccnet_ppl_oracle_sql(),
+        "semdedup": """
+            WITH RECURSIVE med AS (
+              SELECT label AS cell_id, embedding::DOUBLE[] AS centroid
+              FROM embeddings
+              QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1
+            ), assign AS (
+              SELECT vec_id, embedding, cell_id, ccos FROM (
+                SELECT e.vec_id, e.embedding, m.cell_id,
+                       COALESCE(list_cosine_similarity(
+                         e.embedding::DOUBLE[], m.centroid), -2.0) AS ccos,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], m.centroid)
+                                  DESC NULLS LAST, m.cell_id ASC) AS rn
+                FROM embeddings e CROSS JOIN med m
+              ) WHERE rn = 1
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assign a JOIN assign b
+                ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                      >= 0.3
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), walk(node, lbl) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
+            ), comp AS (
+              SELECT node AS vec_id, min(lbl) AS component FROM walk GROUP BY node
+            ), ranked AS (
+              SELECT a.vec_id, c.component,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY a.ccos ASC, a.vec_id ASC) AS krn,
+                     count(*) OVER (PARTITION BY c.component) AS csize
+              FROM assign a JOIN comp c USING (vec_id)
+            )
+            SELECT a.vec_id, a.cell_id, r.component,
+                   (r.csize = 1 OR r.krn = 1) AS is_kept
+            FROM assign a JOIN ranked r USING (vec_id)
+        """,
         "pack_sequences": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "decontaminate",
     "dsir_weights",
+    "semdedup",
+    "ccnet_ppl",
     "pack_sequences",
     "url_filter",
     "stratified_sample",

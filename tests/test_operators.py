@@ -262,6 +262,96 @@ class TestDedup:
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+class TestSemDeDup:
+    def _centroids(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "cell_id int, centroid array<double>"
+        )
+
+    def test_keeper_is_least_central(self, spark):
+        # cluster around x-axis: 10,11,12 mutually near-dup; 12 is the
+        # furthest from the centroid -> the one kept
+        rows = [
+            (10, [1.0, 0.0]),
+            (11, [0.9999, 0.01]),
+            (12, [0.97, 0.24]),
+            (20, [0.0, 1.0]),  # other cell, untouched
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = self._centroids(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+        out = {r["vec_id"]: r for r in dd.semdedup(emb, cents, eps=0.05).collect()}
+        assert out[10]["component"] == out[11]["component"] == out[12]["component"] == 10
+        kept = [v for v in (10, 11, 12) if out[v]["is_kept"]]
+        assert kept == [12]
+        assert out[20]["is_kept"] and out[20]["component"] == 20
+
+    def test_matches_numpy_simulation(self, spark, embeddings):
+        eps = 0.7  # loose so sf0.001 produces real duplicate groups
+        emb_rows = embeddings.collect()
+        w = {}
+        for r in sorted(emb_rows, key=lambda r: r["vec_id"]):
+            w.setdefault(r["label"], r)  # medoid = min vec_id per label
+        cents = self._centroids(
+            spark,
+            [(lbl, [float(x) for x in r["embedding"]]) for lbl, r in sorted(w.items())],
+        )
+        out = {r["vec_id"]: r for r in dd.semdedup(embeddings, cents, eps=eps).collect()}
+
+        def cos(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            return float(a @ b / (na * nb)) if na > 0 and nb > 0 else -2.0
+
+        cent_np = {lbl: np.array(r["embedding"], dtype=np.float64) for lbl, r in w.items()}
+        vec_np = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_rows}
+        # assignment: argmax cosine over all centroids, ties by cell_id
+        assign = {}
+        for vid, v in vec_np.items():
+            best = max(
+                sorted(cent_np), key=lambda l: (cos(v, cent_np[l]), -l)
+            )
+            assign[vid] = best
+        for vid, r in out.items():
+            assert r["cell_id"] == assign[vid], vid
+        # pairs + union-find + keeper
+        parent = {vid: vid for vid in vec_np}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(vec_np)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if assign[a] == assign[b] and cos(vec_np[a], vec_np[b]) >= 1 - eps:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for vid in ids:
+            groups.setdefault(find(vid), []).append(vid)
+        n_dup_groups = 0
+        for root, members in groups.items():
+            for m in members:
+                assert out[m]["component"] == root, (m, root)
+            if len(members) == 1:
+                assert out[members[0]]["is_kept"]
+            else:
+                n_dup_groups += 1
+                keeper = min(
+                    members,
+                    key=lambda m: (cos(vec_np[m], cent_np[assign[m]]), m),
+                )
+                for m in members:
+                    assert out[m]["is_kept"] == (m == keeper), (m, keeper)
+        assert n_dup_groups > 0, "fixture produced no duplicate groups — loosen eps"
+
+    def test_bad_eps(self, spark, embeddings):
+        with pytest.raises(ValueError):
+            dd.semdedup(embeddings, embeddings, eps=0.0)
+
+
 class TestSimilarity:
     def test_exact_topk_matches_numpy(self, embeddings):
         queries = embeddings.limit(5).select(
@@ -793,3 +883,80 @@ class TestDsirWeights:
             assert rows[i]["gram_count"] == 0
             assert rows[i]["score_ppm"] == 0
             assert not rows[i]["dsir_keep"]
+
+
+class TestCcnetPpl:
+    def test_matches_python_lm(self, spark):
+        """Exact-match the hashed bigram LM against a plain-python
+        recomputation (hashlib md5 buckets, math.log)."""
+        import hashlib
+        import math
+
+        from web_scrapper_spark.operators.quality import ccnet_ppl_buckets
+
+        ref_texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown cat sleeps under the warm sun",
+            "a quick brown fox runs through the green field",
+        ]
+        doc_texts = [
+            (0, "the quick brown fox jumps over the lazy dog"),  # in-domain
+            (1, "zebra xylophone quartz vortex jackal numb"),    # OOV-ish
+            (2, ""),                                             # short
+            (3, "single"),                                       # 1 token
+        ]
+        B2, B1 = 256, 64
+        ref = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(ref_texts)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(doc_texts, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in ccnet_ppl_buckets(
+                docs, ref, bigram_buckets=B2, context_buckets=B1,
+                head_ppm=3_000_000, tail_ppm=5_000_000,
+            ).collect()
+        }
+
+        def bucket(s, B):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % B
+
+        import re
+
+        def toks(t):
+            return [w for w in re.split(r"[^a-z0-9_]+", t.lower()) if w]
+
+        bc, cc = {}, {}
+        for t in ref_texts:
+            ws = toks(t)
+            for a, b in zip(ws, ws[1:]):
+                bc[bucket(f"{a} {b}", B2)] = bc.get(bucket(f"{a} {b}", B2), 0) + 1
+            for w in ws:
+                cc[bucket(w, B1)] = cc.get(bucket(w, B1), 0) + 1
+        for did, t in doc_texts:
+            ws = toks(t)
+            bis = list(zip(ws, ws[1:]))
+            got = out[did]
+            assert got["bigram_count"] == len(bis)
+            if not bis:
+                assert got["nll_ppm"] is None
+                assert got["ppl_bucket"] == "short"
+                continue
+            nll = sum(
+                math.log(cc.get(bucket(a, B1), 0) + float(B2))
+                - math.log(bc.get(bucket(f"{a} {b}", B2), 0) + 1.0)
+                for a, b in bis
+            ) / len(bis)
+            assert got["nll_ppm"] == round(nll * 1_000_000)
+        # the in-domain doc must look far more reference-like
+        assert out[0]["nll_ppm"] < out[1]["nll_ppm"]
+        assert out[0]["ppl_bucket"] in ("head", "middle")
+        assert out[1]["ppl_bucket"] == "tail"
+
+    def test_bad_cutoffs(self, spark):
+        from web_scrapper_spark.operators.quality import ccnet_ppl_buckets
+
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            ccnet_ppl_buckets(docs, docs, head_ppm=5, tail_ppm=4)

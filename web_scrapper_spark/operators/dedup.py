@@ -513,6 +513,91 @@ def embedding_near_pairs(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a coarse quantizer, call any within-cluster pair with cosine
+    >= 1 - eps a semantic duplicate, and keep exactly ONE document per
+    duplicate group — the member LEAST similar to its cluster centroid
+    (the paper's "low" keeper policy: outliers carry the most signal),
+    ties broken by ascending id.
+
+    Returns one row per input vector:
+      ``vec_id, cell_id, component, is_kept``
+    (``component`` = min reachable id through the duplicate graph, own
+    id for non-duplicates; non-duplicates are always kept).
+
+    Scale shape: assignment is the per-row argmax over broadcast
+    centroids (no join, no window — similarity.assign_cells); pairing
+    is the cell-blocked self-join of ``embedding_near_pairs`` (never
+    all-pairs); the duplicate graph is tiny relative to the corpus, so
+    components, keeper ranking, and the final merge all run on
+    broadcast-sized sides — the corpus itself is never shuffled.
+    """
+    from .similarity import assign_cells
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError("eps must be in (0, 1)")
+
+    assigned = assign_cells(
+        fan_out(embeddings).select(id_col, vec_col),
+        centroids,
+        vec_col=vec_col,
+        n_probe=1,
+    )
+    pairs = embedding_near_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell_id",
+        threshold=1.0 - eps,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+
+    # keeper election runs over duplicate nodes ONLY (the component map
+    # is edge-sized): rank by similarity to the assigned centroid,
+    # ascending — rn 1 survives
+    cent = centroids.select(
+        F.col("cell_id"), F.col("centroid").alias("_cent")
+    )
+    dup = (
+        assigned.join(
+            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col
+        )
+        .join(F.broadcast(cent), "cell_id")
+        .withColumn(
+            "_ccos",
+            F.coalesce(cosine_col(F.col(vec_col), F.col("_cent")), F.lit(-2.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("component").orderBy(F.asc("_ccos"), F.asc(id_col))
+    losers = (
+        dup.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") > 1)
+        .select(F.col(id_col), F.lit(True).alias("_lost"))
+    )
+    out = (
+        assigned.join(
+            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+        )
+        .join(F.broadcast(losers), id_col, "left")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        F.col("_lost").isNull().alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster connected components
 # ---------------------------------------------------------------------------

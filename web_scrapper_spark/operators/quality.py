@@ -492,3 +492,107 @@ def dsir_weights(
         F.round(score * F.lit(1_000_000.0)).cast("long").alias("score_ppm"),
     )
     return out.withColumn("dsir_keep", F.col("score_ppm") > 0)
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    reference: DataFrame,
+    bigram_buckets: int = 4096,
+    context_buckets: int = 512,
+    head_ppm: int = 4_000_000,
+    tail_ppm: int = 6_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality gate (Wenzek et al. 2020):
+    score every document by its perplexity under an LM fit on a clean
+    REFERENCE corpus (CCNet uses a Wikipedia KenLM; here a hashed
+    bigram model with add-1 smoothing — the sandbox has no KenLM, and
+    a hashed LM keeps the fit a pair of map-side-combined histograms)
+    and bucket the corpus into CCNet's ``head`` / ``middle`` /
+    ``tail`` by fixed negative-log-likelihood cutoffs in ppm
+    (``head`` = most reference-like). Cutoffs are parameters, not
+    computed percentiles: cross-engine percentile interpolation is not
+    hash-stable, and CCNet itself reuses frozen per-language cutoffs
+    across shards.
+
+    Model: ``P(w2 | w1) = (c(h2(w1 w2)) + 1) / (c(h1(w1)) + B2)`` with
+    bigram/context counts hashed into ``bigram_buckets`` / and
+    ``context_buckets``; a document's score is the mean negative log
+    probability over its bigrams (natural log, ppm-scaled BIGINT).
+
+    Scale shape mirrors ``dsir_weights``: the fit shuffles only bucket
+    ids (≤B rows per partition after partial combine); both count
+    tables become literal arrays; scoring is a per-row fold —
+    ``element_at`` lookups, no join, no shuffle. Documents with no
+    bigram get ``nll_ppm NULL`` and bucket ``'short'``.
+
+    Output: ``(id_col, bigram_count, nll_ppm, ppl_bucket)``.
+    """
+    import math
+
+    if not 0 < head_ppm <= tail_ppm:
+        raise ValueError("need 0 < head_ppm <= tail_ppm")
+
+    big_rows = dsir_bucket_counts(
+        reference, 2, bigram_buckets, ref_text_col
+    ).collect()
+    ctx_rows = dsir_bucket_counts(
+        reference, 1, context_buckets, ref_text_col
+    ).collect()
+    bc = {r["bucket"]: r["cnt"] for r in big_rows}
+    cc = {r["bucket"]: r["cnt"] for r in ctx_rows}
+    # -ln P per bucket pair is separable: nll(b2, b1) =
+    # ln(c1(b1) + B2) - ln(c2(b2) + 1) — two literal arrays, one
+    # element_at each per gram
+    big_arr = F.array(
+        *[F.lit(math.log(bc.get(b, 0) + 1.0)) for b in range(bigram_buckets)]
+    )
+    ctx_arr = F.array(
+        *[
+            F.lit(math.log(cc.get(b, 0) + float(bigram_buckets)))
+            for b in range(context_buckets)
+        ]
+    )
+
+    staged = fan_out(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    staged = staged.select(
+        F.col(id_col),
+        _ngrams_col(F.col("_toks"), 2).alias("_bi"),
+        F.col("_toks").alias("_uni"),
+    )
+    # context unigram of bigram i is token i — slice the unigram array
+    # to align (len(bi) = len(uni) - 1)
+    nll_sum = F.aggregate(
+        F.zip_with(
+            F.col("_bi"),
+            F.slice(F.col("_uni"), 1, F.greatest(F.size(F.col("_bi")), F.lit(0))),
+            lambda b2, w1: F.element_at(
+                ctx_arr, (_bucket_col(w1, context_buckets) + 1).cast("int")
+            )
+            - F.element_at(
+                big_arr, (_bucket_col(b2, bigram_buckets) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_bi = F.size(F.col("_bi"))
+    nll_ppm = F.when(
+        n_bi > 0, F.round(nll_sum / n_bi * F.lit(1_000_000.0)).cast("long")
+    )
+    out = staged.select(
+        F.col(id_col),
+        n_bi.alias("bigram_count"),
+        nll_ppm.alias("nll_ppm"),
+    )
+    return out.withColumn(
+        "ppl_bucket",
+        F.when(F.col("nll_ppm").isNull(), F.lit("short"))
+        .when(F.col("nll_ppm") <= head_ppm, F.lit("head"))
+        .when(F.col("nll_ppm") <= tail_ppm, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
