@@ -126,8 +126,9 @@ class CrawlConfig:
     # O(delta / ratio) per epoch.
     compact_min_tombstones: int = 250_000
     compact_ratio: float = 0.5
-    # per-partition lineage (north star): per-(host, status) fetch
-    # counts appended to a `metrics` table every epoch
+    # per-partition lineage (north star): per-(host, status, epoch)
+    # fetch counts, derived on read from the seen deltas (zero
+    # per-epoch write cost); False disables the read surface
     partition_metrics: bool = True
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
@@ -323,8 +324,31 @@ class CrawlEngine:
 
     def partition_metrics(self) -> Optional[DataFrame]:
         """Per-partition lineage (north star): (host, status, urls,
-        min_depth, max_depth, epoch) rows, one delta per epoch."""
-        return self.store.read_committed(self.spark, "metrics", self._epoch)
+        min_depth, max_depth, epoch) rows, one group per epoch.
+
+        Derived from the committed seen table at read time — every
+        seen delta already carries (host, status, depth,
+        fetched_epoch), so a per-epoch materialized copy would be a
+        redundant write job on the epoch's critical path. Computing it
+        here keeps the rows bit-identical (each delta holds a single
+        fetched_epoch) while the epoch pays nothing."""
+        if not self.cfg.partition_metrics:
+            return None
+        seen = self.seen()
+        if seen is None:
+            return None
+        return (
+            seen.groupBy("host", "status", "fetched_epoch")
+            .agg(
+                F.count("*").alias("urls"),
+                F.min("depth").alias("min_depth"),
+                F.max("depth").alias("max_depth"),
+            )
+            .select(
+                "host", "status", "urls", "min_depth", "max_depth",
+                F.col("fetched_epoch").alias("epoch"),
+            )
+        )
 
     # ------------------------------------------------------------------
     def run_epoch(self) -> Dict:
@@ -500,7 +524,13 @@ class CrawlEngine:
                 )
                 .filter(F.col("depth") <= cfg.max_depth)
             )
-            candidates = first_discovery_wins(candidates)
+            # robots first (broadcast lookup, narrow); the in-batch
+            # first-discovery dedup runs AFTER the seen anti-join below
+            # so both key on url and share ONE exchange — the groupBy
+            # reuses the join's hash(url) partitioning instead of
+            # paying its own shuffle. Equivalent either way: every
+            # duplicate of a url gets the same bloom/anti-join verdict,
+            # and min(ord_key) per url is order-independent.
             candidates = robots_filter(candidates, self.robots)
 
             # bloom pre-filter: provably-unseen candidates skip the
@@ -574,6 +604,7 @@ class CrawlEngine:
                     "url",
                     "left_anti",
                 )
+            candidates = first_discovery_wins(candidates)
             new_frontier_rows = with_frontier_columns(
                 candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
             )
@@ -686,24 +717,13 @@ class CrawlEngine:
                 fl_fut = pool.submit(
                     self.store.commit, "fetch_log", fetch_log, epoch
                 )
-            m_fut = None
-            if cfg.partition_metrics:
-                # per-partition lineage (north star): fetch outcome
-                # counts per host for this epoch, appended alongside
-                # the seen delta it describes
-                partition_rows = seen_delta.groupBy("host", "status").agg(
-                    F.count("*").alias("urls"),
-                    F.min("depth").alias("min_depth"),
-                    F.max("depth").alias("max_depth"),
-                ).withColumn("epoch", F.lit(epoch))
-                m_fut = pool.submit(
-                    self.store.commit, "metrics", partition_rows, epoch
-                )
+            # per-partition lineage (north star) is NOT committed per
+            # epoch: partition_metrics() derives the identical (host,
+            # status, urls, depth-range, epoch) rows from the seen
+            # deltas on read, so the epoch skips one write job
             for name, fut in f_futs.items():
                 tables[name] = fut.result()
             ssnap = s_fut.result()
-            if m_fut is not None:
-                tables["metrics"] = m_fut.result()
             if fl_fut is not None:
                 tables["fetch_log"] = fl_fut.result()
         mark("merge_commits")
