@@ -97,7 +97,7 @@ _WINNOW_FPS_CTE = f"""sh AS (
             )"""
 
 
-def _gopher_oracle_sql() -> str:
+def _gopher_oracle_sql(src: str = "documents") -> str:
     """DuckDB twin of operators/quality.gopher_quality.
 
     Re-derives the modal-n-gram counts via unnest + GROUP BY +
@@ -137,7 +137,7 @@ def _gopher_oracle_sql() -> str:
                      list_filter(
                        list_transform(string_split(text, chr(10)), x -> trim(x)),
                        x -> x <> '') AS lines
-              FROM documents
+              FROM {src}
             ), feat AS (
               SELECT doc_id, t,
                      len(t) AS word_count,
@@ -1050,6 +1050,156 @@ def _url_filter_oracle_sql() -> str:
         """
 
 
+def _funnel_mh_pair_ctes(src: str) -> str:
+    """MinHash/LSH pair CTE chain over ``src`` (same parameters and
+    integer-exact 0.4-Jaccard gate as the dedup_minhash_lsh oracle)."""
+    mh_cols = ",\n                     ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_dd.minhash_params(4))
+    )
+    shingles = f"""list_sort(list_distinct(list_filter(
+        CASE WHEN len({_TOKS_SQL}) < 3 THEN [array_to_string({_TOKS_SQL}, ' ')]
+             ELSE list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
+                                 i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')) END,
+        x -> x <> '')))"""
+    return f"""fsh AS (
+              SELECT doc_id, {shingles} AS s FROM {src}
+              WHERE len({_TOKS_SQL}) > 0
+            ), fhb AS (
+              SELECT doc_id, s,
+                     list_transform(
+                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}
+                     ) AS h
+              FROM fsh
+            ), fsig AS (
+              SELECT doc_id, s,
+                     {mh_cols}
+              FROM fhb
+            ), fcand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+              FROM fsig a JOIN fsig b ON a.doc_id < b.doc_id
+               AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+            ), fpairs AS (
+              SELECT id_a, id_b FROM fcand
+              WHERE len(list_intersect(sa, sb)) * 5 >= len(list_distinct(sa || sb)) * 2
+            )"""
+
+
+def _funnel_grams_sql(src: str, extra: str = "") -> str:
+    """Distinct 5-gram rows (doc_id, gram) over ``src`` — the
+    decontaminate oracle's gram expansion, parameterized on source."""
+    return f"""
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len({_TOKS_SQL}) >= 5
+                     THEN list_transform(generate_series(1, len({_TOKS_SQL}) - 4),
+                                         i -> array_to_string(({_TOKS_SQL})[i:i+4], ' '))
+                     ELSE [] END)) AS gram
+              FROM {src} {extra}"""
+
+
+def _corpus_funnel_oracle_sql() -> str:
+    """DuckDB twin of _q_corpus_funnel: the same boilerplate-salted
+    corpus and derived URLs, each stage's gate composed from the
+    already-proven per-operator oracle SQL (url_filter / lang_id /
+    gopher / dedup_exact window / minhash+recursive components /
+    decontaminate), cumulative flags c1..c6, and the same one-pass
+    conditional aggregation unpivoted to 7 funnel rows."""
+    from web_scrapper_spark.operators.urlfilter import DEFAULT_SOFT_WORDS
+
+    hosts_sql = ", ".join(f"'{h}'" for h in _FUNNEL_HOSTS)
+    block_sql = ", ".join(f"'{d}'" for d in _UF_BLOCKLIST)
+    score = " + ".join(
+        f"CASE WHEN contains(lower(url), '{w}') THEN {c} ELSE 0 END"
+        for w, c in sorted(DEFAULT_SOFT_WORDS.items())
+    )
+    lang_sub = _lang_id_sql("fcorpus")
+    gopher_sub = _gopher_oracle_sql("fcorpus")
+    stages = [
+        ("input", "TRUE"), ("url_filter", "c1"), ("lang_en", "c2"),
+        ("gopher", "c3"), ("exact_dedup", "c4"), ("near_dedup", "c5"),
+        ("decontaminate", "c6"),
+    ]
+    rows = "\n              UNION ALL ".join(
+        f"""SELECT '{label}' AS stage, {i} AS stage_ord,
+                     CAST(count(*) FILTER ({cond}) AS BIGINT) AS docs,
+                     CAST(COALESCE(sum(bpe) FILTER ({cond}), 0) AS BIGINT) AS tokens
+              FROM f6"""
+        for i, (label, cond) in enumerate(stages)
+    )
+    return f"""
+            WITH RECURSIVE fcorpus AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 41 = 1 THEN '{_FUNNEL_BOILER}'
+                          ELSE text END AS text
+              FROM documents
+            ), furl AS (
+              SELECT doc_id,
+                     'https://' || [{hosts_sql}][CAST(doc_id % 8 AS INT) + 1]
+                     || '/' || source || '/page' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 13 = 0 THEN '?ref=casino'
+                             WHEN doc_id % 17 = 0 THEN '?ref=poker-pills'
+                             ELSE '' END AS url
+              FROM fcorpus
+            ), fufl AS (
+              SELECT doc_id,
+                     NOT (list_has_any(
+                            CASE WHEN len(string_split(h, '.')) >= 2
+                                 THEN list_transform(
+                                        generate_series(1, len(string_split(h, '.')) - 1),
+                                        i -> array_to_string(string_split(h, '.')[i:], '.'))
+                                 ELSE [h] END, [{block_sql}])
+                          OR ({score}) >= 100) AS url_ok
+              FROM (SELECT doc_id, url,
+                           lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS h
+                    FROM furl)
+            ), flp AS (
+              SELECT doc_id, lang_pred FROM ({lang_sub})
+            ), fgk AS (
+              SELECT doc_id, gopher_keep FROM ({gopher_sub})
+            ), fflags AS (
+              SELECT d.doc_id, d.text,
+                     len(regexp_extract_all(d.text,
+                         '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe,
+                     md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+                     fufl.url_ok AS c1,
+                     fufl.url_ok AND flp.lang_pred = 'en' AS c2,
+                     fufl.url_ok AND flp.lang_pred = 'en' AND fgk.gopher_keep AS c3
+              FROM fcorpus d
+              JOIN fufl USING (doc_id) JOIN flp USING (doc_id) JOIN fgk USING (doc_id)
+            ), f4 AS (
+              SELECT *, c3 AND doc_id = min(CASE WHEN c3 THEN doc_id END)
+                                 OVER (PARTITION BY fp) AS c4
+              FROM fflags
+            ), fsrc4 AS (
+              SELECT doc_id, text FROM f4 WHERE c4
+            ), {_funnel_mh_pair_ctes("fsrc4")}, fe AS (
+              SELECT id_a AS src, id_b AS dst FROM fpairs
+              UNION SELECT id_b, id_a FROM fpairs
+            ), fwalk(node, lbl) AS (
+              SELECT doc_id, doc_id FROM fsrc4
+              UNION
+              SELECT fe.dst, w.lbl FROM fwalk w JOIN fe ON fe.src = w.node
+            ), fcomp AS (
+              SELECT node AS doc_id, min(lbl) AS component FROM fwalk GROUP BY node
+            ), f5 AS (
+              SELECT f4.*, f4.c4 AND COALESCE(fcomp.component = f4.doc_id, TRUE) AS c5
+              FROM f4 LEFT JOIN fcomp USING (doc_id)
+            ), fbench AS (
+              SELECT DISTINCT gram FROM ({_funnel_grams_sql("fcorpus", "WHERE doc_id % 50 = 3")})
+            ), fdg AS (
+              {_funnel_grams_sql("(SELECT doc_id, text FROM f5 WHERE c5) fsrc5")}
+            ), fcontam AS (
+              SELECT DISTINCT fdg.doc_id FROM fdg JOIN fbench USING (gram)
+            ), f6 AS (
+              SELECT f5.*, f5.c5 AND fcontam.doc_id IS NULL AS c6
+              FROM f5 LEFT JOIN fcontam USING (doc_id)
+            )
+            SELECT stage, stage_ord, docs, tokens FROM (
+              {rows}
+            ) ORDER BY stage_ord
+        """
+
+
 def _stratified_sample_oracle_sql() -> str:
     """DuckDB twin of _q_stratified_sample: same md5-60-bit rank."""
     in_sql = ", ".join(f"'{k}'" for k in sorted(_STRAT_QUOTAS))
@@ -1112,6 +1262,70 @@ def _q_url_filter(spark, sf_dir):
     return out.select(
         "doc_id", "url", "host", "domain_blocked", "word_score_centi", "url_blocked"
     )
+
+
+#: corpus_funnel fixture: 8-host URL cycle (one blocked suffix),
+#: milder soft-word salting than url_filter's (%13/%17 vs %5/%7) so
+#: every later funnel stage still sees a meaningful survivor pool, a
+#: boilerplate text shared by doc_id % 41 == 1 (exact-dup stage), and
+#: an eval slice doc_id % 50 == 3 (coprime with the URL salting, so
+#: eval docs actually reach — and are removed by — decontamination).
+_FUNNEL_HOSTS = [
+    "news.example.org",
+    "blog.example.org",
+    "tracker.example.com",
+    "media.example.net",
+    "shop.example.org",
+    "docs.example.net",
+    "forum.example.org",
+    "clean.example.net",
+]
+_FUNNEL_BOILER = (
+    "This page offers the standard legal notice and privacy policy for every "
+    "visitor of the site and explains in plain language how cookies work, why "
+    "consent matters, which data we keep, when records expire, and where any "
+    "question about the terms can be sent by mail or through our public contact "
+    "form during normal office hours each week."
+)
+
+
+def _funnel_corpus_urls(docs):
+    """(corpus, urls) shared by _q_corpus_funnel: boilerplate-salted
+    text + deterministic doc_id-derived URLs."""
+    did = F.col("doc_id")
+    corpus = docs.select(
+        "doc_id",
+        "source",
+        F.when(did % 41 == 1, F.lit(_FUNNEL_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _FUNNEL_HOSTS]),
+        (did % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), F.col("source"),
+        F.lit("/page"), did.cast("string"),
+        F.when(did % 13 == 0, F.lit("?ref=casino"))
+        .when(did % 17 == 0, F.lit("?ref=poker-pills"))
+        .otherwise(F.lit("")),
+    )
+    return corpus.select("doc_id", "text", url.alias("url"))
+
+
+def _q_corpus_funnel(spark, sf_dir):
+    """The full training-data pipeline as ONE plan
+    (operators/pipeline.py corpus_funnel): URL filter → language ID →
+    Gopher quality → exact dedup → MinHash near-dedup with cluster
+    closure → benchmark decontamination, reported as the per-stage
+    (docs, tokens) funnel. Every stage drops documents at sf0.01."""
+    from web_scrapper_spark.operators.pipeline import corpus_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = _funnel_corpus_urls(docs)
+    bench = corpus.filter(F.col("doc_id") % 50 == 3).select("doc_id", "text")
+    return corpus_funnel(corpus, bench, blocklist=_UF_BLOCKLIST)
 
 
 #: stratified_sample query fixture: exact quotas for 4 strata (others
@@ -1200,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "pack_sequences": _q_pack_sequences,
         "url_filter": _q_url_filter,
+        "corpus_funnel": _q_corpus_funnel,
         "stratified_sample": _q_stratified_sample,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1621,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "url_filter": _url_filter_oracle_sql(),
+        "corpus_funnel": _corpus_funnel_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
@@ -2086,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(src: str = "documents") -> str:
     parts = []
     for lang in _tx.LANG_ORDER:
         markers = ", ".join(f"'{w}'" for w in _tx.LANG_MARKERS[lang])
@@ -2105,7 +2321,7 @@ def _lang_id_sql() -> str:
         WITH t AS (
           SELECT doc_id,
                  {scores}
-          FROM documents
+          FROM {src}
         )
         SELECT doc_id, score_en, score_de, score_fr, score_es,
                {case} AS lang_pred

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "url_filter",
     "stratified_sample",
+    "corpus_funnel",
 ]
 
 

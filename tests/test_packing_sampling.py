@@ -272,3 +272,79 @@ class TestSampling:
             sp.stratified_sample(docs, {"a": 1}, prefilter_margin=2.0)
         with pytest.raises(ValueError):
             sp.domain_mix(docs, {"a": 0.0}, total=10)
+
+
+class TestCorpusFunnel:
+    """End-to-end pipeline funnel (operators/pipeline.py): one
+    handcrafted document per stage so every gate's drop is exact."""
+
+    BASE = (
+        "This guide explains how the crawler schedules polite fetches and "
+        "why the frontier keeps one ordered queue per host so that every "
+        "request lands inside its window while extraction of articles and "
+        "products continues in parallel across the cluster with bounded "
+        "memory and steady throughput for each epoch under load today"
+    )
+    NEAR = (
+        "This guide explains how the crawler schedules polite fetches and "
+        "why the frontier keeps one ordered queue per host so that every "
+        "request lands inside its window while extraction of articles and "
+        "products continues in parallel across the cluster with bounded "
+        "memory and careful accounting of several worker partitions done overnight"
+    )
+    BENCHED = (
+        "Results of the held out evaluation suite are reported with exact "
+        "match scoring and the aggregate table lists every task alongside "
+        "its split size so that reviewers can audit which documents from "
+        "the training corpus shared any overlapping passage with a test "
+        "item and decide whether removal of those pages is warranted now"
+    )
+    FRENCH = (
+        "le rapport est dans la salle et les membres sont pour une "
+        "lecture dans le calme et la mesure pour une semaine et le vote "
+        "est dans les regles pour le groupe et la charte est une base "
+        "pour les statuts et le compte est dans la marge pour une annee "
+        "et le plan est dans les temps pour la suite et le bilan"
+    )
+
+    @pytest.fixture(scope="class")
+    def funnel(self, spark):
+        from web_scrapper_spark.operators.pipeline import corpus_funnel
+
+        rows = [
+            (0, self.BASE, "https://news.example.org/a"),
+            (1, self.BASE, "https://ads.tracker.example.com/b"),   # blocked domain
+            (2, self.BASE, "https://clean.example.net/c?ref=casino"),  # soft word
+            (3, self.FRENCH, "https://news.example.org/d"),        # lang != en
+            (4, "too short to pass the gopher minimum word count",
+             "https://news.example.org/e"),                        # gopher
+            (5, self.BASE, "https://blog.example.org/f"),          # exact dup of 0
+            (6, self.NEAR, "https://blog.example.org/g"),          # near dup of 0
+            (7, self.BENCHED, "https://news.example.org/h"),       # contaminated
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+        bench = spark.createDataFrame([(100, self.BENCHED)], ["doc_id", "text"])
+        out = corpus_funnel(docs, bench, blocklist=["tracker.example.com"])
+        return {r["stage"]: r.asDict() for r in out.collect()}
+
+    def test_stage_docs(self, funnel):
+        assert funnel["input"]["docs"] == 8
+        assert funnel["url_filter"]["docs"] == 6
+        assert funnel["lang_en"]["docs"] == 5
+        assert funnel["gopher"]["docs"] == 4
+        assert funnel["exact_dedup"]["docs"] == 3
+        assert funnel["near_dedup"]["docs"] == 2
+        assert funnel["decontaminate"]["docs"] == 1
+
+    def test_tokens_monotone_and_exact(self, funnel):
+        toks = [funnel[s]["tokens"] for s in (
+            "input", "url_filter", "lang_en", "gopher",
+            "exact_dedup", "near_dedup", "decontaminate")]
+        assert toks == sorted(toks, reverse=True)
+        # the lone survivor is doc 0 (BASE)
+        assert funnel["decontaminate"]["tokens"] == _py_bpe_count(self.BASE)
+
+    def test_stage_order(self, funnel):
+        assert [funnel[s]["stage_ord"] for s in (
+            "input", "url_filter", "lang_en", "gopher",
+            "exact_dedup", "near_dedup", "decontaminate")] == list(range(7))

@@ -1,0 +1,199 @@
+"""End-to-end training-data pipeline composition: the corpus funnel.
+
+``corpus_funnel`` chains the individual LLM-data operators this
+package ships — URL filtering, language ID, Gopher quality, exact
+dedup, MinHash/LSH near-dedup with duplicate-cluster transitive
+closure, and benchmark n-gram decontamination — into ONE declarative
+DataFrame plan (the RefinedWeb / FineWeb / Dolma pipeline shape) and
+reports the funnel: documents and BPE tokens surviving after each
+stage.
+
+Stage order (each gate applies to the survivors of the previous one,
+exactly as a production pipeline would):
+
+====  =============  ====================================================
+ord   stage          keep condition
+====  =============  ====================================================
+0     input          —
+1     url_filter     NOT url_blocked (suffix blocklist + soft-word score)
+2     lang_<l>       language_id prediction == target lang
+3     gopher         every Gopher repetition/shape threshold passes
+4     exact_dedup    doc_id == min(doc_id) among same-fingerprint survivors
+5     near_dedup     doc is its MinHash duplicate-cluster's canonical
+6     decontaminate  no word n-gram shared with the benchmark corpus
+====  =============  ====================================================
+
+Scale shape: stages 1–3 are per-row column expressions chained through
+``keep_cols`` pass-through (no joins back on the id — the corpus is
+scanned once up to the first wide op). Stage 4 is one hash exchange on
+the text fingerprint; the window's exchange is shared by every
+downstream consumer (main aggregate, pair generation, decontamination)
+via Spark's ReusedExchange, so the expensive flag computation is not
+repeated per branch. Stage 5 reuses the bucketed LSH self-join (never
+all-pairs) and the large-star/small-star closure; stage 6 broadcasts
+the benchmark gram set. The final report is ONE aggregation producing
+a 7-row funnel via ``stack`` — no per-stage actions, no driver loops.
+
+Reference parity note: the reference scraper has no corpus-pipeline
+surface; this operator belongs to the training-data layer
+(SURVEY.md §6) and composes operators that each carry their own
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dedup_components, minhash_lsh_pairs
+from .quality import decontaminate, gopher_quality
+from .textops import language_id, tokens_col
+from .urlfilter import url_filter
+
+#: (ord, label-template) for the funnel rows; lang stage label is
+#: filled with the target language.
+FUNNEL_STAGES = (
+    "input",
+    "url_filter",
+    "lang_{lang}",
+    "gopher",
+    "exact_dedup",
+    "near_dedup",
+    "decontaminate",
+)
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    blocklist: Sequence[str] | DataFrame = (),
+    soft_words: Mapping[str, int] | None = None,
+    lang: str = "en",
+    contam_n: int = 5,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Run the full pipeline over ``docs`` (``id, text, url``) and
+    return the funnel report ``(stage, stage_ord, docs, tokens)`` —
+    survivors and their total BPE token count after each stage.
+
+    ``benchmark`` is the evaluation corpus to decontaminate against
+    (external by construction — it is NOT filtered by the funnel).
+    Near-dup pairs use the integer-exact 0.4-Jaccard gate
+    (5·|A∩B| ≥ 2·|A∪B|) shared with the ``dedup_minhash_lsh`` oracle.
+    """
+    # --- stages 1-3: per-row flags, chained without id joins ---------
+    cur = url_filter(
+        docs.select(id_col, text_col, url_col),
+        blocklist=blocklist,
+        soft_words=soft_words,
+    ).select(id_col, text_col, (~F.col("url_blocked")).alias("_c1"))
+    cur = language_id(cur, id_col=id_col, text_col=text_col,
+                      keep_cols=(text_col, "_c1"))
+    cur = cur.select(
+        id_col, text_col, "_c1",
+        (F.col("_c1") & (F.col("lang_pred") == lang)).alias("_c2"),
+    )
+    cur = gopher_quality(cur, id_col=id_col, text_col=text_col,
+                         keep_cols=(text_col, "_c1", "_c2"))
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    cur = cur.select(
+        id_col, text_col, "_c1", "_c2",
+        (F.col("_c2") & F.col("gopher_keep")).alias("_c3"),
+        F.md5(normalized).alias("_fp"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)
+            )
+        ).cast("long").alias("_bpe"),
+    )
+
+    # --- stage 4: exact dedup among survivors (one fp exchange, the
+    # min-over-partition picks the same keeper dedup_exact would) ----
+    w = Window.partitionBy("_fp")
+    f4 = cur.withColumn(
+        "_c4",
+        F.col("_c3")
+        & (
+            F.col(id_col)
+            == F.min(F.when(F.col("_c3"), F.col(id_col))).over(w)
+        ),
+    )
+    # Materialize the flags ONCE: four downstream consumers (the final
+    # aggregate, pair generation, the components join, decontamination)
+    # would otherwise each re-scan the corpus and re-evaluate the
+    # url/lang/gopher flag chain — the plan shows 14 parquet scans
+    # without this, 1 with it. Eager count (same pattern as
+    # minhash_lsh_pairs' internal caches): inside one job tree the
+    # branches race on a cold cache and each recompute the chain.
+    f4 = f4.persist()
+    f4.count()
+
+    # --- stage 5: near-dedup over stage-4 survivors ------------------
+    s4 = f4.filter("_c4").select(id_col, text_col).filter(
+        F.size(tokens_col(F.col(text_col))) > 0
+    )
+    pairs = minhash_lsh_pairs(
+        s4,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        jaccard_threshold=0.0,
+        id_col=id_col,
+        text_col=text_col,
+    ).filter(F.col("inter_size") * 5 >= F.col("union_size") * 2)
+    comps = dedup_components(
+        f4.filter("_c4").select(id_col),
+        pairs.select("id_a", "id_b"),
+        id_col=id_col,
+    ).select(id_col, F.col("is_canonical").alias("_canon"))
+    f5 = f4.join(comps, id_col, "left").withColumn(
+        "_c5", F.col("_c4") & F.coalesce(F.col("_canon"), F.lit(True))
+    )
+
+    # --- stage 6: decontaminate stage-5 survivors vs the benchmark ---
+    dec = decontaminate(
+        f5.filter("_c5").select(id_col, text_col),
+        benchmark,
+        n=contam_n,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col, "contam_keep")
+    f6 = f5.join(dec, id_col, "left").withColumn(
+        "_c6", F.col("_c5") & F.coalesce(F.col("contam_keep"), F.lit(True))
+    )
+
+    # --- the funnel: ONE aggregation, unpivoted via stack ------------
+    def _d(cond):
+        return F.count(F.when(cond, F.lit(1))).cast("long")
+
+    def _t(cond):
+        return F.coalesce(F.sum(F.when(cond, F.col("_bpe"))), F.lit(0)).cast("long")
+
+    agg = f6.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.coalesce(F.sum("_bpe"), F.lit(0)).cast("long").alias("t0"),
+        *[
+            c.alias(n)
+            for i in range(1, 7)
+            for c, n in (
+                (_d(F.col(f"_c{i}")), f"d{i}"),
+                (_t(F.col(f"_c{i}")), f"t{i}"),
+            )
+        ],
+    )
+    labels = [s.format(lang=lang) for s in FUNNEL_STAGES]
+    stack = ", ".join(
+        f"'{label}', {i}, d{i}, t{i}" for i, label in enumerate(labels)
+    )
+    return agg.select(
+        F.expr(
+            f"stack(7, {stack}) AS (stage, stage_ord, docs, tokens)"
+        )
+    )

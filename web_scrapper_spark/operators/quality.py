@@ -218,14 +218,19 @@ def _ppm(num: Column, den: Column) -> Column:
 
 
 def gopher_quality(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-document Gopher repetition/quality metrics + keep flag.
 
     Output: one row per document with integer ppm repetition ratios,
     shape heuristics, and ``gopher_keep`` — true iff the document
     passes every published threshold in
-    :data:`GOPHER_THRESHOLDS_PPM`.
+    :data:`GOPHER_THRESHOLDS_PPM`.  ``keep_cols`` names input columns
+    carried through unchanged (lets pipeline composition chain the
+    flag onto a wider frame without a join back on the id).
     """
     # Staged evaluation, deliberately: higher-order functions are
     # CodegenFallback (interpreted — no whole-stage codegen, no
@@ -241,6 +246,7 @@ def gopher_quality(
     lines = F.col("_lines")
     staged = fan_out(docs).select(
         F.col(id_col),
+        *keep_cols,
         F.col(text_col).alias("_text"),
         tokens_col(F.col(text_col)).alias("_toks"),
         F.filter(
@@ -250,6 +256,7 @@ def gopher_quality(
     )
     staged = staged.select(
         F.col(id_col),
+        *keep_cols,
         "_text",
         "_toks",
         "_lines",
@@ -296,6 +303,7 @@ def gopher_quality(
 
     out = staged.select(
         F.col(id_col),
+        *keep_cols,
         n_words.alias("word_count"),
         _ppm(wchars, d_words).alias("mean_word_len_ppm"),
         n_lines.alias("line_count"),

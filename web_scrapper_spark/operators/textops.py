@@ -140,13 +140,19 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return out.withColumn("quality_score", F.round(quality, 6))
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Marker-lexicon language ID: argmax of per-language marker hits
-    with fixed precedence on ties."""
+    with fixed precedence on ties.  ``keep_cols`` names input columns
+    carried through unchanged (pipeline composition)."""
     # tokenize ONCE (see doc_stats): inlining tokens_col here would
     # re-split the text once per language in the marker loop
     staged = fan_out(docs).select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        F.col(id_col), *keep_cols, tokens_col(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
 
@@ -155,13 +161,14 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
     scores = [marker_hits(lang).alias(f"score_{lang}") for lang in LANG_ORDER]
-    scored = staged.select(F.col(id_col), *scores)
+    scored = staged.select(F.col(id_col), *keep_cols, *scores)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_ORDER:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select(
         id_col,
+        *keep_cols,
         *[f"score_{lang}" for lang in LANG_ORDER],
         pred.alias("lang_pred"),
     )
