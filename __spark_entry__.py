@@ -1396,6 +1396,38 @@ def _q_pack_sequences(spark, sf_dir):
     return _pk.pack_sequences(docs, budget=512, n_bins=8)
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC sink→source roundtrip (sources/warc.py): documents are
+    wrapped as HTML pages, written as a sharded .warc.gz archive
+    (4 files, one per partition), and read back via the binaryFile +
+    mapInPandas source. The projection (url, status, byte length, md5
+    of the payload) is oracled by DuckDB recomputing the same values
+    straight from the parquet — so the oracle checks that the full
+    serialize→gzip→parse→unwrap path is byte-lossless."""
+    import tempfile
+
+    from web_scrapper_spark.fixtures.sitegen import WARC_EPOCH
+    from web_scrapper_spark.sources.warc import read_warc, write_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://warc.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.lit(WARC_EPOCH).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="wss_warc_oracle_")
+    write_warc(pages.repartition(4, "url"), out)
+    return read_warc(spark, out).select(
+        "url",
+        F.col("http_status").alias("status"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / text analytics (A1-A4, training-data ops)
@@ -1430,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
+        "warc_roundtrip": _q_warc_roundtrip,
         # session/header/proxy + UA rotation (S2/S3)
         "s2_fetch_session": _q_s2_fetch_session,
         "s3_ua_rotation": _q_s3_ua_rotation,
@@ -2001,6 +2034,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_totalprice > 100
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 50 OFFSET 10
+        """,
+        "warc_roundtrip": """
+            -- recomputes the WARC payload straight from the parquet: a
+            -- hash match proves serialize→gzip→parse→unwrap is lossless
+            SELECT 'https://warc.example.org/doc/' || doc_id AS url,
+                   200 AS status,
+                   CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
+                     AS n_bytes,
+                   md5('<html><body>' || text || '</body></html>') AS payload_md5
+            FROM documents
         """,
         "s3_ua_rotation": _s3_ua_rotation_sql(),
         "s2_fetch_session": _s2_fetch_session_sql(),

@@ -1,0 +1,116 @@
+"""WARC source/sink (sources/warc.py) — roundtrip, format, edge cases."""
+
+import gzip
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from web_scrapper_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+from web_scrapper_spark.sources import read_any, write_any
+
+TS = datetime(2025, 7, 18, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _rows():
+    return [
+        ("https://a.example.org/1", TS, b"<html><body>one</body></html>"),
+        ("https://a.example.org/2", TS, b"<html>body with \r\n\r\n inside</html>"),
+        ("https://b.example.org/é", TS, "<html>unicode — body</html>".encode("utf-8")),
+        ("https://b.example.org/empty", TS, b""),
+    ]
+
+
+class TestWarcBytes:
+    def test_roundtrip_pure_python(self):
+        data = build_warc_bytes(_rows(), filename="t.warc.gz")
+        recs = list(parse_warc_bytes(data, warc_file="t.warc.gz"))
+        assert [r["warc_type"] for r in recs] == ["warcinfo"] + ["response"] * 4
+        body = [r for r in recs if r["warc_type"] == "response"]
+        assert [(r["url"], r["html"]) for r in body] == [
+            (u, p) for u, _, p in _rows()
+        ]
+        assert all(r["http_status"] == 200 for r in body)
+        assert all(r["warc_ts"] == TS for r in body)
+        assert all(r["content_type"].startswith("text/html") for r in body)
+
+    def test_one_gzip_member_per_record(self):
+        data = build_warc_bytes(_rows(), filename="t.warc.gz")
+        # 1 warcinfo + 4 responses = 5 gzip members = 5 magic headers
+        assert data.count(b"\x1f\x8b\x08") == 5
+        # each member independently decodable from its offset
+        first = gzip.GzipFile(fileobj=__import__("io").BytesIO(data)).read()
+        assert first.startswith(b"WARC/1.0")
+
+    def test_uncompressed_variant(self):
+        data = build_warc_bytes(_rows(), compress=False)
+        assert data.startswith(b"WARC/1.0")
+        recs = list(parse_warc_bytes(data))
+        assert sum(r["warc_type"] == "response" for r in recs) == 4
+
+    def test_deterministic_bytes(self):
+        a = build_warc_bytes(_rows(), filename="t.warc.gz")
+        b = build_warc_bytes(_rows(), filename="t.warc.gz")
+        assert a == b
+
+    def test_payload_never_scanned_for_delimiters(self):
+        # A body containing the record separator sequence must survive
+        # because parsing is Content-Length-driven.
+        evil = b"x\r\n\r\nWARC/1.0\r\n\r\ny"
+        data = build_warc_bytes([("https://e/1", TS, evil)])
+        recs = [r for r in parse_warc_bytes(data) if r["warc_type"] == "response"]
+        assert recs[0]["html"] == evil
+
+
+class TestWarcSpark:
+    def test_spark_roundtrip(self, spark, tmp_path):
+        out = str(tmp_path / "warc")
+        df = spark.createDataFrame(
+            _rows(), "url string, warc_ts timestamp, html binary"
+        ).repartition(3)
+        manifest = write_warc(df, out)
+        assert sum(m["records"] for m in manifest) == 4
+        assert all(m["warc_file"].endswith(".warc.gz") for m in manifest)
+        back = read_warc(spark, out)
+        got = {(r["url"], bytes(r["html"])) for r in back.collect()}
+        assert got == {(u, p) for u, _, p in _rows()}
+
+    def test_factory_aliases(self, spark, tmp_path):
+        out = str(tmp_path / "warc2")
+        df = spark.createDataFrame(_rows(), "url string, warc_ts timestamp, html binary")
+        write_any(df, out, "warc")
+        back = read_any(spark, out, "warc")
+        assert back.count() == 4
+        assert {f.name for f in back.schema.fields} >= {"url", "warc_ts", "html"}
+
+    def test_sink_is_rerun_stable(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            _rows(), "url string, warc_ts timestamp, html binary"
+        ).coalesce(1)
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        write_warc(df, d1)
+        write_warc(df, d2)
+        f1 = open(os.path.join(d1, os.listdir(d1)[0]), "rb").read()
+        f2 = open(os.path.join(d2, os.listdir(d2)[0]), "rb").read()
+        assert f1 == f2
+
+    def test_feeds_pages_pipeline(self, spark, tmp_path):
+        # a WARC archive is directly usable as the crawl's pages table
+        from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
+
+        pages = pages_dataframe(spark, SiteSpec(n_hosts=2, n_articles=6)).select(
+            "url", "warc_ts", "html"
+        )
+        out = str(tmp_path / "pages_warc")
+        write_warc(pages.repartition(2), out)
+        back = read_warc(spark, out).select("url", "warc_ts", "html")
+        assert back.count() == pages.count()
+        # payload bytes identical per url
+        left = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+        right = {r["url"]: bytes(r["html"]) for r in back.collect()}
+        assert left == right

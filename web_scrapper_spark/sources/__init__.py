@@ -9,6 +9,7 @@ from .io import (
     write_any,
     write_jdbc,
 )
+from .warc import read_warc, write_warc
 
 __all__ = [
     "export_data",
@@ -16,6 +17,8 @@ __all__ = [
     "query_table",
     "read_any",
     "read_jdbc",
+    "read_warc",
     "write_any",
     "write_jdbc",
+    "write_warc",
 ]

