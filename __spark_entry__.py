@@ -1396,6 +1396,84 @@ def _q_pack_sequences(spark, sf_dir):
     return _pk.pack_sequences(docs, budget=512, n_bins=8)
 
 
+#: ExactSubstr query params: Lee-et-al. k=50 window, block=10 two-level
+#: hash (k/block sub-block md5s re-hashed — identical content ⇔
+#: identical hash, string work O(L·(b + k/b)) not O(L·k)).
+_XSUB = {"k": 50, "block": 10}
+
+
+def _q_exact_substring(spark, sf_dir):
+    """Exact-substring (duplicate-span) dedup, Lee et al. 2021
+    (operators/dedup.py exact_substring_dedup): every ≥50-token span
+    appearing twice+ corpus-wide is cut from every document. Output is
+    per-doc token/span/removal counts plus the md5 of the surviving
+    text; the DuckDB oracle recomputes the full two-level-hash →
+    dup-count → island-merge → span-removal pipeline independently
+    (window functions vs the engine's aggregate fold)."""
+    docs = _read(spark, sf_dir, "documents")
+    return _dd.exact_substring_dedup(docs, **_XSUB).select(
+        "doc_id", "n_tokens", "n_spans", "n_removed", "kept_md5"
+    )
+
+
+def _exact_substring_oracle_sql() -> str:
+    k, b = _XSUB["k"], _XSUB["block"]
+    strides = " || ".join(f"h[i+{j * b}]" for j in range(k // b))
+    return f"""
+        WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        blk AS (
+          SELECT doc_id, t,
+                 CASE WHEN len(t) >= {b}
+                      THEN list_transform(generate_series(1, len(t) - {b - 1}),
+                                          i -> md5(array_to_string(t[i:i+{b - 1}], ' ')))
+                      ELSE [] END AS h
+          FROM tok),
+        win AS (
+          SELECT doc_id,
+                 CASE WHEN len(h) >= {k - b + 1}
+                      THEN list_transform(generate_series(1, len(h) - {k - b}),
+                                          i -> md5({strides}))
+                      ELSE [] END AS w
+          FROM blk),
+        gr AS (SELECT doc_id, i - 1 AS pos, w[i] AS wh
+               FROM win, unnest(generate_series(1, len(w))) u(i)),
+        dup AS (SELECT wh FROM gr GROUP BY wh HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM gr JOIN dup USING (wh)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits),
+        grp AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM isl),
+        spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + {k} AS e
+                  FROM grp GROUP BY doc_id, g),
+        spanlist AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sl,
+                            count(*) AS n_spans, sum(e - s) AS n_removed
+                     FROM spans GROUP BY doc_id),
+        kept AS (
+          SELECT tok.doc_id,
+                 -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                 coalesce(CASE WHEN sl IS NULL THEN array_to_string(t, ' ')
+                      ELSE array_to_string(
+                             list_transform(
+                               list_filter(generate_series(1, len(t)),
+                                 i -> len(list_filter(sl,
+                                        sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0),
+                               i -> t[i]),
+                             ' ')
+                 END, '') AS kept_text,
+                 len(t) AS n_tokens, coalesce(n_spans, 0) AS n_spans,
+                 coalesce(n_removed, 0) AS n_removed
+          FROM tok LEFT JOIN spanlist USING (doc_id))
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_removed AS BIGINT) AS n_removed,
+               md5(kept_text) AS kept_md5
+        FROM kept
+    """
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC sink→source roundtrip (sources/warc.py): documents are
     wrapped as HTML pages, written as a sharded .warc.gz archive
@@ -1450,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "exact_substring": _q_exact_substring,
         "paragraph_dedup": _q_paragraph_dedup,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_components": _q_dedup_components,
@@ -1819,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY fp
         """,
+        "exact_substring": _exact_substring_oracle_sql(),
         "paragraph_dedup": """
             WITH salted AS (
               SELECT doc_id,

@@ -960,3 +960,116 @@ class TestCcnetPpl:
         docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             ccnet_ppl_buckets(docs, docs, head_ppm=5, tail_ppm=4)
+
+
+class TestExactSubstring:
+    """exact_substring_dedup — Lee et al. duplicate-span removal."""
+
+    K, B = 10, 5
+
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in dd.exact_substring_dedup(df, k=self.K, block=self.B).collect()
+        }
+
+    def test_cross_doc_span_removed_from_both(self, spark):
+        span = " ".join(f"tok{i}" for i in range(12))  # 12 > k=10
+        a = "alpha beta " + span + " gamma delta"
+        b = "one two three " + span + " four"
+        c = "no duplicated content here at all just unique words everywhere now"
+        out = self._run(spark, [(1, a), (2, b), (3, c)])
+        # the shared 12-token run yields 3 duplicated windows merging to
+        # one span of 12 tokens in each doc
+        for d, ntok in ((1, 16), (2, 16)):
+            assert out[d]["n_spans"] == 1
+            assert out[d]["n_removed"] == 12
+            assert out[d]["n_tokens"] == ntok
+        assert out[1]["kept_text"] == "alpha beta gamma delta"
+        assert out[2]["kept_text"] == "one two three four"
+        assert out[3]["n_removed"] == 0
+        assert out[3]["kept_text"] == c
+
+    def test_within_doc_repetition(self, spark):
+        run = " ".join(f"w{i}" for i in range(10))
+        text = run + " middle words here " + run
+        out = self._run(spark, [(1, text)])
+        # both copies of the 10-token run are duplicated windows
+        assert out[1]["n_spans"] == 2
+        assert out[1]["n_removed"] == 20
+        assert out[1]["kept_text"] == "middle words here"
+
+    def test_identical_docs_fully_removed(self, spark):
+        t = " ".join(f"x{i}" for i in range(15))
+        out = self._run(spark, [(1, t), (2, t)])
+        for d in (1, 2):
+            assert out[d]["n_removed"] == 15
+            assert out[d]["kept_text"] == ""
+        # md5("") must match Spark's empty-join convention
+        import hashlib
+
+        assert out[1]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+    def test_short_docs_pass_through(self, spark):
+        out = self._run(spark, [(1, "tiny doc"), (2, "tiny doc")])
+        assert out[1]["n_spans"] == 0
+        assert out[1]["kept_text"] == "tiny doc"
+
+    def test_adjacent_spans_merge(self, spark):
+        # two dup runs placed back-to-back in one doc merge into one span
+        r1 = " ".join(f"a{i}" for i in range(10))
+        r2 = " ".join(f"b{i}" for i in range(10))
+        host = r1 + " " + r2
+        out = self._run(spark, [(1, host), (2, r1), (3, r2)])
+        assert out[1]["n_spans"] == 1
+        assert out[1]["n_removed"] == 20
+
+    def test_k_block_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dd.exact_substring_dedup(df, k=10, block=3)
+
+    def test_bruteforce_parity_sf0001(self, spark, docs):
+        import hashlib
+        import re
+        from collections import Counter
+
+        k = 20
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+        def toks(t):
+            return [w for w in re.split(r"[^a-z0-9_]+", t.lower()) if w]
+
+        cnt = Counter()
+        tokmap = {}
+        for d, t in rows.items():
+            tt = toks(t)
+            tokmap[d] = tt
+            for i in range(len(tt) - k + 1):
+                cnt[tuple(tt[i : i + k])] += 1
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"], r["kept_md5"])
+            for r in dd.exact_substring_dedup(docs, k=k, block=10).collect()
+        }
+        n_hit = 0
+        for d, tt in tokmap.items():
+            hits = [i for i in range(len(tt) - k + 1) if cnt[tuple(tt[i : i + k])] >= 2]
+            spans = []
+            for p in sorted(hits):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = p + k
+                else:
+                    spans.append([p, p + k])
+            keep = [
+                w for i, w in enumerate(tt) if not any(s <= i < e for s, e in spans)
+            ]
+            exp = (
+                len(tt),
+                len(spans),
+                sum(e - s for s, e in spans),
+                hashlib.md5(" ".join(keep).encode()).hexdigest(),
+            )
+            n_hit += bool(spans)
+            assert got[d] == exp, f"doc {d}"
+        assert n_hit > 0  # fixture genuinely exercises the operator

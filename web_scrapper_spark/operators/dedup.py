@@ -706,3 +706,191 @@ def dedup_components(
         component.alias("component"),
         (component == F.col(id_col)).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicate-span) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# ---------------------------------------------------------------------------
+
+
+def _block_hash_col(toks, block: int):
+    """md5 of every consecutive ``block``-token window, in document
+    order — H[i] covers tokens [i, i+block) (0-based).
+
+    Built with the zip_with shift trick (see ordered_shingles_col):
+    O(L·block) string work, never the O(L·block²) of per-position
+    ``slice``."""
+    size = F.size(toks)
+    acc = toks
+    for j in range(1, block):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.slice(acc, 1, F.greatest(size - (block - 1), F.lit(0)))
+    return F.transform(grams, F.md5)
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    block: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated k-token spans per document (ExactSubstr semantics):
+    any substring of ≥ k tokens appearing ``min_count``+ times in the
+    corpus contains a duplicated k-gram, so marking every duplicated
+    k-gram's window and merging overlaps yields exactly the maximal
+    duplicated spans at granularity k.
+
+    Window identity is hierarchical: the k-gram hash is the md5 of the
+    k/block consecutive block-gram md5s covering it — identical token
+    content ⇔ identical hash (md5-collision-negligible), but string
+    building drops from O(L·k) to O(L·(block + k/block)) per doc and
+    transient memory ~k/block× lower. The DuckDB oracle recomputes the
+    same two-level hash verbatim.
+
+    Scale (100 TB): the gram shuffle is O(corpus tokens) rows of
+    (16-byte binary hash, id, pos) — the same I/O class as reading the
+    corpus; there is no known cheaper exact method (suffix arrays are
+    superlinear in practice and not partition-friendly). The duplicated
+    hash set that joins back is typically orders of magnitude smaller
+    (AQE broadcasts it when it fits); a boilerplate mega-gram skews one
+    reducer in the count aggregate only, where partial aggregation has
+    already collapsed it to one row per map partition.
+
+    Returns (id, spans array<struct<s,e>> token-index half-open
+    intervals, n_spans, n_removed).
+    """
+    if k % block:
+        raise ValueError(f"k ({k}) must be a multiple of block ({block})")
+    m = k // block
+    staged = fan_out(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    blocked = staged.select(
+        id_col, _block_hash_col(F.col("_toks"), block).alias("_h")
+    )
+    # W[i] = md5(H[i] || H[i+block] || ... || H[i+k-block]): stride-block
+    # zip_with chain over the (cheap, fixed-width) block-hash strings.
+    acc = F.col("_h")
+    for j in range(1, m):
+        shifted = F.slice(
+            acc if j == 1 else F.col("_h"),
+            j * block + 1,
+            F.greatest(F.size(F.col("_h")) - j * block, F.lit(0)),
+        )
+        base = acc
+        acc = F.zip_with(base, shifted, lambda x, y: F.concat(x, y))
+    n_windows = F.greatest(F.size(F.col("_h")) - (k - block), F.lit(0))
+    windows = blocked.select(
+        id_col,
+        F.transform(F.slice(acc, 1, n_windows), lambda s: F.unhex(F.md5(s))).alias("_w"),
+    ).persist()
+    # Eager materialization (same rationale as minhash_lsh_pairs): the
+    # dup-count aggregate and the hits join are separate stages that
+    # would otherwise each re-run the whole tokenize→block-md5→window
+    # chain on a cold cache. The cached form is one row per doc holding
+    # 16 bytes per token position — ~corpus/4 in size, MEMORY_AND_DISK.
+    windows.count()
+    grams = windows.select(
+        id_col, F.posexplode("_w").alias("pos", "h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select(id_col, "pos")
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    merged = (
+        hits.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("_ps"),
+                empty_spans,
+                lambda acc_, p: F.when(
+                    (F.size(acc_) > 0) & (p <= F.element_at(acc_, -1)["e"]),
+                    F.concat(
+                        F.slice(acc_, 1, F.size(acc_) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc_, -1)["s"].alias("s"),
+                                (p + k).cast("int").alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc_,
+                        F.array(
+                            F.struct(
+                                p.cast("int").alias("s"), (p + k).cast("int").alias("e")
+                            )
+                        ),
+                    )
+                ),
+            ).alias("spans"),
+        )
+    )
+    return merged.select(
+        id_col,
+        "spans",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            "spans", F.lit(0), lambda a, sp: a + (sp["e"] - sp["s"])
+        ).alias("n_removed"),
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    block: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL: cut every duplicated ≥k-token span out
+    of every document (all copies — Lee et al. §4.1 note keeping one
+    copy changes results negligibly; pair with dedup_components for
+    keep-one document-level semantics).
+
+    Returns (id, n_tokens, n_spans, n_removed, kept_md5, kept_text)
+    where kept_text is the surviving tokens joined by single spaces.
+    The spans join is on the id — docs with no duplicated span pass
+    through whole (spans table is usually a small fraction of docs, so
+    AQE broadcast applies)."""
+    spans_df = exact_substring_spans(
+        docs, k=k, block=block, id_col=id_col, text_col=text_col, min_count=min_count
+    )
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    joined = (
+        fan_out(docs)
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+        .join(spans_df.select(id_col, "spans"), id_col, "left")
+        .select(
+            id_col, "_toks", F.coalesce("spans", empty_spans).alias("spans")
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    kept_text = F.array_join(kept, " ")
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size("spans").alias("n_spans"),
+        F.aggregate("spans", F.lit(0), lambda a, sp: a + (sp["e"] - sp["s"])).alias(
+            "n_removed"
+        ),
+        F.md5(kept_text).alias("kept_md5"),
+        kept_text.alias("kept_text"),
+    )
