@@ -95,6 +95,17 @@ def main() -> None:
     )
     sections.append(("TPC-H-STYLE AGG (pruned scan + partial agg)", _explain(q1)))
 
+    # 6. exact-substring dedup (Lee et al. span removal)
+    from web_scrapper_spark.operators.dedup import exact_substring_dedup
+
+    xs = exact_substring_dedup(docs, k=50, block=10).select(
+        "doc_id", "n_tokens", "n_spans", "n_removed", "kept_md5"
+    )
+    sections.append(
+        ("EXACT-SUBSTRING DEDUP (cached window table, AQE-broadcast joins)",
+         _explain(xs))
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "plans_raw.txt"), "w") as fh:
         for title, text in sections:
             fh.write(f"===== {title} =====\n{text}\n")
