@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "a1_keywords_topk",
     "a2_doc_stats",
     "dedup_exact",
+    "exact_substring",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "url_filter",
     "stratified_sample",
     "corpus_funnel",
+    "warc_roundtrip",
 ]
 
 
