@@ -1474,6 +1474,78 @@ def _exact_substring_oracle_sql() -> str:
     """
 
 
+#: PageRank query params: 5 power iterations, 3 out-edges per doc from
+#: an md5-derived deterministic citation graph, damping 85/100 in
+#: fixed-point 1e-12 integer units (operators/graph.py).
+_PRANK = {"iters": 5, "fanout": 3}
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (operators/graph.py) over a
+    deterministic md5-derived citation graph on documents — the crawl
+    frontier-prioritization ranking. Every arithmetic step is integer
+    (floor divisions, integer sums), so the DuckDB oracle's unrolled
+    iteration CTEs reproduce the ranks bit-exactly — no float ever
+    crosses the comparison."""
+    from web_scrapper_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    dsts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(j))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % n
+        )
+        for j in range(_PRANK["fanout"])
+    ]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    return pagerank(edges, num_iters=_PRANK["iters"]).select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("rank_fp")
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    from web_scrapper_spark.operators.graph import PAGERANK_SCALE as S
+
+    iters, fanout = _PRANK["iters"], _PRANK["fanout"]
+    js = ", ".join(str(j) for j in range(fanout))
+    sql = f"""
+        WITH params AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 ('0x' || substr(md5(doc_id || '|' || j), 1, 15))::BIGINT
+                   % (SELECT n FROM params) AS dst
+          FROM documents, unnest([{js}]) AS t(j)
+        ),
+        deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS node,
+                      CAST({S} // (SELECT n FROM params) AS BIGINT) AS rank_fp
+               FROM documents)"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""",
+        c{i} AS (
+          SELECT e.dst AS node, sum(r.rank_fp // d.odeg) AS s
+          FROM edges e JOIN {prev} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT n0.node,
+                 CAST((15 * ({S} // (SELECT n FROM params))) // 100
+                      + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS rank_fp
+          FROM r0 n0 LEFT JOIN c{i} c USING (node)
+        )"""
+        prev = f"r{i + 1}"
+    return sql + f"\n        SELECT node AS doc_id, rank_fp FROM {prev}"
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC sink→source roundtrip (sources/warc.py): documents are
     wrapped as HTML pages, written as a sharded .warc.gz archive
@@ -1536,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
+        # link-graph centrality (crawl frontier prioritization)
+        "link_pagerank": _q_link_pagerank,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -1899,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY fp
         """,
         "exact_substring": _exact_substring_oracle_sql(),
+        "link_pagerank": _pagerank_oracle_sql(),
         "paragraph_dedup": """
             WITH salted AS (
               SELECT doc_id,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "corpus_funnel",
     "warc_roundtrip",
+    "link_pagerank",
 ]
 
 

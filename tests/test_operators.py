@@ -1073,3 +1073,85 @@ class TestExactSubstring:
             n_hit += bool(spans)
             assert got[d] == exp, f"doc {d}"
         assert n_hit > 0  # fixture genuinely exercises the operator
+
+
+class TestPagerank:
+    """operators/graph.py — fixed-point integer PageRank."""
+
+    def _sim(self, edges, iters=10, d=85):
+        from collections import defaultdict
+
+        from web_scrapper_spark.operators.graph import PAGERANK_SCALE as S
+
+        nodes = sorted({u for e in edges for u in e})
+        deg = defaultdict(int)
+        for s, _ in edges:
+            deg[s] += 1
+        r0 = S // len(nodes)
+        base = ((100 - d) * r0) // 100
+        r = {v: r0 for v in nodes}
+        for _ in range(iters):
+            c = defaultdict(int)
+            for s, t in edges:
+                c[t] += r[s] // deg[s]
+            r = {v: base + (c[v] * d) // 100 for v in nodes}
+        return r
+
+    def test_matches_integer_simulation(self, spark):
+        from web_scrapper_spark.operators.graph import pagerank
+
+        E = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1)]
+        df = spark.createDataFrame(E, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, num_iters=10).collect()}
+        assert got == self._sim(E)
+
+    def test_ordering_is_sane(self, spark):
+        # a star graph: the hub must outrank every leaf
+        from web_scrapper_spark.operators.graph import pagerank
+
+        # 0↔1 form a cycle, so the 0/1 ranks oscillate with decay
+        # 0.85² per round trip — 30 iterations is well converged
+        E = [(leaf, 0) for leaf in range(1, 8)] + [(0, 1)]
+        df = spark.createDataFrame(E, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, num_iters=30).collect()}
+        assert got[0] == max(got.values())
+        assert got[0] > got[2]
+
+    def test_dangling_node_keeps_base_rank(self, spark):
+        from web_scrapper_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+        E = [(1, 2), (2, 3)]  # 3 is dangling
+        df = spark.createDataFrame(E, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, num_iters=4).collect()}
+        assert got == self._sim(E, iters=4)
+        assert set(got) == {1, 2, 3}
+        # node 1 has no in-links: exactly the teleport base
+        base = ((100 - 85) * (PAGERANK_SCALE // 3)) // 100
+        assert got[1] == base
+
+    def test_determinism_across_partitionings(self, spark):
+        from web_scrapper_spark.operators.graph import pagerank
+
+        E = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+            (i, (i * 11 + 1) % 40) for i in range(40)
+        ]
+        df1 = spark.createDataFrame(E, "src long, dst long").repartition(1)
+        df2 = spark.createDataFrame(E, "src long, dst long").repartition(16)
+        r1 = {r["node"]: r["rank"] for r in pagerank(df1, num_iters=6).collect()}
+        r2 = {r["node"]: r["rank"] for r in pagerank(df2, num_iters=6).collect()}
+        assert r1 == r2
+
+    def test_host_edges_aggregates_by_host(self, spark):
+        from web_scrapper_spark.operators.graph import host_edges
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.com/p1", "https://b.com/x"),
+                ("https://a.com/p2", "https://b.com/y"),
+                ("https://a.com/p3", "https://a.com/p1"),
+                (None, "https://b.com/z"),
+            ],
+            "src_url string, url string",
+        )
+        got = {(r["src"], r["dst"]): r["weight"] for r in host_edges(links).collect()}
+        assert got == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1}
