@@ -100,3 +100,57 @@ class TestStreaming:
         query2.awaitTermination(120)
         again = spark.read.parquet(os.path.join(out_dir, "articles"))
         assert again.count() == n_first
+
+
+class TestWarcStreaming:
+    def test_warc_archives_stream_as_pages(self, spark, tmp_path):
+        """Archives landing incrementally are ingested exactly once and
+        feed the same extraction path as parquet pages."""
+        from web_scrapper_spark.sources.warc import write_warc
+
+        pages = pages_dataframe(spark, SiteSpec(n_hosts=2, n_articles=8)).persist()
+        d = str(tmp_path / "warc_in")
+        # two 'arrival' batches of archives
+        write_warc(pages.filter("pmod(hash(url), 2) = 0").repartition(2), d)
+        first = st.warc_pages_stream(spark, d, max_files_per_trigger=1)
+        _run_to_memory(first, "warc1")
+        n1 = spark.sql("select count(*) c from warc1").first()["c"]
+        assert n1 == pages.filter("pmod(hash(url), 2) = 0").count()
+
+        # second batch arrives: a fresh availableNow pass over the dir
+        # sees ALL files; counts must equal the full pages table
+        import os as _os
+
+        write_warc(
+            pages.filter("pmod(hash(url), 2) = 1").repartition(2),
+            str(tmp_path / "warc_in2"),
+        )
+        for f in _os.listdir(str(tmp_path / "warc_in2")):
+            _os.rename(
+                _os.path.join(str(tmp_path / "warc_in2"), f),
+                _os.path.join(d, "b2-" + f),
+            )
+        full = st.warc_pages_stream(spark, d)
+        _run_to_memory(full, "warc2")
+        rows = spark.sql("select url, html from warc2").collect()
+        assert len(rows) == pages.count()
+        # payload bytes identical to the batch pages table
+        left = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+        right = {r["url"]: bytes(r["html"]) for r in rows}
+        assert left == right
+        # schema matches the parquet pages stream contract
+        assert [f.name for f in full.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        pages.unpersist()
+
+    def test_warc_stream_feeds_extraction(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import write_warc
+
+        pages = pages_dataframe(spark, SiteSpec(n_hosts=2, n_articles=8))
+        d = str(tmp_path / "warc_ex")
+        write_warc(pages.repartition(2), d)
+        out = st.extract_articles_stream(st.warc_pages_stream(spark, d))
+        _run_to_memory(out.filter("row_kind = 'full'"), "warc_arts")
+        n = spark.sql("select count(*) c from warc_arts").first()["c"]
+        assert n > 0

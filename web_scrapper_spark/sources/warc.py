@@ -38,7 +38,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "write_warc", "WARC_RECORD_SCHEMA", "parse_warc_bytes", "build_warc_bytes"]
+__all__ = [
+    "read_warc",
+    "read_warc_stream",
+    "write_warc",
+    "WARC_RECORD_SCHEMA",
+    "parse_warc_bytes",
+    "build_warc_bytes",
+]
 
 #: Schema of the rows ``read_warc`` emits. ``url``/``warc_ts``/``html``
 #: line up with the crawl's pages table (fixtures/sitegen.py
@@ -217,6 +224,28 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _file_parser(record_types: Tuple[str, ...]):
+    """mapInPandas closure shared by the batch and streaming sources:
+    (path, content) batches → WARC_RECORD_SCHEMA rows."""
+    wanted = set(record_types)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(fpath))
+                for rec in parse_warc_bytes(bytes(blob), warc_file=name):
+                    if not wanted or rec["warc_type"] in wanted:
+                        out.append(rec)
+            cols = [
+                "url", "warc_ts", "html", "warc_type", "record_id",
+                "content_type", "http_status", "warc_file",
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return parse
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -236,23 +265,33 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
-    wanted = set(record_types)
+    return files.mapInPandas(_file_parser(record_types), schema=WARC_RECORD_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: List[dict] = []
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(str(fpath))
-                for rec in parse_warc_bytes(bytes(blob), warc_file=name):
-                    if not wanted or rec["warc_type"] in wanted:
-                        out.append(rec)
-            cols = [
-                "url", "warc_ts", "html", "warc_type", "record_id",
-                "content_type", "http_status", "warc_file",
-            ]
-            yield pd.DataFrame(out, columns=cols)
 
-    return files.mapInPandas(parse, schema=WARC_RECORD_SCHEMA)
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: Tuple[str, ...] = ("response", "resource"),
+    glob: str = "*.warc*",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming WARC source: archives landing in ``path`` become
+    record rows incrementally (file-source semantics — each archive is
+    processed exactly once per checkpoint). Same parse stage as the
+    batch source; ``maxFilesPerTrigger`` bounds per-micro-batch work so
+    a backlog of archives drains at a steady memory footprint."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed by the format, but the streaming
+        # source requires it stated explicitly
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_file_parser(record_types), schema=WARC_RECORD_SCHEMA)
 
 
 def write_warc(

@@ -13,6 +13,7 @@ from .stream import (
     host_state_stream,
     pages_stream,
     run_incremental_extraction,
+    warc_pages_stream,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "host_rate_metrics",
     "host_state_stream",
     "run_incremental_extraction",
+    "warc_pages_stream",
 ]

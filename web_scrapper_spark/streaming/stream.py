@@ -41,6 +41,29 @@ def pages_stream(
     )
 
 
+def warc_pages_stream(
+    spark: SparkSession, warc_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming ingestion of WARC archives as the pages table:
+    ``.warc.gz`` files landing in ``warc_dir`` (the Common Crawl / bulk
+    fetcher handoff) flow straight into the SAME downstream streaming
+    ops as parquet pages — extraction, host-rate windows, stateful host
+    totals. Emits PAGES_SCHEMA columns (text/lang are NULL: archives
+    carry raw payloads; text derivation is the extractor's job)."""
+    from ..sources.warc import read_warc_stream
+
+    recs = read_warc_stream(
+        spark, warc_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return recs.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def extract_articles_stream(
     pages: DataFrame, cfg: Optional[ContentConfig] = None
 ) -> DataFrame:
