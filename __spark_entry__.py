@@ -1578,6 +1578,40 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_warc_cdx_fetch(spark, sf_dir):
+    """CDX random access (sources/warc.py): the documents are archived
+    as sharded .warc.gz with CDXJ sidecars, then ONE IN TEN records
+    (doc_id % 10 = 3) is fetched back via index-driven gzip-member
+    range reads — the archives are never scanned. The oracle recomputes
+    the selected payload md5s straight from parquet: a hash match
+    proves the index offsets/lengths address exactly the right bytes."""
+    import tempfile
+
+    from web_scrapper_spark.fixtures.sitegen import WARC_EPOCH
+    from web_scrapper_spark.sources.warc import read_cdx, read_warc_ranges, write_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://warc.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.lit(WARC_EPOCH).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="wss_cdx_oracle_")
+    write_warc(pages.repartition(4, "url"), out)
+    cdx = read_cdx(spark, out)
+    want = cdx.filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 10 == 3
+    )
+    return read_warc_ranges(want, out).select(
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / text analytics (A1-A4, training-data ops)
@@ -1616,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
+        "warc_cdx_fetch": _q_warc_cdx_fetch,
         # session/header/proxy + UA rotation (S2/S3)
         "s2_fetch_session": _q_s2_fetch_session,
         "s3_ua_rotation": _q_s3_ua_rotation,
@@ -2199,6 +2234,16 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bytes,
                    md5('<html><body>' || text || '</body></html>') AS payload_md5
             FROM documents
+        """,
+        "warc_cdx_fetch": """
+            -- the 1-in-10 selection fetched via CDX range reads must
+            -- byte-match the parquet-recomputed payloads
+            SELECT 'https://warc.example.org/doc/' || doc_id AS url,
+                   CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
+                     AS n_bytes,
+                   md5('<html><body>' || text || '</body></html>') AS payload_md5
+            FROM documents
+            WHERE doc_id % 10 = 3
         """,
         "s3_ua_rotation": _s3_ua_rotation_sql(),
         "s2_fetch_session": _s2_fetch_session_sql(),

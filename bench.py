@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "corpus_funnel",
     "warc_roundtrip",
+    "warc_cdx_fetch",
     "link_pagerank",
 ]
 

@@ -5,6 +5,7 @@ import os
 from datetime import datetime, timezone
 
 import pytest
+from pyspark.sql import functions as F
 
 from web_scrapper_spark.sources.warc import (
     build_warc_bytes,
@@ -114,3 +115,56 @@ class TestWarcSpark:
         left = {r["url"]: bytes(r["html"]) for r in pages.collect()}
         right = {r["url"]: bytes(r["html"]) for r in back.collect()}
         assert left == right
+
+
+class TestCdx:
+    def test_cdx_selective_fetch(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import read_cdx, read_warc_ranges
+
+        out = str(tmp_path / "warc_cdx")
+        df = spark.createDataFrame(
+            _rows(), "url string, warc_ts timestamp, html binary"
+        ).repartition(2)
+        write_warc(df, out)
+        cdx = read_cdx(spark, out)
+        assert cdx.count() == 4
+        # digest column is the payload md5
+        import hashlib
+
+        digs = {r["url"]: r["digest"] for r in cdx.collect()}
+        for u, _, p in _rows():
+            assert digs[u] == hashlib.md5(p).hexdigest()
+        # fetch a subset by joining the index — archives never scanned
+        want = cdx.filter(F.col("url").contains("b.example.org"))
+        got = {
+            (r["url"], bytes(r["html"])) for r in read_warc_ranges(want, out).collect()
+        }
+        assert got == {(u, p) for u, _, p in _rows() if "b.example.org" in u}
+
+    def test_cdx_offsets_address_gzip_members(self, spark, tmp_path):
+        import gzip as _gz
+        import os as _os
+
+        from web_scrapper_spark.sources.warc import read_cdx
+
+        out = str(tmp_path / "warc_off")
+        df = spark.createDataFrame(
+            _rows(), "url string, warc_ts timestamp, html binary"
+        ).coalesce(1)
+        write_warc(df, out)
+        cdx = read_cdx(spark, out).collect()
+        for r in cdx:
+            with open(_os.path.join(out, r["warc_file"]), "rb") as fh:
+                fh.seek(r["offset"])
+                member = fh.read(r["length"])
+            rec = _gz.decompress(member)
+            assert rec.startswith(b"WARC/1.0")
+            assert ("WARC-Target-URI: " + r["url"]).encode("utf-8") in rec
+
+    def test_cdx_disabled(self, spark, tmp_path):
+        import os as _os
+
+        out = str(tmp_path / "warc_nocdx")
+        df = spark.createDataFrame(_rows(), "url string, warc_ts timestamp, html binary")
+        write_warc(df, out, cdx=False)
+        assert not [f for f in _os.listdir(out) if f.endswith(".cdx")]

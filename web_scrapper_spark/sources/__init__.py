@@ -9,7 +9,7 @@ from .io import (
     write_any,
     write_jdbc,
 )
-from .warc import read_warc, write_warc
+from .warc import read_cdx, read_warc, read_warc_ranges, write_warc
 
 __all__ = [
     "export_data",
@@ -17,7 +17,9 @@ __all__ = [
     "query_table",
     "read_any",
     "read_jdbc",
+    "read_cdx",
     "read_warc",
+    "read_warc_ranges",
     "write_any",
     "write_jdbc",
     "write_warc",

@@ -41,10 +41,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_warc",
     "read_warc_stream",
+    "read_cdx",
+    "read_warc_ranges",
     "write_warc",
     "WARC_RECORD_SCHEMA",
+    "CDX_SCHEMA",
     "parse_warc_bytes",
     "build_warc_bytes",
+    "build_warc_with_index",
 ]
 
 #: Schema of the rows ``read_warc`` emits. ``url``/``warc_ts``/``html``
@@ -128,21 +132,55 @@ def _warcinfo_record(filename: str) -> bytes:
     return headers + body + _CRLF + _CRLF
 
 
+def build_warc_with_index(
+    rows: Iterable[Tuple[str, object, bytes]],
+    filename: str = "part.warc.gz",
+    content_type: str = "text/html; charset=utf-8",
+    compress: bool = True,
+) -> Tuple[bytes, List[dict]]:
+    """Serialize (url, ts, payload) rows into one WARC file's bytes —
+    a leading warcinfo record, then one response record per row — plus
+    the CDX entries (one per response record): byte offset + compressed
+    length of the record's gzip member inside the file, payload md5
+    digest. Offsets index gzip MEMBERS (the Common Crawl convention),
+    so a reader can range-GET [offset, offset+length) and gunzip just
+    that record."""
+    chunks: List[bytes] = []
+    entries: List[dict] = []
+    info = _warcinfo_record(filename)
+    chunks.append(_gzip_member(info) if compress else info)
+    offset = len(chunks[0])
+    for url, ts, payload in rows:
+        payload = payload or b""
+        date = _warc_date(ts)
+        rec = _response_record(url, date, payload, content_type)
+        member = _gzip_member(rec) if compress else rec
+        chunks.append(member)
+        entries.append(
+            {
+                "url": url,
+                "ts": date,
+                "warc_file": filename,
+                "offset": offset,
+                "length": len(member),
+                "digest": hashlib.md5(payload).hexdigest(),
+                "status": 200,
+                "mime": content_type.split(";")[0].strip(),
+            }
+        )
+        offset += len(member)
+    return b"".join(chunks), entries
+
+
 def build_warc_bytes(
     rows: Iterable[Tuple[str, object, bytes]],
     filename: str = "part.warc.gz",
     content_type: str = "text/html; charset=utf-8",
     compress: bool = True,
 ) -> bytes:
-    """Serialize (url, ts, payload) rows into one WARC file's bytes —
-    a leading warcinfo record, then one response record per row."""
-    chunks: List[bytes] = []
-    info = _warcinfo_record(filename)
-    chunks.append(_gzip_member(info) if compress else info)
-    for url, ts, payload in rows:
-        rec = _response_record(url, _warc_date(ts), payload or b"", content_type)
-        chunks.append(_gzip_member(rec) if compress else rec)
-    return b"".join(chunks)
+    """build_warc_with_index without the index."""
+    data, _ = build_warc_with_index(rows, filename, content_type, compress)
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -302,12 +340,19 @@ def write_warc(
     payload_col: str = "html",
     content_type: str = "text/html; charset=utf-8",
     compress: bool = True,
+    cdx: bool = True,
 ) -> List[dict]:
     """WARC sink. Each input partition becomes one ``part-NNNNN.warc.gz``
     written by its own task directly under ``path`` — repartition
     upstream to pick the shard count (Common Crawl targets ~1 GiB).
     Rows inside a partition are serialized in ``url`` order so the
     output is independent of upstream shuffle nondeterminism.
+
+    With ``cdx=True`` (default) each shard also gets a
+    ``part-NNNNN.cdx`` sidecar — CDXJ lines (url, ts, then a JSON blob
+    with offset/length/digest), the Common Crawl random-access index:
+    a reader joins the index, range-reads one gzip member per wanted
+    record, and never scans the archive (see ``read_warc_ranges``).
 
     Returns the per-file manifest (file, records, bytes) — one row per
     non-empty partition, collected driver-side (bounded by the shard
@@ -331,7 +376,7 @@ def write_warc(
             return
         pdf = pd.concat(parts).sort_values("url", kind="mergesort")
         name = f"part-{pid:05d}{ext}"
-        data = build_warc_bytes(
+        data, entries = build_warc_with_index(
             zip(pdf["url"], pdf["warc_ts"], pdf["html"]),
             filename=name,
             content_type=content_type,
@@ -341,7 +386,94 @@ def write_warc(
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, os.path.join(path, name))  # atomic publish
+        if cdx:
+            import json
+
+            cdx_name = f"part-{pid:05d}.cdx"
+            lines = "".join(
+                f"{e['url']} {e['ts']} "
+                + json.dumps(
+                    {k: e[k] for k in ("warc_file", "offset", "length", "digest", "status", "mime")},
+                    sort_keys=True,
+                )
+                + "\n"
+                for e in entries
+            )
+            ctmp = os.path.join(path, f".{cdx_name}.tmp-{pid}")
+            with open(ctmp, "w", encoding="utf-8") as fh:
+                fh.write(lines)
+            os.replace(ctmp, os.path.join(path, cdx_name))
         yield pd.DataFrame({"warc_file": [name], "records": [len(pdf)], "bytes": [len(data)]})
 
     manifest = src.mapInPandas(emit, schema="warc_file string, records long, bytes long")
     return [r.asDict() for r in manifest.collect()]
+
+
+# ---------------------------------------------------------------------------
+# CDX random access
+# ---------------------------------------------------------------------------
+
+#: Schema of read_cdx rows. offset/length address the record's gzip
+#: member inside warc_file — the range a selective reader fetches.
+CDX_SCHEMA = (
+    "url string, ts string, warc_file string, offset long, length long, "
+    "digest string, status int, mime string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX index source: parses the CDXJ sidecars written next to the
+    archives. Pure column ops (split + from_json) — the index is a
+    normal DataFrame, so record selection is a join/filter Catalyst can
+    push around, and only the matched rows ever touch an archive."""
+    lines = spark.read.text(f"{path}/*.cdx")
+    parts = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(
+        parts[2],
+        "warc_file string, offset long, length long, digest string, "
+        "status int, mime string",
+    )
+    return lines.select(
+        parts[0].alias("url"),
+        parts[1].alias("ts"),
+        meta["warc_file"].alias("warc_file"),
+        meta["offset"].alias("offset"),
+        meta["length"].alias("length"),
+        meta["digest"].alias("digest"),
+        meta["status"].alias("status"),
+        meta["mime"].alias("mime"),
+    )
+
+
+def read_warc_ranges(cdx: DataFrame, path: str) -> DataFrame:
+    """Selective WARC reader: given (a filtered subset of) the CDX
+    index, fetch EXACTLY those records by seeking to each gzip member —
+    the archives are never scanned. This is the 100 TB access pattern:
+    pick k documents out of a crawl via the (tiny, columnar) index and
+    pay I/O proportional to k, not to corpus size.
+
+    Tasks group their CDX rows per archive file and read ranges in
+    offset order (one open + sequential-ish seeks per file per task;
+    on object storage these become range GETs). Repartitioning the
+    index by ``warc_file`` upstream concentrates each archive's reads
+    in one task if desired; the default leaves Catalyst's layout."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "warc_ts", "html", "warc_type", "record_id",
+            "content_type", "http_status", "warc_file",
+        ]
+        for pdf in batches:
+            out: List[dict] = []
+            for fname, grp in pdf.groupby("warc_file"):
+                with open(os.path.join(path, str(fname)), "rb") as fh:
+                    for _, row in grp.sort_values("offset").iterrows():
+                        fh.seek(int(row["offset"]))
+                        member = fh.read(int(row["length"]))
+                        for rec in parse_warc_bytes(member, warc_file=str(fname)):
+                            out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
+
+    return cdx.select("warc_file", "offset", "length").mapInPandas(
+        fetch, schema=WARC_RECORD_SCHEMA
+    )
