@@ -453,3 +453,68 @@ Disallow:
         assert row["host"] == "a.org"
         assert row["disallow_prefixes"] == ["/x", "/y"]  # unioned, sorted
         assert row["crawl_delay"] == 3.0  # most polite wins
+
+
+class TestHostPriorityDequeue:
+    """Opt-in link-centrality allocation of a capped epoch's budget."""
+
+    def _frontier(self, spark):
+        seeds = [(f"https://big.org/p{i}", "content") for i in range(4)] + [
+            (f"https://small.org/p{i}", "content") for i in range(4)
+        ] + [(f"https://unranked.org/p{i}", "content") for i in range(2)]
+        return seeds_frontier(spark, seeds)
+
+    def test_high_centrality_host_wins_capped_budget(self, spark):
+        frontier = self._frontier(spark)
+        hp = spark.createDataFrame(
+            [("small.org", 900), ("big.org", 100)], "host string, rank long"
+        )
+        batch = dequeue(
+            frontier, None, epoch_seconds=8.0, default_delay=2.0,
+            global_budget=5, host_priority=hp,
+        )
+        by_host = {
+            r["host"]: r["cnt"]
+            for r in batch.groupBy("host").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        # all 4 politeness slots of the top-ranked host first, then the
+        # next host fills the remainder; unranked (rank 0) sorts last
+        assert by_host == {"small.org": 4, "big.org": 1}
+        assert "_host_rank_fp" not in batch.columns
+
+    def test_without_priority_order_unchanged(self, spark):
+        frontier = self._frontier(spark)
+        plain = dequeue(
+            frontier, None, epoch_seconds=8.0, default_delay=2.0, global_budget=5
+        )
+        # default is the deterministic (depth, ord_key) order: seeds
+        # 00000..00004 regardless of host
+        assert sorted(r["ord_key"] for r in plain.collect()) == [
+            "00000", "00001", "00002", "00003", "00004"
+        ]
+
+    def test_pagerank_feeds_dequeue(self, spark):
+        """End-to-end: link edges → host graph → pagerank → dequeue."""
+        from web_scrapper_spark.operators.graph import host_edges, pagerank
+
+        links = spark.createDataFrame(
+            # everyone links to hub.org; hub splits its authority over
+            # two spokes (a single out-link would hand a spoke MORE
+            # rank than the hub — correct PageRank, wrong test graph)
+            [(f"https://s{i}.org/p", "https://hub.org/x") for i in range(6)]
+            + [("https://hub.org/x", "https://spoke.org/y"),
+               ("https://hub.org/x", "https://s0.org/p")],
+            "src_url string, url string",
+        )
+        ranks = pagerank(host_edges(links), num_iters=20).withColumnRenamed(
+            "node", "host"
+        )
+        seeds = [("https://hub.org/a", "content"), ("https://spoke.org/b", "content"),
+                 ("https://s0.org/c", "content")]
+        frontier = seeds_frontier(spark, seeds)
+        batch = dequeue(
+            frontier, None, epoch_seconds=8.0, default_delay=2.0,
+            global_budget=1, host_priority=ranks,
+        )
+        assert [r["host"] for r in batch.collect()] == ["hub.org"]

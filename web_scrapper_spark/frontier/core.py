@@ -198,17 +198,35 @@ def dequeue(
     epoch_seconds: float = 8.0,
     default_delay: float = 2.0,
     global_budget: Optional[int] = None,
+    host_priority: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Politeness-bounded dequeue (SURVEY.md §2.5): per-host fair slots
-    by priority/ord_key; optional global cap keeps epochs bounded."""
+    by priority/ord_key; optional global cap keeps epochs bounded.
+
+    ``host_priority`` (host, rank) — e.g. ``operators.graph.pagerank``
+    over ``host_edges`` of the link graph — allocates a capped epoch's
+    global budget to high-centrality hosts first (the OPIC/PageRank
+    frontier-ordering tier). Per-host politeness fairness is untouched:
+    centrality decides WHICH hosts' slots make a bounded epoch, never
+    the within-host order (deterministic: rank desc, then depth,
+    ord_key). Unranked hosts sort last at rank 0. The rank table is
+    host-grained — broadcast-sized by construction."""
     ranked = dequeue_ranked(frontier, robots, epoch_seconds, default_delay)
     batch = ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")
     if global_budget is not None:
         # bounded epochs: keep best-ranked rows; ties broken by ord_key.
-        batch = (
-            batch.orderBy(F.asc("depth"), F.asc("ord_key"))
-            .limit(global_budget)
-        )
+        order = [F.asc("depth"), F.asc("ord_key")]
+        if host_priority is not None:
+            hp = host_priority.select(
+                "host", F.col("rank").alias("_host_rank_fp")
+            )
+            batch = batch.join(F.broadcast(hp), "host", "left").withColumn(
+                "_host_rank_fp", F.coalesce("_host_rank_fp", F.lit(0))
+            )
+            order = [F.desc("_host_rank_fp")] + order
+        batch = batch.orderBy(*order).limit(global_budget)
+        if host_priority is not None:
+            batch = batch.drop("_host_rank_fp")
     return batch
 
 

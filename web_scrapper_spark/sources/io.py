@@ -19,6 +19,10 @@ Covers the reference's storage handlers Spark-natively:
                                   from this runtime). Driver-sized by
                                   nature — matches the reference's
                                   per-job local-file usage.
+- S16    WARC                   → `warc` alias dispatches to
+                                  sources/warc.py (Common-Crawl archive
+                                  source/sink + CDX index; beyond the
+                                  reference's format set).
 """
 
 from __future__ import annotations
