@@ -1578,6 +1578,54 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_sitemap_parse(spark, sf_dir):
+    """Sitemap ingestion (frontier/sitemap.py): documents are grouped
+    into 8 hosts, serialized as sitemaps.org <urlset> XML (lastmod /
+    changefreq / priority per entry), and fed through the
+    sitemap_candidates Arrow parse stage. The oracle regenerates the
+    expected entries relationally — a hash match proves the XML writer
+    → namespace-tolerant parser → entry emission path lossless,
+    including priority's float→ppm integer scaling."""
+    from web_scrapper_spark.frontier.sitemap import sitemap_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    freq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"), F.lit("never")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    frag = F.concat(
+        F.lit("<url><loc>https://sm"), F.col("doc_id") % 8,
+        F.lit(".example.org/doc/"), F.col("doc_id"),
+        F.lit("</loc><lastmod>2025-07-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"), freq,
+        F.lit("</changefreq><priority>0."), F.col("doc_id") % 10,
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        docs.select((F.col("doc_id") % 8).alias("h"), F.struct("doc_id", frag.alias("f")).alias("e"))
+        .groupBy("h")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["f"]), ""
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("https://sm"), F.col("h"), F.lit(".example.org/sitemap.xml")).alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                          '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                    F.col("body"),
+                    F.lit("</urlset>"),
+                ),
+                "utf-8",
+            ).alias("html"),
+        )
+    )
+    return sitemap_candidates(sitemaps)
+
+
 def _q_warc_cdx_fetch(spark, sf_dir):
     """CDX random access (sources/warc.py): the documents are archived
     as sharded .warc.gz with CDXJ sidecars, then ONE IN TEN records
@@ -1651,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
         "warc_cdx_fetch": _q_warc_cdx_fetch,
+        "sitemap_parse": _q_sitemap_parse,
         # session/header/proxy + UA rotation (S2/S3)
         "s2_fetch_session": _q_s2_fetch_session,
         "s3_ua_rotation": _q_s3_ua_rotation,
@@ -2233,6 +2282,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
                      AS n_bytes,
                    md5('<html><body>' || text || '</body></html>') AS payload_md5
+            FROM documents
+        """,
+        "sitemap_parse": """
+            -- relational regeneration of the sitemap entries the XML
+            -- writer+parser roundtrip must reproduce exactly
+            SELECT 'https://sm' || (doc_id % 8) || '.example.org/sitemap.xml' AS src_url,
+                   'https://sm' || (doc_id % 8) || '.example.org/doc/' || doc_id AS url,
+                   'url' AS kind,
+                   '2025-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+                   (['daily','weekly','monthly','never'])[CAST(doc_id % 4 AS INT) + 1]
+                     AS changefreq,
+                   CAST((doc_id % 10) * 100000 AS INT) AS priority_ppm,
+                   CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+                        AS INT) AS item_pos
             FROM documents
         """,
         "warc_cdx_fetch": """

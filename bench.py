@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "corpus_funnel",
     "warc_roundtrip",
     "warc_cdx_fetch",
+    "sitemap_parse",
     "link_pagerank",
 ]
 

@@ -3,6 +3,7 @@
 from .store import SnapshotStore
 from .bloom import PyBloom, build_bloom, bloom_prefilter
 from .robots import parse_robots_txt, robots_from_pages
+from .sitemap import parse_sitemap_xml, sitemap_candidates
 
 __all__ = [
     "SnapshotStore",
@@ -11,4 +12,6 @@ __all__ = [
     "bloom_prefilter",
     "parse_robots_txt",
     "robots_from_pages",
+    "parse_sitemap_xml",
+    "sitemap_candidates",
 ]

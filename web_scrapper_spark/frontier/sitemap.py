@@ -1,0 +1,150 @@
+"""Sitemap ingestion (sitemaps.org protocol) — frontier discovery from
+``sitemap.xml`` documents.
+
+The reference engine discovers URLs only by walking listing pages
+(pagination heuristics, content.py:179-223); real crawls additionally
+seed from the sitemap protocol: ``<urlset>`` leaves carrying per-URL
+``lastmod``/``changefreq``/``priority`` hints and ``<sitemapindex>``
+nodes pointing at child sitemaps. This module parses both forms with
+stdlib ``xml.etree`` (namespace-tolerant, gzip-transparent) and exposes
+the Spark surface that turns sitemap pages already fetched into the
+pages table into frontier candidates.
+
+Scale shape: sitemap pages are a vanishing fraction of a crawl
+(one-per-host-ish), so ``sitemap_candidates`` filters the pages scan
+down to path == /sitemap.xml rows FIRST (predicate-pushed), parses that
+small set in one Arrow ``mapInPandas`` stage, and emits candidate rows
+whose ``priority`` column slots into the dequeue's existing
+priority-desc ordering — sitemap-prioritized URLs are fetched earlier
+within their host's politeness window.
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_sitemap_xml", "sitemap_candidates", "SITEMAP_ENTRY_SCHEMA"]
+
+#: Rows emitted per <url>/<sitemap> entry. kind: 'url' (urlset leaf) or
+#: 'sitemap' (sitemapindex child — enqueue for fetching, not a page).
+SITEMAP_ENTRY_SCHEMA = (
+    "src_url string, url string, kind string, lastmod string, "
+    "changefreq string, priority_ppm int, item_pos int"
+)
+
+_CHANGEFREQS = {
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+}
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _text(el) -> str:
+    return (el.text or "").strip()
+
+
+def parse_sitemap_xml(data: bytes, src_url: str = "") -> List[dict]:
+    """Parse one sitemap document (urlset or sitemapindex; gzip
+    transparent) into entry dicts. Malformed XML yields []; malformed
+    single entries (no <loc>) are skipped — a crawl never fails on a
+    bad sitemap. priority is scaled to integer ppm (0.5 → 500000) so it
+    crosses engines without float formatting drift."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return []
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError:
+        return []
+    root_kind = _localname(root.tag)
+    if root_kind not in ("urlset", "sitemapindex"):
+        return []
+    kind = "url" if root_kind == "urlset" else "sitemap"
+    out: List[dict] = []
+    for child in root:
+        if _localname(child.tag) not in ("url", "sitemap"):
+            continue
+        loc: Optional[str] = None
+        lastmod = changefreq = None
+        priority_ppm = None
+        for field in child:
+            name = _localname(field.tag)
+            if name == "loc":
+                loc = _text(field)
+            elif name == "lastmod":
+                lastmod = _text(field) or None
+            elif name == "changefreq":
+                v = _text(field).lower()
+                changefreq = v if v in _CHANGEFREQS else None
+            elif name == "priority":
+                try:
+                    p = float(_text(field))
+                except ValueError:
+                    continue
+                if 0.0 <= p <= 1.0:
+                    priority_ppm = int(round(p * 1_000_000))
+        if not loc:
+            continue
+        out.append(
+            {
+                "src_url": src_url,
+                "url": loc,
+                "kind": kind,
+                "lastmod": lastmod,
+                "changefreq": changefreq,
+                "priority_ppm": priority_ppm,
+                "item_pos": len(out),
+            }
+        )
+    return out
+
+
+def sitemap_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    path_suffixes: tuple = ("/sitemap.xml", "/sitemap.xml.gz"),
+) -> DataFrame:
+    """Sitemap pages already fetched into the pages table → one row per
+    sitemap entry (SITEMAP_ENTRY_SCHEMA).
+
+    The pages scan is pruned to (url, html) and filtered to sitemap
+    paths BEFORE the parse stage, so the Arrow UDF sees only the
+    handful of sitemap documents, never the corpus. ``kind='url'`` rows
+    are frontier candidates (join their priority_ppm into
+    with_frontier_columns upstream of dequeue); ``kind='sitemap'`` rows
+    are child sitemaps to enqueue for fetching — index recursion is an
+    epoch-over-epoch loop, the same way discovered links are."""
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    src = pages.select(
+        F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
+    ).filter(path.isin(*path_suffixes))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "src_url", "url", "kind", "lastmod", "changefreq",
+            "priority_ppm", "item_pos",
+        ]
+        for pdf in batches:
+            out: List[dict] = []
+            for src_url, blob in zip(pdf["src_url"], pdf["_blob"]):
+                raw = (
+                    bytes(blob)
+                    if isinstance(blob, (bytes, bytearray, memoryview))
+                    else str(blob).encode("utf-8", "replace")
+                )
+                out.extend(parse_sitemap_xml(raw, src_url=str(src_url)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(parse, schema=SITEMAP_ENTRY_SCHEMA)
