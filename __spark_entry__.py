@@ -338,6 +338,33 @@ def _q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental MinHash/LSH (operators/dedup.py
+    minhash_lsh_incremental): docs split into an indexed corpus
+    (doc_id % 4 ≠ 0) and an arriving delta (doc_id % 4 = 0); the delta
+    is deduped against the persisted band/shingle index plus itself.
+    The oracle is the BATCH pair computation restricted to pairs with
+    ≥1 delta doc — incremental must find exactly the batch answer."""
+    from web_scrapper_spark.operators.partitioning import fan_out
+
+    docs = fan_out(_read(spark, sf_dir, "documents")).filter(
+        F.size(_tx.tokens_col(F.col("text"))) > 0
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    index_sh = _dd.shingled_docs(old, shingle_n=3)
+    index_bands = _dd.minhash_bands(
+        old, num_hashes=4, band_size=1, shingle_n=3, shingled=index_sh
+    )
+    pairs, _, _ = _dd.minhash_lsh_incremental(
+        new, index_bands, index_sh,
+        num_hashes=4, band_size=1, shingle_n=3, jaccard_threshold=0.0,
+    )
+    return pairs.filter(
+        F.col("inter_size") * 5 >= F.col("union_size") * 2
+    ).select("id_a", "id_b", "inter_size", "union_size", "pair_kind")
+
+
 def _q_dedup_components(spark, sf_dir):
     """Duplicate-cluster transitive closure over the MinHash/LSH pair
     graph (alternating large-star/small-star, operators/dedup.py) —
@@ -1476,6 +1503,175 @@ def _exact_substring_oracle_sql() -> str:
 
 #: PageRank query params: 5 power iterations, 3 out-edges per doc from
 #: an md5-derived deterministic citation graph, damping 85/100 in
+#: synthetic chrome wrapped around each document's text so the
+#: boilerplate classifier has real nav/footer blocks to reject — built
+#: identically by the Spark query and the DuckDB oracle.
+_MC_NAV = (
+    '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/b">Blog archive</a> <a href="/s">Site map</a></div>'
+)
+_MC_FOOTER = (
+    '<footer><a href="/c">Contact us now</a> | '
+    '<a href="/p">Privacy policy page</a></footer>'
+)
+
+
+def _q_main_content(spark, sf_dir):
+    """Boilerplate removal (operators/quality.py main_content — jusText
+    shallow pass as pure Catalyst HOFs): documents are wrapped in nav +
+    footer chrome whose blocks are nearly-all anchor text, then split
+    at block-tag boundaries and classified by length + integer-ppm link
+    density. The oracle rebuilds the same page and re-classifies with
+    DuckDB list lambdas — block counts, retained length, and the
+    retained text's md5 must all hash-match."""
+    from web_scrapper_spark.operators.quality import main_content
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body>" + _MC_NAV + "<p>"),
+        F.regexp_replace(F.col("text"), "\n", "</p><p>"),
+        F.lit("</p>" + _MC_FOOTER + "</body></html>"),
+    )
+    return main_content(docs.select("doc_id", html.alias("html")))
+
+
+def _main_content_oracle_sql() -> str:
+    """DuckDB twin of main_content: same split/normalize/link-density
+    rules via list lambdas (regexes imported from the operator module
+    so the twins cannot drift)."""
+    from web_scrapper_spark.operators.quality import (
+        _ANCHOR_RE, _BLOCK_SPLIT_RE, _TAG_RE,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace({x}, '" + _TAG_RE
+        + r"', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 '<html><body>{_MC_NAV}<p>'
+                 || replace(text, chr(10), '</p><p>')
+                 || '</p>{_MC_FOOTER}</body></html>' AS html
+          FROM documents
+        ),
+        b0 AS (
+          SELECT doc_id,
+                 string_split_regex(html, '{_BLOCK_SPLIT_RE}') AS raw
+          FROM pages
+        ),
+        b1 AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(raw, b -> struct_pack(
+                     txt := {norm.format(x='b')},
+                     alen := CAST(coalesce(list_sum(list_transform(
+                       regexp_extract_all(b, '{_ANCHOR_RE}', 1),
+                       a -> length({norm.format(x='a')})
+                     )), 0) AS BIGINT)
+                   )),
+                   s -> s.txt <> ''
+                 ) AS blocks
+          FROM b0
+        )
+        SELECT doc_id,
+               len(blocks) AS n_blocks,
+               len(list_filter(blocks, s -> length(s.txt) >= 25
+                   AND (s.alen * 1000000) // length(s.txt) <= 500000))
+                 AS kept_blocks,
+               len(list_filter(blocks, s -> length(s.txt) < 25))
+                 AS dropped_short,
+               len(list_filter(blocks, s -> length(s.txt) >= 25
+                   AND (s.alen * 1000000) // length(s.txt) > 500000))
+                 AS dropped_linky,
+               length(array_to_string(list_transform(
+                 list_filter(blocks, s -> length(s.txt) >= 25
+                   AND (s.alen * 1000000) // length(s.txt) <= 500000),
+                 s -> s.txt), chr(10))) AS content_len,
+               md5(array_to_string(list_transform(
+                 list_filter(blocks, s -> length(s.txt) >= 25
+                   AND (s.alen * 1000000) // length(s.txt) <= 500000),
+                 s -> s.txt), chr(10))) AS content_md5
+        FROM b1
+    """
+
+
+def _q_recrawl_due(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (frontier/recrawl.py):
+    documents become a sitemap hint table (changefreq cycling through
+    all 7 protocol values, lastmod spread over July, every 3rd URL
+    hint-less → default period) plus a seen set fetched at epochs 0-4.
+    recrawl_due computes which URLs are due at epoch 8 under integer
+    period math plus the modified-since override. The oracle recomputes
+    the schedule relationally — period table, ceiling division, and
+    override precedence must all match. NULL due_epoch/priority (never-
+    rows, hint-less rows) are coalesced to -1 so no NULL-int crosses
+    the pandas dtype boundary."""
+    from web_scrapper_spark.frontier.recrawl import recrawl_due
+
+    docs = _read(spark, sf_dir, "documents")
+    u = F.concat(F.lit("https://rc.example.org/p/"), F.col("doc_id").cast("string"))
+    freqs = F.array(
+        *[F.lit(x) for x in (
+            "always", "hourly", "daily", "weekly", "monthly", "yearly", "never"
+        )]
+    )
+    hints = docs.filter(F.col("doc_id") % 3 != 0).select(
+        u.alias("url"),
+        F.element_at(freqs, (F.col("doc_id") % 7 + 1).cast("int")).alias("changefreq"),
+        F.concat(
+            F.lit("2025-07-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        ((F.col("doc_id") % 10) * 100000).cast("int").alias("priority_ppm"),
+    )
+    seen = docs.select(
+        u.alias("url"), (F.col("doc_id") % 5).cast("int").alias("fetched_epoch")
+    )
+    res = recrawl_due(seen, hints, current_epoch=8, modified_since="2025-07-25")
+    return res.select(
+        "url",
+        "fetched_epoch",
+        F.coalesce(F.col("due_epoch"), F.lit(-1)).cast("int").alias("due_epoch"),
+        F.coalesce(F.col("priority_ppm"), F.lit(-1)).cast("int").alias("priority_ppm"),
+        "reason",
+    )
+
+
+def _q_redirect_resolve(spark, sf_dir):
+    """Redirect/canonical chain resolution (operators/graph.py
+    resolve_redirects — pointer doubling, 5 self-joins for a 32-hop
+    budget). Documents become a deterministic redirect table: within
+    each 64-id block, ids step DOWN (i → i-1) toward the block's
+    16-multiples; 16-multiples are terminal except the block head
+    (i % 64 == 0), which points UP 3 ids, closing a 4-cycle that the
+    0..15 sub-block drains into. The oracle re-follows every chain
+    with a hop-bounded recursive CTE — terminals, exact hop counts,
+    and cycle/unresolved rows must all hash-match. Unresolved rows
+    carry hops = -1 so no NULL-int crosses the pandas dtype boundary."""
+    from web_scrapper_spark.operators.graph import resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents")
+    u = lambda c: F.concat(F.lit("https://r.example.org/p/"), c.cast("string"))  # noqa: E731
+    edges = docs.filter(
+        (F.col("doc_id") % 16 != 0) | (F.col("doc_id") % 64 == 0)
+    ).select(
+        u(F.col("doc_id")).alias("url"),
+        u(
+            F.when(F.col("doc_id") % 64 == 0, F.col("doc_id") + 3).otherwise(
+                F.col("doc_id") - 1
+            )
+        ).alias("target"),
+    )
+    res = resolve_redirects(edges, max_hops=32)
+    return res.select(
+        "url",
+        "final_url",
+        F.coalesce(F.col("hops"), F.lit(-1)).cast("int").alias("hops"),
+        "resolved",
+    )
+
+
 #: fixed-point 1e-12 integer units (operators/graph.py).
 _PRANK = {"iters": 5, "fanout": 3}
 
@@ -1685,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": _q_exact_substring,
         "paragraph_dedup": _q_paragraph_dedup,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_minhash_incr": _q_dedup_minhash_incr,
         "dedup_components": _q_dedup_components,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
@@ -1692,6 +1889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
         "link_pagerank": _q_link_pagerank,
+        "redirect_resolve": _q_redirect_resolve,
+        "recrawl_due": _q_recrawl_due,
+        "main_content": _q_main_content,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -2058,6 +2258,85 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_substring": _exact_substring_oracle_sql(),
         "link_pagerank": _pagerank_oracle_sql(),
+        "main_content": _main_content_oracle_sql(),
+        "recrawl_due": """
+            -- relational recomputation of the recrawl schedule: period
+            -- table, integer ceiling division, modified-since override
+            WITH hints AS (
+              SELECT 'https://rc.example.org/p/' || doc_id AS url,
+                     (['always','hourly','daily','weekly','monthly','yearly','never'])
+                       [CAST(doc_id % 7 AS INT) + 1] AS freq,
+                     '2025-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS lastmod,
+                     CAST((doc_id % 10) * 100000 AS INT) AS priority_ppm
+              FROM documents WHERE doc_id % 3 <> 0
+            ),
+            seen AS (
+              SELECT 'https://rc.example.org/p/' || doc_id AS url,
+                     CAST(doc_id % 5 AS INT) AS fetched_epoch
+              FROM documents
+            ),
+            j AS (
+              SELECT s.url, s.fetched_epoch, h.lastmod, h.priority_ppm,
+                     CASE h.freq
+                       WHEN 'always' THEN 0 WHEN 'hourly' THEN 1
+                       WHEN 'daily' THEN 24 WHEN 'weekly' THEN 168
+                       WHEN 'monthly' THEN 720 WHEN 'yearly' THEN 8760
+                       WHEN 'never' THEN -1 ELSE 168 END AS hours
+              FROM seen s LEFT JOIN hints h USING (url)
+            ),
+            sched AS (
+              SELECT url, fetched_epoch, priority_ppm,
+                     CASE WHEN hours >= 0 THEN fetched_epoch
+                          + greatest(1, (hours + 23) // 24) END AS due_epoch,
+                     CASE WHEN lastmod IS NOT NULL
+                               AND CAST(lastmod AS DATE) >= DATE '2025-07-25'
+                          THEN 'modified'
+                          WHEN hours >= 0 AND fetched_epoch
+                               + greatest(1, (hours + 23) // 24) <= 8
+                          THEN 'period' END AS reason
+              FROM j
+            )
+            SELECT url, fetched_epoch,
+                   CAST(COALESCE(due_epoch, -1) AS INT) AS due_epoch,
+                   CAST(COALESCE(priority_ppm, -1) AS INT) AS priority_ppm,
+                   reason
+            FROM sched WHERE reason IS NOT NULL
+        """,
+        "redirect_resolve": """
+            -- hop-bounded recursive re-walk of the same redirect table;
+            -- terminal rows, exact hop counts, and cycle rows must all
+            -- match the pointer-doubling resolution
+            WITH RECURSIVE redirects AS (
+              SELECT 'https://r.example.org/p/' || doc_id AS url,
+                     'https://r.example.org/p/' ||
+                       (CASE WHEN doc_id % 64 = 0 THEN doc_id + 3
+                             ELSE doc_id - 1 END) AS target
+              FROM documents
+              WHERE doc_id % 16 <> 0 OR doc_id % 64 = 0
+            ),
+            walk AS (
+              SELECT url AS src, target AS cur, 1 AS hops FROM redirects
+              UNION ALL
+              SELECT w.src, r.target, w.hops + 1
+              FROM walk w JOIN redirects r ON w.cur = r.url
+              WHERE w.hops < 32
+            ),
+            last AS (
+              SELECT src, cur, hops,
+                     row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+              FROM walk
+            ),
+            srcs AS (SELECT DISTINCT url FROM redirects)
+            SELECT l.src AS url,
+                   CASE WHEN s.url IS NULL THEN l.cur END AS final_url,
+                   CAST(COALESCE(CASE WHEN s.url IS NULL THEN l.hops END, -1)
+                        AS INT) AS hops,
+                   (s.url IS NULL) AS resolved
+            FROM last l
+            LEFT JOIN srcs s ON l.cur = s.url
+            WHERE l.rn = 1
+        """,
         "paragraph_dedup": """
             WITH salted AS (
               SELECT doc_id,
@@ -2091,6 +2370,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {mh_pair_ctes}
             SELECT id_a, id_b, inter_size, union_size FROM mh_pairs
+        """,
+        "dedup_minhash_incr": f"""
+            -- the batch pair set restricted to pairs touching the
+            -- delta (doc_id % 4 = 0): exactly what incremental
+            -- delta-vs-index + delta-vs-delta must produce
+            WITH {mh_pair_ctes}
+            SELECT id_a, id_b, inter_size, union_size,
+                   CASE WHEN id_a % 4 = 0 AND id_b % 4 = 0
+                        THEN 'delta_delta' ELSE 'delta_index' END AS pair_kind
+            FROM mh_pairs
+            WHERE id_a % 4 = 0 OR id_b % 4 = 0
         """,
         "dedup_components": f"""
             WITH RECURSIVE {mh_pair_ctes}, e AS (

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "warc_cdx_fetch",
     "sitemap_parse",
     "link_pagerank",
+    "redirect_resolve",
+    "main_content",
+    "dedup_minhash_incr",
 ]
 
 
@@ -357,12 +360,15 @@ def scaling_mode() -> None:
     # engine is ~30% faster per URL than round 1, which shrank the
     # parallel work at 3M below the ~6 s of fixed per-epoch driver
     # cost (Amdahl fit from phase timings: dequeue 2.9 s + fetch 1.5 s
-    # + commits 1.6 s serial); 4.5M restores P/S ≈ 30 (measured
-    # 2→8 efficiency 0.83 at 4.5M vs 0.75-0.80 at 3M) while local[8]
-    # per-URL throughput stays within a few % of its 3M level (8M is
-    # where bandwidth pressure starts costing ~10%)
+    # + commits 1.6 s serial); the late-round epoch fusion made the
+    # parallel work another ~1.9x faster, which dropped 4.5M back to
+    # the Amdahl knee (measured 2→8 efficiency slid 0.84 → 0.77 on the
+    # same code path as per-URL cost fell). 9M restores P/S ≈ 30 for
+    # the fused engine — same reasoning, rescaled — while staying
+    # under the ~10% bandwidth-pressure penalty seen above 8M per
+    # level and below the 10M headline scale
     n_urls = int(os.environ.get("SPARK_GRAFT_BULK_URLS", "640000"))
-    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4500000"))
+    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "9000000"))
     levels = tuple(
         int(c) for c in os.environ.get("SPARK_GRAFT_LEVELS", "2,8,32").split(",")
     )

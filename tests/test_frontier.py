@@ -382,7 +382,25 @@ Disallow:
         assert r["disallow_prefixes"] == []
         assert r["crawl_delay"] is None
         r2 = parse_robots_txt("", default_delay=1.5)
-        assert r2 == {"disallow_prefixes": [], "crawl_delay": 1.5}
+        assert r2 == {
+            "disallow_prefixes": [],
+            "crawl_delay": 1.5,
+            "sitemaps": [],
+        }
+
+    def test_sitemap_lines_site_wide(self):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        body = (
+            "Sitemap: https://a.org/sitemap.xml\n" + self.BODY +
+            "\nSitemap: https://a.org/news.xml.gz"
+            "\nSitemap: https://a.org/sitemap.xml\n"  # dup dropped
+        )
+        for agent in ("*", "greedybot"):
+            r = parse_robots_txt(body, agent=agent)
+            assert r["sitemaps"] == [
+                "https://a.org/sitemap.xml", "https://a.org/news.xml.gz",
+            ]
 
     def test_robots_from_pages_roundtrip(self, spark):
         from web_scrapper_spark.frontier.robots import robots_from_pages
@@ -518,3 +536,75 @@ class TestHostPriorityDequeue:
             global_budget=1, host_priority=ranks,
         )
         assert [r["host"] for r in batch.collect()] == ["hub.org"]
+
+
+class TestSitemapDiscoveryAndRecrawl:
+    def test_discover_sitemaps_explodes_rules(self, spark):
+        from web_scrapper_spark.frontier.robots import (
+            discover_sitemaps, robots_from_pages,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.org/robots.txt", None,
+                 "Sitemap: https://a.org/s1.xml\nSitemap: https://a.org/s2.xml",
+                 "en"),
+                ("http://a.org/robots.txt", None,
+                 "Sitemap: https://a.org/s1.xml", "en"),  # dup via http twin
+                ("https://b.org/robots.txt", None, "User-agent: *", "en"),
+            ],
+            "url string, html binary, text string, lang string",
+        )
+        got = {
+            (r["host"], r["url"])
+            for r in discover_sitemaps(robots_from_pages(pages)).collect()
+        }
+        assert got == {
+            ("a.org", "https://a.org/s1.xml"),
+            ("a.org", "https://a.org/s2.xml"),
+        }
+
+    def _due(self, spark, seen, hints, **kw):
+        from web_scrapper_spark.frontier.recrawl import recrawl_due
+
+        seen_df = spark.createDataFrame(seen, "url string, fetched_epoch int")
+        hints_df = spark.createDataFrame(
+            hints,
+            "url string, lastmod string, changefreq string, priority_ppm int",
+        )
+        return {
+            r["url"]: (r["due_epoch"], r["reason"])
+            for r in recrawl_due(seen_df, hints_df, **kw).collect()
+        }
+
+    def test_period_math_per_changefreq(self, spark):
+        seen = [(f"u{f}", 0) for f in range(7)]
+        freqs = ["always", "hourly", "daily", "weekly",
+                 "monthly", "yearly", "never"]
+        hints = [(f"u{i}", None, f, 0) for i, f in enumerate(freqs)]
+        got = self._due(spark, seen, hints, current_epoch=7)
+        # epoch_hours=24: always/hourly/daily → due at 1, weekly → 7;
+        # monthly (30) / yearly (365) not yet due; never → excluded
+        assert got == {"u0": (1, "period"), "u1": (1, "period"),
+                       "u2": (1, "period"), "u3": (7, "period")}
+
+    def test_hintless_url_gets_default_period(self, spark):
+        got = self._due(spark, [("u", 1)], [], current_epoch=8)
+        assert got == {"u": (8, "period")}  # 168h/24 = 7 epochs after 1
+        assert self._due(spark, [("u", 2)], [], current_epoch=8) == {}
+
+    def test_modified_since_overrides_period(self, spark):
+        hints = [("u", "2025-07-30", "never", 5),
+                 ("v", "2025-07-01", "never", 5)]
+        got = self._due(
+            spark, [("u", 0), ("v", 0)], hints,
+            current_epoch=1, modified_since="2025-07-25",
+        )
+        assert got == {"u": (None, "modified")}
+
+    def test_latest_fetch_wins_and_hint_dedup_deterministic(self, spark):
+        hints = [("u", None, "daily", 1), ("u", None, "always", 2)]
+        got = self._due(
+            spark, [("u", 0), ("u", 6)], hints, current_epoch=7
+        )
+        assert got == {"u": (7, "period")}  # max(fetched)=6, min-struct hint

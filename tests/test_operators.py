@@ -1155,3 +1155,168 @@ class TestPagerank:
         )
         got = {(r["src"], r["dst"]): r["weight"] for r in host_edges(links).collect()}
         assert got == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1}
+
+
+class TestRedirectResolve:
+    """operators/graph.py — pointer-doubling redirect/canonical chains."""
+
+    def _resolve(self, spark, edges, max_hops=32):
+        from web_scrapper_spark.operators.graph import resolve_redirects
+
+        df = spark.createDataFrame(edges, "url string, target string")
+        return {
+            r["url"]: (r["final_url"], r["hops"], r["resolved"])
+            for r in resolve_redirects(df, max_hops=max_hops).collect()
+        }
+
+    def test_chain_resolves_with_exact_hops(self, spark):
+        got = self._resolve(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert got == {
+            "a": ("d", 3, True),
+            "b": ("d", 2, True),
+            "c": ("d", 1, True),
+        }
+
+    def test_cycle_and_feeder_are_unresolved(self, spark):
+        # x→y→z→x cycle; f feeds into it; t resolves elsewhere
+        got = self._resolve(
+            spark,
+            [("x", "y"), ("y", "z"), ("z", "x"), ("f", "x"), ("t", "done")],
+        )
+        assert got["t"] == ("done", 1, True)
+        for u in ("x", "y", "z", "f"):
+            assert got[u] == (None, None, False)
+
+    def test_self_loop_unresolved(self, spark):
+        got = self._resolve(spark, [("s", "s"), ("a", "s")])
+        assert got["s"] == (None, None, False)
+        assert got["a"] == (None, None, False)
+
+    def test_max_hops_boundary(self, spark):
+        # chain of exactly max_hops resolves; one longer does not
+        chain = [(f"n{i}", f"n{i + 1}") for i in range(4)]  # n0→…→n4, 4 hops
+        got = self._resolve(spark, chain, max_hops=4)
+        assert got["n0"] == ("n4", 4, True)
+        got3 = self._resolve(spark, chain, max_hops=3)
+        assert got3["n0"] == (None, None, False)
+        assert got3["n1"] == ("n4", 3, True)
+
+    def test_duplicate_pointers_collapse_deterministically(self, spark):
+        got = self._resolve(spark, [("a", "c"), ("a", "b")])
+        assert got["a"] == ("b", 1, True)  # lexicographic-min target
+
+
+class TestCanonicalEdges:
+    def test_both_attribute_orders_and_self_drop(self, spark):
+        from web_scrapper_spark.operators.graph import canonical_edges
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", '<head><link rel="canonical" href="https://c/1"></head>'),
+                ("u2", "<link href='https://c/2' rel='canonical'>"),
+                ("u3", '<link rel="canonical" href="u3">'),  # self → dropped
+                ("u4", "<p>no tag</p>"),
+            ],
+            "url string, html string",
+        )
+        got = {r["url"]: r["target"] for r in canonical_edges(pages).collect()}
+        assert got == {"u1": "https://c/1", "u2": "https://c/2"}
+
+
+class TestMainContent:
+    """operators/quality.py — jusText-shallow boilerplate removal."""
+
+    def _run(self, spark, html):
+        from web_scrapper_spark.operators.quality import main_content
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        return main_content(df).collect()[0]
+
+    def test_nav_footer_dropped_prose_kept(self, spark):
+        prose = "This paragraph is long enough to be kept as body prose."
+        html = (
+            '<html><body><div id="nav"><a href="/">Home page link</a> '
+            '<a href="/b">Blog archive pages</a></div>'
+            f"<p>{prose}</p>"
+            '<footer><a href="/c">Contact us right now</a></footer>'
+            "</body></html>"
+        )
+        r = self._run(spark, html)
+        assert r["kept_blocks"] == 1
+        # nav (33 anchor chars, >= min_chars) is linky; the footer's
+        # "Contact us right now" is 20 chars — below min_chars, so it
+        # lands in the disjoint dropped_short counter
+        assert r["dropped_linky"] == 1
+        assert r["dropped_short"] == 1
+        assert r["content_len"] == len(prose)
+
+    def test_short_blocks_dropped(self, spark):
+        r = self._run(spark, "<p>tiny</p><p>also very small</p>")
+        assert r["kept_blocks"] == 0
+        assert r["dropped_short"] == 2
+        assert r["n_blocks"] == 2
+
+    def test_mixed_anchor_density_boundary(self, spark):
+        # tag-stripping inserts a space between anchor and tail text,
+        # so 21 anchor chars + space + 20 tail chars = 42 chars with
+        # exactly half from the anchor → 500000 ppm → kept at the
+        # default threshold (<=); one more anchor char → dropped
+        tail = "x" * 20
+        kept_html = f"<p><a href='/'>{'x' * 21}</a>{tail}</p>"
+        r = self._run(spark, kept_html)
+        assert (r["kept_blocks"], r["dropped_linky"]) == (1, 0)
+        assert r["content_len"] == 42
+        over_html = f"<p><a href='/'>{'x' * 22}</a>{tail}</p>"
+        r2 = self._run(spark, over_html)
+        assert (r2["kept_blocks"], r2["dropped_linky"]) == (0, 1)
+
+    def test_inline_tags_stay_in_block(self, spark):
+        html = (
+            "<p>Some <b>bold</b> and <em>emphasised</em> words make "
+            "one single block of text.</p>"
+        )
+        r = self._run(spark, html)
+        assert r["n_blocks"] == 1
+        assert r["kept_blocks"] == 1
+
+
+class TestMinhashIncremental:
+    """operators/dedup.py — delta-vs-index incremental LSH."""
+
+    DOCS = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely different document about spark shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "another unrelated text on parquet predicate pushdown"),
+        (5, "a completely different document about spark shuffles"),
+    ]
+
+    def _pairs(self, df):
+        return {
+            (r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()
+        }
+
+    def test_incremental_equals_batch_restriction(self, spark):
+        from web_scrapper_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        kw = dict(num_hashes=4, band_size=1, shingle_n=3,
+                  jaccard_threshold=0.5)
+        batch = self._pairs(dd.minhash_lsh_pairs(docs, **kw))
+        new = docs.filter("doc_id % 2 = 0")
+        old = docs.filter("doc_id % 2 = 1")
+        ish = dd.shingled_docs(old, shingle_n=3)
+        ib = dd.minhash_bands(old, num_hashes=4, band_size=1,
+                              shingle_n=3, shingled=ish)
+        pairs, dbands, dsh = dd.minhash_lsh_incremental(new, ib, ish, **kw)
+        want = {p for p in batch if p[0] % 2 == 0 or p[1] % 2 == 0}
+        assert self._pairs(pairs) == want
+        assert want  # fixture actually produces cross + intra pairs
+        kinds = {(r["id_a"], r["id_b"]): r["pair_kind"] for r in pairs.collect()}
+        for (a, b), k in kinds.items():
+            expect = "delta_delta" if a % 2 == 0 and b % 2 == 0 else "delta_index"
+            assert k == expect
+        # index maintenance outputs are exactly the delta's bands/shingles
+        assert dbands.count() == new.count() * 4
+        assert dsh.count() == new.count()

@@ -105,3 +105,30 @@ class TestSitemapCandidates:
         got = sorted(r["url"] for r in batch.collect())
         # budget 4 → the four highest sitemap priorities (p6..p9)
         assert got == [f"https://h.org/p{i}" for i in (6, 7, 8, 9)]
+
+
+def test_discovered_urls_join_the_parse_set(spark):
+    """Robots-declared sitemaps at non-default paths are parsed too."""
+    from web_scrapper_spark.frontier.sitemap import sitemap_candidates
+
+    sm = (
+        '<?xml version="1.0"?><urlset xmlns="x">'
+        "<url><loc>https://h.org/p1</loc></url></urlset>"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://h.org/weird/path/news-map.xml", bytearray(sm.encode())),
+            ("https://h.org/sitemap.xml", bytearray(sm.encode())),
+            ("https://h.org/other", bytearray(b"<html></html>")),
+        ],
+        "url string, html binary",
+    )
+    urls = spark.createDataFrame(
+        [("https://h.org/weird/path/news-map.xml",)], "url string"
+    )
+    got = sitemap_candidates(pages, sitemap_urls=urls)
+    srcs = sorted(r["src_url"] for r in got.collect())
+    assert srcs == [
+        "https://h.org/sitemap.xml",
+        "https://h.org/weird/path/news-map.xml",
+    ]

@@ -2,8 +2,9 @@
 
 from .store import SnapshotStore
 from .bloom import PyBloom, build_bloom, bloom_prefilter
-from .robots import parse_robots_txt, robots_from_pages
+from .robots import parse_robots_txt, robots_from_pages, discover_sitemaps
 from .sitemap import parse_sitemap_xml, sitemap_candidates
+from .recrawl import recrawl_due
 
 __all__ = [
     "SnapshotStore",
@@ -12,6 +13,8 @@ __all__ = [
     "bloom_prefilter",
     "parse_robots_txt",
     "robots_from_pages",
+    "discover_sitemaps",
     "parse_sitemap_xml",
     "sitemap_candidates",
+    "recrawl_due",
 ]

@@ -23,20 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ROBOTS_SCHEMA = (
-    "host string, disallow_prefixes array<string>, crawl_delay double"
+    "host string, disallow_prefixes array<string>, crawl_delay double, "
+    "sitemaps array<string>"
 )
 
 
 def parse_robots_txt(
     text: str, agent: str = "*", default_delay: Optional[float] = None
 ) -> Dict:
-    """robots.txt body → {disallow_prefixes, crawl_delay}.
+    """robots.txt body → {disallow_prefixes, crawl_delay, sitemaps}.
 
     Group selection: the longest ``User-agent`` token that is a
     case-insensitive prefix of ``agent`` wins; the ``*`` group is the
     fallback. Consecutive User-agent lines share one group.
+    ``Sitemap:`` is a site-wide field (RFC 9309 §2.3 "other records" /
+    sitemaps.org cross-submission): collected from anywhere in the
+    file regardless of group, order preserved, exact duplicates
+    dropped.
     """
     groups: Dict[str, Dict] = {}
+    sitemaps: List[str] = []
     current: List[str] = []
     expecting_agents = True
     for raw_line in text.splitlines():
@@ -46,6 +52,10 @@ def parse_robots_txt(
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            if value and value not in sitemaps:
+                sitemaps.append(value)
+            continue
         if field == "user-agent":
             token = value.lower()
             if not expecting_agents:
@@ -85,6 +95,7 @@ def parse_robots_txt(
     return {
         "disallow_prefixes": list(chosen["disallow"]),
         "crawl_delay": delay if delay is not None else default_delay,
+        "sitemaps": sitemaps,
     }
 
 
@@ -132,10 +143,14 @@ def robots_from_pages(
                         "host": host,
                         "disallow_prefixes": parsed["disallow_prefixes"],
                         "crawl_delay": parsed["crawl_delay"],
+                        "sitemaps": parsed["sitemaps"],
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["host", "disallow_prefixes", "crawl_delay"]
+                rows,
+                columns=[
+                    "host", "disallow_prefixes", "crawl_delay", "sitemaps",
+                ],
             )
 
     parsed = robots_pages.mapInPandas(run, schema=ROBOTS_SCHEMA)
@@ -144,4 +159,16 @@ def robots_from_pages(
             F.array_distinct(F.flatten(F.collect_list("disallow_prefixes")))
         ).alias("disallow_prefixes"),
         F.max("crawl_delay").alias("crawl_delay"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sitemaps")))
+        ).alias("sitemaps"),
     )
+
+
+def discover_sitemaps(robots: DataFrame) -> DataFrame:
+    """Robots rules table → (host, url) sitemap fetch candidates — the
+    discovery loop's first hop (robots → sitemap → urlset entries via
+    ``frontier.sitemap.sitemap_candidates``). One explode, no Python."""
+    return robots.select(
+        "host", F.explode("sitemaps").alias("url")
+    ).distinct()

@@ -115,6 +115,7 @@ def sitemap_candidates(
     url_col: str = "url",
     html_col: str = "html",
     path_suffixes: tuple = ("/sitemap.xml", "/sitemap.xml.gz"),
+    sitemap_urls: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Sitemap pages already fetched into the pages table → one row per
     sitemap entry (SITEMAP_ENTRY_SCHEMA).
@@ -125,11 +126,28 @@ def sitemap_candidates(
     are frontier candidates (join their priority_ppm into
     with_frontier_columns upstream of dequeue); ``kind='sitemap'`` rows
     are child sitemaps to enqueue for fetching — index recursion is an
-    epoch-over-epoch loop, the same way discovered links are."""
+    epoch-over-epoch loop, the same way discovered links are.
+
+    ``sitemap_urls`` (optional): a (url) DataFrame of sitemaps declared
+    at non-default paths — ``discover_sitemaps`` output from robots
+    ``Sitemap:`` lines, or child-sitemap rows from a previous pass. It
+    is broadcast-semi-joined into the filter (one row per sitemap per
+    site — always tiny next to the pages table)."""
+    from pyspark.sql.functions import broadcast
+
     path = F.parse_url(F.col(url_col), F.lit("PATH"))
     src = pages.select(
         F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
     ).filter(path.isin(*path_suffixes))
+    if sitemap_urls is not None:
+        extra = pages.select(
+            F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
+        ).join(
+            broadcast(sitemap_urls.select(F.col("url").alias("src_url"))),
+            "src_url",
+            "left_semi",
+        )
+        src = src.unionByName(extra).dropDuplicates(["src_url"])
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [

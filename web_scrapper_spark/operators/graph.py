@@ -32,10 +32,18 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "host_edges", "PAGERANK_SCALE"]
+__all__ = [
+    "pagerank",
+    "host_edges",
+    "resolve_redirects",
+    "canonical_edges",
+    "PAGERANK_SCALE",
+]
 
 #: 1.0 of probability mass in fixed-point units (1e-12 resolution).
 PAGERANK_SCALE = 10**12
@@ -126,3 +134,93 @@ def pagerank(
     edeg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 32,
+    src: str = "url",
+    dst: str = "target",
+) -> DataFrame:
+    """Resolve redirect / rel=canonical chains to their terminal URL by
+    POINTER DOUBLING: ``ceil(log2(max_hops))`` self-joins instead of one
+    join per hop, so a 32-hop budget costs 5 shuffles, not 32 — the only
+    way chain-following survives a 100 TB link table.
+
+    Input: one pointer per URL (duplicate rows collapse to the
+    lexicographic-min target, deterministically). Output one row per
+    redirecting URL:
+
+      (url, final_url, hops, resolved)
+
+    ``resolved`` is true iff the chain reaches a non-redirecting URL in
+    ≤ ``max_hops`` steps; ``final_url``/``hops`` are NULL otherwise
+    (cycles — including self-loops — and over-long chains). Hop counts
+    are exact: composition m∘m maps "node at distance h" to "node at
+    distance h+h′", and a pointer row exists only while the cursor is
+    still a redirect source, so doubling can never step past a terminal.
+
+    The reference engine follows redirects one page at a time inside
+    its fetch loop (implicit in requests' ``allow_redirects``); this is
+    the set-oriented equivalent over an already-materialized redirect /
+    canonical edge table.
+    """
+    m = (
+        edges.groupBy(F.col(src).alias("url"))
+        .agg(F.min(F.col(dst)).alias("nxt"))
+        .withColumn("hops", F.lit(1).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    iters = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(iters):
+        b = m.select(
+            F.col("url").alias("_burl"),
+            F.col("nxt").alias("_bnxt"),
+            F.col("hops").alias("_bhops"),
+        )
+        # rows whose nxt is already terminal miss the join and pass
+        # through unchanged — no done/active split needed, the join
+        # itself is the fixpoint test
+        m = (
+            m.join(b, m["nxt"] == b["_burl"], "left")
+            .select(
+                "url",
+                F.coalesce("_bnxt", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("_bhops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)  # O(1) lineage across doublings
+        )
+    srcs = m.select(F.col("url").alias("_s"))
+    out = m.join(srcs, m["nxt"] == srcs["_s"], "left")
+    ok = F.col("_s").isNull() & (F.col("hops") <= F.lit(max_hops))
+    return out.select(
+        "url",
+        F.when(ok, F.col("nxt")).alias("final_url"),
+        F.when(ok, F.col("hops")).cast("int").alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
+#: rel=canonical fast-path patterns (attribute order varies in the
+#: wild; both orders matched, first hit wins).
+_CANON_RE_REL_FIRST = r"""(?i)<link[^>]*rel=["']canonical["'][^>]*href=["']([^"']+)["']"""
+_CANON_RE_HREF_FIRST = r"""(?i)<link[^>]*href=["']([^"']+)["'][^>]*rel=["']canonical["']"""
+
+
+def canonical_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<link rel="canonical" href=…>`` pointers as a (url, target)
+    edge table — feed into :func:`resolve_redirects` to collapse
+    canonical chains. Native ``regexp_extract`` (the standard crawler
+    fast-path: one anchored scan, no DOM build, whole-stage codegen);
+    self-pointers and pages without the tag are dropped."""
+    html = F.col(html_col).cast("string")
+    hit = F.coalesce(
+        F.nullif(F.regexp_extract(html, _CANON_RE_REL_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _CANON_RE_HREF_FIRST, 1), F.lit("")),
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"), hit.alias("target"))
+        .filter(F.col("target").isNotNull() & (F.col("target") != F.col("url")))
+    )

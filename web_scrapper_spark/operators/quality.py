@@ -604,3 +604,107 @@ def ccnet_ppl_buckets(
         .when(F.col("nll_ppm") <= tail_ppm, F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+#: block-level tags whose open/close delimits a text block; inline
+#: markup (a, span, em, strong, img, …) stays inside its block so link
+#: density can be measured per block.
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|section|article|header|"
+    r"footer|nav|aside|main|table|thead|tbody|tr|td|th|blockquote|pre|"
+    r"form|fieldset|figure|figcaption|hr|br|body|html|head|title)\b[^>]*>"
+)
+_TAG_RE = r"<[^>]*>"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def main_content(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_chars: int = 25,
+    max_link_density_ppm: int = 500_000,
+) -> DataFrame:
+    """Boilerplate removal via block-level link-density classification —
+    the shallow pass of jusText (Pomikálek 2011) / the geometry behind
+    readability-style extractors, as pure Catalyst expressions.
+
+    The page is split into text blocks at block-level tag boundaries
+    (``_BLOCK_SPLIT_RE``); inline tags stay inside their block. A block
+    survives iff its tag-stripped, whitespace-collapsed text has at
+    least ``min_chars`` characters AND at most ``max_link_density_ppm``
+    of those characters came from inside ``<a>`` elements (integer ppm,
+    floor division — navigation, footers, tag clouds and pagination
+    are mostly anchor text; body prose is not).
+
+    Zero shuffle, zero Python — one Project per page regardless of
+    block count. Emits per-page block counts plus the retained text's
+    md5/length (full text never enters the oracle value hash).
+
+    This complements the reference-parity selector cascades
+    (extract/content.py, reference content.py:829-862): those target
+    configured sites; this is the selector-free bulk path a 100 TB
+    crawl runs when no site config exists.
+    """
+    def norm(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, _TAG_RE, " "), r"\s+", " "
+            )
+        )
+
+    def anchor_len(b: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1),
+            F.lit(0),
+            lambda acc, a: acc + F.length(norm(a)),
+        )
+
+    staged = fan_out(pages).select(
+        F.col(id_col),
+        F.split(F.col(html_col).cast("string"), _BLOCK_SPLIT_RE).alias("_raw"),
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(
+                F.col("_raw"),
+                lambda b: F.struct(
+                    norm(b).alias("txt"), anchor_len(b).alias("alen")
+                ),
+            ),
+            lambda s: s["txt"] != F.lit(""),
+        ).alias("_blocks"),
+    )
+    blocks = F.col("_blocks")
+
+    def linky(s: Column) -> Column:
+        # link density in integer ppm, floor-divided (the double
+        # division is exact-then-truncated: ints ≤ 1e15 are exact in
+        # a double and the remainder term 1/len dwarfs double spacing
+        # at 1e6 magnitudes, so cast-to-long == floor == DuckDB `//`)
+        return (
+            (s["alen"].cast("long") * 1_000_000) / F.length(s["txt"])
+        ).cast("long") > max_link_density_ppm
+
+    def keep(s: Column) -> Column:
+        return (F.length(s["txt"]) >= min_chars) & ~linky(s)
+
+    kept = F.filter(blocks, keep)
+    content = F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+    return staged.select(
+        F.col(id_col),
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("kept_blocks"),
+        F.size(
+            F.filter(blocks, lambda s: F.length(s["txt"]) < min_chars)
+        ).alias("dropped_short"),
+        F.size(
+            F.filter(
+                blocks,
+                lambda s: (F.length(s["txt"]) >= min_chars) & linky(s),
+            )
+        ).alias("dropped_linky"),
+        F.length(content).alias("content_len"),
+        F.md5(content).alias("content_md5"),
+    )
