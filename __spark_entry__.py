@@ -1672,6 +1672,115 @@ def _q_redirect_resolve(spark, sf_dir):
     )
 
 
+def _q_cdx_revisits(spark, sf_dir):
+    """WARC/CDX revisit classification (sources/warc.py cdx_revisits):
+    documents become a capture log — 40 URLs, captures ordered by a
+    14-digit ts, payload digest changing every 2nd capture — so every
+    URL alternates first/changed captures with digest-repeat revisits.
+    The oracle re-derives the two min-aggregates relationally."""
+    from web_scrapper_spark.sources.warc import cdx_revisits
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w.example.org/p/"), (F.col("doc_id") % 40).cast("string")
+    )
+    cdx = docs.select(
+        url.alias("url"),
+        F.lpad(F.col("doc_id").cast("string"), 14, "0").alias("ts"),
+        F.md5(
+            F.concat(url, F.lit("#"), F.expr("(doc_id div 40) div 2").cast("string"))
+        ).alias("digest"),
+    )
+    return cdx_revisits(cdx)
+
+
+def _q_trap_detect(spark, sf_dir):
+    """Crawl-trap detection (frontier/traps.py url_trap_signals):
+    documents mint a URL table with three planted pathologies — looped
+    calendar paths (doc_id%10 < 2), over-deep generated paths (%10 in
+    2..3), and session-id query explosion on shared paths (even %10 ≥
+    4); odd %10 ≥ 4 URLs are clean. The oracle re-derives depth /
+    duplicate-segment / distinct-query signals relationally and must
+    match reason-for-reason."""
+    from web_scrapper_spark.frontier.traps import url_trap_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    d, m = F.col("doc_id"), F.col("doc_id") % 10
+    host = F.concat(F.lit("https://h"), (d % 5).cast("string"), F.lit(".example.org"))
+    url = (
+        F.when(m < 2, F.concat(
+            host, F.lit("/cal/2024/01/2024/01/p"), (d % 4).cast("string")))
+        .when(m < 4, F.concat(
+            host, F.lit("/a/b/c/d/e/f/g/h/i/"), d.cast("string")))
+        .when(m % 2 == 0, F.concat(
+            host, F.lit("/p/"), m.cast("string"),
+            F.lit("?sid="), d.cast("string")))
+        .otherwise(F.concat(host, F.lit("/q/"), (d % 50).cast("string")))
+    )
+    return url_trap_signals(docs.select(url.alias("url")))
+
+
+def _q_anchor_profile(spark, sf_dir):
+    """Inbound anchor-text aggregation (operators/graph.py
+    anchor_text_profile): each document contributes one link whose
+    anchor is its text's first 80 chars, targets fan in over
+    doc_id%37. Top-3 anchor terms per target by (freq desc, word asc),
+    the engine's keyword tokenizer on both sides."""
+    from web_scrapper_spark.operators.graph import anchor_text_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(
+            F.lit("https://t.example.org/d/"), (F.col("doc_id") % 37).cast("string")
+        ).alias("target"),
+        F.substring(F.col("text"), 1, 80).alias("anchor"),
+    )
+    return anchor_text_profile(edges, k=3)
+
+
+def _q_inlink_stats(spark, sf_dir):
+    """Per-target inlink rollup (operators/graph.py inlink_stats):
+    total inlinks, distinct source pages, distinct source hosts — the
+    anti-spam grain (1000 links from one host are one vote). Sources
+    spread over 11 hosts, targets fan in over doc_id%37."""
+    from web_scrapper_spark.operators.graph import inlink_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.org/a/"), (F.col("doc_id") % 200).cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://t.example.org/d/"), (F.col("doc_id") % 37).cast("string")
+        ).alias("target"),
+    )
+    return inlink_stats(edges)
+
+
+def _q_bm25(spark, sf_dir):
+    """Corpus BM25 term weights (operators/textops.py
+    bm25_term_weights): exact integer/decimal arithmetic after one
+    ppm-rounded idf — k1=1.2, b=0.75 cleared to the integer form
+    idf_ppm·44·tf·T div (20·tf·T + 6·T + 18·dl·N). Top-3 terms per
+    document. The oracle recomputes tf/df/dl/N/T relationally and
+    replays the same fixed-point formula in HUGEINT."""
+    docs = _read(spark, sf_dir, "documents")
+    return _tx.bm25_term_weights(docs, k=3)
+
+
+def _q_cluster_reps(spark, sf_dir):
+    """Quality-aware duplicate-cluster survivor selection
+    (operators/dedup.py cluster_representatives): MinHash/LSH pair
+    graph → connected components → keep the max-n_chars doc per
+    cluster (ties to min doc_id); singletons keep themselves. The
+    oracle re-walks the closure with a recursive CTE and re-picks
+    representatives with a window."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _minhash_pair_candidates(spark, sf_dir).select("id_a", "id_b")
+    return _dd.cluster_representatives(docs, pairs, quality_col="n_chars")
+
+
 #: fixed-point 1e-12 integer units (operators/graph.py).
 _PRANK = {"iters": 5, "fanout": 3}
 
@@ -1892,6 +2001,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "main_content": _q_main_content,
+        "cdx_revisits": _q_cdx_revisits,
+        "trap_detect": _q_trap_detect,
+        "anchor_profile": _q_anchor_profile,
+        "inlink_stats": _q_inlink_stats,
+        "bm25_topk": _q_bm25,
+        "cluster_reps": _q_cluster_reps,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -2337,6 +2452,184 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN srcs s ON l.cur = s.url
             WHERE l.rn = 1
         """,
+        "cdx_revisits": """
+            -- the same capture log; revisit = digest's first ts per
+            -- (url, digest) precedes this ts, first/changed split on
+            -- the url's overall first capture
+            WITH cdx AS (
+              SELECT 'https://w.example.org/p/' || (doc_id % 40) AS url,
+                     lpad(CAST(doc_id AS VARCHAR), 14, '0') AS ts,
+                     md5('https://w.example.org/p/' || (doc_id % 40)
+                         || '#' || ((doc_id // 40) // 2)) AS digest
+              FROM documents
+            ),
+            orig AS (
+              SELECT url, digest, min(ts) AS orig_ts
+              FROM cdx GROUP BY url, digest
+            ),
+            firsts AS (
+              SELECT url, min(ts) AS url_first_ts FROM cdx GROUP BY url
+            )
+            SELECT c.url, c.ts, c.digest,
+                   CASE WHEN c.ts > o.orig_ts THEN 'revisit'
+                        WHEN c.ts = f.url_first_ts THEN 'first'
+                        ELSE 'changed' END AS kind,
+                   CASE WHEN c.ts > o.orig_ts THEN o.orig_ts END
+                     AS original_ts
+            FROM cdx c
+            JOIN orig o USING (url, digest)
+            JOIN firsts f USING (url)
+        """,
+        "trap_detect": """
+            -- relational re-derivation of the trap signals: depth,
+            -- duplicate path segments, distinct-query rollup per
+            -- (host, path), reason precedence depth > loop > explosion
+            WITH urls AS (
+              SELECT CASE
+                WHEN doc_id % 10 < 2 THEN
+                  'https://h' || (doc_id % 5) || '.example.org' ||
+                  '/cal/2024/01/2024/01/p' || (doc_id % 4)
+                WHEN doc_id % 10 < 4 THEN
+                  'https://h' || (doc_id % 5) || '.example.org' ||
+                  '/a/b/c/d/e/f/g/h/i/' || doc_id
+                WHEN (doc_id % 10) % 2 = 0 THEN
+                  'https://h' || (doc_id % 5) || '.example.org' ||
+                  '/p/' || (doc_id % 10) || '?sid=' || doc_id
+                ELSE
+                  'https://h' || (doc_id % 5) || '.example.org' ||
+                  '/q/' || (doc_id % 50)
+              END AS url
+              FROM documents
+            ),
+            sig AS (
+              SELECT url,
+                     regexp_extract(url, '^https://([^/]+)', 1) AS host,
+                     regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+                     nullif(regexp_extract(url, '\\?(.*)$', 1), '') AS query,
+                     list_filter(string_split(
+                       regexp_extract(url, '^https://[^/]+([^?]*)', 1), '/'),
+                       s -> s <> '') AS segs
+              FROM urls
+            ),
+            roll AS (
+              SELECT host, path, count(DISTINCT query) AS path_queries
+              FROM sig GROUP BY host, path
+            )
+            SELECT s.url, s.host,
+                   len(s.segs) AS depth,
+                   len(s.segs) - len(list_distinct(s.segs)) AS dup_segments,
+                   r.path_queries,
+                   CASE WHEN len(s.segs) > 8 THEN 'depth'
+                        WHEN len(s.segs) - len(list_distinct(s.segs)) >= 2
+                          THEN 'loop'
+                        WHEN r.path_queries >= 20 THEN 'query_explosion'
+                   END AS trap_reason
+            FROM sig s JOIN roll r USING (host, path)
+        """,
+        "anchor_profile": f"""
+            -- inbound anchor-term aggregation: the engine's keyword
+            -- tokenizer over each link's anchor, top-3 per target
+            WITH edges AS (
+              SELECT 'https://t.example.org/d/' || (doc_id % 37) AS target,
+                     substr(text, 1, 80) AS anchor
+              FROM documents
+            ), words AS (
+              SELECT target,
+                     unnest(list_filter(string_split_regex(lower(anchor),
+                       '[^a-z0-9_]+'), x -> x <> '')) AS word
+              FROM edges
+            ), counts AS (
+              SELECT target, word, count(*) AS freq FROM words
+              WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+              GROUP BY target, word
+            )
+            SELECT target, word, freq,
+                   row_number() OVER (
+                     PARTITION BY target ORDER BY freq DESC, word ASC
+                   ) AS rank
+            FROM counts QUALIFY rank <= 3
+        """,
+        "inlink_stats": """
+            WITH edges AS (
+              SELECT 'https://s' || (doc_id % 11) || '.example.org/a/' ||
+                       (doc_id % 200) AS src,
+                     'https://t.example.org/d/' || (doc_id % 37) AS target
+              FROM documents
+            )
+            SELECT target, count(*) AS n_inlinks,
+                   count(DISTINCT src) AS n_src_pages,
+                   count(DISTINCT regexp_extract(src, '^https://([^/]+)', 1))
+                     AS n_src_hosts
+            FROM edges GROUP BY target
+        """,
+        "bm25_topk": f"""
+            -- BM25 fixed-point replay: tf/df/dl/N/T recomputed
+            -- relationally, the same ppm-rounded idf, then the exact
+            -- integer formula in HUGEINT with // floor division
+            WITH words AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+            ), kept AS (
+              SELECT doc_id, word FROM words
+              WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+            ), dls AS (
+              SELECT doc_id, count(*) AS dl FROM kept GROUP BY doc_id
+            ), tfs AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM kept GROUP BY doc_id, word
+            ), dfs AS (
+              SELECT word, count(*) AS df FROM tfs GROUP BY word
+            ), nt AS (
+              SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dls
+            ), scored AS (
+              SELECT tfs.doc_id, tfs.word, tfs.tf, dfs.df, dls.dl,
+                     CAST((CAST(floor(ln(CAST(2 * (nt.n + 1) AS DOUBLE)
+                                  / (2 * dfs.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * tfs.tf * nt.t)
+                          // (CAST(20 AS HUGEINT) * tfs.tf * nt.t
+                              + 6 * nt.t + 18 * dls.dl * nt.n)
+                          AS BIGINT) AS score_u
+              FROM tfs
+              JOIN dfs USING (word)
+              JOIN dls USING (doc_id)
+              CROSS JOIN nt
+            )
+            SELECT doc_id, word, tf, df, dl, score_u,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score_u DESC, word ASC
+                   ) AS rank
+            FROM scored QUALIFY rank <= 3
+        """,
+        "cluster_reps": f"""
+            -- recursive-CTE closure over the same MinHash pair graph,
+            -- then one window per component: keep = argmax
+            -- (n_chars desc, doc_id asc), singletons keep themselves
+            WITH RECURSIVE {{mh_pair_ctes}}, e AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
+            ), walk(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
+            ), comp AS (
+              SELECT node AS doc_id, min(lbl) AS component
+              FROM walk GROUP BY node
+            ), members AS (
+              SELECT c.doc_id, c.component, d.n_chars
+              FROM comp c JOIN documents d USING (doc_id)
+            ), ranked AS (
+              SELECT doc_id, component,
+                     row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY component) AS cluster_size
+              FROM members
+            )
+            SELECT doc_id, component, (rn = 1) AS keep, cluster_size
+            FROM ranked
+        """.format(mh_pair_ctes=mh_pair_ctes),
         "paragraph_dedup": """
             WITH salted AS (
               SELECT doc_id,

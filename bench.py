@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "main_content",
     "dedup_minhash_incr",
+    "trap_detect",
+    "bm25_topk",
+    "cluster_reps",
 ]
 
 

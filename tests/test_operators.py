@@ -1320,3 +1320,203 @@ class TestMinhashIncremental:
         # index maintenance outputs are exactly the delta's bands/shingles
         assert dbands.count() == new.count() * 4
         assert dsh.count() == new.count()
+
+
+class TestAnchorTextProfile:
+    def test_profile_rank_and_stopwords(self, spark):
+        from web_scrapper_spark.operators.graph import anchor_text_profile
+
+        edges = spark.createDataFrame(
+            [
+                ("t1", "the best spark engine"),
+                ("t1", "spark engine docs"),
+                ("t1", "spark tutorial"),
+                ("t2", "click here"),  # 'here' is len 4.. kept unless stopword
+            ],
+            "target string, anchor string",
+        )
+        rows = anchor_text_profile(edges, k=2).collect()
+        t1 = [(r["word"], r["freq"], r["rank"]) for r in rows if r["target"] == "t1"]
+        assert t1 == [("spark", 3, 1), ("engine", 2, 2)]
+        # stop words ('the') never appear
+        assert all(r["word"] != "the" for r in rows)
+
+    def test_k_bounds_output(self, spark):
+        from web_scrapper_spark.operators.graph import anchor_text_profile
+
+        edges = spark.createDataFrame(
+            [("t", "alpha beta gamma delta epsilon")],
+            "target string, anchor string",
+        )
+        assert anchor_text_profile(edges, k=3).count() == 3
+
+
+class TestInlinkStats:
+    def test_counts(self, spark):
+        from web_scrapper_spark.operators.graph import inlink_stats
+
+        edges = spark.createDataFrame(
+            [
+                ("https://a.org/1", "t1"),
+                ("https://a.org/1", "t1"),  # same page twice
+                ("https://a.org/2", "t1"),
+                ("https://b.org/x", "t1"),
+                ("https://b.org/y", "t2"),
+            ],
+            "src string, target string",
+        )
+        got = {r["target"]: r for r in inlink_stats(edges).collect()}
+        assert got["t1"]["n_inlinks"] == 4
+        assert got["t1"]["n_src_pages"] == 3
+        assert got["t1"]["n_src_hosts"] == 2
+        assert got["t2"]["n_inlinks"] == 1
+
+    def test_approx_mode_runs(self, spark):
+        from web_scrapper_spark.operators.graph import inlink_stats
+
+        edges = spark.createDataFrame(
+            [("https://a.org/1", "t1"), ("https://b.org/2", "t1")],
+            "src string, target string",
+        )
+        got = inlink_stats(edges, exact=False).collect()[0]
+        assert got["n_src_hosts"] == 2  # HLL exact at tiny cardinality
+
+
+class TestUrlTrapSignals:
+    def _run(self, spark, urls, **kw):
+        from web_scrapper_spark.frontier.traps import url_trap_signals
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {r["url"]: r for r in url_trap_signals(df, **kw).collect()}
+
+    def test_loop_and_depth(self, spark):
+        got = self._run(
+            spark,
+            [
+                "https://h.org/cal/2024/01/2024/01/p",  # loop
+                "https://h.org/a/b/c/d/e/f/g/h/i/j",  # depth 10
+                "https://h.org/a/b",  # clean
+            ],
+        )
+        assert got["https://h.org/cal/2024/01/2024/01/p"]["trap_reason"] == "loop"
+        assert got["https://h.org/cal/2024/01/2024/01/p"]["dup_segments"] == 2
+        deep = got["https://h.org/a/b/c/d/e/f/g/h/i/j"]
+        assert (deep["trap_reason"], deep["depth"]) == ("depth", 10)
+        assert got["https://h.org/a/b"]["trap_reason"] is None
+
+    def test_query_explosion_threshold(self, spark):
+        urls = [f"https://h.org/p?sid={i}" for i in range(5)] + [
+            "https://h.org/q?a=1",
+            "https://h.org/q?a=2",
+        ]
+        got = self._run(spark, urls, query_k=5)
+        assert got["https://h.org/p?sid=0"]["trap_reason"] == "query_explosion"
+        assert got["https://h.org/p?sid=0"]["path_queries"] == 5
+        assert got["https://h.org/q?a=1"]["trap_reason"] is None
+        assert got["https://h.org/q?a=1"]["path_queries"] == 2
+
+    def test_queryless_paths_count_zero(self, spark):
+        got = self._run(spark, ["https://h.org/x", "https://h.org/x"])
+        assert got["https://h.org/x"]["path_queries"] == 0
+
+    def test_approx_mode_agrees_when_separated(self, spark):
+        urls = [f"https://h.org/p?s={i}" for i in range(40)] + [
+            "https://h.org/q"
+        ]
+        exact = self._run(spark, urls, query_k=20)
+        approx = self._run(spark, urls, query_k=20, exact=False)
+        for u in ("https://h.org/p?s=0", "https://h.org/q"):
+            assert exact[u]["trap_reason"] == approx[u]["trap_reason"]
+
+    def test_malformed_url_not_dropped(self, spark):
+        got = self._run(spark, ["not a url at all", "https://h.org/x"])
+        assert got["not a url at all"]["trap_reason"] is None
+        assert len(got) == 2
+
+
+class TestBm25:
+    DOCS = [
+        (1, "spark engine shuffle shuffle partition"),
+        (2, "spark catalyst optimizer"),
+        (3, "engine shuffle plan"),
+    ]
+
+    def test_matches_python_fixed_point(self, spark):
+        import math
+
+        from web_scrapper_spark.operators.textops import bm25_term_weights
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["word"]): r
+            for r in bm25_term_weights(docs).collect()
+        }
+        # recompute in plain python: same tokens (none are stopwords,
+        # all len>2), N=3, T=11
+        corpus = {i: t.split() for i, t in self.DOCS}
+        n = len(corpus)
+        t_total = sum(len(v) for v in corpus.values())
+        dfreq = {}
+        for toks in corpus.values():
+            for w in set(toks):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        for (did, toks) in corpus.items():
+            dl = len(toks)
+            for w in set(toks):
+                tf = toks.count(w)
+                df = dfreq[w]
+                idf_ppm = math.floor(
+                    math.log((2.0 * (n + 1)) / (2 * df + 1)) * 1_000_000 + 0.5
+                )
+                score = (idf_ppm * 44 * tf * t_total) // (
+                    20 * tf * t_total + 6 * t_total + 18 * dl * n
+                )
+                r = got[(did, w)]
+                assert (r["tf"], r["df"], r["dl"]) == (tf, df, dl)
+                assert r["score_u"] == score, (did, w)
+
+    def test_topk_rank(self, spark):
+        from web_scrapper_spark.operators.textops import bm25_term_weights
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_term_weights(docs, k=1).collect()
+        assert len(out) == 3  # one winner per doc
+        assert all(r["rank"] == 1 for r in out)
+        # doc 1's winner is its double 'shuffle' unless idf crushes it
+        w1 = [r for r in out if r["doc_id"] == 1][0]
+        assert w1["tf"] >= 1
+
+
+class TestClusterRepresentatives:
+    def _run(self, spark, docs_rows, pairs_rows, **kw):
+        from web_scrapper_spark.operators.dedup import cluster_representatives
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, n_chars long")
+        pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+        return {
+            r["doc_id"]: r
+            for r in cluster_representatives(docs, pairs, **kw).collect()
+        }
+
+    def test_quality_picks_best(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10), (2, 99), (3, 50), (4, 7)],
+            [(1, 2), (2, 3)],
+            quality_col="n_chars",
+        )
+        assert [got[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+        assert all(got[i]["component"] == 1 for i in (1, 2, 3))
+        assert all(got[i]["cluster_size"] == 3 for i in (1, 2, 3))
+        # singleton keeps itself
+        assert (got[4]["keep"], got[4]["cluster_size"]) == (True, 1)
+
+    def test_tie_breaks_to_min_id(self, spark):
+        got = self._run(
+            spark, [(5, 10), (6, 10)], [(5, 6)], quality_col="n_chars"
+        )
+        assert got[5]["keep"] and not got[6]["keep"]
+
+    def test_default_min_id(self, spark):
+        got = self._run(spark, [(7, 1), (8, 999)], [(7, 8)])
+        assert got[7]["keep"] and not got[8]["keep"]

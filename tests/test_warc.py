@@ -168,3 +168,35 @@ class TestCdx:
         df = spark.createDataFrame(_rows(), "url string, warc_ts timestamp, html binary")
         write_warc(df, out, cdx=False)
         assert not [f for f in _os.listdir(out) if f.endswith(".cdx")]
+
+
+class TestCdxRevisits:
+    def test_classification(self, spark):
+        from web_scrapper_spark.sources.warc import cdx_revisits
+
+        rows = [
+            # url A: first, unchanged revisit, change, revisit of change
+            ("A", "t1", "d1"),
+            ("A", "t2", "d1"),
+            ("A", "t3", "d2"),
+            ("A", "t4", "d2"),
+            # url B: single capture
+            ("B", "t1", "d1"),
+            # url C: content flaps back to an OLD digest -> still a
+            # revisit of the original capture
+            ("C", "t1", "dx"),
+            ("C", "t2", "dy"),
+            ("C", "t3", "dx"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string, digest string")
+        got = {(r["url"], r["ts"]): r for r in cdx_revisits(df).collect()}
+        assert got[("A", "t1")]["kind"] == "first"
+        assert got[("A", "t2")]["kind"] == "revisit"
+        assert got[("A", "t2")]["original_ts"] == "t1"
+        assert got[("A", "t3")]["kind"] == "changed"
+        assert got[("A", "t3")]["original_ts"] is None
+        assert got[("A", "t4")]["kind"] == "revisit"
+        assert got[("A", "t4")]["original_ts"] == "t3"
+        assert got[("B", "t1")]["kind"] == "first"
+        assert got[("C", "t3")]["kind"] == "revisit"
+        assert got[("C", "t3")]["original_ts"] == "t1"

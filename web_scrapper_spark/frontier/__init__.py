@@ -5,6 +5,7 @@ from .bloom import PyBloom, build_bloom, bloom_prefilter
 from .robots import parse_robots_txt, robots_from_pages, discover_sitemaps
 from .sitemap import parse_sitemap_xml, sitemap_candidates
 from .recrawl import recrawl_due
+from .traps import url_trap_signals
 
 __all__ = [
     "SnapshotStore",
@@ -17,4 +18,5 @@ __all__ = [
     "parse_sitemap_xml",
     "sitemap_candidates",
     "recrawl_due",
+    "url_trap_signals",
 ]

@@ -1,0 +1,102 @@
+"""Crawl-trap detection over a URL table (frontier hygiene).
+
+Real crawls die in traps, not in honest content: calendar pages that
+link forever (``/2024/01/2024/01/…``), session ids and tracking
+parameters that mint unbounded distinct URLs for one resource, and
+infinitely deep generated paths. The reference engine never needed
+this (it crawls a configured site list sequentially); an open-web
+frontier at 10^10 URLs cannot survive without it — every trapped URL
+costs a politeness slot, a fetch, and a frontier row.
+
+Three standard heuristics (cf. the URL-normalization / spider-trap
+sections of Heydon & Najork's *Mercator* paper and Apache Nutch's
+``urlfilter-regex`` defaults), all as native Catalyst expressions:
+
+- **depth**: more path segments than any hand-authored site uses;
+- **looped path**: the same segment repeating within one path — the
+  signature of relative-link expansion and calendar recursion;
+- **query explosion**: one (host, path) minting at least ``query_k``
+  distinct query strings — session ids, cart tokens, faceted-search
+  permutations.
+
+Per-URL columns come from one projection (zero shuffle); the query
+explosion needs one aggregate over (host, path) plus a broadcast-able
+join back. At 100 TB run the rollup with ``exact=False``
+(``approx_count_distinct``, one shuffle, fixed-size HLL sketches per
+group instead of a distinct expand) — the trap decision only needs
+"roughly how many", the oracle path keeps exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_trap_signals", "TRAP_REASONS"]
+
+#: precedence order for the single reported reason (a URL can trip
+#: several heuristics; the first one wins, ties never ambiguous).
+TRAP_REASONS = ("depth", "loop", "query_explosion")
+
+
+def url_trap_signals(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    dup_segment_min: int = 2,
+    query_k: int = 20,
+    exact: bool = True,
+) -> DataFrame:
+    """Classify every URL with trap signals.
+
+    Returns one row per input row:
+
+      (url, host, depth, dup_segments, path_queries, trap_reason)
+
+    - ``depth``: number of non-empty path segments;
+    - ``dup_segments``: segments minus distinct segments (how much of
+      the path is repetition);
+    - ``path_queries``: distinct query strings seen on this URL's
+      (host, path) across the whole input (0 when no URL on the path
+      carries a query);
+    - ``trap_reason``: first tripped heuristic in :data:`TRAP_REASONS`
+      order, NULL for clean URLs.
+
+    ``exact=False`` swaps the distinct-query rollup for
+    ``approx_count_distinct`` (±2% HLL) — the scale path; thresholds
+    this coarse don't need exact cardinalities.
+    """
+    u = F.col(url_col)
+    segs = F.filter(
+        F.split(F.try_parse_url(u, F.lit("PATH")), "/"), lambda s: s != F.lit("")
+    )
+    # malformed URLs parse to NULL host/path; coalesce to '' so the
+    # rollup join can't silently drop them (null keys never equi-join)
+    base = urls.select(
+        u.alias("url"),
+        F.coalesce(F.try_parse_url(u, F.lit("HOST")), F.lit("")).alias("host"),
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")).alias("path"),
+        F.try_parse_url(u, F.lit("QUERY")).alias("query"),
+        F.coalesce(F.size(segs), F.lit(0)).alias("depth"),
+        F.coalesce(
+            F.size(segs) - F.size(F.array_distinct(segs)), F.lit(0)
+        ).alias("dup_segments"),
+    )
+    counter = (
+        F.count_distinct(F.col("query"))
+        if exact
+        else F.approx_count_distinct("query")
+    )
+    rollup = base.groupBy("host", "path").agg(
+        counter.cast("long").alias("path_queries")
+    )
+    out = base.join(rollup, ["host", "path"])
+    reason = (
+        F.when(F.col("depth") > max_depth, F.lit("depth"))
+        .when(F.col("dup_segments") >= dup_segment_min, F.lit("loop"))
+        .when(F.col("path_queries") >= query_k, F.lit("query_explosion"))
+    )
+    return out.select(
+        "url", "host", "depth", "dup_segments", "path_queries",
+        reason.alias("trap_reason"),
+    )

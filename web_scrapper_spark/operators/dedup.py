@@ -998,3 +998,70 @@ def exact_substring_dedup(
         F.md5(kept_text).alias("kept_md5"),
         kept_text.alias("kept_text"),
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """Quality-aware survivor selection per duplicate cluster — the
+    step after near-dup clustering that ``dedup_components``'s min-id
+    canonical deliberately skips. Production dedup (FineWeb, RefinedWeb
+    ablations) keeps the BEST copy of each near-duplicate family, not
+    an arbitrary one: mirrors differ in truncation, boilerplate, and
+    encoding damage, and the kept copy is what the model trains on.
+
+    ``quality_col``: a column of ``docs`` to maximize (e.g. ``n_chars``
+    or a Gopher/C4 score); ties and the ``None`` default fall back to
+    min ``id_col`` — fully deterministic either way.
+
+    Returns one row per doc: (id, component, keep, cluster_size).
+
+    Scale shape: components run on the edge list only; the survivor
+    choice is ONE max-struct aggregate over clustered docs (map-side
+    combined — per-cluster state is a single struct, so heavy clusters
+    don't skew), and no per-cluster window over the full corpus
+    exists. Joins against the component map are left un-hinted: on a
+    heavily-duplicated corpus the map is a large fraction of the
+    corpus and must shuffle, while AQE broadcasts it automatically
+    when it is small — forcing ``broadcast()`` here would be the
+    scale bug. Singletons keep themselves via one anti-join.
+    """
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    qcol = (
+        F.col(quality_col).cast("long")
+        if quality_col is not None
+        else F.lit(0).cast("long")
+    )
+    clustered = docs.select(
+        F.col(id_col), qcol.alias("_q")
+    ).join(comp.withColumnRenamed("node", id_col), id_col)
+    # arg-max by (quality desc, id asc): max of (q, -id)-ordered struct
+    best = clustered.groupBy("component").agg(
+        F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_negid")))
+        .alias("_best"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        "component",
+        (-F.col("_best._negid")).alias("_keep_id"),
+        "cluster_size",
+    )
+    picked = clustered.join(best, "component").select(
+        F.col(id_col),
+        "component",
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        "cluster_size",
+    )
+    singles = docs.select(F.col(id_col)).join(
+        comp.select(F.col("node").alias(id_col)),
+        id_col,
+        "left_anti",
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.lit(True).alias("keep"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return picked.unionByName(singles)

@@ -42,6 +42,8 @@ __all__ = [
     "host_edges",
     "resolve_redirects",
     "canonical_edges",
+    "anchor_text_profile",
+    "inlink_stats",
     "PAGERANK_SCALE",
 ]
 
@@ -223,4 +225,71 @@ def canonical_edges(
     return (
         pages.select(F.col(url_col).alias("url"), hit.alias("target"))
         .filter(F.col("target").isNotNull() & (F.col("target") != F.col("url")))
+    )
+
+
+def anchor_text_profile(
+    edges: DataFrame,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+    k: int = 5,
+) -> DataFrame:
+    """Inbound anchor-text term profile per link target — the classic
+    web-graph text feature (anchor terms describe the TARGET better
+    than its own page does; every large-scale indexer aggregates them
+    — Brin & Page 1998 §2.2 propagate anchor text to the linked page).
+
+    Tokenization reuses the engine's keyword tokenizer (lower, split
+    on non-word, drop stop words and len<=2) so anchor profiles and
+    document keywords live in one vocabulary. Returns
+
+      (target, word, freq, rank)
+
+    with ``rank`` dense over (freq desc, word asc) per target, cut at
+    ``k`` — deterministic under any partitioning.
+
+    Scale shape: explode → two-phase hash aggregate on
+    (target, word) → one rank window partitioned by target. Popular
+    targets (the skew risk) are bounded by their distinct-anchor-term
+    vocabulary, not their inlink count, because the aggregate
+    map-side-combines before the shuffle.
+    """
+    from .textops import keyword_tokens_col
+
+    words = edges.select(
+        F.col(target_col).alias("target"),
+        F.explode(keyword_tokens_col(F.col(anchor_col))).alias("word"),
+    )
+    counts = words.groupBy("target", "word").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("target").orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("target", "word", "freq", "rank")
+    )
+
+
+def inlink_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    target_col: str = "target",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-target inbound link counts: total inlinks, distinct source
+    pages, distinct source HOSTS (the anti-spam signal — a thousand
+    links from one host are one vote). One two-phase aggregate; at
+    100 TB pass ``exact=False`` for HLL sketches instead of exact
+    distinct expands."""
+    host = F.try_parse_url(F.col(src_col), F.lit("HOST"))
+    cd = (
+        (lambda c: F.count_distinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    return edges.groupBy(F.col(target_col).alias("target")).agg(
+        F.count("*").alias("n_inlinks"),
+        cd(F.col(src_col)).cast("long").alias("n_src_pages"),
+        cd(host).cast("long").alias("n_src_hosts"),
     )

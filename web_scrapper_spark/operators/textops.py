@@ -432,3 +432,105 @@ def availability_normalize_col(col: Column) -> Column:
         .when(low.rlike(r"unavailable"), "Unavailable")
         .otherwise("Unknown")
     )
+
+
+def bm25_term_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 0,
+) -> DataFrame:
+    """Corpus-level BM25 term weights (Robertson/Spärck Jones, the
+    Okapi BM25 ranking function) in EXACT integer arithmetic — the
+    index-building twin of the per-document keyword extraction the
+    reference ships (its keyword scores are per-page counts; BM25 is
+    what the same signal looks like once a 100 TB corpus gives you
+    real document frequencies).
+
+    Standard BM25 with k1 = 6/5 (1.2) and b = 3/4 (0.75):
+
+        idf(w)      = ln((N - df + 1/2) / (df + 1/2) + 1)
+                    = ln(2(N+1) / (2·df + 1))        — exact rational
+        score(d, w) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Clearing denominators with avgdl = T/N (T = total corpus tokens)
+    turns the tf normalization into a ratio of integers:
+
+        score = idf_ppm · 44·tf·T  div  (20·tf·T + 6·T + 18·dl·N)
+
+    ``idf_ppm`` is the only transcendental: both engines round the
+    SAME IEEE double (one correctly-rounded division of two integers,
+    then ln) to integer micro-units, after which everything is integer
+    multiply/divide in DECIMAL(38,0) — bit-identical under any
+    partitioning, summation order, or engine, the same fixed-point
+    discipline as ``graph.pagerank``.
+
+    Returns (doc_id, word, tf, df, dl, score_u[, rank]) over the
+    keyword vocabulary (stop words and len<=2 dropped); ``k > 0`` adds
+    a per-doc rank window over (score_u desc, word asc) and keeps the
+    top k terms per document — the bounded-output shape an index
+    pipeline ships.
+
+    Scale shape: the corpus is TOKENIZED EXACTLY ONCE — the (doc,
+    word, dl) tf aggregate is persisted, and df, N, and T all derive
+    from it (without the persist, Catalyst re-runs the tokenize +
+    explode chain for every consumer — measured 3× the corpus work).
+    tf/df are two-phase map-side-combined aggregates; N and T are two
+    scalars inlined as literals (no crossjoin of a singleton frame
+    into the big side).
+    """
+    toks = keyword_tokens_col(F.col(text_col))
+    base = fan_out(docs).select(
+        F.col(id_col), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    base = base.select(
+        F.col(id_col), "_toks", F.size("_toks").alias("dl")
+    )
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_toks").alias("word"))
+        .groupBy(id_col, "word", "dl")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    totals = (
+        tf.groupBy(id_col).agg(F.max("dl").alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+        .collect()[0]
+    )
+    n_docs, t_tokens = int(totals["n"] or 0), int(totals["t"] or 0)
+    if n_docs == 0:
+        empty = tf.select(
+            F.col(id_col), F.lit("").alias("word"),
+            F.lit(0).alias("tf"), F.lit(0).alias("df"),
+            F.lit(0).alias("dl"), F.lit(0).cast("long").alias("score_u"),
+        )
+        return empty.withColumn("rank", F.lit(0)) if k else empty
+
+    df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf_ppm = F.floor(
+        F.log(F.lit(float(2 * (n_docs + 1))) / (2 * F.col("df") + 1))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    joined = tf.join(df_tbl.withColumn("idf_ppm", idf_ppm), "word")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("idf_ppm")) * 44 * dec(F.col("tf")) * F.lit(t_tokens)
+    den = (
+        dec(F.lit(20 * t_tokens)) * dec(F.col("tf"))
+        + dec(F.lit(6 * t_tokens))
+        + dec(F.lit(18 * n_docs)) * dec(F.col("dl"))
+    )
+    # IntegralDivide (`div`) truncates exactly on decimals — for the
+    # non-negative operands here that is floor, matching DuckDB `//`
+    out = joined.withColumns({"_num": num, "_den": den}).select(
+        F.col(id_col), "word", "tf", "df", "dl",
+        F.expr("_num div _den").cast("long").alias("score_u"),
+    )
+    if k:
+        win = Window.partitionBy(id_col).orderBy(
+            F.desc("score_u"), F.asc("word")
+        )
+        out = out.withColumn("rank", F.row_number().over(win)).filter(
+            F.col("rank") <= k
+        )
+    return out

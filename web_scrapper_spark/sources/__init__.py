@@ -9,7 +9,7 @@ from .io import (
     write_any,
     write_jdbc,
 )
-from .warc import read_cdx, read_warc, read_warc_ranges, write_warc
+from .warc import cdx_revisits, read_cdx, read_warc, read_warc_ranges, write_warc
 
 __all__ = [
     "export_data",
@@ -18,6 +18,7 @@ __all__ = [
     "read_any",
     "read_jdbc",
     "read_cdx",
+    "cdx_revisits",
     "read_warc",
     "read_warc_ranges",
     "write_any",

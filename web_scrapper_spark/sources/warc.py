@@ -42,6 +42,7 @@ __all__ = [
     "read_warc",
     "read_warc_stream",
     "read_cdx",
+    "cdx_revisits",
     "read_warc_ranges",
     "write_warc",
     "WARC_RECORD_SCHEMA",
@@ -476,4 +477,52 @@ def read_warc_ranges(cdx: DataFrame, path: str) -> DataFrame:
 
     return cdx.select("warc_file", "offset", "length").mapInPandas(
         fetch, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def cdx_revisits(cdx: DataFrame) -> DataFrame:
+    """Digest-based revisit classification over a CDX index — the
+    URL-grain dedup the WARC ecosystem bakes into the format itself
+    (WARC ``revisit`` records / CDX ``warc/revisit``: a capture whose
+    payload digest was already archived is stored as a pointer, not a
+    payload — at Common Crawl scale most recrawl captures are
+    revisits, and this classification IS the storage/dedup win).
+
+    Per capture row:
+
+      (url, ts, digest, kind, original_ts)
+
+    - ``kind='first'``   — the URL's first capture ever;
+    - ``kind='changed'`` — a later capture with a digest this URL has
+      not produced before (content actually changed);
+    - ``kind='revisit'`` — the digest repeats an earlier capture of
+      the same URL; ``original_ts`` points at that first capture
+      (NULL for non-revisits).
+
+    Deterministic under any partitioning: everything derives from two
+    min-aggregates (first ts per (url, digest), first ts per url) —
+    no row-order dependence. Scale shape: two map-side-combined
+    aggregates joined back on their keys; both joins co-partition on
+    ``url``, and the index rows (tiny next to the archives they
+    describe) are the only thing shuffled. Pairs with
+    ``frontier.recrawl_due``: revisit-heavy URLs are exactly the ones
+    whose recrawl period should back off.
+    """
+    orig = cdx.groupBy("url", "digest").agg(
+        F.min("ts").alias("_orig_ts")
+    )
+    first = cdx.groupBy("url").agg(F.min("ts").alias("_url_first_ts"))
+    out = cdx.select("url", "ts", "digest").join(
+        orig, ["url", "digest"]
+    ).join(first, "url")
+    kind = (
+        F.when(F.col("ts") > F.col("_orig_ts"), F.lit("revisit"))
+        .when(F.col("ts") == F.col("_url_first_ts"), F.lit("first"))
+        .otherwise(F.lit("changed"))
+    )
+    return out.select(
+        "url", "ts", "digest",
+        kind.alias("kind"),
+        F.when(F.col("ts") > F.col("_orig_ts"), F.col("_orig_ts"))
+        .alias("original_ts"),
     )
