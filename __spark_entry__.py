@@ -1672,6 +1672,118 @@ def _q_redirect_resolve(spark, sf_dir):
     )
 
 
+def _q_drain_plan(spark, sf_dir):
+    """Crawl capacity planning (frontier/core.py drain_plan): a
+    synthetic frontier over 30 hosts, robots crawl-delays cycling
+    {0.5, 2, 10, unlimited, 30} s for the first 20 hosts (the rest
+    fall to the 2 s default). epochs_to_drain = exact integer ceiling
+    of pending/budget with budget = max(1, floor(60/delay)). The
+    oracle replays the same arithmetic relationally."""
+    from web_scrapper_spark.frontier.core import drain_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string"))
+    frontier = docs.select(host.alias("host"))
+    idx = F.col("doc_id") % 30
+    delay = (
+        F.when(idx % 5 == 0, 0.5)
+        .when(idx % 5 == 1, 2.0)
+        .when(idx % 5 == 2, 10.0)
+        .when(idx % 5 == 3, 0.0)
+        .otherwise(30.0)
+    )
+    robots = (
+        docs.filter(idx < 20)
+        .select(host.alias("host"), delay.alias("crawl_delay"))
+        .distinct()
+    )
+    return drain_plan(frontier, robots, epoch_seconds=60.0, default_delay=2.0)
+
+
+def _q_host_priors(spark, sf_dir):
+    """Host quality priors (operators/quality.py host_priors):
+    documents spread over 13 hosts, keep = n_chars >= 400, modal lang
+    per host with lexicographic tie-break, exact integer keep_ppm.
+    The oracle recomputes the rollup with window + floor division."""
+    from web_scrapper_spark.operators.quality import host_priors
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 13).cast("string")).alias("host"),
+        (F.col("n_chars") >= 400).alias("keep"),
+        "lang",
+    )
+    return host_priors(docs)
+
+
+def _q_unicode_clean(spark, sf_dir):
+    """Unicode hygiene (operators/textops.py unicode_clean): documents
+    get a planted suffix carrying mojibake pairs, a combining-acute
+    'cafe'+U+0301 (NFC must precompose), a C0 control, and a CRLF.
+    The DuckDB oracle replays the identical replace chain +
+    nfc_normalize + newline/control rules; full cleaned text crosses
+    the hash gate."""
+    docs = _read(spark, sf_dir, "documents")
+    suffix = _UC_SUFFIX
+    return _tx.unicode_clean(
+        docs.select("doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text"))
+    )
+
+
+#: planted unicode_clean suffix: mojibake pairs, a combining
+#: acute (NFC precomposes), a C0 control, CRLF. Shared verbatim
+#: by the Spark query and the DuckDB oracle.
+_UC_SUFFIX = (
+    " \u00c3\u00a9cole \u00e2\u20ac\u0153q \u00e2\u20ac\u2122s"
+    " \u00e2\u20ac\u201dd cafe\u0301 x\x01\r\nend"
+)
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string expression for ``s`` with every non-ASCII or
+    control character built via chr() — immune to source-encoding
+    drift between the Python literal and the SQL literal."""
+    parts: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if run:
+            parts.append("'" + "".join(run).replace("'", "''") + "'")
+            run.clear()
+
+    for ch in s:
+        if 32 <= ord(ch) < 127:
+            run.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def _unicode_clean_oracle_sql() -> str:
+    """DuckDB twin of operators/textops.unicode_clean over the same
+    planted suffix: identical replace chain (MOJIBAKE_FIXES order),
+    nfc_normalize, CRLF/CR → LF, C0-control strip."""
+    suffix = _UC_SUFFIX
+    expr = f"text || {_sql_str(suffix)}"
+    raw = expr
+    for bad, good in _tx.MOJIBAKE_FIXES:
+        expr = f"replace({expr}, {_sql_str(bad)}, {_sql_str(good)})"
+    expr = f"nfc_normalize({expr})"
+    expr = f"replace({expr}, chr(13) || chr(10), chr(10))"
+    expr = f"replace({expr}, chr(13), chr(10))"
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               {expr} AS text,
+               ({expr}) <> ({raw}) AS changed
+        FROM documents
+    """
+
+
 def _q_cdx_revisits(spark, sf_dir):
     """WARC/CDX revisit classification (sources/warc.py cdx_revisits):
     documents become a capture log — 40 URLs, captures ordered by a
@@ -2003,6 +2115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _q_main_content,
         "cdx_revisits": _q_cdx_revisits,
         "trap_detect": _q_trap_detect,
+        "drain_plan": _q_drain_plan,
+        "host_priors": _q_host_priors,
+        "unicode_clean": _q_unicode_clean,
         "anchor_profile": _q_anchor_profile,
         "inlink_stats": _q_inlink_stats,
         "bm25_topk": _q_bm25,
@@ -2452,6 +2567,66 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN srcs s ON l.cur = s.url
             WHERE l.rn = 1
         """,
+        "drain_plan": """
+            -- budget = max(1, floor(60/delay)), delay<=0 unlimited,
+            -- hostless default 2s; exact integer ceiling division
+            WITH f AS (
+              SELECT 'h' || (doc_id % 30) AS host FROM documents
+            ),
+            pend AS (
+              SELECT host, count(*) AS pending FROM f GROUP BY host
+            ),
+            rb AS (
+              SELECT DISTINCT 'h' || (doc_id % 30) AS host,
+                     CASE (doc_id % 30) % 5
+                       WHEN 0 THEN 0.5 WHEN 1 THEN 2.0 WHEN 2 THEN 10.0
+                       WHEN 3 THEN 0.0 ELSE 30.0 END AS delay
+              FROM documents WHERE doc_id % 30 < 20
+            ),
+            b AS (
+              SELECT p.host, p.pending,
+                     CAST(COALESCE(
+                       CASE WHEN r.delay > 0
+                              THEN greatest(1, floor(60.0 / r.delay))
+                            WHEN r.delay IS NOT NULL THEN 1000000000
+                       END, 30) AS INT) AS budget
+              FROM pend p LEFT JOIN rb r USING (host)
+            )
+            SELECT host, CAST(pending AS BIGINT) AS pending, budget,
+                   CAST((pending + budget - 1) // budget AS INT)
+                     AS epochs_to_drain
+            FROM b
+        """,
+        "host_priors": """
+            WITH d AS (
+              SELECT 'q' || (doc_id % 13) AS host,
+                     (n_chars >= 400) AS keep, lang
+              FROM documents
+            ),
+            per AS (
+              SELECT host, lang, count(*) AS n,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept
+              FROM d GROUP BY host, lang
+            ),
+            ranked AS (
+              SELECT host, lang,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY n DESC, lang ASC
+                     ) AS rn
+              FROM per
+            ),
+            agg AS (
+              SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(sum(kept) AS BIGINT) AS n_kept
+              FROM per GROUP BY host
+            )
+            SELECT a.host, a.n_docs, a.n_kept,
+                   CAST((a.n_kept * 1000000) // a.n_docs AS BIGINT)
+                     AS keep_ppm,
+                   r.lang AS top_lang
+            FROM agg a JOIN ranked r ON a.host = r.host AND r.rn = 1
+        """,
+        "unicode_clean": _unicode_clean_oracle_sql(),
         "cdx_revisits": """
             -- the same capture log; revisit = digest's first ts per
             -- (url, digest) precedes this ts, first/changed split on

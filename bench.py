@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "trap_detect",
     "bm25_topk",
     "cluster_reps",
+    "drain_plan",
+    "host_priors",
+    "unicode_clean",
 ]
 
 

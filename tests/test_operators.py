@@ -1520,3 +1520,80 @@ class TestClusterRepresentatives:
     def test_default_min_id(self, spark):
         got = self._run(spark, [(7, 1), (8, 999)], [(7, 8)])
         assert got[7]["keep"] and not got[8]["keep"]
+
+
+class TestHostPriors:
+    def test_rollup_and_modal_lang(self, spark):
+        from web_scrapper_spark.operators.quality import host_priors
+
+        rows = [
+            ("h1", True, "en"), ("h1", True, "en"), ("h1", False, "de"),
+            ("h2", False, "fr"), ("h2", True, "es"),  # 1-1 tie -> es? no: es vs fr tie -> es < fr
+            ("h3", False, "de"),
+        ]
+        docs = spark.createDataFrame(rows, "host string, keep boolean, lang string")
+        got = {r["host"]: r for r in host_priors(docs).collect()}
+        assert got["h1"]["n_docs"] == 3 and got["h1"]["n_kept"] == 2
+        assert got["h1"]["keep_ppm"] == 666666  # floor(2e6/3)
+        assert got["h1"]["top_lang"] == "en"
+        # tie between fr and es (1 each) breaks lexicographically -> es
+        assert got["h2"]["top_lang"] == "es"
+        assert got["h3"]["keep_ppm"] == 0
+
+
+class TestDrainPlan:
+    def test_budgets_and_ceiling(self, spark):
+        from web_scrapper_spark.frontier.core import NO_LIMIT_BUDGET, drain_plan
+
+        frontier = spark.createDataFrame(
+            [("a",)] * 7 + [("b",)] * 61 + [("c",)] * 5 + [("d",)] * 3,
+            "host string",
+        )
+        robots = spark.createDataFrame(
+            [("a", 10.0), ("b", 2.0), ("c", 0.0)],
+            "host string, crawl_delay double",
+        )
+        got = {
+            r["host"]: r
+            for r in drain_plan(
+                frontier, robots, epoch_seconds=60.0, default_delay=2.0
+            ).collect()
+        }
+        assert (got["a"]["budget"], got["a"]["epochs_to_drain"]) == (6, 2)
+        assert (got["b"]["budget"], got["b"]["epochs_to_drain"]) == (30, 3)
+        assert got["c"]["budget"] == NO_LIMIT_BUDGET
+        assert got["c"]["epochs_to_drain"] == 1
+        # hostless default: 2s delay -> 30 slots
+        assert (got["d"]["budget"], got["d"]["epochs_to_drain"]) == (30, 1)
+
+    def test_no_robots(self, spark):
+        from web_scrapper_spark.frontier.core import drain_plan
+
+        frontier = spark.createDataFrame([("x",)] * 31, "host string")
+        got = drain_plan(frontier, None, 60.0, 2.0).collect()[0]
+        assert (got["budget"], got["epochs_to_drain"]) == (30, 2)
+
+
+class TestUnicodeClean:
+    def _run(self, spark, text):
+        from web_scrapper_spark.operators.textops import unicode_clean
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return unicode_clean(df).collect()[0]
+
+    def test_mojibake_nfc_controls(self, spark):
+        r = self._run(
+            spark,
+            "cafÃ© â€™tis é \x02ok\r\nend\rx",
+        )
+        assert r["text"] == "café ’tis é ok\nend\nx"
+        assert r["changed"] is True
+
+    def test_clean_text_unchanged(self, spark):
+        r = self._run(spark, "plain ascii text\nwith newline")
+        assert r["text"] == "plain ascii text\nwith newline"
+        assert r["changed"] is False
+
+    def test_tab_and_newline_survive(self, spark):
+        r = self._run(spark, "a\tb\nc")
+        assert r["text"] == "a\tb\nc"

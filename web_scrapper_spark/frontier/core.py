@@ -270,3 +270,58 @@ def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFra
         )
     )
     return allowed.drop("host", "disallow_prefixes", "_host", "_path")
+
+
+def drain_plan(
+    frontier: DataFrame,
+    robots: Optional[DataFrame] = None,
+    epoch_seconds: float = 60.0,
+    default_delay: float = 2.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Capacity planning for the crawl: how many politeness-bounded
+    epochs until each host's pending frontier drains.
+
+    The reference declares ``delay`` per job but never plans with it;
+    at 10^10 URLs the drain horizon IS the operational question (which
+    hosts are months of work at their crawl-delay, where to spend
+    spare budget). Same budget formula as ``politeness_budgets`` —
+    ``max(1, floor(epoch_seconds / crawl_delay))`` slots per epoch,
+    ``crawl_delay <= 0`` means unlimited — then an exact integer
+    ceiling division:
+
+      (host, pending, budget, epochs_to_drain)
+
+    One map-side-combined count per host plus a broadcast join against
+    the (hosts-sized) robots table; the frontier is never shuffled
+    beyond the count's partial-aggregate exchange.
+    """
+    pending = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("pending")
+    )
+    default_budget = _py_budget(epoch_seconds, default_delay)
+    if robots is None:
+        budgeted = pending.withColumn("budget", F.lit(default_budget))
+    else:
+        delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+        rb = robots.select(
+            "host",
+            F.when(
+                delay > 0,
+                F.greatest(F.lit(1), F.floor(F.lit(epoch_seconds) / delay)),
+            )
+            .otherwise(F.lit(NO_LIMIT_BUDGET))
+            .cast("int")
+            .alias("budget"),
+        )
+        budgeted = pending.join(F.broadcast(rb), "host", "left").withColumn(
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+        )
+    return budgeted.select(
+        "host",
+        "pending",
+        "budget",
+        F.expr("(pending + budget - 1) div budget")
+        .cast("int")
+        .alias("epochs_to_drain"),
+    )

@@ -708,3 +708,55 @@ def main_content(
         F.length(content).alias("content_len"),
         F.md5(content).alias("content_md5"),
     )
+
+
+def host_priors(
+    docs: DataFrame,
+    host_col: str = "host",
+    keep_col: str = "keep",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Host-level quality priors from per-document verdicts — the
+    aggregation that turns any row-level gate (``gopher_keep``,
+    ``c4_clean``, a classifier score) into a FRONTIER signal: hosts
+    whose existing documents mostly fail quality gates should stop
+    winning dequeue slots (feed this into
+    ``frontier.core.dequeue(host_priority=...)`` exactly like the
+    PageRank table; spam farms are cheaper to stop fetching than to
+    filter after fetching).
+
+    Returns one row per host:
+
+      (host, n_docs, n_kept, keep_ppm, top_lang)
+
+    ``keep_ppm`` is an exact integer floor division (kept·10^6 div
+    n_docs); ``top_lang`` is the modal language with ties broken
+    lexicographically — both deterministic under any partitioning.
+
+    Scale shape: one (host, lang) aggregate, then one host aggregate
+    with a max-struct modal pick — two map-side-combined exchanges,
+    no window over the corpus.
+    """
+    per_lang = docs.groupBy(
+        F.col(host_col).alias("host"), F.col(lang_col).alias("_lang")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(keep_col).cast("long")).alias("_kept"),
+    )
+    # modal language: min over (-count, lang) structs — the smallest
+    # negated count is the largest count, ties fall through to the
+    # lexicographically smallest language code
+    picked = per_lang.groupBy("host").agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_kept").alias("n_kept"),
+        F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("_lang"))).alias(
+            "_top"
+        ),
+    ).withColumn("top_lang", F.col("_top._lang"))
+    return picked.select(
+        "host",
+        "n_docs",
+        "n_kept",
+        F.expr("(n_kept * 1000000) div n_docs").cast("long").alias("keep_ppm"),
+        "top_lang",
+    )

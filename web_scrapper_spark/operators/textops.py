@@ -534,3 +534,81 @@ def bm25_term_weights(
             F.col("rank") <= k
         )
     return out
+
+
+#: common UTF-8-decoded-as-Latin-1 mojibake, longest keys first so the
+#: 3-char â€* punctuation sequences never get half-eaten by a 2-char
+#: rule. A fixed table (not byte-level re-decoding) keeps the fix
+#: deterministic and SQL-replayable; full ftfy-style reinterpretation
+#: would need encode/decode round-trips no SQL oracle can express.
+MOJIBAKE_FIXES = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€œ", "“"),  # â€œ → “
+    ("â€“", "–"),  # â€“ → –
+    ("â€”", "—"),  # â€” → —
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ã¡", "á"),  # Ã¡ → á
+    ("Ã³", "ó"),  # Ã³ → ó
+    ("Ãº", "ú"),  # Ãº → ú
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã§", "ç"),  # Ã§ → ç
+    ("Ã¤", "ä"),  # Ã¤ → ä
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Â«", "«"),  # Â« → «
+    ("Â»", "»"),  # Â» → »
+)
+
+#: C0/C1-ish controls stripped by unicode_clean; \t \n survive, \r is
+#: handled by the newline rules first.
+_CONTROL_STRIP_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def unicode_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode hygiene for crawled text — the cleanup every web corpus
+    needs before tokenization: fix common mojibake
+    (:data:`MOJIBAKE_FIXES`, applied in table order), NFC-normalize
+    (combining sequences → precomposed), normalize CRLF/CR to LF, and
+    strip C0 controls (keeping tab/newline).
+
+    This is a deliberate Python (Arrow ``mapInPandas``) stage: Spark
+    has no NFC builtin, and ``unicodedata.normalize`` is the reference
+    implementation — the batch-columnar path keeps it one pass per
+    Arrow batch with zero shuffle. The DuckDB oracle replays the same
+    replace chain and ``nfc_normalize``.
+
+    Returns (id, text, changed).
+    """
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+
+    ctrl = _re.compile(_CONTROL_STRIP_RE)
+    schema = f"{id_col} long, {text_col} string, changed boolean"
+
+    def run(batches):
+        def clean_one(s):
+            if s is None:
+                return None
+            out = s
+            for bad, good in MOJIBAKE_FIXES:
+                out = out.replace(bad, good)
+            out = unicodedata.normalize("NFC", out)
+            out = out.replace("\r\n", "\n").replace("\r", "\n")
+            return ctrl.sub("", out)
+
+        for pdf in batches:
+            cleaned = pdf[text_col].map(clean_one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: cleaned,
+                    "changed": cleaned.ne(pdf[text_col]),
+                }
+            )
+
+    return fan_out(docs).select(id_col, text_col).mapInPandas(run, schema=schema)
