@@ -1597,3 +1597,99 @@ class TestUnicodeClean:
     def test_tab_and_newline_survive(self, spark):
         r = self._run(spark, "a\tb\nc")
         assert r["text"] == "a\tb\nc"
+
+
+class TestRandomizedModelEquivalence:
+    """Seeded randomized inputs checked against pure-Python models —
+    the Spark-operator analogue of the hypothesis suite (one Spark job
+    per seed, not per example)."""
+
+    def test_resolve_redirects_matches_python_walk(self, spark):
+        import random
+
+        from web_scrapper_spark.operators.graph import resolve_redirects
+
+        for seed in (7, 23):
+            rng = random.Random(seed)
+            n = 150
+            # ~60% of nodes redirect somewhere (self-loops + cycles
+            # arise naturally); targets may be non-sources (terminals)
+            ptr = {
+                f"n{i}": f"n{rng.randrange(n)}"
+                for i in range(n)
+                if rng.random() < 0.6
+            }
+            max_hops = 8
+
+            def walk(u):
+                cur, hops = u, 0
+                while cur in ptr:
+                    if hops >= max_hops:
+                        return (None, None, False)
+                    cur, hops = ptr[cur], hops + 1
+                return (cur, hops, True)
+
+            edges = spark.createDataFrame(
+                list(ptr.items()), "url string, target string"
+            )
+            got = {
+                r["url"]: (r["final_url"], r["hops"], r["resolved"])
+                for r in resolve_redirects(edges, max_hops=max_hops).collect()
+            }
+            assert set(got) == set(ptr)
+            for u in ptr:
+                assert got[u] == walk(u), (seed, u, got[u], walk(u))
+
+    def test_cluster_representatives_matches_union_find(self, spark):
+        import random
+
+        from web_scrapper_spark.operators.dedup import cluster_representatives
+
+        for seed in (3, 11):
+            rng = random.Random(seed)
+            n = 80
+            docs_rows = [(i, rng.randrange(1000)) for i in range(n)]
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            clustered_nodes = {x for e in edges for x in e}
+            comp = {
+                i: (find(i) if i in clustered_nodes else i) for i in range(n)
+            }
+            quality = dict(docs_rows)
+            best = {}
+            size = {}
+            for i in range(n):
+                c = comp[i]
+                size[c] = size.get(c, 0) + 1
+                cand = (quality[i], -i)
+                if c not in best or cand > best[c]:
+                    best[c] = cand
+            expect = {
+                i: (comp[i], (quality[i], -i) == best[comp[i]], size[comp[i]])
+                for i in range(n)
+            }
+
+            docs = spark.createDataFrame(docs_rows, "doc_id long, n_chars long")
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r["doc_id"]: (r["component"], r["keep"], r["cluster_size"])
+                for r in cluster_representatives(
+                    docs, pairs, quality_col="n_chars"
+                ).collect()
+            }
+            assert got == expect, seed

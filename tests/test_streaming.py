@@ -154,3 +154,41 @@ class TestWarcStreaming:
         _run_to_memory(out.filter("row_kind = 'full'"), "warc_arts")
         n = spark.sql("select count(*) c from warc_arts").first()["c"]
         assert n > 0
+
+
+class TestStreamingDedup:
+    def test_first_capture_wins_and_state_bounded(self, spark, tmp_path):
+        """Duplicate html fingerprints inside the watermark window are
+        dropped; the deduped stream equals batch dedup_exact's keeper
+        set on the same input."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+        from web_scrapper_spark.streaming import dedup_pages_stream
+
+        d = str(tmp_path / "dpages")
+        rows = [
+            ("https://a.org/1", "2025-01-01 00:00:00", "<p>same</p>"),
+            ("https://a.org/2", "2025-01-01 00:00:30", "<p>same</p>"),
+            ("https://a.org/3", "2025-01-01 00:01:00", "<p>other</p>"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        df.coalesce(1).write.parquet(d)
+
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, html string")
+            .parquet(d)
+        )
+        deduped = dedup_pages_stream(stream, watermark="10 minutes")
+        q = _run_to_memory(deduped, "dedup_stream")
+        got = {
+            r["url"]
+            for r in spark.sql("select url from dedup_stream").collect()
+        }
+        q.stop()
+        # exactly one survivor per fingerprint
+        assert len(got) == 2
+        assert "https://a.org/3" in got
+        assert len(got & {"https://a.org/1", "https://a.org/2"}) == 1

@@ -8,6 +8,7 @@ accounting, and a foreachBatch incremental-extraction runner.
 """
 
 from .stream import (
+    dedup_pages_stream,
     extract_articles_stream,
     host_rate_metrics,
     host_state_stream,
@@ -18,6 +19,7 @@ from .stream import (
 
 __all__ = [
     "pages_stream",
+    "dedup_pages_stream",
     "extract_articles_stream",
     "host_rate_metrics",
     "host_state_stream",

@@ -172,3 +172,32 @@ def run_incremental_extraction(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+def dedup_pages_stream(
+    pages: DataFrame,
+    watermark: str = "10 minutes",
+    fingerprint_col: str = "html",
+) -> DataFrame:
+    """Streaming exact dedup: first capture of each content
+    fingerprint wins, within a bounded state window.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the md5 content
+    fingerprint and evicts entries once the ``warc_ts`` watermark
+    passes them — the streaming twin of ``operators.dedup.dedup_exact``
+    with the state-boundedness a 100 TB ingest stream requires
+    (unbounded ``dropDuplicates`` state would grow with the corpus;
+    the watermark makes state O(pages per watermark window), and
+    WARC-level revisit dedup — ``sources.warc.cdx_revisits`` — handles
+    the cross-window history at rest).
+
+    Emits the input rows plus ``fingerprint``; duplicates arriving
+    inside the watermark window are dropped exactly-once per sink
+    checkpoint semantics.
+    """
+    fp = F.md5(F.col(fingerprint_col).cast("binary")).alias("fingerprint")
+    return (
+        pages.withColumn("fingerprint", fp)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
