@@ -412,6 +412,66 @@ def _q_sim_topk(spark, sf_dir):
     return _sim.cosine_topk(queries, emb, k=5).select("query_id", "rank", "vec_id")
 
 
+def _q_srp_topk(spark, sf_dir):
+    """SRP-LSH ANN (operators/similarity.py srp_topk — Charikar
+    random-hyperplane signatures with exact integer fixed-point dot
+    products): same 8 queries as sim_cosine_topk, 16 planes in 4
+    bands, candidates from band equality, exact cosine verify. The
+    oracle rebuilds the identical md5-derived sign matrix and replays
+    the full block-then-verify pipeline."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.srp_topk(queries, emb, k=5).select("query_id", "rank", "vec_id")
+
+
+def _srp_oracle_sql() -> str:
+    """DuckDB twin of srp_topk: the 16 plane bits unrolled, the same
+    quantization casts, band keys, OR-of-bands candidate join, cosine
+    rank."""
+    def bit(p: int) -> str:
+        sign = (
+            "CASE WHEN strpos('02468ace', substr(md5('srp:" + str(p)
+            + ":' || CAST(j - 1 AS VARCHAR)), 1, 1)) > 0 THEN 1 ELSE -1 END"
+        )
+        return (
+            "CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"j -> CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000.0) AS BIGINT) * ({sign})"
+            f")) > 0 THEN '1' ELSE '0' END AS b{p}"
+        )
+
+    bits = ",\n                     ".join(bit(p) for p in range(16))
+    keys = ", ".join(
+        f"(b{b * 4} || b{b * 4 + 1} || b{b * 4 + 2} || b{b * 4 + 3}) AS k{b}"
+        for b in range(4)
+    )
+    on = " OR ".join(f"q.k{b} = c.k{b}" for b in range(4))
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                     {bits}
+          FROM embeddings
+        ), keyed AS (
+          SELECT vec_id, embedding, {keys} FROM sig
+        ), cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 q.embedding AS qv, c.embedding AS cv
+          FROM keyed q JOIN keyed c ON ({on})
+          WHERE q.vec_id < 8
+        ), scored AS (
+          SELECT DISTINCT query_id, vec_id, qv, cv FROM cand
+        )
+        SELECT query_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC, vec_id ASC
+               ) AS rank,
+               vec_id
+        FROM scored QUALIFY rank <= 5
+    """
+
+
 def _q_s11_query_loader(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     out = _query_table(
@@ -1787,6 +1847,48 @@ def _unicode_clean_oracle_sql() -> str:
     """
 
 
+def _q_media_sniff(spark, sf_dir):
+    """Container-header triage (operators/multimodal.py
+    sniff_media_headers — REAL byte parsing, no codec stubs):
+    documents become binary payloads cycling png/gif/jpeg/wav/garbage
+    with header fields derived from doc_id; the sniffer must invert
+    the construction exactly (construct→parse roundtrip oracle). NULL
+    ints coalesce to -1 for the pandas dtype boundary."""
+    from web_scrapper_spark.operators.multimodal import (
+        build_container_payload,
+        sniff_media_headers,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    kinds = ["png", "gif", "jpeg", "wav", "garbage"]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        build_container_payload(kinds[int(i) % 5], int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    res = sniff_media_headers(media)
+    return res.select(
+        "media_id",
+        "format",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).cast("int").alias("sample_rate"),
+        F.coalesce(F.col("channels"), F.lit(-1)).cast("int").alias("channels"),
+        "valid",
+    )
+
+
 def _q_cdx_revisits(spark, sf_dir):
     """WARC/CDX revisit classification (sources/warc.py cdx_revisits):
     documents become a capture log — 40 URLs, captures ordered by a
@@ -2117,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": _q_recrawl_due,
         "main_content": _q_main_content,
         "cdx_revisits": _q_cdx_revisits,
+        "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
         "drain_plan": _q_drain_plan,
         "host_priors": _q_host_priors,
@@ -2128,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_srp_topk": _q_srp_topk,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -2630,6 +2734,29 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN ranked r ON a.host = r.host AND r.rn = 1
         """,
         "unicode_clean": _unicode_clean_oracle_sql(),
+        "media_sniff": """
+            -- construct->parse roundtrip: the sniffer must recover
+            -- exactly the header fields the builder derived from
+            -- doc_id (png/gif/jpeg carry dimensions, wav carries
+            -- sample_rate/channels, garbage is invalid)
+            WITH m AS (
+              SELECT doc_id, CAST(doc_id % 5 AS INT) AS k FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CASE WHEN k = 0 THEN 'png' WHEN k = 1 THEN 'gif'
+                        WHEN k = 2 THEN 'jpeg' WHEN k = 3 THEN 'wav'
+                   END AS format,
+                   CAST(CASE WHEN k <= 2 THEN doc_id % 1000 + 1
+                             ELSE -1 END AS INT) AS width,
+                   CAST(CASE WHEN k <= 2 THEN (doc_id * 7) % 1000 + 1
+                             ELSE -1 END AS INT) AS height,
+                   CAST(CASE WHEN k = 3 THEN 8000 + (doc_id % 8) * 4000
+                             ELSE -1 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN k = 3 THEN doc_id % 2 + 1
+                             ELSE -1 END AS INT) AS channels,
+                   (k <= 3) AS valid
+            FROM m
+        """,
         "cdx_revisits": """
             -- the same capture log; revisit = digest's first ts per
             -- (url, digest) precedes this ts, first/changed split on
@@ -3017,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         """,
+        "sim_srp_topk": _srp_oracle_sql(),
         "sim_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
             scored AS (

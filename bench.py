@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "drain_plan",
     "host_priors",
     "unicode_clean",
+    "media_sniff",
+    "sim_srp_topk",
 ]
 
 

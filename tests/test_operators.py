@@ -1693,3 +1693,38 @@ class TestRandomizedModelEquivalence:
                 ).collect()
             }
             assert got == expect, seed
+
+
+class TestSrpLsh:
+    def test_self_match_and_recall(self, spark):
+        from web_scrapper_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter("vec_id < 4").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        approx = sim.srp_topk(queries, emb, k=3)
+        exact = sim.cosine_topk(queries, emb, k=3)
+        # rank 1 is always the query itself (cos=1 collides on every band)
+        r1 = {r["query_id"]: r["vec_id"] for r in approx.collect() if r["rank"] == 1}
+        assert all(q == v for q, v in r1.items())
+        assert sim.recall_at_k(approx, exact) >= 0.5
+
+    def test_signature_deterministic_under_partitioning(self, spark):
+        from web_scrapper_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        signs = sim.srp_signs(8, len(emb.select("embedding").head()[0]))
+        a = sim.srp_bands(emb, "vec_id", "embedding", signs, band_size=2)
+        b = sim.srp_bands(
+            emb.repartition(7), "vec_id", "embedding", signs, band_size=2
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_sign_matrix_fixed(self):
+        from web_scrapper_spark.operators.similarity import srp_signs
+
+        s = srp_signs(2, 4)
+        assert len(s) == 2 and len(s[0]) == 4
+        assert s == srp_signs(2, 4)
+        assert all(x in (-1, 1) for row in s for x in row)

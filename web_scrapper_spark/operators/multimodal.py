@@ -170,3 +170,126 @@ def synthetic_media_rows(n: int = 32, kind: str = "image") -> list:
 
 def synthetic_media_df(spark, n: int = 32, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(synthetic_media_rows(n, kind), MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container-header sniffing — REAL (not stubbed) byte-level parsing.
+# Identifying media and pulling dimensions / sample rates needs only
+# the container header, no codec library: this is the triage a 100 TB
+# multimodal ingest runs on every payload BEFORE deciding what to
+# decode (and what to ship to GPU workers).
+# ---------------------------------------------------------------------------
+
+SNIFF_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "sample_rate int, channels int, valid boolean"
+)
+
+
+def build_container_payload(kind: str, media_id: int) -> bytes:
+    """A REAL minimal container of ``kind`` with header fields derived
+    deterministically from ``media_id`` (width = id%1000+1, height =
+    id*7%1000+1, sample_rate = 8000+id%8*4000, channels = id%2+1).
+    Used by fixtures and the sniffer's construct→parse roundtrip
+    oracle."""
+    import struct
+
+    w = media_id % 1000 + 1
+    h = (media_id * 7) % 1000 + 1
+    sr = 8000 + (media_id % 8) * 4000
+    ch = media_id % 2 + 1
+    if kind == "png":
+        ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        )
+    if kind == "gif":
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    if kind == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    if kind == "wav":
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        body = b"WAVEfmt " + struct.pack("<I", 16) + fmt + b"data" + b"\x00" * 4
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    return b"not-a-container-" + str(media_id).encode()
+
+
+def parse_media_header(b: bytes):
+    """(format, width, height, sample_rate, channels, valid) from raw
+    container bytes — PNG IHDR, GIF logical screen, JPEG SOF marker
+    walk, RIFF/WAVE fmt chunk walk. Unknown/truncated → invalid."""
+    if b is None:
+        return (None, None, None, None, None, False)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return ("png", w, h, None, None, True)
+        return ("png", None, None, None, None, False)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            return ("gif", w, h, None, None, True)
+        return ("gif", None, None, None, None, False)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(b):
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return ("jpeg", w, h, None, None, True)
+            if marker == 0xD9:
+                break
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+        return ("jpeg", None, None, None, None, False)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            clen = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and clen >= 16 and i + 16 <= len(b):
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                return ("wav", None, None, sr, ch, True)
+            i += 8 + clen + (clen & 1)
+        return ("wav", None, None, None, None, False)
+    return (None, None, None, None, None, False)
+
+
+def sniff_media_headers(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Header triage over a binary media column: one Arrow
+    ``mapInPandas`` pass, payload bytes never shuffled (the projection
+    happens where the payload already lives). Output rows are ~40
+    bytes regardless of payload size — the 100 TB corpus reduces to a
+    catalog-sized table downstream systems can plan against."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                fmt, w, h, sr, ch, ok = parse_media_header(
+                    bytes(payload) if payload is not None else None
+                )
+                rows.append((mid, fmt, w, h, sr, ch, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "sample_rate", "channels", "valid",
+                ],
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=SNIFF_SCHEMA)

@@ -203,3 +203,116 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, query_id: str = "query_id",
     )
     total = exact.count()
     return hits.count() / total if total else 1.0
+
+
+def srp_signs(n_planes: int = 16, dim: int = 16) -> list:
+    """Deterministic random-hyperplane sign matrix: ±1 per (plane,
+    component) from md5 parity of a fixed salt — reproducible on any
+    engine (the DuckDB oracle rebuilds the identical matrix from the
+    same md5 calls), no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[0] in "02468ace"
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    signs: list,
+    band_size: int = 4,
+) -> DataFrame:
+    """Signed-random-projection LSH banding (Charikar 2002 simhash for
+    real vectors): each plane's bit is the SIGN of an exact integer
+    dot product — components quantized to 1e-6 fixed point first, so
+    the signature is bit-identical under any partitioning/engine (a
+    float fold could flip a near-zero bit between summation orders).
+    Bits group into ``len(signs)/band_size`` band keys; two vectors
+    within a small angle collide on ≥1 band with high probability.
+
+    One Project + one posexplode — zero shuffle; emits
+    (id, band_id, band_key)."""
+    # explicit double math: float32 components promote exactly, the
+    # product is one correctly-rounded IEEE op, and round() is
+    # half-away-from-zero on both engines — the SQL twin mirrors every
+    # cast (float*int would stay FLOAT on one engine and not the other)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    staged = df.select(F.col(id_col), qv.alias("_qv"))
+    bits = []
+    for row in signs:
+        sarr = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(F.col("_qv"), sarr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    n_bands = len(signs) // band_size
+    bands = F.array(
+        *[
+            F.concat(*bits[b * band_size:(b + 1) * band_size])
+            for b in range(n_bands)
+        ]
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+    )
+
+
+def srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    band_size: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k via SRP-LSH banding — the third similarity path
+    (exact ``cosine_topk`` / cell-probed ``ivf_topk`` / this): corpus
+    banded once (persist the band table in production — it is the
+    index), queries banded the same way, candidates from a band-key
+    equality join (never all-pairs), exact cosine only on candidates.
+    Recall < 1 by construction; measure with ``recall_at_k`` against
+    ``cosine_topk``.
+
+    Scale shape: the corpus band table is 4 short rows per vector —
+    join-bucketable by band_key; a hot band (near-duplicate pile-up)
+    is exactly a near-dup cluster and bounded by upstream dedup.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
+    signs = srp_signs(n_planes, dim)
+    qb = srp_bands(queries, query_id, vec_col, signs, band_size)
+    cb = srp_bands(corpus, corpus_id, vec_col, signs, band_size)
+    cand = (
+        qb.join(cb, ["band_id", "band_key"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    scored = cand.join(F.broadcast(q), query_id).join(c, corpus_id).select(
+        query_id,
+        corpus_id,
+        cosine_col(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+    )
+    win = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, F.round("cos", 6).alias("cos"))
+    )
