@@ -472,6 +472,17 @@ def _srp_oracle_sql() -> str:
     """
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE merge-pair statistics (operators/textops.py
+    bpe_pair_counts): corpus-wide adjacent-symbol pair frequencies
+    over the word-frequency table with the </w> end marker — the
+    next-merge candidates of tokenizer training. Top-30 by (freq desc,
+    pair asc); the oracle replays the word table, per-word pair
+    expansion, and the global rank."""
+    docs = _read(spark, sf_dir, "documents")
+    return _tx.bpe_pair_counts(docs, k=30)
+
+
 def _q_s11_query_loader(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     out = _query_table(
@@ -2190,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_doc_stats": _q_a2_doc_stats,
         "lang_id": _q_lang_id,
         "tok_bpe": _q_tok_bpe,
+        "bpe_pairs": _q_bpe_pairs,
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "pii_redact": _q_pii_redact,
@@ -3143,6 +3155,29 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT unnest({_TOKS_SQL}) AS word FROM documents
+            ), wf AS (
+              SELECT word, count(*) AS freq FROM words GROUP BY word
+            ), pairs AS (
+              SELECT unnest(list_concat(
+                       list_transform(
+                         generate_series(1, length(word) - 1),
+                         i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+                       ),
+                       [substr(word, length(word), 1) || ' </w>']
+                     )) AS pair,
+                     freq
+              FROM wf
+            ), counts AS (
+              SELECT pair, CAST(sum(freq) AS BIGINT) AS freq
+              FROM pairs GROUP BY pair
+            )
+            SELECT pair, freq,
+                   row_number() OVER (ORDER BY freq DESC, pair ASC) AS rank
+            FROM counts ORDER BY rank LIMIT 30
         """,
         "sim_srp_topk": _srp_oracle_sql(),
         "sim_cosine_topk": """

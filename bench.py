@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "unicode_clean",
     "media_sniff",
     "sim_srp_topk",
+    "bpe_pairs",
 ]
 
 

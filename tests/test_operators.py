@@ -1728,3 +1728,27 @@ class TestSrpLsh:
         assert len(s) == 2 and len(s[0]) == 4
         assert s == srp_signs(2, 4)
         assert all(x in (-1, 1) for row in s for x in row)
+
+
+class TestBpePairCounts:
+    def test_hand_counted(self, spark):
+        from web_scrapper_spark.operators.textops import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(1, "low lower low"), (2, "lowest low")],
+            "doc_id long, text string",
+        )
+        got = {r["pair"]: r["freq"] for r in bpe_pair_counts(docs, k=20).collect()}
+        # word table: low:3, lower:1, lowest:1
+        assert got["l o"] == 5 and got["o w"] == 5
+        assert got["w </w>"] == 3
+        assert got["w e"] == 2
+        assert got["t </w>"] == 1  # lowest's final pair
+
+    def test_single_char_word_contributes_end_pair(self, spark):
+        from web_scrapper_spark.operators.textops import bpe_pair_counts
+
+        docs = spark.createDataFrame([(1, "9 9 q")], "doc_id long, text string")
+        got = {r["pair"]: r["freq"] for r in bpe_pair_counts(docs).collect()}
+        # freq-weighted: '9' occurs twice in the corpus
+        assert got == {"9 </w>": 2, "q </w>": 1}

@@ -612,3 +612,65 @@ def unicode_clean(
             )
 
     return fan_out(docs).select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """The inner statistic of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide adjacent-symbol pair frequencies — the pair
+    with the max count is the next merge. The distributed shape is the
+    point: ONE corpus pass builds the word-frequency table (classic
+    BPE trains on (word, freq), never the raw corpus), then all pair
+    work happens on the vocabulary, which is orders of magnitude
+    smaller than 100 TB of text. Symbols here are the initial
+    character alphabet plus the standard ``</w>`` end-of-word marker
+    (single-character words still contribute their final pair).
+
+    Returns the top-``k`` merge candidates:
+
+      (pair, freq, rank)   — rank over (freq desc, pair asc)
+
+    Scale shape: explode→count for the word table (two-phase,
+    map-side combined), a per-word HOF projection for pairs (no
+    shuffle), one pair aggregate, and a TakeOrdered top-k — the final
+    rank window runs on k rows only.
+    """
+    words = fan_out(docs).select(
+        F.explode(tokens_col(F.col(text_col))).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    # adjacent pairs substr(i,1)||' '||substr(i+1,1), then the
+    # word-final '</w>' pair. NB: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (DuckDB's generate_series yields empty), so
+    # single-character words must be guarded explicitly
+    inner_pairs = F.when(
+        F.length("word") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.concat(
+                F.col("word").substr(i, F.lit(1)),
+                F.lit(" "),
+                F.col("word").substr(i + 1, F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pair_list = F.concat(
+        inner_pairs,
+        F.array(
+            F.concat(
+                F.col("word").substr(F.length("word"), F.lit(1)),
+                F.lit(" </w>"),
+            )
+        ),
+    )
+    pairs = wf.select(F.explode(pair_list).alias("pair"), "freq")
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), F.asc("pair")).limit(k)
+    win = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "pair", "freq", "rank"
+    )
