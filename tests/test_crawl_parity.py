@@ -25,6 +25,7 @@ from web_scrapper_spark.fixtures import (
     robots_rules,
     seed_urls,
 )
+from web_scrapper_spark.fixtures.sitegen import PAGES_SCHEMA
 from web_scrapper_spark.frontier.store import SnapshotStore
 
 SPEC = SiteSpec()
@@ -498,3 +499,57 @@ def test_hot_carry_cap_disables(spark, tmp_path):
         _pages_map(), _seeds(), robots_rules(SPEC), max_depth=cfg.max_depth
     )
     assert {r["url"]: r["status"] for r in engine.seen().collect()} == expected.seen
+
+
+def test_trap_guard_drops_pathological_links(spark, tmp_path):
+    """cfg.trap_guard: discovered links with looped/over-deep paths
+    never enter the frontier; with the guard off they crawl normally
+    (reference parity is the default)."""
+    import datetime
+
+    trap = "https://host9.example-crawl.org/cal/2024/01/2024/01/2024/01/p"
+    clean = "https://host9.example-crawl.org/articles/ok"
+    seed = "https://host9.example-crawl.org/blog"
+    html = (
+        '<html><body><div class="blog-list post-list">'
+        f'<article class="post-item"><h2><a href="{clean}">Fine article'
+        '</a></h2><span class="date">2025-01-10</span>'
+        '<p class="excerpt">A summary long enough to keep.</p></article>'
+        f'<article class="post-item"><h2><a href="{trap}">Calendar trap'
+        '</a></h2><span class="date">2025-01-11</span>'
+        '<p class="excerpt">Another summary long enough to keep.</p></article>'
+        "</div></body></html>"
+    )
+    art = (
+        '<html><body><article class="article">'
+        "<h1 class='article-title'>T</h1>"
+        "<div class='article-content'><p>Body text long enough to "
+        "count as content for the extractor.</p></div>"
+        "</article></body></html>"
+    )
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (seed, ts, html.encode(), "", "en"),
+        (clean, ts, art.encode(), "", "en"),
+        (trap, ts, art.encode(), "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay double"
+    )
+
+    def crawl(guard):
+        store = SnapshotStore(str(tmp_path / f"trap-{guard}"))
+        cfg = CrawlConfig(
+            trap_guard=guard, trap_path_depth_max=5, trap_dup_segment_min=2
+        )
+        engine = CrawlEngine(spark, store, pages, robots, cfg)
+        engine.init([(seed, "content")])
+        engine.run(max_epochs=10)
+        return {r["url"] for r in engine.seen().collect()}
+
+    unguarded = crawl(False)
+    assert {seed, clean, trap} <= unguarded
+    guarded = crawl(True)
+    assert clean in guarded and seed in guarded
+    assert trap not in guarded

@@ -130,6 +130,16 @@ class CrawlConfig:
     # fetch counts, derived on read from the seen deltas (zero
     # per-epoch write cost); False disables the read surface
     partition_metrics: bool = True
+    # inline crawl-trap guard (frontier/traps.path_trap_filter): drop
+    # discovered candidates with pathological paths (over-deep or
+    # looped segments) BEFORE they cost a frontier row, a politeness
+    # slot and a fetch. Zero-shuffle per-row expressions; the
+    # query-explosion heuristic stays offline (url_trap_signals) and
+    # feeds back via robots disallow_prefixes. Off by default —
+    # reference parity first.
+    trap_guard: bool = False
+    trap_path_depth_max: int = 12
+    trap_dup_segment_min: int = 3
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
@@ -532,6 +542,14 @@ class CrawlEngine:
             # duplicate of a url gets the same bloom/anti-join verdict,
             # and min(ord_key) per url is order-independent.
             candidates = robots_filter(candidates, self.robots)
+            if cfg.trap_guard:
+                from ..frontier.traps import path_trap_filter
+
+                candidates = path_trap_filter(
+                    candidates,
+                    max_depth=cfg.trap_path_depth_max,
+                    dup_segment_min=cfg.trap_dup_segment_min,
+                )
 
             # bloom pre-filter: provably-unseen candidates skip the
             # exact seen anti-join; maybe-seen ones go through it.

@@ -100,3 +100,31 @@ def url_trap_signals(
         "url", "host", "depth", "dup_segments", "path_queries",
         reason.alias("trap_reason"),
     )
+
+
+def path_trap_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 12,
+    dup_segment_min: int = 3,
+) -> DataFrame:
+    """Zero-shuffle inline trap guard — the subset of
+    :func:`url_trap_signals` that is safe to run on every epoch's
+    candidate links (depth + looped-segment checks are per-row native
+    expressions; the query-explosion heuristic needs a (host, path)
+    aggregate and belongs in the offline classification, whose
+    verdicts feed back through robots ``disallow_prefixes``).
+
+    Thresholds default LOOSER than the offline classifier's: an inline
+    guard that eats legitimate URLs silently is worse than a trap that
+    survives one extra epoch.
+    """
+    segs = F.filter(
+        F.split(F.try_parse_url(F.col(url_col), F.lit("PATH")), "/"),
+        lambda s: s != F.lit(""),
+    )
+    depth = F.coalesce(F.size(segs), F.lit(0))
+    dups = F.coalesce(
+        F.size(segs) - F.size(F.array_distinct(segs)), F.lit(0)
+    )
+    return df.filter((depth <= max_depth) & (dups < dup_segment_min))
