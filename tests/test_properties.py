@@ -165,3 +165,66 @@ class TestFastPathEquivalence:
             except ValueError:
                 got = None
         assert got == expected
+
+
+class TestMediaHeaderProperties:
+    """Container sniffing is pure Python over untrusted bytes — fuzz
+    it directly (no Spark per example)."""
+
+    @given(st.binary(max_size=128))
+    @settings(max_examples=300)
+    def test_never_raises_on_garbage(self, b):
+        from web_scrapper_spark.operators.multimodal import parse_media_header
+
+        fmt, w, h, sr, ch, ok = parse_media_header(b)
+        assert isinstance(ok, bool)
+        if ok:
+            assert fmt in ("png", "gif", "jpeg", "wav")
+
+    @given(
+        st.integers(min_value=0, max_value=10**9),
+        st.sampled_from(["png", "gif", "jpeg", "wav"]),
+    )
+    @settings(max_examples=200)
+    def test_construct_parse_roundtrip(self, media_id, kind):
+        from web_scrapper_spark.operators.multimodal import (
+            build_container_payload,
+            parse_media_header,
+        )
+
+        fmt, w, h, sr, ch, ok = parse_media_header(
+            build_container_payload(kind, media_id)
+        )
+        assert ok and fmt == kind
+        if kind in ("png", "gif", "jpeg"):
+            assert w == media_id % 1000 + 1
+            assert h == (media_id * 7) % 1000 + 1
+        if kind == "wav":
+            assert sr == 8000 + (media_id % 8) * 4000
+            assert ch == media_id % 2 + 1
+
+    @given(st.binary(max_size=64))
+    @settings(max_examples=200)
+    def test_truncation_never_raises(self, tail):
+        from web_scrapper_spark.operators.multimodal import (
+            build_container_payload,
+            parse_media_header,
+        )
+
+        for kind in ("png", "gif", "jpeg", "wav"):
+            full = build_container_payload(kind, 12345)
+            for cut in (2, 6, 9, 13):
+                parse_media_header(full[:cut] + tail)
+
+
+class TestRobotsSitemapProperties:
+    @given(st.lists(st.text(alphabet=string.printable, max_size=40), max_size=30))
+    @settings(max_examples=150, deadline=None)
+    def test_parse_robots_never_raises(self, lines):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        out = parse_robots_txt("\n".join(lines))
+        assert isinstance(out["disallow_prefixes"], list)
+        assert isinstance(out["sitemaps"], list)
+        # sitemaps are unique, order preserved
+        assert len(out["sitemaps"]) == len(set(out["sitemaps"]))
