@@ -1670,6 +1670,74 @@ def _main_content_oracle_sql() -> str:
     """
 
 
+def _q_host_boilerplate(spark, sf_dir):
+    """Per-host statistical boilerplate (operators/quality.py
+    host_boilerplate): documents become 9 hosts' pages wrapped in the
+    same nav/footer chrome as main_content's fixture — chrome blocks
+    appear on every page of a host (frac 100%) and must classify as
+    boilerplate; body paragraphs don't. Oracle re-derives block md5s
+    and both aggregates with DuckDB list ops."""
+    from web_scrapper_spark.operators.quality import host_boilerplate
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://b"), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body>" + _MC_NAV + "<p>"),
+        F.regexp_replace(F.col("text"), "\n", "</p><p>"),
+        F.lit("</p>" + _MC_FOOTER + "</body></html>"),
+    )
+    return host_boilerplate(
+        docs.select(url.alias("url"), html.alias("html"))
+    )
+
+
+def _host_boilerplate_oracle_sql() -> str:
+    from web_scrapper_spark.operators.quality import (
+        _BLOCK_SPLIT_RE, _TAG_RE,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace({x}, '" + _TAG_RE
+        + r"', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH pages AS (
+          SELECT 'b' || (doc_id % 9) || '.example.org' AS host,
+                 '<html><body>{_MC_NAV}<p>'
+                 || replace(text, chr(10), '</p><p>')
+                 || '</p>{_MC_FOOTER}</body></html>' AS html
+          FROM documents
+        ),
+        b0 AS (
+          SELECT host,
+                 list_distinct(list_filter(
+                   list_transform(
+                     string_split_regex(html, '{_BLOCK_SPLIT_RE}'),
+                     b -> md5({norm.format(x='b')})
+                   ),
+                   h -> h <> md5('')
+                 )) AS hashes
+          FROM pages
+        ),
+        ex AS (SELECT host, unnest(hashes) AS block_md5 FROM b0),
+        pb AS (
+          SELECT host, block_md5, count(*) AS block_pages
+          FROM ex GROUP BY host, block_md5
+        ),
+        ph AS (SELECT host, count(*) AS host_pages FROM b0 GROUP BY host)
+        SELECT p.host, p.block_md5, p.block_pages, h.host_pages,
+               CAST((p.block_pages * 1000000) // h.host_pages AS BIGINT)
+                 AS frac_ppm,
+               (h.host_pages >= 5
+                AND (p.block_pages * 1000000) // h.host_pages >= 500000)
+                 AS is_boilerplate
+        FROM pb p JOIN ph h USING (host)
+    """
+
+
 def _q_recrawl_due(spark, sf_dir):
     """Freshness-driven recrawl scheduling (frontier/recrawl.py):
     documents become a sitemap hint table (changefreq cycling through
@@ -2230,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "main_content": _q_main_content,
+        "host_boilerplate": _q_host_boilerplate,
         "cdx_revisits": _q_cdx_revisits,
         "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
@@ -2608,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring": _exact_substring_oracle_sql(),
         "link_pagerank": _pagerank_oracle_sql(),
         "main_content": _main_content_oracle_sql(),
+        "host_boilerplate": _host_boilerplate_oracle_sql(),
         "recrawl_due": """
             -- relational recomputation of the recrawl schedule: period
             -- table, integer ceiling division, modified-since override

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "media_sniff",
     "sim_srp_topk",
     "bpe_pairs",
+    "host_boilerplate",
 ]
 
 

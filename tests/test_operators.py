@@ -1752,3 +1752,38 @@ class TestBpePairCounts:
         got = {r["pair"]: r["freq"] for r in bpe_pair_counts(docs).collect()}
         # freq-weighted: '9' occurs twice in the corpus
         assert got == {"9 </w>": 2, "q </w>": 1}
+
+
+class TestHostBoilerplate:
+    def test_chrome_flagged_prose_not(self, spark):
+        from web_scrapper_spark.operators.quality import host_boilerplate
+
+        nav = '<div class="nav"><a href="/">Home page link here</a></div>'
+        rows = []
+        for i in range(6):
+            html = f"<html><body>{nav}<p>unique prose number {i} is long</p></body></html>"
+            rows.append((f"https://h.org/p/{i}", html))
+        # second host below min_pages: nothing flagged
+        rows += [("https://tiny.org/1", f"<html><body>{nav}</body></html>")]
+        pages = spark.createDataFrame(rows, "url string, html string")
+        out = host_boilerplate(pages, min_pages=5).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r)
+        h = by_host["h.org"]
+        flagged = [r for r in h if r["is_boilerplate"]]
+        assert len(flagged) == 1 and flagged[0]["block_pages"] == 6
+        assert flagged[0]["frac_ppm"] == 1_000_000
+        prose = [r for r in h if not r["is_boilerplate"]]
+        assert all(r["block_pages"] == 1 for r in prose)
+        assert all(not r["is_boilerplate"] for r in by_host["tiny.org"])
+
+    def test_within_page_repeat_counts_once(self, spark):
+        from web_scrapper_spark.operators.quality import host_boilerplate
+
+        html = "<p>twice on one page</p><p>twice on one page</p>"
+        pages = spark.createDataFrame(
+            [("https://h.org/a", html)], "url string, html string"
+        )
+        r = host_boilerplate(pages, min_pages=1).collect()[0]
+        assert r["block_pages"] == 1 and r["host_pages"] == 1

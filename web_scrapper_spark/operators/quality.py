@@ -760,3 +760,77 @@ def host_priors(
         F.expr("(n_kept * 1000000) div n_docs").cast("long").alias("keep_ppm"),
         "top_lang",
     )
+
+
+def host_boilerplate(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_pages: int = 5,
+    frac_threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Statistical per-host boilerplate detection — the cross-page
+    complement of :func:`main_content`'s per-page geometry: a text
+    block that appears on most of a host's pages is chrome
+    (navigation, footers, cookie banners) no matter how prose-like it
+    reads. This is the CCNet/host-level variant of paragraph dedup:
+    classify once per (host, block), then strip corpus-wide by md5
+    join.
+
+    Blocks are the same tag-boundary units as ``main_content``
+    (``_BLOCK_SPLIT_RE``), normalized and deduplicated WITHIN a page
+    (a sidebar repeated twice on one page counts once). Returns one
+    row per (host, block):
+
+      (host, block_md5, block_pages, host_pages, frac_ppm,
+       is_boilerplate)
+
+    with ``frac_ppm`` an exact integer floor division and the verdict
+    requiring ``host_pages >= min_pages`` (a 2-page host proves
+    nothing).
+
+    Scale shape: one (host, block_md5) aggregate + one host-count
+    aggregate joined back on host — both map-side combined; the pages
+    table is scanned once and html never shuffles (only md5s do).
+    """
+    def norm(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(b, _TAG_RE, " "), r"\s+", " ")
+        )
+
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
+    )
+    blocks = fan_out(pages).select(
+        host.alias("host"),
+        F.col(url_col).alias("_url"),
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.split(F.col(html_col).cast("string"), _BLOCK_SPLIT_RE),
+                    lambda b: F.md5(norm(b)),
+                ),
+                lambda h: h != F.md5(F.lit("")),
+            )
+        ).alias("_hashes"),
+    )
+    exploded = blocks.select(
+        "host", "_url", F.explode("_hashes").alias("block_md5")
+    )
+    per_block = exploded.groupBy("host", "block_md5").agg(
+        F.count("*").alias("block_pages")
+    )
+    per_host = blocks.groupBy("host").agg(F.count("*").alias("host_pages"))
+    out = per_block.join(per_host, "host")
+    frac = F.expr("(block_pages * 1000000) div host_pages").cast("long")
+    return out.select(
+        "host",
+        "block_md5",
+        "block_pages",
+        "host_pages",
+        frac.alias("frac_ppm"),
+        (
+            (F.col("host_pages") >= min_pages)
+            & (frac >= frac_threshold_ppm)
+        ).alias("is_boilerplate"),
+    )
