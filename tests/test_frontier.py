@@ -608,3 +608,41 @@ class TestSitemapDiscoveryAndRecrawl:
             spark, [("u", 0), ("u", 6)], hints, current_epoch=7
         )
         assert got == {"u": (7, "period")}  # max(fetched)=6, min-struct hint
+
+
+class TestHostPriorsDequeue:
+    def test_keep_ppm_allocates_capped_budget(self, spark):
+        """host_priors → dequeue(host_priority=…): a capped epoch's
+        slots go to the host whose documents pass quality gates."""
+        from web_scrapper_spark.frontier.core import (
+            dequeue,
+            with_frontier_columns,
+        )
+        from web_scrapper_spark.operators.quality import host_priors
+
+        docs = spark.createDataFrame(
+            [("good.org", True, "en")] * 6 + [("spam.org", False, "en")] * 6,
+            "host string, keep boolean, lang string",
+        )
+        from pyspark.sql import functions as F
+
+        ranks = host_priors(docs).select(
+            "host", F.col("keep_ppm").alias("rank")
+        )
+        urls = [
+            (f"https://{h}/p/{i}", "content", 0, f"{h}/{i}")
+            for h in ("good.org", "spam.org")
+            for i in range(4)
+        ]
+        frontier = with_frontier_columns(
+            spark.createDataFrame(
+                urls, "url string, stype string, depth int, ord_key string"
+            ),
+            epoch=0,
+        )
+        batch = dequeue(
+            frontier, None, epoch_seconds=60.0, default_delay=2.0,
+            global_budget=4, host_priority=ranks,
+        )
+        hosts = [r["host"] for r in batch.collect()]
+        assert len(hosts) == 4 and set(hosts) == {"good.org"}
