@@ -1670,6 +1670,46 @@ def _main_content_oracle_sql() -> str:
     """
 
 
+def _q_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction (operators/structured.py):
+    documents become pages carrying 1-2 ld+json blocks (Article
+    always; Product when doc_id%3=0; %5=0 docs get a malformed block
+    that must yield NULLs, not errors). Fields are doc_id-derived so
+    no raw text needs JSON escaping; the oracle re-reads the same
+    blocks with DuckDB json_extract_string."""
+    from web_scrapper_spark.operators.structured import jsonld_extract
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    article = F.concat(
+        F.lit('{"@type":"Article","headline":"Doc '), d.cast("string"),
+        F.lit('","datePublished":"2025-07-'),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit('","author":{"name":"Author '), (d % 11).cast("string"),
+        F.lit('"}}'),
+    )
+    product = F.concat(
+        F.lit('{"@type":"Product","name":"Item '), d.cast("string"),
+        F.lit('","offers":{"price":'), (d % 900 + 1).cast("string"),
+        F.lit('.5,"priceCurrency":"USD"}}'),
+    )
+    wrap = lambda j: F.concat(  # noqa: E731
+        F.lit('<script type="application/ld+json">'), j, F.lit("</script>")
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        wrap(article),
+        F.when(d % 3 == 0, wrap(product)).otherwise(F.lit("")),
+        F.when(d % 5 == 0, wrap(F.lit('{"@type":'))).otherwise(F.lit("")),
+        F.lit("</head><body>ok</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ld.example.org/p/"), d.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return jsonld_extract(pages)
+
+
 def _q_host_boilerplate(spark, sf_dir):
     """Per-host statistical boilerplate (operators/quality.py
     host_boilerplate): documents become 9 hosts' pages wrapped in the
@@ -1692,6 +1732,69 @@ def _q_host_boilerplate(spark, sf_dir):
     return host_boilerplate(
         docs.select(url.alias("url"), html.alias("html"))
     )
+
+
+def _jsonld_oracle_sql() -> str:
+    """DuckDB twin of jsonld_extract over the same synthesized pages:
+    same block regex (imported — the twins cannot drift), 0-based
+    block positions, json_valid-guarded field reads (Spark's
+    get_json_object yields NULL on malformed JSON; DuckDB would
+    error)."""
+    from web_scrapper_spark.operators.structured import JSONLD_BLOCK_RE
+
+    rx = JSONLD_BLOCK_RE.replace("'", "''")
+    fields = {
+        "jsonld_type": '$."@type"',
+        "name": "$.name",
+        "headline": "$.headline",
+        "date_published": "$.datePublished",
+        "author_name": "$.author.name",
+        "price": "$.offers.price",
+        "currency": "$.offers.priceCurrency",
+    }
+    reads = ",\n               ".join(
+        "CASE WHEN json_valid(s.block) THEN "
+        f"json_extract_string(s.block, '{path}') END AS {name}"
+        for name, path in fields.items()
+    )
+    return f"""
+        WITH pages AS (
+          SELECT 'https://ld.example.org/p/' || doc_id AS url,
+                 '<html><head>'
+                 || '<script type="application/ld+json">'
+                 || '{{"@type":"Article","headline":"Doc ' || doc_id
+                 || '","datePublished":"2025-07-'
+                 || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || '","author":{{"name":"Author ' || (doc_id % 11)
+                 || '"}}}}' || '</script>'
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<script type="application/ld+json">'
+                      || '{{"@type":"Product","name":"Item ' || doc_id
+                      || '","offers":{{"price":' || (doc_id % 900 + 1)
+                      || '.5,"priceCurrency":"USD"}}}}' || '</script>'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      '<script type="application/ld+json">{{"@type":</script>'
+                    ELSE '' END
+                 || '</head><body>ok</body></html>' AS html
+          FROM documents
+        ),
+        b AS (
+          SELECT url, regexp_extract_all(html, '{rx}', 1) AS blocks
+          FROM pages
+        ),
+        ex AS (
+          SELECT url,
+                 unnest(list_transform(
+                   generate_series(1, len(blocks)),
+                   i -> struct_pack(block_pos := i - 1, block := blocks[i])
+                 )) AS s
+          FROM b
+        )
+        SELECT url, CAST(s.block_pos AS INT) AS block_pos,
+               {reads}
+        FROM ex
+    """
 
 
 def _host_boilerplate_oracle_sql() -> str:
@@ -2299,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": _q_recrawl_due,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
+        "jsonld_extract": _q_jsonld,
         "cdx_revisits": _q_cdx_revisits,
         "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
@@ -2678,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(),
         "main_content": _main_content_oracle_sql(),
         "host_boilerplate": _host_boilerplate_oracle_sql(),
+        "jsonld_extract": _jsonld_oracle_sql(),
         "recrawl_due": """
             -- relational recomputation of the recrawl schedule: period
             -- table, integer ceiling division, modified-since override

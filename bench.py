@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "sim_srp_topk",
     "bpe_pairs",
     "host_boilerplate",
+    "jsonld_extract",
 ]
 
 

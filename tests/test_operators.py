@@ -1787,3 +1787,39 @@ class TestHostBoilerplate:
         )
         r = host_boilerplate(pages, min_pages=1).collect()[0]
         assert r["block_pages"] == 1 and r["host_pages"] == 1
+
+
+class TestJsonLd:
+    def test_fields_and_malformed(self, spark):
+        from web_scrapper_spark.operators.structured import jsonld_extract
+
+        html = (
+            "<html><head>"
+            "<script type='application/ld+json'>"
+            '{"@type":"Article","headline":"H1","author":{"name":"A"}}'
+            "</script>"
+            '<script data-x="1" type="application/ld+json">'
+            '{"@type":"Product","offers":{"price":9.5,"priceCurrency":"EUR"}}'
+            "</script>"
+            "<script type='application/ld+json'>{broken</script>"
+            "<script type='text/javascript'>var x = 1;</script>"
+            "</head></html>"
+        )
+        pages = spark.createDataFrame([("u", html)], "url string, html string")
+        got = {r["block_pos"]: r for r in jsonld_extract(pages).collect()}
+        assert len(got) == 3  # plain JS script excluded
+        assert (got[0]["jsonld_type"], got[0]["headline"], got[0]["author_name"]) == (
+            "Article", "H1", "A",
+        )
+        assert (got[1]["jsonld_type"], got[1]["price"], got[1]["currency"]) == (
+            "Product", "9.5", "EUR",
+        )
+        assert got[2]["jsonld_type"] is None  # malformed → NULLs, no error
+
+    def test_no_blocks_no_rows(self, spark):
+        from web_scrapper_spark.operators.structured import jsonld_extract
+
+        pages = spark.createDataFrame(
+            [("u", "<html><body>plain</body></html>")], "url string, html string"
+        )
+        assert jsonld_extract(pages).count() == 0
