@@ -2093,6 +2093,38 @@ def _q_cdx_revisits(spark, sf_dir):
     return cdx_revisits(cdx)
 
 
+def _q_robots_allow(spark, sf_dir):
+    """RFC 9309 longest-match Allow/Disallow (frontier/core.py
+    robots_filter): documents mint URLs over 6 hosts with paths
+    cycling private / private-but-allowed / open / tmp; hosts 0-3
+    carry rules (even hosts also an Allow override), hosts 4-5 are
+    ruleless. Output = the surviving URLs; the oracle replays the
+    longest-match fold relationally."""
+    from web_scrapper_spark.frontier.core import robots_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("r"), (d % 6).cast("string"), F.lit(".example.org"))
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/private/doc/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/private/pub/"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/open/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp/"), d.cast("string")))
+    )
+    cand = docs.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    hosts = docs.filter(d % 6 < 4).select(
+        (d % 6).alias("_h"), host.alias("host")
+    ).distinct()
+    robots = hosts.select(
+        "host",
+        F.array(F.lit("/private"), F.lit("/tmp")).alias("disallow_prefixes"),
+        F.when(
+            F.col("_h") % 2 == 0, F.array(F.lit("/private/pub"))
+        ).otherwise(F.array().cast("array<string>")).alias("allow_prefixes"),
+    )
+    return robots_filter(cand, robots)
+
+
 def _q_trap_detect(spark, sf_dir):
     """Crawl-trap detection (frontier/traps.py url_trap_signals):
     documents mint a URL table with three planted pathologies — looped
@@ -2406,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_revisits": _q_cdx_revisits,
         "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
+        "robots_allow": _q_robots_allow,
         "drain_plan": _q_drain_plan,
         "host_priors": _q_host_priors,
         "unicode_clean": _q_unicode_clean,
@@ -2971,6 +3004,43 @@ def oracle_sql() -> dict[str, str]:
             FROM cdx c
             JOIN orig o USING (url, digest)
             JOIN firsts f USING (url)
+        """,
+        "robots_allow": """
+            -- longest-match precedence replayed relationally: blocked
+            -- iff the longest matching Disallow beats the longest
+            -- matching Allow; ruleless hosts keep everything
+            WITH urls AS (
+              SELECT 'https://r' || (doc_id % 6) || '.example.org' ||
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '/private/doc/' || doc_id
+                       WHEN 1 THEN '/private/pub/' || doc_id
+                       WHEN 2 THEN '/open/' || doc_id
+                       ELSE '/tmp/' || doc_id END AS url,
+                     CAST(doc_id % 6 AS INT) AS h,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '/private/doc/' || doc_id
+                       WHEN 1 THEN '/private/pub/' || doc_id
+                       WHEN 2 THEN '/open/' || doc_id
+                       ELSE '/tmp/' || doc_id END AS path
+              FROM documents
+            ),
+            scored AS (
+              SELECT url, h,
+                     CASE WHEN h < 4 THEN
+                       coalesce(list_max(list_transform(
+                         ['/private', '/tmp'],
+                         p -> CASE WHEN starts_with(path, p)
+                                   THEN length(p) ELSE 0 END)), 0)
+                     ELSE 0 END AS dis_len,
+                     CASE WHEN h < 4 AND h % 2 = 0 THEN
+                       coalesce(list_max(list_transform(
+                         ['/private/pub'],
+                         p -> CASE WHEN starts_with(path, p)
+                                   THEN length(p) ELSE 0 END)), 0)
+                     ELSE 0 END AS alw_len
+              FROM urls
+            )
+            SELECT url FROM scored WHERE dis_len <= alw_len
         """,
         "trap_detect": """
             -- relational re-derivation of the trap signals: depth,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "host_boilerplate",
     "jsonld_extract",
+    "robots_allow",
 ]
 
 

@@ -384,6 +384,7 @@ Disallow:
         r2 = parse_robots_txt("", default_delay=1.5)
         assert r2 == {
             "disallow_prefixes": [],
+            "allow_prefixes": [],
             "crawl_delay": 1.5,
             "sitemaps": [],
         }
@@ -646,3 +647,57 @@ class TestHostPriorsDequeue:
         )
         hosts = [r["host"] for r in batch.collect()]
         assert len(hosts) == 4 and set(hosts) == {"good.org"}
+
+
+class TestRobotsAllow:
+    """RFC 9309 §2.2.2 longest-match Allow/Disallow precedence."""
+
+    def _filter(self, spark, urls, dis, alw=None):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from web_scrapper_spark.frontier.core import robots_filter
+
+        cand = spark.createDataFrame([(u,) for u in urls], "url string")
+        if alw is None:
+            robots = spark.createDataFrame(
+                [("h.org", dis)], "host string, disallow_prefixes array<string>"
+            )
+        else:
+            robots = spark.createDataFrame(
+                [("h.org", dis, alw)],
+                "host string, disallow_prefixes array<string>, "
+                "allow_prefixes array<string>",
+            )
+        return {r["url"] for r in robots_filter(cand, robots).collect()}
+
+    def test_allow_overrides_shorter_disallow(self, spark):
+        urls = [
+            "https://h.org/private/x",
+            "https://h.org/private/pub/x",
+            "https://h.org/open",
+        ]
+        kept = self._filter(spark, urls, ["/private"], ["/private/pub"])
+        assert kept == {"https://h.org/private/pub/x", "https://h.org/open"}
+
+    def test_longer_disallow_wins(self, spark):
+        urls = ["https://h.org/a/b/c", "https://h.org/a/x"]
+        kept = self._filter(spark, urls, ["/a/b"], ["/a"])
+        assert kept == {"https://h.org/a/x"}
+
+    def test_tie_goes_to_allow(self, spark):
+        kept = self._filter(spark, ["https://h.org/dup/x"], ["/dup"], ["/dup"])
+        assert kept == {"https://h.org/dup/x"}
+
+    def test_no_allow_column_keeps_old_semantics(self, spark):
+        kept = self._filter(
+            spark, ["https://h.org/private/x", "https://h.org/ok"], ["/private"]
+        )
+        assert kept == {"https://h.org/ok"}
+
+    def test_parse_and_aggregate_carry_allow(self, spark):
+        from web_scrapper_spark.frontier.robots import parse_robots_txt
+
+        r = parse_robots_txt(
+            "User-agent: *\nDisallow: /p\nAllow: /p/ok\nAllow: /q\n"
+        )
+        assert r["allow_prefixes"] == ["/p/ok", "/q"]

@@ -251,25 +251,61 @@ def first_discovery_wins(candidates: DataFrame) -> DataFrame:
 
 
 def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
-    """J4: drop candidates whose path matches a disallow prefix for
-    their host — broadcast map-side lookup, no shuffle."""
+    """J4: drop candidates whose path is blocked by their host's
+    robots rules — broadcast map-side lookup, no shuffle.
+
+    Implements RFC 9309 §2.2.2 longest-match precedence when the rules
+    table carries an ``allow_prefixes`` column (robots.py
+    ROBOTS_SCHEMA): among all matching Allow/Disallow prefixes the
+    LONGEST wins, ties go to Allow. Rules tables without the column
+    (older fixtures, hand-built tables) keep the disallow-only
+    semantics unchanged.
+    """
     if robots is None:
         return candidates
-    rules = robots.select("host", "disallow_prefixes")
+    has_allow = "allow_prefixes" in robots.columns
+    cols = ["host", "disallow_prefixes"] + (
+        ["allow_prefixes"] if has_allow else []
+    )
+    rules = robots.select(*cols)
     with_host = candidates.withColumn(
         "_host", F.lower(F.parse_url("url", F.lit("HOST")))
     ).withColumn("_path", F.parse_url("url", F.lit("PATH")))
     joined = with_host.join(
         F.broadcast(rules), with_host["_host"] == rules["host"], "left"
     )
-    allowed = joined.filter(
-        F.col("disallow_prefixes").isNull()
-        | ~F.exists(
-            "disallow_prefixes",
-            lambda p: F.col("_path").startswith(p),
+
+    def longest_match(col_name: str):
+        # length of the longest prefix in `col_name` matching _path
+        # (0 when none match or the rules row/array is absent)
+        return F.coalesce(
+            F.aggregate(
+                F.col(col_name),
+                F.lit(0),
+                lambda acc, p: F.when(
+                    F.col("_path").startswith(p) & (F.length(p) > acc),
+                    F.length(p),
+                ).otherwise(acc),
+            ),
+            F.lit(0),
         )
-    )
-    return allowed.drop("host", "disallow_prefixes", "_host", "_path")
+
+    if has_allow:
+        blocked = longest_match("disallow_prefixes") > longest_match(
+            "allow_prefixes"
+        )
+        allowed = joined.filter(~blocked)
+        drop = ["host", "disallow_prefixes", "allow_prefixes", "_host", "_path"]
+    else:
+        allowed = joined.filter(
+            F.col("disallow_prefixes").isNull()
+            | ~F.exists(
+                "disallow_prefixes",
+                lambda p: F.col("_path").startswith(p),
+            )
+        )
+        drop = ["host", "disallow_prefixes", "_host", "_path"]
+    return allowed.drop(*drop)
 
 
 def drain_plan(

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ROBOTS_SCHEMA = (
-    "host string, disallow_prefixes array<string>, crawl_delay double, "
+    "host string, disallow_prefixes array<string>, "
+    "allow_prefixes array<string>, crawl_delay double, "
     "sitemaps array<string>"
 )
 
@@ -31,7 +32,8 @@ ROBOTS_SCHEMA = (
 def parse_robots_txt(
     text: str, agent: str = "*", default_delay: Optional[float] = None
 ) -> Dict:
-    """robots.txt body → {disallow_prefixes, crawl_delay, sitemaps}.
+    """robots.txt body → {disallow_prefixes, allow_prefixes,
+    crawl_delay, sitemaps}.
 
     Group selection: the longest ``User-agent`` token that is a
     case-insensitive prefix of ``agent`` wins; the ``*`` group is the
@@ -62,7 +64,7 @@ def parse_robots_txt(
                 current = []
             expecting_agents = True
             group = groups.setdefault(
-                token, {"disallow": [], "crawl_delay": None}
+                token, {"disallow": [], "allow": [], "crawl_delay": None}
             )
             current.append(token)
             continue
@@ -73,6 +75,12 @@ def parse_robots_txt(
             if value:  # empty Disallow: = allow all
                 for token in current:
                     groups[token]["disallow"].append(value)
+        elif field == "allow":
+            # RFC 9309 §2.2.2: Allow competes with Disallow by
+            # LONGEST-MATCH precedence (applied in robots_filter)
+            if value:
+                for token in current:
+                    groups[token]["allow"].append(value)
         elif field == "crawl-delay":
             try:
                 delay = float(value)
@@ -90,10 +98,13 @@ def parse_robots_txt(
         if matches:
             chosen = groups[max(matches, key=len)]
     if chosen is None:
-        chosen = groups.get("*", {"disallow": [], "crawl_delay": None})
+        chosen = groups.get(
+            "*", {"disallow": [], "allow": [], "crawl_delay": None}
+        )
     delay = chosen["crawl_delay"]
     return {
         "disallow_prefixes": list(chosen["disallow"]),
+        "allow_prefixes": list(chosen.get("allow", [])),
         "crawl_delay": delay if delay is not None else default_delay,
         "sitemaps": sitemaps,
     }
@@ -142,6 +153,7 @@ def robots_from_pages(
                     {
                         "host": host,
                         "disallow_prefixes": parsed["disallow_prefixes"],
+                        "allow_prefixes": parsed["allow_prefixes"],
                         "crawl_delay": parsed["crawl_delay"],
                         "sitemaps": parsed["sitemaps"],
                     }
@@ -149,7 +161,8 @@ def robots_from_pages(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "host", "disallow_prefixes", "crawl_delay", "sitemaps",
+                    "host", "disallow_prefixes", "allow_prefixes",
+                    "crawl_delay", "sitemaps",
                 ],
             )
 
@@ -158,6 +171,9 @@ def robots_from_pages(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("disallow_prefixes")))
         ).alias("disallow_prefixes"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("allow_prefixes")))
+        ).alias("allow_prefixes"),
         F.max("crawl_delay").alias("crawl_delay"),
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("sitemaps")))
