@@ -2093,6 +2093,56 @@ def _q_cdx_revisits(spark, sf_dir):
     return cdx_revisits(cdx)
 
 
+def _q_charset_detect(spark, sf_dir):
+    """Charset triage (operators/structured.py detect_charset):
+    documents become binary payloads cycling the three BOMs, a meta
+    declaration, an XML prolog, and a declaration-free page; the
+    sniffer must invert the construction (construct→parse roundtrip
+    oracle from doc_id arithmetic)."""
+    from web_scrapper_spark.operators.structured import detect_charset
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 6).cast("int")
+    body = F.concat(F.lit("<html><body>page "), d.cast("string"), F.lit("</body></html>"))
+    payload = (
+        F.when(k == 0, F.concat(F.lit(b"\xef\xbb\xbf"), body.cast("binary")))
+        .when(k == 1, F.concat(F.lit(b"\xff\xfe"), body.cast("binary")))
+        .when(k == 2, F.concat(F.lit(b"\xfe\xff"), body.cast("binary")))
+        .when(k == 3, F.concat(
+            F.lit("<html><meta charset='ISO-8859-1'>"), body
+        ).cast("binary"))
+        .when(k == 4, F.concat(
+            F.lit('<?xml version="1.0" encoding="Windows-1252"?>'), body
+        ).cast("binary"))
+        .otherwise(body.cast("binary"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://cs.example.org/p/"), d.cast("string")).alias("url"),
+        payload.alias("html"),
+    )
+    return detect_charset(pages)
+
+
+def _q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl audit (frontier/sitemap.py sitemap_coverage):
+    documents mint URLs over 7 hosts; doc_id%3≠0 are sitemap-declared,
+    doc_id%2=0 are crawled — so every host has covered, uncovered, and
+    surplus URLs. The oracle recomputes the per-host rollup and the
+    exact coverage_ppm floor division."""
+    from web_scrapper_spark.frontier.sitemap import sitemap_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sc"), (d % 7).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+    )
+    entries = docs.filter(d % 3 != 0).select(url.alias("url"))
+    seen = docs.filter(d % 2 == 0).select(url.alias("url"))
+    return sitemap_coverage(entries, seen)
+
+
 def _q_robots_allow(spark, sf_dir):
     """RFC 9309 longest-match Allow/Disallow (frontier/core.py
     robots_filter): documents mint URLs over 6 hosts with paths
@@ -2439,6 +2489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
         "robots_allow": _q_robots_allow,
+        "charset_detect": _q_charset_detect,
+        "sitemap_coverage": _q_sitemap_coverage,
         "drain_plan": _q_drain_plan,
         "host_priors": _q_host_priors,
         "unicode_clean": _q_unicode_clean,
@@ -3004,6 +3056,38 @@ def oracle_sql() -> dict[str, str]:
             FROM cdx c
             JOIN orig o USING (url, digest)
             JOIN firsts f USING (url)
+        """,
+        "charset_detect": """
+            -- construct->parse roundtrip from doc_id arithmetic
+            SELECT 'https://cs.example.org/p/' || doc_id AS url,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                     WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'iso-8859-1'
+                     WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+                   CASE WHEN doc_id % 6 <= 2 THEN 'bom'
+                        WHEN doc_id % 6 <= 4 THEN 'meta'
+                        ELSE 'default' END AS charset_source
+            FROM documents
+        """,
+        "sitemap_coverage": """
+            WITH u AS (
+              SELECT 'sc' || (doc_id % 7) || '.example.org' AS host,
+                     (doc_id % 3 <> 0) AS d, (doc_id % 2 = 0) AS s
+              FROM documents
+            )
+            SELECT host,
+                   CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_declared,
+                   CAST(sum(CASE WHEN d AND s THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_declared_crawled,
+                   CAST(sum(CASE WHEN NOT d AND s THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_crawled_undeclared,
+                   CAST(CASE WHEN sum(CASE WHEN d THEN 1 ELSE 0 END) > 0
+                        THEN (sum(CASE WHEN d AND s THEN 1 ELSE 0 END)
+                              * 1000000)
+                             // sum(CASE WHEN d THEN 1 ELSE 0 END)
+                        ELSE 0 END AS BIGINT) AS coverage_ppm
+            FROM u WHERE d OR s GROUP BY host
         """,
         "robots_allow": """
             -- longest-match precedence replayed relationally: blocked

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "host_boilerplate",
     "jsonld_extract",
     "robots_allow",
+    "charset_detect",
+    "sitemap_coverage",
 ]
 
 

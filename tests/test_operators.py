@@ -1823,3 +1823,46 @@ class TestJsonLd:
             [("u", "<html><body>plain</body></html>")], "url string, html string"
         )
         assert jsonld_extract(pages).count() == 0
+
+
+class TestDetectCharset:
+    def test_bom_meta_xml_default(self, spark):
+        from web_scrapper_spark.operators.structured import detect_charset
+
+        rows = [
+            ("u1", b"\xef\xbb\xbf<html>x</html>"),
+            ("u2", b"\xff\xfe<h>"),
+            ("u3", b"\xfe\xff<h>"),
+            ("u4", b"<html><meta charset='ISO-8859-1'></html>"),
+            ("u5", b"<html><meta http-equiv=Content-Type "
+                   b"content='text/html; charset=windows-1252'></html>"),
+            ("u6", b"<?xml version='1.0' encoding=\"Shift_JIS\"?><p/>"),
+            ("u7", b"<html>nothing declared</html>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            r["url"]: (r["charset"], r["charset_source"])
+            for r in detect_charset(df).collect()
+        }
+        assert got["u1"] == ("utf-8", "bom")
+        assert got["u2"] == ("utf-16le", "bom")
+        assert got["u3"] == ("utf-16be", "bom")
+        assert got["u4"] == ("iso-8859-1", "meta")
+        assert got["u5"] == ("windows-1252", "meta")
+        assert got["u6"] == ("shift_jis", "meta")
+        assert got["u7"] == ("utf-8", "default")
+
+    def test_bom_beats_meta_and_sniff_bound(self, spark):
+        from web_scrapper_spark.operators.structured import detect_charset
+
+        rows = [
+            ("u1", b"\xef\xbb\xbf<meta charset='latin-1'>"),
+            ("u2", b" " * 2000 + b"<meta charset='latin-1'>"),  # past bound
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            r["url"]: (r["charset"], r["charset_source"])
+            for r in detect_charset(df).collect()
+        }
+        assert got["u1"] == ("utf-8", "bom")
+        assert got["u2"] == ("utf-8", "default")

@@ -132,3 +132,31 @@ def test_discovered_urls_join_the_parse_set(spark):
         "https://h.org/sitemap.xml",
         "https://h.org/weird/path/news-map.xml",
     ]
+
+
+class TestSitemapCoverage:
+    def test_rollup(self, spark):
+        from web_scrapper_spark.frontier.sitemap import sitemap_coverage
+
+        entries = spark.createDataFrame(
+            [(u,) for u in (
+                "https://a.org/1", "https://a.org/1",  # dup declaration
+                "https://a.org/2", "https://a.org/3", "https://b.org/1",
+            )],
+            "url string",
+        )
+        seen = spark.createDataFrame(
+            [(u,) for u in (
+                "https://a.org/1", "https://a.org/9", "https://c.org/1",
+            )],
+            "url string",
+        )
+        got = {r["host"]: r for r in sitemap_coverage(entries, seen).collect()}
+        a = got["a.org"]
+        assert (a["n_declared"], a["n_declared_crawled"]) == (3, 1)
+        assert a["n_crawled_undeclared"] == 1
+        assert a["coverage_ppm"] == 333333
+        assert got["b.org"]["coverage_ppm"] == 0
+        # host crawled but never declared anything
+        c = got["c.org"]
+        assert (c["n_declared"], c["n_crawled_undeclared"], c["coverage_ppm"]) == (0, 1, 0)

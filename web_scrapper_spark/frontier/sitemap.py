@@ -166,3 +166,53 @@ def sitemap_candidates(
             yield pd.DataFrame(out, columns=cols)
 
     return src.mapInPandas(parse, schema=SITEMAP_ENTRY_SCHEMA)
+
+
+def sitemap_coverage(
+    entries: DataFrame, seen: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-host audit of sitemap-declared URLs against the crawl's
+    seen set — the two operational questions a sitemap-driven crawl
+    tracks: how much of what the publisher declared have we fetched
+    (coverage), and how much of what we fetched the publisher never
+    declared (discovery surplus — often calendar/filter pages worth a
+    trap check). Returns
+
+      (host, n_declared, n_declared_crawled, n_crawled_undeclared,
+       coverage_ppm)
+
+    with ``coverage_ppm`` an exact integer floor division (0 for hosts
+    that declared nothing). One full-outer join on url + one host
+    aggregate — both sides deduplicated first so multi-sitemap
+    declarations and refetches count once.
+    """
+    d = entries.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_d", F.lit(1)
+    )
+    s = seen.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_s", F.lit(1)
+    )
+    j = d.join(s, "url", "full_outer").select(
+        F.coalesce(
+            F.try_parse_url(F.col("url"), F.lit("HOST")), F.lit("")
+        ).alias("host"),
+        F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+        F.coalesce(F.col("_s"), F.lit(0)).alias("_s"),
+    )
+    agg = j.groupBy("host").agg(
+        F.sum("_d").alias("n_declared"),
+        F.sum(F.col("_d") * F.col("_s")).alias("n_declared_crawled"),
+        F.sum(F.when(F.col("_d") == 0, F.col("_s")).otherwise(F.lit(0))).alias(
+            "n_crawled_undeclared"
+        ),
+    )
+    return agg.select(
+        "host",
+        "n_declared",
+        "n_declared_crawled",
+        "n_crawled_undeclared",
+        F.when(
+            F.col("n_declared") > 0,
+            F.expr("(n_declared_crawled * 1000000) div n_declared"),
+        ).otherwise(F.lit(0)).cast("long").alias("coverage_ppm"),
+    )

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["JSONLD_BLOCK_RE", "jsonld_blocks", "jsonld_extract"]
+__all__ = [
+    "JSONLD_BLOCK_RE",
+    "jsonld_blocks",
+    "jsonld_extract",
+    "detect_charset",
+]
 
 #: lazy, case-insensitive, dotall — script attributes in any order as
 #: long as the type token appears before the closing '>'.
@@ -77,4 +82,53 @@ def jsonld_extract(
             F.get_json_object(F.col("block"), path).alias(name)
             for name, path in _FIELDS.items()
         ],
+    )
+
+
+#: declaration-sniffing regexes — HTML5 <meta charset>, legacy
+#: http-equiv Content-Type, and XML prolog encoding.
+_META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?([a-zA-Z0-9_\-]+)"""
+_XML_ENCODING_RE = r"""(?i)<\?xml[^>]*encoding\s*=\s*["']([a-zA-Z0-9_\-]+)["']"""
+
+
+def detect_charset(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    sniff_bytes: int = 1024,
+) -> DataFrame:
+    """Charset triage per page — the decode decision every crawler
+    makes before any text processing (WHATWG encoding-sniffing order,
+    the subset computable without a decoder): byte-order mark first
+    (UTF-8 / UTF-16LE / UTF-16BE), then a ``<meta charset>`` /
+    ``http-equiv`` / XML-prolog declaration inside the first
+    ``sniff_bytes`` bytes, else the UTF-8 default. Returns
+
+      (url, charset, charset_source)   source ∈ {bom, meta, default}
+
+    Declared names are lowercased; the declaration scan is two native
+    ``regexp_extract`` calls over a bounded prefix (constant work per
+    page regardless of page size), the BOM check three binary-prefix
+    equality tests — zero Python, zero shuffle.
+    """
+    raw = F.col(html_col).cast("binary")
+    head = F.substring(raw, 1, sniff_bytes).cast("string")
+    bom = (
+        F.when(F.substring(raw, 1, 3) == F.lit(b"\xef\xbb\xbf"), "utf-8")
+        .when(F.substring(raw, 1, 2) == F.lit(b"\xff\xfe"), "utf-16le")
+        .when(F.substring(raw, 1, 2) == F.lit(b"\xfe\xff"), "utf-16be")
+    )
+    meta = F.lower(
+        F.coalesce(
+            F.nullif(F.regexp_extract(head, _META_CHARSET_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(head, _XML_ENCODING_RE, 1), F.lit("")),
+        )
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(bom, meta, F.lit("utf-8")).alias("charset"),
+        F.when(bom.isNotNull(), F.lit("bom"))
+        .when(meta.isNotNull(), F.lit("meta"))
+        .otherwise(F.lit("default"))
+        .alias("charset_source"),
     )
