@@ -2093,6 +2093,37 @@ def _q_cdx_revisits(spark, sf_dir):
     return cdx_revisits(cdx)
 
 
+def _q_page_meta(spark, sf_dir):
+    """Head-metadata extraction (operators/structured.py page_meta):
+    pages built from doc_id with a messy multi-line title always, a
+    description for id%2=0, an og:title in REVERSED attribute order
+    for id%3=0, an og:image for id%4=0 — the extractor must normalize
+    whitespace, match both attribute orders, and NULL absent fields
+    (construct→parse roundtrip oracle)."""
+    from web_scrapper_spark.operators.structured import page_meta
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title> Doc\n  "), d.cast("string"), F.lit(" </title>"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit("<meta name='description' content='About doc "),
+            d.cast("string"), F.lit(".'>"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<meta content='OG "), d.cast("string"),
+            F.lit("' property='og:title'>"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit("<meta property='og:image' content='https://img/"),
+            d.cast("string"), F.lit(".png'>"))).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://m.example.org/p/"), d.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return page_meta(pages)
+
+
 def _q_charset_detect(spark, sf_dir):
     """Charset triage (operators/structured.py detect_charset):
     documents become binary payloads cycling the three BOMs, a meta
@@ -2489,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": _q_media_sniff,
         "trap_detect": _q_trap_detect,
         "robots_allow": _q_robots_allow,
+        "page_meta": _q_page_meta,
         "charset_detect": _q_charset_detect,
         "sitemap_coverage": _q_sitemap_coverage,
         "drain_plan": _q_drain_plan,
@@ -3056,6 +3088,19 @@ def oracle_sql() -> dict[str, str]:
             FROM cdx c
             JOIN orig o USING (url, digest)
             JOIN firsts f USING (url)
+        """,
+        "page_meta": """
+            SELECT 'https://m.example.org/p/' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'About doc ' || doc_id || '.' END
+                     AS meta_description,
+                   CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id END
+                     AS og_title,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'https://img/' || doc_id || '.png' END
+                     AS og_image
+            FROM documents
         """,
         "charset_detect": """
             -- construct->parse roundtrip from doc_id arithmetic

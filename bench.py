@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "robots_allow",
     "charset_detect",
     "sitemap_coverage",
+    "page_meta",
 ]
 
 

@@ -1866,3 +1866,26 @@ class TestDetectCharset:
         }
         assert got["u1"] == ("utf-8", "bom")
         assert got["u2"] == ("utf-8", "default")
+
+
+class TestPageMeta:
+    def test_fields_orders_and_nulls(self, spark):
+        from web_scrapper_spark.operators.structured import page_meta
+
+        rows = [
+            ("u1", "<html><head><title> My \n Page </title>"
+                   "<meta name='description' content='A desc.'>"
+                   "<meta content='OG T' property='og:title'>"
+                   "<meta property='og:image' content='https://i/x.png'>"
+                   "</head></html>"),
+            ("u2", "<html><body>bare</body></html>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {r["url"]: r for r in page_meta(df).collect()}
+        r = got["u1"]
+        assert r["title"] == "My Page"
+        assert r["meta_description"] == "A desc."
+        assert r["og_title"] == "OG T"  # reversed attribute order
+        assert r["og_image"] == "https://i/x.png"
+        assert all(got["u2"][c] is None for c in
+                   ("title", "meta_description", "og_title", "og_image"))

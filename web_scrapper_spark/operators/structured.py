@@ -24,6 +24,7 @@ __all__ = [
     "jsonld_blocks",
     "jsonld_extract",
     "detect_charset",
+    "page_meta",
 ]
 
 #: lazy, case-insensitive, dotall — script attributes in any order as
@@ -131,4 +132,51 @@ def detect_charset(
         .when(meta.isNotNull(), F.lit("meta"))
         .otherwise(F.lit("default"))
         .alias("charset_source"),
+    )
+
+
+def _attr_pair_res(tag: str, key_attr: str, key: str, val_attr: str):
+    """Two regexes matching <tag …key_attr=key …val_attr=(value)…> in
+    either attribute order (the wild publishes both)."""
+    k, v = key_attr, val_attr
+    return (
+        rf"""(?is)<{tag}[^>]*{k}\s*=\s*["']{key}["'][^>]*{v}\s*=\s*["']([^"']*)["']""",
+        rf"""(?is)<{tag}[^>]*{v}\s*=\s*["']([^"']*)["'][^>]*{k}\s*=\s*["']{key}["']""",
+    )
+
+
+def page_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Head-metadata extraction — the fields a WAT-style metadata
+    record carries per page: ``<title>``, ``<meta name=description>``,
+    and the OpenGraph title/image. Pure ``regexp_extract`` (both
+    attribute orders matched, first hit wins), whitespace-collapsed,
+    absent fields NULL. One Project per page, zero Python, zero
+    shuffle — the selector-free metadata sweep that runs corpus-wide
+    where the reference's configured selector cascades run per-site.
+
+      (url, title, meta_description, og_title, og_image)
+    """
+    html = F.col(html_col).cast("string")
+
+    def norm(c):
+        return F.nullif(
+            F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit("")
+        )
+
+    def pair(tag, key_attr, key, val_attr="content"):
+        a, b = _attr_pair_res(tag, key_attr, key, val_attr)
+        return F.coalesce(
+            norm(F.regexp_extract(html, a, 1)),
+            norm(F.regexp_extract(html, b, 1)),
+        )
+
+    title = norm(F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        pair("meta", "name", "description").alias("meta_description"),
+        pair("meta", "property", "og:title").alias("og_title"),
+        pair("meta", "property", "og:image").alias("og_image"),
     )
