@@ -1883,6 +1883,29 @@ def _q_recrawl_due(spark, sf_dir):
     )
 
 
+def _q_adaptive_delay(spark, sf_dir):
+    """Adaptive per-host politeness (frontier/adaptive.py): events
+    become deterministic fetch observations — host = user_id mod 37,
+    epoch = UTC day index, latency_ms derived from the value column's
+    cents, error events flagged — and ``adaptive_delays`` folds them
+    into an integer EWMA (alpha=1/4) with AIMD backoff (4x when the
+    latest epoch's error rate ≥ 20%) clamped to [100ms, 30s]. The
+    oracle re-walks the per-host fold with a recursive CTE — every
+    step is integer floor arithmetic, so delays match bit-exactly."""
+    from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+    ev = _read(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        ),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("epoch"),
+        (F.lit(50) + _cents(F.col("value")) % 2000).alias("latency_ms"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return adaptive_delays(obs)
+
+
 def _q_redirect_resolve(spark, sf_dir):
     """Redirect/canonical chain resolution (operators/graph.py
     resolve_redirects — pointer doubling, 5 self-joins for a 32-hop
@@ -2513,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
+        "adaptive_delay": _q_adaptive_delay,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -2900,6 +2924,47 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _main_content_oracle_sql(),
         "host_boilerplate": _host_boilerplate_oracle_sql(),
         "jsonld_extract": _jsonld_oracle_sql(),
+        "adaptive_delay": """
+            -- recursive-CTE re-walk of the integer EWMA politeness
+            -- fold: per (host, day) means, alpha=1/4 fold in day
+            -- order, 4x AIMD backoff at >=20% latest-day error rate,
+            -- clamp to [100ms, 30s]. Every step is integer floor
+            -- arithmetic; outer CASTs keep DuckDB HUGEINT out of the
+            -- pandas bridge.
+            WITH RECURSIVE obs AS (
+              SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS ep,
+                     50 + (CAST(round(value * 100) AS BIGINT) % 2000) AS lat,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+              FROM events
+            ), per AS (
+              SELECT host, ep,
+                     CAST(sum(lat) // count(*) AS BIGINT) AS mean_ms,
+                     CAST((sum(err) * 1000000) // count(*) AS BIGINT) AS err_ppm
+              FROM obs GROUP BY host, ep
+            ), ord AS (
+              SELECT host, ep, mean_ms, err_ppm,
+                     row_number() OVER (PARTITION BY host ORDER BY ep) AS rn,
+                     count(*) OVER (PARTITION BY host) AS n_eps
+              FROM per
+            ), fold AS (
+              SELECT host, rn, n_eps, err_ppm, mean_ms AS ewma
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.host, o.rn, o.n_eps, o.err_ppm,
+                     CAST((f.ewma * 3 + o.mean_ms * 1) // 4 AS BIGINT)
+              FROM fold f JOIN ord o ON o.host = f.host AND o.rn = f.rn + 1
+            )
+            SELECT host,
+                   CAST(n_eps AS BIGINT) AS n_epochs,
+                   CAST(ewma AS BIGINT) AS ewma_latency_ms,
+                   CAST(err_ppm AS BIGINT) AS last_err_ppm,
+                   CAST(least(greatest(
+                     CASE WHEN err_ppm >= 200000 THEN ewma * 10 * 4
+                          ELSE ewma * 10 END, 100), 30000) AS BIGINT)
+                     AS delay_ms
+            FROM fold WHERE rn = n_eps
+        """,
         "recrawl_due": """
             -- relational recomputation of the recrawl schedule: period
             -- table, integer ceiling division, modified-since override

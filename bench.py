@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "charset_detect",
     "sitemap_coverage",
     "page_meta",
+    "adaptive_delay",
 ]
 
 

@@ -701,3 +701,115 @@ class TestRobotsAllow:
             "User-agent: *\nDisallow: /p\nAllow: /p/ok\nAllow: /q\n"
         )
         assert r["allow_prefixes"] == ["/p/ok", "/q"]
+
+
+class TestAdaptiveDelays:
+    """Feedback-driven politeness: integer EWMA + AIMD backoff
+    (frontier/adaptive.py). All expectations are hand-computed from
+    the documented integer recurrence."""
+
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, epoch long, latency_ms long, is_err boolean"
+        )
+
+    def test_single_epoch_seeds_ewma(self, spark):
+        from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+        out = adaptive_delays(
+            self._obs(spark, [("a.org", 0, 200, False), ("a.org", 0, 101, False)])
+        ).collect()[0]
+        # mean = floor(301/2) = 150; one epoch -> ewma = seed
+        assert out["ewma_latency_ms"] == 150
+        assert out["n_epochs"] == 1
+        assert out["last_err_ppm"] == 0
+        assert out["delay_ms"] == 1500  # 150 * latency_factor(10)
+
+    def test_ewma_fold_order_and_value(self, spark):
+        from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+        # epochs arrive out of order; fold must sort by epoch:
+        # seed=100, then (100*3 + 500)/4 = 200, then (200*3 + 60)/4 = 165
+        rows = [("a.org", 2, 60, False), ("a.org", 0, 100, False),
+                ("a.org", 1, 500, False)]
+        out = adaptive_delays(self._obs(spark, rows)).collect()[0]
+        assert out["n_epochs"] == 3
+        assert out["ewma_latency_ms"] == 165
+        assert out["delay_ms"] == 1650
+
+    def test_error_backoff_uses_latest_epoch_only(self, spark):
+        from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+        # epoch 0 all errors, epoch 1 clean -> NO backoff (latest wins)
+        calm = adaptive_delays(self._obs(spark, [
+            ("a.org", 0, 100, True), ("a.org", 1, 100, False),
+        ])).collect()[0]
+        assert calm["last_err_ppm"] == 0
+        assert calm["delay_ms"] == 1000
+        # epoch 1 erroring at 50% >= 20% threshold -> 4x backoff
+        hot = adaptive_delays(self._obs(spark, [
+            ("a.org", 0, 100, False),
+            ("a.org", 1, 100, True), ("a.org", 1, 100, False),
+        ])).collect()[0]
+        assert hot["last_err_ppm"] == 500000
+        assert hot["delay_ms"] == 4000
+
+    def test_clamping_both_ends(self, spark):
+        from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+        out = {
+            r["host"]: r["delay_ms"]
+            for r in adaptive_delays(self._obs(spark, [
+                ("fast.org", 0, 3, False),      # 3*10=30 -> clamps up to 100
+                ("slow.org", 0, 9000, True),    # 9000*10*4 -> clamps to 30000
+            ])).collect()
+        }
+        assert out == {"fast.org": 100, "slow.org": 30000}
+
+    def test_merge_robots_is_a_floor(self, spark):
+        from web_scrapper_spark.frontier.adaptive import (
+            adaptive_delays, merge_adaptive_delays,
+        )
+
+        delays = adaptive_delays(self._obs(spark, [
+            ("polite.org", 0, 500, False),   # adaptive 5s > robots 1s
+            ("strict.org", 0, 10, False),    # adaptive 0.1s < robots 8s
+        ]))
+        robots = spark.createDataFrame(
+            [("polite.org", ["/x"], 1.0), ("strict.org", [], 8.0),
+             ("robots-only.org", [], 2.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        merged = {
+            r["host"]: (r["crawl_delay"], r["disallow_prefixes"])
+            for r in merge_adaptive_delays(robots, delays).collect()
+        }
+        assert merged["polite.org"] == (5.0, ["/x"])   # adaptive slower wins
+        assert merged["strict.org"] == (8.0, [])       # robots floor holds
+        assert merged["robots-only.org"] == (2.0, [])  # one-sided passthrough
+
+    def test_merged_delays_drive_dequeue_budget(self, spark):
+        """End-to-end: observations -> merged rules -> politeness
+        budget. slow.org's adaptive 4s delay caps it to 2 fetches of
+        an 8s epoch; fast.org keeps the 8-slot default budget."""
+        from web_scrapper_spark.frontier.adaptive import (
+            adaptive_delays, merge_adaptive_delays,
+        )
+
+        delays = adaptive_delays(self._obs(
+            spark, [("slow.org", 0, 400, False), ("fast.org", 0, 100, False)]
+        ))
+        rules = merge_adaptive_delays(None, delays)
+        seeds = [(f"https://slow.org/p{i}", "content") for i in range(4)] + [
+            (f"https://fast.org/p{i}", "content") for i in range(4)
+        ]
+        batch = dequeue(
+            seeds_frontier(spark, seeds), rules,
+            epoch_seconds=8.0, default_delay=1.0,
+        )
+        by_host = {
+            r["host"]: r["cnt"]
+            for r in batch.groupBy("host").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        assert by_host == {"slow.org": 2, "fast.org": 4}
