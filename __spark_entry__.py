@@ -1906,6 +1906,29 @@ def _q_adaptive_delay(spark, sf_dir):
     return adaptive_delays(obs)
 
 
+def _q_fair_share(spark, sf_dir):
+    """Max-min fair global-budget water-filling
+    (frontier/fairshare.py): per-host demands are event counts (host =
+    user_id mod 37), the global budget is 60% of total demand — so the
+    water level always lands strictly inside the demand range and the
+    remainder pass is exercised. The oracle replays the histogram
+    search (piecewise-linear used(T) over distinct demand values), the
+    in-segment floor division, and the (demand desc, host asc)
+    remainder ranking; every step is integer, so allocations match
+    bit-exactly. The budget scalar is a driver-side count — the same
+    defensible pattern as the pagerank query's node count."""
+    from web_scrapper_spark.frontier.fairshare import fair_share_budgets
+
+    ev = _read(spark, sf_dir, "events")
+    demands = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count("*").alias("demand"))
+    budget = ev.count() * 6 // 10
+    return fair_share_budgets(demands, budget)
+
+
 def _q_redirect_resolve(spark, sf_dir):
     """Redirect/canonical chain resolution (operators/graph.py
     resolve_redirects — pointer doubling, 5 self-joins for a 32-hop
@@ -2537,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "adaptive_delay": _q_adaptive_delay,
+        "fair_share": _q_fair_share,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -2964,6 +2988,61 @@ def oracle_sql() -> dict[str, str]:
                           ELSE ewma * 10 END, 100), 30000) AS BIGINT)
                      AS delay_ms
             FROM fold WHERE rn = n_eps
+        """,
+        "fair_share": """
+            -- water-filling replay: histogram of distinct demand
+            -- values, piecewise-linear used(T) to find the segment,
+            -- in-segment floor division for the level, (demand desc,
+            -- host asc) ranking for the r leftover units. All integer.
+            WITH d AS (
+              SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS demand
+              FROM events GROUP BY 1
+            ), b AS (
+              SELECT CAST(count(*) * 6 // 10 AS BIGINT) AS budget FROM events
+            ), hist AS (
+              SELECT demand, CAST(count(*) AS BIGINT) AS n_at FROM d GROUP BY demand
+              UNION ALL SELECT 0, 0
+            ), lev AS (
+              SELECT demand, n_at,
+                     CAST(coalesce(sum(n_at * demand) OVER
+                       (ORDER BY demand ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS below_mass,
+                     CAST(coalesce(sum(n_at) OVER
+                       (ORDER BY demand ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS hosts_below,
+                     CAST(sum(n_at) OVER () AS BIGINT) AS n_total
+              FROM hist
+            ), usage AS (
+              SELECT demand, n_at, hosts_below, n_total,
+                     below_mass + (n_total - hosts_below) * demand AS used
+              FROM lev
+            ), dstar AS (
+              SELECT demand, used, n_total - hosts_below - n_at AS hosts_gt
+              FROM usage, b WHERE used <= budget
+              ORDER BY demand DESC LIMIT 1
+            ), scal AS (
+              SELECT CAST(CASE WHEN hosts_gt > 0
+                          THEN demand + (budget - used) // hosts_gt
+                          ELSE demand END AS BIGINT) AS t_level,
+                     CAST(CASE WHEN hosts_gt > 0
+                          THEN budget - used
+                               - hosts_gt * ((budget - used) // hosts_gt)
+                          ELSE 0 END AS BIGINT) AS r_extra
+              FROM dstar, b
+            ), ranked AS (
+              SELECT d.host, d.demand, s.t_level, s.r_extra,
+                     row_number() OVER (
+                       PARTITION BY (d.demand > s.t_level)
+                       ORDER BY d.demand DESC, d.host ASC) AS rk,
+                     d.demand > s.t_level AS capped
+              FROM d, scal s
+            )
+            SELECT host, demand,
+                   CAST(least(demand, t_level)
+                        + CASE WHEN capped AND rk <= r_extra THEN 1 ELSE 0 END
+                     AS BIGINT) AS alloc
+            FROM ranked
         """,
         "recrawl_due": """
             -- relational recomputation of the recrawl schedule: period

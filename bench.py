@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sitemap_coverage",
     "page_meta",
     "adaptive_delay",
+    "fair_share",
 ]
 
 

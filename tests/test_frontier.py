@@ -813,3 +813,77 @@ class TestAdaptiveDelays:
             .withColumnRenamed("count", "cnt").collect()
         }
         assert by_host == {"slow.org": 2, "fast.org": 4}
+
+
+class TestFairShare:
+    """Max-min fair budget water-filling (frontier/fairshare.py).
+    Expectations hand-computed from the piecewise-linear used(T)."""
+
+    def _alloc(self, spark, rows, budget, **kw):
+        from web_scrapper_spark.frontier.fairshare import fair_share_budgets
+
+        df = spark.createDataFrame(rows, "host string, demand long")
+        return {
+            r["host"]: r["alloc"]
+            for r in fair_share_budgets(df, budget, **kw).collect()
+        }
+
+    def test_budget_covers_all_demand(self, spark):
+        rows = [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+        assert self._alloc(spark, rows, 100) == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    def test_water_level_caps_big_hosts(self, spark):
+        # demands [10,10,3,1], B=12: level 3 uses 1+3*3=10, level 10
+        # overshoots; T = 3 + floor(2/2) = 4, no remainder
+        rows = [("a", 10), ("b", 10), ("c", 3), ("d", 1)]
+        assert self._alloc(spark, rows, 12) == {"a": 4, "b": 4, "c": 3, "d": 1}
+
+    def test_remainder_goes_to_first_capped_host(self, spark):
+        # same demands, B=13: T=4 spends 12, r=1 -> host a (demand
+        # desc, host asc among the capped pair) gets the extra unit
+        rows = [("a", 10), ("b", 10), ("c", 3), ("d", 1)]
+        assert self._alloc(spark, rows, 13) == {"a": 5, "b": 4, "c": 3, "d": 1}
+
+    def test_every_host_capped_via_virtual_zero_level(self, spark):
+        # [5,5,5], B=7: even level 5 overshoots -> d*=0 (virtual),
+        # T=floor(7/3)=2, r=1 -> first capped host gets 3
+        rows = [("a", 5), ("b", 5), ("c", 5)]
+        assert self._alloc(spark, rows, 7) == {"a": 3, "b": 2, "c": 2}
+
+    def test_inexact_remainder_undershoots_at_most_capped(self, spark):
+        rows = [("a", 10), ("b", 10), ("c", 3), ("d", 1)]
+        out = self._alloc(spark, rows, 13, exact_remainder=False)
+        assert out == {"a": 4, "b": 4, "c": 3, "d": 1}  # sum 12 = B - r
+
+    def test_zero_demand_host(self, spark):
+        rows = [("a", 0), ("b", 6)]
+        assert self._alloc(spark, rows, 4) == {"a": 0, "b": 4}
+
+    def test_dequeue_fair_respects_politeness_then_fairness(self, spark):
+        """Two hosts, politeness caps 4 and 8 of an 8s epoch; global
+        budget 9 water-fills the capped demands [4, 8] -> [4, 5]."""
+        from web_scrapper_spark.frontier.fairshare import dequeue_fair
+
+        seeds = [(f"https://capped.org/p{i}", "content") for i in range(10)] + [
+            (f"https://roomy.org/p{i}", "content") for i in range(10)
+        ]
+        robots = spark.createDataFrame(
+            [("capped.org", [], 2.0), ("roomy.org", [], 1.0)],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        batch = dequeue_fair(
+            seeds_frontier(spark, seeds), robots,
+            epoch_seconds=8.0, default_delay=2.0, global_budget=9,
+        )
+        by_host = {
+            r["host"]: r["cnt"]
+            for r in batch.groupBy("host").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        assert by_host == {"capped.org": 4, "roomy.org": 5}
+        from pyspark.sql import functions as F
+
+        # fair batch keeps the deterministic within-host order
+        got = [r["ord_key"] for r in batch.filter(
+            F.col("host") == "roomy.org").orderBy("ord_key").collect()]
+        assert got == sorted(got)[:5]
