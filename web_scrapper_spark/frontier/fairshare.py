@@ -67,6 +67,11 @@ def fair_share_budgets(
         F.col(host_col).alias("host"),
         F.greatest(F.col(demand_col).cast("long"), F.lit(0)).alias("demand"),
     )
+    # three consumers (histogram, uncapped branch, capped branch) —
+    # materialize the host-grain table once instead of re-running the
+    # upstream demand aggregate per branch (same pattern as
+    # resolve_redirects' doubling rounds); host grain ≪ input grain
+    d = d.localCheckpoint(eager=True)
 
     # --- histogram of distinct demand values -------------------------
     hist = d.groupBy("demand").agg(F.count("*").alias("n_at"))
