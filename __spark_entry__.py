@@ -1906,6 +1906,29 @@ def _q_adaptive_delay(spark, sf_dir):
     return adaptive_delays(obs)
 
 
+def _q_corpus_layout(spark, sf_dir):
+    """Training-corpus export layout (operators/layout.py): quality is
+    the alpha-character ratio in ppm (integer floor), buckets are the
+    default 25/50/75% edges, shards are ceil(partition/16) with
+    md5-mod placement. The oracle replays bucket ordinals, the ceiling
+    division, and the 60-bit md5 shard hash — the same engine-
+    reproducible hash idiom the pagerank/LSH oracles already verify."""
+    from web_scrapper_spark.operators.layout import corpus_layout
+
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1_000_000
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    return corpus_layout(q, rows_per_shard=16)
+
+
 def _q_fair_share(spark, sf_dir):
     """Max-min fair global-budget water-filling
     (frontier/fairshare.py): per-host demands are event counts (host =
@@ -2561,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": _q_recrawl_due,
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
+        "corpus_layout": _q_corpus_layout,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -2988,6 +3012,34 @@ def oracle_sql() -> dict[str, str]:
                           ELSE ewma * 10 END, 100), 30000) AS BIGINT)
                      AS delay_ms
             FROM fold WHERE rn = n_eps
+        """,
+        "corpus_layout": """
+            -- export-layout replay: alpha-ratio ppm, bucket ordinal
+            -- (count of cleared edges), ceil(rows/16) shard count per
+            -- (lang, bucket), 60-bit md5 shard placement. All integer.
+            WITH q AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1000000 // greatest(length(text), 1) AS BIGINT)
+                       AS quality_ppm
+              FROM documents
+            ), b AS (
+              SELECT doc_id, lang,
+                     'q' || CAST(
+                       (CASE WHEN quality_ppm >= 250000 THEN 1 ELSE 0 END)
+                       + (CASE WHEN quality_ppm >= 500000 THEN 1 ELSE 0 END)
+                       + (CASE WHEN quality_ppm >= 750000 THEN 1 ELSE 0 END)
+                       AS VARCHAR) AS bucket
+              FROM q
+            ), g AS (
+              SELECT lang, bucket,
+                     CAST((count(*) + 15) // 16 AS BIGINT) AS n_shards
+              FROM b GROUP BY lang, bucket
+            )
+            SELECT b.doc_id, b.lang, b.bucket, g.n_shards,
+                   CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % g.n_shards AS BIGINT) AS shard
+            FROM b JOIN g USING (lang, bucket)
         """,
         "fair_share": """
             -- water-filling replay: histogram of distinct demand

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "page_meta",
     "adaptive_delay",
     "fair_share",
+    "corpus_layout",
 ]
 
 
