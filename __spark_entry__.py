@@ -1929,6 +1929,36 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection (operators/sampling.py
+    token_budget_select): quality is the alpha-ratio ppm, tokens the
+    BPE-ish regex count, the budget 60% of the corpus's total tokens.
+    The operator finds the boundary on the quality histogram and fills
+    it in id order; the oracle is the rule it must equal — ONE global
+    cumulative-sum window over (quality desc, id asc). Matching hashes
+    prove the histogram path IS the prefix rule."""
+    from web_scrapper_spark.operators.sampling import token_budget_select
+    from web_scrapper_spark.operators.textops import BPE_TOKEN_REGEX
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.floor(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1_000_000
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        .cast("long")
+        .alias("quality_ppm"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_REGEX), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    budget = base.agg(F.sum("n_tokens")).collect()[0][0] * 6 // 10
+    return token_budget_select(base, budget)
+
+
 def _q_fair_share(spark, sf_dir):
     """Max-min fair global-budget water-filling
     (frontier/fairshare.py): per-host demands are event counts (host =
@@ -2585,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
         "corpus_layout": _q_corpus_layout,
+        "token_budget": _q_token_budget,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3040,6 +3071,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "token_budget": """
+            -- the rule the histogram path must equal: one global
+            -- cumulative-sum window over (quality desc, id asc),
+            -- selected while the running total stays within 60% of
+            -- the corpus's tokens. All integer.
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1000000 // greatest(length(text), 1) AS BIGINT)
+                       AS quality_ppm,
+                     CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM base
+            )
+            SELECT doc_id, quality_ppm, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                     ORDER BY quality_ppm DESC, doc_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     <= (SELECT budget FROM b) AS selected
+            FROM base
         """,
         "fair_share": """
             -- water-filling replay: histogram of distinct demand

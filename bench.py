@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "adaptive_delay",
     "fair_share",
     "corpus_layout",
+    "token_budget",
 ]
 
 

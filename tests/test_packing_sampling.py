@@ -348,3 +348,59 @@ class TestCorpusFunnel:
         assert [funnel[s]["stage_ord"] for s in (
             "input", "url_filter", "lang_en", "gopher",
             "exact_dedup", "near_dedup", "decontaminate")] == list(range(7))
+
+
+class TestTokenBudgetSelect:
+    """Quality-greedy token-budget selection (sampling.py
+    token_budget_select). Expectations hand-computed from the global
+    (quality desc, id asc) prefix rule the histogram path must equal."""
+
+    ROWS = [(1, 900, 10), (2, 800, 10), (3, 800, 5), (4, 700, 10)]
+
+    def _sel(self, spark, budget, rows=None, **kw):
+        from web_scrapper_spark.operators.sampling import token_budget_select
+
+        df = spark.createDataFrame(
+            rows or self.ROWS, "doc_id long, quality_ppm long, n_tokens long"
+        )
+        out = token_budget_select(df, budget, **kw).collect()
+        return {r["doc_id"] for r in out if r["selected"]}, len(out)
+
+    def test_boundary_level_fills_in_id_order(self, spark):
+        sel, n = self._sel(spark, 22)
+        # 900 fits (10), boundary=800 with 12 left: doc2 (10) fits,
+        # doc3 would reach 15 -> out; doc4 below boundary
+        assert sel == {1, 2} and n == 4
+
+    def test_whole_corpus_fits(self, spark):
+        sel, n = self._sel(spark, 100)
+        assert sel == {1, 2, 3, 4} and n == 4
+
+    def test_zero_budget_selects_nothing(self, spark):
+        sel, _ = self._sel(spark, 0)
+        assert sel == set()
+
+    def test_inexact_skips_boundary_level(self, spark):
+        sel, n = self._sel(spark, 22, boundary_exact=False)
+        assert sel == {1} and n == 4
+
+    def test_matches_global_prefix_rule(self, spark):
+        """Differential: histogram path == global cumulative-sum rule
+        on a larger deterministic corpus."""
+        import hashlib
+
+        rows = [
+            (i,
+             int(hashlib.md5(f"q{i}".encode()).hexdigest()[:4], 16) % 50 * 1000,
+             int(hashlib.md5(f"t{i}".encode()).hexdigest()[:4], 16) % 200 + 1)
+            for i in range(300)
+        ]
+        budget = sum(r[2] for r in rows) * 6 // 10
+        sel, _ = self._sel(spark, budget, rows=rows)
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, expect = 0, set()
+        for i, q, t in ordered:
+            cum += t
+            if cum <= budget:
+                expect.add(i)
+        assert sel == expect

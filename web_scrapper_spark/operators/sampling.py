@@ -151,3 +151,101 @@ def domain_mix(
         stratum_col=stratum_col,
         id_col=id_col,
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_ppm",
+    tokens_col: str = "n_tokens",
+    boundary_exact: bool = True,
+) -> DataFrame:
+    """Fill a token budget with the best-quality documents.
+
+    The "select 1T tokens" step: order docs by (quality desc, id asc)
+    and keep the prefix whose cumulative token count stays within
+    ``budget_tokens``. Computed WITHOUT a global sort over the corpus:
+
+    - aggregate tokens per distinct quality value (map-side combined),
+      one small window over that histogram finds the BOUNDARY level —
+      the highest quality whose full inclusion overflows the budget
+    - every doc strictly above the boundary is selected outright (a
+      broadcast threshold comparison, scan-shaped)
+    - docs AT the boundary level fill the remaining budget in id order
+      — a running-sum window whose input is that single level only
+
+    ``boundary_exact=False`` skips the boundary window (selects none
+    of the boundary level) for the degenerate corpus where one quality
+    value dominates; the undershoot is then bounded by that level's
+    token mass. Same exact/inexact pattern as
+    ``frontier.fairshare.fair_share_budgets``.
+
+    Returns all input rows plus a ``selected`` flag (so the funnel's
+    rejected complement is one filter away)::
+
+      (id, quality_ppm, n_tokens, selected)
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
+    d = docs.select(
+        F.col(id_col),
+        F.col(quality_col).cast("long").alias("quality_ppm"),
+        F.greatest(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+
+    b = F.lit(int(budget_tokens)).cast("long")
+    hist = d.groupBy("quality_ppm").agg(F.sum("n_tokens").alias("mass"))
+    w_above = Window.orderBy(F.desc("quality_ppm")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lev = hist.select(
+        "quality_ppm",
+        "mass",
+        F.coalesce(F.sum("mass").over(w_above), F.lit(0)).alias("mass_above"),
+    )
+    # boundary = the highest level whose FULL inclusion overflows;
+    # if nothing overflows the whole corpus fits (virtual boundary
+    # below every level, remaining budget irrelevant)
+    boundary = (
+        lev.filter(F.col("mass_above") + F.col("mass") > b)
+        .orderBy(F.desc("quality_ppm"))
+        .limit(1)
+        .select(
+            F.col("quality_ppm").alias("b_level"),
+            (b - F.col("mass_above")).alias("b_remaining"),
+        )
+    )
+    scal = boundary.unionByName(
+        d.sparkSession.range(1).select(
+            F.lit(None).cast("long").alias("b_level"),
+            F.lit(None).cast("long").alias("b_remaining"),
+        )
+    ).orderBy(F.col("b_level").desc_nulls_last()).limit(1)
+
+    out = d.crossJoin(F.broadcast(scal))
+    above = F.col("b_level").isNull() | (F.col("quality_ppm") > F.col("b_level"))
+    if not boundary_exact:
+        return out.select(
+            id_col, "quality_ppm", "n_tokens", above.alias("selected")
+        )
+
+    # running token sum over the boundary level only, id order
+    at_boundary = out.filter(F.col("quality_ppm") == F.col("b_level"))
+    w_run = Window.orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bounded = at_boundary.select(
+        id_col,
+        "quality_ppm",
+        "n_tokens",
+        (F.sum("n_tokens").over(w_run) <= F.col("b_remaining")).alias(
+            "selected"
+        ),
+    )
+    return (
+        out.filter(above | (F.col("quality_ppm") != F.col("b_level")))
+        .select(id_col, "quality_ppm", "n_tokens", above.alias("selected"))
+        .unionByName(bounded)
+    )
