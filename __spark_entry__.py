@@ -1929,6 +1929,36 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_postings(spark, sf_dir):
+    """Blocked inverted index (operators/textops.py build_postings):
+    min_df=2, max_df=80% stop-word elimination (the synthetic corpus
+    vocabulary is templated — most terms sit at 50-80% df, so the 80%
+    gate keeps ~30 terms and still exercises the cutoff), 64-entry
+    blocks (~5 blocks/term). The query flattens the aligned posting
+    arrays with posexplode so the hash validates WITHIN-BLOCK ORDER,
+    not just membership; the oracle re-derives (term, df, block, pos,
+    doc_id, tf) relationally with the proven _TOKS_SQL tokenizer."""
+    from web_scrapper_spark.operators.textops import build_postings
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_postings(
+        docs, docs.count(), min_df=2, max_df_ppm=800_000, block_size=64
+    )
+    return idx.select(
+        "term",
+        "df",
+        "block",
+        F.posexplode(F.arrays_zip("doc_ids", "tfs")).alias("pos", "entry"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.doc_ids").alias("doc_id"),
+        F.col("entry.tfs").alias("tf"),
+    )
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -2616,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fair_share": _q_fair_share,
         "corpus_layout": _q_corpus_layout,
         "token_budget": _q_token_budget,
+        "postings": _q_postings,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3071,6 +3102,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "postings": f"""
+            -- inverted-index replay: tf per (term, doc), df gate
+            -- (min 2, max 80% of corpus), 64-entry blocks with
+            -- within-block positions from the same (doc_id asc) rank.
+            WITH tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+              GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), kept AS (
+              SELECT tf.term, tf.doc_id, tf.tf, dft.df
+              FROM tf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            )
+            SELECT term, df,
+                   CAST((row_number() OVER w - 1) // 64 AS BIGINT) AS block,
+                   CAST((row_number() OVER w - 1) % 64 AS BIGINT) AS pos,
+                   doc_id, tf
+            FROM kept
+            WINDOW w AS (PARTITION BY term ORDER BY doc_id ASC)
         """,
         "token_budget": """
             -- the rule the histogram path must equal: one global

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "fair_share",
     "corpus_layout",
     "token_budget",
+    "postings",
 ]
 
 

@@ -1889,3 +1889,59 @@ class TestPageMeta:
         assert r["og_image"] == "https://i/x.png"
         assert all(got["u2"][c] is None for c in
                    ("title", "meta_description", "og_title", "og_image"))
+
+
+class TestBuildPostings:
+    """Blocked inverted index (textops.build_postings)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tf_df_and_alignment(self, spark):
+        from web_scrapper_spark.operators.textops import build_postings
+
+        rows = [(1, "alpha beta alpha"), (2, "alpha gamma"), (3, "beta beta")]
+        out = {
+            r["term"]: r
+            for r in build_postings(self._docs(spark, rows), 3).collect()
+        }
+        # every term df>=1 kept at defaults; hapax gamma included
+        assert out["alpha"]["df"] == 2
+        assert list(out["alpha"]["doc_ids"]) == [1, 2]
+        assert list(out["alpha"]["tfs"]) == [2, 1]
+        assert list(out["beta"]["doc_ids"]) == [1, 3]
+        assert list(out["beta"]["tfs"]) == [1, 2]
+        assert out["gamma"]["df"] == 1
+
+    def test_df_gates_drop_hapax_and_stopwords(self, spark):
+        from web_scrapper_spark.operators.textops import build_postings
+
+        rows = [(i, "the unique%d word" % i) for i in range(10)]
+        out = build_postings(
+            self._docs(spark, rows), 10, min_df=2, max_df_ppm=900_000
+        ).collect()
+        terms = {r["term"] for r in out}
+        # 'the'/'word' df=10 > 90% gate; unique* df=1 < 2 -> nothing left
+        assert terms == set()
+
+    def test_blocking_splits_in_doc_order(self, spark):
+        from web_scrapper_spark.operators.textops import build_postings
+
+        rows = [(i, "common") for i in range(7)]
+        out = sorted(
+            build_postings(
+                self._docs(spark, rows), 7, block_size=3
+            ).collect(),
+            key=lambda r: r["block"],
+        )
+        assert [r["block"] for r in out] == [0, 1, 2]
+        assert [list(r["doc_ids"]) for r in out] == [[0, 1, 2], [3, 4, 5], [6]]
+        assert all(r["df"] == 7 for r in out)
+
+    def test_bad_block_size_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import build_postings
+
+        with _pytest.raises(ValueError):
+            build_postings(self._docs(spark, [(1, "x")]), 1, block_size=0)

@@ -674,3 +674,77 @@ def bpe_pair_counts(
     return top.withColumn("rank", F.row_number().over(win)).select(
         "pair", "freq", "rank"
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    n_docs: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Blocked inverted index — the index-time twin of
+    :func:`bm25_term_weights` (which scores; this MATERIALIZES the
+    posting lists a search/dedup service would serve).
+
+    One row per (term, block)::
+
+      (term, df, block, doc_ids: array<long>, tfs: array<long>)
+
+    - posting entries are (doc_id asc) within and across blocks —
+      ``block = floor(rank/block_size)`` — so lists stream in merge
+      order and block k of a term can be fetched without block k+1
+      (the skip-list access pattern); aligned primitive arrays are the
+      standard columnar posting layout
+    - ``min_df`` / ``max_df_ppm`` implement stop-word elimination by
+      document frequency — the same cutoff real indexes use — which
+      also BOUNDS the per-term window partition: after the max-df
+      gate no term's postings exceed ``max_df_ppm`` of the corpus, so
+      the blocking window cannot see a corpus-sized partition
+    - ``n_docs`` is the corpus size (driver scalar, same pattern as
+      the pagerank node count)
+
+    Scale shape: one (term, doc) partial-aggregated exchange for tf,
+    one (term) aggregate for df (both map-side combined), the bounded
+    blocking window, and one (term, block) aggregate for the arrays.
+    Text never shuffles — only (term, doc_id, tf) triples do.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    max_df = (max_df_ppm * int(n_docs)) // 1_000_000
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    kept = tf.join(
+        df_t.filter(
+            (F.col("df") >= min_df) & (F.col("df") <= F.lit(max_df))
+        ),
+        "term",
+    )
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    blocked = kept.withColumn(
+        "block",
+        F.floor((F.row_number().over(w) - 1) / block_size).cast("long"),
+    )
+    entries = F.array_sort(F.collect_list(F.struct("doc_id", "tf")))
+    return (
+        blocked.groupBy("term", "df", "block")
+        .agg(entries.alias("_e"))
+        .select(
+            "term",
+            "df",
+            "block",
+            F.transform("_e", lambda x: x["doc_id"]).alias("doc_ids"),
+            F.transform("_e", lambda x: x["tf"]).alias("tfs"),
+        )
+    )
