@@ -887,3 +887,48 @@ class TestFairShare:
         got = [r["ord_key"] for r in batch.filter(
             F.col("host") == "roomy.org").orderBy("ord_key").collect()]
         assert got == sorted(got)[:5]
+
+
+class TestFairBudgetEpoch:
+    """CrawlConfig.fair_budget: the epoch's capped dequeue water-fills
+    across hosts instead of greedy corpus-wide (depth, ord_key)."""
+
+    def _run_epoch0(self, spark, tmp_path, fair):
+        import datetime
+
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures.sitegen import PAGES_SCHEMA
+
+        ts = datetime.datetime(2025, 1, 1)
+        html = b"<html><body><p>page</p></body></html>"
+        urls = [f"https://a.org/p{i}" for i in range(6)] + [
+            f"https://b.org/p{i}" for i in range(6)
+        ]
+        pages = spark.createDataFrame(
+            [(u, ts, html, "", "en") for u in urls], PAGES_SCHEMA
+        )
+        robots = spark.createDataFrame(
+            [], "host string, disallow_prefixes array<string>, crawl_delay double"
+        )
+        cfg = CrawlConfig(
+            epoch_seconds=8.0, default_delay=1.0,
+            global_budget=6, fair_budget=fair,
+        )
+        store = SnapshotStore(str(tmp_path / f"fair-{fair}"))
+        engine = CrawlEngine(spark, store, pages, robots, cfg)
+        # a.org seeds sort first in (depth, ord_key) — greedy takes all
+        engine.init([(u, "content") for u in urls])
+        engine.run(max_epochs=1)
+        seen = engine.seen().collect()
+        by_host = {}
+        for r in seen:
+            by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+        return by_host
+
+    def test_greedy_starves_second_host(self, spark, tmp_path):
+        assert self._run_epoch0(spark, tmp_path, fair=False) == {"a.org": 6}
+
+    def test_fair_splits_the_cap(self, spark, tmp_path):
+        assert self._run_epoch0(spark, tmp_path, fair=True) == {
+            "a.org": 3, "b.org": 3
+        }

@@ -96,6 +96,11 @@ class CrawlConfig:
     max_attempts: int = 3            # tenacity stop_after_attempt(3)
     salt_buckets: int = 8            # hot-host skew defusal (north rule)
     global_budget: Optional[int] = None
+    # with global_budget set: False = greedy (best (depth, ord_key)
+    # rows corpus-wide — one hot host may take the whole cap), True =
+    # max-min fair water-filling of the cap across hosts
+    # (frontier/fairshare.py) — no host can crowd out the others
+    fair_budget: bool = False
     # broadcast the fetch batch only while it's genuinely small; above
     # this the driver-side serialize is slower than a shuffled join and
     # AQE picks the strategy
@@ -400,11 +405,31 @@ class CrawlEngine:
         to_unpersist.append(ranked)
         batch = ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")
         if cfg.global_budget is not None:
-            batch = (
-                batch.orderBy(F.asc("depth"), F.asc("ord_key"))
-                .limit(cfg.global_budget)
-                .persist()
-            )
+            if cfg.fair_budget:
+                # water-fill the cap across hosts: each host's demand
+                # is its politeness-legal row count; within a host the
+                # standard (priority, depth, ord_key) ranking decides
+                # which rows make the allocation
+                from ..frontier.fairshare import fair_share_budgets
+
+                demands = batch.groupBy("host").agg(
+                    F.count("*").alias("demand")
+                )
+                alloc = fair_share_budgets(
+                    demands, cfg.global_budget
+                ).select("host", F.col("alloc").alias("_fair_alloc"))
+                batch = (
+                    batch.join(F.broadcast(alloc), "host")
+                    .filter(F.col("host_rank") <= F.col("_fair_alloc"))
+                    .drop("_fair_alloc")
+                    .persist()
+                )
+            else:
+                batch = (
+                    batch.orderBy(F.asc("depth"), F.asc("ord_key"))
+                    .limit(cfg.global_budget)
+                    .persist()
+                )
             to_unpersist.append(batch)
             pending_after = ranked.select(*frontier_cols).join(
                 batch.select("url"), "url", "left_anti"
