@@ -192,3 +192,61 @@ class TestStreamingDedup:
         assert len(got) == 2
         assert "https://a.org/3" in got
         assert len(got & {"https://a.org/1", "https://a.org/2"}) == 1
+
+
+class TestAdaptiveDelayStream:
+    """Streaming twin of frontier.adaptive.adaptive_delays: state fold
+    across micro-batches must equal the batch operator bit-exactly."""
+
+    OBS = [
+        # host a: epochs 0-2 (fold: 100 -> (300+500)//4=200 -> (600+60)//4=165)
+        ("a.org", 0, 80, False), ("a.org", 0, 120, False),
+        ("a.org", 1, 500, False),
+        ("a.org", 2, 60, False),
+        # host b: clean epoch then 50% errors -> 4x backoff
+        ("b.org", 0, 100, False),
+        ("b.org", 2, 100, True), ("b.org", 2, 100, False),
+    ]
+
+    def _obs_dir(self, spark, tmp_path):
+        d = str(tmp_path / "obs")
+        df = spark.createDataFrame(self.OBS, st.stream.ADAPTIVE_OBS_SCHEMA)
+        # one file per epoch = one trigger per epoch (the contract:
+        # an epoch's observations never span triggers)
+        for ep in (0, 1, 2):
+            df.filter(f"epoch = {ep}").coalesce(1).write.mode("append").parquet(d)
+        return d
+
+    def test_stream_matches_batch_operator(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.frontier.adaptive import adaptive_delays
+
+        obs = (
+            spark.readStream.schema(st.stream.ADAPTIVE_OBS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self._obs_dir(spark, tmp_path))
+        )
+        out = st.adaptive_delay_stream(obs)
+        _run_to_memory(out, "adaptive", mode="update")
+        # memory sink in update mode appends every update; the LAST row
+        # per host is the live recommendation
+        final = {
+            r["host"]: (r["n_epochs"], r["ewma_latency_ms"],
+                        r["last_err_ppm"], r["delay_ms"])
+            for r in spark.sql(
+                "select * from (select *, row_number() over "
+                "(partition by host order by n_epochs desc) as rn "
+                "from adaptive) where rn = 1"
+            ).collect()
+        }
+        batch = {
+            r["host"]: (r["n_epochs"], r["ewma_latency_ms"],
+                        r["last_err_ppm"], r["delay_ms"])
+            for r in adaptive_delays(
+                spark.createDataFrame(self.OBS, st.stream.ADAPTIVE_OBS_SCHEMA)
+            ).collect()
+        }
+        assert final == batch
+        assert final["a.org"] == (3, 165, 0, 1650)
+        assert final["b.org"][3] == 4000  # latest-epoch backoff

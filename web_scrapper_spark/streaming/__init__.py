@@ -8,6 +8,7 @@ accounting, and a foreachBatch incremental-extraction runner.
 """
 
 from .stream import (
+    adaptive_delay_stream,
     dedup_pages_stream,
     extract_articles_stream,
     host_rate_metrics,
@@ -19,6 +20,7 @@ from .stream import (
 
 __all__ = [
     "pages_stream",
+    "adaptive_delay_stream",
     "dedup_pages_stream",
     "extract_articles_stream",
     "host_rate_metrics",

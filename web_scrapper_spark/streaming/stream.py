@@ -12,6 +12,10 @@
 - ``run_incremental_extraction`` — foreachBatch runner appending
                               extracted articles per micro-batch with
                               checkpointed exactly-once file sink
+- ``adaptive_delay_stream``   — stateful streaming twin of
+                              frontier.adaptive.adaptive_delays: the
+                              per-host EWMA politeness fold as live
+                              applyInPandasWithState state
 """
 
 from __future__ import annotations
@@ -200,4 +204,108 @@ def dedup_pages_stream(
         pages.withColumn("fingerprint", fp)
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+ADAPTIVE_OBS_SCHEMA = (
+    "host string, epoch long, latency_ms long, is_err boolean"
+)
+ADAPTIVE_OUT_SCHEMA = (
+    "host string, n_epochs long, ewma_latency_ms long, "
+    "last_err_ppm long, delay_ms long"
+)
+_ADAPTIVE_STATE = "ewma long, last_err_ppm long, n_epochs long"
+
+
+def _adaptive_state_fn(
+    alpha_num: int,
+    alpha_den: int,
+    latency_factor: int,
+    err_backoff_ppm: int,
+    backoff_mult: int,
+    min_delay_ms: int,
+    max_delay_ms: int,
+):
+    keep = alpha_den - alpha_num
+
+    def fn(key: Tuple[str], batches: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        ewma, last_err, n = (state.get if state.exists else (0, 0, 0))
+        # per-epoch integer aggregates across this trigger's rows
+        sums: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = pdf.groupby("epoch").agg(
+                lat=("latency_ms", "sum"),
+                cnt=("latency_ms", "size"),
+                err=("is_err", "sum"),
+            )
+            for ep, row in g.iterrows():
+                s = sums.setdefault(int(ep), [0, 0, 0])
+                s[0] += int(row["lat"])
+                s[1] += int(row["cnt"])
+                s[2] += int(row["err"])
+        for ep in sorted(sums):
+            lat, cnt, err = sums[ep]
+            mean = lat // cnt
+            err_ppm = err * 1_000_000 // cnt
+            ewma = (
+                mean if n == 0 else (ewma * keep + mean * alpha_num) // alpha_den
+            )
+            last_err = err_ppm
+            n += 1
+        state.update((int(ewma), int(last_err), int(n)))
+        base = ewma * latency_factor
+        if last_err >= err_backoff_ppm:
+            base *= backoff_mult
+        delay = min(max(base, min_delay_ms), max_delay_ms)
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_epochs": [n],
+                "ewma_latency_ms": [ewma],
+                "last_err_ppm": [last_err],
+                "delay_ms": [delay],
+            }
+        )
+
+    return fn
+
+
+def adaptive_delay_stream(
+    obs: DataFrame,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    latency_factor: int = 10,
+    err_backoff_ppm: int = 200_000,
+    backoff_mult: int = 4,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 30_000,
+) -> DataFrame:
+    """Streaming twin of ``frontier.adaptive.adaptive_delays``: the
+    per-host (ewma, last_err_ppm, n_epochs) fold lives in
+    applyInPandasWithState state, updated as fetch-observation
+    micro-batches arrive; every update emits the host's CURRENT delay
+    recommendation — the live feedback loop a long-running crawl
+    service runs, where the batch operator is the at-rest replay.
+
+    Contract for batch-equivalence: one epoch's observations must not
+    span triggers (the crawl emits its fetch log atomically per
+    epoch); within a trigger any number of complete epochs may arrive
+    and are folded in epoch order. Same integer recurrence as the
+    batch operator, so the final state matches ``adaptive_delays``
+    bit-exactly (asserted in tests).
+    """
+    return obs.groupBy("host").applyInPandasWithState(
+        _adaptive_state_fn(
+            alpha_num, alpha_den, latency_factor, err_backoff_ppm,
+            backoff_mult, min_delay_ms, max_delay_ms,
+        ),
+        outputStructType=ADAPTIVE_OUT_SCHEMA,
+        stateStructType=_ADAPTIVE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
