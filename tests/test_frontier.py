@@ -932,3 +932,55 @@ class TestFairBudgetEpoch:
         assert self._run_epoch0(spark, tmp_path, fair=True) == {
             "a.org": 3, "b.org": 3
         }
+
+
+class TestFairShareDifferential:
+    """fair_share_budgets vs an independent brute force: binary-search
+    the water level, then hand out the remainder — different algorithm,
+    must produce identical allocations."""
+
+    def _brute(self, demands, budget):
+        total = sum(d for _, d in demands)
+        if total <= budget:
+            return {h: d for h, d in demands}
+        lo, hi = 0, max(d for _, d in demands)
+        while lo < hi:  # largest T with sum(min(d, T)) <= budget
+            mid = (lo + hi + 1) // 2
+            if sum(min(d, mid) for _, d in demands) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        t = lo
+        alloc = {h: min(d, t) for h, d in demands}
+        r = budget - sum(alloc.values())
+        capped = sorted(
+            [(h, d) for h, d in demands if d > t], key=lambda x: (-x[1], x[0])
+        )
+        for h, _ in capped[:r]:
+            alloc[h] += 1
+        return alloc
+
+    def test_random_scenarios_match(self, spark):
+        import random
+
+        from web_scrapper_spark.frontier.fairshare import fair_share_budgets
+
+        rng = random.Random(42)
+        for case in range(5):
+            n = rng.randint(1, 40)
+            demands = [
+                (f"h{i:02d}", rng.choice([0, 1, 2, 3, 7, 50, 51, 1000]))
+                for i in range(n)
+            ]
+            total = sum(d for _, d in demands)
+            budget = rng.randint(0, max(total + 3, 1))
+            got = {
+                r["host"]: r["alloc"]
+                for r in fair_share_budgets(
+                    spark.createDataFrame(demands, "host string, demand long"),
+                    budget,
+                ).collect()
+            }
+            want = self._brute(demands, budget)
+            assert got == want, (case, budget, demands)
+            assert sum(got.values()) == min(budget, total)
