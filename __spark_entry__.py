@@ -1906,6 +1906,51 @@ def _q_adaptive_delay(spark, sf_dir):
     return adaptive_delays(obs)
 
 
+def _q_robots_audit(spark, sf_dir):
+    """Robots compliance audit (frontier/core.py robots_audit):
+    documents become fetched URLs over 13 hosts — paths cycle through
+    /private/ok… (Allow-overridden on even hosts), /private/… (always
+    disallowed), and /pub/… (clean) — with one disallow + one
+    conditional allow rule per host. Exercises longest-match override,
+    violation counting, the ppm floor division, and the deterministic
+    min-violating-URL sample. The oracle recomputes the expected
+    verdict per path class relationally (the general longest-match
+    fold itself is oracle-verified by `robots_allow`)."""
+    from web_scrapper_spark.frontier.core import robots_audit
+
+    docs = _read(spark, sf_dir, "documents")
+    hidx = F.col("doc_id") % 13
+    path = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/private/ok"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/private/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id").cast("string")))
+    )
+    fetches = docs.select(
+        F.concat(
+            F.lit("https://h"), hidx.cast("string"), F.lit(".org"), path
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            (
+                f"h{h}.org",
+                ["/private"],
+                ["/private/ok"] if h % 2 == 0 else [],
+            )
+            for h in range(13)
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    return robots_audit(fetches, rules)
+
+
 def _q_corpus_layout(spark, sf_dir):
     """Training-corpus export layout (operators/layout.py): quality is
     the alpha-character ratio in ppm (integer floor), buckets are the
@@ -2647,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_layout": _q_corpus_layout,
         "token_budget": _q_token_budget,
         "postings": _q_postings,
+        "robots_audit": _q_robots_audit,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3102,6 +3148,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "robots_audit": """
+            -- expected verdict per path class: /private/okN allowed
+            -- on even hosts (longest-match Allow) and a violation on
+            -- odd hosts; /privateN always a violation; /pubN clean.
+            WITH fetches AS (
+              SELECT doc_id % 13 AS h,
+                     'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.org' ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 1
+                          THEN '/private/' || CAST(doc_id AS VARCHAR)
+                          ELSE '/pub/' || CAST(doc_id AS VARCHAR) END AS url,
+                     CASE WHEN doc_id % 4 = 0 THEN (doc_id % 13) % 2 <> 0
+                          WHEN doc_id % 4 = 1 THEN TRUE
+                          ELSE FALSE END AS blocked
+              FROM documents
+            )
+            SELECT 'h' || CAST(h AS VARCHAR) || '.org' AS host,
+                   CAST(count(*) AS BIGINT) AS n_fetched,
+                   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violations,
+                   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS violation_ppm,
+                   min(CASE WHEN blocked THEN url END) AS first_violation
+            FROM fetches GROUP BY h
         """,
         "postings": f"""
             -- inverted-index replay: tf per (term, doc), df gate

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "corpus_layout",
     "token_budget",
     "postings",
+    "robots_audit",
 ]
 
 

@@ -984,3 +984,49 @@ class TestFairShareDifferential:
             want = self._brute(demands, budget)
             assert got == want, (case, budget, demands)
             assert sum(got.values()) == min(budget, total)
+
+
+class TestRobotsAudit:
+    """Compliance audit (core.robots_audit): current rules replayed
+    against already-fetched URLs."""
+
+    def test_violations_overrides_and_sample(self, spark):
+        from web_scrapper_spark.frontier.core import robots_audit
+
+        fetches = spark.createDataFrame(
+            [("https://a.org/private/ok1",),   # allow override -> clean
+             ("https://a.org/private/x",),     # violation
+             ("https://a.org/private/a",),     # violation (min sample)
+             ("https://a.org/pub",),
+             ("https://b.org/private/ok1",),   # no allow on b -> violation
+             ("https://c.org/anything",)],     # host without rules row
+            "url string",
+        )
+        rules = spark.createDataFrame(
+            [("a.org", ["/private"], ["/private/ok"]),
+             ("b.org", ["/private"], [])],
+            "host string, disallow_prefixes array<string>, "
+            "allow_prefixes array<string>",
+        )
+        got = {r["host"]: r for r in robots_audit(fetches, rules).collect()}
+        a = got["a.org"]
+        assert (a["n_fetched"], a["n_violations"]) == (4, 2)
+        assert a["violation_ppm"] == 500000
+        assert a["first_violation"] == "https://a.org/private/a"
+        assert got["b.org"]["n_violations"] == 1
+        c = got["c.org"]
+        assert (c["n_violations"], c["first_violation"]) == (0, None)
+
+    def test_disallow_only_rules_table(self, spark):
+        from web_scrapper_spark.frontier.core import robots_audit
+
+        fetches = spark.createDataFrame(
+            [("https://a.org/private/x",), ("https://a.org/pub",)],
+            "url string",
+        )
+        rules = spark.createDataFrame(
+            [("a.org", ["/private"])],
+            "host string, disallow_prefixes array<string>",
+        )
+        r = robots_audit(fetches, rules).collect()[0]
+        assert (r["n_fetched"], r["n_violations"]) == (2, 1)

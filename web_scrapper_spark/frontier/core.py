@@ -308,6 +308,80 @@ def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFra
     return allowed.drop(*drop)
 
 
+def robots_audit(
+    fetches: DataFrame, robots: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Compliance report: per host, how many ALREADY-FETCHED URLs the
+    CURRENT rules would disallow. Violations appear when robots.txt
+    changes after a fetch (rules drift between recrawls) or a crawler
+    bug bypassed the enqueue-time filter — auditing for them is
+    standard crawl-operations hygiene, and the set-oriented audit is
+    one broadcast join + one aggregate regardless of corpus size.
+
+    Same RFC 9309 longest-match semantics as ``robots_filter`` (Allow
+    wins ties; rules tables without ``allow_prefixes`` keep
+    disallow-only semantics). Returns one row per host present in
+    ``fetches``::
+
+      (host, n_fetched, n_violations, violation_ppm, first_violation)
+
+    ``first_violation`` is the lexicographic-min violating URL (NULL
+    when compliant) — a deterministic sample for the operator's
+    incident report.
+    """
+    has_allow = "allow_prefixes" in robots.columns
+    cols = ["host", "disallow_prefixes"] + (
+        ["allow_prefixes"] if has_allow else []
+    )
+    rules = robots.select(*cols)
+    with_host = fetches.select(F.col(url_col).alias("_url")).withColumn(
+        "_host", F.lower(F.parse_url("_url", F.lit("HOST")))
+    ).withColumn("_path", F.parse_url("_url", F.lit("PATH")))
+    joined = with_host.join(
+        F.broadcast(rules), with_host["_host"] == rules["host"], "left"
+    )
+
+    def longest_match(col_name: str):
+        return F.coalesce(
+            F.aggregate(
+                F.col(col_name),
+                F.lit(0),
+                lambda acc, p: F.when(
+                    F.col("_path").startswith(p) & (F.length(p) > acc),
+                    F.length(p),
+                ).otherwise(acc),
+            ),
+            F.lit(0),
+        )
+
+    if has_allow:
+        blocked = longest_match("disallow_prefixes") > longest_match(
+            "allow_prefixes"
+        )
+    else:
+        blocked = longest_match("disallow_prefixes") > 0
+    return (
+        joined.withColumn("_blocked", blocked)
+        .groupBy(F.col("_host").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_fetched"),
+            F.sum(F.col("_blocked").cast("long")).alias("n_violations"),
+            F.min(F.when(F.col("_blocked"), F.col("_url"))).alias(
+                "first_violation"
+            ),
+        )
+        .withColumn(
+            "violation_ppm",
+            F.floor(F.col("n_violations") * 1_000_000 / F.col("n_fetched"))
+            .cast("long"),
+        )
+        .select(
+            "host", "n_fetched", "n_violations", "violation_ppm",
+            "first_violation",
+        )
+    )
+
+
 def drain_plan(
     frontier: DataFrame,
     robots: Optional[DataFrame] = None,
