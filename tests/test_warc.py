@@ -200,3 +200,80 @@ class TestCdxRevisits:
         assert got[("B", "t1")]["kind"] == "first"
         assert got[("C", "t3")]["kind"] == "revisit"
         assert got[("C", "t3")]["original_ts"] == "t1"
+
+
+class TestWarcRevisitWrite:
+    """dedupe_revisits=True: recaptures become identical-payload-digest
+    revisit records; payload bytes are stored once per (url, digest)."""
+
+    def _pages(self, spark):
+        import hashlib as _h
+
+        # incompressible body (md5 chain) so stored payload bytes
+        # dominate the gzip members, as real page bodies do
+        chain = [b"seed"]
+        for _ in range(256):
+            chain.append(_h.md5(chain[-1]).digest())
+        body = b"<html><body>" + b"".join(chain) + b"</body></html>"
+        t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+        t1 = datetime(2025, 2, 1, tzinfo=timezone.utc)
+        t2 = datetime(2025, 3, 1, tzinfo=timezone.utc)
+        rows = [
+            ("https://a.org/stable", t0, body),       # original
+            ("https://a.org/stable", t1, body),       # unchanged -> revisit
+            ("https://a.org/stable", t2, body),       # unchanged -> revisit
+            ("https://a.org/changed", t0, body),
+            ("https://a.org/changed", t1, body + b"!"),  # new digest -> response
+        ]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        ).coalesce(1)
+
+    def test_revisits_shrink_archive_and_roundtrip(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import read_cdx, read_warc, write_warc
+
+        plain_dir, dedup_dir = str(tmp_path / "plain"), str(tmp_path / "dedup")
+        plain = write_warc(self._pages(spark), plain_dir)
+        dedup = write_warc(
+            self._pages(spark), dedup_dir, dedupe_revisits=True
+        )
+        assert sum(m["bytes"] for m in dedup) < sum(m["bytes"] for m in plain)
+
+        responses = read_warc(spark, f"{dedup_dir}/*.warc.gz").collect()
+        assert len(responses) == 3  # two originals + the changed capture
+        revisits = read_warc(
+            spark, f"{dedup_dir}/*.warc.gz", record_types=("revisit",)
+        ).collect()
+        assert len(revisits) == 2
+        assert all(r["html"] == b"" for r in revisits)  # header-only block
+
+        # expansion: the CDX digest is the global join key back to the
+        # original's payload — reconstructs every capture byte-exactly
+        cdx = read_cdx(spark, dedup_dir)
+        resp_df = read_warc(spark, f"{dedup_dir}/*.warc.gz").select(
+            F.col("url").alias("r_url"), F.md5("html").alias("digest"),
+            F.col("html").alias("payload"),
+        )
+        expanded = (
+            cdx.join(resp_df, ["digest"])
+            .filter(F.col("url") == F.col("r_url"))
+            .select("url", "ts", "payload")
+        )
+        got = {(r["url"], r["ts"]): bytes(r["payload"]) for r in expanded.collect()}
+        want = {
+            (r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")): bytes(r["html"])
+            for r in self._pages(spark).collect()
+        }
+        assert got == want
+
+    def test_revisit_headers_point_at_original(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import write_warc
+
+        d = str(tmp_path / "hdrs")
+        write_warc(self._pages(spark), d, dedupe_revisits=True, compress=False)
+        raw = open(os.path.join(d, os.listdir(d)[0].replace(".cdx", ".warc")), "rb").read() \
+            if False else open([os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".warc")][0], "rb").read()
+        assert raw.count(b"WARC-Type: revisit") == 2
+        assert b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest" in raw
+        assert b"WARC-Refers-To-Date: 2025-01-01T00:00:00Z" in raw
+        assert b"WARC-Payload-Digest: md5:" in raw

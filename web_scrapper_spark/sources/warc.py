@@ -114,6 +114,42 @@ def _response_record(url: str, date: str, payload: bytes, content_type: str) -> 
     return headers + http + _CRLF + _CRLF
 
 
+#: WARC 1.0 identical-payload-digest revisit profile URI
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def _revisit_record(
+    url: str, date: str, refers_date: str, digest_hex: str, content_type: str
+) -> bytes:
+    """A ``revisit`` record (ISO 28500 / WARC 1.0 identical-payload-
+    digest profile): the capture's HTTP header block WITHOUT the body,
+    pointing at the earlier capture that holds the payload — the
+    format-native storage dedup Common Crawl ships as
+    ``warc/revisit``."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: " + content_type.encode("ascii") + _CRLF
+        + _CRLF
+    )
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: revisit" + _CRLF
+        + b"WARC-Record-ID: " + _record_id(url, date).encode("ascii") + _CRLF
+        + b"WARC-Date: " + date.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Profile: " + REVISIT_PROFILE.encode("ascii") + _CRLF
+        + b"WARC-Refers-To-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Refers-To-Date: " + refers_date.encode("ascii") + _CRLF
+        + b"WARC-Payload-Digest: md5:" + digest_hex.encode("ascii") + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return headers + http + _CRLF + _CRLF
+
+
 def _warcinfo_record(filename: str) -> bytes:
     body = (
         f"software: {_SOFTWARE}\r\n"
@@ -151,10 +187,22 @@ def build_warc_with_index(
     info = _warcinfo_record(filename)
     chunks.append(_gzip_member(info) if compress else info)
     offset = len(chunks[0])
-    for url, ts, payload in rows:
+    for row in rows:
+        url, ts, payload = row[0], row[1], row[2]
+        refers_ts = row[3] if len(row) > 3 else None
         payload = payload or b""
         date = _warc_date(ts)
-        rec = _response_record(url, date, payload, content_type)
+        digest = hashlib.md5(payload).hexdigest()
+        if refers_ts is not None:
+            # payload lives in the earlier capture; this record is the
+            # pointer (identical-payload-digest revisit)
+            rec = _revisit_record(
+                url, date, _warc_date(refers_ts), digest, content_type
+            )
+            mime = "warc/revisit"
+        else:
+            rec = _response_record(url, date, payload, content_type)
+            mime = content_type.split(";")[0].strip()
         member = _gzip_member(rec) if compress else rec
         chunks.append(member)
         entries.append(
@@ -164,9 +212,9 @@ def build_warc_with_index(
                 "warc_file": filename,
                 "offset": offset,
                 "length": len(member),
-                "digest": hashlib.md5(payload).hexdigest(),
+                "digest": digest,
                 "status": 200,
-                "mime": content_type.split(";")[0].strip(),
+                "mime": mime,
             }
         )
         offset += len(member)
@@ -342,6 +390,7 @@ def write_warc(
     content_type: str = "text/html; charset=utf-8",
     compress: bool = True,
     cdx: bool = True,
+    dedupe_revisits: bool = False,
 ) -> List[dict]:
     """WARC sink. Each input partition becomes one ``part-NNNNN.warc.gz``
     written by its own task directly under ``path`` — repartition
@@ -358,6 +407,18 @@ def write_warc(
     Returns the per-file manifest (file, records, bytes) — one row per
     non-empty partition, collected driver-side (bounded by the shard
     count, never by data size).
+
+    ``dedupe_revisits=True`` turns recaptures into WARC ``revisit``
+    records (identical-payload-digest profile, the Common Crawl
+    ``warc/revisit`` convention): per (url, payload-md5) only the
+    FIRST capture serializes its payload; later captures become
+    header-only pointers carrying WARC-Refers-To-Date and the digest.
+    The original may land in a different shard — the CDX digest column
+    is the global join key a reader expands revisits through
+    (``cdx_revisits`` classifies the same relation at rest). Costs one
+    (url, digest)-keyed aggregate plus a join against the capture rows
+    before the write — co-locate by url upstream to keep the payload
+    side from re-shuffling.
     """
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
@@ -366,6 +427,25 @@ def write_warc(
         F.col(ts_col).alias("warc_ts"),
         F.col(payload_col).alias("html"),
     )
+    if dedupe_revisits:
+        hashed = src.withColumn("_digest", F.md5(F.col("html")))
+        originals = hashed.groupBy("url", "_digest").agg(
+            F.min("warc_ts").alias("_orig_ts")
+        )
+        src = (
+            hashed.join(originals, ["url", "_digest"])
+            .withColumn(
+                "_refers_ts",
+                F.when(
+                    F.col("warc_ts") > F.col("_orig_ts"), F.col("_orig_ts")
+                ),
+            )
+            .select("url", "warc_ts", "html", "_refers_ts")
+        )
+    else:
+        src = src.withColumn(
+            "_refers_ts", F.lit(None).cast("timestamp")
+        )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -377,8 +457,12 @@ def write_warc(
             return
         pdf = pd.concat(parts).sort_values("url", kind="mergesort")
         name = f"part-{pid:05d}{ext}"
+        refers = [
+            None if r is None or r is pd.NaT else r
+            for r in pdf["_refers_ts"]
+        ]
         data, entries = build_warc_with_index(
-            zip(pdf["url"], pdf["warc_ts"], pdf["html"]),
+            zip(pdf["url"], pdf["warc_ts"], pdf["html"], refers),
             filename=name,
             content_type=content_type,
             compress=compress,
