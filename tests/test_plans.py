@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: the properties docs/PLANS.md documents
+are pinned here so a refactor can't silently trade a broadcast for a
+cartesian product or push a vector column through an exchange. All
+assertions run on the INITIAL physical plan (no job execution) at
+sf0.001."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as em
+
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: pair-generating operators must NEVER plan an all-pairs join
+_NO_ALLPAIRS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_ivf_topk",
+    "sim_srp_topk",
+    "semdedup",
+    "winnow_overlap_pairs",
+]
+
+
+class TestPlanShapes:
+    @pytest.mark.parametrize("name", _NO_ALLPAIRS)
+    def test_no_cartesian_or_nested_loop(self, spark, name):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_lookup_join_broadcasts_dimension(self, spark):
+        # J2: part is the small side and is explicitly broadcast
+        assert "BroadcastHashJoin" in _plan(spark, "j2_lookup_join")
+
+    def test_filter_pushdown_reaches_parquet_scan(self, spark):
+        # tpch_q1ish's shipdate predicate must land in PushedFilters
+        plan = _plan(spark, "tpch_q1ish")
+        assert "PushedFilters: [" in plan
+        assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:200]
+
+    def test_column_pruning_reaches_parquet_scan(self, spark):
+        # a2_doc_stats touches doc_id/text only — the scan must not
+        # read the unused source/lang/n_chars columns
+        plan = _plan(spark, "a2_doc_stats")
+        read = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+        assert "text" in read
+        assert "source" not in read and "n_chars" not in read
+
+    @pytest.mark.parametrize("name", ["sim_ivf_topk", "semdedup", "sim_srp_topk"])
+    def test_no_exchange_keyed_on_vectors(self, spark, name):
+        # the round-1 IVF scale-killer: an Exchange hash-partitioned on
+        # the embedding array. Must never come back.
+        plan = _plan(spark, name)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "embedding" not in line and "vec#" not in line, (
+                    name, line.strip()[:160])
+
+    def test_adaptive_delay_is_two_exchange_aggregate(self, spark):
+        # (host, epoch) partial agg -> (host) agg; the EWMA fold is a
+        # projection, not a window over the raw stream
+        plan = _plan(spark, "adaptive_delay")
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Window" not in plan
+
+    def test_postings_blocking_window_is_bounded(self, spark):
+        # the blocking window partitions by term (bounded by the max-df
+        # gate) — never a global sort
+        plan = _plan(spark, "postings")
+        assert "SinglePartition" not in plan
