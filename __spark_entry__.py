@@ -1906,6 +1906,38 @@ def _q_adaptive_delay(spark, sf_dir):
     return adaptive_delays(obs)
 
 
+def _q_quality_drift(spark, sf_dir):
+    """Corpus-mix drift (operators/quality.py distribution_drift):
+    documents split into 5 synthetic crawl epochs (doc_id mod 5),
+    bucketed by the alpha-ratio quality bands, each epoch's mix
+    compared to epoch 0 as an exact integer total-variation ppm. The
+    oracle replays the grid (absent buckets count 0), the floored
+    shares, and the halved L1 sum."""
+    from web_scrapper_spark.operators.quality import distribution_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    q = F.floor(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1_000_000
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    # edges placed inside the synthetic corpus's alpha-ratio range
+    # (794k-855k ppm) so every band is populated and the grid's
+    # zero-fill is exercised by genuinely uneven epochs
+    bucket = F.concat(
+        F.lit("q"),
+        (
+            F.when(q >= 815_000, 1).otherwise(0)
+            + F.when(q >= 822_000, 1).otherwise(0)
+            + F.when(q >= 828_000, 1).otherwise(0)
+        ).cast("string"),
+    )
+    base = docs.select(
+        (F.col("doc_id") % 5).cast("long").alias("epoch"),
+        bucket.alias("bucket"),
+    )
+    return distribution_drift(base, "epoch", "bucket", 0)
+
+
 def _q_robots_audit(spark, sf_dir):
     """Robots compliance audit (frontier/core.py robots_audit):
     documents become fetched URLs over 13 hosts — paths cycle through
@@ -2693,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "postings": _q_postings,
         "robots_audit": _q_robots_audit,
+        "quality_drift": _q_quality_drift,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3148,6 +3181,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "quality_drift": """
+            -- drift replay: (epoch, bucket) counts over the full grid
+            -- (absent combos = 0), ppm shares floored against each
+            -- epoch's total, |delta| vs epoch 0, tv = floor(sum/2).
+            WITH base AS (
+              SELECT doc_id % 5 AS grp,
+                     'q' || CAST(
+                       (CASE WHEN q >= 815000 THEN 1 ELSE 0 END)
+                       + (CASE WHEN q >= 822000 THEN 1 ELSE 0 END)
+                       + (CASE WHEN q >= 828000 THEN 1 ELSE 0 END)
+                       AS VARCHAR) AS bucket
+              FROM (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1000000 // greatest(length(text), 1) AS q
+                FROM documents)
+            ), counts AS (
+              SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY grp, bucket
+            ), grid AS (
+              SELECT g.grp, b.bucket
+              FROM (SELECT DISTINCT grp FROM counts) g,
+                   (SELECT DISTINCT bucket FROM counts) b
+            ), full_grid AS (
+              SELECT grid.grp, grid.bucket, coalesce(counts.n, 0) AS n
+              FROM grid LEFT JOIN counts USING (grp, bucket)
+            ), shares AS (
+              SELECT grp, bucket, n,
+                     CAST(n * 1000000 // greatest(
+                       sum(n) OVER (PARTITION BY grp), 1) AS BIGINT)
+                       AS share_ppm
+              FROM full_grid
+            ), joined AS (
+              SELECT s.grp, s.bucket, s.n, s.share_ppm,
+                     r.share_ppm AS ref_share_ppm,
+                     CAST(abs(s.share_ppm - r.share_ppm) AS BIGINT)
+                       AS abs_diff_ppm
+              FROM shares s
+              JOIN (SELECT bucket, share_ppm FROM shares WHERE grp = 0) r
+                USING (bucket)
+            )
+            SELECT CAST(grp AS BIGINT) AS "group", bucket, n, share_ppm,
+                   ref_share_ppm, abs_diff_ppm,
+                   CAST(sum(abs_diff_ppm) OVER (PARTITION BY grp) // 2
+                     AS BIGINT) AS tv_ppm
+            FROM joined
         """,
         "robots_audit": """
             -- expected verdict per path class: /private/okN allowed

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "token_budget",
     "postings",
     "robots_audit",
+    "quality_drift",
 ]
 
 

@@ -1945,3 +1945,34 @@ class TestBuildPostings:
 
         with _pytest.raises(ValueError):
             build_postings(self._docs(spark, [(1, "x")]), 1, block_size=0)
+
+
+class TestDistributionDrift:
+    """Corpus-mix drift (quality.distribution_drift): exact integer
+    total variation vs a reference group."""
+
+    def _drift(self, spark, rows, ref=0):
+        from web_scrapper_spark.operators.quality import distribution_drift
+
+        df = spark.createDataFrame(rows, "grp long, bucket string")
+        return distribution_drift(df, "grp", "bucket", ref).collect()
+
+    def test_identical_mix_is_zero(self, spark):
+        rows = [(g, b) for g in (0, 1) for b in ("a", "a", "b")]
+        out = self._drift(spark, rows)
+        assert all(r["tv_ppm"] == 0 for r in out)
+        assert {r["share_ppm"] for r in out} == {666666, 333333}
+
+    def test_disjoint_support_is_full_million(self, spark):
+        rows = [(0, "a"), (0, "a"), (1, "b")]
+        out = {(r["group"], r["bucket"]): r for r in self._drift(spark, rows)}
+        # grid fills the absent combos with 0
+        assert out[(1, "a")]["n"] == 0 and out[(0, "b")]["n"] == 0
+        assert out[(1, "a")]["tv_ppm"] == 1_000_000
+        assert out[(0, "a")]["tv_ppm"] == 0  # reference vs itself
+
+    def test_half_shift(self, spark):
+        # ref 50/50; group 1 100/0 -> tv = (500000+500000)/2
+        rows = [(0, "a"), (0, "b"), (1, "a"), (1, "a")]
+        out = {r["group"]: r["tv_ppm"] for r in self._drift(spark, rows)}
+        assert out[1] == 500000

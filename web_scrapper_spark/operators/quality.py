@@ -834,3 +834,69 @@ def host_boilerplate(
             & (frac >= frac_threshold_ppm)
         ).alias("is_boilerplate"),
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    ref_group,
+) -> DataFrame:
+    """Corpus-mix drift monitor: how far each group's bucket
+    distribution has moved from a reference group's, as an exact
+    integer total-variation distance in ppm.
+
+    The production question this answers: "did this crawl epoch's
+    quality/language/source mix shift against the baseline?" — the
+    dashboard stat C4/RefinedWeb-style pipelines watch before letting
+    a new snapshot into the training mix. Total variation (half the
+    L1 distance between the two share vectors) is used instead of
+    PSI/KL because it needs no logarithm: with shares floored to ppm
+    the whole statistic stays in integers, so the result is bit-exact
+    under any partitioning and SQL-replayable.
+
+    Output: one row per (group, bucket) over the FULL grid (absent
+    combinations count 0, so a vanished bucket shows as drift)::
+
+      (group, bucket, n, share_ppm, ref_share_ppm, abs_diff_ppm,
+       tv_ppm)
+
+    ``tv_ppm`` repeats per group: floor(Σ_buckets |Δshare| / 2) —
+    0 = identical mix, 1_000_000 = disjoint support.
+
+    Scale shape: one (group, bucket) count aggregate (map-side
+    combined) is the only pass over the data; the grid, shares, and
+    reference join all run on aggregate-sized tables (groups ×
+    buckets), broadcast back.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("group"), F.col(bucket_col).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+    grid = counts.select("group").distinct().crossJoin(
+        counts.select("bucket").distinct()
+    )
+    full = grid.join(counts, ["group", "bucket"], "left").fillna(0, ["n"])
+    totals = full.groupBy("group").agg(F.sum("n").alias("_total"))
+    shares = full.join(F.broadcast(totals), "group").select(
+        "group",
+        "bucket",
+        "n",
+        F.floor(F.col("n") * 1_000_000 / F.greatest(F.col("_total"), F.lit(1)))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    ref = shares.filter(F.col("group") == F.lit(ref_group)).select(
+        "bucket", F.col("share_ppm").alias("ref_share_ppm")
+    )
+    j = shares.join(F.broadcast(ref), "bucket").withColumn(
+        "abs_diff_ppm",
+        F.abs(F.col("share_ppm") - F.col("ref_share_ppm")).cast("long"),
+    )
+    tv = j.groupBy("group").agg(
+        F.floor(F.sum("abs_diff_ppm") / 2).cast("long").alias("tv_ppm")
+    )
+    return j.join(F.broadcast(tv), "group").select(
+        "group", "bucket", "n", "share_ppm", "ref_share_ppm",
+        "abs_diff_ppm", "tv_ppm",
+    )
