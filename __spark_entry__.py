@@ -1906,6 +1906,33 @@ def _q_adaptive_delay(spark, sf_dir):
     return adaptive_delays(obs)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Distributed backward as-of join (operators/asof.py) — CDX time
+    travel: for each (url, query-time) find the capture current at
+    that time. Captures are documents (url_id = doc_id mod 97, capture
+    ts = doc_id, digest from md5); queries probe ±5 around their own
+    doc_id so matches land before, at (inclusive tie), and after
+    capture times, including the no-earlier-capture NULL case. The
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    first-class implementation of the same semantics, the strongest
+    oracle a custom operator can have."""
+    from web_scrapper_spark.operators.asof import asof_join
+
+    docs = _read(spark, sf_dir, "documents")
+    captures = docs.select(
+        (F.col("doc_id") % 97).alias("url_id"),
+        F.col("doc_id").alias("cts"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    )
+    queries = docs.select(
+        (F.col("doc_id") % 97).alias("url_id"),
+        (F.col("doc_id") + F.col("doc_id") % 11 - 5).alias("qts"),
+    )
+    return asof_join(
+        queries, captures, "url_id", left_ts="qts", right_ts="cts"
+    )
+
+
 def _q_quality_drift(spark, sf_dir):
     """Corpus-mix drift (operators/quality.py distribution_drift):
     documents split into 5 synthetic crawl epochs (doc_id mod 5),
@@ -2726,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
+        "asof_join": _q_asof_join,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3181,6 +3209,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "asof_join": """
+            -- DuckDB's native ASOF LEFT JOIN is the oracle: an
+            -- independent engine's first-class implementation of the
+            -- same backward-inclusive temporal-lookup semantics.
+            WITH captures AS (
+              SELECT doc_id % 97 AS url_id, doc_id AS cts,
+                     md5(CAST(doc_id AS VARCHAR)) AS digest
+              FROM documents
+            ), queries AS (
+              SELECT doc_id % 97 AS url_id,
+                     doc_id + doc_id % 11 - 5 AS qts
+              FROM documents
+            )
+            SELECT q.url_id, q.qts,
+                   c.cts AS asof_cts, c.digest AS asof_digest
+            FROM queries q ASOF LEFT JOIN captures c
+              ON q.url_id = c.url_id AND q.qts >= c.cts
         """,
         "quality_drift": """
             -- drift replay: (epoch, bucket) counts over the full grid

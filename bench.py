@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "postings",
     "robots_audit",
     "quality_drift",
+    "asof_join",
 ]
 
 

@@ -1976,3 +1976,64 @@ class TestDistributionDrift:
         rows = [(0, "a"), (0, "b"), (1, "a"), (1, "a")]
         out = {r["group"]: r["tv_ppm"] for r in self._drift(spark, rows)}
         assert out[1] == 500000
+
+
+class TestAsofJoin:
+    """Distributed backward as-of join (operators/asof.py)."""
+
+    def _join(self, spark, left_rows, right_rows, **kw):
+        from web_scrapper_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame(left_rows, "k long, qts long, tag string")
+        r = spark.createDataFrame(right_rows, "k long, cts long, v string")
+        return asof_join(
+            l, r, "k", left_ts="qts", right_ts="cts", **kw
+        ).collect()
+
+    def test_latest_at_or_before_with_tie_inclusive(self, spark):
+        out = {
+            (r["k"], r["qts"]): (r["asof_cts"], r["asof_v"])
+            for r in self._join(
+                spark,
+                [(1, 15, "x"), (1, 20, "y"), (1, 5, "z"), (2, 100, "w")],
+                [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+            )
+        }
+        assert out[(1, 15)] == (10, "a")
+        assert out[(1, 20)] == (20, "b")   # equal ts matches (inclusive)
+        assert out[(1, 5)] == (None, None)  # nothing earlier -> NULLs
+        assert out[(2, 100)] == (5, "c")
+
+    def test_left_columns_survive_and_row_count_is_left(self, spark):
+        rows = self._join(
+            spark,
+            [(1, 15, "x"), (1, 16, "x2")],
+            [(1, 10, "a")],
+        )
+        assert len(rows) == 2
+        assert {r["tag"] for r in rows} == {"x", "x2"}
+
+    def test_partitioning_independent(self, spark):
+        from web_scrapper_spark.operators.asof import asof_join
+
+        l = spark.range(200).selectExpr(
+            "id % 7 as k", "id as qts", "'t' as tag"
+        )
+        r = spark.range(60).selectExpr(
+            "id % 7 as k", "id * 3 as cts", "concat('v', id) as v"
+        )
+        a = asof_join(l, r, "k", left_ts="qts", right_ts="cts").collect()
+        b = asof_join(
+            l.repartition(13), r.repartition(5), "k",
+            left_ts="qts", right_ts="cts",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_no_payload_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            asof_join(df, df, "k", left_ts="k", right_ts="k")

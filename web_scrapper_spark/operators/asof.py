@@ -1,0 +1,101 @@
+"""Distributed as-of join — the temporal lookup Spark has no native
+operator for.
+
+The crawl-native question: "which capture of this URL was current at
+time T?" — CDX time travel, freshness accounting against a snapshot
+date, joining fetch observations to the robots rules in force at the
+time. Generally: for each left row, the single right row with the
+largest ``right_ts <= left_ts`` per key (the "backward" as-of of
+kdb/pandas/DuckDB).
+
+A naive range join (``l.key = r.key AND r.ts <= l.ts`` + max) explodes
+to O(|captures per key| × |queries per key|) pairs before pruning.
+This implementation is the standard distributed shape instead — the
+UNION-MARKER SORT: both sides interleave into one (key, ts)-ordered
+stream, a running ``last(..., ignorenulls)`` carries each right row's
+payload forward to the left rows that follow it, and the left rows
+are then filtered back out. Cost: ONE exchange keyed on the join key
+and a per-key sort — no pair blowup, no secondary aggregate.
+
+Ties (``right_ts == left_ts``) match — the right row sorts first via
+the side marker. Left rows with no earlier right row keep NULLs
+(left-outer semantics). Per-key window input is that key's full
+history; a pathologically hot key concentrates in one task — the
+same skew caveat as any keyed window, salt upstream if a key's
+history exceeds a task.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row picks up the latest
+    ``right`` row with ``right_ts <= left_ts`` for its key.
+
+    Returns all ``left`` columns plus every non-key ``right`` column
+    renamed ``{right_prefix}{name}`` (including the matched
+    ``{right_prefix}{right_ts}``), NULL when no right row precedes.
+    """
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys]
+    if not payload:
+        raise ValueError("right side has no payload columns")
+    left_cols = [c for c in left.columns]
+    for c in left_cols:
+        if c.startswith(right_prefix):
+            raise ValueError(f"left column {c!r} collides with right_prefix")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left_cols],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(
+                f"{right_prefix}{c}"
+            )
+            for c in payload
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    )
+    # right rows sort before left rows at equal ts (side 0 < 1), so
+    # right_ts == left_ts matches — inclusive backward as-of
+    w = Window.partitionBy(*keys).orderBy(F.asc("_ats"), F.asc("_side")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = r.unionByName(l).select(
+        "_side",
+        *[F.col(f"_l_{c}") for c in left_cols],
+        *[
+            F.last(f"{right_prefix}{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"{right_prefix}{c}") for c in payload],
+    )
