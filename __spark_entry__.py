@@ -1933,6 +1933,34 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Distributed range join (operators/asof.py range_join) — IP
+    block → ASN attribution: host "IPs" are md5-derived 32-bit ints,
+    the ASN table is 97 non-overlapping /25-ish blocks tiling part of
+    the space (points outside any block drop — inner semantics, a
+    bucket boundary never leaks a row). Exploded bucketing with a
+    2^20 span; the oracle is the plain BETWEEN join DuckDB can afford
+    at this scale."""
+    from web_scrapper_spark.operators.asof import range_join
+
+    docs = _read(spark, sf_dir, "documents")
+    ip = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % (1 << 32)
+    )
+    points = docs.select(F.col("doc_id").alias("pid"), ip.alias("v"))
+    blocks = spark.range(97).select(
+        F.concat(F.lit("AS"), F.col("id").cast("string")).alias("asn"),
+        (F.col("id") * ((1 << 32) // 97)).alias("lo"),
+        (F.col("id") * ((1 << 32) // 97) + ((1 << 32) // 97) * 3 // 4 - 1)
+        .alias("hi"),
+    )
+    return range_join(points, blocks, bucket_span=1 << 20).select(
+        "pid", "v", "range_asn", "range_lo", "range_hi"
+    )
+
+
 def _q_quality_drift(spark, sf_dir):
     """Corpus-mix drift (operators/quality.py distribution_drift):
     documents split into 5 synthetic crawl epochs (doc_id mod 5),
@@ -2754,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3209,6 +3238,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "range_join": """
+            -- the BETWEEN join DuckDB can afford at this scale is the
+            -- oracle for the exploded-bucketing equality join.
+            WITH points AS (
+              SELECT doc_id AS pid,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 4294967296 AS v
+              FROM documents
+            ), blocks AS (
+              SELECT 'AS' || CAST(i AS VARCHAR) AS asn,
+                     i * (4294967296 // 97) AS lo,
+                     i * (4294967296 // 97)
+                       + (4294967296 // 97) * 3 // 4 - 1 AS hi
+              FROM generate_series(0, 96) t(i)
+            )
+            SELECT p.pid, p.v, b.asn AS range_asn,
+                   CAST(b.lo AS BIGINT) AS range_lo,
+                   CAST(b.hi AS BIGINT) AS range_hi
+            FROM points p JOIN blocks b ON p.v BETWEEN b.lo AND b.hi
         """,
         "asof_join": """
             -- DuckDB's native ASOF LEFT JOIN is the oracle: an

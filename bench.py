@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "robots_audit",
     "quality_drift",
     "asof_join",
+    "range_join",
 ]
 
 

@@ -2037,3 +2037,52 @@ class TestAsofJoin:
         df = spark.createDataFrame([(1,)], "k long")
         with _pytest.raises(ValueError):
             asof_join(df, df, "k", left_ts="k", right_ts="k")
+
+
+class TestRangeJoin:
+    """Exploded-bucketing range join (operators/asof.py range_join)."""
+
+    def test_inclusive_bounds_and_overlaps(self, spark):
+        from web_scrapper_spark.operators.asof import range_join
+
+        points = spark.createDataFrame(
+            [(0, 5), (1, 10), (2, 25), (3, 99)], "pid long, v long"
+        )
+        ranges = spark.createDataFrame(
+            [("a", 0, 10), ("b", 10, 20), ("c", 50, 60)],
+            "name string, lo long, hi long",
+        )
+        got = {
+            (r["pid"], r["range_name"])
+            for r in range_join(points, ranges, bucket_span=8).collect()
+        }
+        # v=10 hits BOTH a (inclusive hi) and b (inclusive lo);
+        # v=25 and v=99 match nothing (inner semantics)
+        assert got == {(0, "a"), (1, "a"), (1, "b")}
+
+    def test_span_independence(self, spark):
+        from web_scrapper_spark.operators.asof import range_join
+
+        points = spark.range(300).selectExpr("id as pid", "id * 7 % 1000 as v")
+        ranges = spark.createDataFrame(
+            [(f"r{i}", i * 100, i * 100 + 99) for i in range(10)],
+            "name string, lo long, hi long",
+        )
+        outs = [
+            sorted(
+                (r["pid"], r["range_name"])
+                for r in range_join(points, ranges, bucket_span=s).collect()
+            )
+            for s in (3, 64, 1 << 20)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert len(outs[0]) == 300  # the blocks tile [0, 1000) fully
+
+    def test_bad_span_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.asof import range_join
+
+        df = spark.createDataFrame([(1,)], "v long")
+        with _pytest.raises(ValueError):
+            range_join(df, df.selectExpr("v as lo", "v as hi"), bucket_span=0)

@@ -32,7 +32,7 @@ from typing import List, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -98,4 +98,60 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
         *[F.col(f"{right_prefix}{c}") for c in payload],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    *,
+    value: str = "v",
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_span: int = 1 << 20,
+    range_prefix: str = "range_",
+) -> DataFrame:
+    """Distributed range join: each point row picks up every range row
+    with ``lo <= value <= hi`` — the interval-lookup Spark would
+    otherwise plan as a BroadcastNestedLoopJoin (fine for a tiny dim
+    table, quadratic death for a big one).
+
+    EXPLODED BUCKETING: ranges replicate to every ``bucket_span``-wide
+    bucket they overlap, points hash to their single bucket, and the
+    join becomes plain bucket-key equality + a residual bounds filter.
+    Replication factor = range width / bucket_span (+1), so pick the
+    span near the typical range width: a CIDR table's /16s with a 2^16
+    span replicate ~2×, and every point meets only the handful of
+    ranges sharing its bucket — one equality-keyed exchange, no pair
+    blowup, overlapping ranges supported (a point emits one row per
+    matching range; inclusive bounds).
+
+    Crawl-native uses: IP block → ASN/geo attribution of hosts,
+    byte-offset → archive member, time-slot → maintenance window.
+
+    Returns all point columns plus every range column prefixed
+    ``range_`` (inner semantics: points matching no range are absent).
+    """
+    if bucket_span <= 0:
+        raise ValueError("bucket_span must be positive")
+    payload = [c for c in ranges.columns]
+    r = ranges.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket_span).cast("long"),
+                F.floor(F.col(hi) / bucket_span).cast("long"),
+            )
+        ).alias("_bucket"),
+        *[F.col(c).alias(f"{range_prefix}{c}") for c in payload],
+    )
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(value) / bucket_span).cast("long")
+    )
+    return (
+        p.join(r, "_bucket")
+        .filter(
+            (F.col(value) >= F.col(f"{range_prefix}{lo}"))
+            & (F.col(value) <= F.col(f"{range_prefix}{hi}"))
+        )
+        .drop("_bucket")
     )
