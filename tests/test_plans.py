@@ -75,3 +75,17 @@ class TestPlanShapes:
         # gate) — never a global sort
         plan = _plan(spark, "postings")
         assert "SinglePartition" not in plan
+
+
+class TestJoinOperatorPlans:
+    def test_asof_join_is_one_keyed_exchange_no_pairs(self, spark):
+        plan = _plan(spark, "asof_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the union-marker sort: a window over the key, never a join
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_range_join_avoids_nested_loop(self, spark):
+        plan = _plan(spark, "range_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
