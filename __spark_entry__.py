@@ -1915,7 +1915,9 @@ def _q_asof_join(spark, sf_dir):
     capture times, including the no-earlier-capture NULL case. The
     oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
     first-class implementation of the same semantics, the strongest
-    oracle a custom operator can have."""
+    oracle a custom operator can have. No-match NULLs are coalesced to
+    sentinels (-1 / '') on BOTH sides so no NULL-int crosses the
+    pandas dtype boundary (the recrawl_due pattern)."""
     from web_scrapper_spark.operators.asof import asof_join
 
     docs = _read(spark, sf_dir, "documents")
@@ -1928,8 +1930,14 @@ def _q_asof_join(spark, sf_dir):
         (F.col("doc_id") % 97).alias("url_id"),
         (F.col("doc_id") + F.col("doc_id") % 11 - 5).alias("qts"),
     )
-    return asof_join(
+    out = asof_join(
         queries, captures, "url_id", left_ts="qts", right_ts="cts"
+    )
+    return out.select(
+        "url_id",
+        "qts",
+        F.coalesce(F.col("asof_cts"), F.lit(-1)).alias("asof_cts"),
+        F.coalesce(F.col("asof_digest"), F.lit("")).alias("asof_digest"),
     )
 
 
@@ -3273,7 +3281,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT q.url_id, q.qts,
-                   c.cts AS asof_cts, c.digest AS asof_digest
+                   CAST(coalesce(c.cts, -1) AS BIGINT) AS asof_cts,
+                   coalesce(c.digest, '') AS asof_digest
             FROM queries q ASOF LEFT JOIN captures c
               ON q.url_id = c.url_id AND q.qts >= c.cts
         """,

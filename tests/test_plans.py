@@ -9,6 +9,16 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    """Other modules persist() the raw table scans (module fixtures);
+    Spark's cache manager would then substitute InMemoryRelation into
+    these plans and hide the scan we assert on. Cache is a hint —
+    clearing it only costs recomputation elsewhere."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, name):
     import __spark_entry__ as em
 
