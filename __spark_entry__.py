@@ -1941,6 +1941,43 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_url_shapes(spark, sf_dir):
+    """URL template mining (frontier/traps.py url_shape_profile):
+    documents become URLs over 23 hosts cycling through five path
+    grammars — calendar (/s/N/N/N), pagination (/s/s/N), hex ids
+    (/s/H), mixed-word articles (/s/s), and a static page. The oracle
+    re-derives the segment-level shape with list_transform and
+    re-aggregates; families, counts, and the min-URL examples must
+    match exactly."""
+    from web_scrapper_spark.frontier.traps import url_shape_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("/cal/"), (2000 + d % 30).cast("string"),
+                F.lit("/"), (d % 12 + 1).cast("string"),
+                F.lit("/"), (d % 28 + 1).cast("string"),
+            ),
+        )
+        .when(d % 5 == 1, F.concat(F.lit("/blog/page/"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/d/"), F.md5(d.cast("string"))))
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit("/article/item-"), d.cast("string")),
+        )
+        .otherwise(F.lit("/about"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 23).cast("string"), F.lit(".org"), path
+        ).alias("url")
+    )
+    return url_shape_profile(urls)
+
+
 def _q_range_join(spark, sf_dir):
     """Distributed range join (operators/asof.py range_join) — IP
     block → ASN attribution: host "IPs" are md5-derived 32-bit ints,
@@ -2791,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drift": _q_quality_drift,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "url_shapes": _q_url_shapes,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -3246,6 +3284,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "url_shapes": """
+            -- segment-level shape replay: all-digit -> N, long-hex ->
+            -- H, else s; same five synthetic path grammars.
+            WITH u AS (
+              SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.org' AS host,
+                     CASE
+                       WHEN doc_id % 5 = 0 THEN
+                         '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR)
+                         || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                         || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+                       WHEN doc_id % 5 = 1 THEN
+                         '/blog/page/' || CAST(doc_id AS VARCHAR)
+                       WHEN doc_id % 5 = 2 THEN
+                         '/d/' || md5(CAST(doc_id AS VARCHAR))
+                       WHEN doc_id % 5 = 3 THEN
+                         '/article/item-' || CAST(doc_id AS VARCHAR)
+                       ELSE '/about' END AS path
+              FROM documents
+            ), shaped AS (
+              SELECT host,
+                     array_to_string(list_transform(
+                       string_split(path, '/'),
+                       seg -> CASE WHEN seg = '' THEN ''
+                                   WHEN regexp_matches(seg, '^[0-9]+$') THEN 'N'
+                                   WHEN regexp_matches(seg, '^[0-9a-fA-F]{8,}$') THEN 'H'
+                                   ELSE 's' END), '/') AS shape,
+                     'https://' || host || path AS url
+              FROM u
+            )
+            SELECT host, shape, CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example_url
+            FROM shaped GROUP BY host, shape
         """,
         "range_join": """
             -- the BETWEEN join DuckDB can afford at this scale is the

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "quality_drift",
     "asof_join",
     "range_join",
+    "url_shapes",
 ]
 
 

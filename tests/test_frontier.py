@@ -1030,3 +1030,49 @@ class TestRobotsAudit:
         )
         r = robots_audit(fetches, rules).collect()[0]
         assert (r["n_fetched"], r["n_violations"]) == (2, 1)
+
+
+class TestUrlShapeProfile:
+    """URL template mining (traps.url_shape_profile): segment-level
+    shapes aggregate a site's URL grammar."""
+
+    def test_shapes_counts_and_examples(self, spark):
+        from web_scrapper_spark.frontier.traps import url_shape_profile
+
+        urls = spark.createDataFrame(
+            [("https://a.org/blog/page/12",),
+             ("https://a.org/blog/page/999",),
+             ("https://a.org/cal/2024/01/05",),
+             ("https://a.org/d/deadbeef12345678",),
+             ("https://a.org/article/why-spark-2",),  # mixed word -> s
+             ("https://a.org/",)],
+            "url string",
+        )
+        got = {
+            r["shape"]: (r["n_urls"], r["example_url"])
+            for r in url_shape_profile(urls).collect()
+        }
+        assert got["/s/s/N"] == (2, "https://a.org/blog/page/12")
+        assert got["/s/N/N/N"][0] == 1
+        assert got["/s/H"][0] == 1
+        assert got["/s/s"] == (1, "https://a.org/article/why-spark-2")
+        assert got["/"][0] == 1
+
+    def test_min_count_prunes_singletons(self, spark):
+        from web_scrapper_spark.frontier.traps import url_shape_profile
+
+        urls = spark.createDataFrame(
+            [("https://a.org/p/1",), ("https://a.org/p/2",),
+             ("https://a.org/one-off",)],
+            "url string",
+        )
+        got = {r["shape"] for r in url_shape_profile(urls, min_count=2).collect()}
+        assert got == {"/s/N"}
+
+    def test_short_hex_is_not_H(self, spark):
+        from web_scrapper_spark.frontier.traps import url_shape_profile
+
+        urls = spark.createDataFrame(
+            [("https://a.org/d/beef",)], "url string"  # 4 hex chars < 8
+        )
+        assert url_shape_profile(urls).collect()[0]["shape"] == "/s/s"

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_trap_signals", "TRAP_REASONS"]
+__all__ = ["url_trap_signals", "url_shape_profile", "TRAP_REASONS"]
 
 #: precedence order for the single reported reason (a URL can trip
 #: several heuristics; the first one wins, ties never ambiguous).
@@ -128,3 +128,53 @@ def path_trap_filter(
         F.size(segs) - F.size(F.array_distinct(segs)), F.lit(0)
     )
     return df.filter((depth <= max_depth) & (dups < dup_segment_min))
+
+
+def url_shape_profile(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_count: int = 1,
+) -> DataFrame:
+    """URL template mining: collapse every path to its SHAPE — digit
+    runs → ``N``, long hex runs → ``H``, other segment text → ``s`` —
+    and profile each (host, shape) family.
+
+    Crawl-ops reads this to see a site's URL grammar at a glance:
+    ``/blog/page/N`` (pagination family), ``/calendar/N/N/N`` (the
+    classic infinite-calendar trap before it triggers the depth
+    guard), ``/article/s-N`` (content). Complements the per-URL
+    signals in :func:`url_trap_signals` — shapes aggregate the
+    corpus-wide structure those per-row flags can't show.
+
+      (host, shape, n_urls, example_url)
+
+    ``example_url`` = lexicographic min of the family (deterministic).
+    One projection + one map-side-combined aggregate; nothing but
+    (host, shape, url) strings cross the exchange.
+    """
+    # segment-level classification (the standard template-mining
+    # grain): an all-digit segment is N, a long-hex segment is H,
+    # anything else non-empty is s — one transform over the split
+    # path, no cross-segment regex subtleties
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    seg_shape = F.transform(
+        F.split(path, "/"),
+        lambda seg: F.when(seg == "", F.lit(""))
+        .when(seg.rlike("^[0-9]+$"), F.lit("N"))
+        .when(seg.rlike("^[0-9a-fA-F]{8,}$"), F.lit("H"))
+        .otherwise(F.lit("s")),
+    )
+    shape = F.array_join(seg_shape, "/")
+    return (
+        urls.select(
+            F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            shape.alias("shape"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy("host", "shape")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("_u").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_count)
+    )
