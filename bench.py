@@ -30,68 +30,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-BENCH_QUERIES = [
-    "a1_keywords_topk",
-    "a2_doc_stats",
-    "dedup_exact",
-    "exact_substring",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "tpch_q1ish",
-    "j2_lookup_join",
-    "w1_perhost_rank",
-    "t_sessionize",
-    "a4_run_report",
-    "lang_id",
-    "fingerprint_md5",
-    "fingerprint_winnow",
-    "pii_redact",
-    "gopher_quality",
-    "c4_clean",
-    "paragraph_dedup",
-    "dedup_components",
-    "decontaminate",
-    "dsir_weights",
-    "semdedup",
-    "ccnet_ppl",
-    "pack_sequences",
-    "url_filter",
-    "stratified_sample",
-    "corpus_funnel",
-    "warc_roundtrip",
-    "warc_cdx_fetch",
-    "sitemap_parse",
-    "link_pagerank",
-    "redirect_resolve",
-    "main_content",
-    "dedup_minhash_incr",
-    "trap_detect",
-    "bm25_topk",
-    "cluster_reps",
-    "drain_plan",
-    "host_priors",
-    "unicode_clean",
-    "media_sniff",
-    "sim_srp_topk",
-    "bpe_pairs",
-    "host_boilerplate",
-    "jsonld_extract",
-    "robots_allow",
-    "charset_detect",
-    "sitemap_coverage",
-    "page_meta",
-    "adaptive_delay",
-    "fair_share",
-    "corpus_layout",
-    "token_budget",
-    "postings",
-    "robots_audit",
-    "quality_drift",
-    "asof_join",
-    "range_join",
-    "url_shapes",
-]
+#: every queries() entry is benched (best-of-2, noop sink) — the
+#: suite self-extends as operators land; nothing is hand-curated out.
+def _bench_queries():
+    import __spark_entry__ as em
+
+    return sorted(em.queries())
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -300,7 +244,7 @@ def run_queries(spark, sf_dir: str, runs: int = 2) -> dict:
 
     queries = em.queries()
     timings = {}
-    for name in BENCH_QUERIES:
+    for name in _bench_queries():
         best = None
         for _ in range(max(1, runs)):
             t0 = time.time()
