@@ -34,10 +34,16 @@ def dedup_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per group.
-    One hash aggregate — Catalyst gives map-side combine for the min."""
+    One hash aggregate — Catalyst gives map-side combine for the min.
+
+    No fan_out here, deliberately: the map side is one regex + one md5
+    per row — cheap enough that a pre-shuffle to parallelize it costs
+    more than it saves on a one-row-group scan, and at corpus scale
+    the input arrives in many partitions anyway (the aggregate's own
+    exchange provides the reduce-side parallelism)."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return (
-        fan_out(docs).select(F.col(id_col), F.md5(normalized).alias("fp"))
+        docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )
