@@ -160,3 +160,71 @@ class TestSitemapCoverage:
         # host crawled but never declared anything
         c = got["c.org"]
         assert (c["n_declared"], c["n_crawled_undeclared"], c["coverage_ppm"]) == (0, 1, 0)
+
+
+class TestSitemapWriter:
+    """write_sitemap / build_sitemap_xml: publish shards + index, read
+    back with the module's own parser (roundtrip)."""
+
+    def test_roundtrip_with_sharding_and_index(self, spark, tmp_path):
+        import os
+
+        from web_scrapper_spark.frontier.sitemap import (
+            parse_sitemap_xml, write_sitemap,
+        )
+
+        urls = spark.createDataFrame(
+            [(f"https://a.org/p/{i:03d}",
+              f"2025-07-{i % 28 + 1:02d}",
+              "daily" if i % 2 else "weekly",
+              (i % 10) * 100_000)
+             for i in range(7)],
+            "url string, lastmod string, changefreq string, priority_ppm int",
+        )
+        d = str(tmp_path / "sm")
+        manifest = write_sitemap(urls, d, "https://a.org", max_per_file=3)
+        assert [m["entries"] for m in manifest] == [3, 3, 1]
+
+        # index lists every shard
+        idx = parse_sitemap_xml(
+            open(os.path.join(d, "sitemap_index.xml"), "rb").read()
+        )
+        assert [e["kind"] for e in idx] == ["sitemap"] * 3
+        assert idx[0]["url"] == "https://a.org/sitemap-00000.xml"
+
+        # shards parse back with every field intact, in url order
+        got = []
+        for m in manifest:
+            got += parse_sitemap_xml(open(os.path.join(d, m["file"]), "rb").read())
+        assert [e["url"] for e in got] == sorted(
+            f"https://a.org/p/{i:03d}" for i in range(7)
+        )
+        assert got[1]["changefreq"] == "daily" and got[0]["changefreq"] == "weekly"
+        assert got[3]["priority_ppm"] == 300_000
+        assert got[5]["lastmod"] == "2025-07-06"
+
+    def test_rerun_is_byte_identical(self, spark, tmp_path):
+        import os
+
+        from web_scrapper_spark.frontier.sitemap import write_sitemap
+
+        urls = spark.createDataFrame(
+            [(f"https://b.org/{i}",) for i in range(5)], "url string"
+        ).repartition(3)
+        d1, d2 = str(tmp_path / "x"), str(tmp_path / "y")
+        write_sitemap(urls, d1, "https://b.org")
+        write_sitemap(urls, d2, "https://b.org")
+        for name in os.listdir(d1):
+            assert (
+                open(os.path.join(d1, name), "rb").read()
+                == open(os.path.join(d2, name), "rb").read()
+            )
+
+    def test_bad_max_per_file(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from web_scrapper_spark.frontier.sitemap import write_sitemap
+
+        df = spark.createDataFrame([("https://x/",)], "url string")
+        with _pytest.raises(ValueError):
+            write_sitemap(df, str(tmp_path / "z"), "https://x", max_per_file=0)

@@ -22,6 +22,7 @@ within their host's politeness window.
 from __future__ import annotations
 
 import gzip
+import os
 import xml.etree.ElementTree as ET
 from typing import Iterator, List, Optional
 
@@ -30,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_sitemap_xml", "sitemap_candidates", "SITEMAP_ENTRY_SCHEMA"]
+__all__ = ["parse_sitemap_xml", "sitemap_candidates", "build_sitemap_xml", "write_sitemap", "SITEMAP_ENTRY_SCHEMA"]
 
 #: Rows emitted per <url>/<sitemap> entry. kind: 'url' (urlset leaf) or
 #: 'sitemap' (sitemapindex child — enqueue for fetching, not a page).
@@ -216,3 +217,90 @@ def sitemap_coverage(
             F.expr("(n_declared_crawled * 1000000) div n_declared"),
         ).otherwise(F.lit(0)).cast("long").alias("coverage_ppm"),
     )
+
+
+def build_sitemap_xml(
+    entries: List[dict],
+    kind: str = "url",
+) -> bytes:
+    """Serialize entry dicts (url + optional lastmod/changefreq/
+    priority_ppm) into one sitemaps.org document — ``urlset`` for
+    pages, ``sitemapindex`` for shard manifests. Inverse of
+    :func:`parse_sitemap_xml` (roundtrip asserted in tests); priority
+    rendered from integer ppm with no float formatting drift."""
+    from xml.sax.saxutils import escape
+
+    root = "urlset" if kind == "url" else "sitemapindex"
+    child = "url" if kind == "url" else "sitemap"
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{root} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for e in entries:
+        lines.append(f"  <{child}>")
+        lines.append(f"    <loc>{escape(str(e['url']))}</loc>")
+        if e.get("lastmod"):
+            lines.append(f"    <lastmod>{escape(str(e['lastmod']))}</lastmod>")
+        if e.get("changefreq"):
+            lines.append(
+                f"    <changefreq>{escape(str(e['changefreq']))}</changefreq>"
+            )
+        p = e.get("priority_ppm")
+        if p is not None:
+            whole, frac = divmod(int(p), 1_000_000)
+            lines.append(
+                f"    <priority>{whole}.{frac:06d}</priority>"
+            )
+        lines.append(f"  </{child}>")
+    lines.append(f"</{root}>")
+    return "\n".join(lines).encode("utf-8")
+
+
+def write_sitemap(
+    urls: DataFrame,
+    path: str,
+    base_url: str,
+    *,
+    url_col: str = "url",
+    max_per_file: int = 50_000,
+) -> List[dict]:
+    """Sitemap SINK: publish a crawled/curated URL set as
+    sitemaps.org shards plus a ``sitemap_index.xml`` — the protocol
+    caps a file at 50k entries, so big sets shard and the index lists
+    the shards (exactly what the reference's RSS sink does for feeds,
+    done for the crawl-native format; the existing parser reads these
+    back byte-for-value).
+
+    Optional columns picked up when present: ``lastmod``,
+    ``changefreq``, ``priority_ppm``. Shard assignment is
+    deterministic: entries sort by url and chunk in order, so reruns
+    produce identical files. Each shard is written by the driver after
+    a sorted collect of (url, tiny metadata) rows — sitemaps cap at
+    50k entries/file, so this sink is driver-sized BY PROTOCOL; the
+    100 TB corpus never flows through it, only the published URL list.
+    Returns the per-file manifest (file, entries).
+    """
+    if max_per_file <= 0 or max_per_file > 50_000:
+        raise ValueError("max_per_file must be in (0, 50000]")
+    os.makedirs(path, exist_ok=True)
+    cols = [url_col] + [
+        c for c in ("lastmod", "changefreq", "priority_ppm")
+        if c in urls.columns
+    ]
+    rows = [r.asDict() for r in urls.select(*cols).orderBy(url_col).collect()]
+    for r in rows:
+        r["url"] = r.pop(url_col)
+    manifest: List[dict] = []
+    shard_entries = []
+    for i in range(0, max(len(rows), 1), max_per_file):
+        chunk = rows[i : i + max_per_file]
+        if not chunk and i > 0:
+            break
+        name = f"sitemap-{i // max_per_file:05d}.xml"
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(build_sitemap_xml(chunk, kind="url"))
+        manifest.append({"file": name, "entries": len(chunk)})
+        shard_entries.append({"url": f"{base_url.rstrip('/')}/{name}"})
+    with open(os.path.join(path, "sitemap_index.xml"), "wb") as fh:
+        fh.write(build_sitemap_xml(shard_entries, kind="sitemap"))
+    return manifest
