@@ -1198,7 +1198,7 @@ def _funnel_grams_sql(src: str, extra: str = "") -> str:
               FROM {src} {extra}"""
 
 
-def _corpus_funnel_oracle_sql() -> str:
+def _corpus_funnel_oracle_sql(per_doc: bool = False) -> str:
     """DuckDB twin of _q_corpus_funnel: the same boilerplate-salted
     corpus and derived URLs, each stage's gate composed from the
     already-proven per-operator oracle SQL (url_filter / lang_id /
@@ -1227,7 +1227,7 @@ def _corpus_funnel_oracle_sql() -> str:
               FROM f6"""
         for i, (label, cond) in enumerate(stages)
     )
-    return f"""
+    base = f"""
             WITH RECURSIVE fcorpus AS (
               SELECT doc_id, source,
                      CASE WHEN doc_id % 41 = 1 THEN '{_FUNNEL_BOILER}'
@@ -1295,9 +1295,25 @@ def _corpus_funnel_oracle_sql() -> str:
               SELECT f5.*, f5.c5 AND fcontam.doc_id IS NULL AS c6
               FROM f5 LEFT JOIN fcontam USING (doc_id)
             )
+    """
+    if not per_doc:
+        return base + f"""
             SELECT stage, stage_ord, docs, tokens FROM (
               {rows}
             ) ORDER BY stage_ord
+        """
+    return base + """
+            SELECT doc_id,
+                   CASE WHEN NOT c1 THEN 'url_filter'
+                        WHEN NOT c2 THEN 'lang_en'
+                        WHEN NOT c3 THEN 'gopher'
+                        WHEN NOT c4 THEN 'exact_dedup'
+                        WHEN NOT c5 THEN 'near_dedup'
+                        WHEN NOT c6 THEN 'decontaminate'
+                        ELSE 'kept' END AS dropped_at,
+                   c6 AS kept,
+                   CAST(bpe AS BIGINT) AS n_tokens
+            FROM f6
         """
 
 
@@ -1427,6 +1443,21 @@ def _q_corpus_funnel(spark, sf_dir):
     corpus = _funnel_corpus_urls(docs)
     bench = corpus.filter(F.col("doc_id") % 50 == 3).select("doc_id", "text")
     return corpus_funnel(corpus, bench, blocklist=_UF_BLOCKLIST)
+
+
+def _q_funnel_reasons(spark, sf_dir):
+    """Per-document funnel audit (operators/pipeline.py
+    funnel_reasons): the FIRST gate that dropped each doc ('kept' for
+    survivors) over the same boilerplate-salted fixture as
+    corpus_funnel. The oracle is the funnel oracle's identical CTE
+    chain with a per-doc final SELECT — proving the aggregate and the
+    audit are two projections of one correct flag computation."""
+    from web_scrapper_spark.operators.pipeline import funnel_reasons
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = _funnel_corpus_urls(docs)
+    bench = corpus.filter(F.col("doc_id") % 50 == 3).select("doc_id", "text")
+    return funnel_reasons(corpus, bench, blocklist=_UF_BLOCKLIST)
 
 
 #: stratified_sample query fixture: exact quotas for 4 strata (others
@@ -2803,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "url_filter": _q_url_filter,
         "corpus_funnel": _q_corpus_funnel,
+        "funnel_reasons": _q_funnel_reasons,
         "stratified_sample": _q_stratified_sample,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -4016,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_filter": _url_filter_oracle_sql(),
         "corpus_funnel": _corpus_funnel_oracle_sql(),
+        "funnel_reasons": _corpus_funnel_oracle_sql(per_doc=True),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """

@@ -404,3 +404,41 @@ class TestTokenBudgetSelect:
             if cum <= budget:
                 expect.add(i)
         assert sel == expect
+
+
+class TestFunnelReasons:
+    def test_each_handcrafted_doc_gets_its_exact_reason(self, spark):
+        """Same one-doc-per-stage corpus as TestCorpusFunnel; the
+        per-doc audit must name the precise gate for every row."""
+        from web_scrapper_spark.operators.pipeline import funnel_reasons
+
+        tc = TestCorpusFunnel
+        rows = [
+            (0, tc.BASE, "https://news.example.org/a"),
+            (1, tc.BASE, "https://ads.tracker.example.com/b"),
+            (2, tc.BASE, "https://clean.example.net/c?ref=casino"),
+            (3, tc.FRENCH, "https://news.example.org/d"),
+            (4, "too short to pass the gopher minimum word count",
+             "https://news.example.org/e"),
+            (5, tc.BASE, "https://blog.example.org/f"),
+            (6, tc.NEAR, "https://blog.example.org/g"),
+            (7, tc.BENCHED, "https://news.example.org/h"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+        bench = spark.createDataFrame([(100, tc.BENCHED)], ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["dropped_at"], r["kept"])
+            for r in funnel_reasons(
+                docs, bench, blocklist=["tracker.example.com"]
+            ).collect()
+        }
+        assert got == {
+            0: ("kept", True),
+            1: ("url_filter", False),
+            2: ("url_filter", False),
+            3: ("lang_en", False),
+            4: ("gopher", False),
+            5: ("exact_dedup", False),
+            6: ("near_dedup", False),
+            7: ("decontaminate", False),
+        }

@@ -65,7 +65,7 @@ FUNNEL_STAGES = (
 )
 
 
-def corpus_funnel(
+def funnel_flags(
     docs: DataFrame,
     benchmark: DataFrame,
     blocklist: Sequence[str] | DataFrame = (),
@@ -79,9 +79,10 @@ def corpus_funnel(
     text_col: str = "text",
     url_col: str = "url",
 ) -> DataFrame:
-    """Run the full pipeline over ``docs`` (``id, text, url``) and
-    return the funnel report ``(stage, stage_ord, docs, tokens)`` —
-    survivors and their total BPE token count after each stage.
+    """The funnel's per-document cumulative gate flags ``_c1.._c6``
+    (plus ``_bpe`` token counts) as one plan — the shared core both
+    :func:`corpus_funnel` (aggregate view) and :func:`funnel_reasons`
+    (per-doc audit view) project from.
 
     ``benchmark`` is the evaluation corpus to decontaminate against
     (external by construction — it is NOT filtered by the funnel).
@@ -168,6 +169,24 @@ def corpus_funnel(
     f6 = f5.join(dec, id_col, "left").withColumn(
         "_c6", F.col("_c5") & F.coalesce(F.col("contam_keep"), F.lit(True))
     )
+    return f6
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **flag_kw,
+) -> DataFrame:
+    """Run the full pipeline over ``docs`` (``id, text, url``) and
+    return the funnel report ``(stage, stage_ord, docs, tokens)`` —
+    survivors and their total BPE token count after each stage."""
+    f6 = funnel_flags(
+        docs, benchmark, lang=lang, id_col=id_col, text_col=text_col,
+        **flag_kw,
+    )
 
     # --- the funnel: ONE aggregation, unpivoted via stack ------------
     def _d(cond):
@@ -196,4 +215,37 @@ def corpus_funnel(
         F.expr(
             f"stack(7, {stack}) AS (stage, stage_ord, docs, tokens)"
         )
+    )
+
+
+def funnel_reasons(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    **flag_kw,
+) -> DataFrame:
+    """Per-document funnel audit: which gate dropped each doc.
+
+    The operational complement of :func:`corpus_funnel`'s aggregate
+    view — "why did MY document disappear?" is the first question a
+    pipeline user asks, and the first-failing-stage label answers it
+    without re-running anything stage by stage. Same plan as the
+    funnel (the flags are computed once), different projection::
+
+      (id, dropped_at, kept, n_tokens)
+
+    ``dropped_at`` = the FIRST stage whose gate failed ('kept' for
+    survivors); ``kept`` mirrors the final ``_c6`` flag.
+    """
+    f6 = funnel_flags(docs, benchmark, lang=lang, id_col=id_col, **flag_kw)
+    labels = [s.format(lang=lang) for s in FUNNEL_STAGES]
+    reason = F.when(~F.col("_c1"), F.lit(labels[1]))
+    for i in range(2, 7):
+        reason = reason.when(~F.col(f"_c{i}"), F.lit(labels[i]))
+    return f6.select(
+        F.col(id_col),
+        reason.otherwise(F.lit("kept")).alias("dropped_at"),
+        F.col("_c6").alias("kept"),
+        F.col("_bpe").cast("long").alias("n_tokens"),
     )
