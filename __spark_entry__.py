@@ -1341,6 +1341,55 @@ def _stratified_sample_oracle_sql() -> str:
         """
 
 
+def _q_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement (sampling.priority_sample,
+    Duffield–Lund–Thorup 2007): top-30 by integer priority
+    w * 2^40 DIV (h40 + 1) with a quality-style weight derived from
+    doc_id; the oracle re-ranks the whole corpus in DuckDB and must
+    reproduce the selected set, every priority, tau, and the w_est
+    estimator bit-exactly."""
+    from web_scrapper_spark.operators import sampling as _sp
+
+    docs = _read(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id")) % 997 + 1)
+        .cast("long")
+        .alias("weight"),
+    )
+    return _sp.priority_sample(weighted, 30).select(
+        "doc_id", "weight", "priority", "tau", "w_est"
+    )
+
+
+_PRIORITY_SAMPLE_ORACLE = """
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST((doc_id * doc_id) % 997 + 1 AS BIGINT) AS weight,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+                   AS h
+          FROM documents
+        ), pri AS (
+          SELECT doc_id, weight, h,
+                 CAST(weight * 1099511627776 // (h + 1) AS BIGINT) AS priority
+          FROM scored
+        ), ranked AS (
+          SELECT doc_id, weight, h, priority,
+                 row_number() OVER (ORDER BY priority DESC, h, doc_id) AS rnk
+          FROM pri
+        ), tau AS (
+          SELECT CASE WHEN (SELECT count(*) FROM ranked) >= 31
+                      THEN (SELECT priority FROM ranked WHERE rnk = 31)
+                      ELSE 0 END AS tau
+        )
+        SELECT r.doc_id, r.weight, r.priority,
+               CAST(t.tau AS BIGINT) AS tau,
+               CAST(greatest(r.weight, t.tau) AS BIGINT) AS w_est
+        FROM ranked r CROSS JOIN tau t
+        WHERE r.rnk <= 30
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -2836,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": _q_corpus_funnel,
         "funnel_reasons": _q_funnel_reasons,
         "stratified_sample": _q_stratified_sample,
+        "priority_sample": _q_priority_sample,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4050,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_funnel": _corpus_funnel_oracle_sql(),
         "funnel_reasons": _corpus_funnel_oracle_sql(per_doc=True),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "priority_sample": _PRIORITY_SAMPLE_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (

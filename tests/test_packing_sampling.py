@@ -442,3 +442,88 @@ class TestFunnelReasons:
             6: ("near_dedup", False),
             7: ("decontaminate", False),
         }
+
+
+class TestPrioritySample:
+    """Duffield–Lund–Thorup priority sampling (sampling.priority_sample)."""
+
+    def _h40(self, i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:10], 16)
+
+    def _replay(self, rows, k):
+        """Pure-python DLT replay: (selected ids, tau, w_est per id)."""
+        scored = [
+            (w * sp.PRIORITY_HASH_SPACE // (self._h40(i) + 1), self._h40(i), i, w)
+            for i, w in rows
+        ]
+        order = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))
+        tau = order[k][0] if len(order) > k else 0
+        sel = order[:k]
+        return {i for _, _, i, _ in sel}, tau, {
+            i: max(w, tau) for _, _, i, w in sel
+        }
+
+    def _weighted(self, spark, n=300):
+        rows = [(i, (i * i) % 997 + 1) for i in range(n)]
+        return rows, spark.createDataFrame(rows, ["doc_id", "weight"])
+
+    def test_matches_python_replay(self, spark):
+        rows, df = self._weighted(spark)
+        out = sp.priority_sample(df, 25).collect()
+        ids, tau, west = self._replay(rows, 25)
+        assert {r["doc_id"] for r in out} == ids
+        assert all(r["tau"] == tau for r in out)
+        assert {r["doc_id"]: r["w_est"] for r in out} == west
+        # priorities are the exact integer floor-division
+        for r in out:
+            assert r["priority"] == (
+                r["weight"] * sp.PRIORITY_HASH_SPACE // (self._h40(r["doc_id"]) + 1)
+            )
+
+    def test_partitioning_independence(self, spark):
+        _, df = self._weighted(spark, 200)
+        a = sp.priority_sample(df.repartition(1), 17).collect()
+        b = sp.priority_sample(df.repartition(13, "weight"), 17).collect()
+        key = lambda r: (r["doc_id"], r["priority"], r["tau"], r["w_est"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_small_corpus_all_selected_tau_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], ["doc_id", "weight"]
+        )
+        out = sp.priority_sample(df, 5).collect()
+        assert len(out) == 3
+        assert all(r["tau"] == 0 for r in out)
+        assert all(r["w_est"] == r["weight"] for r in out)
+
+    def test_merge_distributive(self, spark):
+        """top-k over the union == top-k over the per-half samples
+        (the cross-epoch merge shape)."""
+        rows, df = self._weighted(spark, 240)
+        half_a = df.filter(F.col("doc_id") < 120)
+        half_b = df.filter(F.col("doc_id") >= 120)
+        merged = sp.priority_sample(
+            sp.priority_sample(half_a, 19)
+            .select("doc_id", "weight")
+            .unionByName(sp.priority_sample(half_b, 19).select("doc_id", "weight")),
+            19,
+        )
+        full = sp.priority_sample(df, 19)
+        assert {r["doc_id"] for r in merged.collect()} == {
+            r["doc_id"] for r in full.collect()
+        }
+
+    def test_weight_out_of_range_raises(self, spark):
+        df = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "weight"])
+        with pytest.raises(Exception, match="priority_sample"):
+            sp.priority_sample(df, 1).collect()
+        df2 = spark.createDataFrame(
+            [(1, sp.MAX_PRIORITY_WEIGHT + 1)], ["doc_id", "weight"]
+        )
+        with pytest.raises(Exception, match="priority_sample"):
+            sp.priority_sample(df2, 1).collect()
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["doc_id", "weight"])
+        with pytest.raises(ValueError):
+            sp.priority_sample(df, 0)

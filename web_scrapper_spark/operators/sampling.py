@@ -249,3 +249,105 @@ def token_budget_select(
         .select(id_col, "quality_ppm", "n_tokens", above.alias("selected"))
         .unionByName(bounded)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling: Duffield–Lund–Thorup priority sampling
+# ---------------------------------------------------------------------------
+
+#: 40-bit hash granularity for priorities. Narrower than HASH_SPACE on
+#: purpose: with u drawn from 2^40 values and weights <= 2^20, the
+#: priority w * 2^40 DIV (h + 1) stays inside BIGINT (max 2^60) in both
+#: engines — every comparison is exact integer, never a float pow/log.
+PRIORITY_HASH_SPACE = 1 << 40
+
+#: weight ceiling that keeps w * PRIORITY_HASH_SPACE inside BIGINT.
+MAX_PRIORITY_WEIGHT = 1 << 20
+
+
+def priority_hash_col(id_col: Column) -> Column:
+    """Deterministic uniform 40-bit hash (first 10 hex digits of md5 of
+    the id's decimal string) — DuckDB twin:
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 10))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 10), 16, 10
+    ).cast("long")
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement: Duffield–Lund–Thorup
+    priority sampling (JACM 2007), determinized.
+
+    Each row draws u = (h + 1) / 2^40 from its id's md5 and gets
+    priority q = floor(w * 2^40 / (h + 1)); the sample is the k rows
+    with the largest (q, -h, -id) and tau is the (k+1)-th priority.
+    ``w_est = max(w, tau)`` is the DLT unbiased estimator for
+    subset-sum queries over the sample.
+
+    Why this scheme at 100 TB:
+
+    - **top-k is distributive**: Spark plans the ORDER BY + LIMIT as
+      TakeOrderedAndProject — per-partition top-(k+1) heaps merged on
+      the driver, never a global sort and never a full shuffle; the
+      cross-epoch merge is "union the samples, re-take top-k", so
+      per-epoch samples compose without touching history (same
+      fix-class as the bloom delta and the incremental MinHash index);
+    - **exact integers end to end**: u has 2^40 granularity and weights
+      are capped at 2^20, so q = w * 2^40 DIV (h+1) is one BIGINT
+      floor-division — bit-identical under any partitioning and
+      replayable in DuckDB HUGEINT (`//`) for the oracle; a float
+      u^(1/w) key (the A-ES formulation) could flip ranks between
+      engines in the last ulp;
+    - the only single-partition work is the rank/tau window over the
+      k+1 surviving rows — bounded by k, not the corpus.
+
+    Weights must be integers in [1, 2^20] (a quality_ppm-style score);
+    the cap is asserted at runtime.
+
+    Returns the selected rows: original columns + ``priority``,
+    ``tau`` (0 when the corpus has <= k rows: everything selected,
+    estimator exact) and ``w_est``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("long")
+    # the range check lives INSIDE the priority expression so Catalyst
+    # can never prune it away (a dropped checker column would be).
+    scored = fan_out(df).withColumn(
+        "_ph", priority_hash_col(F.col(id_col))
+    ).withColumn(
+        "priority",
+        F.expr(
+            f"CASE WHEN {weight_col} < 1 "
+            f"OR {weight_col} > {MAX_PRIORITY_WEIGHT} "
+            f"THEN CAST(raise_error('priority_sample: {weight_col} "
+            f"outside [1, {MAX_PRIORITY_WEIGHT}]') AS BIGINT) "
+            f"ELSE CAST({weight_col} AS BIGINT) * {PRIORITY_HASH_SPACE} "
+            "DIV (_ph + 1) END"
+        ),
+    )
+    # TakeOrderedAndProject: per-partition heaps, no global sort.
+    order = [F.desc("priority"), F.asc("_ph"), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k + 1)
+    win = Window.orderBy(*order)  # k+1 rows: bounded single partition
+    ranked = (
+        top.withColumn("_rank", F.row_number().over(win))
+        .withColumn("_n", F.count("*").over(Window.partitionBy()))
+        .withColumn("_minq", F.min("priority").over(Window.partitionBy()))
+    )
+    out = (
+        ranked.filter(F.col("_rank") <= k)
+        .withColumn(
+            "tau",
+            F.when(F.col("_n") == k + 1, F.col("_minq")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .withColumn("w_est", F.greatest(w, F.col("tau")))
+    )
+    return out.drop("_rank", "_n", "_minq", "_ph")
