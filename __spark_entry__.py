@@ -1390,6 +1390,119 @@ _PRIORITY_SAMPLE_ORACLE = """
     """
 
 
+def _q_hll_host_distinct(spark, sf_dir):
+    """Mergeable HLL registers (operators/sketch.py): per-host distinct
+    URL estimate over a synthetic (host, url) stream with planted
+    duplicates; the oracle rebuilds buckets, rho via binary-string
+    length, the exact harmonic denominator S and the integer estimate
+    in DuckDB HUGEINT — registers AND estimate hash-match."""
+    from web_scrapper_spark.operators import sketch as _sk
+
+    docs = _read(spark, sf_dir, "documents")
+    stream = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("u"), (F.col("doc_id") % 293).cast("string")).alias(
+            "url"
+        ),
+    )
+    regs = _sk.hll_registers(stream, ["host"], "url", p=9)
+    return _sk.hll_estimate(regs, ["host"], p=9).select(
+        "host", "present", "v_zero", "s", "est"
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from web_scrapper_spark.operators import sketch as _sk
+
+    alpha = _sk.hll_alpha_ppm(9)
+    # p=9: suffix_bits=31, k_max=32, m=512
+    return f"""
+        WITH vals AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                 'u' || CAST(doc_id % 293 AS VARCHAR) AS url
+          FROM documents
+        ), hashed AS (
+          SELECT host,
+                 ('0x' || substr(md5(url), 1, 10))::BIGINT AS hv
+          FROM vals
+        ), reg AS (
+          SELECT host, hv // 2147483648 AS bucket,
+                 max(CASE WHEN hv % 2147483648 = 0 THEN 32
+                     ELSE 31 - length(bin(hv % 2147483648)) + 1 END) AS r
+          FROM hashed GROUP BY host, hv // 2147483648
+        ), agg AS (
+          SELECT host, count(*) AS present,
+                 sum((1::BIGINT << (32 - r))::BIGINT) AS s_present
+          FROM reg GROUP BY host
+        )
+        SELECT host,
+               CAST(present AS BIGINT) AS present,
+               CAST(512 - present AS BIGINT) AS v_zero,
+               CAST((512 - present) * 4294967296 + s_present AS BIGINT) AS s,
+               CAST({alpha}::HUGEINT * 512 * 512 * 4294967296
+                    // (1000000 * ((512 - present) * 4294967296 + s_present))
+                    AS BIGINT) AS est
+        FROM agg
+    """
+
+
+def _q_cms_hot_hosts(spark, sf_dir):
+    """Count-min sketch (operators/sketch.py): depth-4 x width-64
+    frequency sketch over a skewed synthetic host stream, point
+    estimates for every host joined against the exact counts — the
+    over-estimate-never-under invariant is part of the hashed output."""
+    from web_scrapper_spark.operators import sketch as _sk
+
+    docs = _read(spark, sf_dir, "documents")
+    stream = docs.select(
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * F.col("doc_id")) % 37).cast("string")
+        ).alias("host")
+    )
+    sketch = _sk.cms_build(stream, "host", width=64, depth=4)
+    est = _sk.cms_estimate(
+        sketch, stream.distinct(), "host", width=64, depth=4
+    )
+    exact = stream.groupBy("host").agg(F.count("*").alias("exact"))
+    return est.join(exact, "host").select(
+        "host",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    )
+
+
+_CMS_ORACLE = """
+        WITH stream AS (
+          SELECT 'h' || CAST((doc_id * doc_id) % 37 AS VARCHAR) AS host
+          FROM documents
+        ), cells AS (
+          SELECT d.d, ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || host),
+                       1, 10))::BIGINT % 64 AS cell,
+                 count(*) AS cnt
+          FROM stream, (SELECT unnest(generate_series(0, 3)) AS d) d
+          GROUP BY d.d, cell
+        ), probes AS (
+          SELECT DISTINCT s.host, d.d,
+                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || s.host),
+                  1, 10))::BIGINT % 64 AS cell
+          FROM stream s, (SELECT unnest(generate_series(0, 3)) AS d) d
+        ), est AS (
+          SELECT p.host, min(coalesce(c.cnt, 0)) AS est
+          FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.cell = c.cell
+          GROUP BY p.host
+        ), exact AS (
+          SELECT host, count(*) AS exact FROM stream GROUP BY host
+        )
+        SELECT e.host, CAST(e.est AS BIGINT) AS est,
+               CAST(x.exact AS BIGINT) AS exact,
+               e.est >= x.exact AS never_under
+        FROM est e JOIN exact x ON e.host = x.host
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -2886,6 +2999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_reasons": _q_funnel_reasons,
         "stratified_sample": _q_stratified_sample,
         "priority_sample": _q_priority_sample,
+        "hll_host_distinct": _q_hll_host_distinct,
+        "cms_hot_hosts": _q_cms_hot_hosts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4101,6 +4216,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_reasons": _corpus_funnel_oracle_sql(per_doc=True),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "priority_sample": _PRIORITY_SAMPLE_ORACLE,
+        "hll_host_distinct": _hll_oracle_sql(),
+        "cms_hot_hosts": _CMS_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (
