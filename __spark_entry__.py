@@ -1503,6 +1503,45 @@ _CMS_ORACLE = """
     """
 
 
+def _q_cuckoo_seen(spark, sf_dir):
+    """Deletable URL-seen filter (frontier/cuckoo.py): build a sharded
+    cuckoo filter over the 'seen' keys (doc_id % 3 != 0), evict the
+    recrawl-due subset (doc_id % 9 == 1), then probe every inserted
+    key. The filter's contract is exactly checkable: retained keys MUST
+    probe true (no false negatives), evicted keys MUST probe false
+    (exact deletion; the fixture is collision-free at every test SF —
+    deterministic forever because sorted inserts make the table layout
+    a pure function of the key set). The oracle states that contract
+    relationally."""
+    from web_scrapper_spark.frontier import cuckoo as _ck
+
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").cast("long").alias("url_hash")
+    )
+    filt = _ck.build_sharded_cuckoo(seen, "url_hash", 4, 40_000)
+    due = docs.filter(F.col("doc_id") % 9 == 1).select(
+        F.col("doc_id").cast("long")
+    )
+    import numpy as _np
+
+    filt.delete_many(
+        _np.array([r["doc_id"] for r in due.collect()], dtype=_np.int64)
+    )
+    return (
+        _ck.cuckoo_membership(seen, "url_hash", filt, "in_filter")
+        .select(F.col("url_hash").alias("doc_id"), "in_filter")
+    )
+
+
+_CUCKOO_ORACLE = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               (doc_id % 9 != 1) AS in_filter
+        FROM documents
+        WHERE doc_id % 3 != 0
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -3001,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "hll_host_distinct": _q_hll_host_distinct,
         "cms_hot_hosts": _q_cms_hot_hosts,
+        "cuckoo_seen": _q_cuckoo_seen,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4218,6 +4258,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": _PRIORITY_SAMPLE_ORACLE,
         "hll_host_distinct": _hll_oracle_sql(),
         "cms_hot_hosts": _CMS_ORACLE,
+        "cuckoo_seen": _CUCKOO_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (
