@@ -553,3 +553,31 @@ def test_trap_guard_drops_pathological_links(spark, tmp_path):
     guarded = crawl(True)
     assert clean in guarded and seed in guarded
     assert trap not in guarded
+
+
+def test_cuckoo_seen_filter_matches_reference(spark, tmp_path, sim):
+    """seen_filter='cuckoo' routes the pre-filter through the deletable
+    sharded cuckoo filter — identical final crawl state (the filter is
+    an optimization, never an authority), the blob persists with the
+    cuckoo tag, and resume restores a ShardedCuckoo."""
+    store = SnapshotStore(str(tmp_path / "cuckoo-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    cfg = CrawlConfig(bloom_min_seen=1, bloom_shards=4, seen_filter="cuckoo")
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init(_seeds())
+    engine.run_epoch()
+    engine.run_epoch()
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, cfg)
+    from web_scrapper_spark.frontier.cuckoo import ShardedCuckoo
+
+    if resumed._bloom is not None:  # blob written once the filter activates
+        assert isinstance(resumed._bloom, ShardedCuckoo)
+    resumed.run(max_epochs=30)
+    assert {r["url"]: r["status"] for r in resumed.seen().collect()} == sim.seen
+
+
+def test_seen_filter_validation():
+    with pytest.raises(ValueError, match="seen_filter"):
+        CrawlEngine(None, None, None, None, CrawlConfig(seen_filter="bogus"))

@@ -112,6 +112,11 @@ class CrawlConfig:
     # (~12 GB) can't broadcast; shards build in one grouped pass and
     # probe per-shard. 1 (default) = flat filter, right for ≤10^8.
     bloom_shards: int = 1
+    # seen-set pre-filter flavor: "bloom" (default) or "cuckoo"
+    # (frontier/cuckoo.ShardedCuckoo — same prefilter contract, plus
+    # TRUE DELETION so recrawl-due URLs can be evicted to look new
+    # again; always sharded, using max(bloom_shards, 1) shards)
+    seen_filter: str = "bloom"
     # above this frontier size, pre-rank per (host, salt) before the
     # per-host politeness window so a Zipf-hot host can't put a huge
     # share of the frontier into one window task (core.dequeue_ranked)
@@ -182,6 +187,11 @@ class CrawlEngine:
         self.pages = pages
         self.robots = robots
         self.cfg = cfg or CrawlConfig()
+        if self.cfg.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter must be 'bloom' or 'cuckoo', "
+                f"got {self.cfg.seen_filter!r}"
+            )
         self._epoch: Optional[int] = None
         # incremental seen-set bloom: built once, delta-unioned per
         # epoch, persisted as a store blob (superset-safe on crash)
@@ -248,7 +258,11 @@ class CrawlEngine:
         blob = store.read_blob("seen_bloom")
         if blob is not None and blob["epoch"] >= engine._epoch:
             meta = blob["meta"]
-            if meta.get("sharded"):
+            if meta.get("cuckoo"):
+                from ..frontier.cuckoo import ShardedCuckoo
+
+                engine._bloom = ShardedCuckoo.from_bytes(blob["data"])
+            elif meta.get("sharded"):
                 engine._bloom = ShardedBloom.from_bytes(blob["data"])
             else:
                 engine._bloom = PyBloom.from_bytes(
@@ -592,7 +606,15 @@ class CrawlEngine:
                     self._bloom_capacity = max(
                         4 * cfg.bloom_min_seen, 2 * n_seen_prev
                     )
-                    if cfg.bloom_shards > 1:
+                    if cfg.seen_filter == "cuckoo":
+                        from ..frontier.cuckoo import build_sharded_cuckoo
+
+                        self._bloom = build_sharded_cuckoo(
+                            seen.select("url_hash"), "url_hash",
+                            n_shards=max(cfg.bloom_shards, 1),
+                            expected=self._bloom_capacity,
+                        )
+                    elif cfg.bloom_shards > 1:
                         self._bloom = build_sharded_bloom(
                             seen.select("url_hash"), "url_hash",
                             n_shards=cfg.bloom_shards,
@@ -606,7 +628,19 @@ class CrawlEngine:
                     phases["bloom_full_build"] = round(time.time() - t_bloom, 3)
                 bloom = self._bloom
                 hashed = candidates.withColumn("url_hash", F.hash("url"))
-                if isinstance(bloom, ShardedBloom):
+                from ..frontier.cuckoo import (
+                    ShardedCuckoo,
+                    sharded_cuckoo_prefilter,
+                )
+
+                if isinstance(bloom, ShardedCuckoo):
+                    definitely_new = sharded_cuckoo_prefilter(
+                        hashed, "url_hash", bloom, keep_maybe_seen=False
+                    ).drop("url_hash")
+                    maybe_seen = sharded_cuckoo_prefilter(
+                        hashed, "url_hash", bloom, keep_maybe_seen=True
+                    ).drop("url_hash")
+                elif isinstance(bloom, ShardedBloom):
                     definitely_new = sharded_bloom_prefilter(
                         hashed, "url_hash", sharded=bloom, keep_maybe_seen=False
                     ).drop("url_hash")
@@ -778,27 +812,43 @@ class CrawlEngine:
         # leaves a blob whose epoch exceeds the committed one — a
         # superset, which resume accepts safely
         if self._bloom is not None:
-            if isinstance(self._bloom, ShardedBloom):
-                delta_bloom = build_sharded_bloom(
-                    seen_delta.select("url_hash"), "url_hash",
-                    n_shards=self._bloom.n_shards, expected=1,
-                    n_bits=self._bloom.n_bits, k=self._bloom.k,
+            from ..frontier.cuckoo import ShardedCuckoo, add_delta_sharded
+
+            if isinstance(self._bloom, ShardedCuckoo):
+                # cuckoo delta: cogroup the epoch's seen delta against
+                # only the touched shard blobs — O(delta + dirty
+                # shards), the same class as the bloom's delta union
+                self._bloom = add_delta_sharded(
+                    self._bloom, seen_delta.select("url_hash"), "url_hash"
                 )
-                meta = {"sharded": True, "capacity": self._bloom_capacity}
+                self.store.commit_blob(
+                    "seen_bloom", self._bloom.to_bytes(), epoch,
+                    {"cuckoo": True, "capacity": self._bloom_capacity},
+                )
             else:
-                delta_bloom = build_bloom(
-                    seen_delta.select("url_hash"), "url_hash",
-                    expected=1, n_bits=self._bloom.n_bits, k=self._bloom.k,
+                if isinstance(self._bloom, ShardedBloom):
+                    delta_bloom = build_sharded_bloom(
+                        seen_delta.select("url_hash"), "url_hash",
+                        n_shards=self._bloom.n_shards, expected=1,
+                        n_bits=self._bloom.n_bits, k=self._bloom.k,
+                    )
+                    meta = {
+                        "sharded": True, "capacity": self._bloom_capacity,
+                    }
+                else:
+                    delta_bloom = build_bloom(
+                        seen_delta.select("url_hash"), "url_hash",
+                        expected=1, n_bits=self._bloom.n_bits, k=self._bloom.k,
+                    )
+                    meta = {
+                        "n_bits": self._bloom.n_bits,
+                        "k": self._bloom.k,
+                        "capacity": self._bloom_capacity,
+                    }
+                self._bloom = self._bloom.union(delta_bloom)
+                self.store.commit_blob(
+                    "seen_bloom", self._bloom.to_bytes(), epoch, meta
                 )
-                meta = {
-                    "n_bits": self._bloom.n_bits,
-                    "k": self._bloom.k,
-                    "capacity": self._bloom_capacity,
-                }
-            self._bloom = self._bloom.union(delta_bloom)
-            self.store.commit_blob(
-                "seen_bloom", self._bloom.to_bytes(), epoch, meta
-            )
             mark("bloom_delta")
 
         delta_rows = _snapshot_rows(self.store, "seen", ssnap)
