@@ -1542,6 +1542,72 @@ _CUCKOO_ORACLE = """
     """
 
 
+def _q_host_triangles(spark, sf_dir):
+    """Host-graph triangle counting (operators/graph.py host_triangles,
+    degree-ordered compact-forward): 20 hosts linked by three affine
+    residue families (44 undirected edges, 32 triangles at every SF).
+    The oracle closes triangles by the INDEPENDENT lexicographic a<b<c
+    triple join — two different algorithms must agree on degree,
+    per-host triangle count, and the integer clustering coefficient."""
+    from web_scrapper_spark.operators.graph import host_triangles
+
+    docs = _read(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 20).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    raw = (
+        docs.select(h(d).alias("src_host"), h(d * 7 + 3).alias("dst_host"))
+        .unionByName(
+            docs.select(h(d).alias("src_host"), h(d * 3 + 1).alias("dst_host"))
+        )
+        .unionByName(
+            docs.select(h(d).alias("src_host"), h(d * 9 + 4).alias("dst_host"))
+        )
+    )
+    return host_triangles(raw)
+
+
+_TRIANGLES_ORACLE = """
+        WITH raw AS (
+          SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS s,
+                 'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS d
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 20 AS VARCHAR),
+                 'h' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 20 AS VARCHAR),
+                 'h' || CAST((doc_id * 9 + 4) % 20 AS VARCHAR)
+          FROM documents
+        ), und AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s <> d
+        ), deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+          ) GROUP BY v
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), corner AS (
+          SELECT v, count(*) AS triangles FROM (
+            SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+            UNION ALL SELECT z AS v FROM tri
+          ) GROUP BY v
+        )
+        SELECT d.v AS host,
+               CAST(d.deg AS BIGINT) AS degree,
+               CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN d.deg >= 2
+                    THEN 2 * coalesce(c.triangles, 0) * 1000000
+                         // (d.deg * (d.deg - 1))
+                    ELSE 0 END AS BIGINT) AS cc_ppm
+        FROM deg d LEFT JOIN corner c ON d.v = c.v
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -3041,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_distinct": _q_hll_host_distinct,
         "cms_hot_hosts": _q_cms_hot_hosts,
         "cuckoo_seen": _q_cuckoo_seen,
+        "host_triangles": _q_host_triangles,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4259,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_host_distinct": _hll_oracle_sql(),
         "cms_hot_hosts": _CMS_ORACLE,
         "cuckoo_seen": _CUCKOO_ORACLE,
+        "host_triangles": _TRIANGLES_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (

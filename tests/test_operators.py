@@ -2086,3 +2086,86 @@ class TestRangeJoin:
         df = spark.createDataFrame([(1,)], "v long")
         with _pytest.raises(ValueError):
             range_join(df, df.selectExpr("v as lo", "v as hi"), bucket_span=0)
+
+
+class TestHostTriangles:
+    def _out(self, spark, pairs):
+        from web_scrapper_spark.operators.graph import host_triangles
+
+        df = spark.createDataFrame(pairs, ["src_host", "dst_host"])
+        return {
+            r["host"]: (r["degree"], r["triangles"], r["cc_ppm"])
+            for r in host_triangles(df).collect()
+        }
+
+    def test_k4_full_clustering(self, spark):
+        verts = ["a", "b", "c", "d"]
+        pairs = [(u, v) for u in verts for v in verts if u < v]
+        out = self._out(spark, pairs)
+        # K4: every vertex has degree 3, sits in C(3,2)=3 triangles, cc=1
+        assert out == {v: (3, 3, 1_000_000) for v in verts}
+
+    def test_cycle_no_triangles(self, spark):
+        verts = [f"v{i}" for i in range(5)]
+        pairs = [(verts[i], verts[(i + 1) % 5]) for i in range(5)]
+        out = self._out(spark, pairs)
+        assert all(v == (2, 0, 0) for v in out.values())
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph on 12 vertices
+        verts = [f"h{i}" for i in range(12)]
+        pairs = [
+            (verts[i], verts[j])
+            for i, j in itertools.combinations(range(12), 2)
+            if (i * 7 + j * 13) % 3 == 0
+        ]
+        out = self._out(spark, pairs)
+        adj = {v: set() for v in verts}
+        for u, v in pairs:
+            adj[u].add(v)
+            adj[v].add(u)
+        for v in verts:
+            deg = len(adj[v])
+            tri = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[v]), 2)
+                if y in adj[x]
+            )
+            expected_cc = 2 * tri * 1_000_000 // (deg * (deg - 1)) if deg >= 2 else 0
+            if deg == 0:
+                assert v not in out  # isolated vertices have no edges
+            else:
+                assert out[v] == (deg, tri, expected_cc)
+
+    def test_direction_duplicates_selfloops_collapse(self, spark):
+        pairs = [
+            ("a", "b"), ("b", "a"), ("a", "b"),  # one undirected edge
+            ("b", "c"), ("a", "c"),
+            ("c", "c"),  # self loop dropped
+        ]
+        out = self._out(spark, pairs)
+        assert out == {
+            "a": (2, 1, 1_000_000),
+            "b": (2, 1, 1_000_000),
+            "c": (2, 1, 1_000_000),
+        }
+
+    def test_partitioning_independence(self, spark):
+        import itertools
+
+        verts = [f"h{i}" for i in range(10)]
+        pairs = [
+            (verts[i], verts[j])
+            for i, j in itertools.combinations(range(10), 2)
+            if (i + j) % 2 == 0
+        ]
+        from web_scrapper_spark.operators.graph import host_triangles
+
+        df = spark.createDataFrame(pairs, ["src_host", "dst_host"])
+        a = sorted(map(tuple, host_triangles(df.repartition(1)).collect()))
+        b = sorted(
+            map(tuple, host_triangles(df.repartition(7, "src_host")).collect())
+        )
+        assert a == b

@@ -44,6 +44,7 @@ __all__ = [
     "canonical_edges",
     "anchor_text_profile",
     "inlink_stats",
+    "host_triangles",
     "PAGERANK_SCALE",
 ]
 
@@ -292,4 +293,92 @@ def inlink_stats(
         F.count("*").alias("n_inlinks"),
         cd(F.col(src_col)).cast("long").alias("n_src_pages"),
         cd(host).cast("long").alias("n_src_hosts"),
+    )
+
+
+def host_triangles(
+    edges: DataFrame, src: str = "src_host", dst: str = "dst_host"
+) -> DataFrame:
+    """Triangle count + local clustering coefficient per host over the
+    undirected host link graph: ``(host, degree, triangles, cc_ppm)``.
+
+    Mutual-linking density separates organic web neighborhoods from
+    link farms (spam rings are near-cliques: cc ~ 1; organic hosts sit
+    far lower) — a crawl-prioritization signal alongside ``pagerank``
+    and ``inlink_stats``.
+
+    Algorithm: degree-ordered wedge closing (the "compact-forward" /
+    Latapy 2008 shape). Edges canonicalize undirected (least, greatest,
+    distinct, no self-loops); each edge orients from the (degree, host)
+    -smaller endpoint to the larger; wedges join oriented edges on the
+    middle vertex and close against the oriented edge set. Ordering by
+    degree bounds the wedge count by O(m^1.5) regardless of skew — a
+    hub of degree d generates ZERO wedges as a source unless its
+    neighbors out-rank it, instead of d^2. Each triangle materializes
+    exactly once, then explodes to its 3 corners for the per-host
+    count. cc_ppm = 2 * triangles * 1e6 DIV (deg * (deg - 1)) — exact
+    integer floor, DuckDB-replayable.
+
+    Scale shape: two shuffles over the oriented edge list (wedge join +
+    closing semi-join) and broadcast-sized degree/count tables back
+    onto hosts; the URL-grain corpus never enters — collapse through
+    ``host_edges`` first.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low → high in (deg, host) order
+    ranked = (
+        und.join(F.broadcast(deg).withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            F.broadcast(deg).withColumnRenamed("v", "b"), "b"
+        )
+        .withColumnRenamed("deg", "deg_b")
+    )
+    fwd = ranked.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+        .alias("e")
+    ).select("e.u", "e.w")
+    # wedges u→v→w close iff u→w is an oriented edge
+    e1 = fwd.select(F.col("u"), F.col("w").alias("v"))
+    e2 = fwd.select(F.col("u").alias("v"), F.col("w"))
+    wedges = e1.join(e2, "v")
+    tris = wedges.join(fwd, ["u", "w"], "left_semi")  # (u, v, w) triangles
+    corner = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(corner, "v", "left")
+        .select(
+            F.col("v").alias("host"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+        .withColumn(
+            "cc_ppm",
+            F.expr(
+                "CASE WHEN degree >= 2 THEN 2 * triangles * 1000000 "
+                "DIV (degree * (degree - 1)) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
     )
