@@ -1608,6 +1608,91 @@ _TRIANGLES_ORACLE = """
     """
 
 
+def _q_ip_politeness(spark, sf_dir):
+    """Server-grain politeness (frontier/core.py dequeue_by_ip): 20
+    hosts, 14 of them collapsing onto 5 shared IPs (vhost farm), per-
+    host robots delays 0-3s with the group binding at the most
+    conservative member; the oracle replays grouping, max-delay budget,
+    the rank window and the integer slot schedule relationally."""
+    from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n = (d % 20).cast("int")
+    host = F.concat(F.lit("h"), n.cast("string"), F.lit(".org"))
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"), d.cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        (d % 13).cast("double").alias("priority"),
+        (d % 5).cast("int").alias("depth"),
+        F.lpad(d.cast("string"), 8, "0").alias("ord_key"),
+    )
+    hosts = docs.select(
+        host.alias("host"), n.alias("n")
+    ).distinct()
+    robots = hosts.select(
+        "host", (F.col("n") % 4).cast("double").alias("crawl_delay")
+    )
+    host_ip = hosts.filter(F.col("n") < 14).select(
+        "host",
+        F.concat(F.lit("ip"), (F.col("n") % 5).cast("string")).alias("ip"),
+    )
+    out = dequeue_by_ip(frontier, robots, host_ip, epoch_seconds=8.0)
+    return out.select(
+        "url",
+        "ip_group",
+        F.col("budget").cast("long").alias("budget"),
+        F.col("ip_rank").cast("long").alias("ip_rank"),
+        F.col("slot_ms").cast("long").alias("slot_ms"),
+    )
+
+
+_IP_POLITENESS_ORACLE = """
+        WITH f AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % 20 AS VARCHAR) || '.org' AS host,
+                 CAST(doc_id % 20 AS INT) AS n,
+                 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/p'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 CAST(doc_id % 13 AS DOUBLE) AS priority,
+                 CAST(doc_id % 5 AS INT) AS depth,
+                 lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ord_key
+          FROM documents
+        ), hosts AS (
+          SELECT DISTINCT host, n FROM f
+        ), grouped AS (
+          SELECT host,
+                 coalesce(CASE WHEN n < 14
+                               THEN 'ip' || CAST(n % 5 AS VARCHAR) END,
+                          host) AS ip_group,
+                 CAST(n % 4 AS DOUBLE) AS delay
+          FROM hosts
+        ), gb AS (
+          SELECT ip_group,
+                 CASE WHEN max(delay) > 0
+                      THEN greatest(1, CAST(floor(8.0 / max(delay)) AS BIGINT))
+                      ELSE 1000000000 END AS budget
+          FROM grouped GROUP BY ip_group
+        ), routed AS (
+          SELECT f.url, g.ip_group, gb.budget,
+                 row_number() OVER (
+                   PARTITION BY g.ip_group
+                   ORDER BY f.priority DESC, f.depth, f.ord_key
+                 ) AS ip_rank
+          FROM f
+          JOIN grouped g ON f.host = g.host
+          JOIN gb ON g.ip_group = gb.ip_group
+        )
+        SELECT url, ip_group,
+               CAST(budget AS BIGINT) AS budget,
+               CAST(ip_rank AS BIGINT) AS ip_rank,
+               CAST((ip_rank - 1) * 8000 // budget AS BIGINT) AS slot_ms
+        FROM routed
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -3108,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hot_hosts": _q_cms_hot_hosts,
         "cuckoo_seen": _q_cuckoo_seen,
         "host_triangles": _q_host_triangles,
+        "ip_politeness": _q_ip_politeness,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4327,6 +4413,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hot_hosts": _CMS_ORACLE,
         "cuckoo_seen": _CUCKOO_ORACLE,
         "host_triangles": _TRIANGLES_ORACLE,
+        "ip_politeness": _IP_POLITENESS_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (

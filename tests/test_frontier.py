@@ -1076,3 +1076,105 @@ class TestUrlShapeProfile:
             [("https://a.org/d/beef",)], "url string"  # 4 hex chars < 8
         )
         assert url_shape_profile(urls).collect()[0]["shape"] == "/s/s"
+
+
+class TestDequeueByIp:
+    """Server-grain politeness: hosts sharing an IP share one bucket."""
+
+    def _frontier(self, spark, per_host, hosts):
+        from web_scrapper_spark.frontier.core import seeds_frontier
+
+        seeds = [
+            (f"https://{h}/p{i}", "content")
+            for h in hosts
+            for i in range(per_host)
+        ]
+        return seeds_frontier(spark, seeds)
+
+    def _robots(self, spark, rows):
+        return spark.createDataFrame(
+            [(h, [], d) for h, d in rows],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+
+    def test_vhost_farm_shares_one_budget(self, spark):
+        from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+        hosts = ["a.org", "b.org", "c.org"]
+        frontier = self._frontier(spark, 5, hosts)
+        robots = self._robots(spark, [(h, 2.0) for h in hosts])
+        host_ip = spark.createDataFrame(
+            [(h, "10.0.0.1") for h in hosts], "host string, ip string"
+        )
+        out = dequeue_by_ip(frontier, robots, host_ip, epoch_seconds=8.0)
+        batch = out.filter("ip_rank <= budget").collect()
+        # budget 4 for the whole farm, not 4 x 3 hosts
+        assert len(batch) == 4
+        assert all(r["ip_group"] == "10.0.0.1" for r in batch)
+        assert sorted(r["slot_ms"] for r in batch) == [0, 2000, 4000, 6000]
+
+    def test_unknown_host_is_own_group(self, spark):
+        from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+        frontier = self._frontier(spark, 3, ["known.org", "mystery.org"])
+        robots = self._robots(spark, [("known.org", 4.0), ("mystery.org", 4.0)])
+        host_ip = spark.createDataFrame(
+            [("known.org", "10.0.0.9")], "host string, ip string"
+        )
+        out = dequeue_by_ip(frontier, robots, host_ip, epoch_seconds=8.0)
+        groups = {
+            r["host"]: r["ip_group"] for r in out.select("host", "ip_group").distinct().collect()
+        }
+        assert groups == {"known.org": "10.0.0.9", "mystery.org": "mystery.org"}
+        batch = out.filter("ip_rank <= budget")
+        per_group = {
+            r["ip_group"]: r["n"]
+            for r in batch.groupBy("ip_group").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert per_group == {"10.0.0.9": 2, "mystery.org": 2}
+
+    def test_group_delay_is_most_conservative(self, spark):
+        from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+        hosts = ["fast.org", "slow.org", "open.org"]
+        frontier = self._frontier(spark, 10, hosts)
+        # open.org has delay 0 (unlimited) — the shared box still binds
+        # at slow.org's 4s
+        robots = self._robots(
+            spark, [("fast.org", 1.0), ("slow.org", 4.0), ("open.org", 0.0)]
+        )
+        host_ip = spark.createDataFrame(
+            [(h, "10.1.1.1") for h in hosts], "host string, ip string"
+        )
+        out = dequeue_by_ip(frontier, robots, host_ip, epoch_seconds=8.0)
+        assert out.select("budget").distinct().collect()[0]["budget"] == 2
+
+    def test_none_maps_degenerate_to_per_host(self, spark):
+        from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+        frontier = self._frontier(spark, 6, ["x.org", "y.org"])
+        out = dequeue_by_ip(frontier, None, None, epoch_seconds=8.0,
+                            default_delay=2.0)
+        batch = out.filter("ip_rank <= budget")
+        counts = {
+            r["ip_group"]: r["n"]
+            for r in batch.groupBy("ip_group").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert counts == {"x.org": 4, "y.org": 4}
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.frontier.core import dequeue_by_ip
+
+        hosts = [f"h{i}.org" for i in range(6)]
+        frontier = self._frontier(spark, 7, hosts)
+        robots = self._robots(spark, [(h, 2.0) for h in hosts])
+        host_ip = spark.createDataFrame(
+            [(h, f"10.0.0.{i % 2}") for i, h in enumerate(hosts)],
+            "host string, ip string",
+        )
+        key = lambda r: (r["url"], r["ip_group"], r["ip_rank"], r["slot_ms"])
+        a = dequeue_by_ip(frontier.repartition(1), robots, host_ip)
+        b = dequeue_by_ip(frontier.repartition(13, "url"), robots, host_ip)
+        assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))

@@ -435,3 +435,87 @@ def drain_plan(
         .cast("int")
         .alias("epochs_to_drain"),
     )
+
+
+def dequeue_by_ip(
+    frontier: DataFrame,
+    robots: Optional[DataFrame],
+    host_ip: Optional[DataFrame],
+    epoch_seconds: float = 8.0,
+    default_delay: float = 2.0,
+) -> DataFrame:
+    """Server-grain politeness (Mercator / Heritrix "IP politeness"):
+    hosts that resolve to the same address share ONE token bucket, so a
+    vhost farm (thousands of hostnames, one box — shared hosting, CDN
+    edges) cannot multiply its fetch budget by its hostname count the
+    way the per-host window lets it.
+
+    ``host_ip``: broadcast-sized (host, ip) lookup — the 100 TB corpus
+    has millions of hosts but the resolver cache is a dimension table.
+    Hosts missing from it form their own singleton group (unknown
+    address = assume own server — the per-host behavior).
+
+    Group policy is the MOST CONSERVATIVE member: the group's crawl
+    delay is the max over member hosts' robots delays (a delay of 0 =
+    unlimited loses to any positive limit), budget = epoch // delay as
+    in ``politeness_budgets``, and one rank window per group orders by
+    the same (priority desc, depth, ord_key) key as the per-host
+    dequeue. ``slot_ms`` is the integer token-bucket schedule
+    ((rank-1) x epoch_ms DIV budget) — exact, oracle-replayable, no
+    float slots.
+
+    Plan shape: two broadcast joins (resolver cache, per-group delay)
+    + one window keyed on the group — same exchange count as the
+    per-host dequeue; the group table is aggregate-sized.
+    """
+    epoch_ms = int(epoch_seconds * 1000)
+    hosts = frontier.select("host").distinct()
+    if host_ip is not None:
+        hosts = hosts.join(F.broadcast(host_ip), "host", "left")
+    else:
+        hosts = hosts.withColumn("ip", F.lit(None).cast("string"))
+    grouped = hosts.select(
+        "host", F.coalesce(F.col("ip"), F.col("host")).alias("ip_group")
+    )
+    if robots is not None:
+        delays = grouped.join(
+            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        delays = grouped.withColumn(
+            "crawl_delay", F.lit(None).cast("double")
+        )
+    delays = delays.withColumn(
+        "_delay", F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    )
+    group_delay = delays.groupBy("ip_group").agg(
+        F.max("_delay").alias("group_delay")
+    )
+    budgets = group_delay.select(
+        "ip_group",
+        F.when(
+            F.col("group_delay") > 0,
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(epoch_seconds) / F.col("group_delay")),
+            ),
+        )
+        .otherwise(F.lit(NO_LIMIT_BUDGET))
+        .cast("int")
+        .alias("budget"),
+    )
+    routed = frontier.join(
+        F.broadcast(grouped.select("host", "ip_group")), "host", "left"
+    ).join(F.broadcast(budgets), "ip_group", "left")
+    win = Window.partitionBy("ip_group").orderBy(
+        F.desc("priority"), F.asc("depth"), F.asc("ord_key")
+    )
+    return (
+        routed.withColumn("ip_rank", F.row_number().over(win))
+        .withColumn(
+            "slot_ms",
+            F.expr(
+                f"CAST((ip_rank - 1) AS BIGINT) * {epoch_ms} DIV budget"
+            ),
+        )
+    )
