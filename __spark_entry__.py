@@ -1693,6 +1693,51 @@ _IP_POLITENESS_ORACLE = """
     """
 
 
+def _q_latency_quantiles(spark, sf_dir):
+    """Integer-exact latency percentiles (frontier/adaptive.py
+    latency_quantiles): p50/p95/p99 per host from a 50ms-bucket
+    histogram — the q-quantile is the upper edge of the smallest bucket
+    reaching ceil(q*n/1e6) cumulative count, never a float
+    interpolation; the oracle replays histogram, cumsum and edge pick
+    relationally."""
+    from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    obs = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string")).alias(
+            "host"
+        ),
+        ((F.col("doc_id") * 31) % 2500).cast("long").alias("latency_ms"),
+    )
+    return latency_quantiles(obs, 50)
+
+
+_LATENCY_Q_ORACLE = """
+        WITH obs AS (
+          SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+                 (doc_id * 31) % 2500 AS lat
+          FROM documents
+        ), hist AS (
+          SELECT host, lat // 50 AS bucket, count(*) AS n
+          FROM obs GROUP BY host, bucket
+        ), cum AS (
+          SELECT host, bucket,
+                 sum(n) OVER (PARTITION BY host ORDER BY bucket) AS cum,
+                 sum(n) OVER (PARTITION BY host) AS total
+          FROM hist
+        )
+        SELECT host,
+               CAST(max(total) AS BIGINT) AS n_obs,
+               CAST(min(CASE WHEN cum >= (total * 500000 + 999999) // 1000000
+                        THEN (bucket + 1) * 50 END) AS BIGINT) AS q500000_ms,
+               CAST(min(CASE WHEN cum >= (total * 950000 + 999999) // 1000000
+                        THEN (bucket + 1) * 50 END) AS BIGINT) AS q950000_ms,
+               CAST(min(CASE WHEN cum >= (total * 990000 + 999999) // 1000000
+                        THEN (bucket + 1) * 50 END) AS BIGINT) AS q990000_ms
+        FROM cum GROUP BY host
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -3194,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_seen": _q_cuckoo_seen,
         "host_triangles": _q_host_triangles,
         "ip_politeness": _q_ip_politeness,
+        "latency_quantiles": _q_latency_quantiles,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4414,6 +4460,7 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_seen": _CUCKOO_ORACLE,
         "host_triangles": _TRIANGLES_ORACLE,
         "ip_politeness": _IP_POLITENESS_ORACLE,
+        "latency_quantiles": _LATENCY_Q_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (

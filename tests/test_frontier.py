@@ -1178,3 +1178,77 @@ class TestDequeueByIp:
         a = dequeue_by_ip(frontier.repartition(1), robots, host_ip)
         b = dequeue_by_ip(frontier.repartition(13, "url"), robots, host_ip)
         assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+class TestLatencyQuantiles:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, latency_ms long")
+
+    def test_matches_python_replay(self, spark):
+        from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+        rows = [("h0", (i * 37) % 1000) for i in range(200)] + [
+            ("h1", (i * i) % 3000) for i in range(75)
+        ]
+        out = {
+            r["host"]: r.asDict()
+            for r in latency_quantiles(self._obs(spark, rows), 50).collect()
+        }
+
+        def replay(vals, q_ppm, bucket=50):
+            from collections import Counter
+
+            hist = Counter(v // bucket for v in vals)
+            n = len(vals)
+            k = (n * q_ppm + 999_999) // 1_000_000
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= k:
+                    return (b + 1) * bucket
+            raise AssertionError
+
+        for host in ("h0", "h1"):
+            vals = [v for h, v in rows if h == host]
+            assert out[host]["n_obs"] == len(vals)
+            for q in (500_000, 950_000, 990_000):
+                assert out[host][f"q{q}_ms"] == replay(vals, q)
+
+    def test_single_bucket_degenerate(self, spark):
+        from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+        out = latency_quantiles(
+            self._obs(spark, [("h", 10), ("h", 20), ("h", 49)]), 50
+        ).collect()[0]
+        assert (out["q500000_ms"], out["q990000_ms"]) == (50, 50)
+
+    def test_p100_is_max_bucket_edge(self, spark):
+        from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+        out = latency_quantiles(
+            self._obs(spark, [("h", 0), ("h", 975)]), 50,
+            quantiles_ppm=(1_000_000,),
+        ).collect()[0]
+        assert out["q1000000_ms"] == 1000
+
+    def test_histogram_merge_across_epochs(self, spark):
+        """Quantiles over the union == quantiles over summed histograms
+        (the persisted cross-epoch shape)."""
+        from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+        a = [("h", (i * 13) % 400) for i in range(60)]
+        b = [("h", (i * 29) % 900) for i in range(40)]
+        whole = latency_quantiles(self._obs(spark, a + b), 50).collect()[0]
+        merged = latency_quantiles(
+            self._obs(spark, a).unionByName(self._obs(spark, b)), 50
+        ).collect()[0]
+        assert whole.asDict() == merged.asDict()
+
+    def test_validation(self, spark):
+        from web_scrapper_spark.frontier.adaptive import latency_quantiles
+
+        df = self._obs(spark, [("h", 1)])
+        with pytest.raises(ValueError):
+            latency_quantiles(df, 0)
+        with pytest.raises(ValueError):
+            latency_quantiles(df, 50, quantiles_ppm=(0,))

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["adaptive_delays", "merge_adaptive_delays"]
@@ -164,3 +164,71 @@ def merge_adaptive_delays(
             ).alias("crawl_delay"),
         )
     )
+
+
+def latency_quantiles(
+    obs: DataFrame,
+    bucket_ms: int = 50,
+    quantiles_ppm: tuple[int, ...] = (500_000, 950_000, 990_000),
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """Per-host latency percentiles from a mergeable integer histogram —
+    the fetch-ops telemetry behind ``adaptive_delays``' EWMA: the EWMA
+    smooths the center, the p95/p99 tail is what says a host is
+    degrading before the error backoff fires.
+
+    Exact-by-construction, never a float interpolation: observations
+    bucket by ``latency_ms DIV bucket_ms``; the q-quantile is the
+    UPPER EDGE of the smallest bucket whose cumulative count reaches
+    ``k = ceil(q_ppm * n / 1e6)`` (the type-1/inverse-CDF quantile at
+    bucket resolution). Every step is BIGINT, so any partitioning and
+    the DuckDB oracle agree bit-for-bit.
+
+    Scale shape: ONE map-side-combined (host, bucket) count is the only
+    pass over the observation stream; the cumulative window runs on the
+    histogram (hosts x occupied buckets — aggregate-sized), never on
+    raw observations. The histogram itself is the mergeable cross-epoch
+    state: counts SUM across epochs (persist (host, bucket, n) and add
+    deltas — same fix-class as the sketch tables).
+
+    Returns one row per host: ``host, n_obs, q<ppm>_ms...`` (e.g.
+    ``q500000_ms`` = p50 upper edge).
+    """
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be positive")
+    if not quantiles_ppm or any(
+        not 0 < q <= 1_000_000 for q in quantiles_ppm
+    ):
+        raise ValueError("quantiles_ppm must be in (0, 1e6]")
+    hist = (
+        obs.select(
+            F.col(host_col).alias("host"),
+            F.expr(f"CAST({latency_col} AS BIGINT) DIV {bucket_ms}").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("host", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("host")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("host"))
+    )
+    aggs = [F.max("total").alias("n_obs")]
+    for q in quantiles_ppm:
+        # k = ceil(q * n / 1e6); quantile = min bucket with cum >= k
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(total * {q} + 999999) DIV 1000000"),
+                    (F.col("bucket") + 1) * bucket_ms,
+                )
+            ).alias(f"q{q}_ms")
+        )
+    return cum.groupBy("host").agg(*aggs)
