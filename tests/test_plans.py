@@ -99,3 +99,33 @@ class TestJoinOperatorPlans:
         plan = _plan(spark, "range_join")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_priority_sample_is_takeordered(self, spark):
+        # DLT top-k must plan as per-partition heaps (TakeOrdered),
+        # never a global Sort + Limit over the corpus
+        plan = _plan(spark, "priority_sample")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_host_triangles_broadcasts_degrees(self, spark):
+        # degree tables join back by broadcast; wedge closing must not
+        # degenerate to a nested-loop/cartesian pair join
+        plan = _plan(spark, "host_triangles")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_sketches_are_single_hash_aggregates(self, spark):
+        # registers/cells come from hash aggregates with map-side
+        # partials (partial_ prefix in the aggregate expressions)
+        for name in ("hll_host_distinct", "cms_hot_hosts"):
+            plan = _plan(spark, name)
+            assert "HashAggregate" in plan, name
+            assert "SortAggregate" not in plan, name
+
+    def test_latency_quantiles_window_on_histogram(self, spark):
+        # the cumsum window keys on host AFTER the (host, bucket)
+        # aggregate — no window over the raw observation stream and no
+        # single-partition exchange
+        plan = _plan(spark, "latency_quantiles")
+        assert "Exchange SinglePartition" not in plan
+        assert "HashAggregate" in plan
