@@ -1738,6 +1738,88 @@ _LATENCY_Q_ORACLE = """
     """
 
 
+def _q_host_volatility(spark, sf_dir):
+    """Observed content volatility per host (frontier/recrawl.py
+    host_volatility): every doc captures 3 times; odd doc_ids change
+    digest at every revisit, even ones never do — hosts aggregate a
+    deterministic mix. The oracle replays the lag-over-(url, ts) change
+    detection and both integer rates relationally."""
+    from web_scrapper_spark.frontier.recrawl import host_volatility
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 6).cast("string"))
+    url = F.concat(F.lit("u"), d.cast("string"))
+
+    def cap(off, shift):
+        return docs.select(
+            host.alias("host"),
+            url.alias("url"),
+            (d * 10 + off).cast("long").alias("ts"),
+            F.concat(
+                F.lit("d"), ((d + shift * (d % 2)) % 3).cast("string")
+            ).alias("digest"),
+        )
+
+    log = cap(0, 0).unionByName(cap(3, 1)).unionByName(cap(7, 2))
+    return host_volatility(log)
+
+
+_VOLATILITY_ORACLE = """
+        WITH log AS (
+          SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+                 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 doc_id * 10 + 0 AS ts,
+                 'd' || CAST(doc_id % 3 AS VARCHAR) AS digest
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 6 AS VARCHAR),
+                 'u' || CAST(doc_id AS VARCHAR),
+                 doc_id * 10 + 3,
+                 'd' || CAST((doc_id + 1 * (doc_id % 2)) % 3 AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 6 AS VARCHAR),
+                 'u' || CAST(doc_id AS VARCHAR),
+                 doc_id * 10 + 7,
+                 'd' || CAST((doc_id + 2 * (doc_id % 2)) % 3 AS VARCHAR)
+          FROM documents
+        ), lagged AS (
+          SELECT host, url, ts,
+                 lag(digest) OVER (PARTITION BY url ORDER BY ts) AS pd,
+                 lag(ts) OVER (PARTITION BY url ORDER BY ts) AS pts,
+                 digest
+          FROM log
+        ), flagged AS (
+          SELECT host,
+                 url,
+                 (pd IS NOT NULL) AS revisit,
+                 (pd IS NOT NULL AND digest <> pd) AS changed,
+                 ts - pts AS gap
+          FROM lagged
+        ), agg AS (
+          SELECT host,
+                 count(*) AS n_captures,
+                 count(DISTINCT url) AS n_urls,
+                 sum(CASE WHEN revisit THEN 1 ELSE 0 END) AS revisits,
+                 sum(CASE WHEN changed THEN 1 ELSE 0 END) AS changes,
+                 sum(CASE WHEN changed THEN gap END) AS change_gap
+          FROM flagged GROUP BY host
+        )
+        SELECT host,
+               CAST(n_captures AS BIGINT) AS n_captures,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(revisits AS BIGINT) AS revisits,
+               CAST(changes AS BIGINT) AS changes,
+               CAST(CASE WHEN revisits > 0
+                    THEN 1000000 * changes // revisits
+                    ELSE -1 END AS BIGINT) AS change_ppm,
+               CAST(CASE WHEN changes > 0 THEN change_gap // changes
+                    ELSE -1 END AS BIGINT) AS mean_change_interval
+        FROM agg
+    """
+
+
 #: url_filter query fixture: host cycle + query-string soft words, all
 #: derived from doc_id so Spark and DuckDB construct identical URLs.
 _UF_HOSTS = [
@@ -3240,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": _q_host_triangles,
         "ip_politeness": _q_ip_politeness,
         "latency_quantiles": _q_latency_quantiles,
+        "host_volatility": _q_host_volatility,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "exact_substring": _q_exact_substring,
@@ -4461,6 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": _TRIANGLES_ORACLE,
         "ip_politeness": _IP_POLITENESS_ORACLE,
         "latency_quantiles": _LATENCY_Q_ORACLE,
+        "host_volatility": _VOLATILITY_ORACLE,
         "ccnet_ppl": _ccnet_ppl_oracle_sql(),
         "semdedup": """
             WITH RECURSIVE med AS (

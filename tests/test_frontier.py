@@ -1252,3 +1252,66 @@ class TestLatencyQuantiles:
             latency_quantiles(df, 0)
         with pytest.raises(ValueError):
             latency_quantiles(df, 50, quantiles_ppm=(0,))
+
+
+class TestHostVolatility:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, url string, ts long, digest string"
+        )
+
+    def test_handcrafted_change_history(self, spark):
+        from web_scrapper_spark.frontier.recrawl import host_volatility
+
+        rows = [
+            ("a.org", "u1", 1, "d1"),
+            ("a.org", "u1", 5, "d1"),   # revisit, unchanged
+            ("a.org", "u1", 9, "d2"),   # changed, gap 4
+            ("a.org", "u1", 12, "d3"),  # changed, gap 3
+            ("a.org", "u2", 2, "x"),    # single capture
+        ]
+        out = host_volatility(self._log(spark, rows)).collect()[0]
+        assert (
+            out["n_captures"], out["n_urls"], out["revisits"], out["changes"]
+        ) == (5, 2, 3, 2)
+        assert out["change_ppm"] == 1_000_000 * 2 // 3
+        assert out["mean_change_interval"] == (4 + 3) // 2
+
+    def test_no_revisits_is_unknown_not_stable(self, spark):
+        from web_scrapper_spark.frontier.recrawl import host_volatility
+
+        out = host_volatility(
+            self._log(spark, [("b.org", "u1", 1, "d"), ("b.org", "u2", 2, "e")])
+        ).collect()[0]
+        assert out["revisits"] == 0
+        assert out["change_ppm"] == -1
+        assert out["mean_change_interval"] == -1
+
+    def test_revisits_without_change(self, spark):
+        from web_scrapper_spark.frontier.recrawl import host_volatility
+
+        out = host_volatility(
+            self._log(
+                spark,
+                [("c.org", "u", 1, "d"), ("c.org", "u", 5, "d"),
+                 ("c.org", "u", 9, "d")],
+            )
+        ).collect()[0]
+        assert (out["revisits"], out["changes"]) == (2, 0)
+        assert out["change_ppm"] == 0
+        assert out["mean_change_interval"] == -1
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.frontier.recrawl import host_volatility
+
+        rows = [
+            (f"h{i % 4}.org", f"u{i % 20}", t, f"d{(i * t) % 3}")
+            for i in range(40)
+            for t in (i, i + 100, i + 250)
+        ]
+        df = self._log(spark, rows)
+        a = sorted(map(tuple, host_volatility(df.repartition(1)).collect()))
+        b = sorted(
+            map(tuple, host_volatility(df.repartition(11, "url")).collect())
+        )
+        assert a == b

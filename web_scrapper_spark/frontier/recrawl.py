@@ -115,3 +115,91 @@ def recrawl_due(
         .filter(F.col("reason").isNotNull())
         .select("url", "fetched_epoch", "due_epoch", "priority_ppm", "reason")
     )
+
+
+def host_volatility(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host content volatility from the capture log — the
+    OBSERVED complement to ``recrawl_due``'s publisher hints: sitemap
+    changefreq says what the publisher claims; this measures what the
+    crawler actually saw, host by host, and recommends a recrawl
+    interval from it (the Cho & Garcia-Molina "estimating frequency of
+    change" tier, reduced to exact integer evidence).
+
+    Per host over (url, ts, digest) captures:
+
+    - ``n_captures`` / ``n_urls`` — total fetches, distinct pages;
+    - ``revisits`` — captures after a url's first (the only ones that
+      can witness change);
+    - ``changes`` — revisits whose digest differs from the SAME url's
+      previous capture (lag over (url, ts));
+    - ``change_ppm`` — floor(1e6 * changes / revisits), -1 when the
+      host has no revisits yet (unknown, not "stable");
+    - ``mean_change_interval`` — floor(sum of (ts - prev_ts) over
+      changed revisits / changes): the evidence-backed recrawl period
+      in ts units, -1 when no change was ever observed. Feed it into
+      the hint table as a synthetic changefreq: volatile hosts recrawl
+      at their observed cadence, static archives fall to the floor.
+
+    All integers; ties impossible while (url, ts) is unique (capture
+    logs are). One window keyed on the url (the log's natural key) +
+    one host aggregate — the log is shuffled once; no float crosses
+    the output, so the DuckDB oracle hash-matches.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    lagged = captures.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("_url"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(digest_col).alias("_digest"),
+    ).select(
+        "host",
+        "_url",
+        "_ts",
+        F.lag("_digest").over(
+            Window.partitionBy("_url").orderBy("_ts")
+        ).alias("_prev_digest"),
+        F.lag("_ts").over(
+            Window.partitionBy("_url").orderBy("_ts")
+        ).alias("_prev_ts"),
+        "_digest",
+    )
+    flagged = lagged.select(
+        "host",
+        "_url",
+        F.col("_prev_digest").isNotNull().alias("_revisit"),
+        (
+            F.col("_prev_digest").isNotNull()
+            & (F.col("_digest") != F.col("_prev_digest"))
+        ).alias("_changed"),
+        (F.col("_ts") - F.col("_prev_ts")).alias("_gap"),
+    )
+    agg = flagged.groupBy("host").agg(
+        F.count("*").alias("n_captures"),
+        F.countDistinct("_url").alias("n_urls"),
+        F.sum(F.col("_revisit").cast("long")).alias("revisits"),
+        F.sum(F.col("_changed").cast("long")).alias("changes"),
+        F.sum(F.when(F.col("_changed"), F.col("_gap"))).alias("_change_gap"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_captures").cast("long").alias("n_captures"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("revisits").cast("long").alias("revisits"),
+        F.col("changes").cast("long").alias("changes"),
+        F.expr(
+            "CASE WHEN revisits > 0 THEN 1000000 * changes DIV revisits "
+            "ELSE CAST(-1 AS BIGINT) END"
+        ).alias("change_ppm"),
+        F.expr(
+            "CASE WHEN changes > 0 THEN _change_gap DIV changes "
+            "ELSE CAST(-1 AS BIGINT) END"
+        ).alias("mean_change_interval"),
+    )
