@@ -41,6 +41,24 @@ class TestConfig:
         assert job.content.selectors == {"content": ".entry-content"}
         assert job.output_format == "json"
 
+    def test_seen_filter_binds_through_to_crawl_config(self, tmp_path):
+        job = cfg_mod.bind_job(
+            cfg_mod.load_config(
+                _write_config(tmp_path, {"seen_filter": "cuckoo"})
+            )
+        )
+        assert job.seen_filter == "cuckoo"
+        assert job.crawl_config().seen_filter == "cuckoo"
+        # default stays bloom
+        job2 = cfg_mod.bind_job(cfg_mod.load_config(_write_config(tmp_path)))
+        assert job2.crawl_config().seen_filter == "bloom"
+        with pytest.raises(cfg_mod.ConfigError, match="seen_filter"):
+            cfg_mod.bind_job(
+                cfg_mod.load_config(
+                    _write_config(tmp_path, {"seen_filter": "nope"})
+                )
+            )
+
     def test_validation_errors(self, tmp_path):
         with pytest.raises(cfg_mod.ConfigError):
             cfg_mod.validate_config({})

@@ -123,6 +123,9 @@ class BoundJob:
     output_format: Optional[str] = None
     output_path: Optional[str] = None
     fetch_policy: Optional[object] = None  # crawl.fetchpolicy.FetchPolicy
+    #: seen-set pre-filter flavor: "bloom" (default) or "cuckoo"
+    #: (deletable — frontier/cuckoo.py); yaml key ``scraper.seen_filter``
+    seen_filter: str = "bloom"
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -136,6 +139,7 @@ class BoundJob:
             ecommerce=self.ecommerce,
             business=self.business,
             fetch_policy=self.fetch_policy,
+            seen_filter=self.seen_filter,
         )
 
 
@@ -190,7 +194,12 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         output_format=get_value(config, "scraper.output.format"),
         output_path=get_value(config, "scraper.output.path"),
         fetch_policy=_bind_fetch_policy(scraper),
+        seen_filter=scraper.get("seen_filter", "bloom"),
     )
+    if common["seen_filter"] not in ("bloom", "cuckoo"):
+        raise ConfigError(
+            "scraper.seen_filter must be 'bloom' or 'cuckoo'"
+        )
     job = BoundJob(**common)
     if stype == "ecommerce":
         job.ecommerce = EcommerceConfig(
