@@ -483,6 +483,41 @@ def _q_bpe_pairs(spark, sf_dir):
     return _tx.bpe_pair_counts(docs, k=30)
 
 
+def _q_bpe_learn(spark, sf_dir):
+    """Full iterative BPE tokenizer training (operators/bpe.py
+    bpe_learn): learn the first 24 merge rules. One corpus pass builds
+    the Zipf-compressed word-frequency table; each merge is a pair
+    aggregate (top-1 TakeOrdered — one row to the driver) plus a
+    JVM-side fold applying the merge, with the active word set
+    shrinking as words collapse. Runs on the deterministic fixture
+    corpus (the oracle is the sequential reference twin frozen into a
+    VALUES table, the crawl_epoch_seen pattern)."""
+    from web_scrapper_spark.operators import bpe
+
+    docs = bpe.fixture_docs(spark)
+    return bpe.bpe_learn(docs, n_merges=24)
+
+
+def _bpe_learn_oracle_sql() -> str:
+    """Expected merge table from the sequential reference BPE
+    (operators/bpe.py learn_bpe_sequential) over the same fixture
+    word histogram — plain Python, frozen into VALUES."""
+    if "bpe_learn" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.bpe import (
+            fixture_word_freqs,
+            learn_bpe_sequential,
+        )
+
+        merges = learn_bpe_sequential(fixture_word_freqs(), 24)
+        rows = ",\n              ".join(
+            f"({r}, '{l}', '{rt}', '{m}', {f})" for r, l, rt, m, f in merges
+        )
+        _ORACLE_CACHE["bpe_learn"] = (
+            f"SELECT * FROM (VALUES {rows}) AS t(rank, lhs, rhs, merged, freq)"
+        )
+    return _ORACLE_CACHE["bpe_learn"]
+
+
 def _q_s11_query_loader(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     out = _query_table(
@@ -3302,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "tok_bpe": _q_tok_bpe,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_learn": _q_bpe_learn,
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "pii_redact": _q_pii_redact,
@@ -5062,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM cand QUALIFY rank <= 5
         """,
+        "bpe_learn": _bpe_learn_oracle_sql(),
         "crawl_epoch_seen": _crawl_seen_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }
