@@ -2651,6 +2651,36 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_training_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle (operators/layout.py
+    training_shuffle): seeded 60-bit md5 hash → shard (mod 8) + rank
+    within shard. One hash-partitioned exchange + per-shard sort — the
+    export writer's physical plan. The oracle replays the hash and the
+    per-shard row_number."""
+    from web_scrapper_spark.operators.layout import training_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return training_shuffle(docs, seed="r2", n_shards=8)
+
+
+def _q_mix_sources(spark, sf_dir):
+    """Deterministic source mixing (operators/layout.py mix_sources):
+    per-source training rates in ppm — src0 at 2.3 epochs, src1
+    downsampled to 0.4, src2 dropped, everything else 1.0 — with the
+    fractional epoch carried by an independent per-doc uniform
+    (seeded md5), so expected copies equal the rate exactly. Pure
+    projection: no shuffle, no RNG state. The oracle replays the CASE
+    rate map and the hash threshold."""
+    from web_scrapper_spark.operators.layout import mix_sources
+
+    docs = _read(spark, sf_dir, "documents")
+    return mix_sources(
+        docs,
+        {"src0": 2_300_000, "src1": 400_000, "src2": 0},
+        seed="mix-r2",
+    )
+
+
 def _q_postings(spark, sf_dir):
     """Blocked inverted index (operators/textops.py build_postings):
     min_df=2, max_df=80% stop-word elimination (the synthetic corpus
@@ -3377,6 +3407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
         "corpus_layout": _q_corpus_layout,
+        "training_shuffle": _q_training_shuffle,
+        "mix_sources": _q_mix_sources,
         "token_budget": _q_token_budget,
         "postings": _q_postings,
         "robots_audit": _q_robots_audit,
@@ -3839,6 +3871,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "training_shuffle": """
+            -- seeded-hash global shuffle replay: 60-bit md5, shard =
+            -- h % 8, pos = per-shard rank of (h, doc_id)
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('r2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents
+            )
+            SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY h % 8 ORDER BY h, doc_id
+                   ) AS BIGINT) AS pos
+            FROM h
+        """,
+        "mix_sources": """
+            -- source-mixing replay: CASE rate map + seeded-hash
+            -- fractional-epoch threshold; integer ppm arithmetic only
+            -- (// is HUGEINT in DuckDB -> outer CAST)
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(CASE source WHEN 'src0' THEN 2300000
+                          WHEN 'src1' THEN 400000 WHEN 'src2' THEN 0
+                          ELSE 1000000 END AS BIGINT) AS rate_ppm,
+                     ('0x' || substr(md5('mix-r2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS u
+              FROM documents
+            )
+            SELECT doc_id, source, rate_ppm,
+                   CAST(rate_ppm // 1000000
+                        + (CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_repeats
+            FROM r
         """,
         "url_shapes": """
             -- segment-level shape replay: all-digit -> N, long-hex ->

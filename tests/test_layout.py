@@ -98,3 +98,103 @@ class TestWriteCorpus:
         assert pruned.count() == 10
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+
+
+class TestTrainingShuffle:
+    def _docs(self, spark, n=60):
+        return spark.createDataFrame(
+            [(i, f"src{i % 3}") for i in range(n)], "doc_id long, source string"
+        )
+
+    def test_positions_are_dense_per_shard(self, spark):
+        from web_scrapper_spark.operators.layout import training_shuffle
+
+        out = training_shuffle(
+            self._docs(spark), seed="s", n_shards=4
+        ).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(4))
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from web_scrapper_spark.operators.layout import training_shuffle
+
+        docs = self._docs(spark)
+        a = {(r["doc_id"], r["shard"], r["pos"])
+             for r in training_shuffle(docs, seed="s", n_shards=4).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"])
+             for r in training_shuffle(docs, seed="s", n_shards=4).collect()}
+        c = {(r["doc_id"], r["shard"], r["pos"])
+             for r in training_shuffle(docs, seed="t", n_shards=4).collect()}
+        assert a == b
+        assert a != c  # a different seed is a different permutation
+
+    def test_shuffle_breaks_source_runs(self, spark):
+        # crawl order has all of one source back-to-back; after the
+        # shuffle, shard-concatenated order must interleave sources
+        from web_scrapper_spark.operators.layout import training_shuffle
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b") for i in range(100)],
+            "doc_id long, source string",
+        )
+        out = training_shuffle(docs, seed="s", n_shards=1).collect()
+        order = [r["doc_id"] < 50 for r in sorted(out, key=lambda r: r["pos"])]
+        runs = 1 + sum(1 for x, y in zip(order, order[1:]) if x != y)
+        assert runs > 10  # ~50 expected; crawl order would be 2
+
+    def test_rejects_nonpositive_shards(self, spark):
+        from web_scrapper_spark.operators.layout import training_shuffle
+
+        with pytest.raises(ValueError):
+            training_shuffle(self._docs(spark), n_shards=0)
+
+
+class TestMixSources:
+    def _docs(self, spark, n=300):
+        return spark.createDataFrame(
+            [(i, f"src{i % 3}") for i in range(n)], "doc_id long, source string"
+        )
+
+    def test_integer_epochs_exact(self, spark):
+        from web_scrapper_spark.operators.layout import mix_sources
+
+        out = mix_sources(
+            self._docs(spark), {"src0": 3_000_000, "src1": 0}, seed="m"
+        ).collect()
+        for r in out:
+            if r["source"] == "src0":
+                assert r["n_repeats"] == 3
+            elif r["source"] == "src1":
+                assert r["n_repeats"] == 0
+            else:
+                assert r["n_repeats"] == 1  # default 1.0 epoch
+
+    def test_fractional_rate_hits_expectation(self, spark):
+        from web_scrapper_spark.operators.layout import mix_sources
+
+        out = mix_sources(
+            self._docs(spark, n=3000), {"src0": 2_500_000}, seed="m"
+        ).collect()
+        src0 = [r["n_repeats"] for r in out if r["source"] == "src0"]
+        assert set(src0) <= {2, 3}
+        mean = sum(src0) / len(src0)
+        assert 2.35 <= mean <= 2.65  # E = 2.5, n = 1000
+
+    def test_apply_mix_materializes_copies(self, spark):
+        from web_scrapper_spark.operators.layout import apply_mix, mix_sources
+
+        docs = self._docs(spark, n=30)
+        mix = mix_sources(docs, {"src0": 2_000_000, "src1": 0}, seed="m")
+        out = apply_mix(docs, mix).collect()
+        per_doc = {}
+        for r in out:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        expected = {r["doc_id"]: r["n_repeats"] for r in mix.collect()}
+        assert per_doc == {k: v for k, v in expected.items() if v > 0}
+        # copies are distinguishable
+        idx = {(r["doc_id"], r["repeat_idx"]) for r in out}
+        assert len(idx) == len(out)
