@@ -2651,6 +2651,37 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_crawl_diff(spark, sf_dir):
+    """Cross-crawl snapshot diff (frontier/recrawl.py crawl_diff):
+    two synthetic waves carved from documents — wave A drops
+    doc_id%10==7, wave B drops doc_id%9==4 and rewrites every
+    doc_id%5==0 body — then one full-outer join classifies each URL
+    added/removed/changed/unchanged by md5 digest. The oracle replays
+    the carve and the FULL JOIN."""
+    from web_scrapper_spark.frontier.recrawl import crawl_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = docs.select(url.alias("url"), "doc_id", "text")
+    old = base.filter(F.col("doc_id") % 10 != 7).select(
+        "url", F.md5("text").alias("digest")
+    )
+    new = base.filter(F.col("doc_id") % 9 != 4).select(
+        "url",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("#v2"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return crawl_diff(old, new)
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle (operators/layout.py
     training_shuffle): seeded 60-bit md5 hash → shard (mod 8) + rank
@@ -3404,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
+        "crawl_diff": _q_crawl_diff,
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
         "corpus_layout": _q_corpus_layout,
@@ -3871,6 +3903,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "crawl_diff": """
+            -- two-wave diff replay: same carve rules, FULL JOIN,
+            -- status by presence indicators + digest inequality
+            WITH base AS (
+              SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id, text
+              FROM documents
+            ), o AS (
+              SELECT url, md5(text) AS old_digest, 1 AS in_old
+              FROM base WHERE doc_id % 10 <> 7
+            ), n AS (
+              SELECT url,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || '#v2'
+                         ELSE text END) AS new_digest,
+                     1 AS in_new
+              FROM base WHERE doc_id % 9 <> 4
+            )
+            SELECT coalesce(o.url, n.url) AS url, old_digest, new_digest,
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_digest IS DISTINCT FROM new_digest
+                          THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL JOIN n ON o.url = n.url
         """,
         "training_shuffle": """
             -- seeded-hash global shuffle replay: 60-bit md5, shard =

@@ -1315,3 +1315,45 @@ class TestHostVolatility:
             map(tuple, host_volatility(df.repartition(11, "url")).collect())
         )
         assert a == b
+
+
+class TestCrawlDiff:
+    def _wave(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, digest string")
+
+    def test_all_four_statuses(self, spark):
+        from web_scrapper_spark.frontier.recrawl import crawl_diff
+
+        old = self._wave(
+            spark,
+            [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        )
+        new = self._wave(
+            spark,
+            [("u2", "d2"), ("u3", "d3x"), ("u4", "d4")],
+        )
+        out = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+        assert out == {
+            "u1": "removed",
+            "u2": "unchanged",
+            "u3": "changed",
+            "u4": "added",
+        }
+
+    def test_null_digest_presence_still_classifies(self, spark):
+        from web_scrapper_spark.frontier.recrawl import crawl_diff
+
+        old = self._wave(spark, [("u1", None), ("u2", None)])
+        new = self._wave(spark, [("u1", None), ("u2", "d")])
+        out = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+        # null == null is "unchanged" under eqNullSafe; null -> value
+        # is a change, and neither row may be mistaken for added/removed
+        assert out == {"u1": "unchanged", "u2": "changed"}
+
+    def test_digest_columns_carried(self, spark):
+        from web_scrapper_spark.frontier.recrawl import crawl_diff
+
+        old = self._wave(spark, [("u1", "a")])
+        new = self._wave(spark, [("u1", "b")])
+        row = crawl_diff(old, new).first()
+        assert (row["old_digest"], row["new_digest"]) == ("a", "b")

@@ -30,7 +30,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CHANGEFREQ_HOURS", "recrawl_due"]
+__all__ = ["CHANGEFREQ_HOURS", "recrawl_due", "host_volatility", "crawl_diff"]
 
 #: sitemaps.org changefreq → refetch period in hours. ``always`` means
 #: every epoch; ``never`` means only a lastmod change can trigger.
@@ -202,4 +202,61 @@ def host_volatility(
             "CASE WHEN changes > 0 THEN _change_gap DIV changes "
             "ELSE CAST(-1 AS BIGINT) END"
         ).alias("mean_change_interval"),
+    )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Diff two crawl waves by content digest — the archive-grade
+    "what changed since the last crawl" report (the cross-crawl
+    complement to ``host_volatility``, which looks within one log, and
+    to ``sources.warc`` revisit records, which dedup within a wave).
+
+    One row per URL present in either wave::
+
+      (key, old_digest, new_digest, status)
+
+    ``status`` ∈ added (new wave only), removed (old only), changed
+    (both, digests differ), unchanged. Presence is tracked with
+    indicator columns, not digest nullability, so waves that recorded
+    a null digest (e.g. fetch errors) still classify correctly.
+
+    Scale shape: ONE full-outer sort-merge join on the key — the
+    minimal possible data movement for a set diff; both sides shuffle
+    exactly once, and if the waves were written with
+    ``sources.bucketed`` on the key the exchange disappears entirely.
+    Downstream recrawl tiers read the status column: changed hosts
+    feed ``host_volatility``'s cadence, removed URLs become frontier
+    tombstones, added URLs seed discovery checks.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(digest_col).alias("old_digest"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(digest_col).alias("new_digest"),
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        "old_digest",
+        "new_digest",
+        status.alias("status"),
     )
