@@ -518,6 +518,53 @@ def _bpe_learn_oracle_sql() -> str:
     return _ORACLE_CACHE["bpe_learn"]
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Tokenizer inference (operators/bpe.py bpe_encode): apply the
+    24-rule learned merge table to the fixture corpus via Arrow
+    mapInPandas with per-batch distinct-word memoization. The merge
+    table comes from the sequential trainer (identical to bpe_learn's
+    output — asserted by the bpe_learn oracle); the oracle re-encodes
+    every document with the independent min-rank-pair encoder."""
+    from web_scrapper_spark.operators import bpe
+
+    merges = bpe.learn_bpe_sequential(bpe.fixture_word_freqs(), 24)
+    docs = bpe.fixture_docs(spark)
+    return bpe.bpe_encode(docs, merges)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Expected per-doc encodings from the min-rank reference encoder
+    (operators/bpe.py encode_word_minrank) — frozen into VALUES."""
+    if "bpe_encode" not in _ORACLE_CACHE:
+        import hashlib
+        import re as _re
+
+        from web_scrapper_spark.operators.bpe import (
+            encode_word_minrank,
+            fixture_doc_texts,
+            fixture_word_freqs,
+            learn_bpe_sequential,
+        )
+
+        merges = learn_bpe_sequential(fixture_word_freqs(), 24)
+        ranks = {(m[1], m[2]): m[0] for m in merges}
+        values = []
+        tok_re = _re.compile(r"[^a-z0-9_]+")
+        for doc_id, text in fixture_doc_texts():
+            words = [w for w in tok_re.split(text.lower()) if w]
+            subs: list[str] = []
+            for w in words:
+                subs.extend(encode_word_minrank(w, ranks))
+            fp = hashlib.md5(" ".join(subs).encode("utf-8")).hexdigest()
+            values.append(f"({doc_id}, {len(words)}, {len(subs)}, '{fp}')")
+        rows = ",\n              ".join(values)
+        _ORACLE_CACHE["bpe_encode"] = (
+            f"SELECT * FROM (VALUES {rows}) "
+            "AS t(doc_id, n_words, n_subwords, subword_fingerprint)"
+        )
+    return _ORACLE_CACHE["bpe_encode"]
+
+
 def _q_s11_query_loader(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     out = _query_table(
@@ -3399,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe": _q_tok_bpe,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_learn": _q_bpe_learn,
+        "bpe_encode": _q_bpe_encode,
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "pii_redact": _q_pii_redact,
@@ -5222,6 +5270,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand QUALIFY rank <= 5
         """,
         "bpe_learn": _bpe_learn_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "crawl_epoch_seen": _crawl_seen_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }

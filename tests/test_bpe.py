@@ -74,3 +74,47 @@ class TestLearn:
         a = _rows(bpe.bpe_learn(docs, n_merges=9, checkpoint_every=2))
         b = _rows(bpe.bpe_learn(docs, n_merges=9, checkpoint_every=100))
         assert a == b
+
+
+class TestEncode:
+    def test_rank_order_fold_equals_minrank_reference(self, spark):
+        from web_scrapper_spark.operators.bpe import (
+            bpe_encode,
+            encode_word_minrank,
+            fixture_docs,
+            fixture_word_freqs,
+            learn_bpe_sequential,
+        )
+        import hashlib
+        import re
+
+        merges = learn_bpe_sequential(fixture_word_freqs(), 20)
+        ranks = {(m[1], m[2]): m[0] for m in merges}
+        docs = fixture_docs(spark)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"], r["subword_fingerprint"])
+            for r in bpe_encode(docs, merges).collect()
+        }
+        for doc_id, text in docs.collect():
+            words = [w for w in re.split(r"[^a-z0-9_]+", text.lower()) if w]
+            stream = []
+            for w in words:
+                stream.extend(encode_word_minrank(w, ranks))
+            fp = hashlib.md5(" ".join(stream).encode()).hexdigest()
+            assert got[doc_id] == (len(words), len(stream), fp)
+
+    def test_no_merges_yields_chars_plus_marker(self, spark):
+        from web_scrapper_spark.operators.bpe import bpe_encode
+
+        docs = spark.createDataFrame([(0, "ab cd!")], "doc_id long, text string")
+        row = bpe_encode(docs, []).first()
+        # a b </w> c d </w> -> 6 subwords, 2 words
+        assert (row["n_words"], row["n_subwords"]) == (2, 6)
+
+    def test_fully_merged_word_is_one_token(self, spark):
+        from web_scrapper_spark.operators.bpe import bpe_encode
+
+        merges = [(1, "a", "b", "ab", 9), (2, "ab", "</w>", "ab</w>", 9)]
+        docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+        row = bpe_encode(docs, merges).first()
+        assert (row["n_words"], row["n_subwords"]) == (2, 2)

@@ -41,8 +41,11 @@ from .partitioning import fan_out
 from .textops import tokens_col
 
 __all__ = [
+    "fixture_doc_texts",
     "bpe_learn",
+    "bpe_encode",
     "learn_bpe_sequential",
+    "encode_word_minrank",
     "word_symbol_table",
     "apply_merge_col",
     "fixture_word_freqs",
@@ -67,11 +70,12 @@ def fixture_word_freqs() -> dict[str, int]:
     return {w: 600 // (i + 2) + 1 for i, w in enumerate(_FIXTURE_WORDS)}
 
 
-def fixture_docs(spark, words_per_doc: int = 40) -> DataFrame:
-    """The fixture word histogram rendered back into documents
-    ``(doc_id, text)`` — a coprime-stride permutation interleaves the
-    token stream so documents are mixed, then it is chunked. Exactly
-    reproduces :func:`fixture_word_freqs` under ``tokens_col``."""
+def fixture_doc_texts(words_per_doc: int = 40) -> list[tuple[int, str]]:
+    """The fixture word histogram rendered back into ``(doc_id, text)``
+    rows — a coprime-stride permutation interleaves the token stream so
+    documents are mixed, then it is chunked. Exactly reproduces
+    :func:`fixture_word_freqs` under ``tokens_col``. Plain Python so
+    the oracle can replay it without Spark."""
     import math
 
     stream: list[str] = []
@@ -82,11 +86,17 @@ def fixture_docs(spark, words_per_doc: int = 40) -> DataFrame:
     while math.gcd(step, n) != 1:
         step += 2
     toks = [stream[(i * step) % n] for i in range(n)]
-    docs = [
+    return [
         (i // words_per_doc, " ".join(toks[i : i + words_per_doc]))
         for i in range(0, n, words_per_doc)
     ]
-    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def fixture_docs(spark, words_per_doc: int = 40) -> DataFrame:
+    """:func:`fixture_doc_texts` as a DataFrame."""
+    return spark.createDataFrame(
+        fixture_doc_texts(words_per_doc), "doc_id long, text string"
+    )
 
 
 def word_symbol_table(
@@ -194,6 +204,126 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, freq long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table (``bpe_learn`` output rows, or the
+    sequential twin's tuples) to encode documents into subword units —
+    the inference half of the tokenizer.
+
+    Returns ``(id, n_words, n_subwords, subword_fingerprint)`` where
+    the fingerprint is md5 over the space-joined subword stream in
+    document order — a strong order-sensitive equality check that
+    stays a scalar (no array column crosses the oracle compare).
+
+    Encoding is inherently per-document sequential work, so this is
+    the Arrow path by design: ``mapInPandas`` with the (tiny, ≤ vocab
+    budget) merge table shipped in the closure, never a row-at-a-time
+    UDF. Within each batch, distinct words are encoded once and
+    memoized — by Zipf the hit rate approaches 1, so per-row cost is a
+    dict lookup (the same distinct-word economics ``bpe_learn`` uses;
+    an explode→encode-distinct→join-back variant would shuffle the
+    corpus twice for no win).
+
+    Merges are applied in rank order (one fold per rule). For a table
+    produced by BPE TRAINING this is exactly the classic min-rank-pair
+    encoder: a rule consuming a merged token is always learned after
+    the rule producing it, and merging a pair never creates adjacency
+    between two tokens that both predate the rule — the oracle twin
+    implements the min-rank loop independently and the two must agree.
+    """
+    import hashlib
+    import re as _re
+
+    rules = [(m[1], m[2]) for m in merges]
+    token_re = _re.compile(r"[^a-z0-9_]+")
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def encode_word(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                syms = list(word) + ["</w>"]
+                for left, right in rules:
+                    out: list[str] = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = memo[word] = syms
+            return got
+
+        for pdf in batches:
+            ids, n_words, n_subwords, fps = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    w for w in token_re.split((text or "").lower()) if w
+                ]
+                stream: list[str] = []
+                for w in words:
+                    stream.extend(encode_word(w))
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_subwords.append(len(stream))
+                fps.append(
+                    hashlib.md5(" ".join(stream).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "n_subwords": n_subwords,
+                    "subword_fingerprint": fps,
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        encode_batches,
+        schema=(
+            f"{id_col} long, n_words long, n_subwords long, "
+            "subword_fingerprint string"
+        ),
+    )
+
+
+def encode_word_minrank(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Sequential reference encoder (the oracle twin of the fold inside
+    :func:`bpe_encode`): classic min-rank-pair loop — repeatedly merge
+    the present pair with the lowest training rank until none applies."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms = (
+            syms[:best_i]
+            + [syms[best_i] + syms[best_i + 1]]
+            + syms[best_i + 2 :]
+        )
+    return syms
 
 
 def learn_bpe_sequential(
