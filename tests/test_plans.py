@@ -129,3 +129,30 @@ class TestJoinOperatorPlans:
         plan = _plan(spark, "latency_quantiles")
         assert "Exchange SinglePartition" not in plan
         assert "HashAggregate" in plan
+
+
+class TestRound2LayoutPlans:
+    def test_mix_sources_is_pure_projection(self, spark):
+        # rate map folds into CASE; no shuffle, no join anywhere
+        plan = _plan(spark, "mix_sources")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_training_shuffle_single_exchange(self, spark):
+        # one hash exchange (by shard) feeding the per-shard sort; a
+        # second exchange would mean the rank window repartitioned again
+        plan = _plan(spark, "training_shuffle")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_crawl_diff_is_one_full_outer_join(self, spark):
+        plan = _plan(spark, "crawl_diff")
+        assert plan.count("SortMergeJoin") == 1
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bpe_encode_is_single_arrow_stage(self, spark):
+        # encoding is one mapInPandas over the scan: no shuffle of the
+        # corpus, no join
+        plan = _plan(spark, "bpe_encode")
+        assert "MapInPandas" in plan
+        assert "Exchange hashpartitioning" not in plan
