@@ -2698,6 +2698,18 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_passage_chunks(spark, sf_dir):
+    """Sliding-window passage extraction (operators/packing.py
+    passage_chunks): 24-token windows, 8-token overlap, over the
+    documents table — the embedding/RAG indexing unit. Pure HOF
+    projection + posexplode; the oracle replays the split, the chunk
+    count rule, and every window's slice + join-back."""
+    from web_scrapper_spark.operators.packing import passage_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return passage_chunks(docs, chunk_tokens=24, overlap=8)
+
+
 def _q_crawl_diff(spark, sf_dir):
     """Cross-crawl snapshot diff (frontier/recrawl.py crawl_diff):
     two synthetic waves carved from documents — wave A drops
@@ -3456,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dsir_weights": _q_dsir_weights,
         "pack_sequences": _q_pack_sequences,
+        "passage_chunks": _q_passage_chunks,
         "url_filter": _q_url_filter,
         "corpus_funnel": _q_corpus_funnel,
         "funnel_reasons": _q_funnel_reasons,
@@ -3951,6 +3964,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "passage_chunks": """
+            -- sliding-window replay: whitespace split, chunk count =
+            -- 1 + ceil(max(n-24,0)/16), per-window list_slice +
+            -- array_to_string ('//' is HUGEINT -> CAST)
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CAST(1 + (greatest(len(toks) - 24, 0) + 15) // 16
+                       AS BIGINT) AS n_chunks
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(i * 16 AS BIGINT) AS start_tok,
+                   CAST(len(toks[i*16 + 1 : i*16 + 24]) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(toks[i*16 + 1 : i*16 + 24], ' ')
+                     AS chunk_text
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+            WHERE len(toks[i*16 + 1 : i*16 + 24]) > 0
         """,
         "crawl_diff": """
             -- two-wave diff replay: same carve rules, FULL JOIN,

@@ -527,3 +527,55 @@ class TestPrioritySample:
         df = spark.createDataFrame([(1, 1)], ["doc_id", "weight"])
         with pytest.raises(ValueError):
             sp.priority_sample(df, 0)
+
+
+class TestPassageChunks:
+    def _run(self, spark, text, chunk=8, overlap=3):
+        from web_scrapper_spark.operators.packing import passage_chunks
+
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            passage_chunks(
+                docs, chunk_tokens=chunk, overlap=overlap
+            ).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+
+    def test_short_doc_is_one_chunk(self, spark):
+        out = self._run(spark, "a b c")
+        assert len(out) == 1
+        assert out[0]["chunk_text"] == "a b c"
+        assert out[0]["n_tokens"] == 3
+        assert out[0]["start_tok"] == 0
+
+    def test_windows_overlap_and_cover(self, spark):
+        words = [f"w{i}" for i in range(12)]
+        out = self._run(spark, " ".join(words), chunk=8, overlap=3)
+        # step 5: starts 0, 5 -> windows [0:8], [5:12]
+        assert [(r["start_tok"], r["n_tokens"]) for r in out] == [(0, 8), (5, 7)]
+        assert out[1]["chunk_text"] == " ".join(words[5:12])
+        # every token covered
+        covered = set()
+        for r in out:
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(12))
+
+    def test_exact_boundary_no_empty_tail(self, spark):
+        # n == chunk + k*step lands the last window flush on the end
+        words = [f"w{i}" for i in range(8 + 2 * 5)]
+        out = self._run(spark, " ".join(words), chunk=8, overlap=3)
+        assert [(r["start_tok"], r["n_tokens"]) for r in out] == [
+            (0, 8), (5, 8), (10, 8),
+        ]
+
+    def test_empty_doc_yields_no_rows(self, spark):
+        assert self._run(spark, "   ") == []
+
+    def test_rejects_bad_overlap(self, spark):
+        from web_scrapper_spark.operators.packing import passage_chunks
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            passage_chunks(docs, chunk_tokens=4, overlap=4)

@@ -156,3 +156,9 @@ class TestRound2LayoutPlans:
         plan = _plan(spark, "bpe_encode")
         assert "MapInPandas" in plan
         assert "Exchange hashpartitioning" not in plan
+
+    def test_passage_chunks_no_shuffle(self, spark):
+        # projection + posexplode only: the corpus never exchanges
+        plan = _plan(spark, "passage_chunks")
+        assert "Exchange" not in plan
+        assert "Join" not in plan

@@ -145,3 +145,61 @@ def shard_manifest(
             "last_doc",
         )
     )
+
+
+def passage_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window passage extraction — the retrieval-side sibling
+    of :func:`pack_sequences`: where packing lays docs end-to-end for a
+    trainer, chunking cuts each doc into overlapping fixed-size windows
+    for an embedding/RAG index (a doc is too coarse a retrieval unit;
+    a window of ``chunk_tokens`` whitespace tokens with ``overlap``
+    carried across cuts is the standard one).
+
+    One row per (doc, window)::
+
+      (id, chunk_id, start_tok, n_tokens, chunk_text)
+
+    Window starts step by ``chunk_tokens - overlap``; the final window
+    may be short (never empty — empty docs yield no rows). Chunk count
+    is ``1 + ceil(max(n - chunk_tokens, 0) / step)`` so every token is
+    covered and the last window begins before the previous one ends.
+
+    Scale shape: pure per-row projection + a narrow ``posexplode`` —
+    the corpus never shuffles, and the split/slice/join-back all run
+    as JVM higher-order functions (no UDF, no Python). Chunk identity
+    is (id, chunk_id) — deterministic under any partitioning.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size("_toks")
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = (F.lit(1) + (extra + step - 1).cast("long") / step).cast("long")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * step
+    )
+    exploded = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start"))
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return (
+        exploded.select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("_start").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
