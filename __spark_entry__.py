@@ -2698,6 +2698,25 @@ def _q_corpus_layout(spark, sf_dir):
     return corpus_layout(q, rows_per_shard=16)
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Per-dimension int8 scalar quantization (operators/similarity.py
+    quantize_embeddings): corpus-wide lo/hi per dimension (one
+    map-side-combined aggregate, broadcast back as literals), then a
+    pure integer projection. Floats enter through the floor(x*1e6)
+    micro-int gate, so the oracle replays every code exactly."""
+    from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(vecs)
+    return qv.select(
+        "vec_id", F.posexplode("qvec").alias("dim", "q")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("q").cast("long").alias("q"),
+    )
+
+
 def _q_passage_chunks(spark, sf_dir):
     """Sliding-window passage extraction (operators/packing.py
     passage_chunks): 24-token windows, 8-token overlap, over the
@@ -3530,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_srp_topk": _q_srp_topk,
+        "embedding_quantize": _q_embedding_quantize,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -3964,6 +3984,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % g.n_shards AS BIGINT) AS shard
             FROM b JOIN g USING (lang, bucket)
+        """,
+        "embedding_quantize": """
+            -- scalar-quantization replay: micro-int gate, per-dim
+            -- lo/hi, integer affine code ('//' is floor division,
+            -- operands non-negative -> matches Spark's trunc cast)
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS vm
+              FROM embeddings
+            ), e AS (
+              SELECT vec_id, CAST(i AS BIGINT) AS dim, vm[i + 1] AS v
+              FROM m, UNNEST(generate_series(0, len(vm) - 1)) AS u(i)
+            ), s AS (
+              SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim
+            )
+            SELECT e.vec_id, e.dim,
+                   CAST(((v - lo) * 255) // (hi - lo + 1) AS BIGINT) AS q
+            FROM e JOIN s USING (dim)
         """,
         "passage_chunks": """
             -- sliding-window replay: whitespace split, chunk count =

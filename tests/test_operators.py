@@ -2169,3 +2169,54 @@ class TestHostTriangles:
             map(tuple, host_triangles(df.repartition(7, "src_host")).collect())
         )
         assert a == b
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_span_range_and_invert_monotonically(self, spark):
+        from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), float(-i), 0.5]) for i in range(11)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(vecs).collect()}
+        d0 = [out[i][0] for i in range(11)]
+        d1 = [out[i][1] for i in range(11)]
+        assert d0[0] == 0 and d0[-1] == 255 * 10_000_000 // 10_000_001
+        assert d0 == sorted(d0)                    # monotone in the value
+        assert d1 == sorted(d1, reverse=True)      # anti-monotone dim
+        assert all(0 <= q <= 255 for qs in out.values() for q in qs)
+
+    def test_constant_dimension_codes_to_zero(self, spark):
+        from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+        vecs = spark.createDataFrame(
+            [(1, [7.0, 1.0]), (2, [7.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(vecs).collect()}
+        assert out[1][0] == 0 and out[2][0] == 0
+
+    def test_matches_numpy_replay(self, spark):
+        import math
+
+        from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+        rows = [
+            (i, [math.sin(i * 0.7 + j) for j in range(5)]) for i in range(40)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: list(r["qvec"]) for r in quantize_embeddings(vecs).collect()}
+        import struct
+
+        def f32(x):  # replicate float32 storage of the column
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        micro = {i: [math.floor(f32(v) * 1_000_000) for v in vs] for i, vs in rows}
+        lo = [min(m[j] for m in micro.values()) for j in range(5)]
+        hi = [max(m[j] for m in micro.values()) for j in range(5)]
+        want = {
+            i: [((m[j] - lo[j]) * 255) // (hi[j] - lo[j] + 1) for j in range(5)]
+            for i, m in micro.items()
+        }
+        assert got == want

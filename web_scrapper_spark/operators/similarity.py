@@ -316,3 +316,59 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, F.round("cos", 6).alias("cos"))
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar quantization — the memory-scale path for a
+    100 TB embedding store: a 64-dim float32 vector (256 B) becomes 64
+    uint8 codes (64 B), served from a quarter of the RAM with the
+    corpus-wide per-dimension range as the codebook (the classic
+    IVF+SQ layout; this is the SQ half, ``ivf_topk`` is the IVF half).
+
+    Two-step, both shuffle-light:
+
+    1. Per-dimension lo/hi over the corpus — ONE map-side-combined
+       aggregate over a ``posexplode`` (the partial state is dim-count
+       sized, never corpus sized), collected driver-side (64 rows) and
+       folded back in as literal arrays — the ``assign_cells``
+       broadcast discipline.
+    2. ``q[j] = (v[j] - lo[j]) * (2^bits - 1) DIV (hi[j] - lo[j] + 1)``
+       as a pure ``transform`` projection.
+
+    Determinism: floats enter through ONE micro-int gate
+    (``floor(x * 1e6)`` — floor, not round: identical in Spark, DuckDB
+    and Python) and everything after is integer arithmetic, so the
+    codes are bit-identical in any engine. Returns ``(id, qvec)`` with
+    codes in ``[0, 2^bits - 1]`` (a constant dimension codes to 0).
+    """
+    levels = (1 << bits) - 1
+    vm = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+    )
+    base = vectors.select(F.col(id_col), vm.alias("_vm"))
+    stats = (
+        base.select(F.posexplode("_vm").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    rows = sorted(stats.collect(), key=lambda r: r["dim"])
+    los = F.array(*[F.lit(int(r["lo"])) for r in rows])
+    his = F.array(*[F.lit(int(r["hi"])) for r in rows])
+    q = F.transform(
+        F.col("_vm"),
+        lambda v, i: (
+            (v - F.element_at(los, i + 1))
+            * levels
+            / (F.element_at(his, i + 1) - F.element_at(los, i + 1) + 1)
+        )
+        .cast("long")
+        .cast("int"),
+    )
+    return base.select(id_col, q.alias("qvec"))
