@@ -2717,6 +2717,24 @@ def _q_embedding_quantize(spark, sf_dir):
     )
 
 
+def _q_sim_sq_topk(spark, sf_dir):
+    """Quantized top-k search (operators/similarity.py sq_topk):
+    symmetric int8-code dot product, queries = first 8 vectors,
+    corpus scanned once with the queries broadcast — no float enters
+    the ranking, so the oracle replay is bit-exact, not epsilon."""
+    from web_scrapper_spark.operators.similarity import (
+        quantize_embeddings,
+        sq_topk,
+    )
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(vecs)
+    queries = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    return sq_topk(queries, qv, k=5)
+
+
 def _q_passage_chunks(spark, sf_dir):
     """Sliding-window passage extraction (operators/packing.py
     passage_chunks): 24-token windows, 8-token overlap, over the
@@ -3550,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_srp_topk": _q_srp_topk,
         "embedding_quantize": _q_embedding_quantize,
+        "sim_sq_topk": _q_sim_sq_topk,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -4004,6 +4023,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.dim,
                    CAST(((v - lo) * 255) // (hi - lo + 1) AS BIGINT) AS q
             FROM e JOIN s USING (dim)
+        """,
+        "sim_sq_topk": """
+            -- quantized search replay: same SQ codes, integer dot
+            -- product via a dim-key join, per-query rank
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS vm
+              FROM embeddings
+            ), e AS (
+              SELECT vec_id, CAST(i AS BIGINT) AS dim, vm[i + 1] AS v
+              FROM m, UNNEST(generate_series(0, len(vm) - 1)) AS u(i)
+            ), s AS (
+              SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim
+            ), code AS (
+              SELECT e.vec_id, e.dim,
+                     CAST(((v - lo) * 255) // (hi - lo + 1) AS BIGINT) AS q
+              FROM e JOIN s USING (dim)
+            ), pair AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                     CAST(sum(a.q * b.q) AS BIGINT) AS score
+              FROM code a JOIN code b USING (dim)
+              WHERE a.vec_id < 8
+              GROUP BY 1, 2
+            )
+            SELECT query_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, vec_id ASC
+                   ) AS rank,
+                   vec_id, score
+            FROM pair QUALIFY rank <= 5
         """,
         "passage_chunks": """
             -- sliding-window replay: whitespace split, chunk count =

@@ -2220,3 +2220,59 @@ class TestQuantizeEmbeddings:
             for i, m in micro.items()
         }
         assert got == want
+
+
+class TestSqTopk:
+    def test_recall_vs_exact_cosine(self, spark):
+        import math
+
+        from web_scrapper_spark.operators.similarity import (
+            cosine_topk,
+            quantize_embeddings,
+            sq_topk,
+        )
+
+        rows = [
+            (i, [math.sin(i * 0.31 + j * 1.7) for j in range(16)])
+            for i in range(120)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qv = quantize_embeddings(vecs)
+        queries_q = qv.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "qvec"
+        )
+        got = sq_topk(queries_q, qv, k=10).collect()
+        queries_f = vecs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(queries_f, vecs, k=10).collect()
+        g = {}
+        for r in got:
+            g.setdefault(r["query_id"], set()).add(r["vec_id"])
+        e = {}
+        for r in exact:
+            e.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [len(g[q] & e[q]) / 10 for q in e]
+        # symmetric uint8 dot vs float cosine: quantization + missing
+        # normalization cost some tail overlap — the SQ trade the
+        # docstring states (re-rank the shortlist for exactness)
+        assert min(recalls) >= 0.5 and sum(recalls) / len(recalls) >= 0.7
+
+    def test_self_match_ranks_first(self, spark):
+        from web_scrapper_spark.operators.similarity import (
+            quantize_embeddings,
+            sq_topk,
+        )
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        qv = quantize_embeddings(vecs)
+        q = qv.filter(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"), "qvec"
+        )
+        top = sq_topk(q, qv, k=1).first()
+        # the dominant-dim vector scores highest with itself or the
+        # all-ones vector; integer ties break on vec_id
+        assert top["vec_id"] in (1, 3) and top["rank"] == 1

@@ -372,3 +372,47 @@ def quantize_embeddings(
         .cast("int"),
     )
     return base.select(id_col, q.alias("qvec"))
+
+
+def sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k by symmetric quantized dot product — the search
+    half of :func:`quantize_embeddings`: both sides carry int8 codes,
+    the score is a pure-integer dot product, so scan bandwidth drops
+    4x vs float32 and NO float ever enters the ranking (ties and
+    ordering are engine-exact, not epsilon-exact).
+
+    Output: (query_id, rank, corpus_id, score) with ties broken on the
+    corpus id. Same plan shape as ``cosine_topk`` — queries broadcast,
+    corpus scanned once, per-query rank window over the scored rows —
+    so the 100 TB side never shuffles; only the top-k survive to the
+    window. Recall vs exact float cosine is bounded by quantization
+    error (asserted in tests), which is the SQ trade: cheaper scans,
+    re-rank the short list with floats if exactness matters.
+    """
+    q = queries.select(F.col(query_id), F.col(qvec_col).alias("_q"))
+    c = fan_out(corpus).select(F.col(corpus_id), F.col(qvec_col).alias("_c"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_q"), F.col("_c"), lambda a, b: a.cast("long") * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id, corpus_id, dot.alias("score")
+    )
+    win = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "score")
+    )
