@@ -2717,6 +2717,56 @@ def _q_embedding_quantize(spark, sf_dir):
     )
 
 
+def _q_corpus_card(spark, sf_dir):
+    """Corpus datasheet (operators/quality.py corpus_card): per
+    (lang, source) doc/char/token totals + exact integer low-median
+    token count via the (group, token_count) histogram — no
+    corpus-wide window. Oracle replays the histogram, the cumulative
+    window over distinct values, and the 2*cum >= n median rule."""
+    from web_scrapper_spark.operators.quality import corpus_card
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_card(docs)
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality gate (operators/quality.py
+    compression_ratio): one Arrow mapInPandas projection over the
+    deterministic fixture corpus; gates at [120000, 1000000] ppm split
+    the fixture non-vacuously (ratios span ~81k-325k). Oracle = the
+    same stdlib zlib in the driver's oracle process, frozen to VALUES
+    (DEFLATE at a fixed level is a pure function of the bytes)."""
+    from web_scrapper_spark.operators.bpe import fixture_docs
+    from web_scrapper_spark.operators.quality import compression_ratio
+
+    docs = fixture_docs(spark)
+    return compression_ratio(docs, min_ratio_ppm=120_000)
+
+
+def _compression_ratio_oracle_sql() -> str:
+    """Expected per-doc zlib stats recomputed sequentially."""
+    if "compression_ratio" not in _ORACLE_CACHE:
+        import zlib
+
+        from web_scrapper_spark.operators.bpe import fixture_doc_texts
+
+        values = []
+        for doc_id, text in fixture_doc_texts():
+            raw = text.encode("utf-8")
+            comp = zlib.compress(raw, 6)
+            ratio = len(comp) * 1_000_000 // len(raw) if raw else -1
+            keep = "true" if 120_000 <= ratio <= 1_000_000 else "false"
+            values.append(
+                f"({doc_id}, {len(raw)}, {len(comp)}, {ratio}, {keep})"
+            )
+        rows = ",\n              ".join(values)
+        _ORACLE_CACHE["compression_ratio"] = (
+            f"SELECT * FROM (VALUES {rows}) "
+            "AS t(doc_id, raw_len, comp_len, ratio_ppm, keep_compress)"
+        )
+    return _ORACLE_CACHE["compression_ratio"]
+
+
 def _q_sim_sq_topk(spark, sf_dir):
     """Quantized top-k search (operators/similarity.py sq_topk):
     symmetric int8-code dot product, queries = first 8 vectors,
@@ -3501,6 +3551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "gopher_quality": _q_gopher_quality,
+        "compression_ratio": _q_compression_ratio,
+        "corpus_card": _q_corpus_card,
         "c4_clean": _q_c4_clean,
         "decontaminate": _q_decontaminate,
         "dsir_weights": _q_dsir_weights,
@@ -4023,6 +4075,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.dim,
                    CAST(((v - lo) * 255) // (hi - lo + 1) AS BIGINT) AS q
             FROM e JOIN s USING (dim)
+        """,
+        "corpus_card": """
+            -- datasheet replay: (lang, source, tok) histogram, totals
+            -- from histogram rows, low median via cumulative window
+            -- (2*cum >= n; sums are HUGEINT -> CAST)
+            WITH base AS (
+              SELECT lang, source,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) AS tok,
+                     length(text) AS chars
+              FROM documents
+            ), hist AS (
+              SELECT lang, source, tok, count(*) AS c,
+                     CAST(sum(chars) AS BIGINT) AS ch
+              FROM base GROUP BY 1, 2, 3
+            ), agg AS (
+              SELECT lang, source,
+                     CAST(sum(c) AS BIGINT) AS n_docs,
+                     CAST(sum(ch) AS BIGINT) AS total_chars,
+                     CAST(sum(c * tok) AS BIGINT) AS total_tokens,
+                     CAST(max(tok) AS BIGINT) AS max_tokens
+              FROM hist GROUP BY 1, 2
+            ), cum AS (
+              SELECT lang, source, tok,
+                     sum(c) OVER (
+                       PARTITION BY lang, source ORDER BY tok
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM hist
+            ), med AS (
+              SELECT cum.lang, cum.source,
+                     CAST(min(tok) AS BIGINT) AS median_tokens
+              FROM cum JOIN agg USING (lang, source)
+              WHERE cum * 2 >= n_docs
+              GROUP BY 1, 2
+            )
+            SELECT agg.lang, agg.source, n_docs, total_chars,
+                   total_tokens, max_tokens, median_tokens
+            FROM agg JOIN med USING (lang, source)
         """,
         "sim_sq_topk": """
             -- quantized search replay: same SQ codes, integer dot
@@ -5401,6 +5492,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn": _bpe_learn_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "compression_ratio": _compression_ratio_oracle_sql(),
         "crawl_epoch_seen": _crawl_seen_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -2276,3 +2276,85 @@ class TestSqTopk:
         # the dominant-dim vector scores highest with itself or the
         # all-ones vector; integer ties break on vec_id
         assert top["vec_id"] in (1, 3) and top["rank"] == 1
+
+
+class TestCompressionRatio:
+    def test_matches_stdlib_zlib(self, spark):
+        import zlib
+
+        from web_scrapper_spark.operators.quality import compression_ratio
+
+        texts = [
+            (0, "word " * 200),              # highly compressible
+            (1, "".join(chr(33 + (i * 7919) % 90) for i in range(800))),
+            (2, ""),                          # empty -> -1 sentinel
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+        for i, t in texts:
+            raw = t.encode()
+            comp = zlib.compress(raw, 6)
+            want = len(comp) * 1_000_000 // len(raw) if raw else -1
+            assert out[i]["ratio_ppm"] == want
+            assert out[i]["raw_len"] == len(raw)
+            assert out[i]["comp_len"] == len(comp)
+
+    def test_gate_separates_template_from_prose(self, spark):
+        from web_scrapper_spark.operators.quality import compression_ratio
+
+        docs = spark.createDataFrame(
+            [
+                (0, "buy now click here " * 300),
+                (1, "the quick brown fox jumps over one lazy dog while "
+                    "seventeen sparrows argue about breadcrumbs near the "
+                    "old fountain and a tired postman checks his watch"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["keep_compress"]
+            for r in compression_ratio(docs, min_ratio_ppm=250_000).collect()
+        }
+        assert out == {0: False, 1: True}
+
+    def test_empty_doc_flagged_not_null(self, spark):
+        from web_scrapper_spark.operators.quality import compression_ratio
+
+        docs = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        row = compression_ratio(docs).first()
+        assert row["ratio_ppm"] == -1 and row["keep_compress"] is False
+
+
+class TestCorpusCard:
+    def test_hand_computed_card(self, spark):
+        from web_scrapper_spark.operators.quality import corpus_card
+
+        docs = spark.createDataFrame(
+            [
+                (0, "en", "a", "one two three"),        # 3 tok, 13 ch
+                (1, "en", "a", "one two"),              # 2 tok, 7 ch
+                (2, "en", "a", "one two three four"),   # 4 tok, 18 ch
+                (3, "de", "a", "eins"),                 # 1 tok, 4 ch
+            ],
+            "doc_id long, lang string, source string, text string",
+        )
+        out = {
+            (r["lang"], r["source"]): r for r in corpus_card(docs).collect()
+        }
+        en = out[("en", "a")]
+        assert (en["n_docs"], en["total_chars"], en["total_tokens"]) == (3, 38, 9)
+        assert (en["max_tokens"], en["median_tokens"]) == (4, 3)
+        de = out[("de", "a")]
+        assert (de["n_docs"], de["median_tokens"]) == (1, 1)
+
+    def test_low_median_on_even_count(self, spark):
+        from web_scrapper_spark.operators.quality import corpus_card
+
+        docs = spark.createDataFrame(
+            [(i, "en", "a", " ".join(["w"] * n)) for i, n in
+             enumerate([1, 2, 3, 4])],
+            "doc_id long, lang string, source string, text string",
+        )
+        row = corpus_card(docs).first()
+        # low median of {1,2,3,4} = 2 (cum 2*2 >= 4 at tok=2)
+        assert row["median_tokens"] == 2

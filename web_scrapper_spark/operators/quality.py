@@ -30,7 +30,7 @@ surface; this operator is part of the training-data pipeline layer
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import fan_out
@@ -899,4 +899,136 @@ def distribution_drift(
     return j.join(F.broadcast(tv), "group").select(
         "group", "bucket", "n", "share_ppm", "ref_share_ppm",
         "abs_diff_ppm", "tv_ppm",
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    min_ratio_ppm: int = 250_000,
+    max_ratio_ppm: int = 1_000_000,
+) -> DataFrame:
+    """zlib compression ratio as a quality signal — the cheap
+    model-free complement to :func:`gopher_quality`'s explicit
+    repetition counters and :func:`ccnet_ppl_buckets`'s LM: machine-
+    generated/templated spam compresses far below natural prose, byte
+    junk compresses above it (RedPajama-v2 ships this same signal).
+
+    Per doc::
+
+      (id, raw_len, comp_len, ratio_ppm, keep_compress)
+
+    ``ratio_ppm = comp_len * 1e6 // raw_len`` (empty docs: -1, never
+    NULL — ints stay ints across the oracle boundary) and
+    ``keep_compress`` gates on [min_ratio_ppm, max_ratio_ppm].
+
+    Python is justified here the same way NFC was for
+    ``unicode_clean``: Spark has no zlib expression, so this is ONE
+    Arrow ``mapInPandas`` projection (no shuffle, fixed ``level`` so
+    output is a pure function of the bytes). DEFLATE output is defined
+    by the zlib algorithm at a fixed level — the sequential oracle
+    twin recomputes it with the same stdlib.
+    """
+    import zlib
+
+    schema = (
+        f"{id_col} long, raw_len long, comp_len long, "
+        "ratio_ppm long, keep_compress boolean"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, raws, comps, ratios, keeps = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ratio = (
+                    len(comp) * 1_000_000 // len(raw) if raw else -1
+                )
+                ids.append(doc_id)
+                raws.append(len(raw))
+                comps.append(len(comp))
+                ratios.append(ratio)
+                keeps.append(min_ratio_ppm <= ratio <= max_ratio_ppm)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_len": raws,
+                    "comp_len": comps,
+                    "ratio_ppm": ratios,
+                    "keep_compress": keeps,
+                }
+            )
+
+    from .partitioning import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def corpus_card(
+    docs: DataFrame,
+    *,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus datasheet — the per-(lang, source) summary a dataset
+    card publishes and a mixing recipe (``layout.mix_sources``) is
+    tuned against::
+
+      (group..., n_docs, total_chars, total_tokens,
+       max_tokens, median_tokens)
+
+    All integer (median = LOW median: smallest token count whose
+    cumulative doc count reaches ceil(n/2)), so the report is
+    hash-exact across engines.
+
+    Scale shape — the token-budget histogram trick again: docs reduce
+    to a (group, token_count) HISTOGRAM in one map-side-combined
+    aggregate, and everything else (totals, max, the median's
+    cumulative window) runs on histogram rows — distinct-value sized,
+    never corpus sized. No corpus-wide window, no skew exposure on
+    hot groups.
+    """
+    gc = list(group_cols)
+    tok = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    ).cast("long")
+    base = docs.select(
+        *gc, tok.alias("tok"), F.length(text_col).cast("long").alias("chars")
+    )
+    hist = base.groupBy(*gc, "tok").agg(
+        F.count("*").alias("c"), F.sum("chars").alias("ch")
+    )
+    agg = hist.groupBy(*gc).agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("ch").alias("total_chars"),
+        F.sum(F.col("c") * F.col("tok")).alias("total_tokens"),
+        F.max("tok").alias("max_tokens"),
+    )
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    med = (
+        cum.join(agg.select(*gc, "n_docs"), gc)
+        .filter(F.col("cum") * 2 >= F.col("n_docs"))
+        .groupBy(*gc)
+        .agg(F.min("tok").alias("median_tokens"))
+    )
+    return agg.join(med, gc).select(
+        *gc,
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "max_tokens",
+        "median_tokens",
     )
