@@ -3290,6 +3290,97 @@ def _q_trap_detect(spark, sf_dir):
     return url_trap_signals(docs.select(url.alias("url")))
 
 
+def _param_captures(docs):
+    """Synthetic (url, digest) captures for the param-mining queries:
+    7 shop hosts, three URL variants per doc — same id under utm=a/b
+    (content identical) plus an id+1 probe (content differs); hosts
+    shop5/shop6 append a unique per-URL session token, which destroys
+    residual evidence exactly the way real session ids do. The digest
+    is a function of (host, path, id) ONLY."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("shop"), (d % 7).cast("string"), F.lit(".org"))
+    path = F.concat(F.lit("/item/"), (d % 211).cast("string"))
+    idv = (d % 50).cast("long")
+    variants = F.array(
+        F.struct(idv.alias("id"), F.lit("a").alias("utm"), F.lit(1).alias("vn")),
+        F.struct(idv.alias("id"), F.lit("b").alias("utm"), F.lit(2).alias("vn")),
+        F.struct(
+            (idv + 1).alias("id"), F.lit("a").alias("utm"), F.lit(3).alias("vn")
+        ),
+    )
+    v = docs.select(
+        d.alias("doc_id"),
+        host.alias("host"),
+        path.alias("path"),
+        F.explode(variants).alias("s"),
+    )
+    sess = F.when(
+        F.col("host").isin("shop5.org", "shop6.org"),
+        F.concat(
+            F.lit("&sess="),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("s.vn").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.col("path"),
+        F.lit("?id="),
+        F.col("s.id").cast("string"),
+        F.lit("&utm="),
+        F.col("s.utm"),
+        sess,
+    )
+    digest = F.md5(
+        F.concat(
+            F.col("host"), F.col("path"), F.lit(":"), F.col("s.id").cast("string")
+        )
+    )
+    return v.select(url.alias("url"), digest.alias("digest"))
+
+
+def _q_url_param_mining(spark, sf_dir):
+    """URL query-parameter relevance mining (frontier/params.py
+    param_relevance): per-(host, param) digest-evidence verdicts —
+    utm must come out `drop` on evidence hosts, id `keep`, and the
+    session-token hosts degrade both to `unknown` (unique sess values
+    shatter every residual group). Oracle replays the residual-group
+    evidence model relationally with DuckDB list lambdas."""
+    from web_scrapper_spark.frontier.params import param_relevance
+
+    docs = _read(spark, sf_dir, "documents")
+    return param_relevance(_param_captures(docs))
+
+
+def _q_url_param_rewrite(spark, sf_dir):
+    """Learned canonicalization applied (frontier/params.py
+    apply_param_rules): the mined `drop` rules rewrite each distinct
+    capture URL — tracking params removed, survivors sorted, '?'
+    dropped when nothing survives; tracking variants collapse to one
+    canonical frontier row. Oracle replays mining + rewrite."""
+    from web_scrapper_spark.frontier.params import (
+        apply_param_rules,
+        param_relevance,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    caps = _param_captures(docs)
+    urls = caps.select("url").distinct()
+    return apply_param_rules(urls, param_relevance(caps)).select(
+        "url", "canonical_url"
+    )
+
+
 def _q_anchor_profile(spark, sf_dir):
     """Inbound anchor-text aggregation (operators/graph.py
     anchor_text_profile): each document contributes one link whose
@@ -3598,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "url_shapes": _q_url_shapes,
+        "url_param_mining": _q_url_param_mining,
+        "url_param_rewrite": _q_url_param_rewrite,
         "main_content": _q_main_content,
         "host_boilerplate": _q_host_boilerplate,
         "jsonld_extract": _q_jsonld,
@@ -4264,6 +4357,172 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, shape, CAST(count(*) AS BIGINT) AS n_urls,
                    min(url) AS example_url
             FROM shaped GROUP BY host, shape
+        """,
+        "url_param_mining": """
+            -- residual-group evidence replay: same synthetic captures,
+            -- per-(host,param) groups that differ only in the param,
+            -- digest-distinct counts, ppm verdict
+            WITH v AS (
+              SELECT doc_id,
+                     'shop' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host,
+                     '/item/' || CAST(doc_id % 211 AS VARCHAR) AS path,
+                     unnest([
+                       struct_pack(id := doc_id % 50, utm := 'a', vn := 1),
+                       struct_pack(id := doc_id % 50, utm := 'b', vn := 2),
+                       struct_pack(id := doc_id % 50 + 1, utm := 'a', vn := 3)
+                     ]) AS s
+              FROM documents
+            ), caps AS (
+              SELECT 'https://' || host || path
+                       || '?id=' || CAST(s.id AS VARCHAR)
+                       || '&utm=' || s.utm
+                       || CASE WHEN host IN ('shop5.org', 'shop6.org')
+                            THEN '&sess=' || substr(md5(
+                              CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(s.vn AS VARCHAR)), 1, 8)
+                            ELSE '' END AS url,
+                     md5(host || path || ':'
+                         || CAST(s.id AS VARCHAR)) AS digest
+              FROM v
+            ), parts AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_extract(url,
+                       '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     list_filter(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       s -> s <> '') AS raw,
+                     digest
+              FROM caps
+            ), expl AS (
+              SELECT host, path, raw, digest,
+                     unnest(list_distinct(list_transform(raw,
+                       s -> string_split(s, '=')[1]))) AS param
+              FROM parts
+            ), ev0 AS (
+              SELECT host, param,
+                     path || '?' || array_to_string(list_sort(
+                       list_filter(raw,
+                         s -> string_split(s, '=')[1] <> param)),
+                       '&') AS residual,
+                     array_to_string(list_sort(list_filter(raw,
+                       s -> string_split(s, '=')[1] = param)),
+                       ',') AS vsig,
+                     digest
+              FROM expl
+            ), ev AS (
+              SELECT host, param, residual,
+                     count(DISTINCT vsig) AS n_vals,
+                     count(DISTINCT digest) AS n_digs
+              FROM ev0 GROUP BY 1, 2, 3
+            ), agg AS (
+              SELECT host, param, CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(CASE WHEN n_digs = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS irrelevant_groups
+              FROM ev WHERE n_vals >= 2 GROUP BY 1, 2
+            ), seen AS (SELECT DISTINCT host, param FROM expl)
+            SELECT seen.host, seen.param,
+                   COALESCE(n_groups, 0) AS n_groups,
+                   COALESCE(irrelevant_groups, 0) AS irrelevant_groups,
+                   CAST(CASE WHEN COALESCE(n_groups, 0) > 0
+                     THEN irrelevant_groups * 1000000 // n_groups
+                     ELSE -1 END AS BIGINT) AS irrelevant_ppm,
+                   CASE WHEN COALESCE(n_groups, 0) = 0 THEN 'unknown'
+                        WHEN irrelevant_groups * 1000000 // n_groups
+                             >= 1000000 THEN 'drop'
+                        ELSE 'keep' END AS action
+            FROM seen LEFT JOIN agg USING (host, param)
+        """,
+        "url_param_rewrite": """
+            -- mining replay (as url_param_mining) + the rewrite: drop
+            -- set per host, survivors sorted, '?' dropped when empty
+            WITH v AS (
+              SELECT doc_id,
+                     'shop' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host,
+                     '/item/' || CAST(doc_id % 211 AS VARCHAR) AS path,
+                     unnest([
+                       struct_pack(id := doc_id % 50, utm := 'a', vn := 1),
+                       struct_pack(id := doc_id % 50, utm := 'b', vn := 2),
+                       struct_pack(id := doc_id % 50 + 1, utm := 'a', vn := 3)
+                     ]) AS s
+              FROM documents
+            ), caps AS (
+              SELECT 'https://' || host || path
+                       || '?id=' || CAST(s.id AS VARCHAR)
+                       || '&utm=' || s.utm
+                       || CASE WHEN host IN ('shop5.org', 'shop6.org')
+                            THEN '&sess=' || substr(md5(
+                              CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(s.vn AS VARCHAR)), 1, 8)
+                            ELSE '' END AS url,
+                     md5(host || path || ':'
+                         || CAST(s.id AS VARCHAR)) AS digest
+              FROM v
+            ), parts AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_extract(url,
+                       '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     list_filter(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       s -> s <> '') AS raw,
+                     digest
+              FROM caps
+            ), expl AS (
+              SELECT host, path, raw, digest,
+                     unnest(list_distinct(list_transform(raw,
+                       s -> string_split(s, '=')[1]))) AS param
+              FROM parts
+            ), ev0 AS (
+              SELECT host, param,
+                     path || '?' || array_to_string(list_sort(
+                       list_filter(raw,
+                         s -> string_split(s, '=')[1] <> param)),
+                       '&') AS residual,
+                     array_to_string(list_sort(list_filter(raw,
+                       s -> string_split(s, '=')[1] = param)),
+                       ',') AS vsig,
+                     digest
+              FROM expl
+            ), ev AS (
+              SELECT host, param, residual,
+                     count(DISTINCT vsig) AS n_vals,
+                     count(DISTINCT digest) AS n_digs
+              FROM ev0 GROUP BY 1, 2, 3
+            ), agg AS (
+              SELECT host, param, count(*) AS n_groups,
+                     sum(CASE WHEN n_digs = 1 THEN 1 ELSE 0 END)
+                       AS irrelevant_groups
+              FROM ev WHERE n_vals >= 2 GROUP BY 1, 2
+            ), dropsets AS (
+              SELECT host, list(param) AS dps
+              FROM agg
+              WHERE irrelevant_groups * 1000000 // n_groups >= 1000000
+              GROUP BY host
+            ), urls AS (SELECT DISTINCT url FROM caps),
+            uparts AS (
+              SELECT url,
+                     regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                     regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_extract(url,
+                       '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     list_filter(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       s -> s <> '') AS raw
+              FROM urls
+            ), kept AS (
+              SELECT url, scheme, uparts.host AS host, path,
+                     list_sort(list_filter(raw,
+                       s -> NOT list_contains(
+                         COALESCE(dps, CAST([] AS VARCHAR[])),
+                         string_split(s, '=')[1]))) AS keep
+              FROM uparts LEFT JOIN dropsets
+                ON uparts.host = dropsets.host
+            )
+            SELECT url,
+                   scheme || '://' || host || path ||
+                   CASE WHEN len(keep) > 0
+                     THEN '?' || array_to_string(keep, '&')
+                     ELSE '' END AS canonical_url
+            FROM kept
         """,
         "range_join": """
             -- the BETWEEN join DuckDB can afford at this scale is the

@@ -1357,3 +1357,157 @@ class TestCrawlDiff:
         new = self._wave(spark, [("u1", "b")])
         row = crawl_diff(old, new).first()
         assert (row["old_digest"], row["new_digest"]) == ("a", "b")
+
+
+class TestParamRelevance:
+    @staticmethod
+    def _caps(spark, rows):
+        return spark.createDataFrame(rows, "url string, digest string")
+
+    def test_tracking_param_dropped_id_kept(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        caps = self._caps(
+            spark,
+            [
+                # same id, two utm values, identical content
+                ("https://s.org/p?id=1&utm=a", "d1"),
+                ("https://s.org/p?id=1&utm=b", "d1"),
+                # id changes content at fixed utm
+                ("https://s.org/p?id=2&utm=a", "d2"),
+            ],
+        )
+        out = {r["param"]: r for r in param_relevance(caps).collect()}
+        assert out["utm"]["action"] == "drop"
+        assert (out["utm"]["n_groups"], out["utm"]["irrelevant_groups"]) == (1, 1)
+        assert out["id"]["action"] == "keep"
+        assert out["id"]["irrelevant_ppm"] == 0
+
+    def test_no_evidence_is_unknown(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        caps = self._caps(
+            spark,
+            [
+                ("https://s.org/p?sess=abc", "d1"),
+                ("https://s.org/q?sess=def", "d2"),  # different residual
+            ],
+        )
+        row = param_relevance(caps).first()
+        assert (row["param"], row["action"]) == ("sess", "unknown")
+        assert (row["n_groups"], row["irrelevant_ppm"]) == (0, -1)
+
+    def test_per_host_verdicts_independent(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        caps = self._caps(
+            spark,
+            [
+                ("https://a.org/p?x=1", "d1"),
+                ("https://a.org/p?x=2", "d1"),   # x irrelevant on a.org
+                ("https://b.org/p?x=1", "d1"),
+                ("https://b.org/p?x=2", "d2"),   # x relevant on b.org
+            ],
+        )
+        out = {
+            (r["host"], r["param"]): r["action"]
+            for r in param_relevance(caps).collect()
+        }
+        assert out == {("a.org", "x"): "drop", ("b.org", "x"): "keep"}
+
+    def test_mixed_evidence_ppm(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        caps = self._caps(
+            spark,
+            [
+                # group 1 (residual /p?): single digest
+                ("https://s.org/p?v=1", "d1"),
+                ("https://s.org/p?v=2", "d1"),
+                # group 2 (residual /q?): two digests
+                ("https://s.org/q?v=1", "d2"),
+                ("https://s.org/q?v=2", "d3"),
+            ],
+        )
+        row = param_relevance(caps, drop_ppm=400_000).first()
+        assert (row["n_groups"], row["irrelevant_groups"]) == (2, 1)
+        assert row["irrelevant_ppm"] == 500_000
+        assert row["action"] == "drop"  # 500k >= 400k bar
+
+    def test_queryless_urls_contribute_nothing(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        caps = self._caps(
+            spark,
+            [("https://s.org/p", "d1"), ("https://s.org/p/", "d2")],
+        )
+        assert param_relevance(caps).count() == 0
+
+    def test_repeated_key_value_signature(self, spark):
+        from web_scrapper_spark.frontier.params import param_relevance
+
+        # t=1&t=2 vs t=2&t=1 is the SAME value signature (sorted);
+        # with identical digests there is no multi-value evidence
+        caps = self._caps(
+            spark,
+            [
+                ("https://s.org/p?t=1&t=2", "d1"),
+                ("https://s.org/p?t=2&t=1", "d1"),
+            ],
+        )
+        row = param_relevance(caps).first()
+        assert (row["n_groups"], row["action"]) == (0, "unknown")
+
+
+class TestApplyParamRules:
+    def test_rewrite_drops_and_sorts(self, spark):
+        from web_scrapper_spark.frontier.params import (
+            apply_param_rules,
+            param_relevance,
+        )
+
+        caps = spark.createDataFrame(
+            [
+                ("https://s.org/p?id=1&utm=a", "d1"),
+                ("https://s.org/p?id=1&utm=b", "d1"),
+                ("https://s.org/p?id=2&utm=a", "d2"),
+            ],
+            "url string, digest string",
+        )
+        rules = param_relevance(caps)
+        out = {
+            r["url"]: r["canonical_url"]
+            for r in apply_param_rules(caps, rules).collect()
+        }
+        assert out["https://s.org/p?id=1&utm=a"] == "https://s.org/p?id=1"
+        assert out["https://s.org/p?id=1&utm=b"] == "https://s.org/p?id=1"
+        # variants now collapse: 3 urls -> 2 canonical forms
+        assert len(set(out.values())) == 2
+
+    def test_unruled_host_passthrough_sorted(self, spark):
+        from web_scrapper_spark.frontier.params import apply_param_rules
+
+        urls = spark.createDataFrame(
+            [("https://z.org/p?b=2&a=1",)], "url string"
+        )
+        rules = spark.createDataFrame(
+            [("s.org", "utm", 1, 1, 1_000_000, "drop")],
+            "host string, param string, n_groups long, "
+            "irrelevant_groups long, irrelevant_ppm long, action string",
+        )
+        row = apply_param_rules(urls, rules).first()
+        assert row["canonical_url"] == "https://z.org/p?a=1&b=2"
+
+    def test_all_params_dropped_loses_question_mark(self, spark):
+        from web_scrapper_spark.frontier.params import apply_param_rules
+
+        urls = spark.createDataFrame(
+            [("https://s.org/p?utm=a",)], "url string"
+        )
+        rules = spark.createDataFrame(
+            [("s.org", "utm", 1, 1, 1_000_000, "drop")],
+            "host string, param string, n_groups long, "
+            "irrelevant_groups long, irrelevant_ppm long, action string",
+        )
+        row = apply_param_rules(urls, rules).first()
+        assert row["canonical_url"] == "https://s.org/p"

@@ -162,3 +162,17 @@ class TestRound2LayoutPlans:
         plan = _plan(spark, "passage_chunks")
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+    def test_param_rewrite_broadcasts_rules(self, spark):
+        # the learned drop rules are host×param sized — they must ride
+        # a broadcast join onto the URL table, never shuffle it
+        plan = _plan(spark, "url_param_rewrite")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_param_mining_no_allpairs(self, spark):
+        # evidence is aggregation-only: no join until the tiny verdict
+        # rollup, never a cartesian
+        plan = _plan(spark, "url_param_mining")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
