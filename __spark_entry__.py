@@ -907,6 +907,44 @@ def _q_dedup_simhash(spark, sf_dir):
     return _dd.simhash_df(docs)
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (dedup.mirror_host_pairs): documents are
+    laid out over 8 origin hosts h0..h7, and every doc_id % 3 == 0 page
+    is replayed at the same path on a mirror domain m0..m7 — each
+    mirror carries a subset of its origin, so containment is 100 and
+    all 8 (hK, mK) pairs must be reported, nothing else."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
+        "text",
+    )
+    mirror = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
+        "text",
+    )
+    pages = base.unionByName(mirror)
+    return _dd.mirror_host_pairs(
+        pages, min_shared=3, containment_centi=80, max_hosts_per_key=64
+    )
+
+
+def _q_dhash_pairs(spark, sf_dir):
+    """Perceptual image dedup (multimodal.dhash_near_pairs): 64 bitmap
+    images, the last 16 replaying the first 16 with the lowest i%4 bits
+    flipped — near-dup pairs planted at Hamming 0..3. The oracle brute-
+    forces all C(64,2) pairs in plain numpy; the Spark side must find
+    exactly that set via the pigeonhole chunk blocking."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.bitmap_payload_decoder)
+    media = spark.createDataFrame(
+        mm.planted_bitmap_media_rows(n=64, period=48), mm.MEDIA_SCHEMA
+    )
+    return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF probe/search path under a deterministic medoid quantizer
     (centroid = the min-vec_id member of each label cell). Medoids are
@@ -3670,6 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
+        "mirror_hosts": _q_mirror_hosts,
+        "dhash_pairs": _q_dhash_pairs,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -3827,6 +3867,40 @@ def _multimodal_oracle_sql() -> str:
             "AS t(media_id, width, height, feat_dim, luma_micro)"
         )
     return _ORACLE_CACHE["multimodal"]
+
+
+def _dhash_oracle_sql() -> str:
+    """Expected dHash near-pairs by BRUTE FORCE over all C(64,2) pairs
+    in plain Python (decode via the shared bitmap codec, hash via the
+    shared pure dhash64, Hamming via int bit-count) — independent of
+    the pigeonhole blocking under test, frozen into a VALUES table."""
+    if "dhash" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+            planted_bitmap_media_rows,
+        )
+
+        mask = (1 << 64) - 1
+        hashes = [
+            (media_id, dhash64(bitmap_payload_decoder(payload, meta)) & mask)
+            for media_id, _kind, payload, meta in planted_bitmap_media_rows(
+                n=64, period=48
+            )
+        ]
+        values = []
+        for ai in range(len(hashes)):
+            for bi in range(ai + 1, len(hashes)):
+                id_a, h_a = hashes[ai]
+                id_b, h_b = hashes[bi]
+                d = bin(h_a ^ h_b).count("1")
+                if d <= 3:
+                    values.append(f"({id_a}, {id_b}, {d})")
+        rows = ",\n              ".join(values)
+        _ORACLE_CACHE["dhash"] = (
+            f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
+        )
+    return _ORACLE_CACHE["dhash"]
 
 
 def _ua_pool_sql() -> str:
@@ -5688,6 +5762,40 @@ def oracle_sql() -> dict[str, str]:
         # bytes big-endian as UBIGINT → per-bit signed vote → bit sum;
         # HUGEINT intermediate folded back to signed 64-bit like the
         # Python simhash64 does. Empty token lists → 0 via the left join.
+        "mirror_hosts": """
+            WITH pages AS (
+              SELECT 'h' || (doc_id % 8) AS host,
+                     '/d/' || doc_id AS path, text FROM documents
+              UNION ALL
+              SELECT 'm' || (doc_id % 8) AS host,
+                     '/d/' || doc_id AS path, text FROM documents
+              WHERE doc_id % 3 = 0
+            ), hk AS (
+              SELECT DISTINCT host, md5(md5(path) || md5(text)) AS key FROM pages
+            ), sizes AS (
+              SELECT host, count(*) AS n_keys FROM hk GROUP BY host
+            ), gate AS (
+              SELECT key FROM hk GROUP BY key HAVING count(*) <= 64
+            ), gated AS (
+              SELECT hk.host, hk.key FROM hk JOIN gate USING (key)
+            ), pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM gated a JOIN gated b ON a.key = b.key AND a.host < b.host
+              GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, shared,
+                   CAST(sa.n_keys AS BIGINT) AS n_a,
+                   CAST(sb.n_keys AS BIGINT) AS n_b,
+                   CAST(shared * 100 // least(sa.n_keys, sb.n_keys) AS BIGINT)
+                     AS containment_centi
+            FROM pairs
+            JOIN sizes sa ON sa.host = pairs.host_a
+            JOIN sizes sb ON sb.host = pairs.host_b
+            WHERE shared >= 3
+              AND shared * 100 // least(sa.n_keys, sb.n_keys) >= 80
+        """,
+        "dhash_pairs": _dhash_oracle_sql(),
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents

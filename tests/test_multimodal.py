@@ -46,3 +46,117 @@ class TestHeaderSniffing:
         got = {r["media_id"]: r for r in sniff_media_headers(media).collect()}
         assert all(not got[i]["valid"] for i in (1, 2, 3, 4))
         assert got[1]["format"] == "png" and got[3]["format"] == "jpeg"
+
+
+class TestDhash:
+    """Perceptual image dedup: dHash + pigeonhole Hamming blocking."""
+
+    def test_bitmap_codec_roundtrip(self):
+        import hashlib
+
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+        )
+
+        mask = (1 << 64) - 1
+        for seed in range(16):
+            h = int.from_bytes(
+                hashlib.md5(f"rt{seed}".encode()).digest()[:8], "big"
+            )
+            grid = bitmap_payload_decoder(h.to_bytes(8, "big"), {})
+            assert dhash64(grid) & mask == h
+
+    def test_dhash64_resample_invariance(self):
+        """Nearest-index resample: integer upscaling a grid leaves the
+        hash unchanged (the re-encode/resize robustness claim)."""
+        import numpy as np
+
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+        )
+
+        grid = bitmap_payload_decoder((0xDEADBEEFCAFEF00D).to_bytes(8, "big"), {})
+        up = np.kron(grid, np.ones((4, 4)))  # 32x36 upscale
+        assert dhash64(up) == dhash64(grid)
+
+    def test_blocked_pairs_equal_brute_force(self, spark):
+        from web_scrapper_spark.operators import multimodal as mm
+
+        mm.register_decoder("image", mm.bitmap_payload_decoder)
+        try:
+            rows = mm.planted_bitmap_media_rows(n=64, period=48)
+            media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+            got = {
+                (r["id_a"], r["id_b"]): r["hamming"]
+                for r in mm.dhash_near_pairs(media, max_hamming=3).collect()
+            }
+        finally:
+            mm.clear_decoders()
+        mask = (1 << 64) - 1
+        hs = [int.from_bytes(p[:8], "big") & mask for _i, _k, p, _m in rows]
+        want = {}
+        for a in range(64):
+            for b in range(a + 1, 64):
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= 3:
+                    want[(a, b)] = d
+        assert got == want
+        assert len(want) == 16  # the planted pairs, distances 0..3
+        assert sorted(set(want.values())) == [0, 1, 2, 3]
+
+    def test_hamming_blocking_validation(self):
+        import pytest
+
+        from web_scrapper_spark.operators.dedup import hamming_blocked_pairs
+
+        with pytest.raises(ValueError):
+            hamming_blocked_pairs(None, max_hamming=4, n_chunks=4)
+        with pytest.raises(ValueError):
+            hamming_blocked_pairs(None, max_hamming=2, n_chunks=5)
+
+
+class TestMirrorHosts:
+    def test_planted_mirror_and_hot_key_gate(self, spark):
+        from web_scrapper_spark.operators.dedup import mirror_host_pairs
+
+        rows = []
+        # origin a.com: 10 pages; mirror b.net carries 8 of them (80%)
+        for i in range(10):
+            rows.append(("a.com", f"/p/{i}", f"unique text {i}"))
+        for i in range(8):
+            rows.append(("b.net", f"/p/{i}", f"unique text {i}"))
+        # c.org shares only 2 pages with a.com -> below min_shared
+        for i in range(2):
+            rows.append(("c.org", f"/p/{i}", f"unique text {i}"))
+        c_only = [("c.org", f"/q/{i}", f"c text {i}") for i in range(8)]
+        rows += c_only
+        # a boilerplate error page served by 100 parked hosts: the df
+        # gate must drop the key before it creates C(100,2) pairs
+        for k in range(100):
+            rows.append((f"parked{k}.biz", "/index.html", "domain for sale"))
+        pages = spark.createDataFrame(rows, "host string, path string, text string")
+        got = {
+            (r["host_a"], r["host_b"]): r
+            for r in mirror_host_pairs(
+                pages, min_shared=3, containment_centi=80, max_hosts_per_key=64
+            ).collect()
+        }
+        assert set(got) == {("a.com", "b.net")}
+        r = got[("a.com", "b.net")]
+        assert (r["shared"], r["n_a"], r["n_b"], r["containment_centi"]) == (
+            8, 10, 8, 100,
+        )
+
+    def test_path_mismatch_is_not_a_mirror(self, spark):
+        """Same content at different paths (cross-host boilerplate)
+        must not pair — the key binds path AND text."""
+        from web_scrapper_spark.operators.dedup import mirror_host_pairs
+
+        rows = [("x.com", f"/a/{i}", f"t{i}") for i in range(5)]
+        rows += [("y.com", f"/b/{i}", f"t{i}") for i in range(5)]
+        pages = spark.createDataFrame(rows, "host string, path string, text string")
+        assert (
+            mirror_host_pairs(pages, min_shared=3, containment_centi=80).count() == 0
+        )

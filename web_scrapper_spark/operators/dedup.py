@@ -1071,3 +1071,163 @@ def cluster_representatives(
         F.lit(1).cast("long").alias("cluster_size"),
     )
     return picked.unionByName(singles)
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+# ---------------------------------------------------------------------------
+
+
+def hamming_blocked_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Generalized pigeonhole blocking over any 64-bit hash column:
+    two hashes within Hamming distance ``max_hamming`` must agree
+    exactly on at least one of ``n_chunks`` equal bit-chunks whenever
+    ``max_hamming < n_chunks`` — so candidates come from ``n_chunks``
+    equality self-joins, never a cross join (the same plan shape as
+    :func:`simhash_near_pairs`, factored out so any 64-bit fingerprint
+    — SimHash, image dHash, audio chromaprint — reuses it).
+
+    Scale shape: the only shuffle is keyed on (chunk_id, chunk_value)
+    — high-cardinality by construction for hash-like inputs; the final
+    XOR/bit_count verify runs on candidates only.
+    """
+    if not 1 <= n_chunks <= 64 or 64 % n_chunks != 0:
+        raise ValueError("n_chunks must divide 64")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks})"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = hashed.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(hash_col, c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        id_col,
+        hash_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    text_col: str = "text",
+    min_shared: int = 3,
+    containment_centi: int = 80,
+    max_hosts_per_key: int = 64,
+) -> DataFrame:
+    """Mirror-host detection: pairs of hosts serving the same content
+    at the same paths under different domains — the host-grain member
+    of the dedup family (UbiCrawler / IRLbot "mirror site" problem;
+    Common Crawl dedups these before release). Crawling a mirror wastes
+    the whole politeness budget of a domain on bytes already fetched,
+    so the crawl scheduler wants this signal, not just doc-level dedup.
+
+    A page's key is ``md5(md5(path) || md5(text))`` — path AND content
+    must both match, so two hosts sharing a boilerplate page at
+    different paths are not mirrors. Hosts are paired by key-equality
+    self-join; a pair is reported when it shares ``>= min_shared`` keys
+    and containment — shared / min(|A|, |B|), scaled to integer centi
+    so the oracle compare is float-free — clears the threshold. A
+    mirror that carries a SUBSET of the origin still scores 100.
+
+    Scale shape (the 100 TB story):
+    - the self-join is keyed on content hashes (uniform by
+      construction); the df gate (``max_hosts_per_key``) drops keys
+      served by too many hosts — parked domains and CDN error pages
+      would otherwise create O(k^2) pair blowups per hot key, the same
+      gate the inverted-index builder applies to hot postings;
+    - per-host sizes are a host-grained aggregate (tiny vs the corpus)
+      joined back with AQE free to broadcast it;
+    - the pair count aggregates with map-side combine; no window over
+      the corpus anywhere.
+
+    Returns (host_a, host_b, shared, n_a, n_b, containment_centi)
+    with host_a < host_b.
+    """
+    key = F.md5(F.concat(F.md5(F.col(path_col)), F.md5(F.col(text_col))))
+    hk = (
+        pages.select(F.col(host_col).alias("host"), key.alias("key"))
+        .dropDuplicates(["host", "key"])
+    )
+    sizes = hk.groupBy("host").agg(F.count("*").alias("n_keys"))
+    gate = (
+        hk.groupBy("key")
+        .agg(F.count("*").alias("_n_hosts"))
+        .filter(F.col("_n_hosts") <= max_hosts_per_key)
+        .select("key")
+    )
+    gated = hk.join(gate, "key")
+    a = gated.select("key", F.col("host").alias("host_a"))
+    b = gated.select("key", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "key")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n_keys").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n_keys").alias("n_b")),
+            "host_b",
+        )
+        .withColumn(
+            "containment_centi",
+            F.floor(F.col("shared") * 100 / F.least("n_a", "n_b")).cast("long"),
+        )
+        .filter(
+            (F.col("shared") >= min_shared)
+            & (F.col("containment_centi") >= containment_centi)
+        )
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "containment_centi")
+    )
+    return out

@@ -293,3 +293,125 @@ def sniff_media_headers(
     return media.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
     ).mapInPandas(run, schema=SNIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup — dHash (difference hash)
+# ---------------------------------------------------------------------------
+# The image-grain member of the dedup family: a 64-bit fingerprint
+# robust to re-encode/resize (the dominant duplication mode for web
+# images — same picture, different thumbnail pipeline), paired via the
+# generalized Hamming pigeonhole blocking in operators/dedup.py.
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def dhash64(grid: "np.ndarray") -> int:
+    """64-bit dHash of a 2-D luma grid: nearest-index resample to
+    8 rows x 9 cols, then the sign of each horizontal gradient is one
+    bit (bit k = row k//8, col k%8). Pure function — shared by the
+    Arrow UDF, the unit tests, and the driver oracle's brute-force
+    recompute. Resampling uses floor-index selection (not
+    interpolation) so the hash is bit-reproducible everywhere."""
+    g = np.asarray(grid, dtype=np.float64)
+    h, w = g.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(9) * w) // 9
+    small = g[np.ix_(ri, ci)]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    val = int(np.packbits(bits[::-1]).view(">u8")[0])
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash_df(media: DataFrame) -> DataFrame:
+    """decode → dHash, one Arrow pass per partition. Payload bytes are
+    read exactly once and never shuffled: 100 TB of images reduce to a
+    16-byte-per-row fingerprint table before any join happens."""
+    decoders = dict(_DECODERS)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                grid = _decode(decoders, kind, payload, meta)
+                rows.append({"media_id": media_id, "dhash": dhash64(grid)})
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_pairs(
+    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance. Blocking
+    is the generalized pigeonhole self-join
+    (:func:`~web_scrapper_spark.operators.dedup.hamming_blocked_pairs`)
+    — with 8-bit chunks any pair within Hamming 7 shares a chunk
+    exactly, so candidates come from 8 equality joins keyed on
+    (chunk_id, byte), never a cross join."""
+    from .dedup import hamming_blocked_pairs
+
+    hashed = image_dhash_df(media)
+    return hamming_blocked_pairs(
+        hashed,
+        id_col="media_id",
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
+
+
+def bitmap_payload_decoder(payload: bytes, meta: dict) -> "np.ndarray":
+    """A REAL (if minimal) codec: the first 8 payload bytes, big-endian,
+    are an 8x8 horizontal-gradient-sign bitmap. Each grid row starts at
+    128 and steps +-1 so that ``dhash64(decode(p)) == int(p[:8])``
+    exactly — giving fixtures and oracles precise control over the
+    Hamming geometry between planted images (the md5-seeded fake
+    decoder can only produce uncorrelated hashes)."""
+    h = int.from_bytes((payload or b"")[:8].ljust(8, b"\x00"), "big")
+    grid = np.zeros((8, 9), dtype=np.float64)
+    grid[:, 0] = 128.0
+    for i in range(8):
+        for j in range(8):
+            step = 1.0 if (h >> (i * 8 + j)) & 1 else -1.0
+            grid[i, j + 1] = grid[i, j] + step
+    return grid
+
+
+def planted_bitmap_media_rows(n: int = 64, period: int = 48) -> list:
+    """Deterministic media fixture for the dHash pair queries: rows
+    ``period..n-1`` replay row ``i - period``'s bitmap with the lowest
+    ``i % 4`` bits flipped — planting near-duplicate pairs at Hamming
+    distances 0..3. Pure function shared by the Spark query and the
+    driver-oracle brute-force builder."""
+    rows = []
+    for i in range(n):
+        if i < period:
+            h = int.from_bytes(hashlib.md5(f"bitmap{i}".encode()).digest()[:8], "big")
+        else:
+            base = int.from_bytes(
+                hashlib.md5(f"bitmap{i - period}".encode()).digest()[:8], "big"
+            )
+            h = base ^ ((1 << (i % 4)) - 1)
+        rows.append(
+            (
+                i,
+                "image",
+                h.to_bytes(8, "big"),
+                {
+                    "width": 9,
+                    "height": 8,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "codec": "bitmap",
+                },
+            )
+        )
+    return rows
