@@ -945,6 +945,51 @@ def _q_dhash_pairs(spark, sf_dir):
     return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _pld_host(doc_id):
+    """Six host shapes covering every branch of the eTLD+1 algorithm:
+    2-label ccTLD registry, deep subdomain, private platform suffix,
+    another registry, a 3-label suffix (longest-match), default rule."""
+    k = (doc_id % 20).cast("string")
+    return (
+        F.when(doc_id % 6 == 0, F.concat(F.lit("www.h"), k, F.lit(".co.uk")))
+        .when(doc_id % 6 == 1, F.concat(F.lit("a.b.h"), k, F.lit(".com")))
+        .when(doc_id % 6 == 2, F.concat(F.lit("h"), k, F.lit(".github.io")))
+        .when(doc_id % 6 == 3, F.concat(F.lit("shop.h"), k, F.lit(".com.au")))
+        .when(doc_id % 6 == 4, F.concat(F.lit("b"), k, F.lit(".s3.amazonaws.com")))
+        .otherwise(F.concat(F.lit("h"), k, F.lit(".org")))
+    )
+
+
+def _q_registered_domain(spark, sf_dir):
+    """eTLD+1 extraction (frontier/pld.registered_domain_col): the
+    codegen longest-public-suffix match over six host shapes; the
+    oracle re-implements longest-match relationally in DuckDB."""
+    from web_scrapper_spark.frontier.pld import registered_domain_col
+
+    docs = _read(spark, sf_dir, "documents")
+    hosts = docs.select("doc_id", _pld_host(F.col("doc_id")).alias("host"))
+    return hosts.select(
+        "doc_id", "host", registered_domain_col(F.col("host")).alias("pld")
+    )
+
+
+def _q_pld_flood(spark, sf_dir):
+    """Subdomain-flood report (frontier/pld.subdomain_flood_report):
+    one registered domain fanned out over 50 subdomains must flag
+    flooded; the healthy PLD must not."""
+    from web_scrapper_spark.frontier.pld import subdomain_flood_report
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string"), F.lit(".flood.com")),
+    ).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".ok.org"))
+    )
+    frontier = docs.select(host.alias("host"))
+    return subdomain_flood_report(frontier, max_hosts_per_pld=32)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF probe/search path under a deterministic medoid quantizer
     (centroid = the min-vec_id member of each label cell). Medoids are
@@ -3710,6 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "mirror_hosts": _q_mirror_hosts,
         "dhash_pairs": _q_dhash_pairs,
+        "registered_domain": _q_registered_domain,
+        "pld_flood": _q_pld_flood,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -3901,6 +3948,53 @@ def _dhash_oracle_sql() -> str:
             f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
         )
     return _ORACLE_CACHE["dhash"]
+
+
+def _psl_values_sql() -> str:
+    from web_scrapper_spark.frontier.pld import PUBLIC_SUFFIXES
+
+    return ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
+
+
+_PLD_HOST_SQL = """CASE doc_id % 6
+              WHEN 0 THEN 'www.h' || (doc_id % 20) || '.co.uk'
+              WHEN 1 THEN 'a.b.h' || (doc_id % 20) || '.com'
+              WHEN 2 THEN 'h' || (doc_id % 20) || '.github.io'
+              WHEN 3 THEN 'shop.h' || (doc_id % 20) || '.com.au'
+              WHEN 4 THEN 'b' || (doc_id % 20) || '.s3.amazonaws.com'
+              ELSE 'h' || (doc_id % 20) || '.org' END"""
+
+
+def _registered_domain_oracle_sql() -> str:
+    """DuckDB twin of frontier/pld.registered_domain_col: longest
+    listed public suffix strictly shorter than the host (relational
+    arg-max over the same PUBLIC_SUFFIXES list), default rule m=1,
+    degenerate hosts fall back to themselves."""
+    return f"""
+        WITH hosts AS (
+          SELECT doc_id, {_PLD_HOST_SQL} AS host FROM documents
+        ), psl(suffix) AS (
+          VALUES {_psl_values_sql()}
+        ), t AS (
+          SELECT doc_id, host, string_split(host, '.') AS parts,
+                 len(string_split(host, '.')) AS n
+          FROM hosts
+        ), m AS (
+          SELECT t.doc_id,
+                 max(len(string_split(p.suffix, '.'))) AS m
+          FROM t JOIN psl p
+            ON len(string_split(p.suffix, '.')) < t.n
+           AND p.suffix = array_to_string(
+                 t.parts[t.n - len(string_split(p.suffix, '.')) + 1 : t.n], '.')
+          GROUP BY t.doc_id
+        )
+        SELECT t.doc_id, t.host,
+               CASE WHEN t.n >= coalesce(m.m, 1) + 1
+                    THEN array_to_string(
+                      t.parts[t.n - coalesce(m.m, 1) : t.n], '.')
+                    ELSE t.host END AS pld
+        FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+    """
 
 
 def _ua_pool_sql() -> str:
@@ -5796,6 +5890,25 @@ def oracle_sql() -> dict[str, str]:
               AND shared * 100 // least(sa.n_keys, sb.n_keys) >= 80
         """,
         "dhash_pairs": _dhash_oracle_sql(),
+        "registered_domain": _registered_domain_oracle_sql(),
+        "pld_flood": """
+            WITH fr AS (
+              SELECT CASE WHEN doc_id % 2 = 0
+                          THEN 's' || (doc_id % 50) || '.flood.com'
+                          ELSE 'h' || (doc_id % 10) || '.ok.org' END AS host
+              FROM documents
+            ), t AS (
+              SELECT host, string_split(host, '.') AS p FROM fr
+            ), w AS (
+              SELECT array_to_string(p[len(p) - 1 : len(p)], '.') AS pld, host
+              FROM t
+            )
+            SELECT pld,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   count(DISTINCT host) > 32 AS flooded
+            FROM w GROUP BY pld
+        """,
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
