@@ -107,3 +107,40 @@ class TestFloodAndCaps:
             .collect()[0]["mx"]
         )
         assert top > dropped_max
+
+
+class TestEpochPldBudget:
+    def test_pld_capped_crawl_converges_to_same_seen_set(self, spark, tmp_path):
+        """CrawlConfig(pld_budget=k): the fixture site's three hosts all
+        share one PLD (example-crawl.org), so every epoch fetches at
+        most k URLs — and the crawl still drains to the identical final
+        seen set, only over more epochs (pacing, not completeness)."""
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures import (
+            SiteSpec,
+            pages_dataframe,
+            robots_dataframe,
+            seed_urls,
+        )
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        spec = SiteSpec(n_hosts=2, n_articles=10, blog_page_size=5)
+        pages = pages_dataframe(spark, spec)
+        robots = robots_dataframe(spark, spec)
+        seeds = [(u, "content") for u in seed_urls(spec) if u.endswith("/blog")]
+
+        def run(cfg, name):
+            store = SnapshotStore(str(tmp_path / name))
+            eng = CrawlEngine(spark, store, pages, robots, cfg)
+            eng.init(seeds)
+            metrics = eng.run(max_epochs=60)
+            seen = {r["url"]: r["status"] for r in eng.seen().collect()}
+            return seen, metrics
+
+        base_seen, base_metrics = run(CrawlConfig(), "base")
+        cap_seen, cap_metrics = run(CrawlConfig(pld_budget=3), "capped")
+        assert cap_seen == base_seen
+        cap_epochs = [m for m in cap_metrics if m.get("epoch", -1) >= 0 and m.get("dequeued")]
+        assert all(m["dequeued"] <= 3 for m in cap_epochs), cap_epochs
+        base_epochs = [m for m in base_metrics if m.get("epoch", -1) >= 0 and m.get("dequeued")]
+        assert len(cap_epochs) > len(base_epochs)

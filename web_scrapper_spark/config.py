@@ -126,6 +126,9 @@ class BoundJob:
     #: seen-set pre-filter flavor: "bloom" (default) or "cuckoo"
     #: (deletable — frontier/cuckoo.py); yaml key ``scraper.seen_filter``
     seen_filter: str = "bloom"
+    #: per-epoch registered-domain (eTLD+1) fetch cap — subdomain-flood
+    #: defense (frontier/pld.py); yaml key ``scraper.pld_budget``
+    pld_budget: Optional[int] = None
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -140,6 +143,7 @@ class BoundJob:
             business=self.business,
             fetch_policy=self.fetch_policy,
             seen_filter=self.seen_filter,
+            pld_budget=self.pld_budget,
         )
 
 
@@ -195,11 +199,18 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         output_path=get_value(config, "scraper.output.path"),
         fetch_policy=_bind_fetch_policy(scraper),
         seen_filter=scraper.get("seen_filter", "bloom"),
+        pld_budget=(
+            int(scraper["pld_budget"])
+            if scraper.get("pld_budget") is not None
+            else None
+        ),
     )
     if common["seen_filter"] not in ("bloom", "cuckoo"):
         raise ConfigError(
             "scraper.seen_filter must be 'bloom' or 'cuckoo'"
         )
+    if common["pld_budget"] is not None and common["pld_budget"] < 1:
+        raise ConfigError("scraper.pld_budget must be a positive integer")
     job = BoundJob(**common)
     if stype == "ecommerce":
         job.ecommerce = EcommerceConfig(

@@ -150,6 +150,14 @@ class CrawlConfig:
     trap_guard: bool = False
     trap_path_depth_max: int = 12
     trap_dup_segment_min: int = 3
+    # PLD-grain epoch budget (frontier/pld.pld_budget_caps): cap each
+    # registered domain (eTLD+1) to this many fetch-batch rows per
+    # epoch AFTER the host-grain politeness window — IRLbot's defense
+    # against subdomain flooding (a spam network minting hosts farms
+    # fresh per-host budgets; all its hosts drain one PLD budget here).
+    # Rows past the cap return to pending with their priority intact.
+    # None = off (reference parity — the reference has no PLD notion).
+    pld_budget: Optional[int] = None
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
@@ -452,6 +460,20 @@ class CrawlEngine:
             pending_after = ranked.filter(
                 F.col("host_rank") > F.col("budget")
             ).select(*frontier_cols)
+
+        if cfg.pld_budget is not None:
+            # registered-domain cap on the batch (small: already
+            # politeness-bounded); overflow rows rejoin pending with
+            # priority/depth/ord_key intact, so they drain in later
+            # epochs — completeness is preserved, only pacing changes
+            from ..frontier.pld import pld_budget_caps
+
+            capped = pld_budget_caps(batch, cfg.pld_budget).persist()
+            to_unpersist.append(capped)
+            batch = capped.filter(F.col("pld_keep")).drop("pld", "pld_keep")
+            pending_after = pending_after.unionByName(
+                capped.filter(~F.col("pld_keep")).select(*frontier_cols)
+            )
 
         # one action gives the batch size AND the scraper types present
         stype_counts = {
