@@ -990,6 +990,17 @@ def _q_pld_flood(spark, sf_dir):
     return subdomain_flood_report(frontier, max_hosts_per_pld=32)
 
 
+def _q_embed_decontam(spark, sf_dir):
+    """Embedding-space eval decontamination
+    (quality.embedding_decontaminate): the first 16 embedding rows
+    stand in for a leaked eval set; every corpus vector cosine-close
+    to any of them is flagged. Threshold 0.35 so near-neighbors (not
+    just the identity leaks) exercise the hit counting."""
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 16)
+    return _qual.embedding_decontaminate(emb, bench, threshold=0.35)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF probe/search path under a deterministic medoid quantizer
     (centroid = the min-vec_id member of each label cell). Medoids are
@@ -3757,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_pairs": _q_dhash_pairs,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
+        "embed_decontam": _q_embed_decontam,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -5891,6 +5903,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dhash_pairs": _dhash_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
+        "embed_decontam": """
+            WITH bench AS (
+              SELECT embedding FROM embeddings WHERE vec_id < 16
+            ), hits AS (
+              SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings c JOIN bench b
+                ON list_cosine_similarity(
+                     c.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+              GROUP BY c.vec_id
+            )
+            SELECT e.vec_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_hits,
+                   h.n IS NULL AS contam_keep
+            FROM embeddings e LEFT JOIN hits h ON h.vec_id = e.vec_id
+        """,
         "pld_flood": """
             WITH fr AS (
               SELECT CASE WHEN doc_id % 2 = 0

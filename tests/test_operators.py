@@ -2358,3 +2358,48 @@ class TestCorpusCard:
         row = corpus_card(docs).first()
         # low median of {1,2,3,4} = 2 (cum 2*2 >= 4 at tok=2)
         assert row["median_tokens"] == 2
+
+
+class TestEmbeddingDecontaminate:
+    def test_flags_exact_and_near_leaks_only(self, spark):
+        from web_scrapper_spark.operators.quality import embedding_decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),   # exact leak of bench 100
+                (1, [0.99, 0.14, 0.0]), # near-paraphrase of bench 100
+                (2, [0.0, 1.0, 0.0]),   # exact leak of bench 101
+                (3, [0.0, 0.0, 1.0]),   # clean
+                (4, [-1.0, 0.0, 0.0]),  # anti-parallel: cos=-1, clean
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["n_bench_hits"], r["contam_keep"])
+            for r in embedding_decontaminate(
+                corpus, bench, threshold=0.95
+            ).collect()
+        }
+        assert got == {
+            0: (1, False),
+            1: (1, False),
+            2: (1, False),
+            3: (0, True),
+            4: (0, True),
+        }
+
+    def test_every_doc_appears_once(self, spark):
+        from web_scrapper_spark.operators.quality import embedding_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        bench = corpus.filter("vec_id < 3")
+        out = embedding_decontaminate(corpus, bench, threshold=0.999)
+        assert out.count() == 20
+        assert out.select("vec_id").distinct().count() == 20

@@ -1032,3 +1032,55 @@ def corpus_card(
         "max_tokens",
         "median_tokens",
     )
+
+
+def embedding_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the word-n-gram :func:`decontaminate`: flag every
+    training item whose embedding is cosine-close to ANY evaluation
+    vector (paraphrased or reformatted eval leakage that shares no
+    exact n-gram still lands near the eval point in embedding space —
+    the contamination mode n-gram matching misses).
+
+    Scale shape: the benchmark side is an eval set (thousands of rows,
+    not a corpus) — it BROADCASTS; the corpus is scanned exactly once
+    through a broadcast nested-loop scoring pass (O(N·B) multiply-adds
+    map-side, the same arithmetic an ANN pre-filter would do), and the
+    only shuffle carries (id, hit) rows for the RARE above-threshold
+    matches. No pair materialization at corpus scale.
+
+    Output: (id_col, n_bench_hits, contam_keep) — one row per doc;
+    ``contam_keep`` is true iff no benchmark vector clears the
+    threshold.
+    """
+    from .dedup import cosine_col
+
+    bench = benchmark.select(F.col(bench_vec_col).alias("_bvec"))
+    scored = (
+        fan_out(docs)
+        .select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+        .join(F.broadcast(bench))
+        .select(
+            id_col,
+            cosine_col(F.col("_cvec"), F.col("_bvec")).alias("_cos"),
+        )
+    )
+    hits = (
+        scored.filter(F.col("_cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bench_hits"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bench_hits"), F.lit(0)).cast("long").alias(
+            "n_bench_hits"
+        ),
+        F.col("n_bench_hits").isNull().alias("contam_keep"),
+    )
