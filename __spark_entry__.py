@@ -1001,6 +1001,19 @@ def _q_embed_decontam(spark, sf_dir):
     return _qual.embedding_decontaminate(emb, bench, threshold=0.35)
 
 
+def _q_perceptron_gate(spark, sf_dir):
+    """Trained quality classifier (quality.perceptron_train/score):
+    batch perceptron over hashed bag-of-words, 3 iterations, 128
+    buckets, labels y=+1 iff lang='en'. Pure integer arithmetic and
+    order-independent updates make the TRAINING itself bit-reproducible
+    — the oracle replays all three iterations in DuckDB CTEs and must
+    land on identical margins for every document."""
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_lbl", F.col("lang") == F.lit("en"))
+    model = _qual.perceptron_train(labeled, "_lbl", iters=3, buckets=128)
+    return _qual.perceptron_score(docs, model)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF probe/search path under a deterministic medoid quantizer
     (centroid = the min-vec_id member of each label cell). Medoids are
@@ -3769,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
+        "perceptron_gate": _q_perceptron_gate,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -4007,6 +4021,65 @@ def _registered_domain_oracle_sql() -> str:
                     ELSE t.host END AS pld
         FROM t LEFT JOIN m ON m.doc_id = t.doc_id
     """
+
+
+def _perceptron_oracle_sql(iters: int = 3, buckets: int = 128) -> str:
+    """DuckDB replay of quality.perceptron_train + perceptron_score:
+    the same hashed features (md5-bucket twin), the same y·margin ≤ 0
+    update rule, the same integer arithmetic, unrolled as one CTE
+    chain per iteration. The batch perceptron is order-independent, so
+    engine-side parallel training and this sequential relational
+    replay MUST agree bit-for-bit — that equality is the test."""
+    head = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                 {_TOKS_SQL} AS t
+          FROM documents
+        ), bucketed AS (
+          SELECT doc_id, y,
+                 unnest(list_transform(
+                   t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {buckets}
+                 )) AS bucket
+          FROM toks
+        ), counted AS (
+          SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x
+          FROM bucketed GROUP BY doc_id, y, bucket
+        ), feats AS (
+          SELECT * FROM counted
+          UNION ALL
+          SELECT DISTINCT doc_id, y,
+                 CAST({buckets} AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS x
+          FROM counted
+        ), w0 AS (
+          SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w
+          WHERE false
+        )"""
+    body = ""
+    for t in range(1, iters + 1):
+        body += f""", m{t} AS (
+          SELECT f.doc_id, f.y,
+                 CAST(coalesce(sum(w.w * f.x), 0) AS BIGINT) AS margin
+          FROM feats f LEFT JOIN w{t - 1} w ON w.bucket = f.bucket
+          GROUP BY f.doc_id, f.y
+        ), d{t} AS (
+          SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+          FROM feats f JOIN m{t} m
+            ON m.doc_id = f.doc_id AND m.y * m.margin <= 0
+          GROUP BY f.bucket
+        ), w{t} AS (
+          SELECT coalesce(w.bucket, d.bucket) AS bucket,
+                 CAST(coalesce(w.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
+          FROM w{t - 1} w FULL OUTER JOIN d{t} d ON w.bucket = d.bucket
+        )"""
+    tail = f"""
+        SELECT f.doc_id,
+               CAST(coalesce(sum(w.w * f.x), 0) AS BIGINT) AS margin,
+               coalesce(sum(w.w * f.x), 0) > 0 AS perc_keep
+        FROM feats f LEFT JOIN w{iters} w ON w.bucket = f.bucket
+        GROUP BY f.doc_id
+    """
+    return head + body + tail
 
 
 def _ua_pool_sql() -> str:
@@ -5903,6 +5976,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dhash_pairs": _dhash_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
+        "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "embed_decontam": """
             WITH bench AS (
               SELECT embedding FROM embeddings WHERE vec_id < 16

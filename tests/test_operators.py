@@ -2403,3 +2403,59 @@ class TestEmbeddingDecontaminate:
         out = embedding_decontaminate(corpus, bench, threshold=0.999)
         assert out.count() == 20
         assert out.select("vec_id").distinct().count() == 20
+
+
+class TestPerceptron:
+    def _toy(self, spark):
+        rows = []
+        for i in range(30):
+            good = i % 2 == 0
+            text = (
+                "excellent informative thorough research article "
+                if good
+                else "spam casino pills click buy now "
+            ) + f"filler{i % 5} common words"
+            rows.append((i, text, good))
+        return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    def test_converges_and_separates(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators.quality import (
+            perceptron_score,
+            perceptron_train,
+        )
+
+        docs = self._toy(spark)
+        m = perceptron_train(docs, "label", iters=10, buckets=64)
+        # early exit: converged before the iteration cap
+        assert m["mistakes"][-1] == 0 and len(m["mistakes"]) < 10
+        scored = perceptron_score(docs, m)
+        errors = (
+            scored.join(docs, "doc_id")
+            .filter(F.col("label") != F.col("perc_keep"))
+            .count()
+        )
+        assert errors == 0
+
+    def test_training_is_partitioning_independent(self, spark):
+        """Batch updates are order-free: any repartitioning of the
+        input trains the IDENTICAL integer weight vector — the property
+        that makes distributed training bit-reproducible."""
+        from web_scrapper_spark.operators.quality import perceptron_train
+
+        docs = self._toy(spark)
+        m1 = perceptron_train(docs, "label", iters=5, buckets=64)
+        m2 = perceptron_train(docs.repartition(13), "label", iters=5, buckets=64)
+        m3 = perceptron_train(docs.coalesce(1), "label", iters=5, buckets=64)
+        assert m1["w"] == m2["w"] == m3["w"]
+
+    def test_first_iteration_updates_on_all_docs(self, spark):
+        """With w=0 every margin is 0 and y·0 <= 0, so iteration 1
+        counts every doc as misclassified — pins the margin-zero
+        convention the oracle replays."""
+        from web_scrapper_spark.operators.quality import perceptron_train
+
+        docs = self._toy(spark)
+        m = perceptron_train(docs, "label", iters=1, buckets=64)
+        assert m["mistakes"][0] == 30

@@ -1084,3 +1084,140 @@ def embedding_decontaminate(
         ),
         F.col("n_bench_hits").isNull().alias("contam_keep"),
     )
+
+
+def perceptron_doc_features(
+    docs: DataFrame,
+    label_col: str,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-grain hashed bag-of-words for the batch perceptron: one row
+    per document with ``y`` (+1/-1 from the boolean/int ``label_col``)
+    and ``feats`` = array<struct<bucket,x>> of hashed-unigram counts,
+    plus a constant bias feature at bucket index ``buckets``. The
+    engine's md5→long bucket scheme (:func:`_bucket_col`) keeps the
+    hashing bit-identical to the DuckDB oracle."""
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    counted = (
+        staged.select(id_col, "y", F.explode("_toks").alias("gram"))
+        .select(id_col, "y", _bucket_col(F.col("gram"), buckets).alias("bucket"))
+        .groupBy(id_col, "y", "bucket")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return counted.groupBy(id_col, "y").agg(
+        F.array_append(
+            F.collect_list(F.struct(F.col("bucket"), F.col("x"))),
+            F.struct(
+                F.lit(buckets).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("x"),
+            ),
+        ).alias("feats")
+    )
+
+
+def perceptron_train(
+    docs: DataFrame,
+    label_col: str,
+    iters: int = 3,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Train a quality-gate text classifier IN Spark: the batch
+    perceptron over hashed bag-of-words — the distributed, exactly
+    reproducible cousin of the fastText/FineWeb-Edu-style linear
+    quality classifiers used to curate web corpora. Per iteration
+    every currently misclassified document (y·margin ≤ 0) contributes
+    y·x to the weights: order-independent (unlike the classic online
+    perceptron) and pure INTEGER arithmetic end to end, so training is
+    bit-reproducible across engines, partitionings and cluster sizes —
+    the property that lets a DuckDB oracle replay it exactly.
+
+    Scale shape: features are built once and cached at doc grain; each
+    iteration is (1) a narrow projection scoring every doc against the
+    weight vector as a LITERAL array (≤ buckets+1 longs — no join, no
+    shuffle, stays in codegen exactly like DSIR's ratio lookup), and
+    (2) one explode + map-side-combined aggregate over misclassified
+    docs whose shuffle carries ≤ buckets+1 rows per partition. Driver
+    holds only the model (buckets+1 longs), never data — the same
+    driver-side-coefficients pattern MLlib's own LBFGS uses.
+
+    Returns {"w": [long]*(buckets+1), "iters": iters, "buckets":
+    buckets, "mistakes": [per-iteration misclassified counts]} — index
+    ``buckets`` is the bias weight.
+    """
+    feats = perceptron_doc_features(
+        docs, label_col, buckets=buckets, id_col=id_col, text_col=text_col
+    ).persist()
+    w = [0] * (buckets + 1)
+    mistakes = []
+    try:
+        for _ in range(iters):
+            warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+            margin = F.aggregate(
+                "feats",
+                F.lit(0).cast("long"),
+                lambda acc, f: acc + F.get(warr, f["bucket"]) * f["x"],
+            )
+            mis = feats.withColumn("_margin", margin).filter(
+                F.col("y") * F.col("_margin") <= 0
+            )
+            delta = (
+                mis.select("y", F.explode("feats").alias("f"))
+                .groupBy(F.col("f.bucket").alias("bucket"))
+                .agg(
+                    F.sum(F.col("y") * F.col("f.x")).alias("dw"),
+                    # bias bucket rows appear once per misclassified doc
+                    F.sum(
+                        F.when(F.col("f.bucket") == buckets, 1).otherwise(0)
+                    ).alias("n"),
+                )
+                .collect()
+            )
+            n_mis = sum(r["n"] for r in delta)
+            mistakes.append(int(n_mis))
+            if n_mis == 0:
+                break
+            for r in delta:
+                w[int(r["bucket"])] += int(r["dw"])
+    finally:
+        feats.unpersist()
+    return {"w": w, "iters": iters, "buckets": buckets, "mistakes": mistakes}
+
+
+def perceptron_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a trained perceptron model: integer margin
+    per doc and ``perc_keep = margin > 0`` (the quality gate). A pure
+    literal-array projection after the one feature aggregate — no
+    join, no weight shuffle. Documents with zero tokens have no
+    feature row and drop out (same contract as the feature builder)."""
+    buckets = model["buckets"]
+    tmp = docs.withColumn("_lbl", F.lit(True))
+    feats = perceptron_doc_features(
+        tmp, "_lbl", buckets=buckets, id_col=id_col, text_col=text_col
+    )
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in model["w"]])
+    margin = F.aggregate(
+        "feats",
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + F.get(warr, f["bucket"]) * f["x"],
+    )
+    return feats.select(
+        F.col(id_col),
+        margin.alias("margin"),
+        (margin > 0).alias("perc_keep"),
+    )
