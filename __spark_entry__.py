@@ -1014,6 +1014,41 @@ def _q_perceptron_gate(spark, sf_dir):
     return _qual.perceptron_score(docs, model)
 
 
+_OPIC = {"epochs": 3, "fanout": 3, "n_seeds": 8}
+
+
+def _q_opic(spark, sf_dir):
+    """OPIC online page importance (graph.opic_epochs) over the
+    md5-derived citation graph. The dst space is n+20 wide, so ~20
+    link targets are NOT documents (no outlinks) — exercising the
+    dangling-cash → virtual-root → seeds path. Every value is integer
+    and cash is exactly conserved; the oracle replays all 3 epochs."""
+    from web_scrapper_spark.operators.graph import opic_epochs
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    dsts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(j))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % (n + 20)
+        )
+        for j in range(_OPIC["fanout"])
+    ]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    seeds = docs.filter(F.col("doc_id") < _OPIC["n_seeds"]).select(
+        F.col("doc_id").alias("node")
+    )
+    return opic_epochs(edges, seeds, epochs=_OPIC["epochs"]).select(
+        F.col("node").alias("doc_id"), "cash", "history"
+    )
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF probe/search path under a deterministic medoid quantizer
     (centroid = the min-vec_id member of each label cell). Medoids are
@@ -3783,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
         "perceptron_gate": _q_perceptron_gate,
+        "opic_importance": _q_opic,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -4080,6 +4116,76 @@ def _perceptron_oracle_sql(iters: int = 3, buckets: int = 128) -> str:
         GROUP BY f.doc_id
     """
     return head + body + tail
+
+
+def _opic_oracle_sql() -> str:
+    """DuckDB replay of graph.opic_epochs: identical integer cash
+    mechanics (floor share, remainder to smallest outlink, dangling
+    pool back to the seeds), unrolled one CTE block per epoch."""
+    from web_scrapper_spark.operators.graph import OPIC_SCALE as S
+
+    epochs, fanout, k = _OPIC["epochs"], _OPIC["fanout"], _OPIC["n_seeds"]
+    js = ", ".join(str(j) for j in range(fanout))
+    sql = f"""
+        WITH params AS (SELECT count(*) + 20 AS n FROM documents),
+        edges AS (
+          SELECT DISTINCT doc_id AS _s,
+                 ('0x' || substr(md5(doc_id || '|' || j), 1, 15))::BIGINT
+                   % (SELECT n FROM params) AS _d
+          FROM documents, unnest([{js}]) AS t(j)
+        ),
+        edeg AS (
+          SELECT _s, _d,
+                 count(*) OVER (PARTITION BY _s) AS _deg,
+                 min(_d) OVER (PARTITION BY _s) AS _first
+          FROM edges
+        ),
+        srcs AS (SELECT DISTINCT _s FROM edges),
+        seedt AS (SELECT doc_id AS node FROM documents WHERE doc_id < {k}),
+        s0 AS (
+          SELECT node,
+                 CAST({S} // {k}
+                   + CASE WHEN node = 0 THEN {S} % {k} ELSE 0 END AS BIGINT)
+                   AS cash,
+                 CAST(0 AS BIGINT) AS history
+          FROM seedt
+        )"""
+    for t in range(1, epochs + 1):
+        sql += f""",
+        a{t} AS (SELECT * FROM s{t - 1} WHERE cash > 0),
+        f{t} AS (
+          SELECT e._d AS node,
+                 CAST(sum(a.cash // e._deg
+                     + CASE WHEN e._d = e._first
+                            THEN a.cash % e._deg ELSE 0 END) AS BIGINT) AS _in
+          FROM a{t} a JOIN edeg e ON e._s = a.node
+          GROUP BY e._d
+        ),
+        p{t} AS (
+          SELECT CAST(coalesce(sum(cash), 0) AS BIGINT) AS pool
+          FROM a{t} WHERE node NOT IN (SELECT _s FROM srcs)
+        ),
+        si{t} AS (
+          SELECT s.node,
+                 CAST(p.pool // {k}
+                   + CASE WHEN s.node = 0 THEN p.pool % {k} ELSE 0 END
+                   AS BIGINT) AS _in
+          FROM seedt s CROSS JOIN p{t} p
+        ),
+        i{t} AS (
+          SELECT node, CAST(sum(_in) AS BIGINT) AS _in
+          FROM (SELECT * FROM f{t} UNION ALL SELECT * FROM si{t})
+          GROUP BY node
+        ),
+        s{t} AS (
+          SELECT coalesce(s.node, i.node) AS node,
+                 CAST(coalesce(i._in, 0) AS BIGINT) AS cash,
+                 CAST(coalesce(s.history, 0) + coalesce(s.cash, 0) AS BIGINT)
+                   AS history
+          FROM s{t - 1} s FULL OUTER JOIN i{t} i ON i.node = s.node
+        )"""
+    return sql + f"""
+        SELECT node AS doc_id, cash, history FROM s{epochs}"""
 
 
 def _ua_pool_sql() -> str:
@@ -5977,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         "dhash_pairs": _dhash_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
+        "opic_importance": _opic_oracle_sql(),
         "embed_decontam": """
             WITH bench AS (
               SELECT embedding FROM embeddings WHERE vec_id < 16

@@ -1511,3 +1511,68 @@ class TestApplyParamRules:
         )
         row = apply_param_rules(urls, rules).first()
         assert row["canonical_url"] == "https://s.org/p"
+
+
+class TestOpic:
+    """OPIC online page importance (operators/graph.opic_epochs)."""
+
+    def _fixture(self, spark):
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,), (3,)], "node long")
+        return edges, seeds
+
+    def test_hand_computed_epochs(self, spark):
+        from web_scrapper_spark.operators.graph import opic_epochs
+
+        edges, seeds = self._fixture(spark)
+        got = sorted(
+            (r["node"], r["cash"], r["history"])
+            for r in opic_epochs(edges, seeds, epochs=3, scale=1000).collect()
+        )
+        # worked by hand: epoch1 0,3 spend; epoch2 0,1,2; epoch3 0,1,2
+        assert got == [
+            (0, 500, 1250),
+            (1, 125, 500),
+            (2, 375, 750),
+            (3, 0, 500),
+        ]
+
+    def test_cash_conserved_every_epoch(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators.graph import opic_epochs
+
+        edges, seeds = self._fixture(spark)
+        for ep in (1, 2, 4):
+            total = (
+                opic_epochs(edges, seeds, epochs=ep, scale=999_983)
+                .agg(F.sum("cash"))
+                .collect()[0][0]
+            )
+            assert total == 999_983, ep
+
+    def test_dangling_cash_returns_to_seeds(self, spark):
+        """A sink node (no outlinks) must hand its cash back to the
+        seed set, not destroy it."""
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators.graph import opic_epochs
+
+        edges = spark.createDataFrame([(0, 9)], "src long, dst long")  # 9 is a sink
+        seeds = spark.createDataFrame([(0,)], "node long")
+        st = {r["node"]: r for r in opic_epochs(edges, seeds, epochs=2, scale=100).collect()}
+        # epoch1: 0 spends 100 -> 9. epoch2: 9 dangles -> back to seed 0.
+        assert st[9]["cash"] == 0 and st[9]["history"] == 100
+        assert st[0]["cash"] == 100 and st[0]["history"] == 100
+
+    def test_requires_seeds(self, spark):
+        import pytest
+
+        from web_scrapper_spark.operators.graph import opic_epochs
+
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        empty = spark.createDataFrame([], "node long")
+        with pytest.raises(ValueError):
+            opic_epochs(edges, empty, epochs=1)

@@ -382,3 +382,121 @@ def host_triangles(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OPIC — Adaptive On-line Page Importance Computation
+# ---------------------------------------------------------------------------
+
+OPIC_SCALE = 10**12
+
+
+def opic_epochs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    epochs: int = 3,
+    scale: int = OPIC_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """OPIC (Abiteboul, Preda & Cobena, WWW 2003): the ONLINE page-
+    importance algorithm production crawlers use for frontier priority
+    — unlike PageRank it needs no converged offline pass; importance
+    accumulates as the crawl proceeds, so the frontier can be
+    prioritized mid-crawl by each page's current cash.
+
+    Batch-epoch variant (each epoch "fetches" every page holding
+    cash, matching this engine's epoch model): a page's cash moves to
+    its history and is split equally over its distinct outlinks
+    (integer floor share; the remainder goes to the smallest outlink —
+    deterministic and cash-conserving); dangling pages return their
+    cash to the seed set (the paper's virtual-root page), split the
+    same way. Total cash is EXACTLY ``scale`` after every epoch, all
+    arithmetic is integer, so the run is bit-reproducible across
+    partitionings and engines (the DuckDB oracle unrolls the same
+    epochs relationally).
+
+    Importance estimate after t epochs = history + cash.
+    Returns (node, cash, history) for every node ever touched.
+
+    Scale shape: out-degrees are denormalized onto the edge rows and
+    partitioned by ``src`` ONCE (the PageRank trick — iterations move
+    only the cash column through that exchange); per epoch there is
+    one join + one aggregate keyed by dst; the dangling pool is a
+    1-row aggregate cross-joined back (never collected); lineage is
+    truncated per epoch with a localCheckpoint.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    deg = e.groupBy("_s").agg(
+        F.count("*").alias("_deg"), F.min("_d").alias("_first")
+    )
+    edeg = e.join(deg, "_s").repartition(F.col("_s")).persist()
+    edeg.count()
+
+    sd = seeds.select(F.col(node_col).alias("node")).distinct().persist()
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("opic_epochs needs at least one seed")
+    share = scale // n_seeds
+    rem = scale % n_seeds
+    min_seed = sd.agg(F.min("node")).collect()[0][0]
+    state = sd.select(
+        "node",
+        (F.lit(share) + F.when(F.col("node") == min_seed, rem).otherwise(0))
+        .cast("long")
+        .alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+
+    for t in range(epochs):
+        active = state.filter(F.col("cash") > 0)
+        # cash flowing along edges: floor share per distinct outlink,
+        # remainder to the smallest outlink (deterministic, conserving)
+        flows = (
+            active.join(edeg, active["node"] == edeg["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                (
+                    F.expr("cash div _deg")
+                    + F.when(
+                        F.col("_d") == F.col("_first"), F.expr("cash % _deg")
+                    ).otherwise(0)
+                ).cast("long").alias("_in"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_in").alias("_in"))
+        )
+        # dangling pages: cash returns to the seeds (virtual root)
+        pool = (
+            active.join(edeg.select("_s").distinct(),
+                        active["node"] == F.col("_s"), "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("_pool"))
+        )
+        seed_in = sd.crossJoin(F.broadcast(pool)).select(
+            "node",
+            (
+                F.expr(f"_pool div {n_seeds}")
+                + F.when(
+                    F.col("node") == min_seed, F.expr(f"_pool % {n_seeds}")
+                ).otherwise(0)
+            ).cast("long").alias("_in"),
+        )
+        inflow = flows.unionByName(seed_in).groupBy("node").agg(
+            F.sum("_in").alias("_in")
+        )
+        state = (
+            state.join(inflow, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("cash"),
+                (
+                    F.coalesce(F.col("history"), F.lit(0))
+                    + F.coalesce(F.col("cash"), F.lit(0))
+                ).cast("long").alias("history"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edeg.unpersist()
+    sd.unpersist()
+    return state
