@@ -1576,3 +1576,33 @@ class TestOpic:
         empty = spark.createDataFrame([], "node long")
         with pytest.raises(ValueError):
             opic_epochs(edges, empty, epochs=1)
+
+    def test_opic_feeds_dequeue(self, spark):
+        """End-to-end: OPIC cash flow → host priors → capped dequeue
+        picks the high-importance host first — the online refresh of
+        the same seam pagerank priors use."""
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators.graph import opic_epochs, opic_host_priors
+
+        # node ids stand for urls: hub (0) is every spoke's target
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+        )
+        seeds_df = spark.createDataFrame([(i,) for i in range(6)], "node long")
+        state = opic_epochs(edges, seeds_df, epochs=3, scale=10**6)
+        url_hosts = spark.createDataFrame(
+            [(0, "hub.org")] + [(i, f"s{i}.org") for i in range(1, 6)],
+            "node long, host string",
+        )
+        priors = opic_host_priors(state, url_hosts)
+        top = priors.orderBy(F.desc("rank")).first()["host"]
+        assert top == "hub.org"
+
+        seeds = [("https://hub.org/a", "content"), ("https://s1.org/b", "content")]
+        frontier = seeds_frontier(spark, seeds)
+        batch = dequeue(
+            frontier, None, epoch_seconds=8.0, default_delay=2.0,
+            global_budget=1, host_priority=priors,
+        )
+        assert [r["host"] for r in batch.collect()] == ["hub.org"]

@@ -500,3 +500,21 @@ def opic_epochs(
     edeg.unpersist()
     sd.unpersist()
     return state
+
+
+def opic_host_priors(state: DataFrame, url_hosts: DataFrame) -> DataFrame:
+    """Roll OPIC importance (history + cash) up to host grain for the
+    dequeue's ``host_priority`` interface
+    (``frontier.core.dequeue(host_priority=...)``) — the same seam
+    :func:`pagerank` host priors plug into, but refreshable EVERY
+    epoch because OPIC importance is already online (no converged
+    offline pass to wait for).
+
+    ``url_hosts``: (node, host) mapping for the state's nodes.
+    Returns (host, rank) with rank = Σ (history + cash), host-grained
+    (broadcast-sized by construction)."""
+    return (
+        state.join(url_hosts, "node")
+        .groupBy("host")
+        .agg(F.sum(F.col("history") + F.col("cash")).alias("rank"))
+    )
