@@ -581,3 +581,68 @@ def test_cuckoo_seen_filter_matches_reference(spark, tmp_path, sim):
 def test_seen_filter_validation():
     with pytest.raises(ValueError, match="seen_filter"):
         CrawlEngine(None, None, None, None, CrawlConfig(seen_filter="bogus"))
+
+
+class TestTimeTravel:
+    """Iceberg-style as-of reads: seen/frontier/articles reconstructed
+    exactly as they stood after any committed epoch."""
+
+    def test_as_of_reads_match_live_history(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        store = SnapshotStore(str(tmp_path / "tt-store"))
+        pages = pages_dataframe(spark, SPEC)
+        robots = robots_dataframe(spark, SPEC)
+        engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+        engine.init(_seeds())
+
+        seen_hist, frontier_hist = {}, {}
+        for epoch in range(3):
+            m = engine.run_epoch()
+            if m.get("done"):
+                break
+            seen_hist[epoch] = sorted(
+                (r["url"], r["status"]) for r in engine.seen().collect()
+            )
+            frontier_hist[epoch] = sorted(
+                r["url"] for r in engine.frontier().collect()
+            )
+        engine.run(max_epochs=30)  # drain fully past the recorded epochs
+
+        for epoch, want in seen_hist.items():
+            got = sorted(
+                (r["url"], r["status"])
+                for r in engine.seen(as_of_epoch=epoch).collect()
+            )
+            assert got == want, f"seen as-of epoch {epoch} drifted"
+        for epoch, want in frontier_hist.items():
+            got = sorted(
+                r["url"] for r in engine.frontier(as_of_epoch=epoch).collect()
+            )
+            assert got == want, f"frontier as-of epoch {epoch} drifted"
+        # articles as-of an early epoch is a strict subset of the final
+        early = engine.articles(as_of_epoch=0)
+        final = engine.articles()
+        n_early = 0 if early is None else early.count()
+        assert n_early <= final.count()
+
+    def test_expired_base_raises(self, spark, tmp_path):
+        import pytest
+
+        store = SnapshotStore(str(tmp_path / "tt-exp"))
+        pages = pages_dataframe(spark, SPEC)
+        robots = robots_dataframe(spark, SPEC)
+        # force a compaction every epoch and keep only the newest base
+        cfg = CrawlConfig(
+            compact_min_tombstones=1, compact_ratio=0.0, expire_frontier_keep=1
+        )
+        engine = CrawlEngine(spark, store, pages, robots, cfg)
+        engine.init(_seeds())
+        for _ in range(3):
+            if engine.run_epoch().get("done"):
+                break
+        # the epoch-0 base is expired: as-of epoch 0 must refuse loudly
+        with pytest.raises(RuntimeError, match="retention|expired"):
+            engine.frontier(as_of_epoch=0).collect()
+        # but the seen set (append-only, never expired) still time-travels
+        assert engine.seen(as_of_epoch=0).count() > 0

@@ -280,32 +280,47 @@ class CrawlEngine:
         return engine
 
     # ------------------------------------------------------------------
-    def _frontier_base_entry(self) -> Dict:
-        entry = self.store.latest_committed("frontier_base", self._epoch)
+    def _frontier_base_entry(self, as_of_epoch: Optional[int] = None) -> Dict:
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        entry = self.store.latest_committed("frontier_base", cap)
         if entry is None:
             raise RuntimeError("store has no frontier_base — init() not run?")
         return entry
 
-    def frontier(self) -> DataFrame:
+    def frontier(self, as_of_epoch: Optional[int] = None) -> DataFrame:
         """The LIVE frontier: merge-on-read over base ∪ deltas with the
         dequeue tombstones applied as equality deletes (a row enqueued
         at epoch e is dead iff a tombstone for its url has
         tomb_epoch > e). On Iceberg this whole method is one MERGE-ON-
         READ table scan. Within a run the hot carry (identical rows,
         checkpointed in memory at the previous epoch's commit) answers
-        instead."""
-        if self._hot_frontier is not None:
+        instead.
+
+        ``as_of_epoch``: TIME TRAVEL — reconstruct the live frontier
+        exactly as it stood after that epoch's commit (Iceberg
+        snapshot-id read). Reaches back as far as snapshot retention
+        (``expire_frontier_keep``) keeps bases — older as-of reads
+        raise, precisely like time travel on an expired Iceberg
+        snapshot."""
+        if self._hot_frontier is not None and as_of_epoch is None:
             return self._hot_frontier
-        base_entry = self._frontier_base_entry()
-        rows = self.store.read(self.spark, "frontier_base", base_entry["id"])
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        base_entry = self._frontier_base_entry(as_of_epoch)
+        try:
+            rows = self.store.read(self.spark, "frontier_base", base_entry["id"])
+        except KeyError as exc:
+            raise RuntimeError(
+                f"frontier time travel to epoch {cap} needs frontier_base "
+                f"snapshot {base_entry['id']}, which retention expired: {exc}"
+            ) from None
         deltas = self.store.read_committed(
-            self.spark, "frontier_delta", self._epoch,
+            self.spark, "frontier_delta", cap,
             after_epoch=base_entry["epoch"],
         )
         if deltas is not None:
             rows = rows.unionByName(deltas)
         tombs = self.store.read_committed(
-            self.spark, "frontier_tomb", self._epoch,
+            self.spark, "frontier_tomb", cap,
             after_epoch=base_entry["epoch"],
         )
         if tombs is None:
@@ -334,27 +349,35 @@ class CrawlEngine:
         )
         return base_rows + delta_rows - tomb_rows
 
-    def seen(self) -> DataFrame:
+    def seen(self, as_of_epoch: Optional[int] = None) -> DataFrame:
         """The URL-seen set: union of committed per-epoch APPEND deltas
         (dequeued URLs are never already in seen, so the dedup-merge is
         a pure append — O(batch) per epoch, not an O(|seen|) rewrite;
         on Iceberg this is the append commit). Hot carry as in
-        :meth:`frontier`."""
-        if self._hot_seen is not None:
+        :meth:`frontier`. ``as_of_epoch``: time-travel read — the seen
+        set as of that epoch's commit (appends are never expired, so
+        any committed epoch is reachable)."""
+        if self._hot_seen is not None and as_of_epoch is None:
             return self._hot_seen
-        return self.store.read_committed(self.spark, "seen", self._epoch)
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        return self.store.read_committed(self.spark, "seen", cap)
 
-    def articles(self, merged: bool = True) -> Optional[DataFrame]:
-        raw = self.store.read_committed(self.spark, "articles", self._epoch)
+    def articles(
+        self, merged: bool = True, as_of_epoch: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        raw = self.store.read_committed(self.spark, "articles", cap)
         if raw is None or not merged:
             return raw
         return merge_articles(raw)
 
-    def products(self) -> Optional[DataFrame]:
-        return self.store.read_committed(self.spark, "products", self._epoch)
+    def products(self, as_of_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        return self.store.read_committed(self.spark, "products", cap)
 
-    def businesses(self) -> Optional[DataFrame]:
-        return self.store.read_committed(self.spark, "businesses", self._epoch)
+    def businesses(self, as_of_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        return self.store.read_committed(self.spark, "businesses", cap)
 
     def metrics(self) -> List[Dict]:
         return self.store.epoch_metrics()

@@ -178,6 +178,11 @@ class SnapshotStore:
             if not matches:
                 raise KeyError(f"snapshot {snapshot} of {table!r} not found")
             entry = matches[0]
+        if entry.get("path") is None:
+            raise KeyError(
+                f"snapshot {entry['id']} of {table!r} expired (path nulled "
+                "by expire_snapshots) — time travel past the retention window"
+            )
         return spark.read.parquet(os.path.join(self.root, entry["path"]))
 
     def read_union(
