@@ -1097,8 +1097,10 @@ def hamming_blocked_pairs(
     — high-cardinality by construction for hash-like inputs; the final
     XOR/bit_count verify runs on candidates only.
     """
-    if not 1 <= n_chunks <= 64 or 64 % n_chunks != 0:
-        raise ValueError("n_chunks must divide 64")
+    # n_chunks == 1 would need a 64-bit all-ones mask (> LongType max)
+    # and blocks nothing anyway (one chunk = the whole hash)
+    if not 2 <= n_chunks <= 64 or 64 % n_chunks != 0:
+        raise ValueError("n_chunks must divide 64 and be >= 2")
     if max_hamming >= n_chunks:
         raise ValueError(
             "pigeonhole guarantee needs max_hamming < n_chunks "
