@@ -267,7 +267,13 @@ def default_mode() -> None:
     second = run_crawl(spark, SF_DIR)
     if second["wall_sec"] < crawl["wall_sec"]:
         crawl = second
+    # bulk is best-of-2 as well: its 64-partition plan compiles its own
+    # codegen the first time even in a crawl-warmed JVM (measured 26s
+    # cold vs 16s warm on identical input)
     bulk = run_bulk_crawl(spark, SF_DIR)
+    bulk2 = run_bulk_crawl(spark, SF_DIR)
+    if bulk2["wall_sec"] < bulk["wall_sec"]:
+        bulk = bulk2
     queries = run_queries(spark, SF_DIR)
     spark.stop()
     out = {
