@@ -228,3 +228,48 @@ class TestRobotsSitemapProperties:
         assert isinstance(out["sitemaps"], list)
         # sitemaps are unique, order preserved
         assert len(out["sitemaps"]) == len(set(out["sitemaps"]))
+
+
+class TestDhashProperties:
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_bitmap_codec_inverts_dhash(self, h):
+        """dhash64(bitmap_payload_decoder(h)) == h for EVERY 64-bit
+        value — the codec is a right inverse of the hash."""
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+        )
+
+        grid = bitmap_payload_decoder(h.to_bytes(8, "big"), {})
+        assert dhash64(grid) & ((1 << 64) - 1) == h
+
+    @given(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_integer_upscale_invariance(self, h, ky, kx):
+        import numpy as np
+
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+        )
+
+        grid = bitmap_payload_decoder(h.to_bytes(8, "big"), {})
+        up = np.kron(grid, np.ones((ky, kx)))
+        assert dhash64(up) == dhash64(grid)
+
+    @given(st.binary(min_size=0, max_size=24))
+    @settings(max_examples=100, deadline=None)
+    def test_decoder_never_crashes(self, payload):
+        from web_scrapper_spark.operators.multimodal import (
+            bitmap_payload_decoder,
+            dhash64,
+        )
+
+        grid = bitmap_payload_decoder(payload, {})
+        assert grid.shape == (8, 9)
+        dhash64(grid)
