@@ -464,3 +464,49 @@ class TestSparkSubmit:
         assert report["urls_visited"] > 3
         assert report["items_extracted"] > 3
         assert report["epochs"] > 1
+
+
+class TestAnalyzeCli:
+    """The analyze group: corpus operators as a CLI surface."""
+
+    def test_quality_and_dedup_and_funnel(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(i, ("good text with several words here number %d. " % i) * 8
+              + ("repeat me " * 30 if i % 5 == 0 else ""))
+             for i in range(20)]
+            + [(100, "dup body the same"), (101, "dup body the same")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+
+        runner = CliRunner()
+        q = runner.invoke(
+            cli_mod.cli, ["analyze", "quality", "-i", path, "--cpus", "4"]
+        )
+        assert q.exit_code == 0, q.output
+        rep = _json.loads(q.output.strip().splitlines()[-1])
+        assert rep["docs"] == 22 and rep["kept"] + rep["dropped"] == 22
+
+        d = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "dedup", "-i", path, "--method", "exact", "--cpus", "4"],
+        )
+        assert d.exit_code == 0, d.output
+        rep = _json.loads(d.output.strip().splitlines()[-1])
+        assert rep["duplicate_rows"] == 1  # 100/101 share a fingerprint
+
+        f = runner.invoke(
+            cli_mod.cli, ["analyze", "funnel", "-i", path, "--cpus", "4"]
+        )
+        assert f.exit_code == 0, f.output
+        stages = _json.loads(f.output.strip()[f.output.index("[") :])
+        assert stages[0]["stage"] == "input" and stages[0]["docs"] == 22
+        assert stages[-1]["stage"] == "decontaminate"
+        assert stages[-1]["docs"] <= stages[0]["docs"]

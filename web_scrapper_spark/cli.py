@@ -224,6 +224,147 @@ def create_config(stype, out_path) -> None:
 
 
 @cli.group()
+def analyze() -> None:
+    """Training-data corpus analysis over a parquet documents table
+    (columns: an id, a text column; names overridable): the quality
+    funnel, dedup families, and per-doc quality scoring — the
+    operators/ layer as a command-line surface."""
+
+
+def _analyze_docs(spark, in_path, id_col, text_col):
+    df = spark.read.parquet(in_path)
+    out = df
+    if id_col != "doc_id":
+        out = out.withColumnRenamed(id_col, "doc_id")
+    if text_col != "text":
+        out = out.withColumnRenamed(text_col, "text")
+    return out
+
+
+_ANALYZE_IO = [
+    click.option("--input", "-i", "in_path", required=True, type=str,
+                 help="parquet documents table"),
+    click.option("--id-col", default="doc_id", show_default=True),
+    click.option("--text-col", default="text", show_default=True),
+    click.option("--cpus", default=0, type=int,
+                 help="cores (default: all)"),
+]
+
+
+def _with_io(fn):
+    for opt in reversed(_ANALYZE_IO):
+        fn = opt(fn)
+    return fn
+
+
+@analyze.command("funnel")
+@_with_io
+@click.option("--benchmark", "bench_path", default=None, type=str,
+              help="parquet eval corpus for decontamination (optional)")
+@click.option("--lang", default="en", show_default=True)
+def analyze_funnel(in_path, id_col, text_col, cpus, bench_path, lang) -> None:
+    """The full corpus funnel (URL → lang → Gopher → exact dedup →
+    near dedup → decontaminate) as ONE plan; prints the per-stage
+    survivor report."""
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import corpus_funnel
+
+    spark = _spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if "url" not in docs.columns:
+            docs = docs.withColumn(
+                "url",
+                F.concat(F.lit("https://corpus.local/doc/"), F.col("doc_id")),
+            )
+        bench = (
+            spark.read.parquet(bench_path)
+            if bench_path
+            else spark.createDataFrame([], "text string")
+        )
+        rows = corpus_funnel(docs, bench, lang=lang).collect()
+        click.echo(json.dumps(
+            [
+                {"stage": r["stage"], "docs": r["docs"], "tokens": r["tokens"]}
+                for r in sorted(rows, key=lambda r: r["stage_ord"])
+            ],
+            indent=2,
+        ))
+    finally:
+        spark.stop()
+
+
+@analyze.command("dedup")
+@_with_io
+@click.option("--method", type=click.Choice(["exact", "minhash", "simhash"]),
+              default="exact", show_default=True)
+@click.option("--output", "-o", "out_path", default=None, type=str,
+              help="write the result table as parquet")
+def analyze_dedup(in_path, id_col, text_col, cpus, method, out_path) -> None:
+    """Dedup report: exact (fingerprint groups) or near-dup pairs
+    (MinHash-LSH / SimHash)."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as dd
+
+    spark = _spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if method == "exact":
+            out = dd.dedup_exact(docs)
+            summary = {
+                "groups": out.count(),
+                "duplicate_rows": out.filter("dup_count > 1")
+                .agg(F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0)))
+                .collect()[0][0],
+            }
+        elif method == "minhash":
+            out = dd.minhash_lsh_pairs(docs)
+            summary = {"near_dup_pairs": out.count()}
+        else:
+            out = dd.simhash_near_pairs(docs)
+            summary = {"near_dup_pairs": out.count()}
+        if out_path:
+            out.write.mode("overwrite").parquet(out_path)
+            summary["output"] = out_path
+        summary["method"] = method
+        click.echo(json.dumps(summary))
+    finally:
+        spark.stop()
+
+
+@analyze.command("quality")
+@_with_io
+@click.option("--output", "-o", "out_path", default=None, type=str,
+              help="write per-doc scores as parquet")
+def analyze_quality(in_path, id_col, text_col, cpus, out_path) -> None:
+    """Per-document Gopher quality flags + basic doc stats; prints the
+    keep/drop summary."""
+    from pyspark.sql import functions as F
+
+    from .operators.quality import gopher_quality
+
+    spark = _spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        scored = gopher_quality(docs)
+        if out_path:
+            scored.write.mode("overwrite").parquet(out_path)
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count(F.when(F.col("gopher_keep"), 1)).alias("kept"),
+        ).collect()[0]
+        summary = {"docs": agg["docs"], "kept": agg["kept"],
+                   "dropped": agg["docs"] - agg["kept"]}
+        if out_path:
+            summary["output"] = out_path
+        click.echo(json.dumps(summary))
+    finally:
+        spark.stop()
+
+
+@cli.group()
 def job() -> None:
     """Job control (T3/T5; reference job_scheduler.py:522-859):
     create/list/status/pause/resume/update/delete/run-now over a
