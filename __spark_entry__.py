@@ -1015,6 +1015,33 @@ def _q_perceptron_gate(spark, sf_dir):
 
 
 _OPIC = {"epochs": 3, "fanout": 3, "n_seeds": 8}
+_HITS = {"iters": 3, "fanout": 3}
+
+
+def _q_hits(spark, sf_dir):
+    """Integer fixed-point HITS (graph.hits) over the md5 citation
+    graph — hubs/authorities for link-farm analysis; max-rescaled
+    half-steps keep everything integer so the oracle replays all
+    iterations exactly."""
+    from web_scrapper_spark.operators.graph import hits
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    dsts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(j))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % n
+        )
+        for j in range(_HITS["fanout"])
+    ]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    return hits(edges, num_iters=_HITS["iters"])
 
 
 def _q_opic(spark, sf_dir):
@@ -3819,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_decontam": _q_embed_decontam,
         "perceptron_gate": _q_perceptron_gate,
         "opic_importance": _q_opic,
+        "hits_scores": _q_hits,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -4186,6 +4214,68 @@ def _opic_oracle_sql() -> str:
         )"""
     return sql + f"""
         SELECT node AS doc_id, cash, history FROM s{epochs}"""
+
+
+def _hits_oracle_sql() -> str:
+    """DuckDB replay of graph.hits: same distinct edges, same integer
+    half-steps, same max-rescale (window max stands in for the 1-row
+    cross join), unrolled per iteration."""
+    from web_scrapper_spark.operators.graph import HITS_SCALE as S
+
+    iters, fanout = _HITS["iters"], _HITS["fanout"]
+    js = ", ".join(str(j) for j in range(fanout))
+    sql = f"""
+        WITH params AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT DISTINCT doc_id AS _s,
+                 ('0x' || substr(md5(doc_id || '|' || j), 1, 15))::BIGINT
+                   % (SELECT n FROM params) AS _d
+          FROM documents, unnest([{js}]) AS t(j)
+        ),
+        nodes AS (
+          SELECT _s AS node FROM edges UNION SELECT _d FROM edges
+        ),
+        s0 AS (
+          SELECT node, CAST({S} AS BIGINT) AS hub, CAST({S} AS BIGINT) AS auth
+          FROM nodes
+        )"""
+    prev = "s0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        ar{t} AS (
+          SELECT e._d AS node, CAST(sum(s.hub) AS BIGINT) AS raw
+          FROM edges e JOIN {prev} s ON s.node = e._s
+          GROUP BY e._d
+        ),
+        sa{t} AS (
+          SELECT node, hub,
+                 CAST(CASE WHEN mx > 0 THEN raw * {S} // mx ELSE 0 END AS BIGINT)
+                   AS auth
+          FROM (
+            SELECT s.node, s.hub, coalesce(a.raw, 0) AS raw,
+                   max(coalesce(a.raw, 0)) OVER () AS mx
+            FROM {prev} s LEFT JOIN ar{t} a ON a.node = s.node
+          )
+        ),
+        hr{t} AS (
+          SELECT e._s AS node, CAST(sum(s.auth) AS BIGINT) AS raw
+          FROM edges e JOIN sa{t} s ON s.node = e._d
+          GROUP BY e._s
+        ),
+        s{t} AS (
+          SELECT node,
+                 CAST(CASE WHEN mx > 0 THEN raw * {S} // mx ELSE 0 END AS BIGINT)
+                   AS hub,
+                 auth
+          FROM (
+            SELECT s.node, s.auth, coalesce(h.raw, 0) AS raw,
+                   max(coalesce(h.raw, 0)) OVER () AS mx
+            FROM sa{t} s LEFT JOIN hr{t} h ON h.node = s.node
+          )
+        )"""
+        prev = f"s{t}"
+    return sql + f"""
+        SELECT node, hub, auth FROM {prev}"""
 
 
 def _ua_pool_sql() -> str:
@@ -6084,6 +6174,7 @@ def oracle_sql() -> dict[str, str]:
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),
+        "hits_scores": _hits_oracle_sql(),
         "embed_decontam": """
             WITH bench AS (
               SELECT embedding FROM embeddings WHERE vec_id < 16

@@ -1606,3 +1606,37 @@ class TestOpic:
             global_budget=1, host_priority=priors,
         )
         assert [r["host"] for r in batch.collect()] == ["hub.org"]
+
+
+class TestHits:
+    def test_hub_and_authority_structure(self, spark):
+        """Star graph: spokes all point at one page; a directory page
+        points at every spoke. The target is the top authority, the
+        directory the top hub."""
+        from web_scrapper_spark.operators.graph import HITS_SCALE, hits
+
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 6)]      # spokes 1..5 -> authority 0
+            + [(9, i) for i in range(1, 6)],   # directory 9 -> every spoke
+            "src long, dst long",
+        )
+        got = {r["node"]: r for r in hits(edges, num_iters=5).collect()}
+        top_auth = max(got.values(), key=lambda r: (r["auth"], -r["node"]))
+        top_hub = max(got.values(), key=lambda r: (r["hub"], -r["node"]))
+        assert top_auth["node"] == 0 and top_auth["auth"] == HITS_SCALE
+        assert top_hub["node"] == 9 and top_hub["hub"] == HITS_SCALE
+        # 0 has no outlinks -> zero hub; 9 has no inlinks -> zero auth
+        assert got[0]["hub"] == 0 and got[9]["auth"] == 0
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 13) for i in range(40)], "src long, dst long"
+        )
+        a = {(r["node"], r["hub"], r["auth"]) for r in hits(edges, 4).collect()}
+        b = {
+            (r["node"], r["hub"], r["auth"])
+            for r in hits(edges.repartition(11), 4).collect()
+        }
+        assert a == b
