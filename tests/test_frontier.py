@@ -1610,23 +1610,24 @@ class TestOpic:
 
 class TestHits:
     def test_hub_and_authority_structure(self, spark):
-        """Star graph: spokes all point at one page; a directory page
-        points at every spoke. The target is the top authority, the
-        directory the top hub."""
+        """Bipartite core: directories 10..12 each point at both
+        authorities (0, 1); page 20 points only at 0. Directories are
+        the top hubs, 0 the top authority, and the single-link page 20
+        scores strictly below the full directories."""
         from web_scrapper_spark.operators.graph import HITS_SCALE, hits
 
         edges = spark.createDataFrame(
-            [(i, 0) for i in range(1, 6)]      # spokes 1..5 -> authority 0
-            + [(9, i) for i in range(1, 6)],   # directory 9 -> every spoke
+            [(h, a) for h in (10, 11, 12) for a in (0, 1)] + [(20, 0)],
             "src long, dst long",
         )
         got = {r["node"]: r for r in hits(edges, num_iters=5).collect()}
         top_auth = max(got.values(), key=lambda r: (r["auth"], -r["node"]))
-        top_hub = max(got.values(), key=lambda r: (r["hub"], -r["node"]))
         assert top_auth["node"] == 0 and top_auth["auth"] == HITS_SCALE
-        assert top_hub["node"] == 9 and top_hub["hub"] == HITS_SCALE
-        # 0 has no outlinks -> zero hub; 9 has no inlinks -> zero auth
-        assert got[0]["hub"] == 0 and got[9]["auth"] == 0
+        assert got[10]["hub"] == got[11]["hub"] == got[12]["hub"] == HITS_SCALE
+        assert got[20]["hub"] < got[10]["hub"]
+        assert got[1]["auth"] < got[0]["auth"]
+        # 0 has no outlinks -> zero hub; 10 has no inlinks -> zero auth
+        assert got[0]["hub"] == 0 and got[10]["auth"] == 0
 
     def test_partitioning_independence(self, spark):
         from web_scrapper_spark.operators.graph import hits
