@@ -1044,6 +1044,30 @@ def _q_hits(spark, sf_dir):
     return hits(edges, num_iters=_HITS["iters"])
 
 
+def _q_soft404(spark, sf_dir):
+    """Soft-404 / templated-page detection (frontier/traps.
+    templated_pages): every doc_id % 4 == 0 URL serves the same 'not
+    found' body on its host — those must flag templated; genuine
+    articles must not."""
+    from web_scrapper_spark.frontier.traps import templated_pages
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("  Page Not\tFound — error 404 ")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return templated_pages(pages, min_urls=5)
+
+
 def _q_opic(spark, sf_dir):
     """OPIC online page importance (graph.opic_epochs) over the
     md5-derived citation graph. The dst space is n+20 wide, so ~20
@@ -3847,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_gate": _q_perceptron_gate,
         "opic_importance": _q_opic,
         "hits_scores": _q_hits,
+        "soft404_templated": _q_soft404,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -6175,6 +6200,29 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "soft404_templated": """
+            WITH pages AS (
+              SELECT 'https://h' || (doc_id % 8) || '.example.org/p/' || doc_id
+                       AS url,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '  Page Not' || chr(9) || 'Found — error 404 '
+                          ELSE text END AS text
+              FROM documents
+            ), keyed AS (
+              SELECT url,
+                     lower(string_split(string_split(url, '//')[2], '/')[1])
+                       AS host,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS body_fp
+              FROM pages
+            ), groups AS (
+              SELECT host, body_fp,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+              FROM keyed GROUP BY host, body_fp
+            )
+            SELECT k.url, k.host, k.body_fp, g.n_urls, g.n_urls >= 5 AS templated
+            FROM keyed k JOIN groups g USING (host, body_fp)
+        """,
         "embed_decontam": """
             WITH bench AS (
               SELECT embedding FROM embeddings WHERE vec_id < 16

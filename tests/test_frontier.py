@@ -1641,3 +1641,31 @@ class TestHits:
             for r in hits(edges.repartition(11), 4).collect()
         }
         assert a == b
+
+
+class TestTemplatedPages:
+    def test_soft404_flagged_structurally(self, spark):
+        from web_scrapper_spark.frontier.traps import templated_pages
+
+        rows = (
+            # one host serving the same error body (whitespace-varied)
+            # at 6 distinct paths
+            [(f"https://a.org/x/{i}", "Page   Not\tFound ") for i in range(3)]
+            + [(f"https://a.org/y/{i}", "  page not found") for i in range(3)]
+            # same body on ANOTHER host, below threshold there
+            + [("https://b.org/only", "page not found")]
+            # genuine distinct content on a.org
+            + [(f"https://a.org/real/{i}", f"real article {i}") for i in range(4)]
+        )
+        pages = spark.createDataFrame(rows, "url string, text string")
+        got = {r["url"]: r for r in templated_pages(pages, min_urls=5).collect()}
+        assert all(
+            got[f"https://a.org/x/{i}"]["templated"] for i in range(3)
+        )
+        # case/whitespace variants normalize to one fingerprint
+        assert got["https://a.org/x/0"]["n_urls"] == 6
+        assert got["https://b.org/only"]["templated"] is False  # per-host count
+        assert not any(
+            got[f"https://a.org/real/{i}"]["templated"] for i in range(4)
+        )
+        assert len(got) == len(rows)

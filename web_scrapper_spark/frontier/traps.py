@@ -178,3 +178,46 @@ def url_shape_profile(
         )
         .filter(F.col("n_urls") >= min_count)
     )
+
+
+def templated_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 5,
+) -> DataFrame:
+    """Soft-404 / templated-page detection: the SAME body served at
+    many distinct URLs of one host is an error or placeholder template
+    ("page not found" behind HTTP 200, parked-domain landers, login
+    walls) — pages a crawler must stop treating as content AND stop
+    extracting links from (soft-404 link farms are a classic trap).
+    Detection is structural (per-host body repetition), not phrase
+    matching — it works in every language and for every template.
+
+    Output: one row per input URL — (url, host, body_fp, n_urls,
+    templated) with ``templated`` true iff the host serves the same
+    normalized body at >= ``min_urls`` distinct URLs.
+
+    Scale shape: the repetition count is one aggregate at (host,
+    body-md5) grain — map-side combined, cardinality = distinct bodies
+    per host, far below URL scale; the flag joins back on the same
+    key, and AQE broadcasts the group table when it is small. Only
+    32-byte hashes cross the shuffles, never bodies.
+    """
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    keyed = pages.select(
+        F.col(url_col).alias("url"), host.alias("host"), fp.alias("body_fp")
+    )
+    groups = keyed.groupBy("host", "body_fp").agg(
+        F.countDistinct("url").alias("n_urls")
+    )
+    return keyed.join(groups, ["host", "body_fp"]).select(
+        "url",
+        "host",
+        "body_fp",
+        "n_urls",
+        (F.col("n_urls") >= min_urls).alias("templated"),
+    )
