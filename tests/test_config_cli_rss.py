@@ -510,3 +510,53 @@ class TestAnalyzeCli:
         assert stages[0]["stage"] == "input" and stages[0]["docs"] == 22
         assert stages[-1]["stage"] == "decontaminate"
         assert stages[-1]["docs"] <= stages[0]["docs"]
+
+
+class TestShowVacuumCli:
+    def test_show_and_vacuum_on_a_real_store(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures import (
+            SiteSpec,
+            pages_dataframe,
+            robots_dataframe,
+            seed_urls,
+        )
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        spec = SiteSpec(n_hosts=2, n_articles=8, blog_page_size=4)
+        store = SnapshotStore(str(tmp_path / "store"))
+        eng = CrawlEngine(
+            spark, store, pages_dataframe(spark, spec),
+            robots_dataframe(spark, spec), CrawlConfig(),
+        )
+        eng.init([(u, "content") for u in seed_urls(spec) if u.endswith("/blog")])
+        eng.run_epoch()
+        eng.run_epoch()
+
+        runner = CliRunner()
+        full = runner.invoke(
+            cli_mod.cli,
+            ["show", "-s", str(tmp_path / "store"), "--table", "seen"],
+        )
+        assert full.exit_code == 0, full.output
+        rep = _json.loads(full.output.strip().splitlines()[-1])
+        early = runner.invoke(
+            cli_mod.cli,
+            ["show", "-s", str(tmp_path / "store"), "--table", "seen",
+             "--as-of", "0"],
+        )
+        rep0 = _json.loads(early.output.strip().splitlines()[-1])
+        assert 0 < rep0["rows"] <= rep["rows"]
+
+        vac = runner.invoke(
+            cli_mod.cli,
+            ["vacuum", "-s", str(tmp_path / "store"),
+             "--table", "frontier_base", "--keep", "1"],
+        )
+        assert vac.exit_code == 0, vac.output
+        assert _json.loads(vac.output.strip().splitlines()[-1])["kept"] == 1

@@ -223,6 +223,57 @@ def create_config(stype, out_path) -> None:
     click.echo(f"wrote {out_path}")
 
 
+@cli.command("vacuum")
+@click.option("--store", "-s", "store_dir", required=True, type=str)
+@click.option("--table", default="frontier_base", show_default=True)
+@click.option("--keep", default=4, show_default=True,
+              help="snapshots to retain (newest first)")
+def vacuum(store_dir, table, keep) -> None:
+    """Iceberg-style snapshot maintenance: drop old snapshot data dirs
+    of a store table, keeping manifest lineage (paths nulled). Time
+    travel past the retention window then refuses loudly."""
+    from .frontier.store import SnapshotStore
+
+    store = SnapshotStore(store_dir)
+    removed = store.expire_snapshots(table, keep_last=keep)
+    click.echo(json.dumps({"table": table, "removed": removed, "kept": keep}))
+
+
+@cli.command("show")
+@click.option("--store", "-s", "store_dir", required=True, type=str)
+@click.option("--table", default="seen", show_default=True,
+              help="append table: seen/articles/products/businesses/"
+                   "frontier_delta/frontier_tomb")
+@click.option("--as-of", "as_of", type=int, default=None,
+              help="time travel: committed state as of this epoch")
+@click.option("--limit", default=5, show_default=True)
+@click.option("--cpus", default=4, show_default=True)
+def show(store_dir, table, as_of, limit, cpus) -> None:
+    """Inspect a store table (optionally time-traveled): row count and
+    a sample, as JSON."""
+    from .frontier.store import SnapshotStore
+
+    spark = _spark(cpus)
+    try:
+        store = SnapshotStore(store_dir)
+        df = store.read_committed(spark, table, up_to_epoch=as_of)
+        if df is None:
+            click.echo(json.dumps({"table": table, "rows": 0, "sample": []}))
+            return
+        sample = [
+            {k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                 else str(v))
+             for k, v in r.asDict().items()}
+            for r in df.limit(limit).collect()
+        ]
+        click.echo(json.dumps(
+            {"table": table, "as_of": as_of, "rows": df.count(),
+             "sample": sample}
+        ))
+    finally:
+        spark.stop()
+
+
 @cli.group()
 def analyze() -> None:
     """Training-data corpus analysis over a parquet documents table
