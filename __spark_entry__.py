@@ -1068,6 +1068,20 @@ def _q_soft404(spark, sf_dir):
     return templated_pages(pages, min_urls=5)
 
 
+def _q_excerpt_pairs(spark, sf_dir):
+    """Excerpt/containment detection (textops.excerpt_pairs): every
+    doc_id % 10 == 0 document gets a planted excerpt (its first 200
+    chars, id + 100000); the directional containment must recover
+    (excerpt → source) pairs Jaccard similarity would miss."""
+    docs = _read(spark, sf_dir, "documents")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return _tx.excerpt_pairs(corpus, containment_centi=80, min_fps=3)
+
+
 def _q_opic(spark, sf_dir):
     """OPIC online page importance (graph.opic_epochs) over the
     md5-derived citation graph. The dst space is n+20 wide, so ~20
@@ -3872,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": _q_opic,
         "hits_scores": _q_hits,
         "soft404_templated": _q_soft404,
+        "excerpt_pairs": _q_excerpt_pairs,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -4301,6 +4316,46 @@ def _hits_oracle_sql() -> str:
         prev = f"s{t}"
     return sql + f"""
         SELECT node, hub, auth FROM {prev}"""
+
+
+def _excerpt_oracle_sql() -> str:
+    """DuckDB twin of textops.excerpt_pairs over the planted corpus:
+    the shared winnow CTE chain re-pointed at documents ∪ planted
+    excerpts, then df gate, directional fp join, and the containment
+    arg in the same integer centi."""
+    cte = _WINNOW_FPS_CTE.replace(
+        "FROM documents",
+        """FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
+                FROM documents WHERE doc_id % 10 = 0
+              )""",
+    )
+    return f"""
+        WITH {cte}, fpd AS (
+          SELECT DISTINCT doc_id, unnest(mins) AS fp FROM fps
+        ), rare AS (
+          SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 50
+        ), gated AS (
+          SELECT fpd.doc_id, fpd.fp FROM fpd JOIN rare USING (fp)
+        ), sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps_excerpt
+          FROM gated GROUP BY doc_id
+        ), shared AS (
+          SELECT a.doc_id AS excerpt_id, b.doc_id AS source_id,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM gated a JOIN gated b
+            ON a.fp = b.fp AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT s.excerpt_id, s.source_id, s.shared_fps, z.n_fps_excerpt,
+               CAST(s.shared_fps * 100 // z.n_fps_excerpt AS BIGINT)
+                 AS containment_centi
+        FROM shared s JOIN sizes z ON z.doc_id = s.excerpt_id
+        WHERE z.n_fps_excerpt >= 3
+          AND s.shared_fps * 100 // z.n_fps_excerpt >= 80
+    """
 
 
 def _ua_pool_sql() -> str:
@@ -6200,6 +6255,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "excerpt_pairs": _excerpt_oracle_sql(),
         "soft404_templated": """
             WITH pages AS (
               SELECT 'https://h' || (doc_id % 8) || '.example.org/p/' || doc_id

@@ -2459,3 +2459,47 @@ class TestPerceptron:
         docs = self._toy(spark)
         m = perceptron_train(docs, "label", iters=1, buckets=64)
         assert m["mistakes"][0] == 30
+
+
+class TestExcerptPairs:
+    def test_quote_inside_long_doc_is_found_directionally(self, spark):
+        from web_scrapper_spark.operators.textops import excerpt_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog near the river bank"
+        long_doc = (
+            "opening paragraph about something else entirely with many words "
+            * 5
+            + quote
+            + " closing commentary that keeps going on and on about the topic "
+            * 5
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, quote),                 # the excerpt
+                (2, long_doc),              # its source
+                (3, "completely unrelated text about cooking pasta at home"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["excerpt_id"], r["source_id"]): r
+            for r in excerpt_pairs(docs, containment_centi=80, min_fps=2).collect()
+        }
+        assert (1, 2) in got
+        assert got[(1, 2)]["containment_centi"] >= 80
+        # the direction matters: the long doc is NOT contained in the quote
+        assert (2, 1) not in got
+        assert not any(3 in pair for pair in got)
+
+    def test_mutual_near_dups_appear_both_ways(self, spark):
+        from web_scrapper_spark.operators.textops import excerpt_pairs
+
+        text = "identical body shared by two documents with enough words to winnow"
+        docs = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        got = {
+            (r["excerpt_id"], r["source_id"])
+            for r in excerpt_pairs(docs, containment_centi=90, min_fps=2).collect()
+        }
+        assert got == {(1, 2), (2, 1)}

@@ -296,6 +296,82 @@ def winnow_overlap_pairs(
     )
 
 
+def excerpt_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    containment_centi: int = 80,
+    min_fps: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC containment on winnow fingerprints: doc E is an
+    excerpt of doc S when (nearly) all of E's fingerprints also occur
+    in S. Jaccard-style near-dup misses this case entirely — a 100-word
+    quote inside a 10,000-word page has tiny symmetric similarity but
+    ~100 containment — and training pipelines care: excerpts double-
+    count the quoted passage, and quote+commentary pages shouldn't be
+    collapsed as "duplicates" of their source (so this is a separate
+    signal from MinHash, not a replacement).
+
+    Containment = shared / |fps(E)| over the df-GATED fingerprint set
+    (boilerplate fps a hot gate removed can't be required of the
+    source either), scaled to integer centi. Directional output:
+    (excerpt_id, source_id, shared_fps, n_fps_excerpt,
+    containment_centi); mutual near-dups appear in both directions.
+
+    Scale shape: identical to :func:`winnow_overlap_pairs` — one
+    fp-keyed equality self-join bounded by the ``max_df`` gate, one
+    map-side-combined pair aggregate, plus one join against the
+    doc-grained size table (AQE broadcasts it when small).
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).dropDuplicates(
+        [id_col, "fp"]
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    gated = fps.join(rare, "fp")
+    sizes = gated.groupBy(id_col).agg(F.count("*").alias("n_fps_excerpt"))
+    a = gated.select("fp", F.col(id_col).alias("excerpt_id"))
+    b = gated.select("fp", F.col(id_col).alias("source_id"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("excerpt_id") != F.col("source_id"))
+        .groupBy("excerpt_id", "source_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col(id_col).alias("excerpt_id"), "n_fps_excerpt"
+            ),
+            "excerpt_id",
+        )
+        .withColumn(
+            "containment_centi",
+            F.floor(
+                F.col("shared_fps") * 100 / F.col("n_fps_excerpt")
+            ).cast("long"),
+        )
+        .filter(
+            (F.col("n_fps_excerpt") >= min_fps)
+            & (F.col("containment_centi") >= containment_centi)
+        )
+        .select(
+            "excerpt_id",
+            "source_id",
+            "shared_fps",
+            "n_fps_excerpt",
+            "containment_centi",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction — the scrub stage every web-text training pipeline runs
 # before tokenization. Patterns are RE2-safe (no lookaround, no
