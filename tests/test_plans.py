@@ -176,3 +176,43 @@ class TestRound2LayoutPlans:
         plan = _plan(spark, "url_param_mining")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound2SessionPlans:
+    """Plan pins for the mirror/dhash/pld/perceptron/opic/hits/
+    soft404/excerpt additions (docs/PLANS.md §16+)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["mirror_hosts", "dhash_pairs", "excerpt_pairs", "soft404_templated"],
+    )
+    def test_pair_generators_never_all_pairs(self, spark, name):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_registered_domain_is_pure_projection(self, spark):
+        # the bundled-subset eTLD+1 path: no Exchange, no Join
+        plan = _plan(spark, "registered_domain")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_pld_flood_single_aggregate_grain(self, spark):
+        # one PLD-grain aggregate; the count-distinct Expand is the
+        # only width increase — still no join anywhere
+        plan = _plan(spark, "pld_flood")
+        assert "Join" not in plan
+
+    def test_embed_decontam_broadcasts_the_eval_set(self, spark):
+        # the ONLY join shapes are the broadcast score pass (nested
+        # loop over the broadcast eval set, by design) and the id-keyed
+        # left join back — never a shuffled pair join on vectors
+        plan = _plan(spark, "embed_decontam")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+
+    def test_perceptron_scoring_has_no_weight_join(self, spark):
+        # the trained model is folded in as a literal array: scoring is
+        # aggregate+projection, no join against a weights table
+        plan = _plan(spark, "perceptron_gate")
+        assert "Join" not in plan
