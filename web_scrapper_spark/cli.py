@@ -35,6 +35,19 @@ def _spark(cpus: int):
     return get_spark(app_name="wss-cli", cpus=cpus)
 
 
+def _own_spark(cpus: int):
+    """(spark, owned): reuse the thread's active session when one
+    exists (CLI invoked from a host process — tests, notebooks,
+    orchestration code — must NOT stop the host's session on exit);
+    otherwise create one we own and may stop."""
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
+    return _spark(cpus), True
+
+
 def _engine_from_config(
     spark, config_path, pages_path, store_dir, epoch_seconds, robots="none"
 ):
@@ -84,7 +97,7 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
     """Run a crawl job to completion and write the extracted items."""
     from .sources import write_any
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         engine, job = _engine_from_config(
             spark, config_path, pages_path, store_dir, epoch_seconds, robots
@@ -115,7 +128,8 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
         click.echo(f"config error: {err}", err=True)
         sys.exit(2)
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.command()
@@ -133,7 +147,7 @@ def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus, ro
     (job persistence = the snapshot manifest, T1/T2)."""
     from .crawl.epoch import CrawlEngine
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         engine, job = _engine_from_config(
             spark, config_path, pages_path, store_dir, epoch_seconds, robots
@@ -150,7 +164,8 @@ def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus, ro
             if result.get("done"):
                 break
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.command("export-data")
@@ -171,14 +186,15 @@ def export_data_cmd(in_path, in_fmt, out_path, out_fmt, cpus) -> None:
             "xlsx": "xlsx", "xls": "xlsx",
         }.get(ext, "parquet")
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         n = export_data(
             spark, in_path, in_fmt or infer(in_path), out_path, out_fmt or infer(out_path)
         )
         click.echo(json.dumps({"rows_exported": n}))
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.command("create-config")
@@ -253,7 +269,7 @@ def show(store_dir, table, as_of, limit, cpus) -> None:
     a sample, as JSON."""
     from .frontier.store import SnapshotStore
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         store = SnapshotStore(store_dir)
         df = store.read_committed(spark, table, up_to_epoch=as_of)
@@ -271,7 +287,8 @@ def show(store_dir, table, as_of, limit, cpus) -> None:
              "sample": sample}
         ))
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.group()
@@ -321,7 +338,7 @@ def analyze_funnel(in_path, id_col, text_col, cpus, bench_path, lang) -> None:
 
     from .operators.pipeline import corpus_funnel
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         docs = _analyze_docs(spark, in_path, id_col, text_col)
         if "url" not in docs.columns:
@@ -343,7 +360,8 @@ def analyze_funnel(in_path, id_col, text_col, cpus, bench_path, lang) -> None:
             indent=2,
         ))
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @analyze.command("dedup")
@@ -359,7 +377,7 @@ def analyze_dedup(in_path, id_col, text_col, cpus, method, out_path) -> None:
 
     from .operators import dedup as dd
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         docs = _analyze_docs(spark, in_path, id_col, text_col)
         if method == "exact":
@@ -382,7 +400,8 @@ def analyze_dedup(in_path, id_col, text_col, cpus, method, out_path) -> None:
         summary["method"] = method
         click.echo(json.dumps(summary))
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @analyze.command("quality")
@@ -396,7 +415,7 @@ def analyze_quality(in_path, id_col, text_col, cpus, out_path) -> None:
 
     from .operators.quality import gopher_quality
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         docs = _analyze_docs(spark, in_path, id_col, text_col)
         scored = gopher_quality(docs)
@@ -412,7 +431,8 @@ def analyze_quality(in_path, id_col, text_col, cpus, out_path) -> None:
             summary["output"] = out_path
         click.echo(json.dumps(summary))
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.group()
@@ -574,7 +594,7 @@ def job_run_now(jobs_dir, job_id, epochs, epoch_seconds, cpus, robots, force) ->
     """Run N more epochs of the job, resume-or-init (run_job_now)."""
     from .schedulers import JobError
 
-    spark = _spark(cpus)
+    spark, _owned = _own_spark(cpus)
     try:
         results = _registry(jobs_dir).run_now(
             spark, job_id, epochs=epochs, epoch_seconds=epoch_seconds,
@@ -586,7 +606,8 @@ def job_run_now(jobs_dir, job_id, epochs, epoch_seconds, cpus, robots, force) ->
         click.echo(f"job error: {err}", err=True)
         sys.exit(2)
     finally:
-        spark.stop()
+        if _owned:
+            spark.stop()
 
 
 @cli.command()
