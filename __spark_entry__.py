@@ -1082,6 +1082,26 @@ def _q_excerpt_pairs(spark, sf_dir):
     return _tx.excerpt_pairs(corpus, containment_centi=80, min_fps=3)
 
 
+def _q_starvation(spark, sf_dir):
+    """Frontier starvation report (frontier/core.starvation_report) at
+    epoch 10: hosts h0..h7 hold pending rows discovered at epoch
+    doc_id % 12 - 1; seen rows exist only for even hosts, last fetched
+    at epoch doc_id % 11. Odd hosts with old pending rows must flag
+    starving; recently-fetched hosts must not."""
+    from web_scrapper_spark.frontier.core import starvation_report
+
+    docs = _read(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        ((F.col("doc_id") % 12) - 1).cast("long").alias("discovered_epoch"),
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        (F.col("doc_id") % 11).cast("long").alias("fetched_epoch"),
+    )
+    return starvation_report(frontier, seen, current_epoch=10, stale_epochs=3)
+
+
 def _q_opic(spark, sf_dir):
     """OPIC online page importance (graph.opic_epochs) over the
     md5-derived citation graph. The dst space is n+20 wide, so ~20
@@ -3887,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "soft404_templated": _q_soft404,
         "excerpt_pairs": _q_excerpt_pairs,
+        "starvation_report": _q_starvation,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -6256,6 +6277,29 @@ def oracle_sql() -> dict[str, str]:
         "opic_importance": _opic_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "excerpt_pairs": _excerpt_oracle_sql(),
+        "starvation_report": """
+            WITH frontier AS (
+              SELECT 'h' || (doc_id % 8) AS host,
+                     CAST(doc_id % 12 - 1 AS BIGINT) AS discovered_epoch
+              FROM documents
+            ), seen AS (
+              SELECT 'h' || (doc_id % 8) AS host,
+                     CAST(doc_id % 11 AS BIGINT) AS fetched_epoch
+              FROM documents WHERE doc_id % 2 = 0
+            ), pend AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_pending,
+                     CAST(10 - min(discovered_epoch) AS BIGINT) AS oldest_wait
+              FROM frontier GROUP BY host
+            ), fetched AS (
+              SELECT host, CAST(max(fetched_epoch) AS BIGINT) AS last_fetch_epoch
+              FROM seen GROUP BY host
+            )
+            SELECT p.host, p.n_pending, p.oldest_wait, f.last_fetch_epoch,
+                   (p.oldest_wait >= 3)
+                   AND NOT coalesce(f.last_fetch_epoch > 10 - 3, false)
+                     AS starving
+            FROM pend p LEFT JOIN fetched f ON f.host = p.host
+        """,
         "soft404_templated": """
             WITH pages AS (
               SELECT 'https://h' || (doc_id % 8) || '.example.org/p/' || doc_id

@@ -1669,3 +1669,36 @@ class TestTemplatedPages:
             got[f"https://a.org/real/{i}"]["templated"] for i in range(4)
         )
         assert len(got) == len(rows)
+
+
+class TestStarvationReport:
+    def test_flags_match_definition(self, spark):
+        from web_scrapper_spark.frontier.core import starvation_report
+
+        frontier = spark.createDataFrame(
+            [
+                ("old-never.org", 1),   # waited 9 epochs, never fetched
+                ("old-never.org", 4),
+                ("old-recent.org", 2),  # old pending, but fetched at 9
+                ("fresh.org", 9),       # just discovered
+                ("old-stale.org", 3),   # old pending, last fetch long ago
+            ],
+            "host string, discovered_epoch long",
+        )
+        seen = spark.createDataFrame(
+            [("old-recent.org", 9), ("old-stale.org", 2)],
+            "host string, fetched_epoch long",
+        )
+        got = {
+            r["host"]: r
+            for r in starvation_report(
+                frontier, seen, current_epoch=10, stale_epochs=3
+            ).collect()
+        }
+        assert got["old-never.org"]["starving"] is True
+        assert got["old-never.org"]["n_pending"] == 2
+        assert got["old-never.org"]["oldest_wait"] == 9
+        assert got["old-never.org"]["last_fetch_epoch"] is None
+        assert got["old-recent.org"]["starving"] is False
+        assert got["fresh.org"]["starving"] is False
+        assert got["old-stale.org"]["starving"] is True

@@ -519,3 +519,49 @@ def dequeue_by_ip(
             ),
         )
     )
+
+
+def starvation_report(
+    frontier: DataFrame,
+    seen: DataFrame,
+    current_epoch: int,
+    stale_epochs: int = 3,
+) -> DataFrame:
+    """Fairness diagnostics for budgeted crawls: politeness budgets and
+    global caps can STARVE hosts — pending URLs that never win a slot
+    (IRLbot §6 discusses exactly this failure under budget
+    enforcement). A host is flagged ``starving`` when it still has
+    pending frontier rows, its oldest pending row has waited at least
+    ``stale_epochs`` epochs since discovery, and nothing was fetched
+    from it within the last ``stale_epochs`` epochs (never-fetched
+    hosts qualify). Feed the flagged hosts into
+    ``dequeue(host_priority=...)`` or a fair-share budget to unstick
+    them.
+
+    Output per host with pending work: (host, n_pending, oldest_wait,
+    last_fetch_epoch [null = never], starving).
+
+    Scale shape: two host-grain map-side-combined aggregates and one
+    host-keyed join between them — both sides collapse to host
+    cardinality before any shuffle; nothing URL-scale moves.
+    """
+    pend = frontier.groupBy("host").agg(
+        F.count("*").alias("n_pending"),
+        (F.lit(current_epoch) - F.min("discovered_epoch")).cast("long").alias(
+            "oldest_wait"
+        ),
+    )
+    fetched = seen.groupBy("host").agg(
+        F.max("fetched_epoch").cast("long").alias("last_fetch_epoch")
+    )
+    recent = F.col("last_fetch_epoch") > (current_epoch - stale_epochs)
+    return pend.join(fetched, "host", "left").select(
+        "host",
+        "n_pending",
+        "oldest_wait",
+        "last_fetch_epoch",
+        (
+            (F.col("oldest_wait") >= stale_epochs)
+            & ~F.coalesce(recent, F.lit(False))
+        ).alias("starving"),
+    )
