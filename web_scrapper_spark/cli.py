@@ -12,6 +12,13 @@ Mirrors the reference's commands on the Spark engine:
 - ``export-data`` — format-conversion ETL (S13)
 - ``create-config`` — emit a default config (utils/config.py:280-380)
 - ``report``      — per-epoch lineage metrics from a store manifest
+
+Beyond the reference's surface:
+
+- ``job``         — create/pause/resume/update/delete/run-now (T3/T5)
+- ``show``        — inspect any store table, ``--as-of`` time travel
+- ``vacuum``      — Iceberg-style snapshot GC for a store table
+- ``analyze``     — funnel / dedup / quality over any parquet corpus
 """
 
 from __future__ import annotations
