@@ -1082,6 +1082,19 @@ def _q_excerpt_pairs(spark, sf_dir):
     return _tx.excerpt_pairs(corpus, containment_centi=80, min_fps=3)
 
 
+def _q_audio_pairs(spark, sf_dir):
+    """Audio near-dup pairs (multimodal.audio_near_pairs): 64 real PCM
+    WAVs, ids 48..55 volume-doubled replays of 0..7 (energy-delta hash
+    identical — volume invariance), ids 56..63 truncated replays that
+    must NOT pair. Oracle brute-forces all C(64,2) distances."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.planted_wav_media_rows(n=64), mm.MEDIA_SCHEMA
+    )
+    return mm.audio_near_pairs(media, max_hamming=7, n_chunks=8)
+
+
 def _q_starvation(spark, sf_dir):
     """Frontier starvation report (frontier/core.starvation_report) at
     epoch 10: hosts h0..h7 hold pending rows discovered at epoch
@@ -3908,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_templated": _q_soft404,
         "excerpt_pairs": _q_excerpt_pairs,
         "starvation_report": _q_starvation,
+        "audio_pairs": _q_audio_pairs,
         "semdedup": _q_semdedup,
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
@@ -4377,6 +4391,36 @@ def _excerpt_oracle_sql() -> str:
         WHERE z.n_fps_excerpt >= 3
           AND s.shared_fps * 100 // z.n_fps_excerpt >= 80
     """
+
+
+def _audio_oracle_sql() -> str:
+    """Brute-force expected audio near-pairs (shared pure fixture +
+    hash, plain int Hamming, independent of the pigeonhole blocking),
+    frozen into a VALUES table."""
+    if "audio" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_wav_media_rows,
+            wav_energy_hash64,
+        )
+
+        mask = (1 << 64) - 1
+        hashes = [
+            (media_id, wav_energy_hash64(payload) & mask)
+            for media_id, _k, payload, _m in planted_wav_media_rows(n=64)
+        ]
+        values = []
+        for ai in range(len(hashes)):
+            for bi in range(ai + 1, len(hashes)):
+                id_a, h_a = hashes[ai]
+                id_b, h_b = hashes[bi]
+                d = bin(h_a ^ h_b).count("1")
+                if d <= 7:
+                    values.append(f"({id_a}, {id_b}, {d})")
+        rows = ",\n              ".join(values)
+        _ORACLE_CACHE["audio"] = (
+            f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
+        )
+    return _ORACLE_CACHE["audio"]
 
 
 def _ua_pool_sql() -> str:
@@ -6277,6 +6321,7 @@ def oracle_sql() -> dict[str, str]:
         "opic_importance": _opic_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "excerpt_pairs": _excerpt_oracle_sql(),
+        "audio_pairs": _audio_oracle_sql(),
         "starvation_report": """
             WITH frontier AS (
               SELECT 'h' || (doc_id % 8) AS host,

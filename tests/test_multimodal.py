@@ -160,3 +160,57 @@ class TestMirrorHosts:
         assert (
             mirror_host_pairs(pages, min_shared=3, containment_centi=80).count() == 0
         )
+
+
+class TestAudioFingerprint:
+    def test_wav_roundtrip_and_volume_invariance(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators.multimodal import (
+            build_pcm_wav,
+            wav_energy_hash64,
+            wav_pcm_samples,
+        )
+
+        rng_samples = (np.arange(500) * 37 % 9000 - 4500).astype("<i2")
+        wav = build_pcm_wav(rng_samples, sample_rate=8000)
+        back = wav_pcm_samples(wav)
+        assert np.array_equal(back, rng_samples)
+        h1 = wav_energy_hash64(wav)
+        h2 = wav_energy_hash64(build_pcm_wav(rng_samples * 2, sample_rate=8000))
+        # declared sample rate must not matter either
+        h3 = wav_energy_hash64(build_pcm_wav(rng_samples, sample_rate=44100))
+        assert h1 == h2 == h3 != 0
+
+    def test_corrupt_and_short_payloads_hash_zero(self):
+        from web_scrapper_spark.operators.multimodal import (
+            build_pcm_wav,
+            wav_energy_hash64,
+        )
+
+        assert wav_energy_hash64(b"") == 0
+        assert wav_energy_hash64(b"RIFFxxxxWAVE") == 0
+        assert wav_energy_hash64(b"not audio at all") == 0
+        assert wav_energy_hash64(build_pcm_wav([1, 2, 3])) == 0  # < 65 samples
+
+    def test_blocked_pairs_equal_brute_force(self, spark):
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rows = mm.planted_wav_media_rows(n=64)
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in mm.audio_near_pairs(media, max_hamming=7).collect()
+        }
+        mask = (1 << 64) - 1
+        hs = [mm.wav_energy_hash64(p) & mask for _i, _k, p, _m in rows]
+        want = {
+            (a, b): bin(hs[a] ^ hs[b]).count("1")
+            for a in range(64)
+            for b in range(a + 1, 64)
+            if bin(hs[a] ^ hs[b]).count("1") <= 7
+        }
+        assert got == want
+        # exactly the 8 volume-scaled replays, all at distance 0
+        assert sorted(got) == [(i, i + 48) for i in range(8)]
+        assert set(got.values()) == {0}

