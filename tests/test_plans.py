@@ -184,7 +184,8 @@ class TestRound2SessionPlans:
 
     @pytest.mark.parametrize(
         "name",
-        ["mirror_hosts", "dhash_pairs", "excerpt_pairs", "soft404_templated"],
+        ["mirror_hosts", "dhash_pairs", "excerpt_pairs", "soft404_templated",
+         "audio_pairs"],
     )
     def test_pair_generators_never_all_pairs(self, spark, name):
         plan = _plan(spark, name)
