@@ -1112,7 +1112,15 @@ def _q_starvation(spark, sf_dir):
         F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias("host"),
         (F.col("doc_id") % 11).cast("long").alias("fetched_epoch"),
     )
-    return starvation_report(frontier, seen, current_epoch=10, stale_epochs=3)
+    rep = starvation_report(frontier, seen, current_epoch=10, stale_epochs=3)
+    # Gate-output hygiene: last_fetch_epoch is NULL for never-fetched
+    # hosts, and a nullable int column turns float64 through the
+    # driver's pandas fetch ("10.0" vs "10" hash drift). Coalesce to a
+    # -1 sentinel on BOTH sides; the operator itself stays nullable.
+    return rep.withColumn(
+        "last_fetch_epoch",
+        F.coalesce(F.col("last_fetch_epoch"), F.lit(-1)).cast("long"),
+    )
 
 
 def _q_opic(spark, sf_dir):
@@ -6339,7 +6347,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT host, CAST(max(fetched_epoch) AS BIGINT) AS last_fetch_epoch
               FROM seen GROUP BY host
             )
-            SELECT p.host, p.n_pending, p.oldest_wait, f.last_fetch_epoch,
+            SELECT p.host, p.n_pending, p.oldest_wait,
+                   CAST(coalesce(f.last_fetch_epoch, -1) AS BIGINT)
+                     AS last_fetch_epoch,
                    (p.oldest_wait >= 3)
                    AND NOT coalesce(f.last_fetch_epoch > 10 - 3, false)
                      AS starving
