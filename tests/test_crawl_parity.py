@@ -290,6 +290,43 @@ def test_frontier_writes_scale_with_delta_not_frontier(spark, tmp_path):
         assert r["frontier_live"] == engine._frontier_live_rows() or epoch != results[-1]["epoch"]
 
 
+def test_small_delta_commits_write_one_file(spark, tmp_path):
+    """Write sizing (CrawlConfig.write_rows_per_file): every per-epoch
+    delta far below the rows-per-file target lands in exactly ONE data
+    file instead of one near-empty file per upstream partition — the
+    read-back union over a long crawl stays O(epochs) files. The clamp
+    is narrow-only: a big estimate must leave partitioning untouched."""
+    import glob
+    import os
+
+    from web_scrapper_spark.crawl.epoch import _coalesce_for_write
+
+    # narrow-only clamp: estimate >> rows_per_file keeps the fan-out
+    wide = spark.range(0, 1000, 1, 16)
+    assert _coalesce_for_write(wide, 64_000_000, 1_000_000).rdd.getNumPartitions() == 16
+    assert _coalesce_for_write(wide, 10, 1_000_000).rdd.getNumPartitions() == 1
+    assert _coalesce_for_write(wide, None, 1_000_000) is wide
+    assert _coalesce_for_write(wide, 10, None) is wide
+
+    store = SnapshotStore(str(tmp_path / "sized-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    engine.run(max_epochs=4)
+    checked = 0
+    for table in ("seen", "articles", "frontier_delta", "frontier_tomb"):
+        for s in store.snapshots(table):
+            if s["path"] is None or s["epoch"] < 0:
+                continue
+            files = glob.glob(
+                os.path.join(store.root, s["path"], "*.parquet")
+            )
+            assert len(files) <= 1, (table, s["epoch"], files)
+            checked += 1
+    assert checked >= 6
+
+
 def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
     """Compaction: when tombstones pass the trigger, deltas+tombstones
     fold into a new frontier_base, their dirs are expired (lineage rows

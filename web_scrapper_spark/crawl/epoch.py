@@ -172,6 +172,16 @@ class CrawlConfig:
     # the read amortizes; the cap bounds executor cache memory).
     # None disables the carry entirely.
     hot_state_max_rows: Optional[int] = 20_000_000
+    # target rows per committed file (Iceberg's
+    # write.target-file-size-bytes, in rows): each delta commit is
+    # coalesce()d — a narrow clamp, never a shuffle, never an
+    # increase — down to ceil(est_rows / this) write tasks, using row
+    # counts the epoch already knows (n_batch, n_links, cached
+    # extraction counts). Small epochs stop writing one near-empty
+    # file per upstream partition (the read-back union of per-epoch
+    # deltas would otherwise accumulate O(epochs × partitions) tiny
+    # files); big epochs keep their full write fan-out. None disables.
+    write_rows_per_file: Optional[int] = 1_000_000
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -575,12 +585,34 @@ class CrawlEngine:
             articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
                 "link_kind"
             )
-            tables["articles"] = self.store.commit("articles", articles_out, epoch=epoch)
+            # this count materializes the content_rows cache (the job
+            # the bare commit used to pay) and sizes the write
+            n_article_rows = articles_out.count()
+            tables["articles"] = self.store.commit(
+                "articles",
+                _coalesce_for_write(
+                    articles_out, n_article_rows, cfg.write_rows_per_file
+                ),
+                epoch=epoch,
+            )
         if product_rows is not None:
-            tables["products"] = self.store.commit("products", product_rows, epoch=epoch)
+            # uncached: sizing uses an upper-bound estimate (items per
+            # fetched page ≤ 64) instead of a count that would run the
+            # extraction twice
+            tables["products"] = self.store.commit(
+                "products",
+                _coalesce_for_write(
+                    product_rows, n_fetched * 64, cfg.write_rows_per_file
+                ),
+                epoch=epoch,
+            )
         if business_rows is not None:
             tables["businesses"] = self.store.commit(
-                "businesses", business_rows, epoch=epoch
+                "businesses",
+                _coalesce_for_write(
+                    business_rows, n_fetched * 64, cfg.write_rows_per_file
+                ),
+                epoch=epoch,
             )
         mark("extract_commit")
 
@@ -816,15 +848,33 @@ class CrawlEngine:
                         # extra Exchange per epoch for clustering the
                         # NEXT dequeue's window re-shuffles anyway;
                         # only the long-lived compacted base (below)
-                        # pays for salt clustering
-                        frontier_delta,
+                        # pays for salt clustering. Retry rows ≤ batch
+                        # and discovered rows ≤ links, so their sum
+                        # upper-bounds the delta for write sizing.
+                        _coalesce_for_write(
+                            frontier_delta,
+                            n_batch + n_links,
+                            cfg.write_rows_per_file,
+                        ),
                         epoch,
                     ),
                     "frontier_tomb": pool.submit(
-                        self.store.commit, "frontier_tomb", tomb_delta, epoch
+                        self.store.commit,
+                        "frontier_tomb",
+                        _coalesce_for_write(
+                            tomb_delta, n_batch, cfg.write_rows_per_file
+                        ),
+                        epoch,
                     ),
                 }
-            s_fut = pool.submit(self.store.commit, "seen", seen_delta, epoch)
+            s_fut = pool.submit(
+                self.store.commit,
+                "seen",
+                # seen delta = fetched ∪ parked ⊆ batch, exactly n_batch
+                # rows at most
+                _coalesce_for_write(seen_delta, n_batch, cfg.write_rows_per_file),
+                epoch,
+            )
             fl_fut = None
             if cfg.fetch_policy is not None:
                 # S2/S3 lineage: which UA/session/proxy each request
@@ -837,7 +887,12 @@ class CrawlEngine:
                     F.lit(epoch).alias("epoch"),
                 )
                 fl_fut = pool.submit(
-                    self.store.commit, "fetch_log", fetch_log, epoch
+                    self.store.commit,
+                    "fetch_log",
+                    _coalesce_for_write(
+                        fetch_log, n_batch, cfg.write_rows_per_file
+                    ),
+                    epoch,
                 )
             # per-partition lineage (north star) is NOT committed per
             # epoch: partition_metrics() derives the identical (host,
@@ -1016,6 +1071,25 @@ class CrawlEngine:
             if result.get("done"):
                 break
         return results
+
+
+def _coalesce_for_write(
+    df: DataFrame, est_rows: Optional[int], rows_per_file: Optional[int]
+) -> DataFrame:
+    """Clamp a commit's write fan-out to ``ceil(est_rows /
+    rows_per_file)`` tasks (CrawlConfig.write_rows_per_file).
+
+    ``coalesce`` is a narrow dependency: it only ever REDUCES the task
+    count (a target above the current partition count is a no-op), so
+    large deltas keep their full parallel write and no shuffle is ever
+    added. The estimates callers pass are upper bounds the epoch
+    already computed (batch size, link count, cached extraction
+    counts), so the clamp only bites when the delta is genuinely
+    small — the case where one near-empty file per upstream partition
+    would otherwise pile up in the per-epoch read-back union."""
+    if rows_per_file is None or est_rows is None:
+        return df
+    return df.coalesce(max(1, -(-est_rows // rows_per_file)))
 
 
 def canonical_url_col(col: str):
