@@ -182,6 +182,11 @@ class CrawlConfig:
     # deltas would otherwise accumulate O(epochs × partitions) tiny
     # files); big epochs keep their full write fan-out. None disables.
     write_rows_per_file: Optional[int] = 1_000_000
+    # same clamp for the WIDE extraction tables (articles/products/
+    # businesses carry full text bodies, so a row is ~2-3 orders of
+    # magnitude fatter than a frontier row — Iceberg sizes files by
+    # bytes; this is the row-count equivalent for fat rows)
+    write_rows_per_file_wide: Optional[int] = 64_000
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -591,7 +596,7 @@ class CrawlEngine:
             tables["articles"] = self.store.commit(
                 "articles",
                 _coalesce_for_write(
-                    articles_out, n_article_rows, cfg.write_rows_per_file
+                    articles_out, n_article_rows, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
             )
@@ -602,7 +607,7 @@ class CrawlEngine:
             tables["products"] = self.store.commit(
                 "products",
                 _coalesce_for_write(
-                    product_rows, n_fetched * 64, cfg.write_rows_per_file
+                    product_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
             )
@@ -610,7 +615,7 @@ class CrawlEngine:
             tables["businesses"] = self.store.commit(
                 "businesses",
                 _coalesce_for_write(
-                    business_rows, n_fetched * 64, cfg.write_rows_per_file
+                    business_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
             )
