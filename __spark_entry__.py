@@ -902,6 +902,49 @@ def _q_crawl_epoch_seen(spark, sf_dir):
     return engine.seen().select("url", "status", "ord_key", "depth")
 
 
+def _q_crawl_content_seen(spark, sf_dir):
+    """Content-seen filter (crawl/epoch.py content_seen_filter —
+    Heritrix's content-seen dedup): 12 single-host seeds whose bodies
+    replay 5 unique fixture pages. The first copy of each body in
+    crawl order is processed ("ok"); every later byte-identical body
+    skips extraction and lands in seen as "dup". Single host + one
+    epoch, so engine crawl order == seed order and the plain-Python
+    oracle replay is exact."""
+    import tempfile
+
+    from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+    from web_scrapper_spark.fixtures.sitegen import (
+        PAGES_SCHEMA,
+        SiteSpec,
+        page_html,
+    )
+    from web_scrapper_spark.frontier.store import SnapshotStore
+
+    spec = SiteSpec()
+    urls = [f"https://hosta.example-crawl.org/p{i:02d}" for i in range(12)]
+    bodies = [
+        page_html(
+            f"https://host0.example-crawl.org/blog/post-{i % 5}", spec
+        ).encode("utf-8")
+        for i in range(12)
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, b, None, None) for u, b in zip(urls, bodies)], PAGES_SCHEMA
+    )
+    robots = spark.createDataFrame(
+        [("hosta.example-crawl.org", [], 0.01)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    store = SnapshotStore(tempfile.mkdtemp(prefix="wss-cs-"))
+    engine = CrawlEngine(
+        spark, store, pages, robots,
+        CrawlConfig(max_depth=0, content_seen_filter=True),
+    )
+    engine.init([(u, "content") for u in urls])
+    engine.run(max_epochs=3)
+    return engine.seen().select("url", "status")
+
+
 def _q_dedup_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return _dd.simhash_df(docs)
@@ -4008,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl engine (oracled against the sequential simulator; full
         # parity also tested in tests/)
         "crawl_epoch_seen": _q_crawl_epoch_seen,
+        "crawl_content_seen": _q_crawl_content_seen,
         # multimodal plumbing (oracled against numpy-recomputed features)
         "multimodal_features": _q_multimodal_features,
     }
@@ -4055,6 +4099,35 @@ def _crawl_seen_oracle_sql() -> str:
             f"SELECT * FROM (VALUES {rows}) AS t(url, status, ord_key, depth)"
         )
     return _ORACLE_CACHE["crawl_seen"]
+
+
+def _content_seen_oracle_sql() -> str:
+    """Expected seen statuses for the content-seen query: a plain-
+    Python replay of the same 12 seeds in crawl order with an md5 set
+    (first copy of a body "ok", later copies "dup"), frozen into a
+    VALUES table."""
+    if "content_seen" not in _ORACLE_CACHE:
+        import hashlib
+
+        from web_scrapper_spark.fixtures.sitegen import SiteSpec, page_html
+
+        spec = SiteSpec()
+        fps = set()
+        rows = []
+        for i in range(12):
+            url = f"https://hosta.example-crawl.org/p{i:02d}"
+            body = page_html(
+                f"https://host0.example-crawl.org/blog/post-{i % 5}", spec
+            ).encode("utf-8")
+            fp = hashlib.md5(body).hexdigest()
+            rows.append(f"('{url}', '{'dup' if fp in fps else 'ok'}')")
+            fps.add(fp)
+        _ORACLE_CACHE["content_seen"] = (
+            "SELECT * FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS t(url, status)"
+        )
+    return _ORACLE_CACHE["content_seen"]
 
 
 def _multimodal_oracle_sql() -> str:
@@ -6476,6 +6549,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle_sql(),
         "compression_ratio": _compression_ratio_oracle_sql(),
         "crawl_epoch_seen": _crawl_seen_oracle_sql(),
+        "crawl_content_seen": _content_seen_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }
 

@@ -327,6 +327,59 @@ def test_small_delta_commits_write_one_file(spark, tmp_path):
     assert checked >= 6
 
 
+def test_content_seen_filter_dedups_bodies(spark, tmp_path):
+    """content_seen_filter (Heritrix semantics, opt-in): byte-identical
+    bodies are extracted once — within a batch the copy earliest in
+    crawl order wins, and across epochs the committed content_seen
+    fingerprints mark later fetches 'dup'. Off by default (the whole
+    parity suite runs with it off)."""
+    body_x = page_html("https://host0.example-crawl.org/blog/post-0", SPEC)
+    body_y = page_html("https://host0.example-crawl.org/blog/post-1", SPEC)
+    a1 = "https://hosta.example-crawl.org/a1"
+    a2 = "https://hosta.example-crawl.org/a2"
+    b1 = "https://hostb.example-crawl.org/b1"
+    b2 = "https://hostb.example-crawl.org/b2"
+    c1 = "https://hostc.example-crawl.org/c1"
+    rows = [
+        (a1, body_x.encode()), (a2, body_x.encode()),
+        (b1, body_x.encode()), (b2, body_x.encode()),
+        (c1, body_y.encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows], PAGES_SCHEMA
+    )
+    # hostb budget = 1 fetch/epoch (delay == epoch) → b2 lands in a
+    # LATER epoch than the batch that first saw body X
+    robots = spark.createDataFrame(
+        [("hosta.example-crawl.org", [], 0.01),
+         ("hostb.example-crawl.org", [], 8.0),
+         ("hostc.example-crawl.org", [], 0.01)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    store = SnapshotStore(str(tmp_path / "cseen-store"))
+    cfg = CrawlConfig(max_depth=0, content_seen_filter=True)
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init([(u, "content") for u, _ in rows])
+    results = engine.run(max_epochs=10)
+
+    seen = {r["url"]: r for r in engine.seen().collect()}
+    assert seen[a1]["status"] == "ok"          # first copy of X wins
+    assert seen[c1]["status"] == "ok"          # unique body Y
+    for dup_url in (a2, b1, b2):
+        assert seen[dup_url]["status"] == "dup"
+    # b2 was deduped across epochs, against the COMMITTED fingerprints
+    assert seen[b2]["fetched_epoch"] > seen[b1]["fetched_epoch"]
+
+    cs = {r["body_fp"]: r for r in engine.content_seen().collect()}
+    assert len(cs) == 2                        # one row per unique body
+    assert {r["url"] for r in cs.values()} == {a1, c1}
+
+    assert sum(r.get("dup_bodies", 0) for r in results) == 3
+    arts = engine.articles(merged=False)
+    if arts is not None:
+        assert {r["src_url"] for r in arts.collect()} <= {a1, c1}
+
+
 def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
     """Compaction: when tombstones pass the trigger, deltas+tombstones
     fold into a new frontier_base, their dirs are expired (lineage rows

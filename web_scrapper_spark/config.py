@@ -129,6 +129,10 @@ class BoundJob:
     #: per-epoch registered-domain (eTLD+1) fetch cap — subdomain-flood
     #: defense (frontier/pld.py); yaml key ``scraper.pld_budget``
     pld_budget: Optional[int] = None
+    #: Heritrix-style byte-identical body dedup: later copies skip
+    #: extraction, land in seen as "dup"; yaml key
+    #: ``scraper.content_seen``
+    content_seen: bool = False
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -144,6 +148,7 @@ class BoundJob:
             fetch_policy=self.fetch_policy,
             seen_filter=self.seen_filter,
             pld_budget=self.pld_budget,
+            content_seen_filter=self.content_seen,
         )
 
 
@@ -204,6 +209,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
             if scraper.get("pld_budget") is not None
             else None
         ),
+        content_seen=bool(scraper.get("content_seen", False)),
     )
     if common["seen_filter"] not in ("bloom", "cuckoo"):
         raise ConfigError(

@@ -158,6 +158,18 @@ class CrawlConfig:
     # Rows past the cap return to pending with their priority intact.
     # None = off (reference parity — the reference has no PLD notion).
     pld_budget: Optional[int] = None
+    # Heritrix-style content-seen filter: pages whose body
+    # (md5 of html) is byte-identical to one already processed — a
+    # mirror URL, a soft-duplicate CDN copy, a session-id alias that
+    # slipped canonicalization — skip extraction AND link discovery
+    # (their links were discovered from the first copy) and land in
+    # the seen set with status "dup". The fingerprints accumulate in
+    # an append-only ``content_seen`` table, committed per epoch with
+    # the same crash-safety as seen. At web scale ~20-30% of fetched
+    # bodies are duplicates, so this saves the extraction compute and
+    # the downstream storage for that whole slice. Off by default —
+    # reference parity first (the reference re-scrapes mirrors).
+    content_seen_filter: bool = False
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
@@ -377,6 +389,14 @@ class CrawlEngine:
         cap = self._epoch if as_of_epoch is None else as_of_epoch
         return self.store.read_committed(self.spark, "seen", cap)
 
+    def content_seen(self, as_of_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        """Body fingerprints already processed (content_seen_filter):
+        one ``(body_fp, url, epoch)`` row per unique body, where url is
+        the FIRST copy that was extracted. Append-only per-epoch
+        deltas, same commit/resume discipline as :meth:`seen`."""
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        return self.store.read_committed(self.spark, "content_seen", cap)
+
     def articles(
         self, merged: bool = True, as_of_epoch: Optional[int] = None
     ) -> Optional[DataFrame]:
@@ -558,6 +578,71 @@ class CrawlEngine:
             n_fetched = fetched.count()
         mark("fetch")
 
+        # --- content-seen filter (Heritrix semantics, opt-in) ----------
+        # A fetched page whose body fingerprint was already processed —
+        # in a previous epoch (committed content_seen) or earlier in
+        # crawl order within this batch — is a byte-duplicate: skip its
+        # extraction and link discovery (the first copy already yielded
+        # both) and record it in seen with status "dup". The batch side
+        # shuffles once on body_fp (window) and once for the anti-join;
+        # the big content_seen side is scanned, never rewritten. At
+        # 10^10 unique bodies the exact join gets the same bloom/sharded
+        # pre-filter treatment as the URL-seen set (frontier/bloom works
+        # unchanged on a hashed fp column).
+        dup_pages = None
+        n_dup = 0
+        content_seen_snap = None
+        if cfg.content_seen_filter and n_fetched:
+            from pyspark.sql import Window
+
+            hashed = fetched.withColumn(
+                "body_fp", F.md5(F.col("html").cast("binary"))
+            )
+            prior = self.content_seen()
+            if prior is not None:
+                prior_fps = prior.select("body_fp")
+                dup_prior = hashed.join(prior_fps, "body_fp", "left_semi")
+                fresh = hashed.join(prior_fps, "body_fp", "left_anti")
+            else:
+                dup_prior = None
+                fresh = hashed
+            # within-batch: the copy first in crawl order wins —
+            # deterministic, matches the sequential reference's "first
+            # visit processes" semantics
+            rn = F.row_number().over(
+                Window.partitionBy("body_fp").orderBy("ord_key", "url")
+            )
+            fresh = fresh.withColumn("_csrn", rn).persist()
+            to_unpersist.append(fresh)
+            survivors = fresh.filter(F.col("_csrn") == 1).drop("_csrn")
+            dup_batch = fresh.filter(F.col("_csrn") > 1).drop("_csrn")
+            dup_pages = (
+                dup_batch if dup_prior is None
+                else dup_batch.unionByName(dup_prior)
+            ).drop("html", "body_fp").persist()
+            to_unpersist.append(dup_pages)
+            n_dup = dup_pages.count()
+            if n_dup:
+                fetched = survivors.drop("body_fp")
+            else:
+                dup_pages = None
+            # commit this epoch's new fingerprints (survivors carry
+            # exactly one row per unique new body); registered in the
+            # epoch record below — read_committed only serves snapshots
+            # referenced by a committed epoch (crash safety)
+            content_seen_snap = self.store.commit(
+                "content_seen",
+                _coalesce_for_write(
+                    survivors.select(
+                        "body_fp", "url", F.lit(epoch).alias("epoch")
+                    ),
+                    n_fetched,
+                    cfg.write_rows_per_file,
+                ),
+                epoch=epoch,
+            )
+            mark("content_seen")
+
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
         # only the extraction families present in this batch run — an
         # all-content epoch skips two UDF+write jobs entirely
@@ -586,6 +671,8 @@ class CrawlEngine:
         # the Arrow extraction exactly once; the frontier commit below
         # reuses the cached link rows instead of re-deriving them
         tables = {}
+        if content_seen_snap is not None:
+            tables["content_seen"] = content_seen_snap
         if content_rows is not None:
             articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
                 "link_kind"
@@ -791,6 +878,17 @@ class CrawlEngine:
             F.lit("ok").alias("status"),
             "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
         )
+        if dup_pages is not None:
+            # byte-duplicate bodies were fetched (they consumed a
+            # politeness slot) but not processed — status "dup" keeps
+            # them out of both ok and failed accounting
+            fetched_seen = fetched_seen.unionByName(
+                dup_pages.select(
+                    "url", "url_hash", "host", "stype",
+                    F.lit("dup").alias("status"),
+                    "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
+                )
+            )
 
         # --- dedup-merge commits ----------------------------------------
         # seen is APPEND-ONLY: every dequeued url is new to it by
@@ -959,6 +1057,7 @@ class CrawlEngine:
         delta_rows = _snapshot_rows(self.store, "seen", ssnap)
         seen_now = self.store.committed_rows("seen", self._epoch) + delta_rows
         # parked-failed count from footer math — no extra Spark action
+        # (delta = ok + dup + parked; n_fetched counts ok + dup)
         n_failed = delta_rows - n_fetched
         # frontier accounting, all footer math: live = pending + rows
         # enqueued this epoch; the enqueued count falls out of the
@@ -1025,6 +1124,7 @@ class CrawlEngine:
             "dequeued": n_batch,
             "fetched_ok": n_fetched,
             "fetch_miss": n_batch - n_fetched,
+            "dup_bodies": n_dup,
             "failed_parked": n_failed,
             "new_frontier_rows": enqueued_rows,
             "frontier_live": live_after,
