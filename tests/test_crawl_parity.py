@@ -380,6 +380,66 @@ def test_content_seen_filter_dedups_bodies(spark, tmp_path):
         assert {r["src_url"] for r in arts.collect()} <= {a1, c1}
 
 
+def test_content_seen_bloom_prefilter_equivalent(spark, tmp_path):
+    """bloom_min_seen=1 activates the content-seen bloom from the first
+    epoch with committed fingerprints; routing provably-new bodies
+    around the exact joins must not change a single status, and the
+    filter is maintained O(delta) — exactly one full build."""
+    body_x = page_html("https://host0.example-crawl.org/blog/post-0", SPEC)
+    body_y = page_html("https://host0.example-crawl.org/blog/post-1", SPEC)
+    a1 = "https://hosta.example-crawl.org/a1"
+    a2 = "https://hosta.example-crawl.org/a2"
+    b1 = "https://hostb.example-crawl.org/b1"
+    b2 = "https://hostb.example-crawl.org/b2"
+    c1 = "https://hostc.example-crawl.org/c1"
+    rows = [
+        (a1, body_x.encode()), (a2, body_x.encode()),
+        (b1, body_x.encode()), (b2, body_x.encode()),
+        (c1, body_y.encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows], PAGES_SCHEMA
+    )
+    robots = spark.createDataFrame(
+        [("hosta.example-crawl.org", [], 0.01),
+         ("hostb.example-crawl.org", [], 8.0),
+         ("hostc.example-crawl.org", [], 0.01)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+
+    def run(bloom_min_seen, sub):
+        store = SnapshotStore(str(tmp_path / sub))
+        cfg = CrawlConfig(
+            max_depth=0, content_seen_filter=True,
+            bloom_min_seen=bloom_min_seen,
+        )
+        engine = CrawlEngine(spark, store, pages, robots, cfg)
+        engine.init([(u, "content") for u, _ in rows])
+        results = engine.run(max_epochs=10)
+        seen = {
+            r["url"]: r["status"] for r in engine.seen().collect()
+        }
+        cs = sorted(
+            (r["body_fp"], r["url"])
+            for r in engine.content_seen().collect()
+        )
+        return engine, results, seen, cs
+
+    eng_b, res_b, seen_b, cs_b = run(1, "cs-bloom")
+    eng_e, res_e, seen_e, cs_e = run(10**9, "cs-exact")
+
+    assert seen_b == seen_e
+    assert cs_b == cs_e
+    assert eng_b._cs_bloom is not None       # bloom path actually ran
+    assert eng_e._cs_bloom is None           # exact path never built one
+    builds = [
+        r for r in res_b
+        if "content_seen_bloom_build" in r.get("phases", {})
+    ]
+    assert len(builds) == 1                  # activation only, then O(delta)
+    assert sum(r.get("dup_bodies", 0) for r in res_b) == 3
+
+
 def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
     """Compaction: when tombstones pass the trigger, deltas+tombstones
     fold into a new frontier_base, their dirs are expired (lineage rows

@@ -232,6 +232,11 @@ class CrawlEngine:
         # epoch, persisted as a store blob (superset-safe on crash)
         self._bloom = None
         self._bloom_capacity = 0
+        # incremental content-seen bloom (content_seen_filter): same
+        # activation/doubling/delta discipline, in-session only — a
+        # resume rebuilds it once at the next active epoch
+        self._cs_bloom = None
+        self._cs_bloom_capacity = 0
         # hot-state carry (cfg.hot_state_max_rows): the post-commit
         # live frontier / seen set of the previous epoch, lineage
         # truncated; None ⇒ cold read from the store
@@ -396,6 +401,30 @@ class CrawlEngine:
         deltas, same commit/resume discipline as :meth:`seen`."""
         cap = self._epoch if as_of_epoch is None else as_of_epoch
         return self.store.read_committed(self.spark, "content_seen", cap)
+
+    def _build_fp_filter(self, df: DataFrame, expected: int):
+        """Bloom over an int64 ``fp_hash`` column; sharded when
+        cfg.bloom_shards > 1 (at 10^10 unique bodies a flat bitmap is
+        driver-prohibitive — the sharded build mirrors the URL-seen
+        filter's pmod-split bitmaps)."""
+        if self.cfg.bloom_shards > 1:
+            return build_sharded_bloom(
+                df, "fp_hash", n_shards=self.cfg.bloom_shards,
+                expected=expected, fpp=self.cfg.bloom_fpp,
+            )
+        return build_bloom(
+            df, "fp_hash", expected=expected, fpp=self.cfg.bloom_fpp
+        )
+
+    def _fp_prefilter(self, df: DataFrame, keep_maybe_seen: bool) -> DataFrame:
+        if isinstance(self._cs_bloom, ShardedBloom):
+            return sharded_bloom_prefilter(
+                df, "fp_hash", sharded=self._cs_bloom,
+                keep_maybe_seen=keep_maybe_seen,
+            )
+        return bloom_prefilter(
+            df, self._cs_bloom, "fp_hash", keep_maybe_seen=keep_maybe_seen
+        )
 
     def articles(
         self, merged: bool = True, as_of_epoch: Optional[int] = None
@@ -585,13 +614,16 @@ class CrawlEngine:
         # extraction and link discovery (the first copy already yielded
         # both) and record it in seen with status "dup". The batch side
         # shuffles once on body_fp (window) and once for the anti-join;
-        # the big content_seen side is scanned, never rewritten. At
-        # 10^10 unique bodies the exact join gets the same bloom/sharded
-        # pre-filter treatment as the URL-seen set (frontier/bloom works
-        # unchanged on a hashed fp column).
+        # the big content_seen side is scanned, never rewritten. Once
+        # the fingerprint set passes bloom_min_seen, a bloom over
+        # xxhash64(body_fp) routes provably-new bodies around the exact
+        # joins — only maybe-seen rows pay them — with the URL-seen
+        # filter's incremental discipline (full builds at activation
+        # and capacity doublings, O(delta) unions otherwise).
         dup_pages = None
         n_dup = 0
         content_seen_snap = None
+        cs_bloom_active = False
         if cfg.content_seen_filter and n_fetched:
             from pyspark.sql import Window
 
@@ -601,8 +633,46 @@ class CrawlEngine:
             prior = self.content_seen()
             if prior is not None:
                 prior_fps = prior.select("body_fp")
-                dup_prior = hashed.join(prior_fps, "body_fp", "left_semi")
-                fresh = hashed.join(prior_fps, "body_fp", "left_anti")
+                n_cs_prev = self.store.committed_rows(
+                    "content_seen", self._epoch
+                )
+                cs_bloom_active = n_cs_prev >= cfg.bloom_min_seen
+                if cs_bloom_active:
+                    if (
+                        self._cs_bloom is None
+                        or n_cs_prev > self._cs_bloom_capacity
+                    ):
+                        t_cs = time.time()
+                        self._cs_bloom_capacity = max(
+                            4 * cfg.bloom_min_seen, 2 * n_cs_prev
+                        )
+                        self._cs_bloom = self._build_fp_filter(
+                            prior.select(
+                                F.xxhash64("body_fp").alias("fp_hash")
+                            ),
+                            expected=self._cs_bloom_capacity,
+                        )
+                        phases["content_seen_bloom_build"] = round(
+                            time.time() - t_cs, 3
+                        )
+                    fp_hashed = hashed.withColumn(
+                        "fp_hash", F.xxhash64("body_fp")
+                    )
+                    definitely_new = self._fp_prefilter(
+                        fp_hashed, keep_maybe_seen=False
+                    ).drop("fp_hash")
+                    maybe = self._fp_prefilter(
+                        fp_hashed, keep_maybe_seen=True
+                    ).drop("fp_hash")
+                    dup_prior = maybe.join(prior_fps, "body_fp", "left_semi")
+                    fresh = definitely_new.unionByName(
+                        maybe.join(prior_fps, "body_fp", "left_anti")
+                    )
+                else:
+                    dup_prior = hashed.join(
+                        prior_fps, "body_fp", "left_semi"
+                    )
+                    fresh = hashed.join(prior_fps, "body_fp", "left_anti")
             else:
                 dup_prior = None
                 fresh = hashed
@@ -641,6 +711,28 @@ class CrawlEngine:
                 ),
                 epoch=epoch,
             )
+            if cs_bloom_active and self._cs_bloom is not None:
+                # O(delta) maintenance: fold only this epoch's new
+                # fingerprints into the filter (fixed geometry — union
+                # is only defined for identical bit layouts)
+                if isinstance(self._cs_bloom, ShardedBloom):
+                    delta = build_sharded_bloom(
+                        survivors.select(
+                            F.xxhash64("body_fp").alias("fp_hash")
+                        ),
+                        "fp_hash",
+                        n_shards=self._cs_bloom.n_shards, expected=1,
+                        n_bits=self._cs_bloom.n_bits, k=self._cs_bloom.k,
+                    )
+                else:
+                    delta = build_bloom(
+                        survivors.select(
+                            F.xxhash64("body_fp").alias("fp_hash")
+                        ),
+                        "fp_hash", expected=1,
+                        n_bits=self._cs_bloom.n_bits, k=self._cs_bloom.k,
+                    )
+                self._cs_bloom = self._cs_bloom.union(delta)
             mark("content_seen")
 
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
