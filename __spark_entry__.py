@@ -301,6 +301,30 @@ def _q_lang_id(spark, sf_dir):
     return _tx.language_id(docs)
 
 
+def _q_paragraph_lang(spark, sf_dir):
+    """CCNet-style paragraph-grain LID + target-language split
+    (operators/textops.py paragraph_language_id). Every doc is salted
+    with one German and one French marker paragraph so the split has
+    non-keep paragraphs to drop on every row; text_kept must
+    reassemble the surviving paragraphs byte-exactly in document
+    order."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit(_PARA_LANG_SALT_DE),
+            F.lit(_PARA_LANG_SALT_FR),
+        ).alias("text"),
+    )
+    return _tx.paragraph_language_id(salted)
+
+
+_PARA_LANG_SALT_DE = "der hund ist nicht mit das und ein haus"
+_PARA_LANG_SALT_FR = "le chat est dans la maison pour une les"
+
+
 def _q_tok_bpe(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return _tx.token_count_bpe(docs)
@@ -3924,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_doc_keywords_topk": _q_a1_doc_keywords,
         "a2_doc_stats": _q_a2_doc_stats,
         "lang_id": _q_lang_id,
+        "paragraph_lang": _q_paragraph_lang,
         "tok_bpe": _q_tok_bpe,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_learn": _q_bpe_learn,
@@ -4628,6 +4653,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _lang_id_sql(),
+        "paragraph_lang": _paragraph_lang_sql(),
         "tok_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe_token_count,
@@ -6552,6 +6578,76 @@ def oracle_sql() -> dict[str, str]:
         "crawl_content_seen": _content_seen_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }
+
+
+def _paragraph_lang_sql() -> str:
+    """paragraph_language_id replayed relationally: the same salt, the
+    same paragraph explode as the paragraph_dedup oracle, the marker
+    argmax per paragraph, then a doc rollup with ordered string_agg
+    for the byte-exact reassembly (coalesced to '' — Spark's
+    concat_ws of an empty array)."""
+    score_parts = []
+    for lang in _tx.LANG_ORDER:
+        markers = ", ".join(f"'{w}'" for w in _tx.LANG_MARKERS[lang])
+        score_parts.append(
+            "len(list_filter(list_filter(string_split_regex(lower(para),"
+            f" '[^a-z0-9_]+'), x -> x <> ''), x -> x IN ({markers})))"
+            f" AS s_{lang}"
+        )
+    scores = ",\n                     ".join(score_parts)
+    langs = _tx.LANG_ORDER
+    pbest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pcase = f"CASE WHEN {pbest} = 0 THEN 'und'"
+    for lang in langs:
+        pcase += f"\n                 WHEN s_{lang} = {pbest} THEN '{lang}'"
+    pcase += " END"
+    counts = ",\n                     ".join(
+        f"CAST(coalesce(sum(CASE WHEN para_lang = '{lang}' THEN 1 END), 0)"
+        f" AS BIGINT) AS n_{lang}"
+        for lang in langs
+    )
+    dbest = "greatest(" + ", ".join(f"n_{l}" for l in langs) + ")"
+    dcase = f"CASE WHEN {dbest} = 0 THEN 'und'"
+    for lang in langs:
+        dcase += f"\n               WHEN n_{lang} = {dbest} THEN '{lang}'"
+    dcase += " END"
+    return f"""
+        WITH salted AS (
+          SELECT doc_id,
+                 text || chr(10) || '{_PARA_LANG_SALT_DE}'
+                      || chr(10) || '{_PARA_LANG_SALT_FR}' AS text
+          FROM documents
+        ), split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS l FROM salted
+        ), paras AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l)),
+                                       i -> struct_pack(idx := i, p := l[i]))) AS u
+          FROM split
+        ), clean AS (
+          SELECT doc_id, u.idx - 1 AS para_idx, trim(u.p) AS para
+          FROM paras WHERE trim(u.p) <> ''
+        ), scored AS (
+          SELECT doc_id, para_idx, para,
+                     {scores}
+          FROM clean
+        ), tagged AS (
+          SELECT doc_id, para_idx, para, {pcase} AS para_lang
+          FROM scored
+        ), agg AS (
+          SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_paras,
+                     {counts},
+                     coalesce(string_agg(
+                       CASE WHEN para_lang = 'en' THEN para END,
+                       chr(10) ORDER BY para_idx), '') AS text_kept
+          FROM tagged GROUP BY doc_id
+        )
+        SELECT doc_id, n_paras, n_en AS n_kept, n_en, n_de, n_fr, n_es,
+               {dcase} AS doc_lang,
+               text_kept
+        FROM agg
+    """
 
 
 def _lang_id_sql(src: str = "documents") -> str:

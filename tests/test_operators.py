@@ -62,6 +62,36 @@ class TestTextops:
         out = {r["doc_id"]: r["lang_pred"] for r in tx.language_id(df).collect()}
         assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
 
+    def test_paragraph_language_split(self, spark):
+        en1 = "the cat and the dog is in that house"
+        de1 = "der hund und die katze ist nicht mit ein haus"
+        fr1 = "le chat est dans la maison pour les amis"
+        en2 = "this is the end of the story and that is all"
+        df = spark.createDataFrame(
+            [
+                (1, f"{en1}\n{de1}\n\n  \n{en2}"),   # blanks dropped
+                (2, f"{de1}\n{fr1}"),                # nothing kept
+                (3, "xyzzy qwerty plugh"),           # no markers: und
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in tx.paragraph_language_id(df).collect()}
+        r1 = out[1]
+        assert (r1["n_paras"], r1["n_kept"], r1["n_en"], r1["n_de"]) == (
+            3, 2, 2, 1,
+        )
+        assert r1["doc_lang"] == "en"
+        assert r1["text_kept"] == f"{en1}\n{en2}"    # document order, byte-exact
+        r2 = out[2]
+        assert (r2["n_kept"], r2["text_kept"]) == (0, "")
+        assert r2["doc_lang"] in ("de", "fr")
+        assert (r2["n_de"], r2["n_fr"]) == (1, 1)
+        assert r2["doc_lang"] == "de"                # LANG_ORDER precedence
+        r3 = out[3]
+        assert (r3["n_paras"], r3["doc_lang"], r3["text_kept"]) == (
+            1, "und", "",
+        )
+
     def test_fingerprint_equals_md5(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"

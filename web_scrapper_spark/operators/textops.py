@@ -174,6 +174,92 @@ def language_id(
     )
 
 
+def paragraph_language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lang: str = "en",
+) -> DataFrame:
+    """CCNet-style paragraph-grain language split (Wenzek et al. 2020
+    §3.2 run LID below document grain, so a multilingual page
+    contributes its target-language paragraphs instead of being kept
+    or dropped wholesale — document-grain :func:`language_id` can't
+    express that).
+
+    Explodes newline paragraphs (:func:`~..dedup.paragraph_dedup`'s
+    grain), scores each with the marker lexicon (language_id's argmax
+    + LANG_ORDER tie precedence, 'und' when no marker hits), and
+    reassembles per doc: ``text_kept`` is the ``keep_lang`` paragraphs
+    re-joined by newline in document order ('' when none survive).
+    ``doc_lang`` is the majority paragraph language (argmax over
+    paragraph counts with the same precedence; 'und' when no paragraph
+    scored).
+
+    Output: (doc_id, n_paras, n_kept, n_en, n_de, n_fr, n_es,
+    doc_lang, text_kept).
+
+    Scale: one explode, per-paragraph scoring entirely in codegen (no
+    Python), ONE doc-keyed exchange for the reassembly aggregate.
+    Paragraph text crosses that exchange once (unavoidable — the
+    output contains it); scores cross as longs. No window, no join.
+    """
+    paras = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim(F.col("para")))
+        .filter(F.col("para") != "")
+    )
+    toks = tokens_col(F.col("para"))
+
+    def marker_hits(lang):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    scored = paras.select(
+        F.col(id_col), "para_idx", "para",
+        *[marker_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    tagged = scored.withColumn("para_lang", pred)
+
+    kept_struct = F.when(
+        F.col("para_lang") == keep_lang, F.struct("para_idx", "para")
+    )
+    agg = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum((F.col("para_lang") == keep_lang).cast("long")).alias("n_kept"),
+        *[
+            F.sum((F.col("para_lang") == lang).cast("long")).alias(f"n_{lang}")
+            for lang in LANG_ORDER
+        ],
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["para"],
+            ),
+        ).alias("text_kept"),
+    )
+    doc_best = F.greatest(*[F.col(f"n_{lang}") for lang in LANG_ORDER])
+    doc_lang = F.when(doc_best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        doc_lang = doc_lang.when(F.col(f"n_{lang}") == doc_best, F.lit(lang))
+    return agg.select(
+        id_col, "n_paras", "n_kept",
+        *[f"n_{lang}" for lang in LANG_ORDER],
+        doc_lang.alias("doc_lang"),
+        "text_kept",
+    )
+
+
 def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BPE-ish token counting: words + digit runs + punctuation marks.
     Uses regexp_extract_all with an RE2-safe pattern (no lookarounds) so
