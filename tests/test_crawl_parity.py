@@ -440,6 +440,71 @@ def test_content_seen_bloom_prefilter_equivalent(spark, tmp_path):
     assert sum(r.get("dup_bodies", 0) for r in res_b) == 3
 
 
+@pytest.mark.parametrize("seed,bloom_min", [(7, 10**9), (23, 1)])
+def test_content_seen_matches_sequential_replay(spark, tmp_path, seed, bloom_min):
+    """Property: whatever the body assignment and politeness-induced
+    epoch splits, content-seen statuses must equal a sequential md5-set
+    replay over the engine's own crawl order (fetched_epoch, ord_key) —
+    first copy 'ok', later copies 'dup' — and only 'ok' URLs may yield
+    articles. Runs once on the exact path and once with the bloom
+    pre-filter active from the first committed epoch."""
+    import random
+
+    rng = random.Random(seed)
+    body_pool = [
+        page_html(f"https://host0.example-crawl.org/blog/post-{i}", SPEC)
+        for i in range(6)
+    ]
+    hosts = ["hx", "hy", "hz"]
+    delays = {h: rng.choice([0.01, 8.0]) for h in hosts}
+    rows = []
+    for i in range(15):
+        h = rng.choice(hosts)
+        u = f"https://{h}.example-crawl.org/p{i:02d}"
+        rows.append((u, rng.choice(body_pool).encode()))
+    pages = spark.createDataFrame(
+        [(u, None, b, None, None) for u, b in rows], PAGES_SCHEMA
+    )
+    robots = spark.createDataFrame(
+        [(f"{h}.example-crawl.org", [], delays[h]) for h in hosts],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    store = SnapshotStore(str(tmp_path / f"cs-prop-{seed}"))
+    cfg = CrawlConfig(
+        max_depth=0, content_seen_filter=True, bloom_min_seen=bloom_min
+    )
+    engine = CrawlEngine(spark, store, pages, robots, cfg)
+    engine.init([(u, "content") for u, _ in rows])
+    engine.run(max_epochs=30)
+
+    seen = sorted(
+        engine.seen().collect(),
+        key=lambda r: (r["fetched_epoch"], r["ord_key"]),
+    )
+    assert len(seen) == 15
+    import hashlib
+
+    fps = set()
+    first_url = {}
+    for r in seen:
+        body = dict(rows)[r["url"]]
+        fp = hashlib.md5(body).hexdigest()
+        expected = "dup" if fp in fps else "ok"
+        assert r["status"] == expected, (r["url"], r["status"], expected)
+        if fp not in fps:
+            first_url[fp] = r["url"]
+        fps.add(fp)
+
+    cs = {r["body_fp"]: r["url"] for r in engine.content_seen().collect()}
+    assert cs == first_url                    # fp -> first processor, exact
+    ok_urls = {r["url"] for r in seen if r["status"] == "ok"}
+    arts = engine.articles(merged=False)
+    if arts is not None:
+        assert {r["src_url"] for r in arts.collect()} <= ok_urls
+    if bloom_min == 1:
+        assert engine._cs_bloom is not None   # the bloom path actually ran
+
+
 def test_frontier_compaction_folds_and_expires(spark, tmp_path, sim):
     """Compaction: when tombstones pass the trigger, deltas+tombstones
     fold into a new frontier_base, their dirs are expired (lineage rows
