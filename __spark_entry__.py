@@ -325,6 +325,26 @@ _PARA_LANG_SALT_DE = "der hund ist nicht mit das und ein haus"
 _PARA_LANG_SALT_FR = "le chat est dans la maison pour une les"
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Intra-doc repeated-line removal (operators/textops.py
+    intra_doc_line_dedup — RefinedWeb line-wise correction). Docs are
+    salted with one exact repeat of their own body plus a chrome line
+    in two case/whitespace variants, so every doc drops exactly the
+    repeated bytes and keeps first occurrences byte-exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Repeated chrome line."),
+            F.lit("REPEATED  chrome LINE."),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return _tx.intra_doc_line_dedup(salted)
+
+
 def _q_tok_bpe(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return _tx.token_count_bpe(docs)
@@ -3949,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_doc_stats": _q_a2_doc_stats,
         "lang_id": _q_lang_id,
         "paragraph_lang": _q_paragraph_lang,
+        "line_dedup": _q_line_dedup,
         "tok_bpe": _q_tok_bpe,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_learn": _q_bpe_learn,
@@ -4654,6 +4675,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "paragraph_lang": _paragraph_lang_sql(),
+        "line_dedup": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || chr(10) || 'Repeated chrome line.'
+                          || chr(10) || 'REPEATED  chrome LINE.'
+                          || chr(10) || text AS text
+              FROM documents
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM salted
+            ), paras AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l)),
+                                           i -> struct_pack(idx := i, p := l[i]))) AS u
+              FROM split
+            ), lines AS (
+              SELECT doc_id, u.idx AS idx, trim(u.p) AS line
+              FROM paras WHERE trim(u.p) <> ''
+            ), keyed AS (
+              SELECT doc_id, idx, line,
+                     trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS k
+              FROM lines
+            ), ranked AS (
+              SELECT doc_id, idx, line,
+                     row_number() OVER (PARTITION BY doc_id, k
+                                        ORDER BY idx) AS rn
+              FROM keyed
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) -
+                        sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY idx), '') AS text_fixed
+            FROM ranked GROUP BY doc_id
+        """,
         "tok_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe_token_count,

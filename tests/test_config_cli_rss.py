@@ -511,6 +511,43 @@ class TestAnalyzeCli:
         assert stages[-1]["stage"] == "decontaminate"
         assert stages[-1]["docs"] <= stages[0]["docs"]
 
+    def test_clean(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is here\nChrome line.\nChrome line."),
+                (2, "der hund und die katze ist nicht mit ein haus"),
+            ],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "cdocs.parquet")
+        docs.write.parquet(path)
+        out_path = str(tmp_path / "cleaned.parquet")
+
+        runner = CliRunner()
+        c = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "clean", "-i", path, "-o", out_path,
+             "--lang", "en", "--cpus", "4"],
+        )
+        assert c.exit_code == 0, c.output
+        rep = _json.loads(c.output.strip().splitlines()[-1])
+        assert rep["docs"] == 2
+        assert rep["lines_dropped"] == 1      # the repeated chrome line
+        # doc 1's surviving chrome line scores 'und' (no markers) and
+        # doc 2's German text isn't English: one paragraph dropped each
+        assert rep["paras_dropped"] == 2
+        cleaned = {
+            r["doc_id"]: r for r in spark.read.parquet(out_path).collect()
+        }
+        assert cleaned[1]["text"] == "the cat and the dog is here"
+        assert cleaned[2]["text"] == "" and cleaned[2]["doc_lang"] == "de"
+
 
 class TestShowVacuumCli:
     def test_show_and_vacuum_on_a_real_store(self, spark, tmp_path):

@@ -92,6 +92,30 @@ class TestTextops:
             1, "und", "",
         )
 
+    def test_intra_doc_line_dedup(self, spark):
+        text1 = (
+            "Alpha beta gamma.\n"
+            "Subscribe now!\n"
+            "  \n"                      # blank: dropped, uncounted
+            "Delta epsilon.\n"
+            "SUBSCRIBE   NOW!\n"        # case/space variant: dup
+            "Alpha beta gamma.\n"       # exact dup
+            "Zeta eta."
+        )
+        df = spark.createDataFrame(
+            [(1, text1), (2, "only line"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in tx.intra_doc_line_dedup(df).collect()}
+        r1 = out[1]
+        assert (r1["n_lines"], r1["n_dropped"]) == (6, 2)
+        assert r1["text_fixed"] == (
+            "Alpha beta gamma.\nSubscribe now!\nDelta epsilon.\nZeta eta."
+        )
+        assert (out[2]["n_lines"], out[2]["n_dropped"]) == (1, 0)
+        assert out[2]["text_fixed"] == "only line"
+        assert (out[3]["n_lines"], out[3]["text_fixed"]) == (0, "")
+
     def test_fingerprint_equals_md5(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"

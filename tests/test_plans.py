@@ -217,3 +217,24 @@ class TestRound2SessionPlans:
         # aggregate+projection, no join against a weights table
         plan = _plan(spark, "perceptron_gate")
         assert "Join" not in plan
+
+
+class TestRound2TextOpsPlans:
+    """Plan pins for the paragraph-lang split and intra-doc line dedup
+    (docs/PLANS.md §17)."""
+
+    def test_line_dedup_zero_shuffle(self, spark):
+        # the HOF fold runs per-row in codegen: no Exchange, no Join,
+        # no Window anywhere in the plan
+        plan = _plan(spark, "line_dedup")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_paragraph_lang_single_doc_exchange(self, spark):
+        # one doc-keyed hash exchange (the reassembly aggregate); the
+        # guarded fan_out round-robin is the only other exchange
+        plan = _plan(spark, "paragraph_lang")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "Window" not in plan

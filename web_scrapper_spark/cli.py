@@ -442,6 +442,57 @@ def analyze_quality(in_path, id_col, text_col, cpus, out_path) -> None:
             spark.stop()
 
 
+@analyze.command("clean")
+@_with_io
+@click.option("--output", "-o", "out_path", default=None, type=str,
+              help="write the corrected corpus as parquet")
+@click.option("--lang", default=None, type=str,
+              help="also keep only this language's paragraphs "
+                   "(CCNet paragraph-grain LID split)")
+def analyze_clean(in_path, id_col, text_col, cpus, out_path, lang) -> None:
+    """Line-wise corrections: strip lines repeated within each document
+    (RefinedWeb §3.3), optionally followed by the paragraph-grain
+    language split; prints lines/paragraphs dropped."""
+    from pyspark.sql import functions as F
+
+    from .operators.textops import intra_doc_line_dedup, paragraph_language_id
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        fixed = intra_doc_line_dedup(docs)
+        out = fixed.select(
+            "doc_id", "n_lines", "n_dropped",
+            F.col("text_fixed").alias("text"),
+        )
+        if lang:
+            split = paragraph_language_id(out, keep_lang=lang)
+            out = split.select(
+                "doc_id", "n_paras", "n_kept", "doc_lang",
+                F.col("text_kept").alias("text"),
+            ).join(out.select("doc_id", "n_lines", "n_dropped"), "doc_id")
+        if out_path:
+            out.write.mode("overwrite").parquet(out_path)
+        aggs = [
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_dropped").alias("lines_dropped"),
+        ]
+        if lang:
+            aggs.append(
+                F.sum(F.col("n_paras") - F.col("n_kept")).alias(
+                    "paras_dropped"
+                )
+            )
+        row = out.agg(*aggs).collect()[0]
+        summary = {k: row[k] for k in row.asDict()}
+        if out_path:
+            summary["output"] = out_path
+        click.echo(json.dumps(summary))
+    finally:
+        if _owned:
+            spark.stop()
+
+
 @cli.group()
 def job() -> None:
     """Job control (T3/T5; reference job_scheduler.py:522-859):

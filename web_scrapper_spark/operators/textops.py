@@ -260,6 +260,66 @@ def paragraph_language_id(
     )
 
 
+def intra_doc_line_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """RefinedWeb-style line-wise correction (Penedo et al. 2023 §3.3
+    run it after their filters): strip lines REPEATED WITHIN the same
+    document — headers re-rendered between sections, pagination chrome,
+    repeated CTAs — keeping each line's first occurrence in document
+    order. Distinct from cross-corpus :func:`~..dedup.paragraph_dedup`
+    (this never compares across documents) and from C4's rule drops
+    (which don't look at repetition).
+
+    Lines are trimmed; blanks drop; the dedup key is the lowercase
+    whitespace-normalized line, the KEPT line is the original trimmed
+    bytes of its first occurrence.
+
+    Output: (doc_id, n_lines, n_dropped, text_fixed).
+
+    Scale: ZERO shuffles — one projection, per-row higher-order-
+    function fold (seen-keys + kept-lines accumulator; membership is
+    array_contains over a doc's distinct keys, O(L·D) per doc with
+    both bounded by document size). No explode, no window, no join;
+    whole-stage codegen end to end.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"), lambda raw: F.trim(raw)
+        ),
+        lambda l: l != F.lit(""),
+    )
+    norm = (
+        lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " "))
+    )
+    empty_str = F.array().cast("array<string>")
+    folded = F.aggregate(
+        lines,
+        F.struct(
+            empty_str.alias("seen"), empty_str.alias("out")
+        ),
+        lambda acc, l: F.when(
+            F.array_contains(acc["seen"], norm(l)),
+            acc,
+        ).otherwise(
+            F.struct(
+                F.concat(acc["seen"], F.array(norm(l))).alias("seen"),
+                F.concat(acc["out"], F.array(l)).alias("out"),
+            )
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        folded.alias("_f"),
+    ).select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.size("_f.out")).cast("long").alias("n_dropped"),
+        F.concat_ws("\n", F.col("_f.out")).alias("text_fixed"),
+    )
+
+
 def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BPE-ish token counting: words + digit runs + punctuation marks.
     Uses regexp_extract_all with an RE2-safe pattern (no lookarounds) so
