@@ -3961,6 +3961,97 @@ def _q_warc_cdx_fetch(spark, sf_dir):
     )
 
 
+_LEXICON = ("data", "join", "slow", "spark")
+_LEX_IN_SQL = ", ".join(f"'{w}'" for w in _LEXICON)
+_LEX_FLAG_PPM = 120_000
+
+_BLOCKED_DOMAINS = ("evil.com", "tracker.net")
+
+
+def _q_lexicon_gate(spark, sf_dir):
+    """Blocklist word-fraction gate (operators/lexicon.py
+    lexicon_stats — C4/Dolma-style lexicon scoring). The lexicon folds
+    into the plan as one literal array; per-occurrence counting and the
+    ppm fraction are higher-order functions — zero exchanges. The
+    corpus vocabulary guarantees hits, so flagged is non-vacuous both
+    ways at the 12% threshold."""
+    from web_scrapper_spark.operators.lexicon import lexicon_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexicon_stats(docs, list(_LEXICON), max_frac_ppm=_LEX_FLAG_PPM)
+
+
+def _q_domain_blocklist(spark, sf_dir):
+    """URL-grain domain blocklist (operators/lexicon.py
+    domain_blocklist_flags — RefinedWeb §3.1 parent-domain semantics).
+    Hosts are derived five ways so every branch fires: exact match,
+    subdomain match, a near-miss ('notevil.com' must NOT match
+    'evil.com'), a second listed domain, and clean hosts."""
+    from web_scrapper_spark.operators.lexicon import domain_blocklist_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("evil.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("ads.evil.com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("notevil.com"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("cdn.tracker.net"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".org"))
+        )
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    return domain_blocklist_flags(pages, list(_BLOCKED_DOMAINS))
+
+
+def _q_ucb_budget(spark, sf_dir):
+    """Yield-adaptive crawl budgets (frontier/bandit.py ucb_scores +
+    ucb_budgets — UCB1 over hosts as arms, fixed-point ppm, largest-
+    remainder apportionment). Pulls/rewards derive deterministically
+    from documents (host = doc_id mod 13; a doc yields iff
+    n_chars mod 3 = 0), so hosts get distinct yield rates and the
+    1000-slot split exercises both the floor shares and the remainder
+    top-up. All transcendentals are integer-exact (floor(log2) via bit
+    length, isqrt via Newton clamp) so the SQL oracle replays every
+    bit."""
+    from web_scrapper_spark.frontier.bandit import ucb_budgets, ucb_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string")).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.when(F.col("n_chars") % 3 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_yield"),
+    )
+    return ucb_budgets(ucb_scores(stats), total_budget=1000)
+
+
+def _q_zorder_skip(spark, sf_dir):
+    """Z-order (Morton) layout + data-skipping proof (operators/
+    zcurve.py zorder_layout + file_skip_stats — the Delta OPTIMIZE
+    ZORDER BY / Iceberg sort-order-rewrite primitive). Dims are the
+    low/high halves of doc_id over a 32x32 grid; output is the per-file
+    min/max footer stats a reader prunes with — file-count sized, so
+    the oracle checks the exact layout boundaries the range write
+    would draw."""
+    from web_scrapper_spark.operators.zcurve import file_skip_stats, zorder_layout
+
+    docs = _read(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).cast("long").alias("x"),
+        F.floor(F.col("doc_id") / 32).cast("long").bitwiseAND(F.lit(31)).alias("y"),
+    )
+    laid = zorder_layout(dims, [F.col("x"), F.col("y")], n_files=16, bits=5)
+    return file_skip_stats(laid, ["x", "y"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / text analytics (A1-A4, training-data ops)
@@ -3979,6 +4070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "gopher_quality": _q_gopher_quality,
+        "lexicon_gate": _q_lexicon_gate,
+        "domain_blocklist": _q_domain_blocklist,
         "compression_ratio": _q_compression_ratio,
         "corpus_card": _q_corpus_card,
         "c4_clean": _q_c4_clean,
@@ -4028,7 +4121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": _q_crawl_diff,
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
+        "ucb_budget": _q_ucb_budget,
         "corpus_layout": _q_corpus_layout,
+        "zorder_skip": _q_zorder_skip,
         "training_shuffle": _q_training_shuffle,
         "mix_sources": _q_mix_sources,
         "token_budget": _q_token_budget,
@@ -4775,6 +4870,140 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "gopher_quality": _gopher_oracle_sql(),
+        "lexicon_gate": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(toks,
+                          x -> x IN ({_LEX_IN_SQL}))) AS BIGINT) AS n_hits
+              FROM t
+            ), f AS (
+              SELECT doc_id, n_tokens, n_hits,
+                     CAST(CASE WHEN n_tokens > 0
+                          THEN floor(n_hits * 1000000.0 / n_tokens)
+                          ELSE 0 END AS BIGINT) AS hit_frac_ppm
+              FROM c
+            )
+            SELECT doc_id, n_tokens, n_hits, hit_frac_ppm,
+                   hit_frac_ppm >= {_LEX_FLAG_PPM} AS flagged
+            FROM f
+        """,
+        "domain_blocklist": """
+            WITH pages AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'evil.com'
+                       WHEN 1 THEN 'ads.evil.com'
+                       WHEN 2 THEN 'notevil.com'
+                       WHEN 3 THEN 'cdn.tracker.net'
+                       ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                     END AS host
+              FROM documents
+            ), flagged AS (
+              SELECT doc_id, host,
+                     CASE WHEN host = 'evil.com'
+                               OR host LIKE '%.evil.com' THEN 'evil.com'
+                          WHEN host = 'tracker.net'
+                               OR host LIKE '%.tracker.net' THEN 'tracker.net'
+                     END AS blocked_by
+              FROM pages
+            )
+            SELECT doc_id,
+                   'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   host, blocked_by,
+                   blocked_by IS NOT NULL AS blocked
+            FROM flagged
+        """,
+        "ucb_budget": """
+            WITH stats AS (
+              SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS n_fetched,
+                     CAST(sum(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_yield
+              FROM documents GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n_fetched) AS BIGINT) AS n_total FROM stats
+            ), r0 AS (
+              -- floor(log2 N) via bit length; radicand exact in BIGINT
+              -- before the (double) division, mirroring the Spark fold
+              SELECT host, n_fetched, n_yield,
+                     CAST(floor(n_yield * 1000000.0 / n_fetched)
+                          AS BIGINT) AS mean_yield_ppm,
+                     CAST(floor(
+                       (length(to_base((SELECT n_total FROM tot), 2)) - 1)
+                       * 1000000000000 * 1.0 / n_fetched)
+                          AS BIGINT) AS radicand
+              FROM stats
+            ), i1 AS (
+              SELECT *, CAST(floor(sqrt(CAST(radicand AS DOUBLE)))
+                             AS BIGINT) AS s0
+              FROM r0
+            ), i2 AS (
+              SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= radicand
+                             THEN s0 + 1 ELSE s0 END AS s1
+              FROM i1
+            ), i3 AS (
+              SELECT *, CASE WHEN s1 * s1 > radicand
+                             THEN s1 - 1 ELSE s1 END AS s
+              FROM i2
+            ), scored AS (
+              SELECT host, n_fetched, n_yield, mean_yield_ppm,
+                     CAST(floor(1414214 * s * 1.0 / 1000000)
+                          AS BIGINT) AS explore_ppm,
+                     mean_yield_ppm
+                       + CAST(floor(1414214 * s * 1.0 / 1000000)
+                              AS BIGINT) AS ucb_ppm
+              FROM i3
+            ), t2 AS (
+              SELECT CAST(sum(ucb_ppm) AS BIGINT) AS tot FROM scored
+            ), wb AS (
+              SELECT *, ucb_ppm * 1000 AS raw,
+                     CAST(floor(ucb_ppm * 1000 * 1.0
+                                / (SELECT tot FROM t2)) AS BIGINT) AS base
+              FROM scored
+            ), wr AS (
+              SELECT *, raw - base * (SELECT tot FROM t2) AS rem FROM wb
+            ), sf AS (
+              SELECT 1000 - CAST(sum(base) AS BIGINT) AS shortfall FROM wr
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                ORDER BY rem DESC, ucb_ppm DESC, host ASC) AS rk
+              FROM wr
+            )
+            SELECT host, n_fetched, n_yield, mean_yield_ppm, explore_ppm,
+                   ucb_ppm,
+                   CAST(base + CASE WHEN rk <= (SELECT shortfall FROM sf)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS budget
+            FROM rk
+        """,
+        "zorder_skip": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(doc_id % 32 AS BIGINT) AS x,
+                     CAST(floor(doc_id / 32.0) AS BIGINT) & 31 AS y
+              FROM documents
+            ), keyed AS (
+              SELECT *,
+                     list_sum(list_transform(generate_series(0, 4),
+                       i -> (((x >> i) & 1) << (2 * i))
+                          + (((y >> i) & 1) << (2 * i + 1)))) AS zkey
+              FROM dims
+            ), filed AS (
+              SELECT *, ntile(16) OVER (ORDER BY zkey, doc_id) - 1 AS zfile
+              FROM keyed
+            )
+            SELECT CAST(zfile AS BIGINT) AS zfile,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(x) AS BIGINT) AS min_x,
+                   CAST(max(x) AS BIGINT) AS max_x,
+                   CAST(min(y) AS BIGINT) AS min_y,
+                   CAST(max(y) AS BIGINT) AS max_y
+            FROM filed GROUP BY 1
+        """,
         # plain (non-f) string: literal '{' below must not interpolate
         "c4_clean": """
             WITH salted AS (

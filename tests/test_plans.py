@@ -238,3 +238,42 @@ class TestRound2TextOpsPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
         assert "Window" not in plan
+
+
+class TestRound2BanditLexiconZorderPlans:
+    """Plan pins for the UCB budget allocator, lexicon gates, and the
+    z-order layout (docs/PLANS.md §18)."""
+
+    def test_lexicon_gate_zero_shuffle(self, spark):
+        # the lexicon is a literal array folded into a per-row HOF:
+        # pure projection — no Exchange, no Join, no Window
+        plan = _plan(spark, "lexicon_gate")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_domain_blocklist_zero_shuffle(self, spark):
+        # blocklist folds to literal predicates: pure projection
+        plan = _plan(spark, "domain_blocklist")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_ucb_budget_host_grain_only(self, spark):
+        # URL-grain data collapses in ONE map-side-combined host
+        # aggregate; everything after (scores, apportionment window,
+        # the scores⋈budget join) runs on host-count rows. The window
+        # is single-partition by design — bounded by host count, and
+        # the largest-remainder rank needs a global order.
+        plan = _plan(spark, "ucb_budget")
+        assert "partial_count" in plan or "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_zorder_skip_stats_shape(self, spark):
+        # the Morton key is per-row bit arithmetic (no UDF); the only
+        # wide moves are the layout's rank window + the file-grain
+        # aggregate. No joins at all.
+        plan = _plan(spark, "zorder_skip")
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
