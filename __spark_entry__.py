@@ -4032,6 +4032,43 @@ def _q_ucb_budget(spark, sf_dir):
     return ucb_budgets(ucb_scores(stats), total_budget=1000)
 
 
+_CDC_BOILER = (
+    "subscribe to the newsletter follow us on social media all rights "
+    "reserved copyright terms of service privacy policy cookie settings "
+    "back to top related articles most read trending now site map contact"
+)
+
+
+def _cdc_salted(spark, sf_dir):
+    """documents with a shared chrome suffix so chunks dedup across
+    docs — the storage win CDC exists for."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), F.lit(_CDC_BOILER)).alias("text"),
+    )
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py cdc_chunks — LBFS/
+    rsync hash-boundary rule, FastCDC's ancestor). Chunks are cut
+    where md5(16-char window) % 64 == 0, so the shared chrome suffix
+    yields byte-identical chunks in every document; the oracle replays
+    every cut and chunk digest."""
+    from web_scrapper_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_cdc_salted(spark, sf_dir), k=16, avg_size=64)
+
+
+def _q_cdc_dedup(spark, sf_dir):
+    """Storage-dedup accounting over the CDC chunk table (operators/
+    cdc.py cdc_dedup_stats): one hash aggregate + scalar rollup;
+    stored_ppm < 1e6 proves the planted chrome actually dedups."""
+    from web_scrapper_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    return cdc_dedup_stats(cdc_chunks(_cdc_salted(spark, sf_dir), k=16, avg_size=64))
+
+
 def _q_zorder_skip(spark, sf_dir):
     """Z-order (Morton) layout + data-skipping proof (operators/
     zcurve.py zorder_layout + file_skip_stats — the Delta OPTIMIZE
@@ -4072,6 +4109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "lexicon_gate": _q_lexicon_gate,
         "domain_blocklist": _q_domain_blocklist,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
         "compression_ratio": _q_compression_ratio,
         "corpus_card": _q_corpus_card,
         "c4_clean": _q_c4_clean,
@@ -4704,6 +4743,48 @@ def _s2_fetch_session_sql() -> str:
     """
 
 
+# CDC chunk CTE chain shared by the cdc_chunks / cdc_dedup oracles:
+# the LBFS hash-boundary rule (cut after a 16-char window whose
+# 60-bit md5 hash ≡ 0 mod 64) replayed cut-for-cut.
+_CDC_CHUNK_CTES = f"""salted AS (
+              SELECT doc_id, text || ' ' || '{_CDC_BOILER}' AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, text, length(text) AS n FROM salted
+            ), cand AS (
+              SELECT doc_id, text, n,
+                     CASE WHEN n >= 16 THEN
+                       list_filter(generate_series(1, n - 15),
+                         i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT
+                              % 64 = 0)
+                     ELSE [] END AS cand
+              FROM t
+            ), cutsq AS (
+              SELECT doc_id, text, n,
+                     list_filter(list_transform(cand, i -> i + 15),
+                                 c -> c < n) AS cuts
+              FROM cand
+            ), spans AS (
+              SELECT doc_id, text,
+                     [0] || cuts AS starts, cuts || [n] AS ends
+              FROM cutsq WHERE n > 0
+            ), ex AS (
+              SELECT doc_id, text,
+                     unnest(list_transform(generate_series(1, len(starts)),
+                       j -> struct_pack(idx := j - 1,
+                                        s := starts[j],
+                                        e := ends[j]))) AS u
+              FROM spans
+            ), chunkq AS (
+              SELECT doc_id,
+                     CAST(u.idx AS BIGINT) AS chunk_idx,
+                     CAST(u.s AS BIGINT) AS start_pos,
+                     CAST(u.e - u.s AS BIGINT) AS n_chars,
+                     md5(substr(text, u.s + 1, u.e - u.s)) AS chunk_md5
+              FROM ex
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     # 3-word shingles matching dedup.shingles_col(text, 3)
     shingles1 = f"""list_sort(list_distinct(list_filter(
@@ -4979,6 +5060,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= (SELECT shortfall FROM sf)
                                     THEN 1 ELSE 0 END AS BIGINT) AS budget
             FROM rk
+        """,
+        "cdc_chunks": f"""
+            WITH {_CDC_CHUNK_CTES}
+            SELECT doc_id, chunk_idx, start_pos, n_chars, chunk_md5
+            FROM chunkq
+        """,
+        "cdc_dedup": f"""
+            WITH {_CDC_CHUNK_CTES},
+            per AS (
+              SELECT chunk_md5,
+                     CAST(count(*) AS BIGINT) AS copies,
+                     CAST(min(n_chars) AS BIGINT) AS n_chars
+              FROM chunkq GROUP BY 1
+            )
+            SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
+                   CAST(count(*) AS BIGINT) AS distinct_chunks,
+                   CAST(sum(copies * n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS stored_chars,
+                   CAST(floor(sum(n_chars) * 1000000.0
+                              / sum(copies * n_chars)) AS BIGINT) AS stored_ppm
+            FROM per
         """,
         "zorder_skip": """
             WITH dims AS (

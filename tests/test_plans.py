@@ -277,3 +277,21 @@ class TestRound2BanditLexiconZorderPlans:
         plan = _plan(spark, "zorder_skip")
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_cdc_chunks_zero_shuffle_no_udf(self, spark):
+        # the candidate scan / cut list / chunk split are per-row HOFs
+        # + one narrow posexplode: no Exchange, no Join, no Python
+        plan = _plan(spark, "cdc_chunks")
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the only allowed exchange is fan_out's round-robin guard
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "roundrobin" in line.lower(), line.strip()[:160]
+
+    def test_cdc_dedup_single_hash_aggregate(self, spark):
+        # dedup accounting = ONE map-side-combined exchange on the
+        # chunk hash + a scalar rollup
+        plan = _plan(spark, "cdc_dedup")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial" in plan.lower()
