@@ -4069,6 +4069,87 @@ def _q_cdc_dedup(spark, sf_dir):
     return cdc_dedup_stats(cdc_chunks(_cdc_salted(spark, sf_dir), k=16, avg_size=64))
 
 
+_LPA_ITERS = 4
+
+
+def _q_host_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.py
+    label_propagation — Raghavan et al. 2007, made deterministic:
+    lockstep rounds, max-count/min-label votes). The fixture plants 3
+    host communities of 8 (intra-community ring+chord edges) plus
+    sparse cross links (doc_id % 31), so the detected communities are
+    non-trivial; the oracle unrolls all 4 rounds relationally."""
+    from web_scrapper_spark.operators.graph import label_propagation
+
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 3
+    i = F.expr("doc_id div 3") % 8
+    j = (i + 1 + F.col("doc_id") % 4) % 8
+    mk = lambda cc, nn: F.concat(  # noqa: E731
+        F.lit("c"), cc.cast("string"), F.lit("n"), nn.cast("string")
+    )
+    cross = (F.col("doc_id") % 31) == 0
+    edges = docs.select(
+        F.when(cross, mk(c, F.lit(0))).otherwise(mk(c, i)).alias("src"),
+        F.when(cross, mk((c + 1) % 3, F.lit(0)))
+        .otherwise(mk(c, j))
+        .alias("dst"),
+    )
+    return label_propagation(edges, num_iters=_LPA_ITERS).select(
+        F.col("node").alias("host"), "community"
+    )
+
+
+def _lpa_oracle_sql(num_iters: int = _LPA_ITERS) -> str:
+    """Unrolled-round replay of the deterministic LPA recurrence (the
+    pagerank-oracle pattern: one CTE pair per round)."""
+    ctes = [
+        """e0 AS (
+              SELECT CASE WHEN doc_id % 31 = 0
+                          THEN 'c' || CAST(doc_id % 3 AS VARCHAR) || 'n0'
+                          ELSE 'c' || CAST(doc_id % 3 AS VARCHAR)
+                             || 'n' || CAST((doc_id // 3) % 8 AS VARCHAR)
+                     END AS s,
+                     CASE WHEN doc_id % 31 = 0
+                          THEN 'c' || CAST((doc_id % 3 + 1) % 3 AS VARCHAR) || 'n0'
+                          ELSE 'c' || CAST(doc_id % 3 AS VARCHAR) || 'n' ||
+                               CAST(((doc_id // 3) % 8 + 1 + doc_id % 4) % 8
+                                    AS VARCHAR)
+                     END AS d
+              FROM documents
+            ), und AS (
+              SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM e0
+                UNION ALL SELECT d AS s, s AS d FROM e0
+              ) WHERE s <> d
+            ), l0 AS (
+              SELECT DISTINCT s AS node, s AS label FROM und
+            )"""
+    ]
+    for i in range(num_iters):
+        ctes.append(
+            f"""cnt{i} AS (
+              SELECT node, label, count(*) AS cnt FROM (
+                SELECT u.d AS node, l.label
+                FROM und u JOIN l{i} l ON l.node = u.s
+                UNION ALL
+                SELECT node, label FROM l{i}
+              ) GROUP BY 1, 2
+            ), l{i + 1} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label ASC) AS rn
+                FROM cnt{i}) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"\n            SELECT node AS host, label AS community FROM l{num_iters}"
+    )
+
+
 def _q_zorder_skip(spark, sf_dir):
     """Z-order (Morton) layout + data-skipping proof (operators/
     zcurve.py zorder_layout + file_skip_stats — the Delta OPTIMIZE
@@ -4111,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": _q_domain_blocklist,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup": _q_cdc_dedup,
+        "host_communities": _q_host_communities,
         "compression_ratio": _q_compression_ratio,
         "corpus_card": _q_corpus_card,
         "c4_clean": _q_c4_clean,
@@ -5061,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1 ELSE 0 END AS BIGINT) AS budget
             FROM rk
         """,
+        "host_communities": _lpa_oracle_sql(),
         "cdc_chunks": f"""
             WITH {_CDC_CHUNK_CTES}
             SELECT doc_id, chunk_idx, start_pos, n_chars, chunk_md5

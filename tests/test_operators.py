@@ -2557,3 +2557,87 @@ class TestExcerptPairs:
             for r in excerpt_pairs(docs, containment_centi=90, min_fps=2).collect()
         }
         assert got == {(1, 2), (2, 1)}
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _py_lpa(edges, num_iters):
+        und = set()
+        for s, d in edges:
+            if s != d:
+                und.add((s, d))
+                und.add((d, s))
+        nbrs = {}
+        for s, d in und:
+            nbrs.setdefault(d, []).append(s)
+        labels = {n: n for n in {x for e in und for x in e}}
+        for _ in range(num_iters):
+            nxt = {}
+            for node, ins in nbrs.items():
+                counts = {labels[node]: 1}  # self-vote
+                for u in ins:
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+                nxt[node] = min(counts, key=lambda l: (-counts[l], l))
+            labels = nxt
+        return labels
+
+    def _run(self, spark, edges, num_iters=4):
+        from web_scrapper_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(df, num_iters=num_iters).collect()
+        }
+
+    def test_two_cliques_two_communities(self, spark):
+        clique = lambda p, k: [  # noqa: E731
+            (f"{p}{i}", f"{p}{j}") for i in range(k) for j in range(i + 1, k)
+        ]
+        got = self._run(spark, clique("a", 4) + clique("b", 4))
+        assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+        assert {got[f"b{i}"] for i in range(4)} == {"b0"}
+
+    def test_bridge_keeps_cliques_separate(self, spark):
+        clique = lambda p, k: [  # noqa: E731
+            (f"{p}{i}", f"{p}{j}") for i in range(k) for j in range(i + 1, k)
+        ]
+        edges = clique("a", 5) + clique("b", 5) + [("a0", "b0")]
+        got = self._run(spark, edges)
+        assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+        assert {got[f"b{i}"] for i in range(5)} == {"b0"}
+
+    def test_matches_sequential_replay(self, spark):
+        # irregular graph incl. a bipartite-ish region that 2-cycles
+        # under synchronous LPA: the fixed-round output is still a
+        # pure function of the edge set
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+            ("e", "f"), ("f", "d"), ("g", "h"), ("x", "a"), ("x", "d"),
+            ("b", "a"),  # duplicate in reverse: must dedup
+        ]
+        for iters in (1, 2, 3, 4, 7):
+            want = self._py_lpa(edges, iters)
+            got = self._run(spark, edges, num_iters=iters)
+            assert got == want, iters
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.operators.graph import label_propagation
+
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(40)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = {
+            (r["node"], r["community"])
+            for r in label_propagation(df.coalesce(1)).collect()
+        }
+        b = {
+            (r["node"], r["community"])
+            for r in label_propagation(df.repartition(16)).collect()
+        }
+        assert a == b
+
+    def test_self_loops_ignored(self, spark):
+        # the self-edge must not vote; a 2-node graph 2-cycles, so the
+        # fixed-round output equals the sequential replay exactly
+        edges = [("a", "a"), ("a", "b")]
+        assert self._run(spark, edges) == self._py_lpa(edges, 4)
