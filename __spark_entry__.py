@@ -3847,6 +3847,265 @@ def _pagerank_oracle_sql() -> str:
     return sql + f"\n        SELECT node AS doc_id, rank_fp FROM {prev}"
 
 
+#: every doc_id divisible by this is a trusted seed (deterministic).
+_TRUST_SEED_MOD = 17
+
+
+def _trust_edges(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    dsts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(j))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % n
+        )
+        for j in range(_PRANK["fanout"])
+    ]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    seeds = docs.filter(F.col("doc_id") % _TRUST_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return edges, seeds
+
+
+def _q_link_trustrank(spark, sf_dir):
+    """Integer fixed-point TrustRank (operators/graph.py trustrank —
+    Gyongyi et al. 2004): PageRank with the teleport vector
+    concentrated on a trusted seed set (doc_id % 17 == 0 here), the
+    web-spam demotion ranking a crawl frontier runs next to PageRank.
+    Same md5-derived citation graph as link_pagerank; all arithmetic
+    is integer (floor divisions, integer sums), so the DuckDB oracle's
+    unrolled iteration CTEs reproduce the trust scores bit-exactly."""
+    from web_scrapper_spark.operators.graph import trustrank
+
+    edges, seeds = _trust_edges(spark, sf_dir)
+    return trustrank(edges, seeds, num_iters=_PRANK["iters"]).select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("trust_fp")
+    )
+
+
+def _trustrank_cte_sql(prefix: str = "t") -> str:
+    """Unrolled TrustRank iteration CTEs (same pattern as the pagerank
+    oracle; seeds = doc_id % mod == 0, teleport mass only to seeds)."""
+    from web_scrapper_spark.operators.graph import PAGERANK_SCALE as S
+
+    iters, mod = _PRANK["iters"], _TRUST_SEED_MOD
+    sql = f""",
+        seeds AS (SELECT count(*) AS ns FROM documents WHERE doc_id % {mod} = 0),
+        {prefix}0 AS (
+          SELECT doc_id AS node,
+                 CASE WHEN doc_id % {mod} = 0
+                      THEN CAST({S} // (SELECT ns FROM seeds) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS trust_fp
+          FROM documents)"""
+    prev = f"{prefix}0"
+    for i in range(iters):
+        sql += f""",
+        {prefix}c{i} AS (
+          SELECT e.dst AS node, sum(r.trust_fp // d.odeg) AS s
+          FROM edges e JOIN {prev} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        {prefix}{i + 1} AS (
+          SELECT n0.node,
+                 CAST(CASE WHEN n0.node % {mod} = 0
+                           THEN (15 * ({S} // (SELECT ns FROM seeds))) // 100
+                           ELSE 0 END
+                      + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS trust_fp
+          FROM {prefix}0 n0 LEFT JOIN {prefix}c{i} c USING (node)
+        )"""
+        prev = f"{prefix}{i + 1}"
+    return sql
+
+
+def _trustrank_oracle_sql() -> str:
+    fanout = _PRANK["fanout"]
+    js = ", ".join(str(j) for j in range(fanout))
+    head = f"""
+        WITH params AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 ('0x' || substr(md5(doc_id || '|' || j), 1, 15))::BIGINT
+                   % (SELECT n FROM params) AS dst
+          FROM documents, unnest([{js}]) AS t(j)
+        ),
+        deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src)"""
+    prev = f"t{_PRANK['iters']}"
+    return (
+        head
+        + _trustrank_cte_sql("t")
+        + f"\n        SELECT node AS doc_id, trust_fp FROM {prev}"
+    )
+
+
+def _q_link_spam_mass(spark, sf_dir):
+    """Relative spam mass (operators/graph.py spam_mass — TrustRank
+    paper §6): the ppm fraction of each node's PageRank NOT backed by
+    trust from the seed set — the crawl-blocklist ranking. Composes
+    the two integer fixed-point propagations and one equi-join; the
+    oracle replays both unrolled iteration chains and the same integer
+    ppm expression."""
+    from web_scrapper_spark.operators.graph import pagerank, spam_mass, trustrank
+
+    edges, seeds = _trust_edges(spark, sf_dir)
+    pr = pagerank(edges, num_iters=_PRANK["iters"])
+    tr = trustrank(edges, seeds, num_iters=_PRANK["iters"])
+    return spam_mass(pr, tr).select(
+        F.col("node").alias("doc_id"), "rank_fp", "trust_fp", "spam_mass_ppm"
+    )
+
+
+def _spam_mass_oracle_sql() -> str:
+    from web_scrapper_spark.operators.graph import PAGERANK_SCALE as S
+
+    iters, fanout = _PRANK["iters"], _PRANK["fanout"]
+    js = ", ".join(str(j) for j in range(fanout))
+    sql = f"""
+        WITH params AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 ('0x' || substr(md5(doc_id || '|' || j), 1, 15))::BIGINT
+                   % (SELECT n FROM params) AS dst
+          FROM documents, unnest([{js}]) AS t(j)
+        ),
+        deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS node,
+                      CAST({S} // (SELECT n FROM params) AS BIGINT) AS rank_fp
+               FROM documents)"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""",
+        c{i} AS (
+          SELECT e.dst AS node, sum(r.rank_fp // d.odeg) AS s
+          FROM edges e JOIN {prev} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT n0.node,
+                 CAST((15 * ({S} // (SELECT n FROM params))) // 100
+                      + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS rank_fp
+          FROM r0 n0 LEFT JOIN c{i} c USING (node)
+        )"""
+        prev = f"r{i + 1}"
+    sql += _trustrank_cte_sql("t")
+    return sql + f"""
+        SELECT p.node AS doc_id,
+               p.rank_fp,
+               CAST(coalesce(t.trust_fp, 0) AS BIGINT) AS trust_fp,
+               CAST(greatest(0, (p.rank_fp - coalesce(t.trust_fp, 0)) * 1000000
+                                // greatest(p.rank_fp, 1)) AS BIGINT)
+                 AS spam_mass_ppm
+        FROM {prev} p LEFT JOIN t{_PRANK["iters"]} t USING (node)"""
+
+
+def _q_meta_robots(spark, sf_dir):
+    """Robots meta directives (operators/structured.py meta_robots):
+    pages carry deterministic <meta name=robots> variants chosen by
+    doc_id % 8 — no tag, noindex, reversed attribute order, combined,
+    NONE, all, mixed-case + unknown directives, and two tags whose
+    union must win. The Spark side PARSES the generated html; the
+    DuckDB oracle derives the expected flags independently from the
+    case index, so a hash match proves the parser implements the REP
+    grammar (comma splits, trim, case-fold, none≡noindex+nofollow,
+    unknown directives ignored, multi-tag union)."""
+    from web_scrapper_spark.operators.structured import meta_robots
+
+    docs = _read(spark, sf_dir, "documents")
+    case = F.col("doc_id") % 8
+    tag = (
+        F.when(case == 0, F.lit(""))
+        .when(case == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(case == 2, F.lit('<meta content="nofollow" name="robots">'))
+        .when(case == 3, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(case == 4, F.lit("<meta name='robots' content='NONE'>"))
+        .when(case == 5, F.lit('<meta name="robots" content="all">'))
+        .when(case == 6, F.lit('<META NAME="ROBOTS" CONTENT=" NoIndex , ARCHIVE ">'))
+        .otherwise(
+            F.lit(
+                '<meta name="robots" content="noindex">'
+                '<meta name="robots" content="nofollow">'
+            )
+        )
+    )
+    pages = docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("<html><head>"), tag, F.lit("</head><body>x</body></html>")
+        ).alias("html"),
+    )
+    flags = meta_robots(pages, url_col="doc_id")
+    return flags.select(
+        F.col("url").alias("doc_id"), "noindex", "nofollow"
+    )
+
+
+_META_ROBOTS_ORACLE = """
+    SELECT doc_id,
+           (doc_id % 8) IN (1, 3, 4, 6, 7) AS noindex,
+           (doc_id % 8) IN (2, 3, 4, 7) AS nofollow
+    FROM documents
+"""
+
+
+def _q_nofollow_links(spark, sf_dir):
+    """rel=nofollow anchor extraction (operators/structured.py
+    nofollow_links): each page carries three generated anchors whose
+    rel attribute cycles through nofollow / 'ugc nofollow' /
+    'nofollowother' (a non-token superstring that must NOT match) /
+    no-rel / 'NOFOLLOW,sponsored' by (doc_id*3+j) % 5. Spark parses
+    the html; the oracle regenerates the expected (url, target) edge
+    set relationally from the same case arithmetic — token-exact,
+    case-insensitive, comma/space-separated rel grammar proven by the
+    hash match."""
+    from web_scrapper_spark.operators.structured import nofollow_links
+
+    docs = _read(spark, sf_dir, "documents")
+    anchors = []
+    for j in range(3):
+        rel_case = (F.col("doc_id") * 3 + F.lit(j)) % 5
+        rel_attr = (
+            F.when(rel_case == 0, F.lit(' rel="nofollow"'))
+            .when(rel_case == 1, F.lit(" rel='ugc nofollow'"))
+            .when(rel_case == 2, F.lit(' rel="nofollowother"'))
+            .when(rel_case == 3, F.lit(""))
+            .otherwise(F.lit(' rel="NOFOLLOW,sponsored"'))
+        )
+        anchors.append(
+            F.concat(
+                F.lit("<a"),
+                rel_attr,
+                F.lit(' href="/d'),
+                F.col("doc_id").cast("string"),
+                F.lit(f"/l{j}"),
+                F.lit('">x</a>'),
+            )
+        )
+    pages = docs.select(
+        F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("<html><body>"), *anchors, F.lit("</body></html>")).alias(
+            "html"
+        ),
+    )
+    return nofollow_links(pages).orderBy("url", "target")
+
+
+_NOFOLLOW_LINKS_ORACLE = """
+    SELECT 'page:' || doc_id AS url,
+           '/d' || doc_id || '/l' || j AS target
+    FROM documents, unnest([0, 1, 2]) AS t(j)
+    WHERE (doc_id * 3 + j) % 5 IN (0, 1, 4)
+    ORDER BY url, target
+"""
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC sink→source roundtrip (sources/warc.py): documents are
     wrapped as HTML pages, written as a sharded .warc.gz archive
@@ -4237,6 +4496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl": _q_ccnet_ppl,
         # link-graph centrality (crawl frontier prioritization)
         "link_pagerank": _q_link_pagerank,
+        "link_trustrank": _q_link_trustrank,
+        "link_spam_mass": _q_link_spam_mass,
+        "meta_robots": _q_meta_robots,
+        "nofollow_links": _q_nofollow_links,
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "crawl_diff": _q_crawl_diff,
@@ -5249,6 +5512,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_substring": _exact_substring_oracle_sql(),
         "link_pagerank": _pagerank_oracle_sql(),
+        "link_trustrank": _trustrank_oracle_sql(),
+        "link_spam_mass": _spam_mass_oracle_sql(),
+        "meta_robots": _META_ROBOTS_ORACLE,
+        "nofollow_links": _NOFOLLOW_LINKS_ORACLE,
         "main_content": _main_content_oracle_sql(),
         "host_boilerplate": _host_boilerplate_oracle_sql(),
         "jsonld_extract": _jsonld_oracle_sql(),

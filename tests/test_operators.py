@@ -2641,3 +2641,191 @@ class TestLabelPropagation:
         # fixed-round output equals the sequential replay exactly
         edges = [("a", "a"), ("a", "b")]
         assert self._run(spark, edges) == self._py_lpa(edges, 4)
+
+
+class TestTrustrank:
+    """operators/graph.py — seed-personalized integer TrustRank."""
+
+    def _sim(self, edges, seeds, iters=10, d=85):
+        from collections import defaultdict
+
+        from web_scrapper_spark.operators.graph import PAGERANK_SCALE as S
+
+        nodes = sorted({u for e in edges for u in e} | set(seeds))
+        deg = defaultdict(int)
+        for s, _ in edges:
+            deg[s] += 1
+        r0 = S // len(set(seeds))
+        base = ((100 - d) * r0) // 100
+        r = {v: (r0 if v in seeds else 0) for v in nodes}
+        for _ in range(iters):
+            c = defaultdict(int)
+            for s, t in edges:
+                c[t] += r[s] // deg[s]
+            r = {
+                v: (base if v in seeds else 0) + (c[v] * d) // 100
+                for v in nodes
+            }
+        return r
+
+    def _run(self, spark, E, seeds, iters=10):
+        from web_scrapper_spark.operators.graph import trustrank
+
+        df = spark.createDataFrame(E, "src long, dst long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+        return {
+            r["node"]: r["rank"]
+            for r in trustrank(df, sd, num_iters=iters).collect()
+        }
+
+    def test_matches_integer_simulation(self, spark):
+        E = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1)]
+        got = self._run(spark, E, {1, 4})
+        assert got == self._sim(E, {1, 4})
+
+    def test_unreachable_link_farm_scores_zero(self, spark):
+        # 10-12 form a dense farm with no in-path from the seed side:
+        # plain PageRank pays them the teleport floor, TrustRank pays 0.
+        E = [(1, 2), (2, 3)] + [
+            (a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b
+        ]
+        got = self._run(spark, E, {1})
+        assert got[10] == got[11] == got[12] == 0
+        assert got[2] > 0 and got[3] > 0
+
+    def test_nonseed_without_inlinks_is_zero(self, spark):
+        E = [(1, 2), (4, 2)]  # 4 is a non-seed root
+        got = self._run(spark, E, {1}, iters=3)
+        assert got[4] == 0
+        assert got == self._sim(E, {1}, iters=3)
+
+    def test_isolated_seed_counts_toward_share(self, spark):
+        # seed 99 has no edges: it keeps its teleport share and halves
+        # seed 1's — |S| = 2 in both engines.
+        E = [(1, 2)]
+        got = self._run(spark, E, {1, 99}, iters=2)
+        assert got == self._sim(E, {1, 99}, iters=2)
+        assert 99 in got and got[99] > 0
+
+    def test_determinism_across_partitionings(self, spark):
+        from web_scrapper_spark.operators.graph import trustrank
+
+        E = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+            (i, (i * 11 + 1) % 40) for i in range(40)
+        ]
+        seeds = [(i,) for i in range(0, 40, 9)]
+        df1 = spark.createDataFrame(E, "src long, dst long").repartition(1)
+        df2 = spark.createDataFrame(E, "src long, dst long").repartition(16)
+        sd = spark.createDataFrame(seeds, "node long")
+        r1 = {r["node"]: r["rank"] for r in trustrank(df1, sd, num_iters=6).collect()}
+        r2 = {r["node"]: r["rank"] for r in trustrank(df2, sd, num_iters=6).collect()}
+        assert r1 == r2
+
+    def test_spam_mass_ppm(self, spark):
+        from web_scrapper_spark.operators.graph import spam_mass
+
+        pr = spark.createDataFrame(
+            [(1, 1000), (2, 400), (3, 250)], "node long, rank long"
+        )
+        tr = spark.createDataFrame([(1, 900), (3, 300)], "node long, rank long")
+        got = {
+            r["node"]: (r["trust_fp"], r["spam_mass_ppm"])
+            for r in spam_mass(pr, tr).collect()
+        }
+        assert got[1] == (900, (1000 - 900) * 10**6 // 1000)
+        # absent from trust → full spam mass
+        assert got[2] == (0, 10**6)
+        # trust above rank share → clamped at 0
+        assert got[3] == (300, 0)
+
+
+class TestMetaRobots:
+    """operators/structured.py — robots meta directives + rel=nofollow."""
+
+    def _flags(self, spark, html):
+        from web_scrapper_spark.operators.structured import meta_robots
+
+        df = spark.createDataFrame([("u", html)], "url string, html string")
+        r = meta_robots(df).collect()[0]
+        return (r["noindex"], r["nofollow"])
+
+    def test_no_tag(self, spark):
+        assert self._flags(spark, "<html><head></head></html>") == (False, False)
+
+    def test_noindex_only(self, spark):
+        h = '<meta name="robots" content="noindex">'
+        assert self._flags(spark, h) == (True, False)
+
+    def test_reversed_attr_order(self, spark):
+        h = '<meta content="nofollow" name="robots">'
+        assert self._flags(spark, h) == (False, True)
+
+    def test_combined_and_whitespace_and_case(self, spark):
+        h = '<META NAME="ROBOTS" CONTENT=" NoIndex , NOFOLLOW ">'
+        assert self._flags(spark, h) == (True, True)
+
+    def test_none_means_both(self, spark):
+        assert self._flags(spark, "<meta name='robots' content='none'>") == (
+            True,
+            True,
+        )
+
+    def test_all_is_noop(self, spark):
+        assert self._flags(spark, "<meta name='robots' content='all'>") == (
+            False,
+            False,
+        )
+
+    def test_multiple_tags_union(self, spark):
+        h = (
+            '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">'
+        )
+        assert self._flags(spark, h) == (True, True)
+
+    def test_substring_directive_does_not_match(self, spark):
+        h = '<meta name="robots" content="noindexing">'
+        assert self._flags(spark, h) == (False, False)
+
+    def test_nofollow_links_token_exact(self, spark):
+        from web_scrapper_spark.operators.structured import nofollow_links
+
+        html = (
+            '<a href="/a" rel="nofollow">x</a>'
+            '<a href="/b" rel="ugc nofollow">y</a>'
+            '<a href="/c" rel="nofollowother">z</a>'
+            '<a href="/d">plain</a>'
+            '<a rel="nofollow">no href</a>'
+            '<a rel="NOFOLLOW" href="/e">rel first</a>'
+        )
+        df = spark.createDataFrame([("u", html)], "url string, html string")
+        got = sorted(r["target"] for r in nofollow_links(df).collect())
+        assert got == ["/a", "/b", "/e"]
+
+    def test_gates(self, spark):
+        from web_scrapper_spark.operators.structured import (
+            gate_nofollow_outlinks,
+            gate_noindex,
+            meta_robots,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", '<meta name="robots" content="noindex">doc1'),
+                ("u2", "plain"),
+                ("u3", '<meta name="robots" content="nofollow">doc3'),
+            ],
+            "url string, html string",
+        )
+        flags = meta_robots(pages)
+        docs = pages.select("url")
+        kept = sorted(r["url"] for r in gate_noindex(docs, flags).collect())
+        assert kept == ["u2", "u3"]
+        links = spark.createDataFrame(
+            [("u1", "t1"), ("u2", "t2"), ("u3", "t3")],
+            "src_url string, url string",
+        )
+        kept_links = sorted(
+            r["src_url"] for r in gate_nofollow_outlinks(links, flags).collect()
+        )
+        assert kept_links == ["u1", "u2"]

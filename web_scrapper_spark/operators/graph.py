@@ -46,6 +46,8 @@ __all__ = [
     "anchor_text_profile",
     "inlink_stats",
     "host_triangles",
+    "trustrank",
+    "spam_mass",
     "PAGERANK_SCALE",
 ]
 
@@ -692,3 +694,130 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return state.select("node", "hub", "auth")
+
+
+# ---------------------------------------------------------------------------
+# TrustRank — seed-personalized PageRank (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_iters: int = 10,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector concentrated on a hand-vetted
+    trusted seed set, the standard web-spam demotion signal — trust
+    flows out of the seeds along links and decays with distance, so a
+    link farm unreachable from any trusted page scores exactly 0 no
+    matter how densely it links to itself (where plain PageRank still
+    pays it the teleport floor). Crawl use: demote/deprioritize hosts
+    whose trust/pagerank ratio is low (spam mass, paper §6).
+
+    Same fixed-point integer arithmetic as :func:`pagerank` (1/scale
+    probability units, floor divisions, integer sums — bit-identical
+    under any partitioning, DuckDB-oracle-replayable):
+
+        r_0(v)     = scale // |S|                        if v in S else 0
+        c_i(v)     = sum over in-edges (u->v) of  r_i(u) // out_deg(u)
+        r_{i+1}(v) = (v in S ? ((100-damping_pct)*(scale//|S|))//100 : 0)
+                     + (damping_pct * c_i(v)) // 100
+
+    ``seeds``: one ``seed_col`` row per trusted node (deduped here);
+    seeds absent from the edge set still hold and emit no mass but
+    count toward |S| and keep their teleport share — the paper's
+    static trust vector. Dangling mass is dropped, matching
+    :func:`pagerank`'s simplification (ordering-preserving).
+
+    Scale shape identical to :func:`pagerank`: the edge table is
+    partitioned by ``src`` once with out-degree denormalized on; each
+    iteration moves only the rank table plus one map-side-combined
+    groupBy(dst); the seed flag is a 0/1 column carried on the node
+    table, so the per-iteration base term is a multiply, not a join;
+    lineage is localCheckpoint-truncated every ``checkpoint_interval``.
+    """
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    n_seeds = sd.count()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .union(sd.select("node"))
+        .distinct()
+    )
+    if n_seeds == 0:
+        out = nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        sd.unpersist()
+        return out
+    r0 = scale // n_seeds
+    base = ((100 - damping_pct) * r0) // 100
+    flagged = (
+        nodes.join(sd.withColumn("_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+        .persist()
+    )
+    flagged.count()
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    edeg = (
+        edges.select(src, dst)
+        .join(deg, src)
+        .repartition(F.col(src))
+        .persist()
+    )
+    edeg.count()
+    ranks = flagged.select(
+        "node", (F.col("_seed") * F.lit(r0)).cast("long").alias("rank")
+    )
+    for it in range(num_iters):
+        contrib = (
+            edeg.join(ranks.withColumnRenamed("node", src), src)
+            .select(F.col(dst).alias("node"), F.expr("rank div _deg").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = flagged.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("_seed") * F.lit(base)
+                + F.expr(f"(coalesce(_s, 0L) * {damping_pct}) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < num_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    edeg.unpersist()
+    flagged.unpersist()
+    sd.unpersist()
+    return ranks
+
+
+def spam_mass(
+    pr: DataFrame, tr: DataFrame, scale: int = PAGERANK_SCALE
+) -> DataFrame:
+    """Relative spam mass (TrustRank paper §6): the fraction of a
+    node's PageRank NOT accounted for by trust flowing from the seed
+    set, in ppm — ``(pr - tr) * 1e6 // pr`` (clamped at 0 for nodes
+    whose trust exceeds their rank share, which floor rounding and
+    seed locality make possible). High spam-mass nodes are the crawl
+    blocklist candidates. One broadcast-friendly equi-join on node;
+    integer end-to-end."""
+    p = pr.select("node", F.col("rank").alias("_pr"))
+    t = tr.select("node", F.col("rank").alias("_tr"))
+    return (
+        p.join(t, "node", "left")
+        .select(
+            "node",
+            F.col("_pr").alias("rank_fp"),
+            F.coalesce(F.col("_tr"), F.lit(0)).cast("long").alias("trust_fp"),
+            F.greatest(
+                F.lit(0),
+                F.expr("(_pr - coalesce(_tr, 0L)) * 1000000 div greatest(_pr, 1L)"),
+            ).cast("long").alias("spam_mass_ppm"),
+        )
+    )

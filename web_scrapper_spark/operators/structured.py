@@ -25,6 +25,10 @@ __all__ = [
     "jsonld_extract",
     "detect_charset",
     "page_meta",
+    "meta_robots",
+    "nofollow_links",
+    "gate_noindex",
+    "gate_nofollow_outlinks",
 ]
 
 #: lazy, case-insensitive, dotall — script attributes in any order as
@@ -180,3 +184,119 @@ def page_meta(
         pair("meta", "property", "og:title").alias("og_title"),
         pair("meta", "property", "og:image").alias("og_image"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robots meta directives — page-level crawl/index policy
+# ---------------------------------------------------------------------------
+
+#: <meta name=robots content=...> in either attribute order; all
+#: matches collected (sites emit duplicates; union = most-restrictive).
+_ROBOTS_META_NAME_FIRST = (
+    r"""(?is)<meta[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"']*)["']"""
+)
+_ROBOTS_META_CONTENT_FIRST = (
+    r"""(?is)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*name\s*=\s*["']robots["']"""
+)
+
+
+def meta_robots(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-level robots meta directives — the in-band counterpart of
+    robots.txt (REP robots meta tag: ``<meta name="robots"
+    content="noindex, nofollow">``). robots.txt gates what gets
+    FETCHED (frontier/robots.py); the meta tag gates what a fetched
+    page may contribute: ``noindex`` pages must not enter the corpus,
+    ``nofollow`` pages must not contribute outlinks. A 100 TB corpus
+    that ignores it ships text its publishers opted out of.
+
+    Returns ``(url, noindex, nofollow)``. Parsing per the spec's
+    grammar: directives are comma-separated, case-insensitive,
+    whitespace-tolerant; ``none`` ≡ ``noindex, nofollow``; ``all`` and
+    unknown directives are no-ops; multiple robots meta tags union
+    (most-restrictive wins). Both attribute orders matched. All native
+    (``regexp_extract_all`` + higher-order array ops) — zero Python,
+    zero shuffle, whole-stage codegen.
+    """
+    html = F.col(html_col).cast("string")
+    contents = F.concat(
+        F.regexp_extract_all(html, F.lit(_ROBOTS_META_NAME_FIRST), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_ROBOTS_META_CONTENT_FIRST), F.lit(1)),
+    )
+    toks = F.flatten(
+        F.transform(
+            contents,
+            lambda c: F.transform(F.split(c, ","), lambda t: F.lower(F.trim(t))),
+        )
+    )
+    has = lambda *names: F.exists(  # noqa: E731
+        toks, lambda t: t.isin(*names)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        has("noindex", "none").alias("noindex"),
+        has("nofollow", "none").alias("nofollow"),
+    )
+
+
+#: attributes pulled out of each collected <a ...> open tag.
+_HREF_IN_TAG_RE = r"""(?is)href\s*=\s*["']([^"']*)["']"""
+_REL_IN_TAG_RE = r"""(?is)rel\s*=\s*["']([^"']*)["']"""
+
+
+def nofollow_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Link-level ``rel="nofollow"`` edges: ``(url, target)`` for every
+    anchor whose ``rel`` attribute carries the ``nofollow`` token
+    (space/comma-separated per the HTML link-types grammar; matching
+    is case-insensitive and exact-token — ``rel="nofollowother"``
+    does NOT match). Feed as an anti-join against discovered links so
+    publisher-disavowed edges never enter the frontier or the link
+    graph (every production crawler and PageRank pipeline drops them).
+
+    Native end-to-end: one ``regexp_extract_all`` collecting anchor
+    open-tags, per-tag href/rel pulls and token test inside array
+    higher-order functions, one explode. Zero Python, zero shuffle.
+    """
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(r"(?is)<a\b[^>]*>"), F.lit(0))
+    pairs = F.filter(
+        F.transform(
+            tags,
+            lambda t: F.struct(
+                F.regexp_extract(t, _HREF_IN_TAG_RE, 1).alias("href"),
+                F.regexp_extract(t, _REL_IN_TAG_RE, 1).alias("rel"),
+            ),
+        ),
+        lambda s: (s["href"] != F.lit(""))
+        & F.exists(
+            F.split(F.lower(s["rel"]), r"[\s,]+"),
+            lambda tok: tok == F.lit("nofollow"),
+        ),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.explode(pairs).alias("_p")
+    ).select("url", F.col("_p.href").alias("target"))
+
+
+def gate_noindex(
+    docs: DataFrame, flags: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Corpus gate: drop rows whose page declared ``noindex``. The
+    flags side is pre-filtered to the (rare) true rows, so the
+    anti-join broadcasts."""
+    bad = flags.filter(F.col("noindex")).select(F.col("url").alias(url_col))
+    return docs.join(F.broadcast(bad), url_col, "left_anti")
+
+
+def gate_nofollow_outlinks(
+    links: DataFrame, flags: DataFrame, src_col: str = "src_url"
+) -> DataFrame:
+    """Outlink gate: drop discovered links whose SOURCE page declared
+    ``nofollow`` (page-level; combine with :func:`nofollow_links` for
+    per-anchor rel gating). Anti-join on the rare true rows —
+    broadcast-sized by construction."""
+    bad = flags.filter(F.col("nofollow")).select(F.col("url").alias(src_col))
+    return links.join(F.broadcast(bad), src_col, "left_anti")
