@@ -4106,6 +4106,46 @@ _NOFOLLOW_LINKS_ORACLE = """
 """
 
 
+def _q_host_split(spark, sf_dir):
+    """Leakage-safe host-grain train/val/test split (operators/
+    sampling.py host_split): every row of a host lands in one split by
+    construction — the assignment is md5(salt|host) % 1e6 mapped to
+    test/val/train ppm ranges, a pure function of the host string
+    (stable across epochs/snapshots, engine-independent). The oracle
+    recomputes the same bucket arithmetic in DuckDB — bit-exact."""
+    from web_scrapper_spark.operators.sampling import host_split
+
+    docs = _read(spark, sf_dir, "documents")
+    hosted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+    )
+    return host_split(hosted, val_ppm=100_000, test_ppm=50_000).select(
+        "doc_id", "host", "split_bucket_ppm", "split"
+    )
+
+
+_HOST_SPLIT_ORACLE = """
+    WITH hosted AS (
+      SELECT doc_id, 'h' || (doc_id % 97) || '.example.org' AS host
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, host,
+             ('0x' || substr(md5('split-v1|' || host), 1, 15))::BIGINT
+               % 1000000 AS split_bucket_ppm
+      FROM hosted
+    )
+    SELECT doc_id, host, split_bucket_ppm,
+           CASE WHEN split_bucket_ppm < 50000 THEN 'test'
+                WHEN split_bucket_ppm < 150000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+"""
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC sink→source roundtrip (sources/warc.py): documents are
     wrapped as HTML pages, written as a sharded .warc.gz archive
@@ -4500,6 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_spam_mass": _q_link_spam_mass,
         "meta_robots": _q_meta_robots,
         "nofollow_links": _q_nofollow_links,
+        "host_split": _q_host_split,
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "crawl_diff": _q_crawl_diff,
@@ -5516,6 +5557,7 @@ def oracle_sql() -> dict[str, str]:
         "link_spam_mass": _spam_mass_oracle_sql(),
         "meta_robots": _META_ROBOTS_ORACLE,
         "nofollow_links": _NOFOLLOW_LINKS_ORACLE,
+        "host_split": _HOST_SPLIT_ORACLE,
         "main_content": _main_content_oracle_sql(),
         "host_boilerplate": _host_boilerplate_oracle_sql(),
         "jsonld_extract": _jsonld_oracle_sql(),

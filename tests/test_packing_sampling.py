@@ -579,3 +579,69 @@ class TestPassageChunks:
 
         with _pytest.raises(ValueError):
             passage_chunks(docs, chunk_tokens=4, overlap=4)
+
+
+class TestHostSplit:
+    """operators/sampling.py — leakage-safe host-grain splits."""
+
+    def _df(self, spark, n=300, hosts=40):
+        rows = [(i, f"h{i % hosts}.example.org") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    def test_matches_md5_replay(self, spark):
+        import hashlib
+
+        from web_scrapper_spark.operators.sampling import host_split
+
+        got = host_split(self._df(spark), val_ppm=100_000, test_ppm=50_000).collect()
+        for r in got:
+            h = hashlib.md5(f"split-v1|{r['host']}".encode()).hexdigest()
+            bucket = int(h[:15], 16) % 1_000_000
+            assert r["split_bucket_ppm"] == bucket
+            want = (
+                "test" if bucket < 50_000
+                else "val" if bucket < 150_000
+                else "train"
+            )
+            assert r["split"] == want
+
+    def test_host_disjoint(self, spark):
+        from web_scrapper_spark.operators.sampling import host_split
+
+        got = host_split(self._df(spark), val_ppm=300_000, test_ppm=300_000)
+        per_host = (
+            got.groupBy("host").agg(F.countDistinct("split").alias("n")).collect()
+        )
+        assert all(r["n"] == 1 for r in per_host)
+
+    def test_salt_redraws(self, spark):
+        from web_scrapper_spark.operators.sampling import host_split
+
+        a = host_split(self._df(spark), salt="v1").select("host", "split_bucket_ppm")
+        b = host_split(self._df(spark), salt="v2").select("host", "split_bucket_ppm")
+        diff = a.join(b.withColumnRenamed("split_bucket_ppm", "b2"), "host").filter(
+            "split_bucket_ppm != b2"
+        )
+        assert diff.count() > 0
+
+    def test_stable_across_partitionings(self, spark):
+        from web_scrapper_spark.operators.sampling import host_split
+
+        base = self._df(spark)
+        a = {
+            (r["doc_id"], r["split"])
+            for r in host_split(base.repartition(1)).collect()
+        }
+        b = {
+            (r["doc_id"], r["split"])
+            for r in host_split(base.repartition(16)).collect()
+        }
+        assert a == b
+
+    def test_bad_ppm_rejected(self, spark):
+        import pytest
+
+        from web_scrapper_spark.operators.sampling import host_split
+
+        with pytest.raises(ValueError):
+            host_split(self._df(spark), val_ppm=900_000, test_ppm=200_000)

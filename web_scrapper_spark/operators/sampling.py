@@ -351,3 +351,73 @@ def priority_sample(
         .withColumn("w_est", F.greatest(w, F.col("tau")))
     )
     return out.drop("_rank", "_n", "_minq", "_ph")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splits — host-disjoint train/val/test
+# ---------------------------------------------------------------------------
+
+#: split buckets live in [0, 1e6) ppm space.
+SPLIT_PPM_SPACE = 1_000_000
+
+
+def split_bucket_col(group_col: Column, salt: str = "split-v1") -> Column:
+    """Deterministic ppm bucket of a group key: first 15 hex digits of
+    ``md5(salt || '|' || key)`` mod 1e6 — DuckDB twin:
+    ``('0x' || substr(md5(salt || '|' || key), 1, 15))::BIGINT % 1000000``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), group_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_PPM_SPACE
+    )
+
+
+def host_split(
+    df: DataFrame,
+    host_col: str = "host",
+    val_ppm: int = 5_000,
+    test_ppm: int = 5_000,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment at HOST grain.
+
+    Splitting web text by row is wrong at any scale: a site's pages are
+    near-duplicates of each other (templates, boilerplate, syndication),
+    so row-level splits leak train text into eval. The standard fix is
+    to split on the site key — every row of a host lands in the same
+    split BY CONSTRUCTION because the assignment is a pure function of
+    the host string, never of the row.
+
+    Deterministic, engine-independent, and cheap: one md5 per row, no
+    shuffle, no global state — a new crawl epoch's rows join the same
+    split their host always had (stable across snapshots, the property
+    eval pipelines need). ``salt`` versions the assignment: bumping it
+    redraws every host (use when an eval set must be provably disjoint
+    from anything seen under the old salt).
+
+    Returns ``df`` plus ``split_bucket_ppm`` (the host's point in
+    [0, 1e6)) and ``split`` ∈ {'test', 'val', 'train'}: test takes
+    ``[0, test_ppm)``, val ``[test_ppm, test_ppm + val_ppm)``, train
+    the rest. Fractions are exact in expectation over the md5's
+    uniformity; actual shares vary with host-size skew — measure with
+    a groupBy, don't assume (hot hosts move whole ppm at once; that is
+    the price of disjointness, not a bug).
+
+    For cross-host duplicate leakage (mirrors, syndication), compose
+    with dedup: run ``mirror_hosts`` / ``dedup_components`` first and
+    split on the CLUSTER representative's host instead.
+    """
+    if val_ppm < 0 or test_ppm < 0 or val_ppm + test_ppm > SPLIT_PPM_SPACE:
+        raise ValueError("val_ppm/test_ppm must be >= 0 and sum <= 1e6")
+    bucket = split_bucket_col(F.col(host_col), salt)
+    return df.withColumn("split_bucket_ppm", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket_ppm") < test_ppm, F.lit("test"))
+        .when(F.col("split_bucket_ppm") < test_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
