@@ -861,3 +861,70 @@ class TestTimeTravel:
             engine.frontier(as_of_epoch=0).collect()
         # but the seen set (append-only, never expired) still time-travels
         assert engine.seen(as_of_epoch=0).count() > 0
+
+
+def test_meta_robots_parity(spark, tmp_path):
+    """respect_meta_robots (REP robots meta tag): noindex pages are
+    fetched and followed but contribute no extraction rows; nofollow
+    pages contribute no outlinks. The Spark epoch and the sequential
+    simulator implement the semantics behind the same flag — final
+    seen set, visit order, and merged articles must stay identical."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    noindex = {
+        u for u in all_urls(SPEC) if u.endswith("/blog/post-1")
+    } | {"https://host1.example-crawl.org/blog"}
+    nofollow = {"https://host2.example-crawl.org/blog"}
+
+    def inject(u, h):
+        tag = b""
+        if u in noindex:
+            tag += b'<meta name="robots" content="noindex">'
+        if u in nofollow:
+            tag += b'<meta content="NOFOLLOW" name="robots">'
+        return tag + h
+
+    pm = {u: inject(u, page_html(u, SPEC).encode("utf-8")) for u in all_urls(SPEC)}
+    rows = [(u, dt.datetime(2025, 1, 1), h, None, None) for u, h in pm.items()]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    cfg = CrawlConfig(respect_meta_robots=True)
+    store = SnapshotStore(str(tmp_path / "rm-store"))
+    engine = CrawlEngine(spark, store, pages, robots_dataframe(spark, SPEC), cfg)
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    sim_r = simulate_crawl(
+        pm,
+        _seeds(),
+        robots_rules(SPEC),
+        max_depth=cfg.max_depth,
+        respect_meta_robots=True,
+    )
+
+    engine_seen = {r["url"]: r["status"] for r in engine.seen().collect()}
+    assert engine_seen == sim_r.seen
+    # nofollow listing: fetched itself, but none of its posts were
+    assert "https://host2.example-crawl.org/blog" in engine_seen
+    assert not any(
+        u.startswith("https://host2.example-crawl.org/blog/post")
+        for u in engine_seen
+    )
+    # noindex pages: fetched (seen ok) yet zero extraction rows
+    assert "https://host1.example-crawl.org/blog" in engine_seen
+    arts = engine.articles()
+    assert arts.filter(F.col("src_url").isin(list(noindex))).count() == 0
+    # full article-row parity against the simulator
+    engine_rows = {
+        (r["src_url"], r["item_pos"]): r.asDict() for r in arts.collect()
+    }
+    sim_rows = {(a["src_url"], a["item_pos"]): a for a in merged_articles(sim_r)}
+    assert set(engine_rows) == set(sim_rows)
+    for key, srow in sim_rows.items():
+        assert engine_rows[key].get("content") == srow.get("content"), key
+    # metrics surfaced the flag counts
+    crawl_epochs = [m for m in results if m.get("dequeued")]
+    assert sum(m.get("noindex_pages", 0) for m in crawl_epochs) == len(
+        [u for u in noindex if engine_seen.get(u) == "ok"]
+    )
+    assert sum(m.get("nofollow_pages", 0) for m in crawl_epochs) == 1

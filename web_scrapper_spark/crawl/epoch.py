@@ -170,6 +170,16 @@ class CrawlConfig:
     # the downstream storage for that whole slice. Off by default —
     # reference parity first (the reference re-scrapes mirrors).
     content_seen_filter: bool = False
+    # REP robots meta directives (operators/structured.meta_robots):
+    # pages declaring ``noindex`` are fetched and their links followed,
+    # but none of their extraction rows reach the corpus tables; pages
+    # declaring ``nofollow`` contribute no outlinks to the frontier.
+    # One native regexp scan over the fetch batch + broadcast
+    # anti-joins on the (rare) flagged rows — no extra shuffle. Off by
+    # default — reference parity first (the reference never reads the
+    # tag). The sequential simulator implements the same semantics
+    # behind the same flag, so parity is testable.
+    respect_meta_robots: bool = False
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
@@ -735,6 +745,35 @@ class CrawlEngine:
                 self._cs_bloom = self._cs_bloom.union(delta)
             mark("content_seen")
 
+        # --- robots meta directives (REP, opt-in) -----------------------
+        # one native regexp scan over the fetch batch; the flagged url
+        # lists are batch-bounded and almost always tiny, so the gates
+        # below are broadcast anti-joins — extraction and link discovery
+        # plans are untouched when the flag is off or nothing is flagged
+        noindex_src = None
+        nofollow_src = None
+        n_noindex = n_nofollow = 0
+        if cfg.respect_meta_robots and n_fetched:
+            from ..operators.structured import meta_robots
+
+            rb = meta_robots(fetched).persist()
+            to_unpersist.append(rb)
+            counts = rb.agg(
+                F.sum(F.col("noindex").cast("long")).alias("ni"),
+                F.sum(F.col("nofollow").cast("long")).alias("nf"),
+            ).collect()[0]
+            n_noindex = int(counts["ni"] or 0)
+            n_nofollow = int(counts["nf"] or 0)
+            if n_noindex:
+                noindex_src = rb.filter(F.col("noindex")).select(
+                    F.col("url").alias("src_url")
+                )
+            if n_nofollow:
+                nofollow_src = rb.filter(F.col("nofollow")).select(
+                    F.col("url").alias("src_url")
+                )
+            mark("meta_robots")
+
         # --- parse/extract (Arrow UDFs), routed by scraper type --------
         # only the extraction families present in this batch run — an
         # all-content epoch skips two UDF+write jobs entirely
@@ -769,6 +808,12 @@ class CrawlEngine:
             articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
                 "link_kind"
             )
+            if noindex_src is not None:
+                # REP noindex: extraction rows from flagged pages never
+                # reach the corpus (links still followed below)
+                articles_out = articles_out.join(
+                    F.broadcast(noindex_src), "src_url", "left_anti"
+                )
             # this count materializes the content_rows cache (the job
             # the bare commit used to pay) and sizes the write
             n_article_rows = articles_out.count()
@@ -778,6 +823,14 @@ class CrawlEngine:
                     articles_out, n_article_rows, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
+            )
+        if product_rows is not None and noindex_src is not None:
+            product_rows = product_rows.join(
+                F.broadcast(noindex_src), "src_url", "left_anti"
+            )
+        if business_rows is not None and noindex_src is not None:
+            business_rows = business_rows.join(
+                F.broadcast(noindex_src), "src_url", "left_anti"
             )
         if product_rows is not None:
             # uncached: sizing uses an upper-bound estimate (items per
@@ -804,14 +857,20 @@ class CrawlEngine:
         # counted on the cached extraction output (no recompute); a
         # link-free epoch skips the whole candidate pipeline INCLUDING
         # its shuffle of the seen set
-        n_links = (
-            content_rows.filter(F.col("row_kind") == "link").count()
+        link_rows = (
+            content_rows.filter(F.col("row_kind") == "link")
             if content_rows is not None
-            else 0
+            else None
         )
+        if link_rows is not None and nofollow_src is not None:
+            # REP nofollow: flagged pages contribute no outlinks
+            link_rows = link_rows.join(
+                F.broadcast(nofollow_src), "src_url", "left_anti"
+            )
+        n_links = link_rows.count() if link_rows is not None else 0
         new_frontier_rows = None
         if n_links:
-            links = content_rows.filter(F.col("row_kind") == "link").select(
+            links = link_rows.select(
                 "src_url", "url", "item_pos", "link_kind"
             )
             parents = batch.select(
@@ -1217,6 +1276,8 @@ class CrawlEngine:
             "fetched_ok": n_fetched,
             "fetch_miss": n_batch - n_fetched,
             "dup_bodies": n_dup,
+            "noindex_pages": n_noindex,
+            "nofollow_pages": n_nofollow,
             "failed_parked": n_failed,
             "new_frontier_rows": enqueued_rows,
             "frontier_live": live_after,

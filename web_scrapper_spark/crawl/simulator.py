@@ -62,6 +62,7 @@ def simulate_crawl(
     content_cfg: Optional[ContentConfig] = None,
     ecommerce_cfg: Optional[EcommerceConfig] = None,
     business_cfg: Optional[BusinessConfig] = None,
+    respect_meta_robots: bool = False,
 ) -> SimResult:
     content_cfg = content_cfg or ContentConfig(
         selectors={}, follow_next_page=True, max_pages=10**6
@@ -98,20 +99,38 @@ def simulate_crawl(
         result.depths[url] = depth
         result.visit_order.append(url)
 
+        # REP robots meta (epoch.py respect_meta_robots twin): noindex
+        # drops this page's extraction rows, nofollow drops its outlinks
+        noindex = nofollow = False
+        if respect_meta_robots:
+            from ..operators.structured import parse_meta_robots
+
+            noindex, nofollow = parse_meta_robots(html)
+
         if stype == "ecommerce":
-            for pos, item in enumerate(extract_products(html, url, ecommerce_cfg)):
-                result.products.append({"src_url": url, "item_pos": pos, **item})
+            if not noindex:
+                for pos, item in enumerate(
+                    extract_products(html, url, ecommerce_cfg)
+                ):
+                    result.products.append(
+                        {"src_url": url, "item_pos": pos, **item}
+                    )
             return
         if stype == "business":
-            for pos, item in enumerate(extract_businesses(html, url, business_cfg)):
-                result.businesses.append({"src_url": url, "item_pos": pos, **item})
+            if not noindex:
+                for pos, item in enumerate(
+                    extract_businesses(html, url, business_cfg)
+                ):
+                    result.businesses.append(
+                        {"src_url": url, "item_pos": pos, **item}
+                    )
             return
 
         # content: the reference's nested listing→article→pagination flow
         root = minisoup.parse(html)
         if is_article_page(root):
             item = extract_single_article(root, url, content_cfg)
-            if item:
+            if item and not noindex:
                 result.articles.append(
                     {"src_url": url, "item_pos": 0, "merge_kind": "full", **item}
                 )
@@ -132,7 +151,7 @@ def simulate_crawl(
         for pos, item, fetch_full in listing_rows:
             merged = dict(item)
             merge_kind = "listing"
-            if item.get("url") and fetch_full:
+            if item.get("url") and fetch_full and not nofollow:
                 child = canonicalize_url(item["url"])
                 if allowed(child):
                     child_key = f"{ord_key}/{str(pos).zfill(POS_PAD)}"
@@ -153,15 +172,22 @@ def simulate_crawl(
                         }
                         merged = merge_listing_full(item, payload)
                         merge_kind = "merged"
-            result.articles.append(
-                {"src_url": url, "item_pos": pos, "merge_kind": merge_kind, **merged}
-            )
+            if not noindex:
+                result.articles.append(
+                    {
+                        "src_url": url,
+                        "item_pos": pos,
+                        "merge_kind": merge_kind,
+                        **merged,
+                    }
+                )
 
         # pagination (content.py:177-229)
         if (
             content_cfg.follow_next_page
             and content_cfg.max_pages > 1
             and listing_rows
+            and not nofollow
         ):
             next_url = find_next_page(root, url)
             if next_url:

@@ -300,3 +300,30 @@ def gate_nofollow_outlinks(
     broadcast-sized by construction."""
     bad = flags.filter(F.col("nofollow")).select(F.col("url").alias(src_col))
     return links.join(F.broadcast(bad), src_col, "left_anti")
+
+
+#: python twin of :func:`meta_robots` for the sequential simulator /
+#: driver-side callers — same regexes, same token grammar, so the two
+#: engines agree byte-for-byte on every page.
+import re as _re
+
+_PY_ROBOTS_RES = (
+    _re.compile(_ROBOTS_META_NAME_FIRST),  # inline (?is) flags
+    _re.compile(_ROBOTS_META_CONTENT_FIRST),
+)
+
+
+def parse_meta_robots(html) -> tuple:
+    """(noindex, nofollow) from raw html bytes/str — the sequential
+    twin of :func:`meta_robots` (identical regexes and directive
+    grammar; used by crawl/simulator.py for parity tests)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", "replace")
+    toks = set()
+    for rx in _PY_ROBOTS_RES:
+        for content in rx.findall(html or ""):
+            toks.update(t.strip().lower() for t in content.split(","))
+    return (
+        bool(toks & {"noindex", "none"}),
+        bool(toks & {"nofollow", "none"}),
+    )
