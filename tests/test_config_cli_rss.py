@@ -597,3 +597,19 @@ class TestShowVacuumCli:
         )
         assert vac.exit_code == 0, vac.output
         assert _json.loads(vac.output.strip().splitlines()[-1])["kept"] == 1
+
+
+class TestMetaRobotsConfig:
+    def test_yaml_key_binds_and_defaults_off(self):
+        base = {"scraper": {"type": "content", "urls": ["https://x.org/a"]}}
+        assert cfg_mod.bind_job(base).crawl_config().respect_meta_robots is False
+        on = {
+            "scraper": {
+                "type": "content",
+                "urls": ["https://x.org/a"],
+                "respect_meta_robots": True,
+            }
+        }
+        job = cfg_mod.bind_job(on)
+        assert job.respect_meta_robots is True
+        assert job.crawl_config().respect_meta_robots is True

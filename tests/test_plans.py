@@ -295,3 +295,37 @@ class TestRound2BanditLexiconZorderPlans:
         plan = _plan(spark, "cdc_dedup")
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial" in plan.lower()
+
+    def test_meta_robots_zero_shuffle_no_udf(self, spark):
+        # directive parsing is regexp_extract_all + array HOFs folded
+        # into one projection: no Exchange, no Join, no Python
+        plan = _plan(spark, "meta_robots")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_nofollow_links_zero_join_no_udf(self, spark):
+        # anchor collection + per-tag href/rel pulls are HOFs over one
+        # regexp_extract_all; the only wide op is the output ordering
+        plan = _plan(spark, "nofollow_links")
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_host_split_zero_shuffle(self, spark):
+        # the split is a pure function of the host string: projection
+        # only — no Exchange, no Join, no Window, no Python
+        plan = _plan(spark, "host_split")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_trustrank_seed_flag_is_column_not_join(self, spark):
+        # the per-iteration teleport base is a multiply on the carried
+        # 0/1 seed flag — after the one-time flag build there must be
+        # exactly `iters` rank-contribution joins plus the single flag
+        # join, never a per-iteration seeds join (2×iters would betray
+        # a join-per-iteration regression); no all-pairs anywhere
+        plan = _plan(spark, "link_trustrank")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -133,6 +133,9 @@ class BoundJob:
     #: extraction, land in seen as "dup"; yaml key
     #: ``scraper.content_seen``
     content_seen: bool = False
+    #: REP robots meta directives (noindex drops extraction rows,
+    #: nofollow drops outlinks); yaml key ``scraper.respect_meta_robots``
+    respect_meta_robots: bool = False
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -149,6 +152,7 @@ class BoundJob:
             seen_filter=self.seen_filter,
             pld_budget=self.pld_budget,
             content_seen_filter=self.content_seen,
+            respect_meta_robots=self.respect_meta_robots,
         )
 
 
@@ -210,6 +214,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
             else None
         ),
         content_seen=bool(scraper.get("content_seen", False)),
+        respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
     )
     if common["seen_filter"] not in ("bloom", "cuckoo"):
         raise ConfigError(
