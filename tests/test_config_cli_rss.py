@@ -613,3 +613,28 @@ class TestMetaRobotsConfig:
         job = cfg_mod.bind_job(on)
         assert job.respect_meta_robots is True
         assert job.crawl_config().respect_meta_robots is True
+
+
+class TestMaxOutlinksConfig:
+    def test_yaml_key_binds_and_validates(self):
+        on = {
+            "scraper": {
+                "type": "content",
+                "urls": ["https://x.org/a"],
+                "max_outlinks": 5,
+            }
+        }
+        assert cfg_mod.bind_job(on).crawl_config().max_outlinks_per_page == 5
+        base = {"scraper": {"type": "content", "urls": ["https://x.org/a"]}}
+        assert cfg_mod.bind_job(base).crawl_config().max_outlinks_per_page is None
+        bad = {
+            "scraper": {
+                "type": "content",
+                "urls": ["https://x.org/a"],
+                "max_outlinks": 0,
+            }
+        }
+        import pytest as _pytest
+
+        with _pytest.raises(cfg_mod.ConfigError):
+            cfg_mod.bind_job(bad)

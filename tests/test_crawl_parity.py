@@ -928,3 +928,35 @@ def test_meta_robots_parity(spark, tmp_path):
         [u for u in noindex if engine_seen.get(u) == "ok"]
     )
     assert sum(m.get("nofollow_pages", 0) for m in crawl_epochs) == 1
+
+
+def test_max_outlinks_cap_parity(spark, tmp_path):
+    """Heritrix-style maxOutlinks: links at on-page discovery position
+    >= cap never enter the frontier. Engine and simulator implement the
+    same position-cap rule — seen sets must match, and fewer pages are
+    visited than an uncapped crawl."""
+    cap = 3
+    cfg = CrawlConfig(max_outlinks_per_page=cap)
+    store = SnapshotStore(str(tmp_path / "cap-store"))
+    pages = pages_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots_dataframe(spark, SPEC), cfg)
+    engine.init(_seeds())
+    engine.run(max_epochs=30)
+    sim_r = simulate_crawl(
+        _pages_map(),
+        _seeds(),
+        robots_rules(SPEC),
+        max_depth=cfg.max_depth,
+        max_outlinks_per_page=cap,
+    )
+    engine_seen = {r["url"]: r["status"] for r in engine.seen().collect()}
+    assert engine_seen == sim_r.seen
+    # the cap actually bit: an uncapped crawl sees strictly more urls
+    uncapped = simulate_crawl(
+        _pages_map(), _seeds(), robots_rules(SPEC), max_depth=cfg.max_depth
+    )
+    assert len(sim_r.seen) < len(uncapped.seen)
+    # and ordering parity still holds under the cap
+    rows = engine.seen().filter("status = 'ok'").select("url", "ord_key").collect()
+    engine_order = [r["url"] for r in sorted(rows, key=lambda r: r["ord_key"])]
+    assert engine_order == sim_r.visit_order

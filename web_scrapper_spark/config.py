@@ -136,6 +136,8 @@ class BoundJob:
     #: REP robots meta directives (noindex drops extraction rows,
     #: nofollow drops outlinks); yaml key ``scraper.respect_meta_robots``
     respect_meta_robots: bool = False
+    #: Heritrix maxOutlinks position cap; yaml key ``scraper.max_outlinks``
+    max_outlinks: Optional[int] = None
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -153,6 +155,7 @@ class BoundJob:
             pld_budget=self.pld_budget,
             content_seen_filter=self.content_seen,
             respect_meta_robots=self.respect_meta_robots,
+            max_outlinks_per_page=self.max_outlinks,
         )
 
 
@@ -215,6 +218,11 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         ),
         content_seen=bool(scraper.get("content_seen", False)),
         respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
+        max_outlinks=(
+            int(scraper["max_outlinks"])
+            if scraper.get("max_outlinks") is not None
+            else None
+        ),
     )
     if common["seen_filter"] not in ("bloom", "cuckoo"):
         raise ConfigError(
@@ -222,6 +230,8 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         )
     if common["pld_budget"] is not None and common["pld_budget"] < 1:
         raise ConfigError("scraper.pld_budget must be a positive integer")
+    if common["max_outlinks"] is not None and common["max_outlinks"] < 1:
+        raise ConfigError("scraper.max_outlinks must be a positive integer")
     job = BoundJob(**common)
     if stype == "ecommerce":
         job.ecommerce = EcommerceConfig(

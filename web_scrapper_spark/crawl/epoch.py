@@ -180,6 +180,14 @@ class CrawlConfig:
     # tag). The sequential simulator implements the same semantics
     # behind the same flag, so parity is testable.
     respect_meta_robots: bool = False
+    # Heritrix-style per-page outlink cap (maxOutlinks): drop any
+    # discovered link whose on-page discovery position (item_pos) is
+    # >= this cap. A link-farm page minting 10^5 anchors otherwise
+    # floods the frontier with one fetch; position-cap semantics (not
+    # "first K surviving links") keep the rule a zero-shuffle per-row
+    # predicate — no window over src_url — and make it independent of
+    # any other gate's outcome. None = off (reference parity).
+    max_outlinks_per_page: Optional[int] = None
     # S2/S3: request-metadata policy (UA rotation, session affinity,
     # proxy stickiness, headers) attached to each fetch batch as
     # deterministic columns; None = no metadata columns
@@ -866,6 +874,11 @@ class CrawlEngine:
             # REP nofollow: flagged pages contribute no outlinks
             link_rows = link_rows.join(
                 F.broadcast(nofollow_src), "src_url", "left_anti"
+            )
+        if link_rows is not None and cfg.max_outlinks_per_page is not None:
+            # Heritrix maxOutlinks: per-row position predicate, no window
+            link_rows = link_rows.filter(
+                F.col("item_pos") < cfg.max_outlinks_per_page
             )
         n_links = link_rows.count() if link_rows is not None else 0
         new_frontier_rows = None

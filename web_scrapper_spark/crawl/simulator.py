@@ -63,6 +63,7 @@ def simulate_crawl(
     ecommerce_cfg: Optional[EcommerceConfig] = None,
     business_cfg: Optional[BusinessConfig] = None,
     respect_meta_robots: bool = False,
+    max_outlinks_per_page=None,
 ) -> SimResult:
     content_cfg = content_cfg or ContentConfig(
         selectors={}, follow_next_page=True, max_pages=10**6
@@ -151,7 +152,12 @@ def simulate_crawl(
         for pos, item, fetch_full in listing_rows:
             merged = dict(item)
             merge_kind = "listing"
-            if item.get("url") and fetch_full and not nofollow:
+            if (
+                item.get("url")
+                and fetch_full
+                and not nofollow
+                and (max_outlinks_per_page is None or pos < max_outlinks_per_page)
+            ):
                 child = canonicalize_url(item["url"])
                 if allowed(child):
                     child_key = f"{ord_key}/{str(pos).zfill(POS_PAD)}"
@@ -188,6 +194,7 @@ def simulate_crawl(
             and content_cfg.max_pages > 1
             and listing_rows
             and not nofollow
+            and (max_outlinks_per_page is None or next_pos < max_outlinks_per_page)
         ):
             next_url = find_next_page(root, url)
             if next_url:
