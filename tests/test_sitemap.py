@@ -228,3 +228,97 @@ class TestSitemapWriter:
         df = spark.createDataFrame([("https://x/",)], "url string")
         with _pytest.raises(ValueError):
             write_sitemap(df, str(tmp_path / "z"), "https://x", max_per_file=0)
+
+
+class TestSitemapSeeding:
+    """CrawlEngine.init_from_sitemaps — production cold-start path."""
+
+    def _pages(self, spark):
+        import datetime as dt
+
+        from web_scrapper_spark.fixtures import SiteSpec, all_urls, page_html
+        from web_scrapper_spark.fixtures.sitegen import PAGES_SCHEMA
+        from web_scrapper_spark.frontier.sitemap import build_sitemap_xml
+
+        spec = SiteSpec()
+        pm = {u: page_html(u, spec).encode("utf-8") for u in all_urls(spec)}
+        h0 = "https://host0.example-crawl.org"
+        h1 = "https://host1.example-crawl.org"
+        # host0: default-path sitemap INDEX → child at a non-default path
+        pm[f"{h0}/sitemap.xml"] = build_sitemap_xml(
+            [{"url": f"{h0}/maps/a.xml"}], kind="sitemap"
+        )
+        pm[f"{h0}/maps/a.xml"] = build_sitemap_xml(
+            [
+                {"url": f"{h0}/blog/post-1", "priority_ppm": 900_000},
+                {"url": f"{h0}/blog/post-2", "priority_ppm": 100_000},
+            ]
+        )
+        # host1: sitemap declared ONLY via robots Sitemap: line
+        pm[f"{h1}/maps/m1.xml"] = build_sitemap_xml(
+            [{"url": f"{h1}/blog/post-1"}]
+        )
+        rows = [
+            (u, dt.datetime(2025, 1, 1), h, None, None) for u, h in pm.items()
+        ]
+        return spark.createDataFrame(rows, PAGES_SCHEMA), spec
+
+    def _robots(self, spark, spec):
+        from web_scrapper_spark.fixtures import robots_rules
+
+        rows = [
+            (
+                r["host"],
+                r["disallow_prefixes"],
+                r["crawl_delay"],
+                ["https://host1.example-crawl.org/maps/m1.xml"]
+                if r["host"] == "host1.example-crawl.org"
+                else [],
+            )
+            for r in robots_rules(spec)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "host string, disallow_prefixes array<string>, "
+            "crawl_delay double, sitemaps array<string>",
+        )
+
+    def test_seeds_entries_with_priority_order(self, spark, tmp_path):
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        pages, spec = self._pages(spark)
+        store = SnapshotStore(str(tmp_path / "sm-store"))
+        engine = CrawlEngine(
+            spark, store, pages, self._robots(spark, spec), CrawlConfig()
+        )
+        rounds = engine.init_from_sitemaps(
+            extra_seeds=[("https://host2.example-crawl.org/blog", "content")]
+        )
+        assert rounds == 1  # one index recursion (host0 child)
+        frontier = {
+            r["url"]: r["ord_key"]
+            for r in engine.frontier().select("url", "ord_key").collect()
+        }
+        h0 = "https://host0.example-crawl.org"
+        h1 = "https://host1.example-crawl.org"
+        assert f"{h0}/blog/post-1" in frontier
+        assert f"{h0}/blog/post-2" in frontier
+        assert f"{h1}/blog/post-1" in frontier
+        assert "https://host2.example-crawl.org/blog" in frontier
+        # priority 0.9 dequeues before default 0.5 before 0.1;
+        # explicit extra seeds come last (z-prefixed)
+        assert frontier[f"{h0}/blog/post-1"] < frontier[f"{h1}/blog/post-1"]
+        assert frontier[f"{h1}/blog/post-1"] < frontier[f"{h0}/blog/post-2"]
+        assert frontier[f"{h0}/blog/post-2"] < frontier[
+            "https://host2.example-crawl.org/blog"
+        ]
+        # the crawl actually proceeds from sitemap seeds
+        results = engine.run(max_epochs=30)
+        assert results[-1]["done"]
+        seen = {r["url"]: r["status"] for r in engine.seen().collect()}
+        assert seen.get(f"{h0}/blog/post-1") == "ok"
+        assert seen.get(f"{h1}/blog/post-1") == "ok"
+        # sitemap documents themselves were never enqueued
+        assert f"{h0}/sitemap.xml" not in seen
+        assert f"{h0}/maps/a.xml" not in seen

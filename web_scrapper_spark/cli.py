@@ -99,8 +99,12 @@ def _engine_from_config(
 @click.option("--robots", type=str, default="none",
               help="'none', 'from-pages' (parse /robots.txt bodies in the "
                    "pages table), or a parquet path of rules")
+@click.option("--seed-sitemaps", is_flag=True, default=False,
+              help="cold-start from sitemap.xml pages in the pages table "
+                   "(plus robots Sitemap: declarations); config urls are "
+                   "appended as extra seeds")
 def scrape(config_path, pages_path, store_dir, output_path, output_format,
-           max_epochs, epoch_seconds, cpus, robots) -> None:
+           max_epochs, epoch_seconds, cpus, robots, seed_sitemaps) -> None:
     """Run a crawl job to completion and write the extracted items."""
     from .sources import write_any
 
@@ -109,7 +113,12 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
         engine, job = _engine_from_config(
             spark, config_path, pages_path, store_dir, epoch_seconds, robots
         )
-        engine.init(job.seeds)
+        if seed_sitemaps:
+            engine.init_from_sitemaps(
+                stype=job.stype, extra_seeds=job.seeds
+            )
+        else:
+            engine.init(job.seeds)
         results = engine.run(max_epochs=max_epochs)
         out_df = {
             "content": engine.articles,

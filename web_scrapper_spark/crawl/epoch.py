@@ -72,6 +72,7 @@ from ..frontier.bloom import (
 )
 from ..frontier.core import (
     POS_PAD,
+    SEED_PAD,
     SEEN_SCHEMA,
     dequeue_ranked,
     first_discovery_wins,
@@ -80,6 +81,7 @@ from ..frontier.core import (
     with_frontier_columns,
 )
 from ..frontier.store import SnapshotStore
+from ..urlutils import canonicalize_url
 from .fetchpolicy import FetchPolicy, with_fetch_metadata
 from ..operators.udfs import (
     extract_businesses_df,
@@ -290,6 +292,91 @@ class CrawlEngine:
         ssnap = self.store.commit("seen", empty_seen, epoch=-1)
         self.store.commit_epoch(-1, {"frontier_base": fsnap, "seen": ssnap}, {})
         self._epoch = -1
+
+    def init_from_sitemaps(
+        self,
+        stype: str = "content",
+        max_index_rounds: int = 3,
+        default_priority_ppm: int = 500_000,
+        extra_seeds: Optional[List[tuple]] = None,
+    ) -> int:
+        """Sitemap-driven seeding (the production cold-start path —
+        Google/Bing crawlers bootstrap from sitemaps, not link walks):
+
+        1. sitemap locations = default paths (/sitemap.xml[.gz]) plus
+           any ``Sitemap:`` declarations in the robots table
+           (frontier/robots.discover_sitemaps);
+        2. parse them with the Arrow sitemap stage
+           (frontier/sitemap.sitemap_candidates) — ``kind='url'`` rows
+           become seeds, ``kind='sitemap'`` rows (sitemap INDEXES)
+           recurse for up to ``max_index_rounds``;
+        3. seed the frontier fully distributed (init_from_df — entry
+           urls never materialize on the driver; only the tiny child-
+           sitemap lists do, bounded by sites × index fan-out).
+
+        Dequeue order: sitemap ``priority`` first (descending, absent →
+        ``default_priority_ppm``), then document position — encoded in
+        ``ord_key`` so the existing deterministic dequeue needs no new
+        machinery. ``extra_seeds`` = [(url, stype)] appended after all
+        sitemap entries (ord_key-prefixed later), for mixed seeding.
+        Returns the number of child-sitemap recursion rounds actually
+        run (diagnostics).
+        """
+        from ..frontier.sitemap import sitemap_candidates
+
+        declared = None
+        if self.robots is not None and "sitemaps" in self.robots.columns:
+            from ..frontier.robots import discover_sitemaps
+
+            declared = discover_sitemaps(self.robots).select("url")
+        entries = sitemap_candidates(self.pages, sitemap_urls=declared).persist()
+        urls = entries.filter(F.col("kind") == "url")
+        children = entries.filter(F.col("kind") == "sitemap").select("url")
+        parsed = {r["src_url"] for r in entries.select("src_url").distinct().collect()}
+        rounds = 0
+        while rounds < max_index_rounds:
+            todo = [r["url"] for r in children.distinct().collect() if r["url"] not in parsed]
+            if not todo:
+                break
+            rounds += 1
+            child_df = self.spark.createDataFrame([(u,) for u in todo], "url string")
+            more = sitemap_candidates(
+                self.pages, path_suffixes=(), sitemap_urls=child_df
+            ).persist()
+            parsed.update(todo)
+            urls = urls.unionByName(more.filter(F.col("kind") == "url"))
+            children = more.filter(F.col("kind") == "sitemap").select("url")
+        seeds_df = urls.select(
+            canonical_url_col("url").alias("url"),
+            F.lit(stype).alias("stype"),
+            F.lit(0).alias("depth"),
+            F.concat(
+                F.lpad(
+                    (
+                        F.lit(1_000_000)
+                        - F.coalesce(
+                            F.col("priority_ppm"), F.lit(default_priority_ppm)
+                        )
+                    ).cast("string"),
+                    7,
+                    "0",
+                ),
+                F.lit("/"),
+                F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
+            ).alias("ord_key"),
+        ).dropDuplicates(["url"])
+        if extra_seeds:
+            extra_df = self.spark.createDataFrame(
+                [
+                    (canonicalize_url(u), st, 0, f"z{str(i).zfill(SEED_PAD)}")
+                    for i, (u, st) in enumerate(extra_seeds)
+                ],
+                "url string, stype string, depth int, ord_key string",
+            )
+            seeds_df = seeds_df.unionByName(extra_df).dropDuplicates(["url"])
+        self.init_from_df(seeds_df)
+        entries.unpersist()
+        return rounds
 
     @classmethod
     def resume(

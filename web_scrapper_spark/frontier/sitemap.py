@@ -139,7 +139,7 @@ def sitemap_candidates(
     path = F.parse_url(F.col(url_col), F.lit("PATH"))
     src = pages.select(
         F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
-    ).filter(path.isin(*path_suffixes))
+    ).filter(path.isin(*path_suffixes) if path_suffixes else F.lit(False))
     if sitemap_urls is not None:
         extra = pages.select(
             F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
