@@ -329,23 +329,32 @@ class CrawlEngine:
             from ..frontier.robots import discover_sitemaps
 
             declared = discover_sitemaps(self.robots).select("url")
+        # the recursion state (parsed sitemap set, pending children) is
+        # kept DISTRIBUTED — at 10^8 hosts the sitemap lists are far too
+        # big for the driver; the only driver-side values are counts.
+        # sitemap_candidates broadcasts the child list into its pages
+        # semi-join, which is bounded by hosts × index fan-out per
+        # round, the same class as the robots broadcast.
         entries = sitemap_candidates(self.pages, sitemap_urls=declared).persist()
         urls = entries.filter(F.col("kind") == "url")
-        children = entries.filter(F.col("kind") == "sitemap").select("url")
-        parsed = {r["src_url"] for r in entries.select("src_url").distinct().collect()}
+        children = entries.filter(F.col("kind") == "sitemap").select("url").distinct()
+        parsed = entries.select(F.col("src_url").alias("url")).distinct()
         rounds = 0
         while rounds < max_index_rounds:
-            todo = [r["url"] for r in children.distinct().collect() if r["url"] not in parsed]
-            if not todo:
+            todo = children.join(parsed, "url", "left_anti").persist()
+            if todo.count() == 0:
+                todo.unpersist()
                 break
             rounds += 1
-            child_df = self.spark.createDataFrame([(u,) for u in todo], "url string")
             more = sitemap_candidates(
-                self.pages, path_suffixes=(), sitemap_urls=child_df
+                self.pages, path_suffixes=(), sitemap_urls=todo
             ).persist()
-            parsed.update(todo)
+            parsed = parsed.unionByName(todo).distinct().localCheckpoint(eager=True)
+            todo.unpersist()
             urls = urls.unionByName(more.filter(F.col("kind") == "url"))
-            children = more.filter(F.col("kind") == "sitemap").select("url")
+            children = (
+                more.filter(F.col("kind") == "sitemap").select("url").distinct()
+            )
         seeds_df = urls.select(
             canonical_url_col("url").alias("url"),
             F.lit(stype).alias("stype"),
