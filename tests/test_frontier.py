@@ -538,6 +538,43 @@ class TestHostPriorityDequeue:
         )
         assert [r["host"] for r in batch.collect()] == ["hub.org"]
 
+    def test_trustrank_feeds_dequeue_demoting_spam(self, spark):
+        """End-to-end spam demotion: a link farm unreachable from the
+        trusted seeds holds trust 0, so a capped epoch's budget goes to
+        the trusted side of the graph — the TrustRank paper's crawl
+        use, through the same host_priority seam as pagerank."""
+        from web_scrapper_spark.operators.graph import host_edges, trustrank
+
+        links = spark.createDataFrame(
+            # trusted.org → good.org; farm{0,1}.org link only each other
+            [("https://trusted.org/x", "https://good.org/y"),
+             ("https://farm0.org/a", "https://farm1.org/b"),
+             ("https://farm1.org/b", "https://farm0.org/a"),
+             ("https://farm0.org/a", "https://farm0.org/c")],
+            "src_url string, url string",
+        )
+        seeds_df = spark.createDataFrame([("trusted.org",)], "node string")
+        ranks = trustrank(
+            host_edges(links), seeds_df, num_iters=10
+        ).withColumnRenamed("node", "host")
+        trust = {r["host"]: r["rank"] for r in ranks.collect()}
+        assert trust["farm0.org"] == 0 and trust["farm1.org"] == 0
+        assert trust["good.org"] > 0
+        seeds = [
+            ("https://farm0.org/p", "content"),
+            ("https://farm1.org/p", "content"),
+            ("https://good.org/p", "content"),
+            ("https://trusted.org/p", "content"),
+        ]
+        frontier = seeds_frontier(spark, seeds)
+        batch = dequeue(
+            frontier, None, epoch_seconds=8.0, default_delay=2.0,
+            global_budget=2, host_priority=ranks,
+        )
+        assert sorted(r["host"] for r in batch.collect()) == [
+            "good.org", "trusted.org"
+        ]
+
 
 class TestSitemapDiscoveryAndRecrawl:
     def test_discover_sitemaps_explodes_rules(self, spark):
