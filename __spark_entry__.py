@@ -4106,6 +4106,83 @@ _NOFOLLOW_LINKS_ORACLE = """
 """
 
 
+def _set_join_inputs(spark, sf_dir):
+    """Shared fixture for the set joins: corpus token sets = sorted
+    distinct A1 tokens per document; query sets = the 3 alphabetically
+    smallest tokens of every doc_id % 100 == 0 document."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(_tx.tokens_col(F.col("text"))))
+    corpus = docs.select("doc_id", toks.alias("tokens"))
+    queries = corpus.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("tokens", 1, 3).alias("tokens")
+    )
+    return queries, corpus
+
+
+def _q_set_containment(spark, sf_dir):
+    """Set-containment join (operators/setjoin.py — LCJoin ICDE 2019
+    least-frequent-element rule): candidates come from ONE inverted
+    list per query (its globally rarest token), verification is a
+    native forall/array_contains over candidates only — never the
+    all-pairs membership test. The oracle re-walks the relation as the
+    direct quadratic containment predicate in DuckDB, so the hash
+    match proves the probe+verify plan exactly equals the naive
+    semantics."""
+    from web_scrapper_spark.operators.setjoin import set_containment_join
+
+    queries, corpus = _set_join_inputs(spark, sf_dir)
+    return set_containment_join(queries, corpus).orderBy("query_id", "doc_id")
+
+
+_SET_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS_SQL})) AS ts
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS query_id, ts[1:3] AS qs
+      FROM toks WHERE doc_id % 100 = 0
+    )
+    SELECT q.query_id, t.doc_id
+    FROM q, toks t
+    WHERE len(q.qs) > 0
+      AND len(list_filter(q.qs, x -> NOT list_contains(t.ts, x))) = 0
+    ORDER BY query_id, doc_id
+"""
+
+
+def _q_set_overlap(spark, sf_dir):
+    """Set-overlap join (operators/setjoin.py — PPJoin-family prefix
+    filter): order tokens by global (df, token); a doc missing ALL of
+    a query's first |q|−t+1 tokens in that order cannot reach overlap
+    t, so only those posting lists are probed; the exact overlap is a
+    native array_intersect on candidates. Oracle = the quadratic
+    intersection predicate in DuckDB."""
+    from web_scrapper_spark.operators.setjoin import set_overlap_join
+
+    queries, corpus = _set_join_inputs(spark, sf_dir)
+    return set_overlap_join(queries, corpus, min_overlap=2).orderBy(
+        "query_id", "doc_id"
+    )
+
+
+_SET_OVERLAP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS_SQL})) AS ts
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS query_id, ts[1:3] AS qs
+      FROM toks WHERE doc_id % 100 = 0
+    )
+    SELECT q.query_id, t.doc_id,
+           CAST(len(list_intersect(q.qs, t.ts)) AS INT) AS overlap
+    FROM q, toks t
+    WHERE len(list_intersect(q.qs, t.ts)) >= 2
+    ORDER BY query_id, doc_id
+"""
+
+
 def _q_host_split(spark, sf_dir):
     """Leakage-safe host-grain train/val/test split (operators/
     sampling.py host_split): every row of a host lands in one split by
@@ -4541,6 +4618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": _q_meta_robots,
         "nofollow_links": _q_nofollow_links,
         "host_split": _q_host_split,
+        "set_containment": _q_set_containment,
+        "set_overlap": _q_set_overlap,
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "crawl_diff": _q_crawl_diff,
@@ -5558,6 +5637,8 @@ def oracle_sql() -> dict[str, str]:
         "meta_robots": _META_ROBOTS_ORACLE,
         "nofollow_links": _NOFOLLOW_LINKS_ORACLE,
         "host_split": _HOST_SPLIT_ORACLE,
+        "set_containment": _SET_CONTAINMENT_ORACLE,
+        "set_overlap": _SET_OVERLAP_ORACLE,
         "main_content": _main_content_oracle_sql(),
         "host_boilerplate": _host_boilerplate_oracle_sql(),
         "jsonld_extract": _jsonld_oracle_sql(),

@@ -2829,3 +2829,138 @@ class TestMetaRobots:
             r["src_url"] for r in gate_nofollow_outlinks(links, flags).collect()
         )
         assert kept_links == ["u1", "u2"]
+
+
+class TestSetJoins:
+    """operators/setjoin.py — containment + overlap set joins."""
+
+    def _dfs(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, ["a", "b", "c"]),
+                (2, ["b", "c"]),
+                (3, ["a", "b", "c", "d"]),
+                (4, ["x", "y"]),
+                (5, ["a"]),
+                (6, []),
+            ],
+            "doc_id long, tokens array<string>",
+        )
+        queries = spark.createDataFrame(
+            [
+                (10, ["a", "b"]),
+                (11, ["b", "c"]),
+                (12, ["zzz"]),
+                (13, []),
+                (14, ["x", "y"]),
+            ],
+            "query_id long, tokens array<string>",
+        )
+        return queries, corpus
+
+    def _brute(self, queries, corpus, pred):
+        out = set()
+        for qid, qs in queries:
+            for cid, cs in corpus:
+                if qs and pred(set(qs), set(cs)):
+                    out.add((qid, cid))
+        return out
+
+    _CORPUS = [
+        (1, ["a", "b", "c"]), (2, ["b", "c"]), (3, ["a", "b", "c", "d"]),
+        (4, ["x", "y"]), (5, ["a"]), (6, []),
+    ]
+    _QUERIES = [
+        (10, ["a", "b"]), (11, ["b", "c"]), (12, ["zzz"]), (13, []),
+        (14, ["x", "y"]),
+    ]
+
+    def test_containment_matches_brute_force(self, spark):
+        from web_scrapper_spark.operators.setjoin import set_containment_join
+
+        q, c = self._dfs(spark)
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in set_containment_join(q, c).collect()
+        }
+        want = self._brute(self._QUERIES, self._CORPUS, lambda a, b: a <= b)
+        assert got == want
+        assert (10, 1) in got and (10, 3) in got and (14, 4) in got
+        assert not any(qid == 12 for qid, _ in got)  # absent token
+        assert not any(qid == 13 for qid, _ in got)  # empty query
+
+    def test_overlap_matches_brute_force(self, spark):
+        from web_scrapper_spark.operators.setjoin import set_overlap_join
+
+        q, c = self._dfs(spark)
+        rows = set_overlap_join(q, c, min_overlap=2).collect()
+        got = {(r["query_id"], r["doc_id"]): r["overlap"] for r in rows}
+        want = {
+            (qid, cid)
+            for qid, cid in self._brute(
+                self._QUERIES, self._CORPUS, lambda a, b: len(a & b) >= 2
+            )
+        }
+        assert set(got) == want
+        for (qid, cid), ov in got.items():
+            qs = dict(self._QUERIES)[qid]
+            cs = dict(self._CORPUS)[cid]
+            assert ov == len(set(qs) & set(cs))
+
+    def test_overlap_threshold_unreachable_short_query(self, spark):
+        from web_scrapper_spark.operators.setjoin import set_overlap_join
+
+        q, c = self._dfs(spark)
+        rows = set_overlap_join(q, c, min_overlap=3).collect()
+        # only query sets with >= 3 distinct tokens can qualify; none
+        # here share 3 tokens with any doc except none at all
+        assert rows == []
+
+    def test_duplicate_tokens_in_sets_are_harmless(self, spark):
+        from web_scrapper_spark.operators.setjoin import (
+            set_containment_join,
+            set_overlap_join,
+        )
+
+        q = spark.createDataFrame(
+            [(1, ["a", "a", "b"])], "query_id long, tokens array<string>"
+        )
+        c = spark.createDataFrame(
+            [(7, ["b", "a", "b"])], "doc_id long, tokens array<string>"
+        )
+        assert set_containment_join(q, c).count() == 1
+        r = set_overlap_join(q, c, min_overlap=2).collect()[0]
+        assert r["overlap"] == 2
+
+    def test_randomized_brute_force_parity(self, spark):
+        import random
+
+        from web_scrapper_spark.operators.setjoin import (
+            set_containment_join,
+            set_overlap_join,
+        )
+
+        rng = random.Random(42)
+        vocab = [f"t{i}" for i in range(20)]
+        corpus = [
+            (i, sorted(rng.sample(vocab, rng.randint(0, 8))))
+            for i in range(60)
+        ]
+        queries = [
+            (100 + i, sorted(rng.sample(vocab, rng.randint(1, 4))))
+            for i in range(15)
+        ]
+        cdf = spark.createDataFrame(corpus, "doc_id long, tokens array<string>")
+        qdf = spark.createDataFrame(queries, "query_id long, tokens array<string>")
+        got_c = {
+            (r["query_id"], r["doc_id"])
+            for r in set_containment_join(qdf, cdf).collect()
+        }
+        assert got_c == self._brute(queries, corpus, lambda a, b: a <= b)
+        got_o = {
+            (r["query_id"], r["doc_id"])
+            for r in set_overlap_join(qdf, cdf, min_overlap=2).collect()
+        }
+        assert got_o == self._brute(
+            queries, corpus, lambda a, b: len(a & b) >= 2
+        )

@@ -329,3 +329,12 @@ class TestRound2BanditLexiconZorderPlans:
         plan = _plan(spark, "link_trustrank")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_set_joins_never_all_pairs(self, spark):
+        # candidates come from posting-list probes (rarest token /
+        # prefix filter) — the quadratic membership test must never
+        # appear as a physical plan
+        for name in ("set_containment", "set_overlap"):
+            plan = _plan(spark, name)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
