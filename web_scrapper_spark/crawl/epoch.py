@@ -336,6 +336,7 @@ class CrawlEngine:
         # semi-join, which is bounded by hosts × index fan-out per
         # round, the same class as the robots broadcast.
         entries = sitemap_candidates(self.pages, sitemap_urls=declared).persist()
+        to_unpersist = [entries]
         urls = entries.filter(F.col("kind") == "url")
         children = entries.filter(F.col("kind") == "sitemap").select("url").distinct()
         parsed = entries.select(F.col("src_url").alias("url")).distinct()
@@ -349,6 +350,7 @@ class CrawlEngine:
             more = sitemap_candidates(
                 self.pages, path_suffixes=(), sitemap_urls=todo
             ).persist()
+            to_unpersist.append(more)
             parsed = parsed.unionByName(todo).distinct().localCheckpoint(eager=True)
             todo.unpersist()
             urls = urls.unionByName(more.filter(F.col("kind") == "url"))
@@ -384,7 +386,8 @@ class CrawlEngine:
             )
             seeds_df = seeds_df.unionByName(extra_df).dropDuplicates(["url"])
         self.init_from_df(seeds_df)
-        entries.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
         return rounds
 
     @classmethod
