@@ -130,6 +130,26 @@ class TestShardedCuckoo:
             if s not in delta_shards:
                 assert out.shards[s].to_bytes() == raw
 
+    def test_delta_fp_collision_then_delete_keeps_base_key(self, spark):
+        """Delta inserts must be UNCONDITIONAL: keys 13 and 39906 share
+        a fingerprint and bucket pair in an 8-bucket table, so a
+        might_contain pre-check would skip inserting 39906 (false
+        positive from 13's copy). Deleting 39906 later — it IS in the
+        seen set, satisfying the eviction contract — would then strip
+        13's only fingerprint and manufacture a false negative."""
+        a, b = 13, 39906
+        filt = ck.build_sharded_cuckoo(
+            self._df(spark, np.array([a])), "url_hash", 1, 1, n_buckets=8
+        )
+        # sanity: the pair really collides (b probes true before insert)
+        assert filt.might_contain_many(np.array([b])).all()
+        filt = ck.add_delta_sharded(filt, self._df(spark, np.array([b])), "url_hash")
+        filt.delete_many(np.array([b]))
+        # the base key keeps its own copy — no false negative; (b may
+        # still probe true through a's surviving copy: false positives
+        # are allowed, false negatives never)
+        assert filt.might_contain_many(np.array([a])).all()
+
     def test_delete_readmits_urls(self, spark):
         keys = _keys(2000)
         filt = ck.build_sharded_cuckoo(

@@ -173,6 +173,29 @@ class TestSnapshotStore:
         assert removed == 2
         assert store.read(spark, "t").count() == 4  # latest still readable
 
+    def test_expire_refuses_committed_append_deltas(self, spark, tmp_path):
+        """Append-table snapshots referenced by committed epochs are
+        LIVE (the table is their union): vacuuming them must refuse
+        without force, and a forced expiry must make read_committed
+        fail loudly instead of silently serving a truncated union."""
+        store = SnapshotStore(str(tmp_path / "store"))
+        for e in range(3):
+            s = store.commit("seen", spark.range(e + 1), epoch=e, mode="append")
+            store.commit_epoch(e, {"seen": s}, {})
+        with pytest.raises(ValueError, match="live data"):
+            store.expire_snapshots("seen", keep_last=1)
+        assert store.read_committed(spark, "seen").count() == 6
+        # orphan append snapshot (no committing epoch) is expirable
+        store.commit("orphan", spark.range(1), epoch=9, mode="append")
+        store.commit("orphan", spark.range(1), epoch=10, mode="append")
+        assert store.expire_snapshots("orphan", keep_last=1) == 1
+        # forced expiry: committed readers refuse loudly...
+        store.expire_snapshots("seen", keep_last=1, force=True)
+        with pytest.raises(KeyError, match="truncated"):
+            store.read_committed(spark, "seen")
+        # ...unless narrowed past the expired range
+        assert store.read_committed(spark, "seen", after_epoch=1).count() == 3
+
     def test_blob_commit_read_expire(self, tmp_path):
         store = SnapshotStore(str(tmp_path / "store"))
         assert store.read_blob("x") is None
@@ -195,6 +218,26 @@ class TestFrontierOps:
         assert rows[1]["stype"] == "ecommerce"
         assert all("#" in r["host_salt"] for r in rows)
         assert all(r["priority"] == 1.0 for r in rows)
+
+    def test_zfill_col_never_truncates(self, spark):
+        """str.zfill semantics: lpad would truncate position 100000 to
+        '10000' — colliding with real position 10000 in ord_key paths."""
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.frontier.core import zfill_col
+
+        r = (
+            spark.range(1)
+            .select(
+                zfill_col(F.lit(123456), 5).alias("wide"),
+                zfill_col(F.lit(42), 5).alias("narrow"),
+                zfill_col(F.lit(99999), 5).alias("exact"),
+            )
+            .collect()[0]
+        )
+        assert (r["wide"], r["narrow"], r["exact"]) == (
+            "123456", "00042", "99999",
+        )
 
     def test_first_discovery_wins(self, spark):
         df = spark.createDataFrame(

@@ -2787,6 +2787,16 @@ class TestMetaRobots:
         h = '<meta name="robots" content="noindexing">'
         assert self._flags(spark, h) == (False, False)
 
+    def test_tab_newline_separated_directives(self, spark):
+        """trim() strips only spaces; the grammar is whitespace-tolerant
+        across tabs/newlines too — and the Spark path must agree with
+        the sequential twin byte-for-byte."""
+        from web_scrapper_spark.operators.structured import parse_meta_robots
+
+        h = '<meta name="robots" content="noindex,\n\tnofollow">'
+        assert self._flags(spark, h) == (True, True)
+        assert parse_meta_robots(h) == (True, True)
+
     def test_nofollow_links_token_exact(self, spark):
         from web_scrapper_spark.operators.structured import nofollow_links
 

@@ -53,6 +53,13 @@ class TestParseSitemap:
         assert parse_sitemap_xml(b"<html><body>nope</body></html>") == []
         assert parse_sitemap_xml(b"\x1f\x8btruncated-gzip") == []
 
+    def test_truncated_gzip_member_yields_empty(self):
+        # valid gzip header but the member is cut off mid-stream
+        # (connection dropped mid-transfer) — raises EOFError from
+        # gzip.decompress, which must be swallowed, not propagated
+        # out of the Arrow parse task
+        assert parse_sitemap_xml(gzip.compress(URLSET)[:-5]) == []
+
 
 class TestSitemapCandidates:
     def test_pages_table_to_candidates(self, spark):
@@ -322,3 +329,55 @@ class TestSitemapSeeding:
         # sitemap documents themselves were never enqueued
         assert f"{h0}/sitemap.xml" not in seen
         assert f"{h0}/maps/a.xml" not in seen
+
+    def test_cross_sitemap_duplicate_is_deterministic(self, spark, tmp_path):
+        """A URL declared by TWO sitemaps (different priorities) seeds
+        exactly once, with the min-ord_key (highest-priority) row —
+        not a partition-order-dependent arbitrary pick."""
+        import datetime as dt
+
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures.sitegen import PAGES_SCHEMA
+        from web_scrapper_spark.frontier.sitemap import build_sitemap_xml
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        h = "https://dup.example-crawl.org"
+        pm = {
+            f"{h}/sitemap.xml": build_sitemap_xml(
+                [{"url": f"{h}/maps/a.xml"}, {"url": f"{h}/maps/b.xml"}],
+                kind="sitemap",
+            ),
+            # same URL in both children, opposite priorities; each
+            # child also pads the shared URL to a different item_pos
+            f"{h}/maps/a.xml": build_sitemap_xml(
+                [
+                    {"url": f"{h}/page", "priority_ppm": 100_000},
+                    {"url": f"{h}/only-a", "priority_ppm": 500_000},
+                ]
+            ),
+            f"{h}/maps/b.xml": build_sitemap_xml(
+                [
+                    {"url": f"{h}/only-b", "priority_ppm": 500_000},
+                    {"url": f"{h}/page", "priority_ppm": 900_000},
+                ]
+            ),
+        }
+        rows = [
+            (u, dt.datetime(2025, 1, 1), blob, None, None)
+            for u, blob in pm.items()
+        ]
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+        expected_key = None
+        for run in range(2):
+            store = SnapshotStore(str(tmp_path / f"dup-store-{run}"))
+            engine = CrawlEngine(spark, store, pages, None, CrawlConfig())
+            engine.init_from_sitemaps()
+            got = engine.frontier().filter(F.col("url") == f"{h}/page")
+            keys = [r["ord_key"] for r in got.collect()]
+            assert len(keys) == 1  # deduped
+            # 0.9 beats 0.1: ord_key starts with 1e6-900000 = 100000
+            assert keys[0].startswith("0100000/")
+            if expected_key is None:
+                expected_key = keys[0]
+            else:
+                assert keys[0] == expected_key  # rerun byte-stable

@@ -88,6 +88,37 @@ class TestStreaming:
         got = {r["host"]: r["pages"] for r in rows}
         assert got == expected
 
+    def test_host_state_epoch_zero_is_a_real_timestamp(self):
+        """Timestamp 0 (the 1970-01-01 sentinel warc.py assigns to
+        unparsable WARC-Dates) is falsy — the state fn must test
+        `is not None`, not truthiness, or epoch-0 hosts emit NaT."""
+        import pandas as pd
+
+        from web_scrapper_spark.streaming.stream import _host_state_fn
+
+        class _FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        pdf = pd.DataFrame(
+            {"warc_ts": [pd.Timestamp("1970-01-01 00:00:00+00:00")]}
+        )
+        out = next(_host_state_fn(("h.org",), iter([pdf]), _FakeState()))
+        assert out["pages"].iloc[0] == 1
+        assert out["first_ts"].iloc[0] == pd.Timestamp(0)
+        assert out["last_ts"].iloc[0] == pd.Timestamp(0)
+
     def test_incremental_extraction_checkpointed(self, spark, paged_dir, tmp_path):
         out_dir = str(tmp_path / "inc")
         query = st.run_incremental_extraction(spark, paged_dir, out_dir)

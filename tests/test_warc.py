@@ -59,6 +59,25 @@ class TestWarcBytes:
         b = build_warc_bytes(_rows(), filename="t.warc.gz")
         assert a == b
 
+    def test_corrupt_bytes_never_raise(self):
+        """A batch ingest skips bad archives instead of dying: truncated
+        gzip members, unparsable/negative Content-Length headers."""
+        data = build_warc_bytes(_rows(), filename="t.warc.gz")
+        # truncated mid-member: whole-file decompress fails → no records
+        assert list(parse_warc_bytes(data[:-9])) == []
+        # non-numeric Content-Length: stop cleanly (cannot resync)
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: xyz\r\n\r\nbody"
+        )
+        assert list(parse_warc_bytes(bad)) == []
+        # negative Content-Length must not walk the cursor backwards
+        neg = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: -5\r\n\r\nbody"
+        )
+        assert list(parse_warc_bytes(neg)) == []
+
     def test_payload_never_scanned_for_delimiters(self):
         # A body containing the record separator sequence must survive
         # because parsing is Content-Length-driven.

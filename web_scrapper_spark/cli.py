@@ -260,14 +260,22 @@ def create_config(stype, out_path) -> None:
 @click.option("--table", default="frontier_base", show_default=True)
 @click.option("--keep", default=4, show_default=True,
               help="snapshots to retain (newest first)")
-def vacuum(store_dir, table, keep) -> None:
+@click.option("--force", is_flag=True, default=False,
+              help="expire committed append-table deltas anyway "
+                   "(TRUNCATES the table for every committed read)")
+def vacuum(store_dir, table, keep, force) -> None:
     """Iceberg-style snapshot maintenance: drop old snapshot data dirs
     of a store table, keeping manifest lineage (paths nulled). Time
-    travel past the retention window then refuses loudly."""
+    travel past the retention window then refuses loudly. Append
+    tables (seen/articles/...) are the union of their committed
+    deltas, so vacuuming them is refused without --force."""
     from .frontier.store import SnapshotStore
 
     store = SnapshotStore(store_dir)
-    removed = store.expire_snapshots(table, keep_last=keep)
+    try:
+        removed = store.expire_snapshots(table, keep_last=keep, force=force)
+    except ValueError as exc:
+        raise click.ClickException(str(exc))
     click.echo(json.dumps({"table": table, "removed": removed, "kept": keep}))
 
 

@@ -79,6 +79,7 @@ from ..frontier.core import (
     robots_filter,
     seeds_frontier,
     with_frontier_columns,
+    zfill_col,
 )
 from ..frontier.store import SnapshotStore
 from ..urlutils import canonicalize_url
@@ -274,7 +275,7 @@ class CrawlEngine:
         frontier = frontier.repartition("host_salt")
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
-        ssnap = self.store.commit("seen", empty_seen, epoch=-1)
+        ssnap = self.store.commit("seen", empty_seen, epoch=-1, mode="append")
         self.store.commit_epoch(
             -1, {"frontier_base": fsnap, "seen": ssnap}, {"seeds": len(seeds)}
         )
@@ -289,7 +290,7 @@ class CrawlEngine:
         ).repartition("host_salt")
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         fsnap = self.store.commit("frontier_base", frontier, epoch=-1)
-        ssnap = self.store.commit("seen", empty_seen, epoch=-1)
+        ssnap = self.store.commit("seen", empty_seen, epoch=-1, mode="append")
         self.store.commit_epoch(-1, {"frontier_base": fsnap, "seen": ssnap}, {})
         self._epoch = -1
 
@@ -341,9 +342,19 @@ class CrawlEngine:
         children = entries.filter(F.col("kind") == "sitemap").select("url").distinct()
         parsed = entries.select(F.col("src_url").alias("url")).distinct()
         rounds = 0
+        prev_todo = None
         while rounds < max_index_rounds:
             todo = children.join(parsed, "url", "left_anti").persist()
-            if todo.count() == 0:
+            n_todo = todo.count()
+            # that count is the first action over the previous round's
+            # (lazily persisted) `more` — its cache is warm only now, so
+            # the previous todo it broadcast-joins must stay persisted
+            # until here; unpersisting it inside its own round would
+            # recompute the whole anti-join lineage every round
+            if prev_todo is not None:
+                prev_todo.unpersist()
+                prev_todo = None
+            if n_todo == 0:
                 todo.unpersist()
                 break
             rounds += 1
@@ -352,11 +363,15 @@ class CrawlEngine:
             ).persist()
             to_unpersist.append(more)
             parsed = parsed.unionByName(todo).distinct().localCheckpoint(eager=True)
-            todo.unpersist()
+            prev_todo = todo
             urls = urls.unionByName(more.filter(F.col("kind") == "url"))
             children = (
                 more.filter(F.col("kind") == "sitemap").select("url").distinct()
             )
+        if prev_todo is not None:
+            # max-rounds exit: the last `more` is still unmaterialized —
+            # release its todo input with everything else after seeding
+            to_unpersist.append(prev_todo)
         seeds_df = urls.select(
             canonical_url_col("url").alias("url"),
             F.lit(stype).alias("stype"),
@@ -373,9 +388,9 @@ class CrawlEngine:
                     "0",
                 ),
                 F.lit("/"),
-                F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
+                zfill_col(F.col("item_pos"), POS_PAD),
             ).alias("ord_key"),
-        ).dropDuplicates(["url"])
+        )
         if extra_seeds:
             extra_df = self.spark.createDataFrame(
                 [
@@ -384,8 +399,14 @@ class CrawlEngine:
                 ],
                 "url string, stype string, depth int, ord_key string",
             )
-            seeds_df = seeds_df.unionByName(extra_df).dropDuplicates(["url"])
-        self.init_from_df(seeds_df)
+            seeds_df = seeds_df.unionByName(extra_df)
+        # deterministic dedup: a URL declared by multiple sitemaps (or
+        # by both a sitemap and an extra seed) keeps the min-ord_key
+        # row — sitemap rows win over extra seeds (numeric ord_keys
+        # sort before the 'z' seed prefix). dropDuplicates would keep
+        # a partition-order-dependent row, breaking byte-stable rerun
+        # determinism of the crawl order.
+        self.init_from_df(first_discovery_wins(seeds_df))
         for df in to_unpersist:
             df.unpersist()
         return rounds
@@ -827,6 +848,7 @@ class CrawlEngine:
                     cfg.write_rows_per_file,
                 ),
                 epoch=epoch,
+                mode="append",
             )
             if cs_bloom_active and self._cs_bloom is not None:
                 # O(delta) maintenance: fold only this epoch's new
@@ -930,6 +952,7 @@ class CrawlEngine:
                     articles_out, n_article_rows, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
+                mode="append",
             )
         if product_rows is not None and noindex_src is not None:
             product_rows = product_rows.join(
@@ -949,6 +972,7 @@ class CrawlEngine:
                     product_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
+                mode="append",
             )
         if business_rows is not None:
             tables["businesses"] = self.store.commit(
@@ -957,6 +981,7 @@ class CrawlEngine:
                     business_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
                 epoch=epoch,
+                mode="append",
             )
         mark("extract_commit")
 
@@ -998,7 +1023,7 @@ class CrawlEngine:
                     F.concat(
                         F.col("parent_key"),
                         F.lit("/"),
-                        F.lpad(F.col("item_pos").cast("string"), POS_PAD, "0"),
+                        zfill_col(F.col("item_pos"), POS_PAD),
                     ).alias("ord_key"),
                     (F.col("parent_depth") + 1).alias("depth"),
                     F.col("parent_stype").alias("stype"),
@@ -1223,6 +1248,7 @@ class CrawlEngine:
                             cfg.write_rows_per_file,
                         ),
                         epoch,
+                        mode="append",
                     ),
                     "frontier_tomb": pool.submit(
                         self.store.commit,
@@ -1231,6 +1257,7 @@ class CrawlEngine:
                             tomb_delta, n_batch, cfg.write_rows_per_file
                         ),
                         epoch,
+                        mode="append",
                     ),
                 }
             s_fut = pool.submit(
@@ -1240,6 +1267,7 @@ class CrawlEngine:
                 # rows at most
                 _coalesce_for_write(seen_delta, n_batch, cfg.write_rows_per_file),
                 epoch,
+                mode="append",
             )
             fl_fut = None
             if cfg.fetch_policy is not None:
@@ -1259,6 +1287,7 @@ class CrawlEngine:
                         fetch_log, n_batch, cfg.write_rows_per_file
                     ),
                     epoch,
+                    mode="append",
                 )
             # per-partition lineage (north star) is NOT committed per
             # epoch: partition_metrics() derives the identical (host,
@@ -1411,8 +1440,11 @@ class CrawlEngine:
             # deltas/tombstones folded into the new base are dead for
             # every reader at or after this epoch — drop their dirs
             # (manifest lineage rows remain, paths nulled)
-            self.store.expire_snapshots("frontier_delta", keep_last=0)
-            self.store.expire_snapshots("frontier_tomb", keep_last=0)
+            # force: these append deltas are committed-referenced but
+            # dead — every reader at or after this epoch uses the new
+            # base + after_epoch, never their union
+            self.store.expire_snapshots("frontier_delta", keep_last=0, force=True)
+            self.store.expire_snapshots("frontier_tomb", keep_last=0, force=True)
         if cfg.expire_frontier_keep is not None:
             self.store.expire_snapshots(
                 "frontier_base", keep_last=cfg.expire_frontier_keep

@@ -52,6 +52,17 @@ SEED_PAD = 5  # zero-pad width for seed indices
 POS_PAD = 5  # zero-pad width for on-page link positions
 
 
+def zfill_col(c, width: int):
+    """``str.zfill`` semantics for a column: left-pad with zeros but
+    NEVER truncate. ``F.lpad`` truncates overflow-width strings
+    (lpad('123456', 5) == '12345'), which would make on-page position
+    100000 collide with position 10000 in ord_key paths; zfill keeps
+    overflow positions distinct (and matches the sequential simulator's
+    ``str(pos).zfill(POS_PAD)`` byte-for-byte)."""
+    s = c.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
+
+
 def with_frontier_columns(
     candidates: DataFrame, epoch: int, salt_buckets: int = 8
 ) -> DataFrame:
@@ -250,6 +261,25 @@ def first_discovery_wins(candidates: DataFrame) -> DataFrame:
     )
 
 
+def _longest_prefix_match(col_name: str, path_col: str = "_path"):
+    """RFC 9309 §2.2.2 building block shared by ``robots_filter`` and
+    ``robots_audit``: length of the longest prefix in the ``col_name``
+    array matching ``path_col`` (0 when none match or the rules
+    row/array is absent). One definition so the filter and the audit
+    can never drift on what counts as blocked."""
+    return F.coalesce(
+        F.aggregate(
+            F.col(col_name),
+            F.lit(0),
+            lambda acc, p: F.when(
+                F.col(path_col).startswith(p) & (F.length(p) > acc),
+                F.length(p),
+            ).otherwise(acc),
+        ),
+        F.lit(0),
+    )
+
+
 def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
     """J4: drop candidates whose path is blocked by their host's
     robots rules — broadcast map-side lookup, no shuffle.
@@ -275,25 +305,10 @@ def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFra
         F.broadcast(rules), with_host["_host"] == rules["host"], "left"
     )
 
-    def longest_match(col_name: str):
-        # length of the longest prefix in `col_name` matching _path
-        # (0 when none match or the rules row/array is absent)
-        return F.coalesce(
-            F.aggregate(
-                F.col(col_name),
-                F.lit(0),
-                lambda acc, p: F.when(
-                    F.col("_path").startswith(p) & (F.length(p) > acc),
-                    F.length(p),
-                ).otherwise(acc),
-            ),
-            F.lit(0),
-        )
-
     if has_allow:
-        blocked = longest_match("disallow_prefixes") > longest_match(
-            "allow_prefixes"
-        )
+        blocked = _longest_prefix_match(
+            "disallow_prefixes"
+        ) > _longest_prefix_match("allow_prefixes")
         allowed = joined.filter(~blocked)
         drop = ["host", "disallow_prefixes", "allow_prefixes", "_host", "_path"]
     else:
@@ -341,25 +356,12 @@ def robots_audit(
         F.broadcast(rules), with_host["_host"] == rules["host"], "left"
     )
 
-    def longest_match(col_name: str):
-        return F.coalesce(
-            F.aggregate(
-                F.col(col_name),
-                F.lit(0),
-                lambda acc, p: F.when(
-                    F.col("_path").startswith(p) & (F.length(p) > acc),
-                    F.length(p),
-                ).otherwise(acc),
-            ),
-            F.lit(0),
-        )
-
     if has_allow:
-        blocked = longest_match("disallow_prefixes") > longest_match(
-            "allow_prefixes"
-        )
+        blocked = _longest_prefix_match(
+            "disallow_prefixes"
+        ) > _longest_prefix_match("allow_prefixes")
     else:
-        blocked = longest_match("disallow_prefixes") > 0
+        blocked = _longest_prefix_match("disallow_prefixes") > 0
     return (
         joined.withColumn("_blocked", blocked)
         .groupBy(F.col("_host").alias("host"))

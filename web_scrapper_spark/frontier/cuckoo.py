@@ -364,13 +364,15 @@ def add_delta_sharded(
             filt = PyCuckoo(n_buckets)
             shard = int(kdf["_shard"].iloc[0])
         if len(kdf):
-            existing = filt.might_contain_many(
-                kdf[col].to_numpy(dtype=np.int64)
-            )
-            fresh = np.unique(
-                kdf[col].to_numpy(dtype=np.int64)[~existing]
-            )
-            filt.add_many(fresh)
+            # ALWAYS insert — never skip keys might_contain already
+            # reports. Skipping on a fingerprint false positive would
+            # leave a genuinely-seen key with no stored copy of its
+            # own, so a later delete of that key (recrawl eviction)
+            # would strip the COLLIDING key's only fingerprint and
+            # manufacture a false negative. The epoch's append-only
+            # seen contract keeps deltas disjoint from prior inserts,
+            # so unconditional insert adds no duplicate copies.
+            filt.add_many(np.unique(kdf[col].to_numpy(dtype=np.int64)))
         return pd.DataFrame({"shard": [shard], "bits": [filt.to_bytes()]})
 
     merged_rows = (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import gzip
 import os
 import xml.etree.ElementTree as ET
+import zlib
 from typing import Iterator, List, Optional
 
 import pandas as pd
@@ -62,7 +63,9 @@ def parse_sitemap_xml(data: bytes, src_url: str = "") -> List[dict]:
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # BadGzipFile, truncated member, corrupt deflate stream —
+            # connection-cut artifacts a crawl skips, never dies on
             return []
     try:
         root = ET.fromstring(data)

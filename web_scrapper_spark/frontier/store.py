@@ -71,8 +71,18 @@ class SnapshotStore:
         df: DataFrame,
         epoch: int,
         metrics: Optional[Dict] = None,
+        mode: str = "replace",
     ) -> int:
-        """Write ``df`` as the next snapshot of ``table``; returns its id."""
+        """Write ``df`` as the next snapshot of ``table``; returns its id.
+
+        ``mode`` records the table's read semantics on the snapshot
+        entry: ``'replace'`` (latest snapshot is the table — old ones
+        are superseded and safely expirable) vs ``'append'`` (the table
+        is the UNION of committed snapshots — every delta is live data,
+        and :meth:`expire_snapshots` refuses to drop it without
+        ``force``)."""
+        if mode not in ("replace", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         with self._lock:
             snaps = self.manifest()["tables"].get(table, [])
             snap_id = (snaps[-1]["id"] + 1) if snaps else 0
@@ -92,6 +102,7 @@ class SnapshotStore:
                     "parent": snaps[-1]["id"] if snaps else None,
                     "committed_at": time.time(),
                     "metrics": metrics or {},
+                    "mode": mode,
                 }
             )
             self._write_manifest(manifest)
@@ -245,9 +256,21 @@ class SnapshotStore:
         """Append-semantics read over committed epochs only: the
         table's content is the union of the delta snapshots referenced
         by epoch records (what Iceberg's snapshot-isolation read gives
-        natively). Use this — not ``read_union`` — for crash safety."""
+        natively). Use this — not ``read_union`` — for crash safety.
+
+        Refuses loudly (KeyError) if a committed delta's snapshot dir
+        was expired — silently skipping it would serve a truncated
+        union (e.g. a seen set missing fetched URLs) as if complete."""
         ids = set(self.committed_ids(table, up_to_epoch, after_epoch))
-        snaps = [s for s in self.snapshots(table) if s["id"] in ids and s.get("path")]
+        snaps = [s for s in self.snapshots(table) if s["id"] in ids]
+        gone = [s["id"] for s in snaps if not s.get("path")]
+        if gone:
+            raise KeyError(
+                f"committed snapshots {gone} of {table!r} expired (paths "
+                "nulled by expire_snapshots) — the union would be silently "
+                "truncated; restore from backup or narrow after_epoch past "
+                "the expired range"
+            )
         paths = [os.path.join(self.root, s["path"]) for s in snaps]
         if not paths:
             return None
@@ -275,13 +298,38 @@ class SnapshotStore:
             {"epoch": e["epoch"], **e["metrics"]} for e in self.manifest()["epochs"]
         ]
 
-    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self, table: str, keep_last: int = 2, force: bool = False
+    ) -> int:
         """Iceberg-style maintenance: drop old snapshot dirs, keep the
-        manifest lineage rows (paths nulled). Returns #removed."""
+        manifest lineage rows (paths nulled). Returns #removed.
+
+        Append-mode snapshots referenced by a committed epoch are LIVE
+        data (the table is their union), so expiring one would corrupt
+        every ``read_committed`` — refused unless ``force=True`` (the
+        engine passes force after folding deltas into a new base, when
+        readers skip them via ``after_epoch``)."""
         manifest = self.manifest()
         snaps = manifest["tables"].get(table, [])
+        doomed = snaps[:-keep_last] if keep_last else snaps
+        if not force:
+            committed = set(self.committed_ids(table))
+            live = [
+                e["id"]
+                for e in doomed
+                if e.get("path")
+                and e.get("mode") == "append"
+                and e["id"] in committed
+            ]
+            if live:
+                raise ValueError(
+                    f"snapshots {live} of append table {table!r} are "
+                    "committed live data — expiring them would truncate "
+                    "read_committed; pass force=True only after folding "
+                    "them into a base"
+                )
         removed = 0
-        for entry in snaps[:-keep_last] if keep_last else snaps:
+        for entry in doomed:
             if entry.get("path"):
                 target = os.path.join(self.root, entry["path"])
                 if os.path.isdir(target):

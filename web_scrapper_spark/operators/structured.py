@@ -227,7 +227,13 @@ def meta_robots(
     toks = F.flatten(
         F.transform(
             contents,
-            lambda c: F.transform(F.split(c, ","), lambda t: F.lower(F.trim(t))),
+            # \s-strip, not trim(): trim removes only ' ' and the spec's
+            # grammar is whitespace-tolerant across tabs/newlines too —
+            # keep byte-for-byte with parse_meta_robots below
+            lambda c: F.transform(
+                F.split(c, ","),
+                lambda t: F.lower(F.regexp_replace(t, r"^\s+|\s+$", "")),
+            ),
         )
     )
     has = lambda *names: F.exists(  # noqa: E731
@@ -322,7 +328,10 @@ def parse_meta_robots(html) -> tuple:
     toks = set()
     for rx in _PY_ROBOTS_RES:
         for content in rx.findall(html or ""):
-            toks.update(t.strip().lower() for t in content.split(","))
+            # strip exactly Java's \s class — engine/twin byte parity
+            toks.update(
+                t.strip(" \t\n\x0b\f\r").lower() for t in content.split(",")
+            )
     return (
         bool(toks & {"noindex", "none"}),
         bool(toks & {"nofollow", "none"}),

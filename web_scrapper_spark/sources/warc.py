@@ -30,6 +30,7 @@ import hashlib
 import io
 import os
 import uuid
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator, List, Optional, Tuple
 
@@ -267,13 +268,23 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
     gzip) file bytes. HTTP response payloads are unwrapped to the body;
     other record types carry the block verbatim in ``html``."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # multi-member transparent
+        try:
+            data = gzip.decompress(data)  # multi-member transparent
+        except (OSError, EOFError, zlib.error):
+            # truncated member / corrupt deflate — a batch ingest skips
+            # the bad archive instead of failing the whole job
+            return
     pos = 0
     while pos < len(data):
         hdrs, pos = _split_headers(data, pos)
         if hdrs is None:
             break
-        length = int(hdrs.get("content-length", "0"))
+        try:
+            length = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            break  # unparsable length — cannot resync to the next record
+        if length < 0:
+            break
         block = data[pos : pos + length]
         pos += length
         rtype = hdrs.get("warc-type", "")

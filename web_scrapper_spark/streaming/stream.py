@@ -123,8 +123,14 @@ def _host_state_fn(
         {
             "host": [key[0]],
             "pages": [pages],
-            "first_ts": [pd.Timestamp(first_us * 1000) if first_us else pd.NaT],
-            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+            # `is not None`, not truthiness: 0 is a real timestamp (the
+            # 1970-01-01 sentinel warc.py assigns unparsable WARC-Dates)
+            "first_ts": [
+                pd.Timestamp(first_us * 1000) if first_us is not None else pd.NaT
+            ],
+            "last_ts": [
+                pd.Timestamp(last_us * 1000) if last_us is not None else pd.NaT
+            ],
         }
     )
 
