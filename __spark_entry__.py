@@ -3163,6 +3163,41 @@ def _q_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
+def _q_warc_latest_capture(spark, sf_dir):
+    """Multi-capture archive dedup (sources/warc.py latest_captures):
+    each document contributes 1–3 synthetic captures of its URL at
+    distinct integer timestamps; the operator keeps the newest per URL
+    (one hash shuffle on url). Required before WARC records feed the
+    crawl engine, whose fetch join treats pages as url-unique. The
+    oracle replays the capture synthesis and the window dedup."""
+    from web_scrapper_spark.sources.warc import latest_captures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    caps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit(1_700_000_000)
+            + (F.col("doc_id") % 5) * 86_400
+            + F.col("k") * 3_600
+        ).cast("long").alias("ts_unix"),
+        F.concat(
+            F.lit("rec-"),
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            F.col("k").cast("string"),
+        ).alias("record_id"),
+    )
+    return latest_captures(caps, ts_col="ts_unix")
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle (operators/layout.py
     training_shuffle): seeded 60-bit md5 hash → shard (mod 8) + rank
@@ -4623,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "recrawl_due": _q_recrawl_due,
         "crawl_diff": _q_crawl_diff,
+        "warc_latest_capture": _q_warc_latest_capture,
         "adaptive_delay": _q_adaptive_delay,
         "fair_share": _q_fair_share,
         "ucb_budget": _q_ucb_budget,
@@ -5827,6 +5863,24 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
             WHERE len(toks[i*16 + 1 : i*16 + 24]) > 0
+        """,
+        "warc_latest_capture": """
+            -- replay the capture synthesis, then newest-per-url via
+            -- the same (ts desc, record_id desc) window rank
+            WITH caps AS (
+              SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(1700000000 + (doc_id % 5) * 86400
+                          + k * 3600 AS BIGINT) AS ts_unix,
+                     'rec-' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(k AS VARCHAR) AS record_id
+              FROM documents
+              CROSS JOIN UNNEST(range(0, doc_id % 3 + 1)) AS t(k)
+            )
+            SELECT url, ts_unix, record_id FROM caps
+            QUALIFY row_number() OVER (
+              PARTITION BY url ORDER BY ts_unix DESC, record_id DESC
+            ) = 1
         """,
         "crawl_diff": """
             -- two-wave diff replay: same carve rules, FULL JOIN,

@@ -330,6 +330,15 @@ class TestRound2BanditLexiconZorderPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_latest_captures_one_exchange_no_udf(self, spark):
+        # newest-capture-per-url is exactly one hash Exchange on url
+        # (the window partition) and its window — no join, no Python;
+        # payloads move once
+        plan = _plan(spark, "warc_latest_capture")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_set_joins_never_all_pairs(self, spark):
         # candidates come from posting-list probes (rarest token /
         # prefix filter) — the quadratic membership test must never

@@ -136,6 +136,39 @@ class TestWarcSpark:
         assert left == right
 
 
+class TestLatestCaptures:
+    def test_newest_wins_with_deterministic_tiebreak(self, spark):
+        from web_scrapper_spark.sources.warc import latest_captures
+
+        rows = [
+            # two captures, newest ts wins
+            ("https://a.org/1", 100, "rec-old", b"v1"),
+            ("https://a.org/1", 200, "rec-new", b"v2"),
+            # ts tie: record_id desc breaks it
+            ("https://a.org/2", 100, "rec-x", b"x"),
+            ("https://a.org/2", 100, "rec-y", b"y"),
+            # singleton passes through
+            ("https://a.org/3", 50, "rec-s", b"s"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts long, record_id string, html binary"
+        )
+        got = {
+            r["url"]: (r["record_id"], bytes(r["html"]))
+            for r in latest_captures(df).collect()
+        }
+        assert got == {
+            "https://a.org/1": ("rec-new", b"v2"),
+            "https://a.org/2": ("rec-y", b"y"),
+            "https://a.org/3": ("rec-s", b"s"),
+        }
+        # partitioning-independent (deterministic dedup)
+        again = latest_captures(df.repartition(7)).collect()
+        assert {r["url"]: r["record_id"] for r in again} == {
+            u: rid for u, (rid, _) in got.items()
+        }
+
+
 class TestCdx:
     def test_cdx_selective_fetch(self, spark, tmp_path):
         from web_scrapper_spark.sources.warc import read_cdx, read_warc_ranges

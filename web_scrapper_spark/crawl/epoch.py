@@ -230,6 +230,14 @@ class CrawlConfig:
 
 
 class CrawlEngine:
+    """``pages`` contract: URL-UNIQUE. The fetch join is an inner join
+    on url, so a pages table carrying multiple captures per URL (WARC
+    archives with revisit records, stacked snapshots) would multiply
+    every fetched row — duplicate extraction output and duplicate seen
+    appends. Reduce multi-capture inputs first with
+    ``sources.warc.latest_captures`` (newest capture per URL,
+    deterministic tie-break)."""
+
     def __init__(
         self,
         spark: SparkSession,

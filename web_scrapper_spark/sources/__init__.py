@@ -9,11 +9,19 @@ from .io import (
     write_any,
     write_jdbc,
 )
-from .warc import cdx_revisits, read_cdx, read_warc, read_warc_ranges, write_warc
+from .warc import (
+    cdx_revisits,
+    latest_captures,
+    read_cdx,
+    read_warc,
+    read_warc_ranges,
+    write_warc,
+)
 
 __all__ = [
     "export_data",
     "jdbc_driver_available",
+    "latest_captures",
     "query_table",
     "read_any",
     "read_jdbc",

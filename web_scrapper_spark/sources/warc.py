@@ -36,10 +36,11 @@ from typing import Iterable, Iterator, List, Optional, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "latest_captures",
     "read_warc",
     "read_warc_stream",
     "read_cdx",
@@ -364,6 +365,36 @@ def read_warc(
         .select("path", "content")
     )
     return files.mapInPandas(_file_parser(record_types), schema=WARC_RECORD_SCHEMA)
+
+
+def latest_captures(
+    records: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str = "record_id",
+) -> DataFrame:
+    """One row per URL: the NEWEST capture wins (ties on the timestamp
+    break by descending ``tiebreak_col`` — deterministic across runs
+    and partitionings).
+
+    Run this before feeding WARC records to ``CrawlEngine`` as its
+    pages table: real archives carry multiple captures (and revisit
+    records) per URL, while the epoch's fetch join treats pages as
+    url-unique — duplicate captures would multiply every fetched row,
+    duplicating extraction output and appending duplicate seen rows.
+
+    Scale shape: one hash shuffle on url (the window partition); each
+    payload moves exactly once and losers are dropped before any
+    downstream stage sees them.
+    """
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def read_warc_stream(
