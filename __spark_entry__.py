@@ -7314,12 +7314,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 3 = 0
             ), hk AS (
               SELECT DISTINCT host, md5(md5(path) || md5(text)) AS key FROM pages
-            ), sizes AS (
-              SELECT host, count(*) AS n_keys FROM hk GROUP BY host
             ), gate AS (
               SELECT key FROM hk GROUP BY key HAVING count(*) <= 64
             ), gated AS (
               SELECT hk.host, hk.key FROM hk JOIN gate USING (key)
+            ), sizes AS (
+              -- gated universe: same keys as the pair numerator
+              SELECT host, count(*) AS n_keys FROM gated GROUP BY host
             ), pairs AS (
               SELECT a.host AS host_a, b.host AS host_b,
                      CAST(count(*) AS BIGINT) AS shared

@@ -149,6 +149,33 @@ class TestMirrorHosts:
             8, 10, 8, 100,
         )
 
+    def test_full_mirror_with_hot_key_still_scores_100(self, spark):
+        """Containment counts over the GATED key universe: a full
+        mirror whose page set includes one hot (gated-out) key — the
+        same stock error page 100 parked domains also serve — must
+        still score 100, not have the hot key inflate its denominator
+        only."""
+        from web_scrapper_spark.operators.dedup import mirror_host_pairs
+
+        rows = []
+        for host in ("a.com", "b.net"):
+            for i in range(4):
+                rows.append((host, f"/p/{i}", f"unique text {i}"))
+            rows.append((host, "/error", "domain for sale"))
+        for k in range(100):
+            rows.append((f"parked{k}.biz", "/error", "domain for sale"))
+        pages = spark.createDataFrame(rows, "host string, path string, text string")
+        got = {
+            (r["host_a"], r["host_b"]): r
+            for r in mirror_host_pairs(
+                pages, min_shared=3, containment_centi=80, max_hosts_per_key=64
+            ).collect()
+        }
+        r = got[("a.com", "b.net")]
+        assert (r["shared"], r["n_a"], r["n_b"], r["containment_centi"]) == (
+            4, 4, 4, 100,
+        )
+
     def test_path_mismatch_is_not_a_mirror(self, spark):
         """Same content at different paths (cross-host boilerplate)
         must not pair — the key binds path AND text."""

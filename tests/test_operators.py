@@ -2092,6 +2092,41 @@ class TestAsofJoin:
         with _pytest.raises(ValueError):
             asof_join(df, df, "k", left_ts="k", right_ts="k")
 
+    def test_matched_rows_null_field_not_backfilled(self, spark):
+        """The carried payload is one struct: a matched right row's
+        legitimate NULL field must stay NULL, never be filled from an
+        OLDER right row (per-column last(ignorenulls) would fabricate
+        a merged row that never existed)."""
+        from web_scrapper_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame([(1, 3)], "k long, qts long")
+        r = spark.createDataFrame(
+            [(1, 1, 200, "abc"), (1, 2, 304, None)],
+            "k long, cts long, status long, etag string",
+        )
+        out = asof_join(l, r, "k", left_ts="qts", right_ts="cts").collect()[0]
+        assert (out["asof_cts"], out["asof_status"], out["asof_etag"]) == (
+            2, 304, None,
+        )
+
+    def test_right_ts_ties_deterministic(self, spark):
+        """Two right rows tied on (key, ts): the max payload struct
+        wins — a pure function of the data, independent of input
+        partitioning."""
+        from web_scrapper_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame([(1, 9)], "k long, qts long")
+        r_rows = [(1, 5, "aaa"), (1, 5, "bbb")]
+        for perm in (r_rows, list(reversed(r_rows))):
+            for parts in (1, 4):
+                r = spark.createDataFrame(
+                    perm, "k long, cts long, digest string"
+                ).repartition(parts)
+                out = asof_join(
+                    l, r, "k", left_ts="qts", right_ts="cts"
+                ).collect()[0]
+                assert out["asof_digest"] == "bbb"
+
 
 class TestRangeJoin:
     """Exploded-bucketing range join (operators/asof.py range_join)."""
@@ -2250,6 +2285,40 @@ class TestQuantizeEmbeddings:
         )
         out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(vecs).collect()}
         assert out[1][0] == 0 and out[2][0] == 0
+
+    def test_exact_floor_division_at_large_magnitude(self, spark):
+        """Near the top of the exact-arithmetic domain the code must be
+        the true integer floor — a rounded double quotient can round UP
+        across an integer boundary where `//` truncates."""
+        from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+        hi = float((1 << 44) // 1_000_000)  # ~1.75e7, inside the gate
+        vals = [0.0, hi * 0.33, hi * 0.77, hi]
+        vecs = spark.createDataFrame(
+            [(i, [v, 1.0]) for i, v in enumerate(vals)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r["qvec"][0]
+            for r in quantize_embeddings(vecs).collect()
+        }
+        import math
+
+        micro = [math.floor(v * 1_000_000) for v in vals]
+        lo, span = min(micro), max(micro) - min(micro) + 1
+        for i, m in enumerate(micro):
+            assert out[i] == ((m - lo) * 255) // span
+
+    def test_component_outside_gate_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.similarity import quantize_embeddings
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0e9, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(Exception, match="quantize_embeddings"):
+            quantize_embeddings(vecs).collect()
 
     def test_matches_numpy_replay(self, spark):
         import math

@@ -82,6 +82,29 @@ class TestPacking:
             assert m["n_docs"] == r["n"]
             assert m["docs_tok"] == r["t"]
             assert m["tok_begin"] == r["shard_id"] * budget
+        # tok_begin/tok_end tile each bin's stream with no gaps or
+        # overlap; non-last spans are whole multiples of `budget` (a
+        # >1 multiple only when a spilling doc swallowed a shard), and
+        # the last shard ends at the bin's total stream length
+        bins = {}
+        for r in man:
+            bins.setdefault(r["bin_id"], []).append(r)
+        totals = {
+            r["bin_id"]: r["tot"]
+            for r in packed.groupBy("bin_id")
+            .agg(F.sum("n_tok").alias("tot"))
+            .collect()
+        }
+        for bin_id, shards in bins.items():
+            shards.sort(key=lambda r: r["shard_id"])
+            pos = shards[0]["tok_begin"]
+            for i, r in enumerate(shards):
+                assert r["tok_begin"] == pos
+                if i < len(shards) - 1:
+                    span = r["tok_end"] - r["tok_begin"]
+                    assert span >= budget and span % budget == 0
+                pos = r["tok_end"]
+            assert shards[-1]["tok_end"] == totals[bin_id]
         packed.unpersist()
 
     def test_tok_col_passthrough(self, spark):
@@ -135,6 +158,18 @@ class TestUrlFilter:
         assert out[3]["domain_blocked"]
         assert not out[4]["domain_blocked"]  # sibling, not parent
         assert not out[1]["domain_blocked"]
+
+    def test_unparseable_url_is_false_not_null(self, spark):
+        """NULL host (mailto:, relative paths) must yield False flags —
+        a NULL url_blocked would poison every downstream funnel gate
+        into three-value-logic limbo."""
+        df = spark.createDataFrame(
+            [(1, "mailto:x@y.org"), (2, "/relative/path")],
+            ["doc_id", "url"],
+        )
+        for r in uf.url_filter(df, blocklist=["tracker.example.com"]).collect():
+            assert r["domain_blocked"] is False
+            assert r["url_blocked"] is False
 
     def test_parent_domain_blocks_children_only(self, spark):
         out = {
@@ -245,6 +280,32 @@ class TestSampling:
             ).collect()
         }
         assert exact == pre
+
+    def test_prefilter_shortfall_falls_back_to_exact(self, docs):
+        """A margin too small to keep quota survivors must NOT silently
+        under-fill: the shortfall check routes those strata through the
+        exact path, so the selection equals the unfiltered one."""
+        quotas = {"src0": 5, "src1": 5}
+        counts = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        exact = {
+            r["doc_id"] for r in sp.stratified_sample(docs, quotas).collect()
+        }
+        # margin 0.01: the hash prefilter keeps ~0 rows per stratum —
+        # without the fallback the quotas would come back near-empty
+        starved = sp.stratified_sample(
+            docs, quotas, prefilter_margin=0.01, stratum_counts=counts
+        ).collect()
+        assert {r["doc_id"] for r in starved} == exact
+
+    def test_null_weight_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, None)], "doc_id long, weight long"
+        )
+        with pytest.raises(Exception, match="priority_sample"):
+            sp.priority_sample(df, 1).collect()
 
     def test_domain_mix_rounding(self, spark):
         df = spark.createDataFrame(
@@ -383,6 +444,20 @@ class TestTokenBudgetSelect:
     def test_inexact_skips_boundary_level(self, spark):
         sel, n = self._sel(spark, 22, boundary_exact=False)
         assert sel == {1} and n == 4
+
+    def test_null_quality_sorts_worst_and_rows_survive(self, spark):
+        """NULL quality ranks below every real level (filled last) and
+        its rows stay in the output — raw NULL comparisons would
+        three-value-NULL the flag and silently drop them."""
+        rows = [(1, 900, 10), (2, None, 10), (3, None, 10), (4, 100, 10)]
+        # budget 25: 900 (10), then 100 (10), then NULLs fill last —
+        # doc2 would reach 30 > 25, out
+        sel, n = self._sel(spark, 25, rows=rows)
+        assert n == 4  # every input row present with a flag
+        assert sel == {1, 4}
+        # budget covering one NULL doc: id order within the NULL level
+        sel, n = self._sel(spark, 30, rows=rows)
+        assert n == 4 and sel == {1, 4, 2}
 
     def test_matches_global_prefix_rule(self, spark):
         """Differential: histogram path == global cumulative-sum rule

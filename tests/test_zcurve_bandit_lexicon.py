@@ -56,6 +56,36 @@ class TestZOrder:
         with pytest.raises(ValueError):
             zorder_key([F.col("x"), F.col("y")], bits=32)
 
+    def test_tie_assignment_deterministic_without_known_id(self, spark):
+        """Rows tied on zkey in a frame with NO doc_id/uid/url column:
+        the fallback total order (all map-free columns) must make the
+        zfile split of the tie group partitioning-independent."""
+        from web_scrapper_spark.operators.zcurve import zorder_layout
+
+        # 64 rows, only 4 distinct (x, y) combos -> heavy zkey ties
+        rows = [(i, (i % 2) * 3, (i % 4) // 2) for i in range(64)]
+        df = spark.createDataFrame(rows, "rid long, x long, y long")
+        dims = [F.col("x"), F.col("y")]
+        a = {
+            r["rid"]: r["zfile"]
+            for r in zorder_layout(df.repartition(1), dims, n_files=8).collect()
+        }
+        b = {
+            r["rid"]: r["zfile"]
+            for r in zorder_layout(
+                df.repartition(9, "rid"), dims, n_files=8
+            ).collect()
+        }
+        assert a == b
+        # explicit tiebreak: same guarantee
+        c = {
+            r["rid"]: r["zfile"]
+            for r in zorder_layout(
+                df.repartition(5), dims, n_files=8, tiebreak=["rid"]
+            ).collect()
+        }
+        assert a == c
+
     def test_both_dims_skip_under_zorder(self, spark):
         # 32x32 grid, one row per cell: under z-order into 16 files a
         # point predicate on EITHER dim may scan only files whose

@@ -51,6 +51,17 @@ def asof_join(
     renamed ``{right_prefix}{name}`` (including the matched
     ``{right_prefix}{right_ts}``), NULL when no right row precedes.
     """
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def _has_map(dt) -> bool:  # maps are unorderable at any nesting depth
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        return False
+
     keys: List[str] = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
     if not payload:
@@ -60,11 +71,18 @@ def asof_join(
         if c.startswith(right_prefix):
             raise ValueError(f"left column {c!r} collides with right_prefix")
 
+    # the matched right row's payload is carried as ONE struct — per-
+    # column last(ignorenulls) would fill a matched row's legitimate
+    # NULL field from an OLDER right row, fabricating a merged row
+    # that never existed
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
     r = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left_cols],
     )
@@ -72,32 +90,30 @@ def asof_join(
         *keys,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(
-                f"{right_prefix}{c}"
-            )
-            for c in payload
-        ],
+        F.lit(None).cast(pay_type).alias("_rpay"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols],
     )
     # right rows sort before left rows at equal ts (side 0 < 1), so
-    # right_ts == left_ts matches — inclusive backward as-of
-    w = Window.partitionBy(*keys).orderBy(F.asc("_ats"), F.asc("_side")).rowsBetween(
+    # right_ts == left_ts matches — inclusive backward as-of. Right
+    # rows TIED on (key, ts) additionally order by the payload struct
+    # itself (ascending ⇒ the running last() picks the max), so the
+    # carried row is a pure function of the data, independent of
+    # partitioning — unless the payload contains a map (unorderable),
+    # in which case ties stay input-order-dependent.
+    order = [F.asc("_ats"), F.asc("_side")]
+    if not _has_map(pay_type):
+        order.append(F.asc_nulls_first("_rpay"))
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     carried = r.unionByName(l).select(
         "_side",
         *[F.col(f"_l_{c}") for c in left_cols],
-        *[
-            F.last(f"{right_prefix}{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"{right_prefix}{c}")
-            for c in payload
-        ],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
-        *[F.col(f"{right_prefix}{c}") for c in payload],
+        *[F.col(f"_rpay.{c}").alias(f"{right_prefix}{c}") for c in payload],
     )
 
 

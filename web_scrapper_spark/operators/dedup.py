@@ -1197,7 +1197,6 @@ def mirror_host_pairs(
         pages.select(F.col(host_col).alias("host"), key.alias("key"))
         .dropDuplicates(["host", "key"])
     )
-    sizes = hk.groupBy("host").agg(F.count("*").alias("n_keys"))
     gate = (
         hk.groupBy("key")
         .agg(F.count("*").alias("_n_hosts"))
@@ -1205,6 +1204,10 @@ def mirror_host_pairs(
         .select("key")
     )
     gated = hk.join(gate, "key")
+    # sizes over the GATED universe — numerator and denominator must
+    # see the same keys, or a full mirror whose pages include one hot
+    # (gated-out) key scores below 100 and can be missed entirely
+    sizes = gated.groupBy("host").agg(F.count("*").alias("n_keys"))
     a = gated.select("key", F.col("host").alias("host_a"))
     b = gated.select("key", F.col("host").alias("host_b"))
     shared = (

@@ -121,29 +121,41 @@ def shard_manifest(
     shard_id): the shard a trainer actually reads.
 
     ``n_docs`` counts documents STARTING in the shard; ``tok_begin``/
-    ``tok_end`` are the shard's token interval in the bin's stream
-    (every shard except a bin's last spans exactly ``budget`` tokens
-    once boundary-crossing tails are accounted for — asserted in
-    tests, not recomputed here).  Pure groupBy on (bin_id, shard_id):
-    map-side combine, one small shuffle.
+    ``tok_end`` tile the bin's token stream with no gaps or overlap:
+    ``tok_end`` is the NEXT manifest shard's ``tok_begin`` (a doc
+    spilling past a shard boundary keeps its tail in the shard it
+    started in, so a fully-spilled-over shard is absent from the
+    manifest and its range belongs to the spiller), and the bin's last
+    shard ends at the bin's total stream length. Pure groupBy on
+    (bin_id, shard_id) + two windows over the (shard-count sized)
+    rollup: map-side combine, one small shuffle.
     """
-    return (
-        packed.groupBy("bin_id", "shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("docs_tok"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .select(
-            "bin_id",
-            "shard_id",
-            "n_docs",
-            "docs_tok",
-            (F.col("shard_id") * budget).alias("tok_begin"),
-            "first_doc",
-            "last_doc",
-        )
+    rolled = packed.groupBy("bin_id", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("docs_tok"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        # stream position where the shard's last-starting doc ends —
+        # the bin's max over shards is the bin's total stream length
+        F.max(
+            F.col("shard_id") * budget + F.col("shard_offset") + F.col("n_tok")
+        ).alias("_docs_end"),
+    )
+    w_bin = Window.partitionBy("bin_id")
+    w_seq = w_bin.orderBy("shard_id")
+    tok_begin = F.col("shard_id") * budget
+    tok_end = F.coalesce(
+        F.lead(tok_begin).over(w_seq), F.max("_docs_end").over(w_bin)
+    )
+    return rolled.select(
+        "bin_id",
+        "shard_id",
+        "n_docs",
+        "docs_tok",
+        tok_begin.alias("tok_begin"),
+        tok_end.alias("tok_end"),
+        "first_doc",
+        "last_doc",
     )
 
 

@@ -123,7 +123,30 @@ def stratified_sample(
         bmap = F.create_map(
             *[x for k, b in sorted(bounds.items()) for x in (F.lit(k), F.lit(b))]
         )
-        staged = staged.filter(F.col("_h") < bmap[F.col(stratum_col)])
+        pre = staged.filter(F.col("_h") < bmap[F.col(stratum_col)])
+        # the documented shortfall check: a stratum whose prefilter
+        # kept fewer than min(quota, stratum size) rows would silently
+        # under-fill its quota — those strata fall back to the exact
+        # (unfiltered) path. One count aggregate over the surviving
+        # sliver; strata are domain-grain, so the collect is tiny.
+        survivors = {
+            r["_k"]: r["_n"]
+            for r in pre.groupBy(F.col(stratum_col).alias("_k"))
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        }
+        short = [
+            k
+            for k in quotas
+            if survivors.get(k, 0)
+            < min(int(quotas[k]), int(stratum_counts.get(k, 0)))
+        ]
+        if short:
+            staged = pre.filter(~F.col(stratum_col).isin(short)).unionByName(
+                staged.filter(F.col(stratum_col).isin(short))
+            )
+        else:
+            staged = pre
 
     win = Window.partitionBy(stratum_col).orderBy("_h", id_col)
     return (
@@ -189,19 +212,27 @@ def token_budget_select(
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be non-negative")
+    # NULL quality sorts as WORST (below every real level, filled
+    # last): comparisons on a raw NULL would three-value-NULL the
+    # selected flag and silently drop the row from the output, so the
+    # internal level column coalesces to a sentinel floor
+    _Q_FLOOR = -(1 << 62)
     d = docs.select(
         F.col(id_col),
         F.col(quality_col).cast("long").alias("quality_ppm"),
         F.greatest(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col(quality_col).cast("long"), F.lit(_Q_FLOOR)).alias(
+            "_q"
+        ),
     ).localCheckpoint(eager=True)
 
     b = F.lit(int(budget_tokens)).cast("long")
-    hist = d.groupBy("quality_ppm").agg(F.sum("n_tokens").alias("mass"))
-    w_above = Window.orderBy(F.desc("quality_ppm")).rowsBetween(
+    hist = d.groupBy("_q").agg(F.sum("n_tokens").alias("mass"))
+    w_above = Window.orderBy(F.desc("_q")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     lev = hist.select(
-        "quality_ppm",
+        "_q",
         "mass",
         F.coalesce(F.sum("mass").over(w_above), F.lit(0)).alias("mass_above"),
     )
@@ -210,10 +241,10 @@ def token_budget_select(
     # below every level, remaining budget irrelevant)
     boundary = (
         lev.filter(F.col("mass_above") + F.col("mass") > b)
-        .orderBy(F.desc("quality_ppm"))
+        .orderBy(F.desc("_q"))
         .limit(1)
         .select(
-            F.col("quality_ppm").alias("b_level"),
+            F.col("_q").alias("b_level"),
             (b - F.col("mass_above")).alias("b_remaining"),
         )
     )
@@ -225,14 +256,14 @@ def token_budget_select(
     ).orderBy(F.col("b_level").desc_nulls_last()).limit(1)
 
     out = d.crossJoin(F.broadcast(scal))
-    above = F.col("b_level").isNull() | (F.col("quality_ppm") > F.col("b_level"))
+    above = F.col("b_level").isNull() | (F.col("_q") > F.col("b_level"))
     if not boundary_exact:
         return out.select(
             id_col, "quality_ppm", "n_tokens", above.alias("selected")
         )
 
     # running token sum over the boundary level only, id order
-    at_boundary = out.filter(F.col("quality_ppm") == F.col("b_level"))
+    at_boundary = out.filter(F.col("_q") == F.col("b_level"))
     w_run = Window.orderBy(F.asc(id_col)).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -245,7 +276,7 @@ def token_budget_select(
         ),
     )
     return (
-        out.filter(above | (F.col("quality_ppm") != F.col("b_level")))
+        out.filter(above | (F.col("_q") != F.col("b_level")))
         .select(id_col, "quality_ppm", "n_tokens", above.alias("selected"))
         .unionByName(bounded)
     )
@@ -323,7 +354,7 @@ def priority_sample(
     ).withColumn(
         "priority",
         F.expr(
-            f"CASE WHEN {weight_col} < 1 "
+            f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 1 "
             f"OR {weight_col} > {MAX_PRIORITY_WEIGHT} "
             f"THEN CAST(raise_error('priority_sample: {weight_col} "
             f"outside [1, {MAX_PRIORITY_WEIGHT}]') AS BIGINT) "

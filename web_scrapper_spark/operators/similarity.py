@@ -343,15 +343,34 @@ def quantize_embeddings(
 
     Determinism: floats enter through ONE micro-int gate
     (``floor(x * 1e6)`` — floor, not round: identical in Spark, DuckDB
-    and Python) and everything after is integer arithmetic, so the
-    codes are bit-identical in any engine. Returns ``(id, qvec)`` with
-    codes in ``[0, 2^bits - 1]`` (a constant dimension codes to 0).
+    and Python) and everything after is EXACT integer arithmetic: the
+    floor division is ``(n - pmod(n, d)) / d`` — the subtraction makes
+    the numerator an exact multiple of ``d`` in long space, so the
+    final division is exact — never a rounded double quotient, which
+    near an integer boundary can round UP where integer ``//``
+    truncates. Exactness needs ``n < 2^53``, so components are gated
+    to ``|x| <= ~1.7e7`` (micro-ints within 2^44 — raise_error beyond;
+    real embedding components are O(1)). Returns ``(id, qvec)`` with
+    codes in ``[0, 2^bits - 1)`` — the ``+1`` on the span that guards
+    constant dimensions costs the top code (a constant dimension codes
+    to 0).
     """
     levels = (1 << bits) - 1
-    vm = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
-    )
+    gate = 1 << 44  # keeps (v - lo) * levels < 2^53: exact end-to-end
+
+    def micro(x):
+        m = F.floor(x.cast("double") * 1_000_000).cast("long")
+        return F.when(
+            F.abs(m) > gate,
+            F.raise_error(
+                F.lit(
+                    "quantize_embeddings: component outside the "
+                    "exact-arithmetic domain (|x| <= ~1.7e7)"
+                )
+            ).cast("long"),
+        ).otherwise(m)
+
+    vm = F.transform(F.col(vec_col), micro)
     base = vectors.select(F.col(id_col), vm.alias("_vm"))
     stats = (
         base.select(F.posexplode("_vm").alias("dim", "v"))
@@ -361,17 +380,13 @@ def quantize_embeddings(
     rows = sorted(stats.collect(), key=lambda r: r["dim"])
     los = F.array(*[F.lit(int(r["lo"])) for r in rows])
     his = F.array(*[F.lit(int(r["hi"])) for r in rows])
-    q = F.transform(
-        F.col("_vm"),
-        lambda v, i: (
-            (v - F.element_at(los, i + 1))
-            * levels
-            / (F.element_at(his, i + 1) - F.element_at(los, i + 1) + 1)
-        )
-        .cast("long")
-        .cast("int"),
-    )
-    return base.select(id_col, q.alias("qvec"))
+
+    def code(v, i):
+        n = (v - F.element_at(los, i + 1)) * levels
+        d = F.element_at(his, i + 1) - F.element_at(los, i + 1) + 1
+        return ((n - F.pmod(n, d)) / d).cast("long").cast("int")
+
+    return base.select(id_col, F.transform(F.col("_vm"), code).alias("qvec"))
 
 
 def sq_topk(

@@ -137,7 +137,14 @@ def url_filter(
         blocked = F.array(*[F.lit(d.lower()) for d in sorted(set(blocklist))])
         out = out.withColumn(
             "domain_blocked",
-            F.arrays_overlap(host_suffixes_col(F.col("host")), blocked)
+            # coalesce: an unparseable URL (NULL host) makes
+            # arrays_overlap three-value-NULL, which would poison
+            # url_blocked and every downstream funnel gate — match the
+            # DataFrame path's False
+            F.coalesce(
+                F.arrays_overlap(host_suffixes_col(F.col("host")), blocked),
+                F.lit(False),
+            )
             if blocklist
             else F.lit(False),
         )

@@ -87,6 +87,7 @@ def zorder_layout(
     *,
     n_files: int = 16,
     bits: int = 16,
+    tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """``df`` plus ``(zkey, zfile)``: the Morton key and the file the
     row lands in when the frame is written ``repartitionByRange(n_files,
@@ -108,9 +109,22 @@ def zorder_layout(
     # ntile's window is unpartitioned — fine for the TEST-SIDE twin
     # (bounded fixtures); the production write path is
     # repartitionByRange, which samples boundaries instead of ranking.
+    # Ties on zkey MUST have a total order or the split of a tie group
+    # across file boundaries is partition-order-dependent: callers pass
+    # ``tiebreak``; otherwise the known id columns are used, falling
+    # back to every map-free column (maps are unorderable).
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
-    win = Window.orderBy("zkey", *[c for c in ("doc_id", "uid", "url") if c in df.columns])
+    if tiebreak is None:
+        tiebreak = [c for c in ("doc_id", "uid", "url") if c in df.columns]
+        if not tiebreak:
+            tiebreak = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+    win = Window.orderBy("zkey", *tiebreak)
     return keyed.withColumn(
         "zfile", (F.ntile(n_files).over(win) - 1).cast("long")
     )
