@@ -902,10 +902,16 @@ def _q_f21_canonicalize(spark, sf_dir):
     from web_scrapper_spark.crawl.epoch import canonical_url_col
 
     docs = _read(spark, sf_dir, "documents")
+    # doc_id%3 picks the port flavor: none / default :443 (stripped) /
+    # non-default :8443 (KEPT — the port is part of the URL identity)
     raw = F.concat(
         F.lit("HTTPS://Docs"),
         (F.col("doc_id") % 5).cast("string"),
-        F.lit(".Example.ORG/view"),
+        F.lit(".Example.ORG"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(":443"))
+        .when(F.col("doc_id") % 3 == 2, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.lit("/view"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("?page=2#frag")).otherwise(F.lit("#top")),
     )
     return docs.select(
@@ -7289,14 +7295,18 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "f21_canonicalize": """
+            -- default port :443 strips, non-default :8443 survives
             WITH t AS (
               SELECT doc_id,
-                     'HTTPS://Docs' || CAST(doc_id % 5 AS VARCHAR) || '.Example.ORG/view' ||
+                     'HTTPS://Docs' || CAST(doc_id % 5 AS VARCHAR) || '.Example.ORG' ||
+                     CASE WHEN doc_id % 3 = 1 THEN ':443'
+                          WHEN doc_id % 3 = 2 THEN ':8443' ELSE '' END || '/view' ||
                      CASE WHEN doc_id % 2 = 0 THEN '?page=2#frag' ELSE '#top' END AS raw_url
               FROM documents
             )
             SELECT doc_id, raw_url,
-                   'https://docs' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/view' ||
+                   'https://docs' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' ||
+                   CASE WHEN doc_id % 3 = 2 THEN ':8443' ELSE '' END || '/view' ||
                    CASE WHEN doc_id % 2 = 0 THEN '?page=2' ELSE '' END AS canonical_url
             FROM t
         """,

@@ -380,6 +380,31 @@ class TestNotifications:
         rows = log.read()
         assert len(rows) == 1 and rows[0]["deliveries"] == outcomes
 
+    def test_dispatch_same_kind_senders_both_audited(self, tmp_path):
+        """Two webhooks must not overwrite each other's outcome — a
+        failed delivery hidden by a later success defeats the audit."""
+        from web_scrapper_spark.schedulers import NotificationLog, dispatch
+
+        class Boom:
+            kind = "webhook"
+
+            def send(self, payload):
+                raise OSError("down")
+
+        class Ok:
+            kind = "webhook"
+
+            def send(self, payload):
+                return True
+
+        log = NotificationLog(str(tmp_path / "n2.jsonl"))
+        outcomes = dispatch(self._payload(), [Boom(), Ok()], log=log)
+        assert len(outcomes) == 2
+        assert sorted(
+            v if v == "sent" else "error" for v in
+            (o.split(":")[0] for o in outcomes.values())
+        ) == ["error", "sent"]
+
     def test_run_now_fires_notifications(self, spark, tmp_path):
         from web_scrapper_spark.fixtures import SiteSpec, pages_dataframe
         from web_scrapper_spark.schedulers import JobError, JobRegistry
@@ -413,6 +438,17 @@ class TestNotifications:
         assert captured[0]["report"]["urls_visited"] > 0
         rows = reg.notification_log().read()
         assert rows and rows[0]["deliveries"] == {"webhook": "sent"}
+
+        # drain the frontier, then run once more: the drained-sentinel
+        # result carries an epoch that never committed — last_epoch
+        # must track the store manifest, not the sentinel
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        reg.run_now(spark, job_id, epochs=50, senders=[Capture()])
+        reg.run_now(spark, job_id, epochs=1, senders=[Capture()])
+        job = reg.get(job_id)
+        store = SnapshotStore(job["store_dir"])
+        assert job["last_epoch"] == store.last_epoch()["epoch"]
 
     def test_create_config_roundtrip(self, tmp_path):
         from click.testing import CliRunner

@@ -960,3 +960,60 @@ def test_max_outlinks_cap_parity(spark, tmp_path):
     rows = engine.seen().filter("status = 'ok'").select("url", "ord_key").collect()
     engine_order = [r["url"] for r in sorted(rows, key=lambda r: r["ord_key"])]
     assert engine_order == sim_r.visit_order
+
+
+def test_null_html_page_is_a_miss_in_both_fetch_paths(spark, tmp_path):
+    """A pages row with url present but html NULL (empty-payload WARC
+    capture) must classify as a fetch MISS in the broadcast path
+    exactly as in the shuffled path — never reach the extraction UDFs
+    as a NULL body."""
+    import datetime as dt
+
+    h = "https://nullhtml.example-crawl.org"
+    ok_html = (
+        "<html><body><div class='article'>"
+        "<h2 class='article-title'>T</h2>"
+        "<div class='article-content'>hello world</div>"
+        "</div></body></html>"
+    ).encode()
+    rows = [
+        (f"{h}/blog", dt.datetime(2025, 1, 1), ok_html, None, None),
+        (f"{h}/broken", dt.datetime(2025, 1, 1), None, None, None),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    store = SnapshotStore(str(tmp_path / "nh-store"))
+    cfg = CrawlConfig(max_attempts=1)
+    engine = CrawlEngine(spark, store, pages, None, cfg)
+    engine.init([(f"{h}/blog", "content"), (f"{h}/broken", "content")])
+    results = engine.run(max_epochs=10)
+    assert results[-1]["done"]
+    seen = {r["url"]: r["status"] for r in engine.seen().collect()}
+    assert seen[f"{h}/blog"] == "ok"
+    assert seen[f"{h}/broken"] == "failed"
+
+
+def test_canonical_url_col_matches_python_twin_on_ports(spark):
+    """Engine canonicalization must agree byte-for-byte with
+    urlutils.canonicalize_url: default ports strip, NON-default ports
+    survive (parse_url's HOST drops them — the old bug made the fetch
+    join miss every :8080-style URL and drift from the simulator)."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.crawl.epoch import canonical_url_col
+    from web_scrapper_spark.urlutils import canonicalize_url
+
+    urls = [
+        "http://example.com:8080/a?x=1",
+        "http://Example.COM:80/a#frag",
+        "https://h.org:443/",
+        "https://h.org:8443/p",
+        "HTTP://H.ORG/P?Q=1#z",
+        "http://user:pw@h.org:80/p",
+        "http://h.org",
+        "ftp://h.org:21/f",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"] for r in df.select(canonical_url_col("url").alias("c")).collect()
+    ]
+    assert got == [canonicalize_url(u) for u in urls]

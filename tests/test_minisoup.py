@@ -153,3 +153,9 @@ class TestFind:
             a.attrs["class"] = "mutated"
         b = ms.parse('<div class="shared-blob">2</div>').select_one("div")
         assert b.attrs["class"] == "shared-blob"
+
+    def test_text_len_counts_bare_lt_literals(self):
+        # bare '<' becomes a literal text child; text_len's invariant
+        # is == len(root.get_text()), so it must count those chars too
+        doc = ms.parse('<div>a < b and i <3 u</div>')
+        assert doc.text_len == len(doc.get_text()) == 16

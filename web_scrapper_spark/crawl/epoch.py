@@ -734,7 +734,12 @@ class CrawlEngine:
         # at real scale this path assumes pages bucketed by url (Iceberg
         # bucket partitioning) so only the batch side shuffles.
         if n_batch <= cfg.fetch_broadcast_max:
-            fetched = self.pages.select("url", "html").join(
+            # html-NULL pages rows are misses, same as the shuffled
+            # path's `html null ⇒ miss` — without the filter the two
+            # paths disagree and NULL bodies reach the extraction UDFs
+            fetched = self.pages.select("url", "html").filter(
+                F.col("html").isNotNull()
+            ).join(
                 F.broadcast(batch), "url", "inner"
             ).persist()
             to_unpersist.append(fetched)
@@ -1457,9 +1462,12 @@ class CrawlEngine:
             self.store.expire_snapshots(
                 "frontier_base", keep_last=cfg.expire_frontier_keep
             )
-            # bloom blobs are full bitmaps, one per epoch — only the
-            # latest matters (it contains all earlier keys)
-            self.store.expire_snapshots("seen_bloom", keep_last=2)
+        # bloom blobs are full bitmaps, one per epoch — only the
+        # latest matters (it contains all earlier keys), so cleanup is
+        # unconditional: gating it on frontier-base retention would
+        # make expire_frontier_keep=None retain O(epochs x |seen|)
+        # bitmap bytes forever
+        self.store.expire_snapshots("seen_bloom", keep_last=2)
 
         # adopt the carry only once the epoch is committed; past the
         # cap both are None and readers fall back to the store's
@@ -1504,21 +1512,27 @@ def _coalesce_for_write(
 
 def canonical_url_col(col: str):
     """Engine canonicalization (F21) in native expressions, matching
-    urlutils.canonicalize_url for http(s) URLs: lowercase scheme+host,
-    strip default port and fragment, keep path+query, '/' for empty
-    path. JVM-side — no Python in this hot path."""
+    urlutils.canonicalize_url for http(s)/ftp URLs: lowercase
+    scheme+netloc, strip the scheme's DEFAULT port only (a non-default
+    port like :8080 is part of the URL's identity — parse_url's HOST
+    would silently drop it and drift from the Python twin/simulator),
+    strip fragment, keep path+query, '/' for empty path. JVM-side —
+    no Python in this hot path."""
     scheme = F.lower(F.regexp_extract(F.col(col), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
-    host = F.lower(F.parse_url(F.col(col), F.lit("HOST")))
-    host = F.when(
-        (scheme == "http") & host.endswith(":80"),
-        F.expr(f"substring(lower(parse_url({col}, 'HOST')), 1, length(lower(parse_url({col}, 'HOST'))) - 3)"),
-    ).otherwise(host)
+    # AUTHORITY = userinfo@host:port — same as urlparse().netloc
+    netloc = F.lower(F.parse_url(F.col(col), F.lit("AUTHORITY")))
+    netloc = (
+        F.when(scheme == "http", F.regexp_replace(netloc, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(netloc, ":443$", ""))
+        .when(scheme == "ftp", F.regexp_replace(netloc, ":21$", ""))
+        .otherwise(netloc)
+    )
     path = F.parse_url(F.col(col), F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     query = F.parse_url(F.col(col), F.lit("QUERY"))
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), netloc, path,
         F.when(query.isNull() | (query == ""), F.lit("")).otherwise(
             F.concat(F.lit("?"), query)
         ),

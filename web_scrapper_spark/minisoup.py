@@ -739,8 +739,11 @@ def _fast_build(html: str) -> Tag:
             m = _START_TAG_RE.match(html, lt)
             if m is None:
                 # bare '<' (or truncated tag): literal text, as
-                # html.parser's tolerant mode effectively yields
+                # html.parser's tolerant mode effectively yields —
+                # counted in text_len like any other text child (the
+                # field's invariant is == len(root.get_text()))
                 stack[-1].children.append("<")
+                text_len += 1
                 pos = lt + 1
                 continue
             pos = m.end()

@@ -293,24 +293,34 @@ def intra_doc_line_dedup(
         lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " "))
     )
     empty_str = F.array().cast("array<string>")
+    # stage the split/trim/filter chain once and pre-normalize each
+    # line once — inlining `lines` into both n_lines and the fold (and
+    # norm(l) into both fold branches) re-runs the whole text pass
+    # per use inside one projection
+    pairs = F.transform(
+        F.col("_lines"),
+        lambda l: F.struct(l.alias("raw"), norm(l).alias("key")),
+    )
     folded = F.aggregate(
-        lines,
+        pairs,
         F.struct(
             empty_str.alias("seen"), empty_str.alias("out")
         ),
-        lambda acc, l: F.when(
-            F.array_contains(acc["seen"], norm(l)),
+        lambda acc, p: F.when(
+            F.array_contains(acc["seen"], p["key"]),
             acc,
         ).otherwise(
             F.struct(
-                F.concat(acc["seen"], F.array(norm(l))).alias("seen"),
-                F.concat(acc["out"], F.array(l)).alias("out"),
+                F.concat(acc["seen"], F.array(p["key"])).alias("seen"),
+                F.concat(acc["out"], F.array(p["raw"])).alias("out"),
             )
         ),
     )
     return docs.select(
+        F.col(id_col), lines.alias("_lines")
+    ).select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
+        F.size("_lines").cast("long").alias("n_lines"),
         folded.alias("_f"),
     ).select(
         id_col,
@@ -472,9 +482,10 @@ def excerpt_pairs(
     map-side-combined pair aggregate, plus one join against the
     doc-grained size table (AQE broadcasts it when small).
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).dropDuplicates(
-        [id_col, "fp"]
-    )
+    # winnow_fingerprints already emits one row per distinct (id, fp)
+    # — no dedup aggregate needed (winnow_overlap_pairs relies on the
+    # same producer contract)
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
@@ -694,9 +705,11 @@ def bm25_term_weights(
     pipeline ships.
 
     Scale shape: the corpus is TOKENIZED EXACTLY ONCE — the (doc,
-    word, dl) tf aggregate is persisted, and df, N, and T all derive
-    from it (without the persist, Catalyst re-runs the tokenize +
-    explode chain for every consumer — measured 3× the corpus work).
+    word, dl) tf aggregate is locally checkpointed, and df, N, and T
+    all derive from it (without the checkpoint, Catalyst re-runs the
+    tokenize + explode chain for every consumer — measured 3× the
+    corpus work; a persist() would do the same but leak the cache for
+    the session's life).
     tf/df are two-phase map-side-combined aggregates; N and T are two
     scalars inlined as literals (no crossjoin of a singleton frame
     into the big side).
@@ -708,11 +721,16 @@ def bm25_term_weights(
     base = base.select(
         F.col(id_col), "_toks", F.size("_toks").alias("dl")
     )
+    # localCheckpoint, not persist: materialized once (the totals
+    # collect below), lineage cut so every consumer reads the
+    # checkpoint instead of re-tokenizing, and the blocks free with
+    # the DataFrame — persist() here leaked one corpus-sized cache
+    # per call for the life of the session
     tf = (
         base.select(F.col(id_col), "dl", F.explode("_toks").alias("word"))
         .groupBy(id_col, "word", "dl")
         .agg(F.count("*").alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     totals = (
         tf.groupBy(id_col).agg(F.max("dl").alias("dl"))

@@ -23,17 +23,22 @@ stores:
   explicit here because stores are big).
 
 The registry file is swapped atomically (write-temp + ``os.replace``)
-like the snapshot manifest, so concurrent CLI invocations never see a
-torn registry.
+like the snapshot manifest, so readers never see a torn registry, and
+every read-modify-write holds an exclusive ``flock`` on a sidecar lock
+file so concurrent CLI invocations cannot lose each other's updates
+(load -> mutate -> replace without the lock would let the second
+writer silently erase the first's mutation).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Any, Dict, List, Optional
 
 from ..config import ConfigError, bind_job, load_config
@@ -67,6 +72,18 @@ class JobRegistry:
             json.dump(jobs, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._path())
 
+    @contextmanager
+    def _locked(self):
+        """Exclusive cross-process lock for load->mutate->save: two
+        concurrent CLI mutations must serialize or the later _save
+        silently erases the earlier one's change."""
+        with open(self._path() + ".lock", "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
     # -- job control -------------------------------------------------------
     def create(
         self,
@@ -88,27 +105,28 @@ class JobRegistry:
         bind_job(load_config(config_path))  # raises ConfigError if invalid
         self._validate_notify(email, webhook)
         job_id = str(uuid.uuid4())
-        jobs = self._load()
-        jobs[job_id] = {
-            "job_id": job_id,
-            "name": name,
-            "config_path": os.path.abspath(config_path),
-            "pages_path": pages_path,
-            "store_dir": os.path.abspath(
-                store_dir or os.path.join(self.root, f"store-{job_id[:8]}")
-            ),
-            "cron_expression": cron_expression,
-            "metadata": metadata or {},
-            "email": email,
-            "webhook": webhook,
-            "status": "active",
-            "created_at": time.time(),
-            "updated_at": time.time(),
-            "run_count": 0,
-            "last_run_at": None,
-            "last_epoch": None,
-        }
-        self._save(jobs)
+        with self._locked():
+            jobs = self._load()
+            jobs[job_id] = {
+                "job_id": job_id,
+                "name": name,
+                "config_path": os.path.abspath(config_path),
+                "pages_path": pages_path,
+                "store_dir": os.path.abspath(
+                    store_dir or os.path.join(self.root, f"store-{job_id[:8]}")
+                ),
+                "cron_expression": cron_expression,
+                "metadata": metadata or {},
+                "email": email,
+                "webhook": webhook,
+                "status": "active",
+                "created_at": time.time(),
+                "updated_at": time.time(),
+                "run_count": 0,
+                "last_run_at": None,
+                "last_epoch": None,
+            }
+            self._save(jobs)
         return job_id
 
     def get(self, job_id: str) -> Dict[str, Any]:
@@ -131,10 +149,11 @@ class JobRegistry:
 
     def _set_status(self, job_id: str, status: str) -> Dict[str, Any]:
         job = self.get(job_id)
-        jobs = self._load()
-        jobs[job["job_id"]]["status"] = status
-        jobs[job["job_id"]]["updated_at"] = time.time()
-        self._save(jobs)
+        with self._locked():
+            jobs = self._load()
+            jobs[job["job_id"]]["status"] = status
+            jobs[job["job_id"]]["updated_at"] = time.time()
+            self._save(jobs)
         return jobs[job["job_id"]]
 
     def update(self, job_id: str, **changes) -> Dict[str, Any]:
@@ -156,10 +175,11 @@ class JobRegistry:
                 )
             bind_job(load_config(changes["config_path"]))
             changes["config_path"] = os.path.abspath(changes["config_path"])
-        jobs = self._load()
-        jobs[job["job_id"]].update(changes)
-        jobs[job["job_id"]]["updated_at"] = time.time()
-        self._save(jobs)
+        with self._locked():
+            jobs = self._load()
+            jobs[job["job_id"]].update(changes)
+            jobs[job["job_id"]]["updated_at"] = time.time()
+            self._save(jobs)
         return jobs[job["job_id"]]
 
     @staticmethod
@@ -182,9 +202,10 @@ class JobRegistry:
         job's snapshot store — explicit, because unlike the reference's
         sqlite row the store holds the crawl data itself."""
         job = self.get(job_id)
-        jobs = self._load()
-        del jobs[job["job_id"]]
-        self._save(jobs)
+        with self._locked():
+            jobs = self._load()
+            del jobs[job["job_id"]]
+            self._save(jobs)
         if remove_store and os.path.isdir(job["store_dir"]):
             shutil.rmtree(job["store_dir"], ignore_errors=True)
 
@@ -247,12 +268,18 @@ class JobRegistry:
         except Exception as exc:
             self._notify(job, "failure", error=str(exc), senders=senders)
             raise
-        jobs = self._load()
-        row = jobs[job["job_id"]]
-        row["run_count"] += 1
-        row["last_run_at"] = time.time()
-        row["last_epoch"] = results[-1].get("epoch") if results else None
-        self._save(jobs)
+        with self._locked():
+            jobs = self._load()
+            row = jobs[job["job_id"]]
+            row["run_count"] += 1
+            row["last_run_at"] = time.time()
+            # the store manifest is authoritative: a drained-frontier
+            # sentinel result carries epoch N+1 that never ran or
+            # committed, so recording results[-1]["epoch"] would point
+            # job metadata at a nonexistent epoch
+            last = store.last_epoch()
+            row["last_epoch"] = last["epoch"] if last else None
+            self._save(jobs)
         report = {
             "epochs": len([r for r in results if not r.get("done")]),
             "urls_total": sum(r.get("dequeued", 0) for r in results),

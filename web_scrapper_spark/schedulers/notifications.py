@@ -214,14 +214,18 @@ def dispatch(
 ) -> Dict[str, Any]:
     """Fire every sender; a sender's exception is recorded, never
     raised (the reference logs and continues,
-    job_scheduler.py:288-316). Returns {sender_kind: outcome}."""
+    job_scheduler.py:288-316). Returns one outcome PER SENDER, keyed
+    ``kind`` for the first sender of a kind and ``kind#i`` for
+    repeats — two webhooks must not overwrite each other's outcome in
+    the audit log."""
     outcomes: Dict[str, Any] = {}
-    for sender in senders:
+    for i, sender in enumerate(senders):
+        key = sender.kind if sender.kind not in outcomes else f"{sender.kind}#{i}"
         try:
-            outcomes[sender.kind] = "sent" if sender.send(payload) else "skipped"
+            outcomes[key] = "sent" if sender.send(payload) else "skipped"
         except Exception as exc:  # noqa: BLE001 — notify must never kill the job
             logger.error("error sending %s notification: %s", sender.kind, exc)
-            outcomes[sender.kind] = f"error: {exc}"
+            outcomes[key] = f"error: {exc}"
     if log is not None:
         log.append(payload, outcomes)
     return outcomes
