@@ -57,6 +57,11 @@ def main() -> int:
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "8g")
+        # engine sessions pin UTC (session.get_spark); without it,
+        # toPandas renders timestamps in the machine's local zone and
+        # the value hash spuriously diverges from DuckDB on non-UTC
+        # hosts
+        .config("spark.sql.session.timeZone", "UTC")
         .appName("check_oracles")
         .getOrCreate()
     )

@@ -59,6 +59,35 @@ class TestConfig:
                 )
             )
 
+    def test_scalar_user_agents_and_proxies_coerce(self, tmp_path):
+        """A scalar string for the list-typed keys must become a
+        one-element list, not explode into single characters."""
+        job = cfg_mod.bind_job(
+            cfg_mod.load_config(
+                _write_config(
+                    tmp_path,
+                    {"user_agents": "Mozilla/5.0 Test",
+                     "proxies": "http://p:8080"},
+                )
+            )
+        )
+        assert job.fetch_policy.user_agents == ["Mozilla/5.0 Test"]
+        assert job.fetch_policy.proxies == ["http://p:8080"]
+
+    def test_output_table_binds(self, tmp_path):
+        job = cfg_mod.bind_job(
+            cfg_mod.load_config(
+                _write_config(
+                    tmp_path,
+                    {"output": {"format": "db",
+                                "path": "jdbc:postgresql://h/d",
+                                "table": "articles"}},
+                )
+            )
+        )
+        assert job.output_format == "db"
+        assert job.output_table == "articles"
+
     def test_validation_errors(self, tmp_path):
         with pytest.raises(cfg_mod.ConfigError):
             cfg_mod.validate_config({})
@@ -586,6 +615,28 @@ class TestAnalyzeCli:
 
 
 class TestShowVacuumCli:
+    def test_own_spark_sees_cross_thread_host_session(self, spark):
+        """A host session created in another thread must still be
+        detected (getActiveSession is thread-local): owned must come
+        back False or the command's finally would stop the host's
+        session."""
+        import threading
+
+        import web_scrapper_spark.cli as cli_mod
+
+        out = {}
+
+        def probe():
+            s, owned = cli_mod._own_spark(4)
+            out["owned"] = owned
+            out["same"] = s is spark
+
+        t = threading.Thread(target=probe)
+        t.start()
+        t.join()
+        assert out["owned"] is False
+        assert out["same"] is True
+
     def test_show_and_vacuum_on_a_real_store(self, spark, tmp_path):
         import json as _json
 
@@ -674,3 +725,29 @@ class TestMaxOutlinksConfig:
 
         with _pytest.raises(cfg_mod.ConfigError):
             cfg_mod.bind_job(bad)
+
+
+def test_get_spark_cpus_zero_means_all_cores():
+    """--cpus 0 is the CLI's documented 'all cores' default: it must
+    map to a positive local[N], never local[0] (which Spark rejects at
+    session creation). Checked in a fresh process so no host session
+    masks the master resolution."""
+    import subprocess
+    import sys
+
+    code = (
+        "from web_scrapper_spark.session import get_spark\n"
+        "s = get_spark(app_name='cpus0-probe', cpus=0, "
+        "extra_conf={'spark.ui.enabled': 'false'})\n"
+        "print('MASTER=' + s.sparkContext.master)\n"
+        "s.stop()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("MASTER=")][0]
+    master = line.split("=", 1)[1]
+    assert master.startswith("local[")
+    assert master != "local[0]"

@@ -1017,3 +1017,24 @@ def test_canonical_url_col_matches_python_twin_on_ports(spark):
         r["c"] for r in df.select(canonical_url_col("url").alias("c")).collect()
     ]
     assert got == [canonicalize_url(u) for u in urls]
+
+
+def test_canonical_url_col_garbage_passes_through_raw(spark):
+    """A URL Java's parser rejects (embedded space) must pass through
+    RAW — nulling it (or throwing under ANSI mode, which plain
+    parse_url does) would kill the candidate stage on one dirty href."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.crawl.epoch import canonical_url_col
+
+    df = spark.createDataFrame(
+        [("http://h.org/sp ace",), ("http://OK.org/a",)], "url string"
+    )
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", canonical_url_col("url").alias("c")
+        ).collect()
+    }
+    assert got["http://h.org/sp ace"] == "http://h.org/sp ace"  # raw
+    assert got["http://OK.org/a"] == "http://ok.org/a"

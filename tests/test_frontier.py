@@ -95,6 +95,24 @@ class TestShardedBloom:
             np.array([1, 2, 3, 101, -7], dtype=np.int64)
         ).all()
 
+    def test_union_result_owns_its_bitmaps(self):
+        """Shards present in only one operand must be COPIED into the
+        union — aliasing them lets add_many on the union silently
+        mutate the supposedly-frozen operand filters."""
+        base = ShardedBloom(4, 1 << 10, 3)
+        delta = ShardedBloom(4, 1 << 10, 3)
+        base.add_many(np.array([4], dtype=np.int64))      # shard 0 only
+        delta.add_many(np.array([5], dtype=np.int64))     # shard 1 only
+        total = base.union(delta)
+        probe = np.array([8, 9], dtype=np.int64)          # shards 0, 1
+        assert not base.might_contain_many(probe).any()
+        assert not delta.might_contain_many(probe).any()
+        total.add_many(probe)
+        assert total.might_contain_many(probe).all()
+        # operands unchanged
+        assert not base.might_contain_many(probe).any()
+        assert not delta.might_contain_many(probe).any()
+
     def test_shard_routing_matches_spark_pmod(self, spark):
         keys = np.array([-5, -1, 0, 7, 123456789, -987654], dtype=np.int64)
         sb = ShardedBloom(8, 1 << 10, 3)

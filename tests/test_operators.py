@@ -527,6 +527,19 @@ class TestSources:
         with pytest.raises(RuntimeError, match="no JDBC driver"):
             write_jdbc(df, "jdbc:postgresql://h/d", "items")
 
+    def test_write_any_db_requires_table(self, spark):
+        # driver on the classpath but no target table: a clear
+        # ValueError, not a KeyError after the crawl already ran
+        import pytest
+
+        from web_scrapper_spark.sources import write_any
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="table"):
+            write_any(
+                df, "jdbc:postgresql://h/d", "db", driver="java.lang.String"
+            )
+
     def test_query_table(self, spark):
         from web_scrapper_spark.sources import query_table
 
@@ -1204,6 +1217,9 @@ class TestPagerank:
                 ("https://a.com/p2", "https://b.com/y"),
                 ("https://a.com/p3", "https://a.com/p1"),
                 (None, "https://b.com/z"),
+                # malformed URL (space): ANSI parse_url would THROW —
+                # try_parse_url nulls it and the filter drops the row
+                ("https://a.com/p4", "http inval id"),
             ],
             "src_url string, url string",
         )

@@ -50,6 +50,23 @@ class TestHll:
             got = {r["bucket"]: r["r"] for r in regs if r["host"] == host}
             assert got == expected
 
+    def test_null_values_carry_no_information(self, spark):
+        """NULL values must not create a phantom (bucket=NULL, r=NULL)
+        register row — it would count in `present` while adding nothing
+        to the harmonic sum, biasing the estimate high (and nulling the
+        estimate for all-NULL keys)."""
+        base = self._df(spark, 400)
+        with_nulls = base.unionByName(
+            spark.createDataFrame(
+                [("h0", None), ("h2", None)], "host string, url string"
+            )
+        )
+        regs_base = sk.hll_registers(base, ["host"], "url", self.P)
+        regs_nulls = sk.hll_registers(with_nulls, ["host"], "url", self.P)
+        a = {(r["host"], r["bucket"]): r["r"] for r in regs_base.collect()}
+        b = {(r["host"], r["bucket"]): r["r"] for r in regs_nulls.collect()}
+        assert a == b  # NULLs changed nothing; all-NULL h2 absent
+
     def test_estimate_accuracy(self, spark):
         df = self._df(spark, 8000, dups=4)
         est = sk.hll_estimate(

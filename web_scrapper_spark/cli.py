@@ -49,7 +49,14 @@ def _own_spark(cpus: int):
     otherwise create one we own and may stop."""
     from pyspark.sql import SparkSession
 
-    existing = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL: a host session created in
+    # another thread would be invisible here, yet getOrCreate() below
+    # would return that same default session with owned=True and the
+    # finally block would stop the host's session — check the
+    # process-wide default too.
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if existing is not None:
         return existing, False
     return _spark(cpus), True
@@ -129,8 +136,10 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
         path = output_path or job.output_path
         if out_df is not None and path:
             # 'db' goes through write_any's JDBC capability probe and
-            # warns loudly on the parquet fallback (S10)
-            write_any(out_df, path, fmt)
+            # warns loudly on the parquet fallback (S10); the target
+            # table comes from scraper.output.table
+            opts = {"table": job.output_table} if job.output_table else {}
+            write_any(out_df, path, fmt, **opts)
         report = {
             "epochs": len([r for r in results if not r.get("done")]),
             "urls_total": sum(r.get("dequeued", 0) for r in results),

@@ -122,6 +122,9 @@ class BoundJob:
     business: BusinessConfig = field(default_factory=BusinessConfig)
     output_format: Optional[str] = None
     output_path: Optional[str] = None
+    #: JDBC target table for ``output.format: db`` (yaml key
+    #: ``scraper.output.table``)
+    output_table: Optional[str] = None
     fetch_policy: Optional[object] = None  # crawl.fetchpolicy.FetchPolicy
     #: seen-set pre-filter flavor: "bloom" (default) or "cuckoo"
     #: (deletable — frontier/cuckoo.py); yaml key ``scraper.seen_filter``
@@ -170,10 +173,17 @@ def _bind_fetch_policy(scraper: Dict[str, Any]):
     from .crawl.fetchpolicy import DEFAULT_USER_AGENTS, FetchPolicy
 
     uas = scraper.get("user_agents")
+    # a scalar string here would explode into single characters under
+    # list() below — one-char User-Agents with no error; coerce to a
+    # one-element list like the single-value keys
+    if isinstance(uas, str):
+        uas = [uas]
     if not uas:
         single = scraper.get("user_agent")
         uas = [single] if single else list(DEFAULT_USER_AGENTS)
     proxies = scraper.get("proxies")
+    if isinstance(proxies, str):
+        proxies = [proxies]
     if not proxies:
         single = scraper.get("proxy")
         proxies = [single] if single else []
@@ -209,6 +219,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         else 6,
         output_format=get_value(config, "scraper.output.format"),
         output_path=get_value(config, "scraper.output.path"),
+        output_table=get_value(config, "scraper.output.table"),
         fetch_policy=_bind_fetch_policy(scraper),
         seen_filter=scraper.get("seen_filter", "bloom"),
         pld_budget=(

@@ -1521,22 +1521,28 @@ def canonical_url_col(col: str):
     scheme = F.lower(F.regexp_extract(F.col(col), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
     # AUTHORITY = userinfo@host:port — same as urlparse().netloc
-    netloc = F.lower(F.parse_url(F.col(col), F.lit("AUTHORITY")))
+    netloc = F.lower(F.try_parse_url(F.col(col), F.lit("AUTHORITY")))
     netloc = (
         F.when(scheme == "http", F.regexp_replace(netloc, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(netloc, ":443$", ""))
         .when(scheme == "ftp", F.regexp_replace(netloc, ":21$", ""))
         .otherwise(netloc)
     )
-    path = F.parse_url(F.col(col), F.lit("PATH"))
+    path = F.try_parse_url(F.col(col), F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    query = F.parse_url(F.col(col), F.lit("QUERY"))
-    return F.concat(
+    query = F.try_parse_url(F.col(col), F.lit("QUERY"))
+    canon = F.concat(
         scheme, F.lit("://"), netloc, path,
         F.when(query.isNull() | (query == ""), F.lit("")).otherwise(
             F.concat(F.lit("?"), query)
         ),
     )
+    # a URL Java's parser rejects (embedded space, bad scheme chars —
+    # try_parse_url nulls the netloc) passes through RAW rather than
+    # nulling out or killing the stage under ANSI mode; such URLs then
+    # miss the fetch join and park as failed, which is the honest
+    # outcome for garbage hrefs at crawl scale
+    return F.when(netloc.isNull(), F.col(col)).otherwise(canon)
 
 
 def merge_articles(raw: DataFrame) -> DataFrame:

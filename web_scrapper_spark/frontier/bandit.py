@@ -65,7 +65,7 @@ def host_yield_stats(
     )
     rewards = (
         items.select(
-            F.lower(F.parse_url(url_col, F.lit("HOST"))).alias("host")
+            F.lower(F.try_parse_url(url_col, F.lit("HOST"))).alias("host")
         )
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_yield"))

@@ -41,6 +41,10 @@ from typing import Iterator
 import numpy as np
 from pyspark.sql import DataFrame
 
+#: executor-side cache for the in-memory probe: broadcast id → filter
+#: (one entry — a new epoch's broadcast evicts the previous filter).
+_BLOOM_PROBE_CACHE: dict = {}
+
 
 class PyBloom:
     def __init__(self, n_bits: int, k: int, bits: np.ndarray | None = None):
@@ -227,9 +231,20 @@ class ShardedBloom:
         assert (self.n_shards, self.n_bits, self.k) == (
             other.n_shards, other.n_bits, other.k,
         )
-        merged = dict(self.shards)
+        # every shard of the result owns its OWN bitmap: shards present
+        # in only one operand must be copied, not aliased — otherwise
+        # add_many on the union silently mutates the operand filters
+        # (epoch-isolated base filters would gain the delta's bits)
+        merged = {}
+        for s, filt in self.shards.items():
+            merged[s] = (
+                filt.union(other.shards[s])
+                if s in other.shards
+                else PyBloom(self.n_bits, self.k, filt.bits.copy())
+            )
         for s, filt in other.shards.items():
-            merged[s] = merged[s].union(filt) if s in merged else filt
+            if s not in merged:
+                merged[s] = PyBloom(self.n_bits, self.k, filt.bits.copy())
         return ShardedBloom(self.n_shards, self.n_bits, self.k, merged)
 
     # -- single-blob serialization (sandbox persistence path) -----------
@@ -359,6 +374,9 @@ def sharded_bloom_prefilter(
     if sharded is not None:
         spark = candidates.sparkSession
         bc = spark.sparkContext.broadcast(sharded.to_bytes())
+        # worker-side Broadcast objects carry no id — capture the JVM
+        # broadcast id on the driver as a plain int for the cache key
+        bc_token = bc._jbroadcast.id()
 
         from pyspark.sql.functions import pandas_udf
 
@@ -366,7 +384,16 @@ def sharded_bloom_prefilter(
         def maybe_seen(keys):
             import pandas as pd
 
-            filt = ShardedBloom.from_bytes(bc.value)
+            # deserialize ONCE per worker process, not per Arrow batch:
+            # a 10^8-key sharded filter is ~100 MB of memcpy, and the
+            # UDF body runs per ~2048-row batch — cache on broadcast id
+            # (invalidated naturally when a new epoch broadcasts a new
+            # filter under a new id)
+            filt = _BLOOM_PROBE_CACHE.get(bc_token)
+            if filt is None:
+                filt = ShardedBloom.from_bytes(bc.value)
+                _BLOOM_PROBE_CACHE.clear()
+                _BLOOM_PROBE_CACHE[bc_token] = filt
             return pd.Series(
                 filt.might_contain_many(keys.to_numpy(dtype=np.int64))
             )

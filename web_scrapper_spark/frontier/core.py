@@ -74,9 +74,9 @@ def with_frontier_columns(
     return candidates.select(
         "url",
         F.hash("url").alias("url_hash"),
-        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"),
         F.concat(
-            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.lower(F.try_parse_url("url", F.lit("HOST"))),
             F.lit("#"),
             F.pmod(F.hash("url"), F.lit(salt_buckets)).cast("string"),
         ).alias("host_salt"),
@@ -299,8 +299,8 @@ def robots_filter(candidates: DataFrame, robots: Optional[DataFrame]) -> DataFra
     )
     rules = robots.select(*cols)
     with_host = candidates.withColumn(
-        "_host", F.lower(F.parse_url("url", F.lit("HOST")))
-    ).withColumn("_path", F.parse_url("url", F.lit("PATH")))
+        "_host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+    ).withColumn("_path", F.try_parse_url("url", F.lit("PATH")))
     joined = with_host.join(
         F.broadcast(rules), with_host["_host"] == rules["host"], "left"
     )
@@ -350,8 +350,8 @@ def robots_audit(
     )
     rules = robots.select(*cols)
     with_host = fetches.select(F.col(url_col).alias("_url")).withColumn(
-        "_host", F.lower(F.parse_url("_url", F.lit("HOST")))
-    ).withColumn("_path", F.parse_url("_url", F.lit("PATH")))
+        "_host", F.lower(F.try_parse_url("_url", F.lit("HOST")))
+    ).withColumn("_path", F.try_parse_url("_url", F.lit("PATH")))
     joined = with_host.join(
         F.broadcast(rules), with_host["_host"] == rules["host"], "left"
     )

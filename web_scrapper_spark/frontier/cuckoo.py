@@ -40,6 +40,10 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
+#: executor-side cache for the membership probe: broadcast id → filter
+#: (one entry — a new epoch's broadcast evicts the previous filter).
+_CUCKOO_PROBE_CACHE: dict = {}
+
 #: slots per bucket (standard (2,4)-cuckoo: two buckets, four slots).
 SLOTS = 4
 #: fingerprints are uint16 with 0 reserved as the empty sentinel.
@@ -398,6 +402,9 @@ def cuckoo_membership(
     epoch seam is :func:`sharded_cuckoo_prefilter`."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(sharded.to_bytes())
+    # worker-side Broadcast objects carry no id — capture the JVM
+    # broadcast id on the driver as a plain int for the cache key
+    bc_token = bc._jbroadcast.id()
 
     from pyspark.sql.functions import pandas_udf
 
@@ -405,7 +412,13 @@ def cuckoo_membership(
     def maybe_seen(keys):
         import pandas as pd
 
-        filt = ShardedCuckoo.from_bytes(bc.value)
+        # deserialize once per worker, not per Arrow batch (same
+        # executor-side cache discipline as the bloom probe)
+        filt = _CUCKOO_PROBE_CACHE.get(bc_token)
+        if filt is None:
+            filt = ShardedCuckoo.from_bytes(bc.value)
+            _CUCKOO_PROBE_CACHE.clear()
+            _CUCKOO_PROBE_CACHE[bc_token] = filt
         return pd.Series(
             filt.might_contain_many(keys.to_numpy(dtype=np.int64))
         )

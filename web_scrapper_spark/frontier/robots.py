@@ -132,9 +132,9 @@ def robots_from_pages(
     is exactly ``/robots.txt`` qualify, not any URL that merely ends
     with the suffix."""
     robots_pages = pages.filter(
-        F.parse_url("url", F.lit("PATH")) == "/robots.txt"
+        F.try_parse_url("url", F.lit("PATH")) == "/robots.txt"
     ).select(
-        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"),
         F.coalesce(
             F.col(text_col), F.decode(F.col("html"), "utf-8")
         ).alias("body"),

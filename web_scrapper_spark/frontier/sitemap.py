@@ -139,7 +139,7 @@ def sitemap_candidates(
     site — always tiny next to the pages table)."""
     from pyspark.sql.functions import broadcast
 
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
     src = pages.select(
         F.col(url_col).alias("src_url"), F.col(html_col).alias("_blob")
     ).filter(path.isin(*path_suffixes) if path_suffixes else F.lit(False))

@@ -156,7 +156,7 @@ def url_shape_profile(
     # grain): an all-digit segment is N, a long-hex segment is H,
     # anything else non-empty is s — one transform over the split
     # path, no cross-segment regex subtleties
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
     seg_shape = F.transform(
         F.split(path, "/"),
         lambda seg: F.when(seg == "", F.lit(""))
@@ -167,7 +167,7 @@ def url_shape_profile(
     shape = F.array_join(seg_shape, "/")
     return (
         urls.select(
-            F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
             shape.alias("shape"),
             F.col(url_col).alias("_u"),
         )
@@ -204,7 +204,7 @@ def templated_pages(
     key, and AQE broadcasts the group table when it is small. Only
     32-byte hashes cross the shuffles, never bodies.
     """
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     fp = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     )

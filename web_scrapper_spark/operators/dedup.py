@@ -250,12 +250,15 @@ def minhash_lsh_pairs(
     cache spills to disk (MEMORY_AND_DISK default) and the reuse is
     exactly what an LSH pipeline wants — shingles are read three times.
     """
-    shingled = shingled_docs(docs, id_col, text_col, shingle_n).persist()
-    shingled.count()
+    # localCheckpoint (eager), not persist: same one-time
+    # materialization, but the blocks free with the returned DataFrame
+    # instead of pinning a corpus-sized cache for the session's life
+    shingled = shingled_docs(docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     bands = minhash_bands(
         docs, id_col, text_col, num_hashes, band_size, shingle_n, shingled=shingled
-    ).persist()
-    bands.count()
+    ).localCheckpoint(eager=True)
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -332,13 +335,13 @@ def minhash_lsh_incremental(
     - ``delta_bands``/``delta_shingles``: append these to the index —
       O(delta) maintenance per epoch, never a rebuild.
     """
-    delta_sh = shingled_docs(new_docs, id_col, text_col, shingle_n).persist()
-    delta_sh.count()
+    delta_sh = shingled_docs(new_docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     delta_bands = minhash_bands(
         new_docs, id_col, text_col, num_hashes, band_size, shingle_n,
         shingled=delta_sh,
-    ).persist()
-    delta_bands.count()
+    ).localCheckpoint(eager=True)
 
     d, x = delta_bands.alias("d"), index_bands.alias("x")
     cross = (
@@ -897,7 +900,7 @@ def exact_substring_spans(
     windows = blocked.select(
         id_col,
         F.transform(F.slice(acc, 1, n_windows), lambda s: F.unhex(F.md5(s))).alias("_w"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Eager materialization (same rationale as minhash_lsh_pairs): the
     # dup-count aggregate and the hits join are separate stages that
     # would otherwise each re-run the whole tokenize→block-md5→window

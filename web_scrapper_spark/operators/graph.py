@@ -60,7 +60,10 @@ def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "url")
     (src, dst, weight) with self-host edges kept (intra-site links are
     real mass; drop them upstream if unwanted). One aggregate, map-side
     combined."""
-    host = lambda c: F.parse_url(F.col(c), F.lit("HOST"))  # noqa: E731
+    # try_parse_url: under ANSI mode plain parse_url THROWS on a
+    # malformed URL (routine in real outlink data) instead of nulling —
+    # the isNotNull filter below only works with the try_ variant
+    host = lambda c: F.try_parse_url(F.col(c), F.lit("HOST"))  # noqa: E731
     return (
         links.select(host(src_col).alias("src"), host(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())

@@ -96,7 +96,7 @@ def domain_blocklist_flags(
     predicates — no join, no shuffle; output adds
     (host, blocked, blocked_by)."""
     doms = sorted({d.lower().lstrip(".") for d in blocked_domains if d})
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     blocked_by = F.lit(None).cast("string")
     # fold right-to-left so the FIRST (sorted) match wins
     for d in reversed(doms):

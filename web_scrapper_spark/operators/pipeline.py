@@ -133,8 +133,10 @@ def funnel_flags(
     # without this, 1 with it. Eager count (same pattern as
     # minhash_lsh_pairs' internal caches): inside one job tree the
     # branches race on a cold cache and each recompute the chain.
-    f4 = f4.persist()
-    f4.count()
+    # localCheckpoint (eager): one materialization, blocks free with
+    # the returned frame — persist() leaked the corpus-wide flag cache
+    # for the session's life
+    f4 = f4.localCheckpoint(eager=True)
 
     # --- stage 5: near-dedup over stage-4 survivors ------------------
     s4 = f4.filter("_c4").select(id_col, text_col).filter(

@@ -94,7 +94,13 @@ def hll_registers(
         suffix_bits - F.length(F.conv(suffix.cast("string"), 10, 2)) + 1
     )
     return (
-        df.select(
+        # NULL values carry no distinct-count information, but without
+        # the filter md5(NULL) lands as a (key, bucket=NULL, r=NULL)
+        # row that hll_estimate counts in `present` while contributing
+        # nothing to the harmonic sum — deflating S and biasing the
+        # estimate high (and nulling it for all-NULL keys)
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *key_cols,
             bucket.alias("bucket"),
             rho.cast("int").alias("rho"),

@@ -607,7 +607,7 @@ def url_valid_col(col: Column) -> Column:
     no localhost/IP + TLD>=2); the full urlparse port lives in
     validators.is_valid_url for UDF contexts."""
     scheme_ok = col.rlike(r"^(https?|ftp)://")
-    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
     domain_ok = host.rlike(
         r"^[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?(\.[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?)*$"
     )

@@ -57,7 +57,7 @@ DEFAULT_THRESHOLD_CENTI = 100
 
 def host_col(url: Column) -> Column:
     """Lowered host part of the URL (scheme://host[:port]/...)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def host_suffixes_col(host: Column) -> Column:

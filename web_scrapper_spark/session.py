@@ -32,6 +32,14 @@ def _launcher_sets_master() -> bool:
     """
     from pyspark import SparkConf
 
+    # Under spark-submit the py4j gateway env vars are exported to the
+    # python process BEFORE user code runs, while SparkConf() at import
+    # time is still a local (empty) dict — the JVM properties only
+    # become readable after SparkContext._ensure_initialized. The env
+    # check is therefore the reliable launcher signal; the SparkConf
+    # probe still covers an embedding that pre-built the gateway.
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return True
     try:
         return SparkConf().contains("spark.master")
     except Exception:
@@ -49,6 +57,10 @@ def get_spark(
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if cpus <= 0:
+        # 0 = "all cores" (the CLI's documented --cpus default);
+        # local[0] is rejected by Spark outright
+        cpus = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cpus)
     builder = SparkSession.builder

@@ -188,7 +188,13 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
         return
     if fmt == "db":
         if jdbc_driver_available(df.sparkSession, options.get("driver")) is not None:
-            table = options.pop("table")
+            table = options.pop("table", None)
+            if not table:
+                raise ValueError(
+                    "format 'db' requires options['table'] (the JDBC "
+                    "target table; set scraper.output.table in the "
+                    "config) — refusing to guess after the crawl ran"
+                )
             write_jdbc(df, path, table, mode=mode, **options)
             return
         warnings.warn(

@@ -83,7 +83,7 @@ def host_rate_metrics(
 ) -> DataFrame:
     """Fetch-rate telemetry: per-host page counts in event-time windows
     of ``warc_ts``; the watermark bounds state for late pages."""
-    host = F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+    host = F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host")
     return (
         pages.select("url", "warc_ts")
         .withWatermark("warc_ts", watermark)
@@ -139,7 +139,7 @@ def host_state_stream(pages: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-host totals via
     applyInPandasWithState (the task brief's stateful-op surface)."""
     with_host = pages.select(
-        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "warc_ts"
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"), "warc_ts"
     )
     return with_host.groupBy("host").applyInPandasWithState(
         _host_state_fn,
