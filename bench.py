@@ -84,6 +84,7 @@ def run_crawl(spark, sf_dir: str) -> dict:
     t0 = time.time()
     results = engine.run(max_epochs=50)
     wall = time.time() - t0
+    engine.close()  # free hot-carry checkpoint blocks for the next section
 
     crawl_epochs = [r for r in results if not r.get("done")]
     n_urls = sum(r["dequeued"] for r in crawl_epochs)
@@ -151,6 +152,7 @@ def run_bulk_crawl(
     t0 = time.time()
     results = engine.run(max_epochs=30)
     wall = time.time() - t0
+    engine.close()
     crawl_epochs = [r for r in results if not r.get("done")]
     n_done = sum(r["dequeued"] for r in crawl_epochs)
     pages.unpersist()
@@ -220,6 +222,7 @@ def run_frontier_bench(spark, n_urls: int = 1_000_000, n_hosts: int = 512) -> di
     t0 = time.time()
     results = engine.run(max_epochs=10)
     wall = time.time() - t0
+    engine.close()
     crawl_epochs = [r for r in results if not r.get("done")]
     n_done = sum(r["dequeued"] for r in crawl_epochs)
     pages.unpersist()

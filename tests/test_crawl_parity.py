@@ -207,6 +207,36 @@ def test_resume_equals_uninterrupted(spark, tmp_path, engine_state, sim):
     assert seen == {r["url"]: r["status"] for r in full_engine.seen().collect()}
 
 
+def test_close_frees_hot_state_and_keeps_store_resumable(
+    spark, tmp_path, sim
+):
+    """close() drops the hot-carry localCheckpoint blocks (long-running
+    drivers must not accumulate dead epochs' storage) while losing
+    nothing durable: a fresh engine over the same store finishes the
+    crawl to the simulator's exact seen-set."""
+    store = SnapshotStore(str(tmp_path / "close-store"))
+    pages = pages_dataframe(spark, SPEC)
+    robots = robots_dataframe(spark, SPEC)
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig())
+    engine.init(_seeds())
+    engine.run_epoch()
+    engine.run_epoch()
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    engine.close()
+    after = len(jsc.getRDDStorageInfo())
+    assert engine._hot_frontier is None and engine._hot_seen is None
+    assert after < before  # the two hot-carry checkpoints are gone
+    engine.close()  # idempotent
+
+    resumed = CrawlEngine.resume(spark, store, pages, robots, CrawlConfig())
+    resumed.run(max_epochs=30)
+    seen = {r["url"]: r["status"] for r in resumed.seen().collect()}
+    assert seen == sim.seen
+    resumed.close()
+
+
 def test_resume_ignores_orphan_snapshots(spark, tmp_path, engine_state, sim):
     """Crash MID-epoch: table snapshots written but commit_epoch never
     reached. Resume must treat the epoch as never having happened —

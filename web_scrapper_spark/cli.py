@@ -148,6 +148,7 @@ def scrape(config_path, pages_path, store_dir, output_path, output_format,
             "items_extracted": 0 if out_df is None else out_df.count(),
             "duration_seconds": sum(r.get("duration_s", 0) for r in results),
         }
+        engine.close()
         click.echo(json.dumps(report, indent=2))
     except ConfigError as err:
         click.echo(f"config error: {err}", err=True)
@@ -188,6 +189,7 @@ def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus, ro
             click.echo(json.dumps(result))
             if result.get("done"):
                 break
+        engine.close()
     finally:
         if _owned:
             spark.stop()

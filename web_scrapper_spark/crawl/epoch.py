@@ -1471,10 +1471,18 @@ class CrawlEngine:
 
         # adopt the carry only once the epoch is committed; past the
         # cap both are None and readers fall back to the store's
-        # merge-on-read scan (old checkpoint blocks are freed by the
-        # ContextCleaner once unreferenced)
+        # merge-on-read scan. The REPLACED epoch's checkpoint blocks
+        # are freed eagerly: ContextCleaner GC is lazy, and a
+        # long-running driver (scheduler running many crawls per
+        # session) would otherwise accumulate unevictable storage
+        # blocks from every past epoch until the JVM collects them.
+        old_f, old_s = self._hot_frontier, self._hot_seen
         self._hot_frontier = hot_f_cp
         self._hot_seen = hot_s_cp
+        if old_f is not None and old_f is not hot_f_cp:
+            _free_local_checkpoint(old_f)
+        if old_s is not None and old_s is not hot_s_cp:
+            _free_local_checkpoint(old_s)
 
         for df in to_unpersist:
             df.unpersist()
@@ -1489,6 +1497,41 @@ class CrawlEngine:
             if result.get("done"):
                 break
         return results
+
+    def close(self) -> None:
+        """Release driver-held state: the hot-carry checkpoint blocks.
+
+        Everything the engine computed lives in the store's committed
+        snapshots — close() loses nothing. A new engine over the same
+        store resumes from the manifest (test_resume_equals_uninterrupted);
+        only the in-memory fast path is dropped. Call when the crawl is
+        finished in a session that keeps running (scheduler loops,
+        benchmarks): checkpoint blocks are unevictable until the lazy
+        ContextCleaner collects them, so back-to-back crawls would
+        otherwise stack dead epochs' blocks in executor storage memory.
+        """
+        old_f, old_s = self._hot_frontier, self._hot_seen
+        self._hot_frontier = None
+        self._hot_seen = None
+        if old_f is not None:
+            _free_local_checkpoint(old_f)
+        if old_s is not None:
+            _free_local_checkpoint(old_s)
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly unpersist a ``localCheckpoint`` DataFrame's blocks.
+
+    ``localCheckpoint`` materializes to storage blocks owned by the
+    checkpointed internal RDD (the DataFrame's plan is a LogicalRDD
+    over it); there is no public DataFrame-level unpersist for it, so
+    reach the RDD through the analyzed plan. Best-effort: on Connect
+    or a plan shape without ``rdd()`` the blocks are left to the
+    ContextCleaner, which is the status quo."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _coalesce_for_write(
