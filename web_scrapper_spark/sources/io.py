@@ -232,9 +232,11 @@ def query_table(
     """S11 — the reference's SELECT-builder semantics
     (database_handler.py:176-194) as a declarative DataFrame pipeline.
     ``order_by`` accepts "col [ASC|DESC], col2 ..." SQL syntax. OFFSET
-    is a row_number filter over the requested order (Spark has no
-    native OFFSET pushdown pre-4.0 semantics here; the window keeps it
-    deterministic)."""
+    uses the native ``DataFrame.offset`` over the requested sort: the
+    planner pushes a LocalLimit(limit+offset) below the final exchange,
+    so each partition ships at most limit+offset rows instead of the
+    whole table through one WindowExec partition (the pre-4.0
+    row_number approach)."""
     out = df
     if where:
         out = out.filter(where)
@@ -254,13 +256,8 @@ def query_table(
     if offset:
         if not sort_cols:
             raise ValueError("offset requires order_by for deterministic results")
-        win = Window.orderBy(*sort_cols)
-        out = (
-            out.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") > offset)
-            .drop("_rn")
-        )
-    if sort_cols:
+        out = out.orderBy(*sort_cols).offset(offset)
+    elif sort_cols:
         out = out.orderBy(*sort_cols)
     if limit is not None:
         out = out.limit(limit)
