@@ -197,7 +197,9 @@ def token_budget_select(
     - every doc strictly above the boundary is selected outright (a
       broadcast threshold comparison, scan-shaped)
     - docs AT the boundary level fill the remaining budget in id order
-      — a running-sum window whose input is that single level only
+      — a distributed two-phase prefix sum over that single level
+      (range-partition by id, per-partition offsets via the driver,
+      within-partition running sums), never a global window
 
     ``boundary_exact=False`` skips the boundary window (selects none
     of the boundary level) for the degenerate corpus where one quality
@@ -262,18 +264,54 @@ def token_budget_select(
             id_col, "quality_ppm", "n_tokens", above.alias("selected")
         )
 
-    # running token sum over the boundary level only, id order
+    # running token sum over the boundary level only, id order — a
+    # DISTRIBUTED prefix sum, not a single-partition global window: the
+    # boundary level is usually a sliver, but with a coarse quality
+    # signal (few distinct levels) it can be a constant fraction of the
+    # corpus, and WindowExec with no partition key would funnel all of
+    # it through one task. Classic two-phase scan instead:
+    #   1. range-partition the level by id (order-preserving across
+    #      partitions), freeze the assignment with a localCheckpoint
+    #      so both passes see identical partition ids
+    #   2. per-partition token totals -> driver (one row per partition)
+    #      -> exclusive cumulative offsets, broadcast back
+    #   3. running sum WITHIN each partition (+ its offset) — every
+    #      partition scans concurrently
     at_boundary = out.filter(F.col("_q") == F.col("b_level"))
-    w_run = Window.orderBy(F.asc(id_col)).rowsBetween(
-        Window.unboundedPreceding, 0
+    npart = d.sparkSession.sparkContext.defaultParallelism
+    ab = (
+        at_boundary.repartitionByRange(npart, F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    bounded = at_boundary.select(
+    ptotals = sorted(
+        (r["_pid"], r["pmass"])
+        for r in ab.groupBy("_pid").agg(F.sum("n_tokens").alias("pmass")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, pmass in ptotals:
+        offsets.append((pid, acc))
+        acc += pmass
+    if offsets:
+        off_df = d.sparkSession.createDataFrame(
+            offsets, "_pid int, _poff long"
+        )
+        ab = ab.join(F.broadcast(off_df), "_pid", "left")
+    else:
+        ab = ab.withColumn("_poff", F.lit(0).cast("long"))
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bounded = ab.select(
         id_col,
         "quality_ppm",
         "n_tokens",
-        (F.sum("n_tokens").over(w_run) <= F.col("b_remaining")).alias(
-            "selected"
-        ),
+        (
+            F.col("_poff") + F.sum("n_tokens").over(w_run)
+            <= F.col("b_remaining")
+        ).alias("selected"),
     )
     return (
         out.filter(above | (F.col("_q") != F.col("b_level")))
