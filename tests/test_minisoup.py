@@ -159,3 +159,60 @@ class TestFind:
         # is == len(root.get_text()), so it must count those chars too
         doc = ms.parse('<div>a < b and i <3 u</div>')
         assert doc.text_len == len(doc.get_text()) == 16
+
+
+class TestSubtreePoolSlicing:
+    """The index pools answer subtree probes via a bisect slice on the
+    document-ordered .start intervals; every result must equal the
+    un-indexed tree walk (boundaries: first/last child, self-exclusion,
+    sibling exclusion, empty range)."""
+
+    DOC = (
+        '<div id="a" class="zone"><p class="x">a1</p><p class="x">a2</p>'
+        '<span data-k="1">s</span></div>'
+        '<div id="b" class="zone"><p class="x">b1</p>'
+        '<div class="zone inner"><p class="x">b2</p></div></div>'
+        '<p class="x">tail</p>'
+    )
+
+    def both(self, scope_sel, probe):
+        doc = ms.parse(self.DOC)
+        indexed = probe(doc.select_one(scope_sel))
+        doc.index = None
+        walked = probe(doc.select_one(scope_sel))
+        return indexed, walked
+
+    def assert_same(self, scope_sel, probe):
+        indexed, walked = self.both(scope_sel, probe)
+        assert [t.start for t in indexed] == [t.start for t in walked]
+
+    def test_select_scoped_to_first_and_second_sibling(self):
+        self.assert_same("#a", lambda el: el.select(".x"))
+        self.assert_same("#b", lambda el: el.select(".x"))
+
+    def test_select_excludes_scope_element_itself(self):
+        # scope has the probed class: only strict descendants match
+        indexed, walked = self.both("#b", lambda el: el.select(".zone"))
+        assert [t.attrs.get("class") for t in indexed] == ["zone inner"]
+        assert [t.start for t in indexed] == [t.start for t in walked]
+
+    def test_select_empty_range(self):
+        indexed, walked = self.both("#a", lambda el: el.select(".nope"))
+        assert indexed == [] and walked == []
+
+    def test_find_all_scoped_by_name_and_multiname(self):
+        self.assert_same("#a", lambda el: el.find_all("p"))
+        self.assert_same("#b", lambda el: el.find_all(["p", "span"]))
+
+    def test_find_all_scoped_by_attr_kwarg(self):
+        indexed, walked = self.both("#a", lambda el: el.find_all(attrs={"data-k": "1"}))
+        assert len(indexed) == 1
+        assert [t.start for t in indexed] == [t.start for t in walked]
+
+    def test_last_element_included_at_upper_bound(self):
+        # b2's <p> is the last tag inside #b's inner div: start == end
+        # boundary of the containment slice
+        doc = ms.parse(self.DOC)
+        inner = doc.select_one(".inner")
+        hits = inner.select(".x")
+        assert [t.get_text() for t in hits] == ["b2"]

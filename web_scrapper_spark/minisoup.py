@@ -30,9 +30,14 @@ Arrow record batches.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
+from operator import attrgetter
 from types import MappingProxyType
 from typing import Callable, Dict, Iterator, List, Mapping, Optional, Union
+
+# sort/bisect key for the document-ordered index pools
+_tag_start = attrgetter("start")
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -184,10 +189,12 @@ class Tag:
         else:
             return None
         if self is not root:
+            # pools are document-ordered (strictly increasing .start from
+            # the one-pass build), so the containment range (lo, hi] is a
+            # bisect slice — O(log n + matches), never a full-pool scan
             lo, hi = self.start, self.end
-            if len(pool) > hi - lo:
-                return None  # subtree walk is cheaper than pool scan
-            pool = [t for t in pool if lo < t.start <= hi]
+            i = bisect_right(pool, lo, key=_tag_start)
+            pool = pool[i : bisect_right(pool, hi, lo=i, key=_tag_start)]
         return pool
 
     def find_all(
@@ -249,8 +256,12 @@ class Tag:
             return None
         if self is root:
             return list(pool)
+        # document-ordered pool → containment slice via bisect (see
+        # _index_pool); slicing also yields the fresh list select() needs
         lo, hi = self.start, self.end
-        return [t for t in pool if lo < t.start <= hi]
+        i = bisect_right(pool, lo, key=_tag_start)
+        out = pool[i : bisect_right(pool, hi, lo=i, key=_tag_start)]
+        return out if type(out) is list else list(out)
 
     def select(self, selector: str) -> List["Tag"]:
         matchers = _compiled_selector(selector)
