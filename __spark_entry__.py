@@ -3993,12 +3993,10 @@ def _q_link_spam_mass(spark, sf_dir):
     the two integer fixed-point propagations and one equi-join; the
     oracle replays both unrolled iteration chains and the same integer
     ppm expression."""
-    from web_scrapper_spark.operators.graph import pagerank, spam_mass, trustrank
+    from web_scrapper_spark.operators.graph import spam_mass_scores
 
     edges, seeds = _trust_edges(spark, sf_dir)
-    pr = pagerank(edges, num_iters=_PRANK["iters"])
-    tr = trustrank(edges, seeds, num_iters=_PRANK["iters"])
-    return spam_mass(pr, tr).select(
+    return spam_mass_scores(edges, seeds, num_iters=_PRANK["iters"]).select(
         F.col("node").alias("doc_id"), "rank_fp", "trust_fp", "spam_mass_ppm"
     )
 

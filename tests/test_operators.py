@@ -2823,6 +2823,33 @@ class TestTrustrank:
         # trust above rank share → clamped at 0
         assert got[3] == (300, 0)
 
+    def test_spam_mass_scores_matches_sequential_composition(self, spark):
+        # the concurrent shared-edge composition must be bit-identical
+        # to running the two propagations independently
+        from web_scrapper_spark.operators.graph import (
+            pagerank,
+            spam_mass,
+            spam_mass_scores,
+            trustrank,
+        )
+
+        E = [(i, (i * 7 + 3) % 30) for i in range(30)] + [
+            (i, (i * 13 + 5) % 30) for i in range(30)
+        ]
+        edges = spark.createDataFrame(E, "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (9,), (18,)], "node long")
+        fused = {
+            r["node"]: (r["rank_fp"], r["trust_fp"], r["spam_mass_ppm"])
+            for r in spam_mass_scores(edges, seeds, num_iters=5).collect()
+        }
+        pr = pagerank(edges, num_iters=5)
+        tr = trustrank(edges, seeds, num_iters=5)
+        seq = {
+            r["node"]: (r["rank_fp"], r["trust_fp"], r["spam_mass_ppm"])
+            for r in spam_mass(pr, tr).collect()
+        }
+        assert fused == seq
+
 
 class TestMetaRobots:
     """operators/structured.py — robots meta directives + rel=nofollow."""

@@ -33,6 +33,7 @@ Scale notes:
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,11 +49,31 @@ __all__ = [
     "host_triangles",
     "trustrank",
     "spam_mass",
+    "spam_mass_scores",
+    "prepare_edges",
     "PAGERANK_SCALE",
 ]
 
 #: 1.0 of probability mass in fixed-point units (1e-12 resolution).
 PAGERANK_SCALE = 10**12
+
+
+def prepare_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """The shared pre-iteration edge build: out-degree denormalized
+    onto the edge row, hash-partitioned by ``src`` once, persisted and
+    materialized. Both :func:`pagerank` and :func:`trustrank` accept
+    the result via ``prepared=`` so a composition like
+    :func:`spam_mass_scores` pays the edge shuffle ONCE for both
+    propagations. Caller owns the persist (unpersist when done)."""
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    edeg = (
+        edges.select(src, dst)
+        .join(deg, src)
+        .repartition(F.col(src))
+        .persist()
+    )
+    edeg.count()
+    return edeg
 
 
 def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "url") -> DataFrame:
@@ -80,9 +101,12 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 4,
+    prepared: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank. Returns (node, rank) where rank is
-    in ``1/scale`` units of probability mass.
+    in ``1/scale`` units of probability mass. ``prepared`` is an
+    optional :func:`prepare_edges` result to share across propagations
+    (the caller then owns its persist lifecycle).
 
     The exact recurrence (both engines implement it verbatim):
 
@@ -106,16 +130,9 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100
-    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     # out-degree denormalized onto the edge row + partitioned by src
     # ONCE: iterations reuse this exchange, only ranks move.
-    edeg = (
-        edges.select(src, dst)
-        .join(deg, src)
-        .repartition(F.col(src))
-        .persist()
-    )
-    edeg.count()
+    edeg = prepared if prepared is not None else prepare_edges(edges, src, dst)
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for it in range(num_iters):
         contrib = (
@@ -140,7 +157,8 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
     ranks = ranks.localCheckpoint(eager=True)
-    edeg.unpersist()
+    if prepared is None:
+        edeg.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -714,6 +732,7 @@ def trustrank(
     dst: str = "dst",
     seed_col: str = "node",
     checkpoint_interval: int = 4,
+    prepared: Optional[DataFrame] = None,
 ) -> DataFrame:
     """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
     PageRank with the teleport vector concentrated on a hand-vetted
@@ -766,14 +785,7 @@ def trustrank(
         .persist()
     )
     flagged.count()
-    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
-    edeg = (
-        edges.select(src, dst)
-        .join(deg, src)
-        .repartition(F.col(src))
-        .persist()
-    )
-    edeg.count()
+    edeg = prepared if prepared is not None else prepare_edges(edges, src, dst)
     ranks = flagged.select(
         "node", (F.col("_seed") * F.lit(r0)).cast("long").alias("rank")
     )
@@ -794,7 +806,8 @@ def trustrank(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
     ranks = ranks.localCheckpoint(eager=True)
-    edeg.unpersist()
+    if prepared is None:
+        edeg.unpersist()
     flagged.unpersist()
     sd.unpersist()
     return ranks
@@ -824,3 +837,41 @@ def spam_mass(
             ).cast("long").alias("spam_mass_ppm"),
         )
     )
+
+
+def spam_mass_scores(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_iters: int = 10,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """:func:`spam_mass` end-to-end: PageRank + TrustRank + the ppm
+    join. The two propagations share ONE :func:`prepare_edges` build
+    (one edge shuffle, one persisted partitioning instead of two) and
+    run from two driver threads so their per-iteration jobs interleave
+    on the cluster — each chain alone underuses the executors at the
+    rank-table grain, and the integer fixed-point arithmetic makes the
+    result bit-identical regardless of job interleaving. Both chains
+    end eagerly materialized (localCheckpoint), so the shared edge
+    cache is released before returning the lazy final join."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    edeg = prepare_edges(edges, src, dst)
+    try:
+        with ThreadPoolExecutor(2) as pool:
+            f_pr = pool.submit(
+                pagerank, edges, num_iters, damping_pct, scale, src, dst,
+                prepared=edeg,
+            )
+            f_tr = pool.submit(
+                trustrank, edges, seeds, num_iters, damping_pct, scale,
+                src, dst, seed_col, prepared=edeg,
+            )
+            pr, tr = f_pr.result(), f_tr.result()
+    finally:
+        edeg.unpersist()
+    return spam_mass(pr, tr, scale)
