@@ -103,6 +103,47 @@ class TestMinisoupProperties:
             # convert_charrefs folds entities back; whitespace preserved
             assert node.get_text() == s
 
+    # random nested docs: every indexed subtree probe (the bisect slice
+    # over document-ordered pools) must equal the un-indexed tree walk
+    _tags = st.sampled_from(["div", "p", "span", "a", "li"])
+    _cls = st.sampled_from(["", "x", "y", "x y"])
+
+    @st.composite
+    def _doc(draw, depth=0):
+        n = draw(st.integers(0, 3 if depth < 3 else 0))
+        parts = []
+        for _ in range(n):
+            t = draw(TestMinisoupProperties._tags)
+            c = draw(TestMinisoupProperties._cls)
+            attr = f' class="{c}"' if c else ""
+            parts.append(f"<{t}{attr}>{draw(TestMinisoupProperties._doc(depth + 1))}t</{t}>")
+        return "".join(parts)
+
+    @given(_doc(), st.integers(0, 30))
+    @settings(max_examples=120)
+    def test_subtree_probes_match_walk(self, doc_html, pick):
+        doc = minisoup.parse(f"<html><body>{doc_html}</body></html>")
+        tags = list(doc.iter_tags())
+        scope = tags[pick % len(tags)]
+        probes = [
+            lambda el: el.select(".x"),
+            lambda el: el.select("span"),
+            lambda el: el.select_one("a"),
+            lambda el: el.find_all("p"),
+            lambda el: el.find_all(["a", "li"]),
+            lambda el: el.find_all(class_="y"),
+        ]
+        indexed = [p(scope) for p in probes]
+        doc.index = None
+        walked = [p(scope) for p in probes]
+        def key(r):
+            if r is None:
+                return None
+            if isinstance(r, list):
+                return [t.start for t in r]
+            return r.start
+        assert [key(r) for r in indexed] == [key(r) for r in walked]
+
 
 class TestParsers:
     @given(text_strategy)
