@@ -995,6 +995,61 @@ def _q_crawl_content_seen(spark, sf_dir):
     return engine.seen().select("url", "status")
 
 
+def _q_crawl_revisit(spark, sf_dir):
+    """Freshness-driven revisit epochs (crawl/epoch.py
+    enqueue_revisits — Nutch's adaptive fetch schedule over sitemap
+    changefreq hints): 12 single-host seeds all fetched in epoch 0;
+    urls with doc index % 3 == 0 carry an ``always`` changefreq hint,
+    so they are DUE one epoch after fetch and get refetched in the
+    next crawl wave (epoch 2 — epoch 1 is the scheduling-only revisit
+    commit). The others sit on the hint-less default period (7 epochs)
+    and are NOT due. The seen set becomes multi-capture: one (epoch 0)
+    row per url plus a second (epoch 2) row for exactly the hinted
+    subset — the oracle derives the same set from the index arithmetic
+    alone, so a hash match proves the due-rule join, the frontier
+    re-enqueue, and the second fetch wave end-to-end."""
+    import tempfile
+
+    from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+    from web_scrapper_spark.fixtures.sitegen import (
+        PAGES_SCHEMA,
+        SiteSpec,
+        page_html,
+    )
+    from web_scrapper_spark.frontier.store import SnapshotStore
+
+    spec = SiteSpec()
+    urls = [f"https://rv.example-crawl.org/p{i:02d}" for i in range(12)]
+    bodies = [
+        page_html(
+            f"https://host0.example-crawl.org/blog/post-{i % 5}", spec
+        ).encode("utf-8")
+        for i in range(12)
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, b, None, None) for u, b in zip(urls, bodies)], PAGES_SCHEMA
+    )
+    robots = spark.createDataFrame(
+        [("rv.example-crawl.org", [], 0.01)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    store = SnapshotStore(tempfile.mkdtemp(prefix="wss-rv-"))
+    engine = CrawlEngine(spark, store, pages, robots, CrawlConfig(max_depth=0))
+    engine.init([(u, "content") for u in urls])
+    engine.run(max_epochs=5)
+    hints = spark.createDataFrame(
+        [(u, None, "always", None) for i, u in enumerate(urls) if i % 3 == 0],
+        "url string, lastmod string, changefreq string, priority_ppm int",
+    )
+    engine.enqueue_revisits(hints=hints)
+    engine.run(max_epochs=5)
+    # close() first: it drops the hot-carry checkpoint blocks, so the
+    # returned view must be the cold merge-on-read scan of the store,
+    # not a reference to freed blocks
+    engine.close()
+    return engine.seen().select("url", "status", "fetched_epoch")
+
+
 def _q_dedup_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return _dd.simhash_df(docs)
@@ -4737,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity also tested in tests/)
         "crawl_epoch_seen": _q_crawl_epoch_seen,
         "crawl_content_seen": _q_crawl_content_seen,
+        "crawl_revisit": _q_crawl_revisit,
         # multimodal plumbing (oracled against numpy-recomputed features)
         "multimodal_features": _q_multimodal_features,
     }
@@ -7500,6 +7556,21 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _compression_ratio_oracle_sql(),
         "crawl_epoch_seen": _crawl_seen_oracle_sql(),
         "crawl_content_seen": _content_seen_oracle_sql(),
+        # revisit: every url fetched in epoch 0; the always-hinted
+        # subset (i % 3 == 0) is due at epoch 1 and refetched in the
+        # epoch-2 wave — derived purely from the index arithmetic
+        "crawl_revisit": """
+            WITH i AS (SELECT unnest(range(12)) AS i),
+            u AS (SELECT i,
+                         'https://rv.example-crawl.org/p'
+                           || lpad(CAST(i AS VARCHAR), 2, '0') AS url
+                  FROM i)
+            SELECT url, 'ok' AS status, CAST(0 AS INTEGER) AS fetched_epoch
+            FROM u
+            UNION ALL
+            SELECT url, 'ok' AS status, CAST(2 AS INTEGER) AS fetched_epoch
+            FROM u WHERE i % 3 = 0
+        """,
         "multimodal_features": _multimodal_oracle_sql(),
     }
 

@@ -195,6 +195,71 @@ def schedule(config_path, pages_path, store_dir, epochs, epoch_seconds, cpus, ro
             spark.stop()
 
 
+@cli.command()
+@click.option("--config", "-c", "config_path", required=True, type=str)
+@click.option("--pages", "-p", "pages_path", required=True, type=str)
+@click.option("--store", "-s", "store_dir", required=True, type=str)
+@click.option("--hints", type=str, default=None,
+              help="parquet of sitemap hints (url, lastmod, changefreq, "
+                   "priority_ppm); 'from-sitemaps' derives them from the "
+                   "pages table's sitemap files; default: none (every "
+                   "seen url uses --default-hours)")
+@click.option("--epoch-hours", type=int, default=24, show_default=True,
+              help="crawl-clock calibration: hours one epoch represents")
+@click.option("--default-hours", type=int, default=168, show_default=True,
+              help="refetch period for urls without a changefreq hint")
+@click.option("--modified-since", type=str, default=None,
+              help="ISO date: hints with lastmod >= this are due "
+                   "regardless of period")
+@click.option("--cpus", type=int, default=8)
+@click.option("--robots", type=str, default="none",
+              help="'none', 'from-pages', or a parquet path of rules")
+def revisit(config_path, pages_path, store_dir, hints, epoch_hours,
+            default_hours, modified_since, cpus, robots) -> None:
+    """Re-enqueue seen urls that are DUE for refetch (sitemap
+    changefreq/lastmod freshness rules) as a scheduling-only epoch,
+    then let `schedule` fetch them — the continuous-crawl loop:
+    scrape → revisit → schedule → revisit → …"""
+    from .crawl.epoch import CrawlEngine
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        engine, _job = _engine_from_config(
+            spark, config_path, pages_path, store_dir, 8.0, robots
+        )
+        if engine.store.last_epoch() is None:
+            raise click.ClickException(
+                "store has no committed epochs — run `scrape` first"
+            )
+        engine = CrawlEngine.resume(
+            spark, engine.store, engine.pages, engine.robots, engine.cfg
+        )
+        hints_df = None
+        if hints == "from-sitemaps":
+            from pyspark.sql import functions as F
+
+            from .frontier.sitemap import sitemap_candidates
+
+            hints_df = (
+                sitemap_candidates(engine.pages)
+                .filter(F.col("kind") == "url")
+                .select("url", "lastmod", "changefreq", "priority_ppm")
+            )
+        elif hints is not None:
+            hints_df = spark.read.parquet(hints)
+        n = engine.enqueue_revisits(
+            hints=hints_df,
+            epoch_hours=epoch_hours,
+            default_hours=default_hours,
+            modified_since=modified_since,
+        )
+        engine.close()
+        click.echo(json.dumps({"revisits": n, "epoch": engine._epoch}))
+    finally:
+        if _owned:
+            spark.stop()
+
+
 @cli.command("export-data")
 @click.option("--input", "-i", "in_path", required=True, type=str)
 @click.option("--input-format", "in_fmt", type=str, default=None)

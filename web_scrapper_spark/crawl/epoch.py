@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1497,6 +1497,115 @@ class CrawlEngine:
             if result.get("done"):
                 break
         return results
+
+    def enqueue_revisits(
+        self,
+        hints: Optional[DataFrame] = None,
+        epoch_hours: int = 24,
+        default_hours: int = 168,
+        modified_since: Optional[str] = None,
+        statuses: Sequence[str] = ("ok", "dup"),
+    ) -> int:
+        """Freshness-driven re-enqueue (Nutch's adaptive fetch schedule;
+        the continuous-crawl counterpart of the reference's one-shot
+        ``urls`` loop). Joins the seen set against sitemap hints via
+        :func:`frontier.recrawl.recrawl_due` and appends the DUE urls
+        back into the frontier as a scheduling-only epoch:
+
+        - ``hints``: sitemap entries (url, lastmod, changefreq,
+          priority_ppm) from ``frontier.sitemap.sitemap_candidates``;
+          None → every eligible url uses ``default_hours``.
+        - Due urls re-enter with their ORIGINAL (stype, depth, ord_key)
+          — taken from each url's latest seen row via a deterministic
+          max-struct aggregate — so revisit dequeue order is as
+          reproducible as first-visit order. ``attempts`` resets to 0.
+        - Urls still live in the frontier (pending, or re-enqueued by
+          an earlier revisit) are excluded by an anti-join: one url,
+          one live frontier row, always.
+        - The merge-on-read tombstone rule (dead iff a tombstone with
+          ``tomb_epoch > discovered_epoch`` exists) already composes
+          over enqueue/dequeue cycles, so revisit rows need no new
+          frontier machinery; the refetch appends a SECOND seen row for
+          the url (multi-capture history — downstream consumers that
+          need one row per url take the latest, exactly like
+          ``sources.warc.latest_captures``).
+        - ``statuses``: which seen rows are revisit-eligible; parked
+          failures stay terminal by default (reference parity — its
+          failed set is final).
+
+        Commits consume one manifest epoch with ``dequeued=0`` and a
+        ``revisits`` count (crash-safe like any epoch: an un-committed
+        delta is ignored on resume). Returns the number of re-enqueued
+        urls; 0 leaves the store and epoch counter untouched. The
+        frontier hot carry predates the new delta and is dropped; the
+        seen carry is unchanged and kept.
+
+        Scale shape: one groupBy(url) over seen + one broadcast-able
+        hint join (recrawl_due) + one anti-join against the live
+        frontier — all url-keyed, no new shuffle class; the delta write
+        is O(due), never O(|frontier|).
+        """
+        from ..frontier.recrawl import recrawl_due
+
+        epoch = self._epoch + 1
+        eligible = self.seen().filter(F.col("status").isin(list(statuses)))
+        if hints is None:
+            hints = self.spark.createDataFrame(
+                [],
+                "url string, lastmod string, changefreq string, "
+                "priority_ppm int",
+            )
+        due = recrawl_due(
+            eligible,
+            hints,
+            current_epoch=epoch,
+            epoch_hours=epoch_hours,
+            default_hours=default_hours,
+            modified_since=modified_since,
+        ).select("url")
+        # latest seen row per url carries the dequeue identity the
+        # revisit reuses; max over the struct is deterministic under
+        # any partitioning (fetched_epoch is unique per url)
+        latest = (
+            eligible.select(
+                "url",
+                F.struct("fetched_epoch", "ord_key", "depth", "stype").alias(
+                    "_s"
+                ),
+            )
+            .groupBy("url")
+            .agg(F.max("_s").alias("_s"))
+            .select("url", "_s.stype", "_s.depth", "_s.ord_key")
+        )
+        cand = (
+            due.join(latest, "url")
+            .join(self.frontier().select("url"), "url", "left_anti")
+        )
+        rows = with_frontier_columns(
+            cand, epoch=epoch, salt_buckets=self.cfg.salt_buckets
+        ).persist()
+        n = rows.count()
+        if n == 0:
+            rows.unpersist()
+            return 0
+        snap = self.store.commit(
+            "frontier_delta",
+            _coalesce_for_write(rows, n, self.cfg.write_rows_per_file),
+            epoch,
+            mode="append",
+        )
+        self.store.commit_epoch(
+            epoch,
+            {"frontier_delta": snap},
+            {"revisits": n, "dequeued": 0},
+        )
+        self._epoch = epoch
+        rows.unpersist()
+        old_f = self._hot_frontier
+        self._hot_frontier = None
+        if old_f is not None:
+            _free_local_checkpoint(old_f)
+        return n
 
     def close(self) -> None:
         """Release driver-held state: the hot-carry checkpoint blocks.
