@@ -1050,6 +1050,73 @@ def _q_crawl_revisit(spark, sf_dir):
     return engine.seen().select("url", "status", "fetched_epoch")
 
 
+def _q_volatility_revisit(spark, sf_dir):
+    """Observed-evidence adaptive recrawl, composed end-to-end
+    (frontier/recrawl.py host_volatility → volatility_hints →
+    recrawl_due, the Cho & Garcia-Molina loop): documents become a
+    synthetic capture log — 3 captures per url at ts 0/P/2P with
+    P = host index + 1; EVEN-indexed hosts change digest every revisit
+    (observed cadence P hours), ODD hosts never change (stability
+    evidence → max_hours backoff). volatility_hints turns the measured
+    cadence into per-url period_hours, which override the (absent)
+    changefreq vocabulary inside recrawl_due. At epoch 10 with 1-hour
+    epochs exactly the even hosts with P <= 10 are due — the oracle
+    derives the same set from the index arithmetic alone, so a hash
+    match proves the lag/aggregate evidence chain, the clamped period
+    mapping, and the override precedence."""
+    from web_scrapper_spark.frontier.recrawl import (
+        host_volatility,
+        recrawl_due,
+        volatility_hints,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 20).cast("int")
+    host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example.org"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/d"), F.col("doc_id").cast("string")
+    )
+    base = docs.select(
+        url.alias("url"), host.alias("host"), h.alias("_h")
+    )
+    P = (F.col("_h") + 1).cast("long")
+    changed = F.col("_h") % 2 == 0
+    caps = base.select(
+        "host",
+        "url",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("ts"),
+                    F.lit("d0").alias("digest"),
+                ),
+                F.struct(
+                    P.alias("ts"),
+                    F.when(changed, F.lit("d1")).otherwise(F.lit("d0")).alias(
+                        "digest"
+                    ),
+                ),
+                F.struct(
+                    (P * 2).alias("ts"),
+                    F.when(changed, F.lit("d2")).otherwise(F.lit("d0")).alias(
+                        "digest"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("host", "url", "c.ts", "c.digest")
+    hints = volatility_hints(host_volatility(caps), base.select("url", "host"))
+    seen = base.select("url", F.lit(0).cast("int").alias("fetched_epoch"))
+    due = recrawl_due(seen, hints, current_epoch=10, epoch_hours=1)
+    return due.select(
+        "url",
+        "fetched_epoch",
+        "due_epoch",
+        F.coalesce("priority_ppm", F.lit(-1)).alias("priority_ppm"),
+        "reason",
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return _dd.simhash_df(docs)
@@ -4793,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_epoch_seen": _q_crawl_epoch_seen,
         "crawl_content_seen": _q_crawl_content_seen,
         "crawl_revisit": _q_crawl_revisit,
+        "volatility_revisit": _q_volatility_revisit,
         # multimodal plumbing (oracled against numpy-recomputed features)
         "multimodal_features": _q_multimodal_features,
     }
@@ -7570,6 +7638,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT url, 'ok' AS status, CAST(2 AS INTEGER) AS fetched_epoch
             FROM u WHERE i % 3 = 0
+        """,
+        # observed-evidence adaptive recrawl: even-indexed hosts change
+        # every P = h+1 hours -> due at epoch 10 iff P <= 10; odd hosts
+        # are stable -> max_hours backoff, never due here
+        "volatility_revisit": """
+            SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/d' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(0 AS INTEGER) AS fetched_epoch,
+                   CAST(doc_id % 20 + 1 AS INTEGER) AS due_epoch,
+                   CAST(-1 AS INTEGER) AS priority_ppm,
+                   'period' AS reason
+            FROM documents
+            WHERE (doc_id % 20) % 2 = 0 AND doc_id % 20 + 1 <= 10
         """,
         "multimodal_features": _multimodal_oracle_sql(),
     }

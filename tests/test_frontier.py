@@ -1415,6 +1415,151 @@ class TestHostVolatility:
         assert a == b
 
 
+class TestVolatilityHints:
+    """volatility_hints + recrawl_due's period_hours override — the
+    observed-evidence (Cho & Garcia-Molina) adaptive recrawl loop."""
+
+    def _vol(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "host string, n_captures long, n_urls long, revisits long, "
+            "changes long, change_ppm long, mean_change_interval long",
+        )
+
+    def _urls(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, host string")
+
+    def test_period_mapping_and_eligibility(self, spark):
+        from web_scrapper_spark.frontier.recrawl import volatility_hints
+
+        vol = self._vol(
+            spark,
+            [
+                ("fast.org", 10, 2, 8, 4, 500_000, 6),     # changes every 6h
+                ("stable.org", 10, 2, 8, 0, 0, -1),        # revisited, never changed
+                ("unknown.org", 2, 2, 0, 0, -1, -1),       # no revisits yet
+            ],
+        )
+        urls = self._urls(
+            spark,
+            [("https://fast.org/a", "fast.org"),
+             ("https://stable.org/a", "stable.org"),
+             ("https://unknown.org/a", "unknown.org")],
+        )
+        got = {
+            r["url"]: r["period_hours"]
+            for r in volatility_hints(vol, urls, max_hours=8760).collect()
+        }
+        assert got == {
+            "https://fast.org/a": 6,
+            "https://stable.org/a": 8760,  # stability evidence -> floor cadence
+            # unknown.org absent: no evidence, caller default applies
+        }
+
+    def test_clamping_and_ts_unit(self, spark):
+        from web_scrapper_spark.frontier.recrawl import volatility_hints
+
+        vol = self._vol(
+            spark,
+            [("a.org", 5, 1, 4, 4, 1_000_000, 0),       # interval 0 -> min
+             ("b.org", 5, 1, 4, 1, 250_000, 100_000)],  # huge -> max
+        )
+        urls = self._urls(
+            spark, [("https://a.org/", "a.org"), ("https://b.org/", "b.org")]
+        )
+        got = {
+            r["url"]: r["period_hours"]
+            for r in volatility_hints(
+                vol, urls, ts_unit_hours=2, min_hours=3, max_hours=48
+            ).collect()
+        }
+        assert got == {"https://a.org/": 3, "https://b.org/": 48}
+
+    def test_recrawl_due_period_hours_overrides_changefreq(self, spark):
+        from web_scrapper_spark.frontier.recrawl import recrawl_due
+
+        seen = spark.createDataFrame(
+            [("u1", 0), ("u2", 0), ("u3", 0)], "url string, fetched_epoch int"
+        )
+        hints = spark.createDataFrame(
+            [
+                # period 24h overrides the 'yearly' claim -> due at epoch 1
+                ("u1", None, "yearly", None, 24),
+                # null period falls through to changefreq 'yearly' -> not due
+                ("u2", None, "yearly", None, None),
+                # null period + null changefreq -> default 168h -> not due
+                ("u3", None, None, None, None),
+            ],
+            "url string, lastmod string, changefreq string, "
+            "priority_ppm int, period_hours int",
+        )
+        due = recrawl_due(seen, hints, current_epoch=1, epoch_hours=24)
+        assert [r["url"] for r in due.collect()] == ["u1"]
+
+    def test_engine_loop_with_observed_evidence(self, spark):
+        """captures -> host_volatility -> volatility_hints ->
+        enqueue_revisits: the volatile host's urls are refetched, the
+        stable host's are not."""
+        import tempfile
+
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures.sitegen import (
+            PAGES_SCHEMA,
+            SiteSpec,
+            page_html,
+        )
+        from web_scrapper_spark.frontier.recrawl import (
+            host_volatility,
+            volatility_hints,
+        )
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        spec = SiteSpec()
+        hosts = ["hot.example-crawl.org", "cold.example-crawl.org"]
+        urls = [f"https://{h}/p{i}" for h in hosts for i in range(3)]
+        bodies = [
+            page_html(
+                f"https://host0.example-crawl.org/blog/post-{i % 5}", spec
+            ).encode("utf-8")
+            for i in range(len(urls))
+        ]
+        pages = spark.createDataFrame(
+            [(u, None, b, None, None) for u, b in zip(urls, bodies)],
+            PAGES_SCHEMA,
+        )
+        robots = spark.createDataFrame(
+            [(h, [], 0.01) for h in hosts],
+            "host string, disallow_prefixes array<string>, crawl_delay double",
+        )
+        store = SnapshotStore(tempfile.mkdtemp(prefix="wss-vh-"))
+        eng = CrawlEngine(spark, store, pages, robots, CrawlConfig(max_depth=0))
+        eng.init([(u, "content") for u in urls])
+        eng.run(max_epochs=5)
+        # capture log: hot.example-crawl.org changed every revisit
+        # (interval 1h); cold never changed across revisits
+        log = spark.createDataFrame(
+            [("hot.example-crawl.org", "u", 0, "d0"),
+             ("hot.example-crawl.org", "u", 1, "d1"),
+             ("hot.example-crawl.org", "u", 2, "d2"),
+             ("cold.example-crawl.org", "v", 0, "e"),
+             ("cold.example-crawl.org", "v", 1, "e")],
+            "host string, url string, ts long, digest string",
+        )
+        hints = volatility_hints(
+            host_volatility(log),
+            eng.seen().select("url", "host"),
+        )
+        n = eng.enqueue_revisits(hints=hints, epoch_hours=1)
+        assert n == 3  # hot host's urls only (period 1h = 1 epoch)
+        eng.run(max_epochs=5)
+        refetched = {
+            r["url"]
+            for r in eng.seen().filter("fetched_epoch > 0").collect()
+        }
+        assert refetched == {u for u in urls if u.startswith("https://hot.")}
+        eng.close()
+
+
 class TestCrawlDiff:
     def _wave(self, spark, rows):
         return spark.createDataFrame(rows, "url string, digest string")

@@ -30,7 +30,13 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CHANGEFREQ_HOURS", "recrawl_due", "host_volatility", "crawl_diff"]
+__all__ = [
+    "CHANGEFREQ_HOURS",
+    "recrawl_due",
+    "host_volatility",
+    "volatility_hints",
+    "crawl_diff",
+]
 
 #: sitemaps.org changefreq → refetch period in hours. ``always`` means
 #: every epoch; ``never`` means only a lastmod change can trigger.
@@ -65,25 +71,34 @@ def recrawl_due(
     reason ∈ {'period', 'modified'} ('modified' wins when both hold).
     ``never`` rows are excluded from the period rule but still honor
     ``modified_since``.
+
+    An optional ``period_hours`` int column on ``hints`` overrides the
+    changefreq vocabulary per url — the slot for OBSERVED evidence
+    (:func:`volatility_hints`) rather than publisher claims; null
+    falls through to changefreq, then ``default_hours``.
     """
     last_fetch = seen.groupBy("url").agg(
         F.max("fetched_epoch").alias("fetched_epoch")
     )
+    has_period = "period_hours" in hints.columns
     # duplicate hint rows for a URL collapse deterministically (min
     # struct = lexicographic over fields), not dropDuplicates' arbitrary
     # first-seen — the repo-wide partitioning-independence invariant
+    struct_fields = [
+        F.lower(F.col("changefreq")).alias("_freq"),
+        F.col("lastmod"),
+        F.col("priority_ppm"),
+    ]
+    if has_period:
+        struct_fields.append(F.col("period_hours"))
+    out_fields = ["url", "_h._freq", "_h.lastmod", "_h.priority_ppm"]
+    if has_period:
+        out_fields.append("_h.period_hours")
     h = (
-        hints.select(
-            "url",
-            F.struct(
-                F.lower(F.col("changefreq")).alias("_freq"),
-                "lastmod",
-                "priority_ppm",
-            ).alias("_h"),
-        )
+        hints.select("url", F.struct(*struct_fields).alias("_h"))
         .groupBy("url")
         .agg(F.min("_h").alias("_h"))
-        .select("url", "_h._freq", "_h.lastmod", "_h.priority_ppm")
+        .select(*out_fields)
     )
     j = last_fetch.join(h, "url", "left")
 
@@ -91,6 +106,8 @@ def recrawl_due(
         *[x for k, v in CHANGEFREQ_HOURS.items() for x in (F.lit(k), F.lit(v))]
     )
     hours = F.coalesce(freq_map[F.col("_freq")], F.lit(default_hours))
+    if has_period:
+        hours = F.coalesce(F.col("period_hours"), hours)
     # integer ceil(hours / epoch_hours), floored at 1 epoch; 'always'
     # (0 h) also lands on 1 — a URL is never due in its fetch epoch
     period = F.greatest(
@@ -202,6 +219,69 @@ def host_volatility(
             "CASE WHEN changes > 0 THEN _change_gap DIV changes "
             "ELSE CAST(-1 AS BIGINT) END"
         ).alias("mean_change_interval"),
+    )
+
+
+def volatility_hints(
+    volatility: DataFrame,
+    urls: DataFrame,
+    ts_unit_hours: int = 1,
+    min_hours: int = 1,
+    max_hours: int = 8760,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Observed-evidence hint table for :func:`recrawl_due` — closes
+    the Cho & Garcia-Molina adaptive loop: :func:`host_volatility`
+    measures each host's change cadence from the capture log, this
+    turns it into per-url ``period_hours`` hints, and
+    ``CrawlEngine.enqueue_revisits`` schedules refetches at that
+    cadence. Publisher claims (sitemap changefreq) and observed
+    evidence compose in one hint table: ``period_hours`` overrides the
+    vocabulary where evidence exists.
+
+    Per url (from ``urls``: url + host, e.g. the seen set):
+
+    - host observed changing (``mean_change_interval >= 0``) →
+      ``period_hours = clamp(mean_change_interval * ts_unit_hours,
+      min_hours, max_hours)``;
+    - host revisited but NEVER seen changing → ``max_hours`` (back off
+      to the floor cadence — evidence of stability IS evidence);
+    - host with no revisits yet → no hint row (unknown ≠ stable; the
+      caller's ``default_hours`` applies).
+
+    All integer arithmetic; one broadcast-able host join (volatility is
+    host-grain, ~3 orders smaller than urls).
+    """
+    hosts = volatility.select(
+        F.col("host").alias("_vh"),
+        F.when(
+            F.col("mean_change_interval") >= 0,
+            F.greatest(
+                F.lit(min_hours),
+                F.least(
+                    F.lit(max_hours),
+                    F.col("mean_change_interval") * F.lit(ts_unit_hours),
+                ),
+            ),
+        )
+        .when(F.col("revisits") > 0, F.lit(max_hours))
+        .cast("int")
+        .alias("period_hours"),
+    ).filter(F.col("period_hours").isNotNull())
+    return (
+        urls.select(
+            F.col(url_col).alias("url"), F.col(host_col).alias("_vh")
+        )
+        .distinct()
+        .join(F.broadcast(hosts), "_vh")
+        .select(
+            "url",
+            F.lit(None).cast("string").alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("int").alias("priority_ppm"),
+            "period_hours",
+        )
     )
 
 
