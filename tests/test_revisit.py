@@ -254,3 +254,84 @@ class TestRevisitCli:
             assert sum(w.get("dequeued", 0) for w in waves) == N_URLS
         finally:
             spark.stop = real_stop
+
+
+class TestJobRevisit:
+    def test_run_now_drained_job_fetches_revisit_wave(self, spark, tmp_path):
+        """scraper.revisit in the yaml: a drained job asks the
+        freshness scheduler once per run_now firing and fetches the
+        wave in the same invocation — the cron loop needs no extra
+        command."""
+        import yaml
+
+        from web_scrapper_spark.schedulers import JobRegistry
+
+        pages_dir = str(tmp_path / "pages")
+        _pages(spark).write.parquet(pages_dir)
+        cfg_path = str(tmp_path / "job.yaml")
+        with open(cfg_path, "w") as fh:
+            yaml.safe_dump(
+                {
+                    "scraper": {
+                        "type": "content",
+                        "urls": _urls(),
+                        "selectors": {},
+                        "delay": 0.01,
+                        "max_pages": 1,
+                        # epoch clock calibrated so the hint-less
+                        # default period is due immediately
+                        "revisit": {"epoch_hours": 10_000},
+                        "output": {"format": "json", "path": "./o.json"},
+                    }
+                },
+                fh,
+            )
+        reg = JobRegistry(str(tmp_path / "jobs"))
+        job_id = reg.create("rvjob", cfg_path, pages_dir)
+
+        # first firing: initial wave + (after it drains) ONE revisit
+        # wave in the same invocation
+        r1 = reg.run_now(spark, job_id, epochs=10)
+        assert sum(r.get("dequeued", 0) for r in r1) == 2 * N_URLS
+
+        # every later cron firing fetches exactly one more revisit wave
+        r2 = reg.run_now(spark, job_id, epochs=10)
+        assert sum(r.get("dequeued", 0) for r in r2) == N_URLS
+        # one revisit scheduling per invocation, then done
+        assert r2[-1].get("done") is True
+
+    def test_revisit_config_validation(self, tmp_path):
+        import yaml
+
+        from web_scrapper_spark.config import ConfigError, bind_job, load_config
+
+        def cfg(revisit):
+            p = tmp_path / "c.yaml"
+            p.write_text(
+                yaml.safe_dump(
+                    {
+                        "scraper": {
+                            "type": "content",
+                            "urls": ["https://a.org/"],
+                            "revisit": revisit,
+                            "output": {"format": "json", "path": "./o.json"},
+                        }
+                    }
+                )
+            )
+            return str(p)
+
+        # true -> defaults
+        job = bind_job(load_config(cfg(True)))
+        assert job.revisit == {
+            "epoch_hours": 24, "default_hours": 168,
+            "hints": "none", "modified_since": None,
+        }
+        with pytest.raises(ConfigError, match="unknown scraper.revisit"):
+            bind_job(load_config(cfg({"epoch_hrs": 1})))
+        with pytest.raises(ConfigError, match=">= 1"):
+            bind_job(load_config(cfg({"epoch_hours": 0})))
+        with pytest.raises(ConfigError, match="hints"):
+            bind_job(load_config(cfg({"hints": "sitemap"})))
+        # absent -> one-shot
+        assert bind_job(load_config(cfg(None))).revisit is None

@@ -141,6 +141,12 @@ class BoundJob:
     respect_meta_robots: bool = False
     #: Heritrix maxOutlinks position cap; yaml key ``scraper.max_outlinks``
     max_outlinks: Optional[int] = None
+    #: freshness-driven revisit scheduling (CrawlEngine.enqueue_revisits);
+    #: yaml key ``scraper.revisit`` — a mapping with optional keys
+    #: epoch_hours (int, default 24), default_hours (int, default 168),
+    #: hints ('none' | 'from-sitemaps', default 'none'), modified_since
+    #: (ISO date). None = one-shot crawl (reference parity).
+    revisit: Optional[Dict[str, Any]] = None
 
     def crawl_config(self, epoch_seconds: float = 8.0):
         from .crawl.epoch import CrawlConfig
@@ -202,6 +208,42 @@ def _bind_fetch_policy(scraper: Dict[str, Any]):
     )
 
 
+def _bind_revisit(scraper: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """``scraper.revisit`` → normalized enqueue_revisits parameters, or
+    None when absent (one-shot crawl)."""
+    raw = scraper.get("revisit")
+    if raw is None:
+        return None
+    if raw is True:
+        raw = {}
+    if not isinstance(raw, dict):
+        raise ConfigError(
+            "scraper.revisit must be a mapping (or true for defaults)"
+        )
+    unknown = set(raw) - {
+        "epoch_hours", "default_hours", "hints", "modified_since"
+    }
+    if unknown:
+        raise ConfigError(
+            f"unknown scraper.revisit keys: {sorted(unknown)}"
+        )
+    out = {
+        "epoch_hours": int(raw.get("epoch_hours", 24)),
+        "default_hours": int(raw.get("default_hours", 168)),
+        "hints": raw.get("hints", "none"),
+        "modified_since": raw.get("modified_since"),
+    }
+    if out["epoch_hours"] < 1 or out["default_hours"] < 1:
+        raise ConfigError(
+            "scraper.revisit epoch_hours/default_hours must be >= 1"
+        )
+    if out["hints"] not in ("none", "from-sitemaps"):
+        raise ConfigError(
+            "scraper.revisit.hints must be 'none' or 'from-sitemaps'"
+        )
+    return out
+
+
 def bind_job(config: Dict[str, Any]) -> BoundJob:
     """scraper config dict → engine configs (the get_scraper analog)."""
     validate_config(config)
@@ -234,6 +276,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
             if scraper.get("max_outlinks") is not None
             else None
         ),
+        revisit=_bind_revisit(scraper),
     )
     if common["seen_filter"] not in ("bloom", "cuckoo"):
         raise ConfigError(

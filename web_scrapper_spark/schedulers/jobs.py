@@ -260,8 +260,42 @@ class JobRegistry:
             else:
                 engine = CrawlEngine.resume(spark, store, pages, robots_df, cfg)
             results = []
+            revisits = 0
+            revisit_tried = False
             for _ in range(epochs):
                 result = engine.run_epoch()
+                if (
+                    result.get("done")
+                    and bound.revisit is not None
+                    and not revisit_tried
+                ):
+                    # config-driven continuous crawl: a drained frontier
+                    # asks the freshness scheduler for due urls ONCE per
+                    # invocation; cron fires run_now, so each firing
+                    # fetches at most one revisit wave
+                    revisit_tried = True
+                    rv = bound.revisit
+                    hints_df = None
+                    if rv["hints"] == "from-sitemaps":
+                        from pyspark.sql import functions as F
+
+                        from ..frontier.sitemap import sitemap_candidates
+
+                        hints_df = (
+                            sitemap_candidates(pages)
+                            .filter(F.col("kind") == "url")
+                            .select(
+                                "url", "lastmod", "changefreq", "priority_ppm"
+                            )
+                        )
+                    revisits = engine.enqueue_revisits(
+                        hints=hints_df,
+                        epoch_hours=rv["epoch_hours"],
+                        default_hours=rv["default_hours"],
+                        modified_since=rv["modified_since"],
+                    )
+                    if revisits:
+                        continue  # next iteration fetches the wave
                 results.append(result)
                 if result.get("done"):
                     break
@@ -282,6 +316,7 @@ class JobRegistry:
             self._save(jobs)
         report = {
             "epochs": len([r for r in results if not r.get("done")]),
+            "revisits": revisits,
             "urls_total": sum(r.get("dequeued", 0) for r in results),
             "urls_visited": sum(r.get("fetched_ok", 0) for r in results),
             "urls_failed": sum(r.get("failed_parked", 0) for r in results),
