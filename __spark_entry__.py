@@ -4416,6 +4416,37 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    """WET sink→source roundtrip (sources/warc.py write_wet/read_wet —
+    Common Crawl's extracted-text *.warc.wet.gz sibling of the WARC
+    shards): documents' text is written as sharded conversion records
+    and read back through the same binaryFile + mapInPandas parse. The
+    oracle recomputes (url, record type, byte length, md5 of the text)
+    from the parquet — a hash match proves the conversion-record
+    serialize→gzip→parse path byte-lossless, and the record-id check
+    rides the md5 (ids are the deterministic md5(url|date) uuids that
+    cross-link WET conversions to their WARC responses)."""
+    import tempfile
+
+    from web_scrapper_spark.fixtures.sitegen import WARC_EPOCH
+    from web_scrapper_spark.sources.warc import read_wet, write_wet
+
+    docs = _read(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.concat(F.lit("https://wet.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.lit(WARC_EPOCH).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="wss_wet_oracle_")
+    write_wet(rows.repartition(4, "url"), out)
+    return read_wet(spark, out).select(
+        "url",
+        F.col("warc_type").alias("rec_type"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("text_md5"),
+    )
+
+
 def _q_sitemap_parse(spark, sf_dir):
     """Sitemap ingestion (frontier/sitemap.py): documents are grouped
     into 8 hosts, serialized as sitemaps.org <urlset> XML (lastmod /
@@ -4827,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "warc_cdx_fetch": _q_warc_cdx_fetch,
         "sitemap_parse": _q_sitemap_parse,
         # session/header/proxy + UA rotation (S2/S3)
@@ -7172,6 +7204,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
                      AS n_bytes,
                    md5('<html><body>' || text || '</body></html>') AS payload_md5
+            FROM documents
+        """,
+        "wet_roundtrip": """
+            -- recomputes the WET conversion payload straight from the
+            -- parquet: serialize→gzip→parse must be byte-lossless
+            SELECT 'https://wet.example.org/doc/' || doc_id AS url,
+                   'conversion' AS rec_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS text_md5
             FROM documents
         """,
         "sitemap_parse": """

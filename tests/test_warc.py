@@ -329,3 +329,119 @@ class TestWarcRevisitWrite:
         assert b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest" in raw
         assert b"WARC-Refers-To-Date: 2025-01-01T00:00:00Z" in raw
         assert b"WARC-Payload-Digest: md5:" in raw
+
+
+class TestWet:
+    """WET conversion-record sink/source (Common Crawl *.warc.wet.gz)."""
+
+    def _texts(self):
+        return [
+            ("https://a.example.org/1", TS, "plain one"),
+            ("https://a.example.org/2", TS, "text with \r\n\r\n inside"),
+            ("https://b.example.org/é", TS, "unicode — text"),
+            ("https://b.example.org/empty", TS, ""),
+        ]
+
+    def test_roundtrip_pure_python(self):
+        from web_scrapper_spark.sources.warc import build_wet_bytes
+
+        data = build_wet_bytes(
+            [(u, ts, t.encode("utf-8")) for u, ts, t in self._texts()],
+            filename="t.warc.wet.gz",
+        )
+        recs = list(parse_warc_bytes(data, warc_file="t.warc.wet.gz"))
+        assert [r["warc_type"] for r in recs] == ["warcinfo"] + ["conversion"] * 4
+        conv = [r for r in recs if r["warc_type"] == "conversion"]
+        assert [bytes(r["html"]).decode("utf-8") for r in conv] == [
+            t for _, _, t in self._texts()
+        ]
+        assert all(r["content_type"] == "text/plain" for r in conv)
+
+    def test_refers_to_links_warc_response_record(self):
+        from web_scrapper_spark.sources.warc import (
+            _record_id,
+            build_wet_bytes,
+        )
+
+        url, ts, text = self._texts()[0]
+        data = build_wet_bytes([(url, ts, text.encode())], compress=False)
+        blob = data.decode("utf-8", errors="replace")
+        # the conversion record points at the response record a WARC
+        # shard of the same capture would carry (deterministic ids)
+        date = "2025-07-18T12:00:00Z"
+        assert f"WARC-Refers-To: {_record_id(url, date)}" in blob
+        # and its own id differs from the response record's
+        assert _record_id(url, date) != _record_id(url, date + "|wet")
+
+    def test_spark_roundtrip_sharded(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import read_wet, write_wet
+
+        df = spark.createDataFrame(
+            self._texts(), "url string, warc_ts timestamp, text string"
+        )
+        out = str(tmp_path / "wet")
+        manifest = write_wet(df.repartition(2, "url"), out)
+        assert sum(m["records"] for m in manifest) == 4
+        assert all(m["warc_file"].endswith(".warc.wet.gz") for m in manifest)
+        back = read_wet(spark, out)
+        got = {
+            r["url"]: bytes(r["html"]).decode("utf-8") for r in back.collect()
+        }
+        assert got == {u: t for u, _, t in self._texts()}
+
+    def test_wet_and_warc_coexist_without_cross_reads(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import read_wet, write_wet
+
+        d = str(tmp_path / "mixed")
+        pages = spark.createDataFrame(
+            [(u, ts, t.encode("utf-8")) for u, ts, t in self._texts()],
+            "url string, warc_ts timestamp, html binary",
+        )
+        texts = spark.createDataFrame(
+            self._texts(), "url string, warc_ts timestamp, text string"
+        )
+        write_warc(pages.repartition(1), d, cdx=False)
+        write_wet(texts.repartition(1), d)
+        # the response reader must not surface conversion records and
+        # vice versa (record-type filter; glob keeps WET out entirely)
+        resp = read_warc(spark, d).select("warc_type").distinct().collect()
+        assert [r["warc_type"] for r in resp] == ["response"]
+        conv = read_wet(spark, d).select("warc_type").distinct().collect()
+        assert [r["warc_type"] for r in conv] == ["conversion"]
+
+    def test_rerun_byte_stable(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import write_wet
+
+        df = spark.createDataFrame(
+            self._texts(), "url string, warc_ts timestamp, text string"
+        )
+        a, b = str(tmp_path / "w1"), str(tmp_path / "w2")
+        write_wet(df.repartition(1), a)
+        write_wet(df.repartition(1), b)
+        fa = sorted(os.listdir(a))[0]
+        assert open(os.path.join(a, fa), "rb").read() == open(
+            os.path.join(b, fa), "rb"
+        ).read()
+
+    def test_null_timestamp_roundtrips_as_epoch(self, spark, tmp_path):
+        # null warc_ts reaches the Arrow batches as pandas NaT, not
+        # None — regression for _warc_date; applies to WARC and WET
+        from web_scrapper_spark.sources.warc import read_wet, write_wet
+
+        df = spark.createDataFrame(
+            [("https://n/1", None, "t")],
+            "url string, warc_ts timestamp, text string",
+        )
+        out = str(tmp_path / "nullts")
+        write_wet(df, out)
+        rec = read_wet(spark, out).collect()[0]
+        assert rec["warc_ts"].year == 1970
+
+    def test_factory_alias(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            self._texts(), "url string, warc_ts timestamp, text string"
+        )
+        out = str(tmp_path / "alias")
+        write_any(df, out, "wet")
+        back = read_any(spark, out, "wet")
+        assert back.count() == 4

@@ -43,6 +43,7 @@ _FORMAT_ALIASES = {
     "xlsx": "xlsx",
     "xls": "xlsx",
     "warc": "warc",
+    "wet": "wet",
 }
 
 #: JDBC driver classes probed (in order) when the caller asks for the
@@ -145,6 +146,10 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
         from .warc import read_warc
 
         return read_warc(spark, path, **options)
+    if fmt == "wet":
+        from .warc import read_wet
+
+        return read_wet(spark, path, **options)
     if fmt == "xlsx":
         from .excel import read_xlsx
 
@@ -180,6 +185,11 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
         from .warc import write_warc
 
         write_warc(df, path, **options)
+        return
+    if fmt == "wet":
+        from .warc import write_wet
+
+        write_wet(df, path, **options)
         return
     if fmt == "xlsx":
         from .excel import write_xlsx

@@ -47,6 +47,9 @@ __all__ = [
     "cdx_revisits",
     "read_warc_ranges",
     "write_warc",
+    "write_wet",
+    "read_wet",
+    "build_wet_bytes",
     "WARC_RECORD_SCHEMA",
     "CDX_SCHEMA",
     "parse_warc_bytes",
@@ -77,7 +80,9 @@ def _record_id(url: str, date: str) -> str:
 
 
 def _warc_date(ts) -> str:
-    if ts is None:
+    # `ts != ts` catches pandas NaT/NaN — null timestamps reach here as
+    # NaT through the Arrow batches, not as None
+    if ts is None or ts != ts:
         return "1970-01-01T00:00:00Z"
     if isinstance(ts, str):
         return ts
@@ -150,6 +155,28 @@ def _revisit_record(
         + _CRLF
     )
     return headers + http + _CRLF + _CRLF
+
+
+def _conversion_record(url: str, date: str, text_payload: bytes) -> bytes:
+    """A WET ``conversion`` record (Common Crawl's extracted-text
+    sibling of the response record): plain-text payload, WARC-Refers-To
+    pointing at the response record of the same (url, date) capture —
+    reconstructible because record ids are the deterministic
+    md5(url|date) uuid, so WET shards written separately from the WARC
+    shards still cross-link."""
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + b"WARC-Record-ID: "
+        + _record_id(url, date + "|wet").encode("ascii") + _CRLF
+        + b"WARC-Date: " + date.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Refers-To: " + _record_id(url, date).encode("ascii") + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + b"Content-Length: " + str(len(text_payload)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return headers + text_payload + _CRLF + _CRLF
 
 
 def _warcinfo_record(filename: str) -> bytes:
@@ -534,6 +561,86 @@ def write_warc(
 
     manifest = src.mapInPandas(emit, schema="warc_file string, records long, bytes long")
     return [r.asDict() for r in manifest.collect()]
+
+
+def build_wet_bytes(
+    rows: Iterable[Tuple[str, object, bytes]],
+    filename: str = "part.warc.wet.gz",
+    compress: bool = True,
+) -> bytes:
+    """Serialize (url, ts, text_bytes) rows into one WET file's bytes:
+    a leading warcinfo record then one ``conversion`` record per row
+    (Common Crawl's *.warc.wet.gz layout, one gzip member per
+    record)."""
+    chunks: List[bytes] = []
+    info = _warcinfo_record(filename)
+    chunks.append(_gzip_member(info) if compress else info)
+    for url, ts, payload in rows:
+        rec = _conversion_record(url, _warc_date(ts), payload or b"")
+        chunks.append(_gzip_member(rec) if compress else rec)
+    return b"".join(chunks)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> List[dict]:
+    """WET sink — the extracted-text export of a crawl (what Common
+    Crawl ships next to every WARC shard). Same shard/publish contract
+    as :func:`write_warc`: one ``part-NNNNN.warc.wet[.gz]`` per input
+    partition, rows serialized in url order (output independent of
+    shuffle nondeterminism), atomic rename publish, driver-side
+    manifest bounded by the shard count. ``text_col`` may be string or
+    binary; strings are encoded utf-8."""
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(text_col).cast("binary").alias("_text"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield pd.DataFrame({"warc_file": [], "records": [], "bytes": []})
+            return
+        pdf = pd.concat(parts).sort_values("url", kind="mergesort")
+        name = f"part-{pid:05d}{ext}"
+        data = build_wet_bytes(
+            zip(pdf["url"], pdf["warc_ts"], pdf["_text"]),
+            filename=name,
+            compress=compress,
+        )
+        tmp = os.path.join(path, f".{name}.tmp-{pid}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(path, name))
+        yield pd.DataFrame(
+            {"warc_file": [name], "records": [len(pdf)], "bytes": [len(data)]}
+        )
+
+    manifest = src.mapInPandas(
+        emit, schema="warc_file string, records long, bytes long"
+    )
+    return [r.asDict() for r in manifest.collect()]
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET source: ``conversion`` records only (the text rides the
+    ``html`` column of WARC_RECORD_SCHEMA as utf-8 bytes — cast to
+    string downstream). Same file-grain parallel parse as
+    :func:`read_warc`."""
+    return read_warc(
+        spark, path, record_types=("conversion",), glob="*.warc.wet*"
+    )
 
 
 # ---------------------------------------------------------------------------
