@@ -4447,6 +4447,52 @@ def _q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def _q_wat_export(spark, sf_dir):
+    """WAT sink→source roundtrip (sources/warc.py write_wat/read_wat —
+    Common Crawl's per-page metadata *.warc.wat.gz sibling): documents
+    become (title, metas map, links array) rows, serialized as
+    name-sorted deterministic JSON envelopes in metadata records, read
+    back, and unpacked with Catalyst-native get_json_object. The
+    oracle recomputes (url, title, description meta, second link) from
+    the index arithmetic — a hash match proves envelope construction,
+    record serialize→gzip→parse, and the JSON-path unpack lossless."""
+    import tempfile
+
+    from web_scrapper_spark.fixtures.sitegen import WARC_EPOCH
+    from web_scrapper_spark.sources.warc import read_wat, write_wat
+
+    docs = _read(spark, sf_dir, "documents")
+    u = lambda c: F.concat(F.lit("https://wat.example.org/doc/"), c.cast("string"))  # noqa: E731
+    rows = docs.select(
+        u(F.col("doc_id")).alias("url"),
+        F.lit(WARC_EPOCH).alias("warc_ts"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.create_map(
+            F.lit("description"),
+            F.concat(F.lit("desc-"), F.col("doc_id").cast("string")),
+            F.lit("robots"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("index")).otherwise(
+                F.lit("noindex")
+            ),
+        ).alias("metas"),
+        F.array(
+            u(F.col("doc_id") + 1), u(F.col("doc_id") * 2 + 3)
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="wss_wat_oracle_")
+    write_wat(rows.repartition(4, "url"), out)
+    env = F.col("html").cast("string")
+    md = "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']"
+    return read_wat(spark, out).select(
+        "url",
+        F.get_json_object(env, md + "['Head']['Title']").alias("title"),
+        F.get_json_object(env, md + "['Head']['Metas'][0]['content']").alias(
+            "description"
+        ),
+        F.get_json_object(env, md + "['Links'][1]['url']").alias("second_link"),
+    )
+
+
 def _q_sitemap_parse(spark, sf_dir):
     """Sitemap ingestion (frontier/sitemap.py): documents are grouped
     into 8 hosts, serialized as sitemaps.org <urlset> XML (lastmod /
@@ -4859,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_roundtrip": _q_wet_roundtrip,
+        "wat_export": _q_wat_export,
         "warc_cdx_fetch": _q_warc_cdx_fetch,
         "sitemap_parse": _q_sitemap_parse,
         # session/header/proxy + UA rotation (S2/S3)
@@ -7213,6 +7260,17 @@ def oracle_sql() -> dict[str, str]:
                    'conversion' AS rec_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS text_md5
+            FROM documents
+        """,
+        "wat_export": """
+            -- relational recomputation of the WAT envelope fields the
+            -- JSON roundtrip must reproduce (metas are name-sorted, so
+            -- Metas[0] is always 'description')
+            SELECT 'https://wat.example.org/doc/' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   'desc-' || doc_id AS description,
+                   'https://wat.example.org/doc/' || (doc_id * 2 + 3)
+                     AS second_link
             FROM documents
         """,
         "sitemap_parse": """

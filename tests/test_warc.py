@@ -445,3 +445,107 @@ class TestWet:
         write_any(df, out, "wet")
         back = read_any(spark, out, "wet")
         assert back.count() == 4
+
+
+class TestWat:
+    """WAT metadata-record sink/source (Common Crawl *.warc.wat.gz)."""
+
+    def _rows(self):
+        return [
+            ("https://a.example.org/1", TS, "Page One",
+             {"description": "d1", "robots": "index"},
+             ["https://a.example.org/2", "https://b.example.org/"]),
+            ("https://a.example.org/2", TS, None, {}, []),
+        ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self._rows(),
+            "url string, warc_ts timestamp, title string, "
+            "metas map<string,string>, links array<string>",
+        )
+
+    def test_roundtrip_and_envelope_shape(self, spark, tmp_path):
+        import json
+
+        from web_scrapper_spark.sources.warc import read_wat, write_wat
+
+        out = str(tmp_path / "wat")
+        manifest = write_wat(self._df(spark).repartition(1), out)
+        assert sum(m["records"] for m in manifest) == 2
+        assert manifest[0]["warc_file"].endswith(".warc.wat.gz")
+        recs = {
+            r["url"]: json.loads(bytes(r["html"]).decode("utf-8"))
+            for r in read_wat(spark, out).collect()
+        }
+        env = recs["https://a.example.org/1"]["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == (
+            "https://a.example.org/1"
+        )
+        html_md = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"
+        ]
+        assert html_md["Head"]["Title"] == "Page One"
+        # metas name-sorted
+        assert [m["name"] for m in html_md["Head"]["Metas"]] == [
+            "description", "robots",
+        ]
+        # links keep on-page order with positions
+        assert [(l["pos"], l["url"]) for l in html_md["Links"]] == [
+            (0, "https://a.example.org/2"), (1, "https://b.example.org/"),
+        ]
+        # empty page: null title, no metas/links
+        env2 = recs["https://a.example.org/2"]["Envelope"]
+        md2 = env2["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"
+        ]
+        assert md2["Head"]["Title"] is None
+        assert md2["Head"]["Metas"] == [] and md2["Links"] == []
+
+    def test_refers_to_and_rerun_stability(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import (
+            _record_id,
+            write_wat,
+        )
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_wat(self._df(spark).repartition(1), a)
+        write_wat(self._df(spark).repartition(1), b)
+        fa = sorted(os.listdir(a))[0]
+        raw_a = open(os.path.join(a, fa), "rb").read()
+        assert raw_a == open(os.path.join(b, fa), "rb").read()
+        blob = gzip.decompress(raw_a).decode("utf-8", errors="replace")
+        date = "2025-07-18T12:00:00Z"
+        assert (
+            f"WARC-Refers-To: {_record_id('https://a.example.org/1', date)}"
+            in blob
+        )
+
+    def test_warc_wet_wat_family_coexists(self, spark, tmp_path):
+        from web_scrapper_spark.sources.warc import (
+            read_wat,
+            read_wet,
+            write_wat,
+            write_wet,
+        )
+
+        d = str(tmp_path / "family")
+        pages = spark.createDataFrame(
+            [("https://f/1", TS, b"<html>x</html>")],
+            "url string, warc_ts timestamp, html binary",
+        )
+        texts = spark.createDataFrame(
+            [("https://f/1", TS, "x")],
+            "url string, warc_ts timestamp, text string",
+        )
+        write_warc(pages.repartition(1), d, cdx=True)
+        write_wet(texts.repartition(1), d)
+        write_wat(self._df(spark).repartition(1), d)
+        assert read_warc(spark, d).count() == 1      # responses only
+        assert read_wet(spark, d).count() == 1       # conversions only
+        assert read_wat(spark, d).count() == 2       # metadata only
+
+    def test_factory_alias(self, spark, tmp_path):
+        out = str(tmp_path / "alias")
+        write_any(self._df(spark), out, "wat")
+        assert read_any(spark, out, "wat").count() == 2

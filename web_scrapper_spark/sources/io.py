@@ -44,6 +44,7 @@ _FORMAT_ALIASES = {
     "xls": "xlsx",
     "warc": "warc",
     "wet": "wet",
+    "wat": "wat",
 }
 
 #: JDBC driver classes probed (in order) when the caller asks for the
@@ -150,6 +151,10 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
         from .warc import read_wet
 
         return read_wet(spark, path, **options)
+    if fmt == "wat":
+        from .warc import read_wat
+
+        return read_wat(spark, path, **options)
     if fmt == "xlsx":
         from .excel import read_xlsx
 
@@ -190,6 +195,11 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
         from .warc import write_wet
 
         write_wet(df, path, **options)
+        return
+    if fmt == "wat":
+        from .warc import write_wat
+
+        write_wat(df, path, **options)
         return
     if fmt == "xlsx":
         from .excel import write_xlsx

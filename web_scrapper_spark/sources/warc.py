@@ -50,6 +50,9 @@ __all__ = [
     "write_wet",
     "read_wet",
     "build_wet_bytes",
+    "write_wat",
+    "read_wat",
+    "build_wat_bytes",
     "WARC_RECORD_SCHEMA",
     "CDX_SCHEMA",
     "parse_warc_bytes",
@@ -177,6 +180,25 @@ def _conversion_record(url: str, date: str, text_payload: bytes) -> bytes:
         + _CRLF
     )
     return headers + text_payload + _CRLF + _CRLF
+
+
+def _metadata_record(url: str, date: str, json_payload: bytes) -> bytes:
+    """A WAT ``metadata`` record (Common Crawl's per-page metadata JSON
+    sibling): application/json envelope payload, WARC-Refers-To
+    pointing at the response record of the same (url, date) capture."""
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: metadata" + _CRLF
+        + b"WARC-Record-ID: "
+        + _record_id(url, date + "|wat").encode("ascii") + _CRLF
+        + b"WARC-Date: " + date.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Refers-To: " + _record_id(url, date).encode("ascii") + _CRLF
+        + b"Content-Type: application/json" + _CRLF
+        + b"Content-Length: " + str(len(json_payload)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return headers + json_payload + _CRLF + _CRLF
 
 
 def _warcinfo_record(filename: str) -> bytes:
@@ -640,6 +662,137 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     :func:`read_warc`."""
     return read_warc(
         spark, path, record_types=("conversion",), glob="*.warc.wet*"
+    )
+
+
+def build_wat_bytes(
+    rows: Iterable[Tuple[str, object, bytes]],
+    filename: str = "part.warc.wat.gz",
+    compress: bool = True,
+) -> bytes:
+    """Serialize (url, ts, envelope_json_bytes) rows into one WAT
+    file's bytes: warcinfo + one ``metadata`` record per row."""
+    chunks: List[bytes] = []
+    info = _warcinfo_record(filename)
+    chunks.append(_gzip_member(info) if compress else info)
+    for url, ts, payload in rows:
+        rec = _metadata_record(url, _warc_date(ts), payload or b"")
+        chunks.append(_gzip_member(rec) if compress else rec)
+    return b"".join(chunks)
+
+
+def write_wat(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    title_col: str = "title",
+    metas_col: str = "metas",
+    links_col: str = "links",
+    compress: bool = True,
+) -> List[dict]:
+    """WAT sink — per-page metadata JSON (what Common Crawl ships as
+    *.warc.wat.gz next to each WARC shard). Input columns beyond
+    url/ts: ``title`` (string), ``metas`` (map<string,string> — head
+    <meta> name→content), ``links`` (array<string> — outlink urls in
+    on-page order); derive them with the existing extraction operators
+    (``page_meta``, the content UDF's link rows). The envelope mirrors
+    Common Crawl's shape:
+
+        {"Envelope": {"WARC-Header-Metadata": {...},
+          "Payload-Metadata": {"HTTP-Response-Metadata":
+            {"HTML-Metadata": {"Head": {"Title", "Metas"}, "Links"}}}}
+
+    Metas are name-sorted and JSON keys sorted, so output bytes are a
+    pure function of the row set (rerun-stable like the other sinks).
+    Same shard/publish contract as :func:`write_warc`."""
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.wat.gz" if compress else ".warc.wat"
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(title_col).alias("_title"),
+        F.col(metas_col).alias("_metas"),
+        F.col(links_col).alias("_links"),
+    )
+
+    def _envelope(url, date, title, metas, links) -> bytes:
+        # Arrow batches hand maps as dicts but arrays as numpy arrays
+        # (ambiguous truthiness) and nulls as None/NaN — normalize
+        metas = {} if metas is None else dict(metas)
+        links = [] if links is None else [u for u in links if u is not None]
+        if title is not None and title != title:  # NaN from a null cell
+            title = None
+        doc = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": date,
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {
+                                "Title": title,
+                                "Metas": [
+                                    {"name": k, "content": metas[k]}
+                                    for k in sorted(metas)
+                                ],
+                            },
+                            "Links": [
+                                {"pos": i, "url": u}
+                                for i, u in enumerate(links)
+                            ],
+                        }
+                    }
+                },
+            }
+        }
+        return _json.dumps(
+            doc, sort_keys=True, separators=(",", ":")
+        ).encode("utf-8")
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield pd.DataFrame({"warc_file": [], "records": [], "bytes": []})
+            return
+        pdf = pd.concat(parts).sort_values("url", kind="mergesort")
+        name = f"part-{pid:05d}{ext}"
+        rows = [
+            (u, ts, _envelope(u, _warc_date(ts), t, m, l))
+            for u, ts, t, m, l in zip(
+                pdf["url"], pdf["warc_ts"], pdf["_title"],
+                pdf["_metas"], pdf["_links"],
+            )
+        ]
+        data = build_wat_bytes(rows, filename=name, compress=compress)
+        tmp = os.path.join(path, f".{name}.tmp-{pid}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(path, name))
+        yield pd.DataFrame(
+            {"warc_file": [name], "records": [len(pdf)], "bytes": [len(data)]}
+        )
+
+    manifest = src.mapInPandas(
+        emit, schema="warc_file string, records long, bytes long"
+    )
+    return [r.asDict() for r in manifest.collect()]
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT source: ``metadata`` records; the JSON envelope rides the
+    ``html`` column as utf-8 bytes — unpack with ``from_json`` /
+    ``get_json_object`` downstream (Catalyst-native)."""
+    return read_warc(
+        spark, path, record_types=("metadata",), glob="*.warc.wat*"
     )
 
 
