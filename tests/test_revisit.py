@@ -134,6 +134,37 @@ class TestEnqueueRevisits:
         assert failed_rows == 1  # still exactly the parked row
         eng.close()
 
+    def test_parked_after_success_is_terminal(self, spark):
+        # a url whose LATEST row is a parked failure must not be
+        # revisit-eligible just because an earlier capture succeeded —
+        # otherwise every wave re-enqueues it with attempts reset and
+        # burns max_attempts fetch slots on a dead url forever
+        urls = _urls()
+        eng = _engine(spark)
+        eng.run(max_epochs=5)
+        # refetch wave against a pages table missing the last url:
+        # it fails and parks on top of its earlier ok row
+        eng.pages = _pages(spark, urls[:-1])
+        assert eng.enqueue_revisits(epoch_hours=10_000) == N_URLS
+        eng.run(max_epochs=10)
+        statuses = {
+            (r["url"], r["fetched_epoch"]): r["status"]
+            for r in eng.seen().collect()
+        }
+        assert "failed" in {
+            s for (u, _), s in statuses.items() if u == urls[-1]
+        }
+        # next scheduling pass: the parked url is terminal
+        n = eng.enqueue_revisits(epoch_hours=10_000)
+        assert n == N_URLS - 1
+        # explicit opt-in re-admits failures
+        eng.run(max_epochs=10)
+        n = eng.enqueue_revisits(
+            epoch_hours=10_000, statuses=("ok", "dup", "failed")
+        )
+        assert n == N_URLS
+        eng.close()
+
     def test_pending_urls_not_double_enqueued(self, spark):
         eng = _engine(spark)
         eng.run(max_epochs=5)
@@ -182,6 +213,12 @@ class TestEnqueueRevisits:
         )
         assert eng.enqueue_revisits(hints=hints) == 0
         assert eng.enqueue_revisits(hints=hints, modified_since="2025-07-01") == 6
+        # the applied cutoff is recorded in the scheduling epoch's
+        # metrics so run_now can apply a configured value once per
+        # store instead of refetching the matching subset every firing
+        last = eng.store.manifest()["epochs"][-1]
+        assert last["metrics"]["modified_since"] == "2025-07-01"
+        assert last["metrics"]["revisits"] == 6
         eng.close()
 
 
@@ -208,7 +245,7 @@ class TestRevisitCli:
                         "selectors": {},
                         "delay": 0.01,
                         "max_pages": 1,
-                        "output": {"format": "json", "path": "./out.json"},
+                        "output": {"format": "json", "path": str(tmp_path / "out.json")},
                     }
                 },
                 fh,
@@ -281,7 +318,7 @@ class TestJobRevisit:
                         # epoch clock calibrated so the hint-less
                         # default period is due immediately
                         "revisit": {"epoch_hours": 10_000},
-                        "output": {"format": "json", "path": "./o.json"},
+                        "output": {"format": "json", "path": str(tmp_path / "o.json")},
                     }
                 },
                 fh,
@@ -314,7 +351,7 @@ class TestJobRevisit:
                             "type": "content",
                             "urls": ["https://a.org/"],
                             "revisit": revisit,
-                            "output": {"format": "json", "path": "./o.json"},
+                            "output": {"format": "json", "path": str(tmp_path / "o.json")},
                         }
                     }
                 )

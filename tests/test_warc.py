@@ -403,7 +403,8 @@ class TestWet:
         write_warc(pages.repartition(1), d, cdx=False)
         write_wet(texts.repartition(1), d)
         # the response reader must not surface conversion records and
-        # vice versa (record-type filter; glob keeps WET out entirely)
+        # vice versa: the default globs exclude the sibling formats at
+        # the FILE level (no wasted scan), record types filter the rest
         resp = read_warc(spark, d).select("warc_type").distinct().collect()
         assert [r["warc_type"] for r in resp] == ["response"]
         conv = read_wet(spark, d).select("warc_type").distinct().collect()

@@ -236,15 +236,9 @@ def revisit(config_path, pages_path, store_dir, hints, epoch_hours,
         )
         hints_df = None
         if hints == "from-sitemaps":
-            from pyspark.sql import functions as F
+            from .frontier.sitemap import sitemap_hints
 
-            from .frontier.sitemap import sitemap_candidates
-
-            hints_df = (
-                sitemap_candidates(engine.pages)
-                .filter(F.col("kind") == "url")
-                .select("url", "lastmod", "changefreq", "priority_ppm")
-            )
+            hints_df = sitemap_hints(engine.pages)
         elif hints is not None:
             hints_df = spark.read.parquet(hints)
         n = engine.enqueue_revisits(

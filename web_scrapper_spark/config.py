@@ -212,13 +212,13 @@ def _bind_revisit(scraper: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     """``scraper.revisit`` → normalized enqueue_revisits parameters, or
     None when absent (one-shot crawl)."""
     raw = scraper.get("revisit")
-    if raw is None:
+    if raw is None or raw is False:
         return None
     if raw is True:
         raw = {}
     if not isinstance(raw, dict):
         raise ConfigError(
-            "scraper.revisit must be a mapping (or true for defaults)"
+            "scraper.revisit must be a mapping (or true/false)"
         )
     unknown = set(raw) - {
         "epoch_hours", "default_hours", "hints", "modified_since"
@@ -227,12 +227,17 @@ def _bind_revisit(scraper: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         raise ConfigError(
             f"unknown scraper.revisit keys: {sorted(unknown)}"
         )
-    out = {
-        "epoch_hours": int(raw.get("epoch_hours", 24)),
-        "default_hours": int(raw.get("default_hours", 168)),
-        "hints": raw.get("hints", "none"),
-        "modified_since": raw.get("modified_since"),
-    }
+    try:
+        out = {
+            "epoch_hours": int(raw.get("epoch_hours", 24)),
+            "default_hours": int(raw.get("default_hours", 168)),
+            "hints": raw.get("hints", "none"),
+            "modified_since": raw.get("modified_since"),
+        }
+    except (TypeError, ValueError) as exc:
+        raise ConfigError(
+            f"scraper.revisit epoch_hours/default_hours must be integers: {exc}"
+        ) from None
     if out["epoch_hours"] < 1 or out["default_hours"] < 1:
         raise ConfigError(
             "scraper.revisit epoch_hours/default_hours must be >= 1"

@@ -1529,9 +1529,12 @@ class CrawlEngine:
           the url (multi-capture history — downstream consumers that
           need one row per url take the latest, exactly like
           ``sources.warc.latest_captures``).
-        - ``statuses``: which seen rows are revisit-eligible; parked
-          failures stay terminal by default (reference parity — its
-          failed set is final).
+        - ``statuses``: which urls are revisit-eligible, judged by each
+          url's LATEST seen row — a url whose most recent capture is a
+          parked failure stays terminal by default even if an earlier
+          capture succeeded (reference parity — its failed set is
+          final); re-admit failures explicitly with
+          ``statuses=("ok", "dup", "failed")``.
 
         Commits consume one manifest epoch with ``dequeued=0`` and a
         ``revisits`` count (crash-safe like any epoch: an un-committed
@@ -1548,37 +1551,47 @@ class CrawlEngine:
         from ..frontier.recrawl import recrawl_due
 
         epoch = self._epoch + 1
-        eligible = self.seen().filter(F.col("status").isin(list(statuses)))
         if hints is None:
             hints = self.spark.createDataFrame(
                 [],
                 "url string, lastmod string, changefreq string, "
                 "priority_ppm int",
             )
+        # ONE url-keyed aggregate over seen: the max-struct picks each
+        # url's latest row (fetched_epoch is unique per url, so the
+        # result is deterministic under any partitioning) and carries
+        # BOTH the eligibility status and the dequeue identity the
+        # revisit reuses. Eligibility is judged on the LATEST row —
+        # a url parked 'failed' after an earlier 'ok' is terminal, not
+        # retried forever with attempts reset. recrawl_due's own
+        # groupBy(url) then runs exchange-free on this already
+        # url-partitioned, url-unique input.
+        latest = (
+            self.seen()
+            .select(
+                "url",
+                F.struct(
+                    "fetched_epoch", "status", "ord_key", "depth", "stype"
+                ).alias("_s"),
+            )
+            .groupBy("url")
+            .agg(F.max("_s").alias("_s"))
+            .select(
+                "url", "_s.fetched_epoch", "_s.status",
+                "_s.stype", "_s.depth", "_s.ord_key",
+            )
+            .filter(F.col("status").isin(list(statuses)))
+        )
         due = recrawl_due(
-            eligible,
+            latest,
             hints,
             current_epoch=epoch,
             epoch_hours=epoch_hours,
             default_hours=default_hours,
             modified_since=modified_since,
         ).select("url")
-        # latest seen row per url carries the dequeue identity the
-        # revisit reuses; max over the struct is deterministic under
-        # any partitioning (fetched_epoch is unique per url)
-        latest = (
-            eligible.select(
-                "url",
-                F.struct("fetched_epoch", "ord_key", "depth", "stype").alias(
-                    "_s"
-                ),
-            )
-            .groupBy("url")
-            .agg(F.max("_s").alias("_s"))
-            .select("url", "_s.stype", "_s.depth", "_s.ord_key")
-        )
         cand = (
-            due.join(latest, "url")
+            due.join(latest.select("url", "stype", "depth", "ord_key"), "url")
             .join(self.frontier().select("url"), "url", "left_anti")
         )
         rows = with_frontier_columns(
@@ -1594,11 +1607,14 @@ class CrawlEngine:
             epoch,
             mode="append",
         )
-        self.store.commit_epoch(
-            epoch,
-            {"frontier_delta": snap},
-            {"revisits": n, "dequeued": 0},
-        )
+        metrics = {"revisits": n, "dequeued": 0}
+        if modified_since is not None:
+            # recorded so schedulers can apply a configured cutoff ONCE
+            # per store: the modified rule compares publisher lastmod to
+            # a constant, so re-passing the same cutoff would make the
+            # matching urls due on every firing forever
+            metrics["modified_since"] = modified_since
+        self.store.commit_epoch(epoch, {"frontier_delta": snap}, metrics)
         self._epoch = epoch
         rows.unpersist()
         old_f = self._hot_frontier

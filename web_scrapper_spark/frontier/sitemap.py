@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_sitemap_xml", "sitemap_candidates", "build_sitemap_xml", "write_sitemap", "SITEMAP_ENTRY_SCHEMA"]
+__all__ = ["parse_sitemap_xml", "sitemap_candidates", "sitemap_hints", "build_sitemap_xml", "write_sitemap", "SITEMAP_ENTRY_SCHEMA"]
 
 #: Rows emitted per <url>/<sitemap> entry. kind: 'url' (urlset leaf) or
 #: 'sitemap' (sitemapindex child — enqueue for fetching, not a page).
@@ -170,6 +170,21 @@ def sitemap_candidates(
             yield pd.DataFrame(out, columns=cols)
 
     return src.mapInPandas(parse, schema=SITEMAP_ENTRY_SCHEMA)
+
+
+def sitemap_hints(pages):
+    """The recrawl hint table derived from in-corpus sitemaps: the
+    ``kind='url'`` entries of :func:`sitemap_candidates` projected to
+    the columns :func:`frontier.recrawl.recrawl_due` consumes — the
+    single definition shared by the CLI ``revisit`` command and the
+    scheduler's config-driven revisit path."""
+    from pyspark.sql import functions as F
+
+    return (
+        sitemap_candidates(pages)
+        .filter(F.col("kind") == "url")
+        .select("url", "lastmod", "changefreq", "priority_ppm")
+    )
 
 
 def sitemap_coverage(

@@ -277,22 +277,25 @@ class JobRegistry:
                     rv = bound.revisit
                     hints_df = None
                     if rv["hints"] == "from-sitemaps":
-                        from pyspark.sql import functions as F
+                        from ..frontier.sitemap import sitemap_hints
 
-                        from ..frontier.sitemap import sitemap_candidates
-
-                        hints_df = (
-                            sitemap_candidates(pages)
-                            .filter(F.col("kind") == "url")
-                            .select(
-                                "url", "lastmod", "changefreq", "priority_ppm"
-                            )
-                        )
+                        hints_df = sitemap_hints(pages)
+                    # a configured modified_since is applied ONCE per
+                    # store: the rule compares publisher lastmod to the
+                    # constant cutoff (no fetch-recency term exists in
+                    # the epoch clock), so re-passing it every cron
+                    # firing would refetch the matching subset forever
+                    ms = rv["modified_since"]
+                    if ms is not None and any(
+                        e.get("metrics", {}).get("modified_since") == ms
+                        for e in store.manifest()["epochs"]
+                    ):
+                        ms = None
                     revisits = engine.enqueue_revisits(
                         hints=hints_df,
                         epoch_hours=rv["epoch_hours"],
                         default_hours=rv["default_hours"],
-                        modified_since=rv["modified_since"],
+                        modified_since=ms,
                     )
                     if revisits:
                         continue  # next iteration fetches the wave

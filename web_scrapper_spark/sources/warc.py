@@ -398,13 +398,17 @@ def read_warc(
     spark: SparkSession,
     path: str,
     record_types: Tuple[str, ...] = ("response", "resource"),
-    glob: str = "*.warc*",
+    glob: str = "*.{warc,warc.gz}",
 ) -> DataFrame:
     """WARC source. One binaryFile row per archive file (binaryFile
     never splits, matching WARC's non-splittable gzip layout), then an
     Arrow mapInPandas parse — the job parallelises across files, the
     unit Common Crawl shards by. ``content`` is the only heavy column
     and is consumed within the same stage, so no payload ever shuffles.
+    The default glob excludes the WET/WAT siblings at the FILE level
+    (``*.warc.wet.gz``/``*.warc.wat.gz`` share the ``.warc`` infix):
+    in a mixed directory the response reader must not pay their scan +
+    gunzip + parse just for the record-type filter to drop every row.
     """
     files = (
         spark.read.format("binaryFile")
@@ -450,7 +454,7 @@ def read_warc_stream(
     spark: SparkSession,
     path: str,
     record_types: Tuple[str, ...] = ("response", "resource"),
-    glob: str = "*.warc*",
+    glob: str = "*.{warc,warc.gz}",
     max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """Streaming WARC source: archives landing in ``path`` become
