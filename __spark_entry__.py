@@ -3928,6 +3928,52 @@ def _q_bm25(spark, sf_dir):
     return _tx.bm25_term_weights(docs, k=3)
 
 
+def _q_bm25_search(spark, sf_dir):
+    """Query-time BM25 retrieval (operators/textops.py bm25_search):
+    the DAAT executor over the blocked inverted index built with
+    norms-in-postings (include_dls=True — scoring never joins a
+    corpus-sized lengths table). Queries are SELF-CONTAINED: the 6
+    highest-df gated terms (df desc, term asc), dealt round-robin into
+    3 two-term queries — both engines derive the identical query set
+    from tokenization alone, so the oracle replays index build, query
+    formation, the exact integer BM25 sum, and the per-query top-5
+    rank end-to-end."""
+    from pyspark.sql import Window
+
+    from web_scrapper_spark.operators.textops import (
+        bm25_search,
+        build_postings,
+        doc_lengths,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    dls = doc_lengths(docs)
+    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    idx = build_postings(
+        docs, n_docs, min_df=2, max_df_ppm=800_000, block_size=64,
+        include_dls=True,
+    )
+    win = Window.orderBy(F.desc("df"), F.asc("term"))
+    ranked = (
+        idx.select("term", "df").distinct()
+        .orderBy(F.desc("df"), F.asc("term")).limit(6)
+        .withColumn("r", F.row_number().over(win))
+    )
+    qdf = ranked.groupBy(
+        ((F.col("r") - 1) % 3 + 1).cast("long").alias("query_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "term"))),
+                lambda x: x["term"],
+            ),
+        ).alias("text")
+    )
+    return bm25_search(idx, qdf, n_docs, t_tokens, k=5)
+
+
 def _q_cluster_reps(spark, sf_dir):
     """Quality-aware duplicate-cluster survivor selection
     (operators/dedup.py cluster_representatives): MinHash/LSH pair
@@ -4894,6 +4940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": _q_anchor_profile,
         "inlink_stats": _q_inlink_stats,
         "bm25_topk": _q_bm25,
+        "bm25_search": _q_bm25_search,
         "cluster_reps": _q_cluster_reps,
         # similarity search
         "sim_cosine_topk": _q_sim_topk,
@@ -6952,6 +6999,67 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY doc_id ORDER BY score_u DESC, word ASC
                    ) AS rank
             FROM scored QUALIFY rank <= 3
+        """,
+        "bm25_search": f"""
+            -- DAAT retrieval replay: index build (tf/df, min_df=2 /
+            -- 80% gates), query formation (top-6 df terms dealt into
+            -- 3 queries), the same ppm-rounded idf + exact integer
+            -- per-pair score in HUGEINT //, per-doc sum, top-5 rank
+            WITH words AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ), dl0 AS (
+              SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl
+              FROM documents
+            ), nt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t
+              FROM dl0
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), kept AS (
+              SELECT tf.term, tf.doc_id, tf.tf, dft.df
+              FROM tf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            ), ranked AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY df DESC, term ASC) AS r
+              FROM (SELECT DISTINCT term, df FROM kept)
+              QUALIFY r <= 6
+            ), qterms AS (
+              SELECT CAST(((r - 1) % 3) + 1 AS BIGINT) AS query_id, term
+              FROM ranked
+            ), hits AS (
+              SELECT q.query_id, k.doc_id, k.tf, k.df, d.dl
+              FROM qterms q
+              JOIN kept k USING (term)
+              JOIN dl0 d USING (doc_id)
+            ), scored AS (
+              SELECT query_id, doc_id,
+                     CAST((CAST(floor(ln(CAST(2 * (nt.n + 1) AS DOUBLE)
+                                  / (2 * hits.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * hits.tf * nt.t)
+                          // (CAST(20 AS HUGEINT) * hits.tf * nt.t
+                              + 6 * nt.t + 18 * hits.dl * nt.n)
+                          AS BIGINT) AS score_u
+              FROM hits CROSS JOIN nt
+            ), agg AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(score_u) AS BIGINT) AS score_u,
+                     CAST(count(*) AS BIGINT) AS n_terms
+              FROM scored GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, score_u, n_terms,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_u DESC, doc_id ASC
+                   ) AS rank
+            FROM agg QUALIFY rank <= 5
         """,
         "cluster_reps": f"""
             -- recursive-CTE closure over the same MinHash pair graph,

@@ -2017,6 +2017,133 @@ class TestBuildPostings:
             build_postings(self._docs(spark, [(1, "x")]), 1, block_size=0)
 
 
+class TestBm25Search:
+    """DAAT BM25 retrieval over the blocked index
+    (textops.bm25_search)."""
+
+    ROWS = [
+        (1, "alpha beta alpha gamma"),
+        (2, "alpha gamma gamma"),
+        (3, "beta beta delta"),
+        (4, "alpha beta gamma delta"),
+    ]
+
+    def _index(self, spark, include_dls=True):
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            doc_lengths,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        dls = doc_lengths(docs)
+        tot = dls.groupBy().agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        idx = build_postings(docs, int(tot["n"]), include_dls=include_dls)
+        return docs, dls, idx, int(tot["n"]), int(tot["t"])
+
+    def _python_scores(self, query_terms, n, t):
+        """Plain-python replay of the exact integer formula."""
+        import math
+        import re
+
+        tok = lambda s: [w for w in re.split(r"[^a-z0-9_]+", s.lower()) if w]
+        docs = {i: tok(text) for i, text in self.ROWS}
+        dl = {i: len(ws) for i, ws in docs.items()}
+        scores: dict[int, list[int]] = {}
+        for term in dict.fromkeys(query_terms):
+            df = sum(1 for ws in docs.values() if term in ws)
+            if df == 0:
+                continue
+            idf = math.floor(
+                math.log(float(2 * (n + 1)) / (2 * df + 1)) * 1_000_000 + 0.5
+            )
+            for i, ws in docs.items():
+                tf = ws.count(term)
+                if tf:
+                    s = (idf * 44 * tf * t) // (
+                        20 * tf * t + 6 * t + 18 * dl[i] * n
+                    )
+                    scores.setdefault(i, []).append(s)
+        return {i: (sum(v), len(v)) for i, v in scores.items()}
+
+    def test_matches_python_replay(self, spark):
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, _, idx, n, t = self._index(spark)
+        qdf = spark.createDataFrame(
+            [(1, "alpha delta")], "query_id long, text string"
+        )
+        out = bm25_search(idx, qdf, n, t, k=10).collect()
+        expect = self._python_scores(["alpha", "delta"], n, t)
+        got = {r["doc_id"]: (r["score_u"], r["n_terms"]) for r in out}
+        assert got == expect
+        # rank order = (score desc, doc_id asc), dense from 1
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        assert [r["rank"] for r in by_rank] == list(range(1, len(out) + 1))
+        assert all(
+            (a["score_u"], -a["doc_id"]) >= (b["score_u"], -b["doc_id"])
+            for a, b in zip(by_rank, by_rank[1:])
+        )
+
+    def test_norms_in_postings_equals_lengths_join(self, spark):
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, dls, idx_d, n, t = self._index(spark, include_dls=True)
+        _, _, idx_j, _, _ = self._index(spark, include_dls=False)
+        qdf = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma")], "query_id long, text string"
+        )
+        a = sorted(
+            map(tuple, bm25_search(idx_d, qdf, n, t, k=3).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                bm25_search(idx_j, qdf, n, t, doc_lens=dls, k=3).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+    def test_duplicate_query_terms_collapse(self, spark):
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, _, idx, n, t = self._index(spark)
+        once = spark.createDataFrame(
+            [(1, "alpha")], "query_id long, text string"
+        )
+        thrice = spark.createDataFrame(
+            [(1, "alpha alpha alpha")], "query_id long, text string"
+        )
+        assert sorted(
+            map(tuple, bm25_search(idx, once, n, t).collect())
+        ) == sorted(map(tuple, bm25_search(idx, thrice, n, t).collect()))
+
+    def test_k_bounds_results(self, spark):
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, _, idx, n, t = self._index(spark)
+        qdf = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "query_id long, text string"
+        )
+        out = bm25_search(idx, qdf, n, t, k=2).collect()
+        assert len(out) == 2 and {r["rank"] for r in out} == {1, 2}
+
+    def test_missing_norms_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, _, idx, n, t = self._index(spark, include_dls=False)
+        qdf = spark.createDataFrame(
+            [(1, "alpha")], "query_id long, text string"
+        )
+        with _pytest.raises(ValueError):
+            bm25_search(idx, qdf, n, t)
+        with _pytest.raises(ValueError):
+            bm25_search(idx, qdf, 0, t)
+
+
 class TestDistributionDrift:
     """Corpus-mix drift (quality.distribution_drift): exact integer
     total variation vs a reference group."""

@@ -925,6 +925,7 @@ def build_postings(
     min_df: int = 1,
     max_df_ppm: int = 1_000_000,
     block_size: int = 1024,
+    include_dls: bool = False,
 ) -> DataFrame:
     """Blocked inverted index — the index-time twin of
     :func:`bm25_term_weights` (which scores; this MATERIALIZES the
@@ -933,6 +934,10 @@ def build_postings(
     One row per (term, block)::
 
       (term, df, block, doc_ids: array<long>, tfs: array<long>)
+
+    ``include_dls=True`` appends an aligned ``dls`` array (per-doc
+    token counts — the norms) so :func:`bm25_search` can score without
+    ever joining a corpus-sized lengths table.
 
     - posting entries are (doc_id asc) within and across blocks —
       ``block = floor(rank/block_size)`` — so lists stream in merge
@@ -956,12 +961,22 @@ def build_postings(
         raise ValueError("block_size must be positive")
     max_df = (max_df_ppm * int(n_docs)) // 1_000_000
 
+    toks = tokens_col(F.col(text_col))
+    proj = [
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("term"),
+    ]
+    group_keys = ["term", "doc_id"]
+    if include_dls:
+        # norms-in-postings layout (Lucene stores per-doc norms next
+        # to the postings for exactly this reason): dl rides the tf
+        # aggregate as a grouping key — constant per (term, doc) — so
+        # search never joins a corpus-sized lengths table
+        proj.append(F.size(toks).cast("long").alias("dl"))
+        group_keys.append("dl")
     tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens_col(F.col(text_col))).alias("term"),
-        )
-        .groupBy("term", "doc_id")
+        docs.select(*proj)
+        .groupBy(*group_keys)
         .agg(F.count("*").cast("long").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
@@ -976,15 +991,142 @@ def build_postings(
         "block",
         F.floor((F.row_number().over(w) - 1) / block_size).cast("long"),
     )
-    entries = F.array_sort(F.collect_list(F.struct("doc_id", "tf")))
+    entry_cols = ["doc_id", "tf"] + (["dl"] if include_dls else [])
+    entries = F.array_sort(F.collect_list(F.struct(*entry_cols)))
+    out_cols = [
+        F.col("term"),
+        F.col("df"),
+        F.col("block"),
+        F.transform("_e", lambda x: x["doc_id"]).alias("doc_ids"),
+        F.transform("_e", lambda x: x["tf"]).alias("tfs"),
+    ]
+    if include_dls:
+        out_cols.append(F.transform("_e", lambda x: x["dl"]).alias("dls"))
     return (
         blocked.groupBy("term", "df", "block")
         .agg(entries.alias("_e"))
-        .select(
-            "term",
-            "df",
-            "block",
-            F.transform("_e", lambda x: x["doc_id"]).alias("doc_ids"),
-            F.transform("_e", lambda x: x["tf"]).alias("tfs"),
-        )
+        .select(*out_cols)
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The norms table a search index serves next to its postings:
+    (doc_id, dl) token counts under the SAME tokenizer as
+    :func:`build_postings`. Docs with no tokens keep a dl=0 row — they
+    still count toward N and avgdl. Pure projection, zero shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_search(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    t_tokens: int,
+    *,
+    doc_lens: DataFrame | None = None,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Query-time BM25 retrieval over the blocked inverted index — the
+    DAAT (document-at-a-time) executor that completes the search
+    story: :func:`build_postings` materializes the lists,
+    :func:`bm25_term_weights` defines the scoring, this runs queries.
+
+    Per query: tokenize (index tokenizer, duplicate terms collapsed —
+    web-search bag-of-words), fetch ONLY the posting rows of the
+    query's terms (broadcast the tiny query-terms table into the
+    postings scan: on a term-bucketed index this is the k-list fetch,
+    never an index scan), explode the per-block arrays to candidate
+    (query, doc) pairs, score each pair with the EXACT integer BM25 of
+    :func:`bm25_term_weights` (idf_ppm·44·tf·T div (20·tf·T + 6·T +
+    18·dl·N) — bit-identical under any partitioning or engine), sum
+    per doc, rank (score desc, doc_id asc), keep the top ``k``.
+
+    ``dl`` comes from the postings themselves when the index was built
+    with ``include_dls=True`` (the norms-in-postings layout — zero
+    extra joins); otherwise ``doc_lens`` (from :func:`doc_lengths`) is
+    joined at CANDIDATE grain — one keyed exchange over the hit rows,
+    never the corpus (bucket both sides on doc_id on a real deployment
+    and even that exchange vanishes).
+
+    ``n_docs`` / ``t_tokens`` are the corpus scalars (N, total tokens)
+    — driver literals like the pagerank node count, so no singleton
+    crossjoin pollutes the plan.
+
+    Returns (query_id, doc_id, score_u, n_terms, rank) — ``n_terms``
+    is how many query terms hit the doc (the AND-ness diagnostic).
+
+    Scale shape: one broadcast join against the postings scan, one
+    narrow posexplode, (query, doc) partial aggregation map-side, and
+    a rank window partitioned by query_id (rows per partition bounded
+    by the candidate union of the query's df-gated posting lists).
+    The corpus text never participates.
+    """
+    if n_docs <= 0:
+        raise ValueError("n_docs must be positive")
+    if t_tokens <= 0:
+        raise ValueError("t_tokens must be positive")
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    hits = postings.join(F.broadcast(qterms), "term")
+    has_dls = "dls" in postings.columns
+    zipped = (
+        F.arrays_zip("doc_ids", "tfs", "dls")
+        if has_dls
+        else F.arrays_zip("doc_ids", "tfs")
+    )
+    pairs = hits.select(
+        "query_id", "term", "df", F.explode(zipped).alias("_e")
+    ).select(
+        "query_id",
+        "term",
+        "df",
+        F.col("_e.doc_ids").alias("doc_id"),
+        F.col("_e.tfs").alias("tf"),
+        *([F.col("_e.dls").alias("dl")] if has_dls else []),
+    )
+    if not has_dls:
+        if doc_lens is None:
+            raise ValueError(
+                "postings carry no dls column — pass doc_lens "
+                "(or build the index with include_dls=True)"
+            )
+        pairs = pairs.join(doc_lens, "doc_id")
+    # identical fixed-point scoring to bm25_term_weights
+    idf_ppm = F.floor(
+        F.log(F.lit(float(2 * (n_docs + 1))) / (2 * F.col("df") + 1))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(idf_ppm) * 44 * dec(F.col("tf")) * F.lit(int(t_tokens))
+    den = (
+        dec(F.lit(20 * int(t_tokens))) * dec(F.col("tf"))
+        + dec(F.lit(6 * int(t_tokens)))
+        + dec(F.lit(18 * int(n_docs))) * dec(F.col("dl"))
+    )
+    scored = pairs.withColumns({"_num": num, "_den": den}).select(
+        "query_id",
+        "doc_id",
+        F.expr("_num div _den").cast("long").alias("score_u"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("score_u").cast("long").alias("score_u"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u"), F.asc("doc_id")
+    )
+    return agg.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= k
     )
