@@ -1553,6 +1553,73 @@ def _q_s3_ua_rotation(spark, sf_dir):
     )
 
 
+def _q_http_revalidate(spark, sf_dir):
+    """Conditional refetch (crawl/fetchpolicy.py revalidation_headers
+    + revalidation_outcomes): validators from the LATEST stored
+    capture (multi-capture urls carry a changed v1 digest, so the
+    older original must lose), IMF-fixdate If-Modified-Since + quoted
+    payload-digest ETag, then a refetch wave classified 304/200 with
+    byte accounting. Due urls with no capture history fetch
+    unconditionally (NULL validators). The oracle replays capture
+    aggregation, header rendering (strftime twin), and the digest
+    comparison end-to-end."""
+    from web_scrapper_spark.crawl.fetchpolicy import (
+        revalidation_headers,
+        revalidation_outcomes,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    fresh_url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.org/fresh/"), F.col("doc_id").cast("string"),
+    )
+    ts_a = F.expr(
+        "timestamp'2026-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, 0, cast(doc_id % 48 as int), 0, 0)"
+    )
+    ts_b = F.expr(
+        "timestamp'2026-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, 0, cast(doc_id % 48 as int) + 100, 0, 0)"
+    )
+    captures = docs.select(
+        url.alias("url"), ts_a.alias("warc_ts"), F.md5("text").alias("digest")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            url.alias("url"),
+            ts_b.alias("warc_ts"),
+            F.md5(F.concat(F.col("text"), F.lit("v1"))).alias("digest"),
+        )
+    )
+    due = docs.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(fresh_url.alias("url"))
+    )
+    resp_digest = F.when(
+        F.col("doc_id") % 3 == 0, F.md5(F.concat(F.col("text"), F.lit("v2")))
+    ).otherwise(F.md5("text"))
+    responses = docs.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        resp_digest.alias("digest"),
+        F.col("n_chars").cast("long").alias("n_bytes"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            fresh_url.alias("url"),
+            F.md5(F.concat(F.col("text"), F.lit("f"))).alias("digest"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        )
+    )
+    hdr = revalidation_headers(captures, due)
+    out = revalidation_outcomes(hdr, responses)
+    return out.join(
+        hdr.select("url", "if_none_match", "if_modified_since"), "url"
+    )
+
+
 def _q_s2_fetch_session(spark, sf_dir):
     """S2: session affinity + sticky proxy + rendered header line
     (web_scrapper_spark/crawl/fetchpolicy.py; reference
@@ -4958,6 +5025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session/header/proxy + UA rotation (S2/S3)
         "s2_fetch_session": _q_s2_fetch_session,
         "s3_ua_rotation": _q_s3_ua_rotation,
+        "http_revalidate": _q_http_revalidate,
         "o2_topk": _q_o2_topk,
         # joins (J1-J3)
         "j1_coalesce_merge": _q_j1_coalesce_merge,
@@ -7407,6 +7475,75 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s3_ua_rotation": _s3_ua_rotation_sql(),
         "s2_fetch_session": _s2_fetch_session_sql(),
+        "http_revalidate": """
+            -- conditional-refetch replay: latest capture per url
+            -- (warc_ts desc, digest desc), quoted-digest ETag +
+            -- IMF-fixdate If-Modified-Since, 304 when the refetch
+            -- digest equals the stored validator, byte accounting
+            WITH u AS (
+              SELECT doc_id, text, n_chars,
+                     'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.org/fresh/' || CAST(doc_id AS VARCHAR)
+                       AS furl,
+                     TIMESTAMP '2026-01-01 00:00:00'
+                       + (doc_id % 48) * INTERVAL 1 HOUR AS ts_a
+              FROM documents
+            ), captures AS (
+              SELECT url, ts_a AS warc_ts, md5(text) AS digest FROM u
+              UNION ALL
+              SELECT url, ts_a + 100 * INTERVAL 1 HOUR, md5(text || 'v1')
+              FROM u WHERE doc_id % 4 = 0
+            ), latest AS (
+              SELECT url, warc_ts AS last_ts, digest AS last_digest
+              FROM (
+                SELECT url, warc_ts, digest,
+                       row_number() OVER (
+                         PARTITION BY url
+                         ORDER BY warc_ts DESC, digest DESC
+                       ) AS rn
+                FROM captures
+              ) WHERE rn = 1
+            ), due AS (
+              SELECT url FROM u WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT furl FROM u WHERE doc_id % 5 = 0
+            ), hdr AS (
+              SELECT d.url,
+                     CASE WHEN l.last_digest IS NOT NULL
+                          THEN '"' || l.last_digest || '"' END
+                       AS if_none_match,
+                     CASE WHEN l.last_ts IS NOT NULL
+                          THEN strftime(l.last_ts,
+                                        '%a, %d %b %Y %H:%M:%S') || ' GMT'
+                          END AS if_modified_since,
+                     l.last_digest
+              FROM due d LEFT JOIN latest l USING (url)
+            ), responses AS (
+              SELECT url,
+                     CASE WHEN doc_id % 3 = 0 THEN md5(text || 'v2')
+                          ELSE md5(text) END AS digest,
+                     CAST(n_chars AS BIGINT) AS n_bytes
+              FROM u WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT furl, md5(text || 'f'), CAST(n_chars AS BIGINT)
+              FROM u WHERE doc_id % 5 = 0
+            )
+            SELECT r.url,
+                   CASE WHEN h.last_digest IS NOT NULL
+                             AND r.digest = h.last_digest
+                        THEN 304 ELSE 200 END AS status,
+                   CASE WHEN h.last_digest IS NOT NULL
+                             AND r.digest = h.last_digest
+                        THEN 0 ELSE r.n_bytes END AS bytes_fetched,
+                   CASE WHEN h.last_digest IS NOT NULL
+                             AND r.digest = h.last_digest
+                        THEN r.n_bytes ELSE 0 END AS bytes_saved,
+                   h.if_none_match, h.if_modified_since
+            FROM responses r JOIN hdr h USING (url)
+        """,
         "o2_topk": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20

@@ -220,3 +220,80 @@ class TestEpochIntegration:
         engine.init([(f"{spec.base(0)}/blog", "content")])
         engine.run(max_epochs=2)
         assert "fetch_log" not in store.manifest()["tables"]
+
+
+class TestRevalidation:
+    """Conditional refetch: validator headers + 304/200 classification
+    (crawl/fetchpolicy.py revalidation_*)."""
+
+    def _frames(self, spark):
+        from datetime import datetime
+
+        captures = spark.createDataFrame(
+            [
+                ("u1", datetime(2026, 1, 1, 6), "d1-old"),
+                ("u1", datetime(2026, 1, 2, 6), "d1-new"),
+                ("u2", datetime(2026, 1, 1, 7), "d2"),
+                ("u3", datetime(2026, 1, 1, 8), "d3"),
+            ],
+            "url string, warc_ts timestamp, digest string",
+        )
+        due = spark.createDataFrame(
+            [("u1",), ("u2",), ("u3",), ("u4",)], "url string"
+        )
+        return captures, due
+
+    def test_headers_latest_capture_wins(self, spark):
+        from web_scrapper_spark.crawl.fetchpolicy import revalidation_headers
+
+        captures, due = self._frames(spark)
+        hdr = {r["url"]: r for r in revalidation_headers(captures, due).collect()}
+        assert hdr["u1"]["if_none_match"] == '"d1-new"'
+        assert hdr["u1"]["if_modified_since"] == "Fri, 02 Jan 2026 06:00:00 GMT"
+        assert hdr["u2"]["if_none_match"] == '"d2"'
+        # no capture history -> unconditional fetch
+        assert hdr["u4"]["if_none_match"] is None
+        assert hdr["u4"]["if_modified_since"] is None
+
+    def test_outcomes_304_and_byte_accounting(self, spark):
+        from web_scrapper_spark.crawl.fetchpolicy import (
+            revalidation_headers,
+            revalidation_outcomes,
+        )
+
+        captures, due = self._frames(spark)
+        hdr = revalidation_headers(captures, due)
+        responses = spark.createDataFrame(
+            [
+                ("u1", "d1-new", 100),  # matches latest -> 304
+                ("u2", "d2-changed", 70),  # changed -> 200
+                ("u3", "d3", 50),  # unchanged -> 304
+                ("u4", "d4", 30),  # no validator -> 200
+            ],
+            "url string, digest string, n_bytes long",
+        )
+        out = {
+            r["url"]: r
+            for r in revalidation_outcomes(hdr, responses).collect()
+        }
+        assert (out["u1"]["status"], out["u1"]["bytes_saved"]) == (304, 100)
+        assert (out["u2"]["status"], out["u2"]["bytes_fetched"]) == (200, 70)
+        assert (out["u3"]["status"], out["u3"]["bytes_saved"]) == (304, 50)
+        assert (out["u4"]["status"], out["u4"]["bytes_fetched"]) == (200, 30)
+
+    def test_report_rollup_ppm(self, spark):
+        from web_scrapper_spark.crawl.fetchpolicy import revalidation_report
+
+        outcomes = spark.createDataFrame(
+            [
+                ("ha", 304, 0, 75),
+                ("ha", 200, 25, 0),
+                ("hb", 200, 40, 0),
+            ],
+            "host string, status int, bytes_fetched long, bytes_saved long",
+        )
+        rep = {r["group"]: r for r in revalidation_report(outcomes).collect()}
+        assert rep["ha"]["n_requests"] == 2
+        assert rep["ha"]["n_not_modified"] == 1
+        assert rep["ha"]["saved_ppm"] == 750_000  # 75 / (75+25)
+        assert rep["hb"]["saved_ppm"] == 0
