@@ -3315,6 +3315,19 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center diversity selection (operators/similarity.py
+    kcenter_select): min-id seed, 3 farthest-point rounds (max
+    min-distance, ties to min id), exact integer squared-L2 after the
+    micro-int gate. The oracle unrolls all four rounds as correlated
+    CTE blocks (the pagerank-oracle discipline) and replays the final
+    nearest-center assignment with the same (dist, rank) tie-break —
+    bit-exact, every row."""
+    from web_scrapper_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_read(spark, sf_dir, "embeddings"), 4)
+
+
 def _q_passage_chunks(spark, sf_dir):
     """Sliding-window passage extraction (operators/packing.py
     passage_chunks): 24-token windows, 8-token overlap, over the
@@ -5015,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_srp_topk": _q_srp_topk,
         "embedding_quantize": _q_embedding_quantize,
         "sim_sq_topk": _q_sim_sq_topk,
+        "kcenter_select": _q_kcenter,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6127,6 +6141,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "kcenter_select": """
+            -- greedy k-center replay: 4 selection rounds unrolled as
+            -- correlated CTEs (seed = min id; then argmax of the
+            -- carried min-distance, ties to min id), exact integer
+            -- squared L2 on micro-int components, final
+            -- nearest-center assignment with the (dist, rank)
+            -- tie-break
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS vm
+              FROM embeddings
+            ), e AS (
+              SELECT vec_id, CAST(i AS BIGINT) AS dim, vm[i + 1] AS v
+              FROM m, UNNEST(generate_series(0, len(vm) - 1)) AS u(i)
+            ), c1 AS (
+              SELECT min(vec_id) AS cid FROM m
+            ), d1 AS (
+              SELECT e.vec_id,
+                     CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS md
+              FROM e JOIN (SELECT dim, v FROM e
+                           WHERE vec_id = (SELECT cid FROM c1)) c
+                USING (dim)
+              GROUP BY e.vec_id
+            ), c2 AS (
+              SELECT vec_id AS cid, md FROM d1
+              WHERE vec_id <> (SELECT cid FROM c1)
+              ORDER BY md DESC, vec_id ASC LIMIT 1
+            ), n2 AS (
+              SELECT e.vec_id,
+                     CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS nd
+              FROM e JOIN (SELECT dim, v FROM e
+                           WHERE vec_id = (SELECT cid FROM c2)) c
+                USING (dim)
+              GROUP BY e.vec_id
+            ), m2 AS (
+              SELECT d1.vec_id, least(d1.md, n2.nd) AS md
+              FROM d1 JOIN n2 USING (vec_id)
+            ), c3 AS (
+              SELECT vec_id AS cid, md FROM m2
+              WHERE vec_id NOT IN (SELECT cid FROM c1
+                                   UNION ALL SELECT cid FROM c2)
+              ORDER BY md DESC, vec_id ASC LIMIT 1
+            ), n3 AS (
+              SELECT e.vec_id,
+                     CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS nd
+              FROM e JOIN (SELECT dim, v FROM e
+                           WHERE vec_id = (SELECT cid FROM c3)) c
+                USING (dim)
+              GROUP BY e.vec_id
+            ), m3 AS (
+              SELECT m2.vec_id, least(m2.md, n3.nd) AS md
+              FROM m2 JOIN n3 USING (vec_id)
+            ), c4 AS (
+              SELECT vec_id AS cid, md FROM m3
+              WHERE vec_id NOT IN (SELECT cid FROM c1
+                                   UNION ALL SELECT cid FROM c2
+                                   UNION ALL SELECT cid FROM c3)
+              ORDER BY md DESC, vec_id ASC LIMIT 1
+            ), centers AS (
+              SELECT 1 AS rnk, (SELECT cid FROM c1) AS cid
+              UNION ALL SELECT 2, (SELECT cid FROM c2)
+              UNION ALL SELECT 3, (SELECT cid FROM c3)
+              UNION ALL SELECT 4, (SELECT cid FROM c4)
+            ), cdims AS (
+              SELECT ctr.rnk, e.dim, e.v
+              FROM centers ctr JOIN e ON e.vec_id = ctr.cid
+            ), alld AS (
+              SELECT e.vec_id, c.rnk,
+                     CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d
+              FROM e JOIN cdims c USING (dim)
+              GROUP BY e.vec_id, c.rnk
+            ), best AS (
+              SELECT vec_id, rnk, d,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, rnk ASC
+                     ) AS rn
+              FROM alld
+            )
+            SELECT b.vec_id, ctr.cid AS center_id,
+                   CAST(b.rnk AS BIGINT) AS center_rank, b.d AS dist_u
+            FROM best b JOIN centers ctr USING (rnk)
+            WHERE b.rn = 1
         """,
         "sim_sq_topk": """
             -- quantized search replay: same SQ codes, integer dot

@@ -2488,6 +2488,111 @@ class TestQuantizeEmbeddings:
         assert got == want
 
 
+class TestKcenterSelect:
+    """Greedy farthest-point selection (similarity.kcenter_select)."""
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    @staticmethod
+    def _python_kcenter(rows, k):
+        """Plain-python greedy replay with the same integer gate."""
+        import math
+
+        pts = {
+            i: [math.floor(float(x) * 1_000_000) for x in v]
+            for i, v in rows
+        }
+        d2 = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))
+        chosen = [min(pts)]
+        mind = {i: d2(v, pts[chosen[0]]) for i, v in pts.items()}
+        while len(chosen) < k and len(chosen) < len(pts):
+            cand = [
+                (-d, i) for i, d in mind.items() if i not in chosen
+            ]
+            chosen.append(min(cand)[1])
+            for i, v in pts.items():
+                mind[i] = min(mind[i], d2(v, pts[chosen[-1]]))
+        assign = {}
+        for i, v in pts.items():
+            best = min(
+                (d2(v, pts[c]), r + 1, c) for r, c in enumerate(chosen)
+            )
+            assign[i] = (best[2], best[1], best[0])
+        return assign
+
+    ROWS = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [0.0, 10.0]),
+        (4, [9.8, 0.1]),
+        (5, [5.0, 5.0]),
+    ]
+
+    def test_matches_python_replay(self, spark):
+        from web_scrapper_spark.operators.similarity import kcenter_select
+
+        out = {
+            r["vec_id"]: (r["center_id"], r["center_rank"], r["dist_u"])
+            for r in kcenter_select(self._vecs(spark, self.ROWS), 3).collect()
+        }
+        assert out == self._python_kcenter(self.ROWS, 3)
+
+    def test_centers_self_assign_and_spread(self, spark):
+        from web_scrapper_spark.operators.similarity import kcenter_select
+
+        out = kcenter_select(self._vecs(spark, self.ROWS), 3).collect()
+        centers = {r["center_id"] for r in out}
+        assert len(centers) == 3
+        for r in out:
+            if r["vec_id"] in centers and r["vec_id"] == r["center_id"]:
+                assert r["dist_u"] == 0
+        # seed is min id; round 2 must grab one of the far points
+        ranks = {
+            r["center_rank"]: r["center_id"]
+            for r in out
+            if r["vec_id"] == r["center_id"]
+        }
+        assert ranks[1] == 0 and ranks[2] in (2, 3)
+
+    def test_k_exceeding_points_stops_early(self, spark):
+        from web_scrapper_spark.operators.similarity import kcenter_select
+
+        rows = self.ROWS[:2]
+        out = kcenter_select(self._vecs(spark, rows), 5).collect()
+        assert {r["center_id"] for r in out} == {0, 1}
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.operators.similarity import kcenter_select
+
+        a = sorted(
+            map(
+                tuple,
+                kcenter_select(self._vecs(spark, self.ROWS), 3).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                kcenter_select(
+                    self._vecs(spark, self.ROWS).repartition(7), 3
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_bad_k_raises(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.similarity import kcenter_select
+
+        with _pytest.raises(ValueError):
+            kcenter_select(self._vecs(spark, self.ROWS), 0)
+
+
 class TestSqTopk:
     def test_recall_vs_exact_cosine(self, spark):
         import math

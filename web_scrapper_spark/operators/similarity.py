@@ -431,3 +431,104 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "score")
     )
+
+
+def kcenter_select(
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy k-center / farthest-point selection (Gonzalez 1985) —
+    the DIVERSITY complement to the dedup family: near-dup operators
+    remove what is too close; this PICKS a maximally-spread subset
+    (coreset seeds, eval-set carving, "cover the embedding space with
+    k exemplars" — the 2-approximation of the k-center objective).
+
+    Round 1 seeds with the min-id vector (deterministic, no RNG);
+    each later round picks the point FARTHEST from the chosen set
+    (max min-distance, ties to min id) — the classic greedy whose
+    cover radius is within 2x of optimal.
+
+    Determinism: components pass the ``floor(x·1e6)`` micro-int gate
+    once, distances are exact-integer squared L2 (sum over dims of
+    (a−b)², long arithmetic) — selection and assignment are pure
+    functions of the vector set, bit-identical under any partitioning
+    or engine, so the DuckDB oracle unrolls the rounds relationally.
+
+    Returns the per-point ASSIGNMENT: (vec_id, center_id,
+    center_rank, dist_u) — nearest chosen center (ties: lower
+    center_rank), dist_u the exact squared distance in micro² units.
+    Centers assign to themselves at dist 0.
+
+    Scale shape: each round is one narrow projection (``least`` of the
+    carried min-distance and the distance to the NEWEST center — a
+    zip_with/aggregate fold against a broadcast literal, no join, no
+    shuffle) plus one TakeOrdered argmax (per-partition heaps, one row
+    to the driver). k rounds = k scans, the O(nk) greedy — with
+    lineage truncated every ``checkpoint_every`` rounds so the plan
+    never deepens past a constant. The final assignment is a single
+    projection against all k centers as literals. Only ids and
+    distances ever cross an exchange boundary.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    micro = lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")  # noqa: E731
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), micro).alias("v"),
+    )
+
+    def sqdist_to(vec):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed_rows = base.orderBy(F.asc("vec_id")).limit(1).collect()
+    schema = (
+        "vec_id long, center_id long, center_rank long, dist_u long"
+    )
+    if not seed_rows:
+        return vectors.sparkSession.createDataFrame([], schema)
+    seed = seed_rows[0]
+    chosen = [(int(seed["vec_id"]), list(seed["v"]))]
+    cur = base.withColumn("min_d", sqdist_to(seed["v"]))
+    for rnd in range(1, k):
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        ids = [c[0] for c in chosen]
+        nxt = (
+            cur.filter(~F.col("vec_id").isin(ids))
+            .orderBy(F.desc("min_d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # fewer distinct points than k
+        r = nxt[0]
+        chosen.append((int(r["vec_id"]), list(r["v"])))
+        cur = cur.withColumn(
+            "min_d", F.least(F.col("min_d"), sqdist_to(r["v"]))
+        )
+    cands = F.array(
+        *[
+            F.struct(
+                sqdist_to(vec).alias("dist_u"),
+                F.lit(rank).cast("long").alias("center_rank"),
+                F.lit(cid).cast("long").alias("center_id"),
+            )
+            for rank, (cid, vec) in enumerate(chosen, start=1)
+        ]
+    )
+    best = F.array_sort(cands).getItem(0)
+    return base.select(
+        "vec_id",
+        best["center_id"].alias("center_id"),
+        best["center_rank"].alias("center_rank"),
+        best["dist_u"].alias("dist_u"),
+    )
