@@ -3315,6 +3315,41 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_cc_index_surt(spark, sf_dir):
+    """SURT keys (sources/warc.py surt_key_col — the sort key of the
+    cc-index columnar layout): six URL shapes per documents row
+    (www-strip, non-default port kept, default ports stripped,
+    fragment cut, userinfo dropped, query-only path, whitespace +
+    mixed-case path) mapped through the native expression; the oracle
+    replays every rule relationally. The python twin
+    (urlutils.surt) is asserted identical in tests/test_warc.py."""
+    from web_scrapper_spark.sources.warc import surt_key_col
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % 23).cast("string")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("https://www.h"), h, F.lit(".example.com/p/"), ds))
+        .when(d % 6 == 1, F.concat(
+            F.lit("http://h"), h, F.lit(".example.co.uk:8080/a/b?page="),
+            (d % 7).cast("string")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://h"), h, F.lit(".example.com:443/x#frag")))
+        .when(d % 6 == 3, F.concat(
+            F.lit("http://user@h"), h, F.lit(".example.org")))
+        .when(d % 6 == 4, F.concat(
+            F.lit("https://sub.h"), h, F.lit(".example.com?q="), ds))
+        .otherwise(F.concat(
+            F.lit(" http://www3.h"), h, F.lit(".example.com:80/UPPER/"),
+            ds, F.lit(" ")))
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), surt_key_col(url).alias("surt_key")
+    )
+
+
 def _q_kcenter(spark, sf_dir):
     """Greedy k-center diversity selection (operators/similarity.py
     kcenter_select): min-id seed, 3 farthest-point rounds (max
@@ -5029,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "sim_sq_topk": _q_sim_sq_topk,
         "kcenter_select": _q_kcenter,
+        "cc_index_surt": _q_cc_index_surt,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6141,6 +6177,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "cc_index_surt": """
+            -- SURT replay: the same url construction, then every
+            -- canonicalization rule relationally — trim, scheme drop,
+            -- fragment cut, userinfo drop (greedy ^.*@ = after LAST
+            -- @), lowercase host, default-port strip, www-strip,
+            -- label reversal, query-only path normalization
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'https://www.h' || (doc_id % 23)
+                         || '.example.com/p/' || doc_id
+                       WHEN 1 THEN 'http://h' || (doc_id % 23)
+                         || '.example.co.uk:8080/a/b?page=' || (doc_id % 7)
+                       WHEN 2 THEN 'https://h' || (doc_id % 23)
+                         || '.example.com:443/x#frag'
+                       WHEN 3 THEN 'http://user@h' || (doc_id % 23)
+                         || '.example.org'
+                       WHEN 4 THEN 'https://sub.h' || (doc_id % 23)
+                         || '.example.com?q=' || doc_id
+                       ELSE ' http://www3.h' || (doc_id % 23)
+                         || '.example.com:80/UPPER/' || doc_id || ' '
+                     END AS url
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, url,
+                     regexp_replace(
+                       regexp_replace(trim(url),
+                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''),
+                       '#.*$', '') AS s
+              FROM u
+            ), s2 AS (
+              SELECT doc_id, url,
+                     regexp_replace(
+                       lower(regexp_extract(s, '^([^/?]*)', 1)),
+                       '^.*@', '') AS auth,
+                     regexp_replace(s, '^[^/?]*', '') AS rest
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, url, rest,
+                     regexp_replace(
+                       regexp_replace(auth, ':[0-9]+$', ''),
+                       '^www[0-9]*\\.', '') AS host,
+                     CASE WHEN regexp_extract(auth, '(:[0-9]+)$', 1)
+                               IN (':80', ':443') THEN ''
+                          ELSE regexp_extract(auth, '(:[0-9]+)$', 1)
+                     END AS port
+              FROM s2
+            )
+            SELECT doc_id, url,
+                   (CASE WHEN host = '' THEN ''
+                         ELSE array_to_string(
+                           list_reverse(string_split(host, '.')), ',')
+                    END)
+                   || port || ')'
+                   || (CASE WHEN rest = '' THEN '/'
+                            WHEN rest LIKE '?%' THEN '/' || rest
+                            ELSE rest END) AS surt_key
+            FROM s3
         """,
         "kcenter_select": """
             -- greedy k-center replay: 4 selection rounds unrolled as

@@ -550,3 +550,81 @@ class TestWat:
         out = str(tmp_path / "alias")
         write_any(self._df(spark), out, "wat")
         assert read_any(spark, out, "wat").count() == 2
+
+
+class TestSurtCcIndex:
+    """SURT keys + cc-index columnar layout (sources/warc.py
+    surt_key_col / cc_index; python twin urlutils.surt)."""
+
+    CASES = [
+        "https://www.Example.com:443/A/b?x=1#f",
+        "http://example.com",
+        "http://sub.example.co.uk:8080/p",
+        "https://user:pw@www2.example.org/x",
+        "http://example.com?q=1",
+        "http://example.com:80/",
+        "http://www10.example.net/a#x#y",
+        "https://example.com/CaseKept/Path?Q=Mixed",
+    ]
+
+    def test_native_equals_python_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.sources.warc import surt_key_col
+        from web_scrapper_spark.urlutils import surt
+
+        df = spark.createDataFrame([(c,) for c in self.CASES], "url string")
+        for r in df.select(
+            "url", surt_key_col(F.col("url")).alias("k")
+        ).collect():
+            assert r["k"] == surt(r["url"]), r["url"]
+
+    def test_domain_and_subdomains_contiguous(self):
+        from web_scrapper_spark.urlutils import surt
+
+        keys = sorted(
+            surt(u)
+            for u in [
+                "http://example.com/a",
+                "http://sub.example.com/b",
+                "http://deep.sub.example.com/c",
+                "http://examplezz.com/d",
+                "http://aaa.com/e",
+                "http://zzz.org/f",
+            ]
+        )
+        fam = [k for k in keys if k.startswith("com,example)") or k.startswith("com,example,")]
+        lo, hi = keys.index(fam[0]), keys.index(fam[-1])
+        # the whole example.com family (domain + subdomains) is one
+        # contiguous run — examplezz.com does NOT interleave
+        assert keys[lo : hi + 1] == fam
+        assert "com,examplezz)/d" not in fam
+
+    def test_cc_index_layout_sorted_and_disjoint(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.sources.warc import cc_index
+
+        rows = [
+            (f"http://h{i % 13}.example.org/p/{i}", f"2026012{i % 10}")
+            for i in range(200)
+        ]
+        cdx = spark.createDataFrame(rows, "url string, ts string")
+        out = cc_index(cdx, n_shards=5)
+        pdf = out.withColumn(
+            "pid", F.spark_partition_id()
+        ).toPandas()
+        # sorted within every partition
+        for _, grp in pdf.groupby("pid"):
+            keys = list(zip(grp["surt_key"], grp["ts"]))
+            assert keys == sorted(keys)
+        # partition key-ranges are disjoint and ordered
+        bounds = (
+            pdf.groupby("pid")["surt_key"].agg(["min", "max"]).sort_index()
+        )
+        prev_max = None
+        for _, b in bounds.iterrows():
+            if prev_max is not None:
+                assert b["min"] >= prev_max
+            prev_max = b["max"]
+        assert pdf["pid"].nunique() > 1

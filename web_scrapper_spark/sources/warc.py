@@ -916,3 +916,70 @@ def cdx_revisits(cdx: DataFrame) -> DataFrame:
         F.when(F.col("ts") > F.col("_orig_ts"), F.col("_orig_ts"))
         .alias("original_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + columnar index layout (the Common Crawl cc-index shape)
+# ---------------------------------------------------------------------------
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) as a native
+    codegen expression — the key the web-archive ecosystem sorts its
+    indexes by (CDX servers, Wayback, Common Crawl's columnar index):
+    host labels reversed, so one domain AND all its subdomains are a
+    single contiguous key range a range scan / footer prune can hit.
+
+    ``https://www.Example.com:443/A/b?x=1#f`` → ``com,example)/A/b?x=1``.
+    Rules (deterministic subset, replayed relationally by the
+    ``cc_index_surt`` oracle): trim, scheme dropped, host lowercased,
+    userinfo dropped, default ports 80/443 stripped (others kept before
+    the ``)``), leading ``www\\d*.`` stripped, fragment cut, empty path
+    → ``/``, path+query verbatim. Python twin:
+    :func:`web_scrapper_spark.urlutils.surt` (tested identical).
+    """
+    s = F.regexp_replace(
+        F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", ""
+    )
+    s = F.regexp_replace(s, r"#.*$", "")
+    auth = F.lower(F.regexp_extract(s, r"^([^/?]*)", 1))
+    rest = F.regexp_replace(s, r"^[^/?]*", "")
+    auth = F.regexp_replace(auth, r"^.*@", "")
+    port_raw = F.regexp_extract(auth, r"(:\d+)$", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    port = F.when(
+        port_raw.isin(":80", ":443"), F.lit("")
+    ).otherwise(port_raw)
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    hostrev = F.when(host == "", F.lit("")).otherwise(
+        F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    )
+    rest2 = (
+        F.when(rest == "", F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest)
+    )
+    return F.concat(hostrev, port, F.lit(")"), rest2)
+
+
+def cc_index(cdx: DataFrame, n_shards: int = 0) -> DataFrame:
+    """The Common-Crawl-columnar-index layout over a CDX frame: add
+    ``surt_key`` and cluster the index so that every (reversed-)domain
+    range is physically contiguous — ``repartitionByRange(surt_key,
+    ts)`` + ``sortWithinPartitions`` is exactly the sorted-parquet
+    layout cc-index serves (one global range partitioning; written
+    files carry tight surt_key min/max footers, so "all captures of
+    *.example.com" prunes to the few shards whose range overlaps
+    ``com,example``). ``n_shards=0`` lets AQE pick the shard count.
+
+    One range exchange over index-sized rows (urls + longs — never
+    payloads); the sort is per-partition. The layout composes with
+    ``read_cdx``/``read_warc_ranges``: prune on the index, then fetch
+    only the selected archive members.
+    """
+    keyed = cdx.withColumn("surt_key", surt_key_col(F.col("url")))
+    if n_shards > 0:
+        parted = keyed.repartitionByRange(n_shards, "surt_key", "ts")
+    else:
+        parted = keyed.repartitionByRange("surt_key", "ts")
+    return parted.sortWithinPartitions("surt_key", "ts")

@@ -121,3 +121,44 @@ def absolutize(base_url: str, url: str) -> str:
     if url.startswith(("http://", "https://")):
         return url
     return urljoin(base_url, url)
+
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+_WWW_RE = re.compile(r"^www\d*\.")
+
+
+def surt(url: str) -> str:
+    """SURT — Sort-friendly URI Reordering Transform, the key the
+    web-archive ecosystem sorts its indexes by (CDX servers, Wayback,
+    the Common Crawl columnar index): host labels reversed so one
+    domain's captures (and all its subdomains) are one contiguous key
+    range. ``https://www.Example.com:443/A/b?x=1#f`` →
+    ``com,example)/A/b?x=1``.
+
+    Deterministic subset implemented (and replayed relationally by the
+    ``cc_index_surt`` oracle): scheme dropped, host lowercased,
+    userinfo dropped, default ports (80/443) stripped — other ports
+    kept before the ``)``, leading ``www\\d*.`` stripped, fragment cut,
+    empty path → ``/``, path+query verbatim (case preserved). Python
+    twin of :func:`web_scrapper_spark.sources.warc.surt_key_col`.
+    """
+    s = _SCHEME_RE.sub("", (url or "").strip())
+    s = s.split("#", 1)[0]
+    m = re.match(r"^([^/?]*)(.*)$", s, re.S)
+    auth, rest = m.group(1), m.group(2)
+    auth = auth.lower()
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    host, port = auth, ""
+    pm = re.match(r"^(.*?)(:\d+)$", auth)
+    if pm:
+        host, port = pm.group(1), pm.group(2)
+        if port in (":80", ":443"):
+            port = ""
+    host = _WWW_RE.sub("", host)
+    hostrev = ",".join(reversed(host.split("."))) if host else ""
+    if not rest:
+        rest = "/"
+    elif rest.startswith("?"):
+        rest = "/" + rest
+    return f"{hostrev}{port}){rest}"
