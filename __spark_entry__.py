@@ -3315,6 +3315,30 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_script_profile(spark, sf_dir):
+    """Unicode-script character profile (operators/textops.py
+    script_profile): documents salted with Cyrillic / CJK+Hangul /
+    Latin-with-Cyrillic-homoglyph suffixes by doc_id%4 so dominant-
+    script, none, and the homoglyph mix_ppm branches are all
+    non-vacuous; \\x{...} ranges are the one syntax Java regex and
+    RE2 share, so the oracle replays the exact patterns."""
+    from web_scrapper_spark.operators.textops import script_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 1, F.lit(" привет мир как дела"))
+            .when(d % 4 == 2, F.lit(" 漢字かなカナ 한글 테스트"))
+            .when(d % 4 == 3, F.lit(" paypаl sеcurity chеck"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(salted)
+
+
 def _q_cc_index_surt(spark, sf_dir):
     """SURT keys (sources/warc.py surt_key_col — the sort key of the
     cc-index columnar layout): six URL shapes per documents row
@@ -5065,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq_topk": _q_sim_sq_topk,
         "kcenter_select": _q_kcenter,
         "cc_index_surt": _q_cc_index_surt,
+        "script_profile": _q_script_profile,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6177,6 +6202,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "script_profile": """
+            -- script-range replay: identical \\x{...} classes (RE2 ≡
+            -- Java regex), per-range char counts via global
+            -- regexp_replace deletion, precedence-ordered argmax,
+            -- exact integer homoglyph mix_ppm
+            WITH s AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 4
+                       WHEN 1 THEN ' привет мир как дела'
+                       WHEN 2 THEN ' 漢字かなカナ 한글 테스트'
+                       WHEN 3 THEN ' paypаl sеcurity chеck'
+                       ELSE '' END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS BIGINT)
+                  AS n_latin,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT)
+                  AS n_cyrillic,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0370}-\\x{03FF}]', '', 'g')) AS BIGINT)
+                  AS n_greek,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT)
+                  AS n_arabic,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0590}-\\x{05FF}]', '', 'g')) AS BIGINT)
+                  AS n_hebrew,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0900}-\\x{097F}]', '', 'g')) AS BIGINT)
+                  AS n_devanagari,
+                CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]',
+                  '', 'g')) AS BIGINT) AS n_cjk
+              FROM s
+            )
+            SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek,
+                   n_arabic, n_hebrew, n_devanagari, n_cjk,
+                   CASE
+                     WHEN greatest(n_latin, n_cyrillic, n_greek,
+                                   n_arabic, n_hebrew, n_devanagari,
+                                   n_cjk) = 0 THEN 'none'
+                     WHEN n_latin = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'latin'
+                     WHEN n_cyrillic = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'cyrillic'
+                     WHEN n_greek = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'greek'
+                     WHEN n_arabic = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'arabic'
+                     WHEN n_hebrew = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'hebrew'
+                     WHEN n_devanagari = greatest(n_latin, n_cyrillic,
+                       n_greek, n_arabic, n_hebrew, n_devanagari,
+                       n_cjk) THEN 'devanagari'
+                     ELSE 'cjk'
+                   END AS script_pred,
+                   CAST((n_latin + n_cyrillic + n_greek + n_arabic
+                         + n_hebrew + n_devanagari + n_cjk
+                         - greatest(n_latin, n_cyrillic, n_greek,
+                                    n_arabic, n_hebrew, n_devanagari,
+                                    n_cjk)) * 1000000
+                        // greatest(n_latin + n_cyrillic + n_greek
+                                    + n_arabic + n_hebrew
+                                    + n_devanagari + n_cjk, 1)
+                        AS BIGINT) AS mix_ppm
+            FROM c
         """,
         "cc_index_surt": """
             -- SURT replay: the same url construction, then every

@@ -3318,3 +3318,56 @@ class TestSetJoins:
         assert got_o == self._brute(
             queries, corpus, lambda a, b: len(a & b) >= 2
         )
+
+
+class TestScriptProfile:
+    """Unicode-script character profiling (textops.script_profile)."""
+
+    def _run(self, spark, rows):
+        return {
+            r["doc_id"]: r
+            for r in tx.script_profile(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+
+    def test_dominant_scripts(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "hello world"),
+                (2, "привет мир"),
+                (3, "γειά σου κόσμε"),
+                (4, "漢字かなカナ"),
+                (5, "한글 테스트"),
+            ],
+        )
+        assert out[1]["script_pred"] == "latin"
+        assert out[2]["script_pred"] == "cyrillic"
+        assert out[3]["script_pred"] == "greek"
+        assert out[4]["script_pred"] == "cjk"
+        assert out[5]["script_pred"] == "cjk"  # Hangul in the CJK range
+
+    def test_homoglyph_mix_signal(self, spark):
+        # 'а'/'е' below are Cyrillic spliced into Latin words
+        out = self._run(
+            spark, [(1, "paypаl sеcure"), (2, "paypal secure")]
+        )
+        assert out[1]["n_cyrillic"] == 2
+        assert out[1]["script_pred"] == "latin"
+        assert out[1]["mix_ppm"] > 0
+        assert out[2]["mix_ppm"] == 0
+
+    def test_counts_match_python(self, spark):
+        text = "abc привет 漢字 123 !!!"
+        out = self._run(spark, [(1, text)])
+        assert out[1]["n_latin"] == 3
+        assert out[1]["n_cyrillic"] == 6
+        assert out[1]["n_cjk"] == 2
+        assert out[1]["n_chars"] == len(text)
+
+    def test_empty_and_unscripted(self, spark):
+        out = self._run(spark, [(1, ""), (2, "12345 --- !!!"), (3, None)])
+        for i in (1, 2, 3):
+            assert out[i]["script_pred"] == "none"
+            assert out[i]["mix_ppm"] == 0

@@ -1130,3 +1130,73 @@ def bm25_search(
     return agg.withColumn("rank", F.row_number().over(win)).filter(
         F.col("rank") <= k
     )
+
+
+#: Unicode script ranges as explicit codepoint classes — \x{...} is
+#: the ONE range syntax both Java regex (Spark) and RE2 (DuckDB)
+#: accept verbatim, so the oracle replays these patterns untouched.
+#: Order is the tie-break precedence (the LANG_ORDER discipline).
+SCRIPT_RANGES: tuple = (
+    ("latin", "A-Za-z\\x{00C0}-\\x{024F}"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("hebrew", "\\x{0590}-\\x{05FF}"),
+    ("devanagari", "\\x{0900}-\\x{097F}"),
+    ("cjk", "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}"),
+)
+
+
+def script_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-script character profile — the SCRIPT-level complement
+    to the marker-lexicon :func:`language_id` (CCNet/fastText LID
+    models key on script first; a crawler needs it cheaper): per-doc
+    character counts for seven script ranges, the dominant script
+    (max count, ties to :data:`SCRIPT_RANGES` order, ``none`` when no
+    scripted character), and ``mix_ppm`` — the fraction of scripted
+    characters OUTSIDE the dominant script. High mix is the homoglyph
+    signal (Cyrillic letters spliced into Latin words — phishing/spam
+    cloaking) and the multilingual-page signal that routes a doc to
+    :func:`paragraph_language_id`.
+
+    Counting is ``length(text) − length(regexp_replace(text, [range],
+    ''))`` per script — one regex pass each, pure projection: zero
+    shuffle, zero Python, codegen end-to-end; exact integer ppm.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    names = [n for n, _ in SCRIPT_RANGES]
+    counts = {
+        f"n_{name}": (
+            F.length(t)
+            - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    staged = docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[c.alias(k) for k, c in counts.items()],
+    )
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    pred = F.when(best == 0, F.lit("none"))
+    for n in names:
+        pred = pred.when(F.col(f"n_{n}") == best, F.lit(n))
+    scripted = None
+    for n in names:
+        scripted = F.col(f"n_{n}") if scripted is None else scripted + F.col(f"n_{n}")
+    mix = F.expr(
+        "cast(({s} - {b}) as decimal(38,0)) * 1000000 div "
+        "greatest(cast({s} as decimal(38,0)), 1)".format(
+            s=" + ".join(f"n_{n}" for n in names),
+            b="greatest(" + ", ".join(f"n_{n}" for n in names) + ")",
+        )
+    ).cast("long")
+    return staged.select(
+        id_col,
+        "n_chars",
+        *[f"n_{n}" for n in names],
+        pred.alias("script_pred"),
+        mix.alias("mix_ppm"),
+    )
