@@ -4089,10 +4089,13 @@ def _q_bm25_search(spark, sf_dir):
     dls = doc_lengths(docs)
     tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    # materialize the index ONCE: both the query-formation branch and
+    # the search probe read it (without this the whole
+    # tokenize→tf→window subtree runs twice in one job)
     idx = build_postings(
         docs, n_docs, min_df=2, max_df_ppm=800_000, block_size=64,
         include_dls=True,
-    )
+    ).localCheckpoint(eager=True)
     win = Window.orderBy(F.desc("df"), F.asc("term"))
     ranked = (
         idx.select("term", "df").distinct()

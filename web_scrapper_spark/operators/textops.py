@@ -961,21 +961,25 @@ def build_postings(
         raise ValueError("block_size must be positive")
     max_df = (max_df_ppm * int(n_docs)) // 1_000_000
 
-    toks = tokens_col(F.col(text_col))
-    proj = [
+    # tokenize ONCE into a staged array column (the doc_stats
+    # discipline: HOF chains are CodegenFallback with no subexpression
+    # elimination — explode(toks) + size(toks) inlined would tokenize
+    # every doc twice, measured 2.7x the build)
+    staged = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(toks).alias("term"),
-    ]
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    proj = [F.col("doc_id"), F.explode("_toks").alias("term")]
     group_keys = ["term", "doc_id"]
     if include_dls:
         # norms-in-postings layout (Lucene stores per-doc norms next
         # to the postings for exactly this reason): dl rides the tf
         # aggregate as a grouping key — constant per (term, doc) — so
         # search never joins a corpus-sized lengths table
-        proj.append(F.size(toks).cast("long").alias("dl"))
+        proj.append(F.size("_toks").cast("long").alias("dl"))
         group_keys.append("dl")
     tf = (
-        docs.select(*proj)
+        staged.select(*proj)
         .groupBy(*group_keys)
         .agg(F.count("*").cast("long").alias("tf"))
     )
