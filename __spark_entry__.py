@@ -3315,6 +3315,28 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact φ-heavy hitters by sketch-then-verify
+    (operators/sketch.py heavy_hitters): φ=4% over a Zipf-ish key
+    stream derived from events (key = u % ((u%7)+1) — residue 0 takes
+    ~37% of mass, residue 6 ~2%, so both sides of the gate are
+    non-vacuous). CMS never under-counts, so the candidate gate is
+    provably complete and n/threshold/share are sketch-independent;
+    the est column IS sketch-dependent, so the oracle replays the
+    depth-4 × width-64 cell grid md5-exactly (the cms_hot_hosts
+    idiom) alongside the plain GROUP BY/HAVING truth."""
+    from web_scrapper_spark.operators.sketch import heavy_hitters
+
+    ev = _read(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(
+            F.lit("u"),
+            (F.col("user_id") % ((F.col("user_id") % 7) + 1)).cast("string"),
+        ).alias("host")
+    )
+    return heavy_hitters(keyed, "host", 40_000, width=64)
+
+
 def _q_script_profile(spark, sf_dir):
     """Unicode-script character profile (operators/textops.py
     script_profile): documents salted with Cyrillic / CJK+Hangul /
@@ -5093,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": _q_kcenter,
         "cc_index_surt": _q_cc_index_surt,
         "script_profile": _q_script_profile,
+        "heavy_hitters": _q_heavy_hitters,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6205,6 +6228,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "heavy_hitters": """
+            -- sketch-then-verify replay: n/threshold/share from the
+            -- plain GROUP BY truth (the completeness guarantee makes
+            -- them sketch-independent); est from the md5-exact
+            -- depth-4 x width-64 cell grid
+            WITH s AS (
+              SELECT 'u' || CAST(user_id % ((user_id % 7) + 1) AS VARCHAR)
+                AS host
+              FROM events
+            ), nt AS (
+              SELECT CAST(count(*) AS BIGINT) AS total FROM s
+            ), thr AS (
+              SELECT greatest(1, 40000 * total // 1000000) AS t FROM nt
+            ), cells AS (
+              SELECT d.d, ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                           || host), 1, 10))::BIGINT % 64 AS cell,
+                     count(*) AS cnt
+              FROM s, (SELECT unnest(generate_series(0, 3)) AS d) d
+              GROUP BY d.d, cell
+            ), probes AS (
+              SELECT DISTINCT s.host, d.d,
+                     ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                      || s.host), 1, 10))::BIGINT % 64 AS cell
+              FROM s, (SELECT unnest(generate_series(0, 3)) AS d) d
+            ), est AS (
+              SELECT p.host, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+              FROM probes p
+              LEFT JOIN cells c ON p.d = c.d AND p.cell = c.cell
+              GROUP BY p.host
+            ), exact AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n
+              FROM s GROUP BY host
+            )
+            SELECT x.host, x.n, e.est,
+                   CAST((SELECT t FROM thr) AS BIGINT) AS threshold,
+                   CAST(x.n * 1000000 // (SELECT total FROM nt)
+                        AS BIGINT) AS share_ppm
+            FROM exact x JOIN est e USING (host)
+            WHERE x.n >= (SELECT t FROM thr)
         """,
         "script_profile": """
             -- script-range replay: identical \\x{...} classes (RE2 ≡

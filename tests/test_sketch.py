@@ -201,3 +201,62 @@ class TestCms:
         df = spark.createDataFrame([("a",)], ["host"])
         with pytest.raises(ValueError):
             sk.cms_build(df, "host", 0)
+
+
+class TestHeavyHitters:
+    """Exact sketch-then-verify heavy hitters (sketch.heavy_hitters)."""
+
+    def _stream(self, spark, counts):
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "host string")
+
+    def test_exact_counts_and_threshold(self, spark):
+        from web_scrapper_spark.operators.sketch import heavy_hitters
+
+        counts = {"a": 50, "b": 30, "c": 15, "d": 4, "e": 1}
+        df = self._stream(spark, counts)  # N = 100
+        out = {
+            r["host"]: r
+            for r in heavy_hitters(df, "host", 150_000, width=128).collect()
+        }
+        # threshold = 15: a, b, c survive with exact counts
+        assert set(out) == {"a", "b", "c"}
+        for k in out:
+            assert out[k]["n"] == counts[k]
+            assert out[k]["est"] >= out[k]["n"]
+            assert out[k]["threshold"] == 15
+            assert out[k]["share_ppm"] == counts[k] * 10_000
+
+    def test_complete_under_tiny_width(self, spark):
+        """Collision-heavy sketch (width=2): over-counts admit extra
+        candidates, the exact pass discards them — output unchanged."""
+        from web_scrapper_spark.operators.sketch import heavy_hitters
+
+        counts = {f"k{i}": 3 + (7 if i < 2 else 0) for i in range(12)}
+        df = self._stream(spark, counts)
+        wide = {
+            (r["host"], r["n"])
+            for r in heavy_hitters(df, "host", 120_000, width=4096).collect()
+        }
+        narrow = {
+            (r["host"], r["n"])
+            for r in heavy_hitters(df, "host", 120_000, width=2).collect()
+        }
+        assert narrow == wide == {("k0", 10), ("k1", 10)}
+
+    def test_phi_bounds(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.sketch import heavy_hitters
+
+        df = self._stream(spark, {"a": 1})
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "host", 0, width=8)
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "host", 1_000_001, width=8)
+
+    def test_empty_stream(self, spark):
+        from web_scrapper_spark.operators.sketch import heavy_hitters
+
+        df = spark.createDataFrame([], "host string")
+        assert heavy_hitters(df, "host", 10_000, width=8).count() == 0

@@ -252,3 +252,78 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi_ppm: int,
+    width: int,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """EXACT φ-heavy hitters by sketch-then-verify — every key whose
+    true count ≥ φ·N, with its exact count, found WITHOUT ever
+    shuffling the full (key, count) table.
+
+    The two-pass scheme rides the count-min guarantee: CMS never
+    under-counts, so "estimate ≥ threshold" is a PROVABLY COMPLETE
+    candidate gate (a true heavy hitter cannot slip below it; over-
+    counts only admit extra candidates, and the exact second pass
+    discards those). That makes the output independent of sketch
+    geometry — the oracle is a plain ``GROUP BY … HAVING``.
+
+    Plan shape at 10^10 rows: pass 1 is ``cms_build`` (shuffle carries
+    ≤ depth×width cells per task); N comes from the sketch itself
+    (``sum(cnt)`` at d=0 — every row lands exactly once per depth, so
+    no extra count job). Pass 2 tags each STREAM row with its estimate
+    via ``depth`` BROADCAST joins against the tiny per-depth cell
+    tables (no shuffle, no per-key distinct), filters to candidate
+    rows, and only THEN aggregates — the one keyed exchange carries
+    candidate mass only (≤ 1/φ keys + the CMS false positives, each
+    with ≥ φ·N rows... bounded by construction), never the key space.
+
+    Returns (key, n, est, threshold, share_ppm): ``n`` exact,
+    ``est ≥ n`` always, ``share_ppm`` exact integer floor.
+    """
+    if not (0 < phi_ppm <= 1_000_000):
+        raise ValueError("phi_ppm must be in (0, 1e6]")
+    # tiny (≤ depth×width rows); materialize once — three consumers
+    sketch = cms_build(df, key_col, width, depth).localCheckpoint(
+        eager=True
+    )
+    total_row = (
+        sketch.filter(F.col("d") == 0).agg(F.sum("cnt").alias("n")).collect()
+    )
+    total = int(total_row[0]["n"] or 0)
+    threshold = max(1, (phi_ppm * total) // 1_000_000)
+    cur = df.select(F.col(key_col))
+    ests = []
+    for i in range(depth):
+        sk_i = sketch.filter(F.col("d") == i).select(
+            F.col("cell").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
+        )
+        cur = cur.withColumn(
+            f"_c{i}", _cms_col(F.col(key_col), F.lit(i), width)
+        ).join(F.broadcast(sk_i), f"_c{i}", "left")
+        ests.append(F.coalesce(F.col(f"_n{i}"), F.lit(0)))
+    est = F.least(*ests) if depth > 1 else ests[0]
+    cands = cur.withColumn("_est", est.cast("long")).filter(
+        F.col("_est") >= threshold
+    )
+    out = (
+        cands.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("_est").alias("est"),
+        )
+        .filter(F.col("n") >= threshold)
+    )
+    return out.select(
+        key_col,
+        "n",
+        "est",
+        F.lit(threshold).cast("long").alias("threshold"),
+        F.expr(
+            f"cast(n as decimal(38,0)) * 1000000 div {max(total, 1)}"
+        ).cast("long").alias("share_ppm"),
+    )
