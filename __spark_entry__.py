@@ -3315,6 +3315,35 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_kcore(spark, sf_dir):
+    """k-core peeling (operators/graph.py kcore, k=3, 3 lockstep
+    rounds): a 9-node dense ring-of-generators core ('c*', three
+    invertible affine maps mod 9 → degree ≥ 3 everywhere), a chain
+    periphery ('p*', degree ≤ 2 — dies in round 1) and bridge edges
+    (every 25th doc links its chain node into the core — those chain
+    nodes reach degree 3, survive round 1, and die in round 2 when
+    their chain neighbors vanish: the multi-round case). The oracle
+    unrolls the identical three peel rounds + the trailing degree
+    select."""
+    from web_scrapper_spark.operators.graph import kcore
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = lambda e: F.concat(F.lit("c"), (e % 9).cast("string"))  # noqa: E731
+    p = lambda e: F.concat(F.lit("p"), e.cast("string"))  # noqa: E731
+    dense = (
+        docs.select(c(d).alias("src"), c(d * 4 + 1).alias("dst"))
+        .unionByName(docs.select(c(d).alias("src"), c(d * 2 + 3).alias("dst")))
+        .unionByName(docs.select(c(d).alias("src"), c(d * 5 + 2).alias("dst")))
+    )
+    chain = docs.select(p(d).alias("src"), p(d + 1).alias("dst"))
+    bridges = docs.filter(d % 25 == 0).select(
+        c(d).alias("src"), p(d).alias("dst")
+    )
+    edges = dense.unionByName(chain).unionByName(bridges)
+    return kcore(edges, k=3, num_rounds=3)
+
+
 def _q_heavy_hitters(spark, sf_dir):
     """Exact φ-heavy hitters by sketch-then-verify
     (operators/sketch.py heavy_hitters): φ=4% over a Zipf-ish key
@@ -5116,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_index_surt": _q_cc_index_surt,
         "script_profile": _q_script_profile,
         "heavy_hitters": _q_heavy_hitters,
+        "kcore": _q_kcore,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6228,6 +6258,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "kcore": """
+            -- k-core replay: identical edge construction, symmetrize
+            -- + distinct + self-loop drop, three lockstep peel rounds
+            -- (degree >= 3 survivors restrict both endpoints), then
+            -- the trailing core-degree select
+            WITH raw AS (
+              SELECT 'c' || CAST(doc_id % 9 AS VARCHAR) AS s,
+                     'c' || CAST((doc_id * 4 + 1) % 9 AS VARCHAR) AS d
+              FROM documents
+              UNION ALL
+              SELECT 'c' || CAST(doc_id % 9 AS VARCHAR),
+                     'c' || CAST((doc_id * 2 + 3) % 9 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'c' || CAST(doc_id % 9 AS VARCHAR),
+                     'c' || CAST((doc_id * 5 + 2) % 9 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'p' || CAST(doc_id AS VARCHAR),
+                     'p' || CAST(doc_id + 1 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'c' || CAST(doc_id % 9 AS VARCHAR),
+                     'p' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 25 = 0
+            ), e0 AS (
+              SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM raw UNION ALL SELECT d AS s, s AS d FROM raw
+              ) WHERE s <> d
+            ), k1 AS (
+              SELECT s FROM e0 GROUP BY s HAVING count(*) >= 3
+            ), e1 AS (
+              SELECT e.s, e.d FROM e0 e
+              JOIN k1 a ON e.s = a.s JOIN k1 b ON e.d = b.s
+            ), k2 AS (
+              SELECT s FROM e1 GROUP BY s HAVING count(*) >= 3
+            ), e2 AS (
+              SELECT e.s, e.d FROM e1 e
+              JOIN k2 a ON e.s = a.s JOIN k2 b ON e.d = b.s
+            ), k3 AS (
+              SELECT s FROM e2 GROUP BY s HAVING count(*) >= 3
+            ), e3 AS (
+              SELECT e.s, e.d FROM e2 e
+              JOIN k3 a ON e.s = a.s JOIN k3 b ON e.d = b.s
+            )
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e3 GROUP BY s HAVING count(*) >= 3
         """,
         "heavy_hitters": """
             -- sketch-then-verify replay: n/threshold/share from the

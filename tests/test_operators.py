@@ -3371,3 +3371,93 @@ class TestScriptProfile:
         for i in (1, 2, 3):
             assert out[i]["script_pred"] == "none"
             assert out[i]["mix_ppm"] == 0
+
+
+class TestKcore:
+    """k-core degree peeling (graph.kcore)."""
+
+    @staticmethod
+    def _python_kcore(edges, k):
+        und = set()
+        for a, b in edges:
+            if a != b:
+                und.add((a, b))
+                und.add((b, a))
+        while True:
+            deg = {}
+            for a, _ in und:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {n for n, dg in deg.items() if dg >= k}
+            nxt = {(a, b) for a, b in und if a in keep and b in keep}
+            if nxt == und:
+                break
+            und = nxt
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        return {n: dg for n, dg in deg.items() if dg >= k}
+
+    def _run(self, spark, edges, k, **kw):
+        from web_scrapper_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r["node"]: r["degree"] for r in kcore(df, k, **kw).collect()
+        }
+
+    def test_matches_python_peeling(self, spark):
+        # K4 core + two pendant chains + a bridge node
+        edges = [
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("c", "d"),
+            ("d", "x"), ("x", "y"), ("y", "z"),
+            ("a", "w"), ("w", "x"),
+        ]
+        for k in (1, 2, 3):
+            assert self._run(spark, edges, k) == self._python_kcore(
+                edges, k
+            ), k
+
+    def test_multi_round_cascade(self, spark):
+        # bridge node attaches to the triangle with degree 2: survives
+        # k=2 round 1 only while its chain neighbor lives -> the peel
+        # must cascade across rounds
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            ("c", "m"), ("m", "n"),
+        ]
+        out = self._run(spark, edges, 2)
+        assert out == {"a": 2, "b": 2, "c": 2}
+
+    def test_empty_core(self, spark):
+        edges = [("a", "b"), ("b", "c")]
+        assert self._run(spark, edges, 3) == {}
+
+    def test_duplicate_and_self_edges_collapse(self, spark):
+        edges = [
+            ("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+            ("b", "c"), ("c", "a"),
+        ]
+        assert self._run(spark, edges, 2) == {"a": 2, "b": 2, "c": 2}
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.operators.graph import kcore
+
+        edges = [("n%d" % i, "n%d" % ((i * 3 + 1) % 20)) for i in range(200)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(map(tuple, kcore(df, 3).collect()))
+        b = sorted(map(tuple, kcore(df.repartition(13), 3).collect()))
+        assert a == b and a == sorted(
+            self._python_kcore(edges, 3).items()
+        )
+
+    def test_bad_k(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.graph import kcore
+
+        with _pytest.raises(ValueError):
+            kcore(
+                spark.createDataFrame([("a", "b")], "src string, dst string"),
+                0,
+            )

@@ -875,3 +875,70 @@ def spam_mass_scores(
     finally:
         edeg.unpersist()
     return spam_mass(pr, tr, scale)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    num_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """k-core decomposition by iterated degree peeling (Seidman 1983;
+    Batagelj–Zaveršnik is the sequential form) over the UNDIRECTED
+    host graph: repeatedly delete every node whose surviving degree is
+    < k until the graph stops shrinking. What remains is the k-core —
+    the "everyone here has ≥ k interlinked neighbors" subgraph that
+    link farms and boosting rings inhabit (a paid-links ring is a
+    dense core; organic periphery peels away in the first rounds).
+    The CORE-shaped complement to :func:`host_triangles` (local
+    density) and :func:`label_propagation` (partition shape).
+
+    Determinism: peeling is synchronous-lockstep (all sub-k nodes
+    drop together each round), so the result is a pure function of
+    the edge set — no ordering, no RNG — and the fixpoint is reached
+    within ``num_rounds`` or the round-``num_rounds`` state is
+    returned (defined output, LPA-style; the oracle unrolls the same
+    rounds — once the fixpoint lands, extra rounds are identity, so
+    early stop and a longer unroll agree).
+
+    Returns (node, degree) for the surviving core — ``degree`` is the
+    node's degree WITHIN the core (≥ k by construction).
+
+    Scale shape: symmetrized distinct edges repartition on ``s`` once;
+    each round is one map-side-combined degree aggregate + two
+    node-keyed semi-joins restricting the edge list — node-table-sized
+    exchanges; the O(E) list shrinks monotonically and is checkpointed
+    every ``checkpoint_interval`` rounds (lineage O(1), dead rounds'
+    blocks freed). Early convergence is detected from the count the
+    round already pays, so a converged graph costs no extra job.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    cur = und.repartition(F.col("s")).localCheckpoint(eager=True)
+    prev_nodes = -1
+    for rnd in range(num_rounds):
+        deg = cur.groupBy("s").agg(F.count("*").cast("long").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("s")
+        n_keep = keep.count()
+        if n_keep == prev_nodes or n_keep == 0:
+            break
+        prev_nodes = n_keep
+        cur = cur.join(keep, "s", "left_semi").join(
+            keep.withColumnRenamed("s", "d"), "d", "left_semi"
+        )
+        if checkpoint_interval and (rnd + 1) % checkpoint_interval == 0:
+            cur = cur.localCheckpoint(eager=True)
+    final = cur.groupBy("s").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return final.filter(F.col("degree") >= k).select(
+        F.col("s").alias("node"), "degree"
+    )
