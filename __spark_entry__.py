@@ -3315,6 +3315,42 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_postings_gaps(spark, sf_dir):
+    """Gap-encoded posting blocks (operators/textops.py
+    delta_encode_postings over the same index as `postings`): the
+    compression layout real indexes store — within-block doc_ids
+    become gaps (first entry absolute). Flattened with posexplode so
+    the hash validates every gap at its position; the oracle rebuilds
+    gaps relationally with lag() over the proven (term → doc_id)
+    blocking window. The decode inverse is property-tested in
+    tests/test_operators.py."""
+    from web_scrapper_spark.operators.textops import (
+        build_postings,
+        delta_encode_postings,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_postings(
+        docs, docs.count(), min_df=2, max_df_ppm=800_000, block_size=64
+    )
+    enc = delta_encode_postings(idx)
+    return enc.select(
+        "term",
+        "df",
+        "block",
+        "first_doc",
+        F.posexplode(F.arrays_zip("doc_gaps", "tfs")).alias("pos", "e"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        "first_doc",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("e.doc_gaps").alias("gap"),
+        F.col("e.tfs").alias("tf"),
+    )
+
+
 def _q_kcore(spark, sf_dir):
     """k-core peeling (operators/graph.py kcore, k=3, 3 lockstep
     rounds): a 9-node dense ring-of-generators core ('c*', three
@@ -5146,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "heavy_hitters": _q_heavy_hitters,
         "kcore": _q_kcore,
+        "postings_gaps": _q_postings_gaps,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6258,6 +6295,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "postings_gaps": f"""
+            -- gap-encoding replay: the proven postings window, then
+            -- per-(term, block) lag gaps (pos 0 keeps the absolute
+            -- id) and the block's first_doc
+            WITH tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+              GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), kept AS (
+              SELECT tf.term, tf.doc_id, tf.tf, dft.df
+              FROM tf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            ), blocked AS (
+              SELECT term, df, doc_id, tf,
+                     CAST((row_number() OVER w - 1) // 64 AS BIGINT) AS block,
+                     CAST((row_number() OVER w - 1) % 64 AS BIGINT) AS pos
+              FROM kept
+              WINDOW w AS (PARTITION BY term ORDER BY doc_id ASC)
+            )
+            SELECT term, df, block,
+                   CAST(first_value(doc_id) OVER b AS BIGINT) AS first_doc,
+                   pos,
+                   CAST(CASE WHEN pos = 0 THEN doc_id
+                        ELSE doc_id - lag(doc_id) OVER b END AS BIGINT)
+                     AS gap,
+                   tf
+            FROM blocked
+            WINDOW b AS (PARTITION BY term, block ORDER BY doc_id ASC)
         """,
         "kcore": """
             -- k-core replay: identical edge construction, symmetrize

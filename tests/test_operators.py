@@ -3461,3 +3461,62 @@ class TestKcore:
                 spark.createDataFrame([("a", "b")], "src string, dst string"),
                 0,
             )
+
+
+class TestPostingsGaps:
+    """Gap encoding / decoding of posting blocks (textops.delta_*)."""
+
+    def _idx(self, spark, n_docs=40, block=8):
+        from web_scrapper_spark.operators.textops import build_postings
+
+        rows = [
+            (i * 3 + (i % 2), "common word%d" % (i % 5)) for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return build_postings(docs, n_docs, block_size=block)
+
+    def test_gaps_match_python_diff(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            delta_encode_postings,
+        )
+
+        idx = self._idx(spark)
+        raw = {
+            (r["term"], r["block"]): list(r["doc_ids"])
+            for r in idx.collect()
+        }
+        enc = delta_encode_postings(idx)
+        for r in enc.collect():
+            ids = raw[(r["term"], r["block"])]
+            want = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+            assert list(r["doc_gaps"]) == want
+            assert r["first_doc"] == ids[0]
+
+    def test_roundtrip_inverse(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            delta_decode_postings,
+            delta_encode_postings,
+        )
+
+        idx = self._idx(spark)
+        dec = delta_decode_postings(delta_encode_postings(idx))
+        a = sorted(
+            (r["term"], r["block"], tuple(r["doc_ids"]), tuple(r["tfs"]))
+            for r in idx.collect()
+        )
+        b = sorted(
+            (r["term"], r["block"], tuple(r["doc_ids"]), tuple(r["tfs"]))
+            for r in dec.collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_requires_postings_shape(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import (
+            delta_encode_postings,
+        )
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with _pytest.raises(ValueError):
+            delta_encode_postings(df)
