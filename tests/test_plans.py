@@ -347,3 +347,64 @@ class TestRound2BanditLexiconZorderPlans:
             plan = _plan(spark, name)
             assert "CartesianProduct" not in plan, name
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+class TestRound2SearchCrawlOpsPlans:
+    """Plan pins for the round-2 additions (docs/PLANS.md §23-28):
+    BM25 search, HTTP revalidation, SURT/cc-index, script profile,
+    heavy hitters, gap encoding."""
+
+    def test_script_profile_zero_shuffle(self, spark):
+        # seven regexp count columns + argmax CASE: pure projection
+        plan = _plan(spark, "script_profile")
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_cc_index_surt_projection_only(self, spark):
+        # the SURT key is a regexp/array expression chain: no joins,
+        # no Python, no wide move beyond the scan
+        plan = _plan(spark, "cc_index_surt")
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_postings_gaps_no_extra_exchange(self, spark):
+        # gap encoding adds ONLY a projection over the postings plan:
+        # the exchanges present are the index build's own (tf, df,
+        # blocking window) — no join appears for the encoding
+        import __spark_entry__ as em
+
+        base = em.queries()["postings"](spark, SF)
+        enc = em.queries()["postings_gaps"](spark, SF)
+        bp = base._jdf.queryExecution().executedPlan().toString()
+        ep = enc._jdf.queryExecution().executedPlan().toString()
+        assert ep.count("Exchange") == bp.count("Exchange")
+        assert "BatchEvalPython" not in ep and "ArrowEvalPython" not in ep
+
+    def test_heavy_hitters_broadcast_estimates(self, spark):
+        # per-row estimates ride broadcast joins; the only hash
+        # exchange before the candidate aggregate is the sketch
+        # build's own cell aggregate (checkpointed away) — the stream
+        # itself is never hash-exchanged until after the filter
+        plan = _plan(spark, "heavy_hitters")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_revalidation_no_python_no_nested_loop(self, spark):
+        # header rendering + 304 classification are codegen; the two
+        # url joins are equi-joins
+        plan = _plan(spark, "http_revalidate")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bm25_search_broadcasts_query_terms(self, spark):
+        # the postings scan is probed by a broadcast of the tiny
+        # query-terms table; no shuffle keyed on the corpus text
+        plan = _plan(spark, "bm25_search")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
