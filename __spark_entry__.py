@@ -3315,6 +3315,46 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_bm25f_search(spark, sf_dir):
+    """Fielded BM25F retrieval (operators/textops.py bm25f_search):
+    body + anchor-text ranking with w_anchor=3 — the Brin & Page
+    anchor signal as a RANKER. Anchors are a deterministic citation
+    map ((doc_id·7+3) mod N targets, 60-char source snippets as link
+    text), queries the top-4 corpus keywords dealt into two 2-term
+    queries. The oracle replays both field tokenizations, the
+    weighted tf'/dl' combine, either-field df, the exact integer
+    formula, and the top-5 rank end-to-end."""
+    from pyspark.sql import Window
+
+    from web_scrapper_spark.operators.textops import (
+        bm25f_search,
+        corpus_keywords_topk,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    anchors = docs.select(
+        ((F.col("doc_id") * 7 + 3) % n).alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    win = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = corpus_keywords_topk(docs, k=4).withColumn(
+        "r", F.row_number().over(win)
+    )
+    qdf = ranked.groupBy(
+        ((F.col("r") - 1) % 2 + 1).cast("long").alias("query_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("text")
+    )
+    return bm25f_search(docs, anchors, qdf, k=5, w_body=1, w_anchor=3)
+
+
 def _q_postings_gaps(spark, sf_dir):
     """Gap-encoded posting blocks (operators/textops.py
     delta_encode_postings over the same index as `postings`): the
@@ -5183,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "kcore": _q_kcore,
         "postings_gaps": _q_postings_gaps,
+        "bm25f_search": _q_bm25f_search,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6295,6 +6336,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "bm25f_search": f"""
+            -- BM25F replay: both field tokenizations, anchor map
+            -- (doc_id*7+3 mod N, 60-char snippets), keyword queries
+            -- (top-4, dealt mod 2), weighted tf'/dl', either-field
+            -- df, the exact integer formula in HUGEINT, top-5 rank
+            WITH nd AS (
+              SELECT count(*) AS n FROM documents
+            ), bodytoks AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ), anchsrc AS (
+              SELECT (doc_id * 7 + 3) % (SELECT n FROM nd) AS doc_id,
+                     substr(text, 1, 60) AS text
+              FROM documents
+            ), anchtoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9_]+'), x -> x <> '') AS toks
+              FROM anchsrc
+            ), kw AS (
+              SELECT word, count(*) AS freq
+              FROM (SELECT unnest(toks) AS word FROM bodytoks)
+              WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+              GROUP BY word ORDER BY freq DESC, word ASC LIMIT 4
+            ), ranked AS (
+              SELECT word,
+                     row_number() OVER (ORDER BY freq DESC, word ASC) AS r
+              FROM kw
+            ), qterms AS (
+              SELECT CAST(((r - 1) % 2) + 1 AS BIGINT) AS query_id,
+                     word AS term
+              FROM ranked
+            ), terms AS (
+              SELECT DISTINCT term FROM qterms
+            ), tf_b AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_b
+              FROM (SELECT doc_id, unnest(toks) AS term FROM bodytoks)
+              WHERE term IN (SELECT term FROM terms)
+              GROUP BY doc_id, term
+            ), tf_a AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_a
+              FROM (SELECT doc_id, unnest(toks) AS term FROM anchtoks)
+              WHERE term IN (SELECT term FROM terms)
+              GROUP BY doc_id, term
+            ), dl_b AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl_b
+              FROM bodytoks
+            ), dl_a AS (
+              SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS dl_a
+              FROM anchtoks GROUP BY doc_id
+            ), dlf AS (
+              SELECT b.doc_id,
+                     CAST(1 * b.dl_b + 3 * coalesce(a.dl_a, 0) AS BIGINT)
+                       AS dlf
+              FROM dl_b b LEFT JOIN dl_a a USING (doc_id)
+            ), nt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dlf) AS BIGINT) AS t
+              FROM dlf
+            ), tfp AS (
+              SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                     coalesce(b.term, a.term) AS term,
+                     CAST(1 * coalesce(b.tf_b, 0)
+                          + 3 * coalesce(a.tf_a, 0) AS BIGINT) AS tfp
+              FROM tf_b b
+              FULL JOIN tf_a a
+                ON b.doc_id = a.doc_id AND b.term = a.term
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tfp WHERE tfp > 0 GROUP BY term
+            ), contrib AS (
+              SELECT q.query_id, p.doc_id,
+                     CAST((CAST(floor(ln(CAST(2 * (nt.n + 1) AS DOUBLE)
+                                  / (2 * dft.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * p.tfp * nt.t)
+                          // (CAST(20 AS HUGEINT) * p.tfp * nt.t
+                              + 6 * nt.t + 18 * d.dlf * nt.n)
+                          AS BIGINT) AS score_u
+              FROM tfp p
+              JOIN dft USING (term)
+              JOIN dlf d ON d.doc_id = p.doc_id
+              JOIN qterms q ON q.term = p.term
+              CROSS JOIN nt
+              WHERE p.tfp > 0
+            ), agg AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(score_u) AS BIGINT) AS score_u,
+                     CAST(count(*) AS BIGINT) AS n_terms
+              FROM contrib GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, score_u, n_terms,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_u DESC, doc_id ASC
+                   ) AS rank
+            FROM agg QUALIFY rank <= 5
         """,
         "postings_gaps": f"""
             -- gap-encoding replay: the proven postings window, then

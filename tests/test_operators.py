@@ -3520,3 +3520,125 @@ class TestPostingsGaps:
         df = spark.createDataFrame([(1,)], "x long")
         with _pytest.raises(ValueError):
             delta_encode_postings(df)
+
+
+class TestBm25fSearch:
+    """Fielded BM25F over body + anchor text (textops.bm25f_search)."""
+
+    DOCS = [
+        (1, "apple pie recipe with apple"),
+        (2, "banana bread recipe"),
+        (3, "car engine manual"),
+    ]
+    # doc 3's body never says 'apple', but the web does
+    ANCHORS = [
+        (3, "apple apple apple"),
+        (3, "best apple site"),
+        (2, "banana"),
+        (99, "apple"),  # dangling target -> dropped
+    ]
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        anchors = spark.createDataFrame(
+            self.ANCHORS, "doc_id long, text string"
+        )
+        return docs, anchors
+
+    @staticmethod
+    def _python_bm25f(docs, anchors, qterms, wb, wa):
+        import math
+        import re
+
+        tok = lambda s: [w for w in re.split(r"[^a-z0-9_]+", s.lower()) if w]
+        body = {i: tok(t) for i, t in docs}
+        anch: dict = {}
+        for i, t in anchors:
+            if i in body:
+                anch.setdefault(i, []).extend(tok(t))
+        dlf = {
+            i: wb * len(body[i]) + wa * len(anch.get(i, []))
+            for i in body
+        }
+        n, t_tok = len(body), sum(dlf.values())
+        out: dict = {}
+        for term in dict.fromkeys(qterms):
+            tfp = {
+                i: wb * body[i].count(term)
+                + wa * anch.get(i, []).count(term)
+                for i in body
+            }
+            df = sum(1 for v in tfp.values() if v > 0)
+            if df == 0:
+                continue
+            idf = math.floor(
+                math.log(float(2 * (n + 1)) / (2 * df + 1)) * 1_000_000
+                + 0.5
+            )
+            for i, v in tfp.items():
+                if v > 0:
+                    s = (idf * 44 * v * t_tok) // (
+                        20 * v * t_tok + 6 * t_tok + 18 * dlf[i] * n
+                    )
+                    a, c = out.get(i, (0, 0))
+                    out[i] = (a + s, c + 1)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from web_scrapper_spark.operators.textops import bm25f_search
+
+        docs, anchors = self._frames(spark)
+        qdf = spark.createDataFrame(
+            [(1, "apple recipe")], "query_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["score_u"], r["n_terms"])
+            for r in bm25f_search(
+                docs, anchors, qdf, w_body=1, w_anchor=3
+            ).collect()
+        }
+        want = self._python_bm25f(
+            self.DOCS, self.ANCHORS, ["apple", "recipe"], 1, 3
+        )
+        assert got == want
+
+    def test_anchor_field_changes_ranking(self, spark):
+        from web_scrapper_spark.operators.textops import bm25f_search
+
+        docs, anchors = self._frames(spark)
+        qdf = spark.createDataFrame(
+            [(1, "apple")], "query_id long, text string"
+        )
+
+        def top(wa):
+            rows = bm25f_search(
+                docs, anchors, qdf, w_body=1, w_anchor=wa
+            ).collect()
+            return min(rows, key=lambda r: r["rank"])["doc_id"]
+
+        # body-only: doc 1 wins; anchor-heavy: the web's vote (doc 3)
+        assert top(0) == 1
+        assert top(10) == 3
+
+    def test_docs_without_anchors_still_rank(self, spark):
+        from web_scrapper_spark.operators.textops import bm25f_search
+
+        docs, _ = self._frames(spark)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        qdf = spark.createDataFrame(
+            [(1, "recipe")], "query_id long, text string"
+        )
+        out = bm25f_search(docs, empty, qdf).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+
+    def test_weight_guard(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import bm25f_search
+
+        docs, anchors = self._frames(spark)
+        qdf = spark.createDataFrame(
+            [(1, "apple")], "query_id long, text string"
+        )
+        with _pytest.raises(ValueError):
+            bm25f_search(docs, anchors, qdf, w_body=0, w_anchor=0)

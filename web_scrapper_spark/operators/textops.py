@@ -1254,3 +1254,151 @@ def delta_decode_postings(encoded: DataFrame) -> DataFrame:
         c for c in encoded.columns if c not in ("first_doc", "doc_gaps")
     ]
     return encoded.select(*keep, ids.alias("doc_ids"))
+
+
+def bm25f_search(
+    docs: DataFrame,
+    anchors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_id_col: str = "doc_id",
+    anchor_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    w_body: int = 1,
+    w_anchor: int = 2,
+) -> DataFrame:
+    """Fielded BM25 (BM25F, Robertson/Zaragoza) over body + anchor
+    text — the classic web-ranking insight (Brin & Page §2.2: what
+    OTHER pages say in their links is a stronger signal than the page
+    itself; Bing/Google-era ranking is fielded for exactly this
+    reason). The anchor field is what :func:`~.graph.anchor_text_profile`
+    aggregates; this operator RANKS with it.
+
+    The weighted-field-concatenation form (integer weights, exact):
+
+        tf′(d,w) = w_body·tf_body + w_anchor·tf_anchor
+        dl′(d)   = w_body·dl_body + w_anchor·dl_anchor
+        score    = idf_ppm·44·tf′·T′ div (20·tf′·T′ + 6·T′ + 18·dl′·N)
+
+    with T′ = Σ dl′ and df(w) = #docs containing w in EITHER field —
+    the same ppm-rounded idf and fixed-point discipline as
+    :func:`bm25_term_weights`, so the oracle replays it bit-exactly.
+    Multiple anchor rows per target concatenate (their token counts
+    sum). Anchors pointing outside the corpus are dropped; docs with
+    no anchors rank with dl_anchor = 0.
+
+    Returns (query_id, doc_id, score_u, n_terms, rank) — ``n_terms``
+    counts query terms hitting either field.
+
+    Scale shape: each field tokenizes once (staged arrays); the
+    DISTINCT query-term set broadcast-filters both tf tables BEFORE
+    any wide join, so the (doc, term) combine, the df aggregate, the
+    dl′ lookup and the rank window all run at candidate grain — the
+    corpus-wide work is two tf aggregates and one dl′ aggregate, the
+    same exchanges an index build pays anyway.
+    """
+    if w_body < 0 or w_anchor < 0 or w_body + w_anchor == 0:
+        raise ValueError("field weights must be non-negative, not both 0")
+    body = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    anch = anchors.select(
+        F.col(anchor_id_col).alias("doc_id"),
+        tokens_col(F.col(anchor_text_col)).alias("_toks"),
+    )
+    tf_b = (
+        body.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf_b"))
+    )
+    tf_a = (
+        anch.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf_a"))
+    )
+    dl_b = body.select(
+        "doc_id", F.size("_toks").cast("long").alias("dl_b")
+    )
+    dl_a = anch.groupBy("doc_id").agg(
+        F.sum(F.size("_toks")).cast("long").alias("dl_a")
+    )
+    # dl' over the corpus (body defines membership; anchors to unknown
+    # docs drop via the left join)
+    dlf = dl_b.join(dl_a, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(w_body) * F.col("dl_b")
+            + F.lit(w_anchor) * F.coalesce(F.col("dl_a"), F.lit(0))
+        ).cast("long").alias("dlf"),
+    )
+    tot = dlf.agg(
+        F.count("*").alias("n"), F.sum("dlf").alias("t")
+    ).collect()[0]
+    n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
+    if n_docs == 0 or t_tokens == 0:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "query_id long, doc_id long, score_u long, n_terms long, "
+            "rank int",
+        )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    terms = qterms.select("term").distinct()
+    cand_b = tf_b.join(F.broadcast(terms), "term")
+    cand_a = tf_a.join(F.broadcast(terms), "term").join(
+        dl_b.select("doc_id"), "doc_id", "left_semi"
+    )
+    tfp = (
+        cand_b.join(cand_a, ["doc_id", "term"], "full_outer")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.lit(w_body) * F.coalesce(F.col("tf_b"), F.lit(0))
+                + F.lit(w_anchor) * F.coalesce(F.col("tf_a"), F.lit(0))
+            ).cast("long").alias("tfp"),
+        )
+        .filter(F.col("tfp") > 0)
+    )
+    df_t = tfp.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf_ppm = F.floor(
+        F.log(F.lit(float(2 * (n_docs + 1))) / (2 * F.col("df") + 1))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        tfp.join(df_t, "term")
+        .join(dlf, "doc_id")
+        .join(F.broadcast(qterms), "term")
+    )
+    num = dec(idf_ppm) * 44 * dec(F.col("tfp")) * F.lit(t_tokens)
+    den = (
+        dec(F.lit(20 * t_tokens)) * dec(F.col("tfp"))
+        + dec(F.lit(6 * t_tokens))
+        + dec(F.lit(18 * n_docs)) * dec(F.col("dlf"))
+    )
+    contrib = scored.withColumns({"_num": num, "_den": den}).select(
+        "query_id",
+        "doc_id",
+        F.expr("_num div _den").cast("long").alias("score_u"),
+    )
+    agg = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("score_u").cast("long").alias("score_u"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u"), F.asc("doc_id")
+    )
+    return agg.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= k
+    )
