@@ -751,3 +751,52 @@ def test_get_spark_cpus_zero_means_all_cores():
     master = line.split("=", 1)[1]
     assert master.startswith("local[")
     assert master != "local[0]"
+
+
+class TestSearchCli:
+    """analyze search: BM25 / BM25F retrieval as a CLI surface."""
+
+    def test_search_and_fielded_search(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple pie recipe with apple and sugar"),
+                (2, "banana bread recipe for breakfast"),
+                (3, "car engine manual and toolbox"),
+            ],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        anchors = spark.createDataFrame(
+            [(3, "apple apple apple"), (3, "apple site")],
+            "doc_id long, text string",
+        )
+        apath = str(tmp_path / "anchors.parquet")
+        anchors.write.parquet(apath)
+
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "apple recipe",
+             "--topk", "2", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert rows[0]["doc_id"] == 1 and rows[0]["rank"] == 1
+        assert rows[0]["n_terms"] == 2
+
+        f = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "apple",
+             "--anchors", apath, "--topk", "1", "--cpus", "4"],
+        )
+        assert f.exit_code == 0, f.output
+        frows = _json.loads(f.output.strip())
+        # the anchor field (w_anchor=2) outvotes doc 1's body tf
+        assert frows[0]["doc_id"] == 3

@@ -766,3 +766,67 @@ def report(store_dir) -> None:
 
 if __name__ == "__main__":
     cli()
+
+
+@analyze.command("search")
+@_with_io
+@click.option("--query", "-q", "query_strs", multiple=True, required=True,
+              help="query string (repeatable)")
+@click.option("--topk", default=10, show_default=True, type=int)
+@click.option("--anchors", "anchors_path", default=None, type=str,
+              help="parquet anchor table (doc_id, text) -> BM25F "
+                   "fielded ranking (w_anchor=2)")
+@click.option("--min-df", default=1, show_default=True, type=int)
+@click.option("--max-df-ppm", default=1_000_000, show_default=True, type=int)
+def analyze_search(in_path, id_col, text_col, cpus, query_strs, topk,
+                   anchors_path, min_df, max_df_ppm) -> None:
+    """BM25 retrieval over the corpus: builds the blocked postings
+    index (norms-in-postings) and runs the queries DAAT; with
+    --anchors, ranks fielded BM25F (body + anchor text)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textops import (
+        bm25_search,
+        bm25f_search,
+        build_postings,
+        doc_lengths,
+    )
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        qdf = spark.createDataFrame(
+            [(i + 1, q) for i, q in enumerate(query_strs)],
+            "query_id long, text string",
+        )
+        if anchors_path:
+            anchors = spark.read.parquet(anchors_path)
+            out = bm25f_search(docs, anchors, qdf, k=topk)
+        else:
+            dls = doc_lengths(docs)
+            tot = dls.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("t")
+            ).collect()[0]
+            idx = build_postings(
+                docs, int(tot["n"]), min_df=min_df,
+                max_df_ppm=max_df_ppm, include_dls=True,
+            )
+            out = bm25_search(idx, qdf, int(tot["n"]), int(tot["t"]), k=topk)
+        rows = out.orderBy("query_id", "rank").collect()
+        queries_by_id = {i + 1: q for i, q in enumerate(query_strs)}
+        click.echo(json.dumps(
+            [
+                {
+                    "query": queries_by_id[r["query_id"]],
+                    "rank": r["rank"],
+                    "doc_id": r["doc_id"],
+                    "score_u": r["score_u"],
+                    "n_terms": r["n_terms"],
+                }
+                for r in rows
+            ],
+            indent=2,
+        ))
+    finally:
+        if _owned:
+            spark.stop()
