@@ -3315,6 +3315,30 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_metric_anomalies(spark, sf_dir):
+    """Robust crawl-ops anomaly flags (frontier/adaptive.py
+    metric_anomalies): integer median/MAD outlier test over planted
+    per-group metric series (steady 100..118 band + a 5000 spike
+    every 97th slot). Type-1 lower medians under the deterministic
+    (value, slot) order and the cross-multiplied |v−med|·1e6 >
+    k·MAD test make the whole thing float-free; the oracle replays
+    both median windows and the flag bit-exactly."""
+    from web_scrapper_spark.frontier.adaptive import metric_anomalies
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    series = docs.select(
+        F.concat(F.lit("g"), (d % 5).cast("string")).alias("grp"),
+        d.alias("slot"),
+        (
+            F.lit(100)
+            + (d % 7) * 3
+            + F.when(d % 97 == 0, F.lit(5000)).otherwise(F.lit(0))
+        ).cast("long").alias("value"),
+    )
+    return metric_anomalies(series, "value", "slot", ("grp",))
+
+
 def _q_bm25f_search(spark, sf_dir):
     """Fielded BM25F retrieval (operators/textops.py bm25f_search):
     body + anchor-text ranking with w_anchor=3 — the Brin & Page
@@ -5224,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "postings_gaps": _q_postings_gaps,
         "bm25f_search": _q_bm25f_search,
+        "metric_anomalies": _q_metric_anomalies,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6336,6 +6361,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "metric_anomalies": """
+            -- median/MAD replay: type-1 lower medians via
+            -- (value, slot)-ordered rank windows, |v-med| MAD the
+            -- same way, cross-multiplied integer flag
+            WITH s AS (
+              SELECT 'g' || CAST(doc_id % 5 AS VARCHAR) AS grp,
+                     doc_id AS slot,
+                     CAST(100 + (doc_id % 7) * 3
+                          + CASE WHEN doc_id % 97 = 0 THEN 5000
+                                 ELSE 0 END AS BIGINT) AS value
+              FROM documents
+            ), r1 AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY grp ORDER BY value ASC, slot ASC
+                     ) AS mrn,
+                     count(*) OVER (PARTITION BY grp) AS mn
+              FROM s
+            ), m1 AS (
+              SELECT grp, slot, value,
+                     max(CASE WHEN mrn <= (mn + 1) // 2 THEN value END)
+                       OVER (PARTITION BY grp) AS med
+              FROM r1
+            ), d1 AS (
+              SELECT *, abs(value - med) AS dev FROM m1
+            ), r2 AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY grp ORDER BY dev ASC, slot ASC
+                     ) AS mrn,
+                     count(*) OVER (PARTITION BY grp) AS mn
+              FROM d1
+            ), m2 AS (
+              SELECT grp, slot, value, med, dev,
+                     max(CASE WHEN mrn <= (mn + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY grp) AS mad
+              FROM r2
+            )
+            SELECT grp, slot, value,
+                   CAST(med AS BIGINT) AS med,
+                   CAST(dev AS BIGINT) AS dev,
+                   CAST(mad AS BIGINT) AS mad,
+                   dev * 1000000 > 5000000 * mad AS anomaly
+            FROM m2
         """,
         "bm25f_search": f"""
             -- BM25F replay: both field tokenizations, anchor map

@@ -1945,3 +1945,70 @@ class TestStarvationReport:
         assert got["old-recent.org"]["starving"] is False
         assert got["fresh.org"]["starving"] is False
         assert got["old-stale.org"]["starving"] is True
+
+
+class TestMetricAnomalies:
+    """Robust median/MAD anomaly flags (adaptive.metric_anomalies)."""
+
+    def _run(self, spark, rows, **kw):
+        from web_scrapper_spark.frontier.adaptive import metric_anomalies
+
+        df = spark.createDataFrame(rows, "grp string, slot long, v long")
+        return {
+            (r["grp"], r["slot"]): r
+            for r in metric_anomalies(df, "v", "slot", ("grp",), **kw).collect()
+        }
+
+    @staticmethod
+    def _python_replay(rows, k_ppm):
+        out = {}
+        by_grp: dict = {}
+        for g, s, v in rows:
+            by_grp.setdefault(g, []).append((s, v))
+        for g, sv in by_grp.items():
+            vals = sorted((v, s) for s, v in sv)
+            n = len(vals)
+            med = vals[(n + 1) // 2 - 1][0]
+            devs = sorted((abs(v - med), s) for s, v in sv)
+            mad = devs[(n + 1) // 2 - 1][0]
+            for s, v in sv:
+                dev = abs(v - med)
+                out[(g, s)] = (med, mad, dev, dev * 1_000_000 > k_ppm * mad)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        rows = [("a", s, 100 + (s * 7) % 13) for s in range(11)] + [
+            ("a", 11, 4000),
+            ("b", 0, 9),
+            ("b", 1, 9),
+            ("b", 2, 9),
+            ("b", 3, 12),
+        ]
+        got = {
+            key: (r["med"], r["mad"], r["dev"], r["anomaly"])
+            for key, r in self._run(spark, rows).items()
+        }
+        assert got == self._python_replay(rows, 5_000_000)
+
+    def test_spike_flags_steady_band_does_not(self, spark):
+        rows = [("h", s, 200 + s % 3) for s in range(20)] + [("h", 20, 90000)]
+        out = self._run(spark, rows)
+        assert out[("h", 20)]["anomaly"] is True
+        assert all(
+            not out[("h", s)]["anomaly"] for s in range(20)
+        )
+
+    def test_constant_series_mad_zero_flags_any_move(self, spark):
+        rows = [("c", s, 7) for s in range(6)] + [("c", 6, 8)]
+        out = self._run(spark, rows)
+        assert out[("c", 6)]["mad"] == 0
+        assert out[("c", 6)]["anomaly"] is True
+        assert out[("c", 0)]["anomaly"] is False
+
+    def test_outlier_cannot_drag_median(self, spark):
+        # mean/stddev would be dominated by the 1e9 point; median/MAD
+        # still centers on the band
+        rows = [("z", s, 50) for s in range(9)] + [("z", 9, 10**9)]
+        out = self._run(spark, rows)
+        assert out[("z", 0)]["med"] == 50
+        assert out[("z", 9)]["anomaly"] is True

@@ -232,3 +232,61 @@ def latency_quantiles(
             ).alias(f"q{q}_ms")
         )
     return cum.groupBy("host").agg(*aggs)
+
+
+def metric_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: tuple = (),
+    k_ppm: int = 5_000_000,
+) -> DataFrame:
+    """Robust anomaly flags over a metric series — the crawl-ops read
+    of the per-epoch lineage tables (`a4_run_report`'s metrics, fetch
+    counts, latency medians): flag every observation whose deviation
+    from the series MEDIAN exceeds ``k_ppm``·MAD (median absolute
+    deviation) — the robust z-score, immune to the very outliers it
+    hunts, unlike mean/stddev (one crashed epoch drags a mean; it
+    cannot drag a median).
+
+    Exact integer end-to-end (the latency_quantiles discipline):
+    medians are type-1 lower medians (the ceil(n/2)-th smallest under
+    the deterministic (value, order_col) order — a value FROM the
+    series, never an interpolated float), MAD is the same median over
+    |v − med|, and the flag is the cross-multiplied integer test
+    ``|v − med| · 1e6 > k_ppm · MAD`` — no division, no floats, so
+    the DuckDB twin replays it bit-exactly. MAD = 0 (a constant
+    series) flags ANY deviation — the right semantics for "this
+    counter never moves".
+
+    Returns every input row + (med, mad, dev, anomaly). Three window
+    passes per group over the series — metrics tables are epoch-grain
+    (thousands of rows per group at most), so group-partitioned
+    windows are the honest plan; nothing corpus-scale enters.
+    """
+    gcols = list(group_cols)
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
+    v = F.col(value_col).cast("long")
+
+    def _median_over(frame: DataFrame, col: Column, out: str) -> DataFrame:
+        w_rank = Window.partitionBy(*part).orderBy(
+            col.asc(), F.col(order_col).asc()
+        )
+        w_all = Window.partitionBy(*part)
+        ranked = frame.withColumn("_mrn", F.row_number().over(w_rank))
+        ranked = ranked.withColumn("_mn", F.count("*").over(w_all))
+        med = F.max(
+            F.when(
+                F.col("_mrn") <= F.ceil(F.col("_mn") / 2).cast("int"),
+                col,
+            )
+        ).over(w_all)
+        return ranked.withColumn(out, med).drop("_mrn", "_mn")
+
+    staged = _median_over(df, v, "med")
+    staged = staged.withColumn("dev", F.abs(v - F.col("med")))
+    staged = _median_over(staged, F.col("dev"), "mad")
+    return staged.withColumn(
+        "anomaly",
+        F.col("dev") * F.lit(1_000_000) > F.lit(int(k_ppm)) * F.col("mad"),
+    )
