@@ -3315,6 +3315,40 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_retrieval_eval(spark, sf_dir):
+    """TREC-style retrieval evaluation (operators/textops.py
+    retrieval_metrics): a deterministic 3-query run (doc_id ≡ q mod
+    29, rank by id, top-8) scored against graded judgments with
+    retrieved-and-relevant, retrieved-but-unjudged, and
+    relevant-but-unretrieved docs all present (mod-31 off-run pool →
+    recall < 1). DCG discounts are a frozen integer table embedded
+    identically in both engines; nDCG/MRR/recall are ppm floor
+    divisions — bit-exact."""
+    from web_scrapper_spark.operators.textops import retrieval_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("query_id"),
+    )
+    d, q = F.col("doc_id"), F.col("query_id")
+    qrels = base.withColumn(
+        "rel",
+        F.when((d % 29 == q) & (d % 2 == 0), F.lit(2))
+        .when((d % 29 == q) & (d % 4 == 1), F.lit(1))
+        .when(d % 31 == q, F.lit(1)),
+    ).filter(F.col("rel").isNotNull())
+    from pyspark.sql import Window
+
+    rwin = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    run = (
+        base.filter(d % 29 == q)
+        .withColumn("rank", F.row_number().over(rwin))
+        .filter(F.col("rank") <= 8)
+    )
+    return retrieval_metrics(run, qrels, k=8)
+
+
 def _q_metric_anomalies(spark, sf_dir):
     """Robust crawl-ops anomaly flags (frontier/adaptive.py
     metric_anomalies): integer median/MAD outlier test over planted
@@ -5249,6 +5283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_gaps": _q_postings_gaps,
         "bm25f_search": _q_bm25f_search,
         "metric_anomalies": _q_metric_anomalies,
+        "retrieval_eval": _q_retrieval_eval,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6361,6 +6396,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "retrieval_eval": f"""
+            -- retrieval-eval replay: the same run/qrels construction,
+            -- the FROZEN integer discount table (identical literals),
+            -- ideal re-rank for IDCG, ppm floor divisions throughout
+            WITH qs AS (
+              SELECT unnest([1, 2, 3]) AS query_id
+            ), pairs AS (
+              SELECT q.query_id, d.doc_id FROM documents d CROSS JOIN qs q
+            ), qrels AS (
+              SELECT * FROM (
+                SELECT query_id, doc_id,
+                       CASE
+                         WHEN doc_id % 29 = query_id AND doc_id % 2 = 0
+                           THEN 2
+                         WHEN doc_id % 29 = query_id AND doc_id % 4 = 1
+                           THEN 1
+                         WHEN doc_id % 31 = query_id THEN 1
+                       END AS rel
+                FROM pairs
+              ) WHERE rel IS NOT NULL
+            ), run AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY doc_id ASC
+                     ) AS rank
+              FROM pairs WHERE doc_id % 29 = query_id
+              QUALIFY rank <= 8
+            ), disc AS (
+              SELECT * FROM (VALUES {', '.join('(%d, %d)' % (i + 1, w) for i, w in enumerate(_tx._dcg_discounts_u(8)))}) AS t(rank, w)
+            ), joined AS (
+              SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+              FROM run r LEFT JOIN qrels q USING (query_id, doc_id)
+            ), per_run AS (
+              SELECT j.query_id,
+                     CAST(sum(j.rel * d.w) AS BIGINT) AS dcg_u,
+                     CAST(sum(CASE WHEN j.rel > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hits,
+                     min(CASE WHEN j.rel > 0 THEN j.rank END) AS first_rel
+              FROM joined j JOIN disc d USING (rank)
+              GROUP BY j.query_id
+            ), ideal AS (
+              SELECT i.query_id,
+                     CAST(sum(CASE WHEN i.irank <= 8 THEN i.rel * d.w
+                              ELSE 0 END) AS BIGINT) AS idcg_u,
+                     CAST(count(*) AS BIGINT) AS n_rel
+              FROM (
+                SELECT query_id, doc_id, rel,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id ASC
+                       ) AS irank
+                FROM qrels WHERE rel > 0
+              ) i LEFT JOIN disc d ON d.rank = i.irank
+              GROUP BY i.query_id
+            )
+            SELECT p.query_id, p.dcg_u,
+                   coalesce(i.idcg_u, 0) AS idcg_u,
+                   CASE WHEN coalesce(i.idcg_u, 0) > 0
+                        THEN CAST(p.dcg_u * 1000000 // i.idcg_u AS BIGINT)
+                        ELSE 0 END AS ndcg_ppm,
+                   CASE WHEN p.first_rel IS NOT NULL
+                        THEN CAST(1000000 // p.first_rel AS BIGINT)
+                        ELSE 0 END AS rr_ppm,
+                   p.hits,
+                   coalesce(i.n_rel, 0) AS n_rel,
+                   CASE WHEN coalesce(i.n_rel, 0) > 0
+                        THEN CAST(p.hits * 1000000 // i.n_rel AS BIGINT)
+                        ELSE 0 END AS recall_ppm
+            FROM per_run p LEFT JOIN ideal i USING (query_id)
         """,
         "metric_anomalies": """
             -- median/MAD replay: type-1 lower medians via

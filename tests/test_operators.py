@@ -3642,3 +3642,73 @@ class TestBm25fSearch:
         )
         with _pytest.raises(ValueError):
             bm25f_search(docs, anchors, qdf, w_body=0, w_anchor=0)
+
+
+class TestRetrievalMetrics:
+    """TREC-style eval in exact integers (textops.retrieval_metrics)."""
+
+    def _eval(self, spark, run_rows, qrel_rows, k=3):
+        from web_scrapper_spark.operators.textops import retrieval_metrics
+
+        run = spark.createDataFrame(
+            run_rows, "query_id long, doc_id long, rank int"
+        )
+        qrels = spark.createDataFrame(
+            qrel_rows, "query_id long, doc_id long, rel long"
+        )
+        return {
+            r["query_id"]: r
+            for r in retrieval_metrics(run, qrels, k=k).collect()
+        }
+
+    def test_hand_computed_ndcg_mrr_recall(self, spark):
+        from web_scrapper_spark.operators.textops import _dcg_discounts_u
+
+        w = _dcg_discounts_u(3)  # [1000000, 630930, 500000]
+        out = self._eval(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, 11, 2), (1, 12, 1), (1, 99, 1)],
+        )[1]
+        dcg = 2 * w[1] + 1 * w[2]
+        idcg = 2 * w[0] + 1 * w[1] + 1 * w[2]
+        assert out["dcg_u"] == dcg and out["idcg_u"] == idcg
+        assert out["ndcg_ppm"] == dcg * 1_000_000 // idcg
+        assert out["rr_ppm"] == 500_000  # first hit at rank 2
+        assert out["hits"] == 2 and out["n_rel"] == 3
+        assert out["recall_ppm"] == 2 * 1_000_000 // 3
+
+    def test_nothing_relevant_retrieved(self, spark):
+        out = self._eval(
+            spark, [(1, 10, 1), (1, 11, 2)], [(1, 99, 2)]
+        )[1]
+        assert out["dcg_u"] == 0 and out["ndcg_ppm"] == 0
+        assert out["rr_ppm"] == 0
+        assert out["recall_ppm"] == 0 and out["n_rel"] == 1
+
+    def test_query_without_judgments(self, spark):
+        out = self._eval(spark, [(2, 5, 1)], [(1, 5, 1)])
+        assert out[2]["idcg_u"] == 0 and out[2]["ndcg_ppm"] == 0
+        assert out[2]["n_rel"] == 0 and out[2]["recall_ppm"] == 0
+
+    def test_ideal_truncates_at_k(self, spark):
+        from web_scrapper_spark.operators.textops import _dcg_discounts_u
+
+        w = _dcg_discounts_u(2)
+        # 3 positives but k=2: idcg uses only the best two
+        out = self._eval(
+            spark,
+            [(1, 10, 1), (1, 11, 2)],
+            [(1, 10, 1), (1, 11, 2), (1, 12, 2)],
+            k=2,
+        )[1]
+        assert out["idcg_u"] == 2 * w[0] + 2 * w[1]
+
+    def test_bad_k(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import retrieval_metrics
+
+        run = spark.createDataFrame([], "query_id long, doc_id long, rank int")
+        with _pytest.raises(ValueError):
+            retrieval_metrics(run, run, k=0)

@@ -1402,3 +1402,120 @@ def bm25f_search(
     return agg.withColumn("rank", F.row_number().over(win)).filter(
         F.col("rank") <= k
     )
+
+
+def _dcg_discounts_u(k: int) -> list:
+    """Frozen integer DCG discount table: floor(1e6/log2(rank+1)+0.5)
+    for rank 1..k, computed ONCE in Python and embedded as literals in
+    both engines — no cross-engine float ever enters the metric."""
+    import math
+
+    return [
+        int(math.floor(1_000_000 / math.log2(r + 1) + 0.5))
+        for r in range(1, k + 1)
+    ]
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """TREC-style retrieval evaluation over a run table (the output
+    shape of :func:`bm25_search` / :func:`bm25f_search`) against
+    graded relevance judgments — the eval harness that closes the
+    search story: build (postings), score (bm25), rank (search),
+    MEASURE (this).
+
+    Exact integer end-to-end: DCG uses the frozen discount table
+    :func:`_dcg_discounts_u` (micro-units, same literals in both
+    engines), IDCG re-ranks each query's judgments by (rel desc,
+    doc_id asc) — deterministic ideal ordering — and every ratio is a
+    floor division in ppm. Per query:
+
+      (query_id, dcg_u, idcg_u, ndcg_ppm, rr_ppm, hits, n_rel,
+       recall_ppm)
+
+    - ``ndcg_ppm`` = dcg·1e6 div idcg (0 when the query has no
+      positive judgments);
+    - ``rr_ppm`` = 1e6 div (first relevant rank) — integer MRR;
+    - ``recall_ppm`` = hits·1e6 div n_rel.
+
+    Scale shape: one (query, doc) equi-join against the judgments,
+    query-grain aggregates and one qrels-side rank window — runs and
+    qrels are result-sized (queries × k), never corpus-sized; the
+    discount lookup is a literal array element_at.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    disc = F.array(*[F.lit(w) for w in _dcg_discounts_u(k)])
+    r = run.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(rank_col).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= k)
+    j = qrels.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    joined = r.join(j, ["query_id", "doc_id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0))
+    )
+    gains = joined.withColumn(
+        "gain_u", F.col("rel") * F.element_at(disc, F.col("rank"))
+    )
+    per_run = gains.groupBy("query_id").agg(
+        F.sum("gain_u").cast("long").alias("dcg_u"),
+        F.sum((F.col("rel") > 0).cast("long")).cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_first_rel"),
+    )
+    iwin = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal = (
+        j.filter(F.col("rel") > 0)
+        .withColumn("_irank", F.row_number().over(iwin))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    F.col("rel") * F.element_at(disc, F.col("_irank")),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("idcg_u"),
+            F.count("*").cast("long").alias("n_rel"),
+        )
+    )
+    out = per_run.join(ideal, "query_id", "left").select(
+        "query_id",
+        "dcg_u",
+        F.coalesce(F.col("idcg_u"), F.lit(0)).alias("idcg_u"),
+        "hits",
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        "_first_rel",
+    )
+    return out.select(
+        "query_id",
+        "dcg_u",
+        "idcg_u",
+        F.when(
+            F.col("idcg_u") > 0,
+            F.expr("cast(dcg_u as decimal(38,0)) * 1000000 div idcg_u"),
+        ).otherwise(F.lit(0)).cast("long").alias("ndcg_ppm"),
+        F.when(
+            F.col("_first_rel").isNotNull(),
+            F.expr("1000000 div _first_rel").cast("long"),
+        ).otherwise(F.lit(0)).alias("rr_ppm"),
+        "hits",
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("cast(hits as decimal(38,0)) * 1000000 div n_rel"),
+        ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+    )
