@@ -3315,6 +3315,36 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_url_equivalence(spark, sf_dir):
+    """URL equivalence classes (operators/graph.py
+    url_equivalence_classes): redirect-hop evidence (chains to the
+    mod-3 base URL) unioned with rel=canonical evidence (utm variants
+    of even docs) → transitive closure → one lexicographic canonical
+    identity + class size per URL. The oracle re-walks the closure
+    with a recursive min-label CTE over the identical edge
+    construction."""
+    from web_scrapper_spark.operators.graph import url_equivalence_classes
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def u(e):
+        return F.concat(
+            F.lit("http://h"), (e % 13).cast("string"),
+            F.lit(".ex.org/r/"), e.cast("string"),
+        )
+
+    base = d - d % 3
+    redirects = docs.filter(d % 3 != 0).select(
+        u(d).alias("src_url"), u(base).alias("dst_url")
+    )
+    canon = docs.filter(d % 2 == 0).select(
+        F.concat(u(d), F.lit("?utm="), d.cast("string")).alias("src_url"),
+        u(d).alias("dst_url"),
+    )
+    return url_equivalence_classes(redirects.unionByName(canon))
+
+
 def _q_retrieval_eval(spark, sf_dir):
     """TREC-style retrieval evaluation (operators/textops.py
     retrieval_metrics): a deterministic 3-query run (doc_id ≡ q mod
@@ -5284,6 +5314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_search": _q_bm25f_search,
         "metric_anomalies": _q_metric_anomalies,
         "retrieval_eval": _q_retrieval_eval,
+        "url_equivalence": _q_url_equivalence,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6396,6 +6427,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "url_equivalence": """
+            -- equivalence-class replay: identical redirect + canonical
+            -- edge construction, symmetrized, recursive min-label
+            -- closure, class sizes
+            WITH RECURSIVE e0 AS (
+              SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.ex.org/r/' || CAST(doc_id AS VARCHAR) AS a,
+                     'http://h' || CAST((doc_id - doc_id % 3) % 13
+                       AS VARCHAR) || '.ex.org/r/'
+                       || CAST(doc_id - doc_id % 3 AS VARCHAR) AS b
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.ex.org/r/' || CAST(doc_id AS VARCHAR)
+                       || '?utm=' || CAST(doc_id AS VARCHAR),
+                     'http://h' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.ex.org/r/' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 2 = 0
+            ), und AS (
+              SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM und
+            ), walk(n, l) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT u.b, w.l FROM walk w JOIN und u ON u.a = w.n
+            ), comp AS (
+              SELECT n AS url, min(l) AS canonical_url
+              FROM walk GROUP BY n
+            ), sizes AS (
+              SELECT canonical_url,
+                     CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY canonical_url
+            )
+            SELECT c.url, c.canonical_url, s.cluster_size
+            FROM comp c JOIN sizes s USING (canonical_url)
         """,
         "retrieval_eval": f"""
             -- retrieval-eval replay: the same run/qrels construction,

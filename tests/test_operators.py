@@ -3712,3 +3712,52 @@ class TestRetrievalMetrics:
         run = spark.createDataFrame([], "query_id long, doc_id long, rank int")
         with _pytest.raises(ValueError):
             retrieval_metrics(run, run, k=0)
+
+
+class TestUrlEquivalence:
+    """URL equivalence classes (graph.url_equivalence_classes)."""
+
+    def _run(self, spark, edges):
+        from web_scrapper_spark.operators.graph import (
+            url_equivalence_classes,
+        )
+
+        df = spark.createDataFrame(edges, "src_url string, dst_url string")
+        return {
+            r["url"]: (r["canonical_url"], r["cluster_size"])
+            for r in url_equivalence_classes(df).collect()
+        }
+
+    def test_redirect_and_canonical_fold_into_one_class(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("http://a/r1", "http://a/r2"),
+                ("http://a/r2", "http://a/final"),
+                ("http://a/final?utm=x", "http://a/final"),
+                ("http://b/x", "http://b/y"),
+            ],
+        )
+        # the whole redirect+canonical family shares one identity
+        fam = {"http://a/r1", "http://a/r2", "http://a/final",
+               "http://a/final?utm=x"}
+        canon = {out[u][0] for u in fam}
+        assert canon == {"http://a/final"}  # lexicographic min
+        assert all(out[u][1] == 4 for u in fam)
+        assert out["http://b/x"] == ("http://b/x", 2)
+
+    def test_partitioning_independence(self, spark):
+        from web_scrapper_spark.operators.graph import (
+            url_equivalence_classes,
+        )
+
+        edges = [
+            (f"http://h/{i}", f"http://h/{(i * 3 + 1) % 40}")
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(edges, "src_url string, dst_url string")
+        a = sorted(map(tuple, url_equivalence_classes(df).collect()))
+        b = sorted(
+            map(tuple, url_equivalence_classes(df.repartition(9)).collect())
+        )
+        assert a == b

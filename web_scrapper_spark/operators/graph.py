@@ -942,3 +942,41 @@ def kcore(
     return final.filter(F.col("degree") >= k).select(
         F.col("s").alias("node"), "degree"
     )
+
+
+def url_equivalence_classes(edges: DataFrame, src: str = "src_url",
+                            dst: str = "dst_url") -> DataFrame:
+    """One identity per page: the same document lives under many URLs
+    — redirect hops (:func:`resolve_redirects`' edge list),
+    ``rel=canonical`` declarations (:func:`canonical_edges`), learned
+    tracking-param rewrites (``frontier.params.apply_param_rules``
+    before/after pairs), mirror paths. Union that evidence and take
+    the transitive closure: every URL in a class shares ONE canonical
+    identity, so the frontier holds one row, politeness charges one
+    budget, and dedup keys one document where a naive crawler fetches
+    the whole alias set.
+
+    Built on :func:`~..dedup.connected_components` (large-star/
+    small-star, O(log n) rounds); the class representative is the
+    component label itself — the lexicographically smallest URL
+    reachable, deterministic under any partitioning. Returns
+    (url, canonical_url, cluster_size); singleton URLs never enter
+    (feed them back with a left join + coalesce — they are their own
+    identity).
+
+    Scale shape: everything is edge-list currency (pairs of URL
+    strings); the component rounds pay node-table-sized exchanges and
+    the size rollup is one aggregate + join at class grain.
+    """
+    from .dedup import connected_components
+
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    comp = connected_components(e)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("url"),
+        F.col("component").alias("canonical_url"),
+        "cluster_size",
+    )
