@@ -3315,6 +3315,39 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_robots_refresh(spark, sf_dir):
+    """robots.txt TTL refresh scheduling (frontier/robots.py
+    robots_refresh_due): a synthetic seen set where every 6th doc is a
+    root robots capture (epochs mod 12), audited against a WIDER host
+    universe (mod 23 > mod 19) so stale, fresh, and never-fetched
+    hosts all appear; nested /sub/robots.txt paths must NOT count.
+    The oracle replays the root-path regex filter, the latest-capture
+    aggregate, and the TTL arithmetic."""
+    from web_scrapper_spark.frontier.robots import robots_refresh_due
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h19 = F.concat(F.lit("h"), (d % 19).cast("string"), F.lit(".ex.org"))
+    url = F.when(
+        d % 6 == 0, F.concat(F.lit("https://"), h19, F.lit("/robots.txt"))
+    ).when(
+        d % 6 == 3,
+        F.concat(F.lit("https://"), h19, F.lit("/sub/robots.txt")),
+    ).otherwise(
+        F.concat(F.lit("https://"), h19, F.lit("/p/"), d.cast("string"))
+    )
+    seen = docs.select(
+        h19.alias("host"), url.alias("url"),
+        (d % 12).cast("long").alias("fetched_epoch"),
+    )
+    hosts = docs.select(
+        F.concat(
+            F.lit("h"), (d % 23).cast("string"), F.lit(".ex.org")
+        ).alias("host")
+    )
+    return robots_refresh_due(seen, hosts, current_epoch=15, ttl_epochs=5)
+
+
 def _q_url_equivalence(spark, sf_dir):
     """URL equivalence classes (operators/graph.py
     url_equivalence_classes): redirect-hop evidence (chains to the
@@ -5315,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomalies": _q_metric_anomalies,
         "retrieval_eval": _q_retrieval_eval,
         "url_equivalence": _q_url_equivalence,
+        "robots_refresh": _q_robots_refresh,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6427,6 +6461,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "robots_refresh": """
+            -- TTL replay: root-robots regex filter (nested paths
+            -- excluded), max capture epoch per host, left join to the
+            -- wider universe, age + due arithmetic
+            WITH seen AS (
+              SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) || '.ex.org'
+                       AS host,
+                     CASE
+                       WHEN doc_id % 6 = 0 THEN
+                         'https://h' || CAST(doc_id % 19 AS VARCHAR)
+                           || '.ex.org/robots.txt'
+                       WHEN doc_id % 6 = 3 THEN
+                         'https://h' || CAST(doc_id % 19 AS VARCHAR)
+                           || '.ex.org/sub/robots.txt'
+                       ELSE
+                         'https://h' || CAST(doc_id % 19 AS VARCHAR)
+                           || '.ex.org/p/' || CAST(doc_id AS VARCHAR)
+                     END AS url,
+                     CAST(doc_id % 12 AS BIGINT) AS fetched_epoch
+              FROM documents
+            ), latest AS (
+              SELECT host,
+                     CAST(max(fetched_epoch) AS BIGINT)
+                       AS last_robots_epoch
+              FROM seen
+              WHERE regexp_matches(url,
+                '^[a-z][a-z0-9+.-]*://[^/]+/robots\\.txt$')
+              GROUP BY host
+            ), universe AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.ex.org' AS host
+              FROM documents
+            )
+            SELECT u.host, l.last_robots_epoch,
+                   CAST(CASE WHEN l.last_robots_epoch IS NOT NULL
+                        THEN 15 - l.last_robots_epoch
+                        ELSE -1 END AS BIGINT) AS age_epochs,
+                   (l.last_robots_epoch IS NULL
+                    OR 15 - l.last_robots_epoch >= 5) AS due
+            FROM universe u LEFT JOIN latest l USING (host)
         """,
         "url_equivalence": """
             -- equivalence-class replay: identical redirect + canonical

@@ -2012,3 +2012,66 @@ class TestMetricAnomalies:
         out = self._run(spark, rows)
         assert out[("z", 0)]["med"] == 50
         assert out[("z", 9)]["anomaly"] is True
+
+
+class TestRobotsRefreshDue:
+    """robots.txt TTL refresh scheduling (robots.robots_refresh_due)."""
+
+    def _run(self, spark, seen_rows, host_rows, epoch, ttl):
+        from web_scrapper_spark.frontier.robots import robots_refresh_due
+
+        seen = spark.createDataFrame(
+            seen_rows, "host string, url string, fetched_epoch long"
+        )
+        hosts = spark.createDataFrame(host_rows, "host string")
+        return {
+            r["host"]: r
+            for r in robots_refresh_due(seen, hosts, epoch, ttl).collect()
+        }
+
+    def test_stale_fresh_and_never_fetched(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("h1", "https://h1/robots.txt", 2),
+                ("h1", "https://h1/robots.txt", 5),
+                ("h2", "https://h2/robots.txt", 9),
+            ],
+            [("h1",), ("h2",), ("h3",)],
+            epoch=10,
+            ttl=4,
+        )
+        assert out["h1"]["due"] is True and out["h1"]["last_robots_epoch"] == 5
+        assert out["h2"]["due"] is False and out["h2"]["age_epochs"] == 1
+        assert out["h3"]["due"] is True and out["h3"]["age_epochs"] == -1
+
+    def test_nested_robots_path_does_not_count(self, spark):
+        out = self._run(
+            spark,
+            [("h1", "https://h1/sub/robots.txt", 9),
+             ("h1", "https://h1/robots.txt.html", 9)],
+            [("h1",)],
+            epoch=10,
+            ttl=4,
+        )
+        assert out["h1"]["last_robots_epoch"] is None
+        assert out["h1"]["due"] is True
+
+    def test_exact_ttl_boundary_is_due(self, spark):
+        out = self._run(
+            spark,
+            [("h1", "https://h1/robots.txt", 6)],
+            [("h1",)],
+            epoch=10,
+            ttl=4,
+        )
+        assert out["h1"]["age_epochs"] == 4 and out["h1"]["due"] is True
+
+    def test_bad_ttl(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.frontier.robots import robots_refresh_due
+
+        seen = spark.createDataFrame([], "host string, url string, fetched_epoch long")
+        with _pytest.raises(ValueError):
+            robots_refresh_due(seen, seen.select("host"), 1, 0)

@@ -188,3 +188,57 @@ def discover_sitemaps(robots: DataFrame) -> DataFrame:
     return robots.select(
         "host", F.explode("sitemaps").alias("url")
     ).distinct()
+
+
+def robots_refresh_due(
+    seen: DataFrame,
+    hosts: DataFrame,
+    current_epoch: int,
+    ttl_epochs: int,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    epoch_col: str = "fetched_epoch",
+) -> DataFrame:
+    """Which hosts' robots.txt must be refetched this epoch — the
+    cache-lifecycle rule every long-running crawler enforces (RFC 9309
+    §2.4 allows caching "up to 24 hours"; Heritrix/Nutch refetch on a
+    TTL): a host is due when its latest ``/robots.txt`` capture is
+    older than ``ttl_epochs`` — or was never fetched at all (a crawl
+    reaching a new host must fetch robots before anything else).
+
+    ``hosts`` is the universe to audit (e.g. the live frontier's
+    distinct hosts — host-grain, 3 orders smaller than URLs). Returns
+    (host, last_robots_epoch, age_epochs, due) — ``last_robots_epoch``
+    NULL and ``age_epochs = -1`` for never-fetched hosts (always due).
+
+    One filtered host-grain aggregate over the seen set (only rows
+    whose path is exactly ``/robots.txt`` survive the scan filter) +
+    one left join against the host universe. Composes with
+    ``discover_sitemaps``/``robots_from_pages``: due hosts' fetches
+    land in pages, the rules table rebuilds from there.
+    """
+    if ttl_epochs < 1:
+        raise ValueError("ttl_epochs must be >= 1")
+    robots_rows = seen.filter(
+        F.col(url_col).rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+    )
+    latest = robots_rows.groupBy(host_col).agg(
+        F.max(F.col(epoch_col)).cast("long").alias("last_robots_epoch")
+    )
+    out = hosts.select(F.col(host_col)).distinct().join(
+        latest, host_col, "left"
+    )
+    age = F.when(
+        F.col("last_robots_epoch").isNotNull(),
+        F.lit(int(current_epoch)) - F.col("last_robots_epoch"),
+    ).otherwise(F.lit(-1))
+    return out.select(
+        host_col,
+        "last_robots_epoch",
+        age.cast("long").alias("age_epochs"),
+        (
+            F.col("last_robots_epoch").isNull()
+            | (age >= F.lit(int(ttl_epochs)))
+        ).alias("due"),
+    )
