@@ -3315,6 +3315,28 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_more_like_this(spark, sf_dir):
+    """Lucene-style More-Like-This (operators/textops.py
+    more_like_this): every 97th doc queries the index with its own
+    top-3 BM25 keyword weights, DAAT-ranked, self excluded, ranks
+    re-densified. The oracle GLUES the two proven chains — the
+    bm25_topk keyword-weight replay (restricted to source docs, df/N/T
+    global) feeding the bm25_search index replay — and must match
+    every score bit-exactly across both stages."""
+    from web_scrapper_spark.operators.textops import more_like_this
+
+    docs = _read(spark, sf_dir, "documents")
+    src = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    return more_like_this(
+        docs, src, k=4, m_terms=3, min_df=2, max_df_ppm=800_000
+    )
+
+
 def _q_robots_refresh(spark, sf_dir):
     """robots.txt TTL refresh scheduling (frontier/robots.py
     robots_refresh_due): a synthetic seen set where every 6th doc is a
@@ -5349,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _q_retrieval_eval,
         "url_equivalence": _q_url_equivalence,
         "robots_refresh": _q_robots_refresh,
+        "more_like_this": _q_more_like_this,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6461,6 +6484,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "more_like_this": f"""
+            -- two proven chains glued: keyword BM25 weights (global
+            -- df/N/T, source docs ranked top-3) form the queries; the
+            -- index-side search replay ranks them; self excluded,
+            -- ranks re-densified
+            WITH kwords AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+            ), kkept AS (
+              SELECT doc_id, word FROM kwords
+              WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+            ), kdls AS (
+              SELECT doc_id, count(*) AS dl FROM kkept GROUP BY doc_id
+            ), ktfs AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM kkept GROUP BY doc_id, word
+            ), kdfs AS (
+              SELECT word, count(*) AS df FROM ktfs GROUP BY word
+            ), knt AS (
+              SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM kdls
+            ), kscored AS (
+              SELECT ktfs.doc_id, ktfs.word,
+                     CAST((CAST(floor(ln(CAST(2 * (knt.n + 1) AS DOUBLE)
+                                  / (2 * kdfs.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * ktfs.tf * knt.t)
+                          // (CAST(20 AS HUGEINT) * ktfs.tf * knt.t
+                              + 6 * knt.t + 18 * kdls.dl * knt.n)
+                          AS BIGINT) AS score_u
+              FROM ktfs
+              JOIN kdfs USING (word)
+              JOIN kdls USING (doc_id)
+              CROSS JOIN knt
+              WHERE ktfs.doc_id % 97 = 0
+            ), qterms AS (
+              SELECT doc_id AS query_id, word AS term
+              FROM (
+                SELECT doc_id, word,
+                       row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_u DESC, word ASC
+                       ) AS rnk
+                FROM kscored
+              ) WHERE rnk <= 3
+            ), dl0 AS (
+              SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl
+              FROM documents
+            ), nt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t
+              FROM dl0
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+                    FROM documents)
+              GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term
+            ), kept AS (
+              SELECT tf.term, tf.doc_id, tf.tf, dft.df
+              FROM tf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            ), hits AS (
+              SELECT q.query_id, kpt.doc_id, kpt.tf, kpt.df, d.dl
+              FROM qterms q
+              JOIN kept kpt USING (term)
+              JOIN dl0 d USING (doc_id)
+            ), scored AS (
+              SELECT query_id, doc_id,
+                     CAST((CAST(floor(ln(CAST(2 * (nt.n + 1) AS DOUBLE)
+                                  / (2 * hits.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * hits.tf * nt.t)
+                          // (CAST(20 AS HUGEINT) * hits.tf * nt.t
+                              + 6 * nt.t + 18 * hits.dl * nt.n)
+                          AS BIGINT) AS score_u
+              FROM hits CROSS JOIN nt
+            ), agg AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(score_u) AS BIGINT) AS score_u,
+                     CAST(count(*) AS BIGINT) AS n_terms
+              FROM scored GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, score_u, n_terms,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_u DESC, doc_id ASC
+                   ) AS rank
+            FROM agg WHERE doc_id <> query_id
+            QUALIFY rank <= 4
         """,
         "robots_refresh": """
             -- TTL replay: root-robots regex filter (nested paths

@@ -3761,3 +3761,48 @@ class TestUrlEquivalence:
             map(tuple, url_equivalence_classes(df.repartition(9)).collect())
         )
         assert a == b
+
+
+class TestMoreLikeThis:
+    """Lucene-style MLT (textops.more_like_this)."""
+
+    DOCS = [
+        (1, "quantum entanglement physics experiment quantum"),
+        (2, "quantum physics entanglement laboratory notes"),
+        (3, "banana bread baking recipe flour"),
+        (4, "baking flour bread oven recipe"),
+        (5, "entanglement quantum decoherence physics"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_finds_vocabulary_neighbors(self, spark):
+        from web_scrapper_spark.operators.textops import more_like_this
+
+        out = more_like_this(self._docs(spark), [1], k=2, m_terms=3).collect()
+        ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # the physics docs, never the baking docs
+        assert set(ids) <= {2, 5} and len(ids) == 2
+
+    def test_self_excluded_and_ranks_dense(self, spark):
+        from web_scrapper_spark.operators.textops import more_like_this
+
+        out = more_like_this(
+            self._docs(spark), [1, 3], k=4, m_terms=3
+        ).collect()
+        for r in out:
+            assert r["doc_id"] != r["query_id"]
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_empty_sources_raise(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import more_like_this
+
+        with _pytest.raises(ValueError):
+            more_like_this(self._docs(spark), [], k=2)

@@ -1519,3 +1519,67 @@ def retrieval_metrics(
             F.expr("cast(hits as decimal(38,0)) * 1000000 div n_rel"),
         ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_ids: list,
+    k: int = 10,
+    m_terms: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Lucene-style More-Like-This: find the documents most similar to
+    a given one by querying the index with the source's most
+    DISTINCTIVE terms — its top-``m_terms`` BM25 term weights
+    (:func:`bm25_term_weights`, the keyword vocabulary: stop words and
+    short tokens never pollute the query), ranked DAAT through
+    :func:`bm25_search`. The lexical complement to the embedding
+    similarity family (``sim_cosine_topk`` finds semantic neighbors;
+    this finds vocabulary neighbors, explainably — the query terms ARE
+    the explanation).
+
+    The source document itself is excluded and ranks are re-densified,
+    so rank 1 is the best OTHER document. Returns (query_id = source
+    doc_id, doc_id, score_u, n_terms, rank).
+
+    Scale shape: query formation runs the term-weight pipeline
+    restricted to the source ids (driver-sized list → the rank window
+    only materializes for sources after Catalyst pushes the id
+    filter); search is the bm25_search plan (broadcast query terms,
+    candidate-grain everything). Exact integer end-to-end — the oracle
+    replays BOTH stages glued.
+    """
+    if not source_ids:
+        raise ValueError("source_ids must be non-empty")
+    weights = bm25_term_weights(docs, id_col, text_col, k=m_terms)
+    src = weights.filter(F.col(id_col).isin([int(i) for i in source_ids]))
+    qdf = src.groupBy(F.col(id_col).alias("query_id")).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("text")
+    )
+    dls = doc_lengths(docs, id_col, text_col)
+    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
+    idx = build_postings(
+        docs, n_docs, id_col=id_col, text_col=text_col, min_df=min_df,
+        max_df_ppm=max_df_ppm, include_dls=True,
+    )
+    res = bm25_search(idx, qdf, n_docs, t_tokens, k=k + 1)
+    others = res.filter(F.col("doc_id") != F.col("query_id"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u"), F.asc("doc_id")
+    )
+    return (
+        others.drop("rank")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
