@@ -3315,6 +3315,49 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_postings_merge(spark, sf_dir):
+    """Incremental index maintenance (operators/textops.py
+    merge_postings): the corpus splits into mod-2 shards, each built
+    UNGATED with norms (only a delta pays tokenization in production),
+    then merged with the standard df gates applied at merge time —
+    and the output must equal the batch `postings` build bit-for-bit,
+    so the oracle IS the batch replay (the strongest incremental
+    contract this suite states). dls dropped before flattening to
+    match the batch oracle's shape."""
+    from web_scrapper_spark.operators.textops import (
+        build_postings,
+        merge_postings,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    shard_a = build_postings(
+        docs.filter(F.col("doc_id") % 2 == 0), n, block_size=64,
+        include_dls=True,
+    )
+    shard_b = build_postings(
+        docs.filter(F.col("doc_id") % 2 == 1), n, block_size=64,
+        include_dls=True,
+    )
+    merged = merge_postings(
+        [shard_a, shard_b], min_df=2, max_df_ppm=800_000, n_docs=n,
+        block_size=64,
+    )
+    return merged.select(
+        "term",
+        "df",
+        "block",
+        F.posexplode(F.arrays_zip("doc_ids", "tfs")).alias("pos", "entry"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.doc_ids").alias("doc_id"),
+        F.col("entry.tfs").alias("tf"),
+    )
+
+
 def _q_more_like_this(spark, sf_dir):
     """Lucene-style More-Like-This (operators/textops.py
     more_like_this): every 97th doc queries the index with its own
@@ -5372,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_equivalence": _q_url_equivalence,
         "robots_refresh": _q_robots_refresh,
         "more_like_this": _q_more_like_this,
+        "postings_merge": _q_postings_merge,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -5999,7 +6043,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
               WHERE len(list_intersect(sa, sb)) * 5 >= len(list_distinct(sa || sb)) * 2
             )"""
-    return {
+    out = {
         "a1_keywords_topk": f"""
             WITH words AS (
               SELECT unnest({_TOKS_SQL}) AS word FROM documents
@@ -9076,6 +9120,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_oracle_sql(),
     }
+    # the postings_merge contract is merge(build(A), build(B)) ≡ the
+    # BATCH build bit-for-bit — so its oracle IS the batch replay
+    out["postings_merge"] = out["postings"]
+    return out
 
 
 def _paragraph_lang_sql() -> str:

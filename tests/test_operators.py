@@ -3806,3 +3806,69 @@ class TestMoreLikeThis:
 
         with _pytest.raises(ValueError):
             more_like_this(self._docs(spark), [], k=2)
+
+
+class TestMergePostings:
+    """Incremental index merge (textops.merge_postings)."""
+
+    def test_merge_equals_batch(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            merge_postings,
+        )
+
+        rows = [(i, "w%d common shared" % (i % 4)) for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = docs.filter("doc_id < 7")
+        b = docs.filter("doc_id >= 7")
+        merged = merge_postings(
+            [
+                build_postings(a, 20, block_size=4, include_dls=True),
+                build_postings(b, 20, block_size=4, include_dls=True),
+            ],
+            min_df=2, max_df_ppm=900_000, n_docs=20, block_size=4,
+        )
+        batch = build_postings(
+            docs, 20, min_df=2, max_df_ppm=900_000, block_size=4,
+            include_dls=True,
+        )
+        key = lambda r: (  # noqa: E731
+            r["term"], r["block"], tuple(r["doc_ids"]), tuple(r["tfs"]),
+            tuple(r["dls"]), r["df"],
+        )
+        assert sorted(map(key, merged.collect())) == sorted(
+            map(key, batch.collect())
+        )
+
+    def test_cross_shard_min_df_terms_survive(self, spark):
+        """A term appearing ONCE per shard fails a shard-local min_df=2
+        gate but must pass the merge-time global gate — the reason
+        shards stay ungated."""
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            merge_postings,
+        )
+
+        a = spark.createDataFrame([(1, "rare filler")], "doc_id long, text string")
+        b = spark.createDataFrame([(2, "rare other")], "doc_id long, text string")
+        merged = merge_postings(
+            [build_postings(a, 2), build_postings(b, 2)],
+            min_df=2, n_docs=2,
+        )
+        out = {r["term"]: list(r["doc_ids"]) for r in merged.collect()}
+        assert out == {"rare": [1, 2]}
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            merge_postings,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        idx = build_postings(docs, 1)
+        with _pytest.raises(ValueError):
+            merge_postings([], n_docs=1)
+        with _pytest.raises(ValueError):
+            merge_postings([idx], n_docs=0)

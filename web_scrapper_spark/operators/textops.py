@@ -983,6 +983,21 @@ def build_postings(
         .groupBy(*group_keys)
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    return _assemble_postings(tf, max_df, min_df, block_size, include_dls)
+
+
+def _assemble_postings(
+    tf: DataFrame,
+    max_df: int,
+    min_df: int,
+    block_size: int,
+    include_dls: bool,
+) -> DataFrame:
+    """Shared index-assembly tail: df aggregate, stop-word gates, the
+    bounded blocking window, aligned arrays. ``tf`` is (doc_id, term,
+    tf[, dl]) rows — from a fresh tokenization (:func:`build_postings`)
+    or from exploding already-built shard indexes
+    (:func:`merge_postings`)."""
     df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     kept = tf.join(
         df_t.filter(
@@ -1011,6 +1026,59 @@ def build_postings(
         .agg(entries.alias("_e"))
         .select(*out_cols)
     )
+
+
+def merge_postings(
+    parts: list,
+    *,
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+    n_docs: int = 0,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Incremental index maintenance — the per-epoch shape (the
+    ``minhash_lsh_incremental`` fix-class applied to search): shard
+    indexes built UNGATED over disjoint doc sets (e.g. yesterday's
+    corpus and today's delta — only the DELTA pays tokenization, the
+    expensive text scan) merge into one index with the df gates
+    applied at merge time, where global document frequencies are
+    finally known. ``merge(build(A), build(B)) ≡ build(A ∪ B)``
+    EXACTLY — the tested and oracle-checked contract (gating shards
+    individually would lose terms a shard-local df gate drops, which
+    is why shards stay ungated until merge).
+
+    ``parts`` are :func:`build_postings` outputs over DISJOINT doc
+    sets (same tokenizer); ``n_docs`` is the merged corpus size for
+    the max-df gate. dls propagate when every part carries them.
+
+    Scale shape: each part explodes back to (doc_id, term, tf[, dl])
+    rows — 16-byte currency, never text — then the shared assembly
+    tail runs exactly as a batch build: one df aggregate, the bounded
+    blocking window, one array aggregate.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    include_dls = all("dls" in p.columns for p in parts)
+    max_df = (max_df_ppm * int(n_docs)) // 1_000_000 if n_docs else 0
+    if not n_docs:
+        raise ValueError("n_docs (merged corpus size) is required")
+    rows = None
+    for p in parts:
+        zipped = (
+            F.arrays_zip("doc_ids", "tfs", "dls")
+            if include_dls
+            else F.arrays_zip("doc_ids", "tfs")
+        )
+        cols = [
+            F.col("_e.doc_ids").alias("doc_id"),
+            F.col("term"),
+            F.col("_e.tfs").alias("tf"),
+        ]
+        if include_dls:
+            cols.append(F.col("_e.dls").alias("dl"))
+        r = p.select("term", F.explode(zipped).alias("_e")).select(*cols)
+        rows = r if rows is None else rows.unionByName(r)
+    return _assemble_postings(rows, max_df, min_df, block_size, include_dls)
 
 
 def doc_lengths(
