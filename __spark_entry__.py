@@ -3315,6 +3315,51 @@ def _q_sim_sq_topk(spark, sf_dir):
     return sq_topk(queries, qv, k=5)
 
 
+def _q_host_moves(spark, sf_dir):
+    """Site-migration detection (operators/graph.py host_moves):
+    seven m*.old.org hosts redirect ~80% of their pages to their
+    .new.org twins (the mass-301 move) with a 20% CDN scatter, plus
+    two sc*.org hosts whose redirects scatter across 13 destinations
+    (never a move); mixed-case schemes/hosts and userinfo exercise
+    the host extraction. The oracle replays parsing, pair counts, the
+    tie-broken dominant destination, and the exact share/moved rule."""
+    from web_scrapper_spark.operators.graph import host_moves
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 4 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("http://")
+    )
+    user = F.when(d % 6 == 0, F.lit("u:p@")).otherwise(F.lit(""))
+    m = (d % 7).cast("string")
+    src_move = F.concat(
+        scheme, user, F.lit("M"), m, F.lit(".old.org/p/"), d.cast("string")
+    )
+    dst_move = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("https://cdn"), (d % 3).cast("string"),
+            F.lit(".other.org/p/"), d.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://m"), m, F.lit(".new.org/p/"), d.cast("string")
+        )
+    )
+    moves = docs.select(src_move.alias("src_url"), dst_move.alias("dst_url"))
+    scatter = docs.select(
+        F.concat(
+            F.lit("http://sc"), (d % 2).cast("string"),
+            F.lit(".org/p/"), d.cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://z"), (d % 13).cast("string"),
+            F.lit(".org/"),
+        ).alias("dst_url"),
+    )
+    return host_moves(moves.unionByName(scatter))
+
+
 def _q_postings_merge(spark, sf_dir):
     """Incremental index maintenance (operators/textops.py
     merge_postings): the corpus splits into mod-2 shards, each built
@@ -5416,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_refresh": _q_robots_refresh,
         "more_like_this": _q_more_like_this,
         "postings_merge": _q_postings_merge,
+        "host_moves": _q_host_moves,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
         "s11_query_loader": _q_s11_query_loader,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -6528,6 +6574,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.lang, agg.source, n_docs, total_chars,
                    total_tokens, max_tokens, median_tokens
             FROM agg JOIN med USING (lang, source)
+        """,
+        "host_moves": """
+            -- site-move replay: host extraction (scheme-agnostic,
+            -- userinfo stripped, lowercased), same-host exclusion,
+            -- pair counts, dominant destination (ties -> min host),
+            -- exact share and the moved rule
+            WITH edges AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+                          ELSE 'http://' END
+                     || CASE WHEN doc_id % 6 = 0 THEN 'u:p@' ELSE '' END
+                     || 'M' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.old.org/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       'https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                         || '.other.org/p/' || CAST(doc_id AS VARCHAR)
+                     ELSE
+                       'https://m' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.new.org/p/' || CAST(doc_id AS VARCHAR)
+                     END AS dst_url
+              FROM documents
+              UNION ALL
+              SELECT 'http://sc' || CAST(doc_id % 2 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id AS VARCHAR),
+                     'http://z' || CAST(doc_id % 13 AS VARCHAR) || '.org/'
+              FROM documents
+            ), pairs AS (
+              SELECT lower(regexp_replace(regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', '')) AS host,
+                     lower(regexp_replace(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', '')) AS dst_host
+              FROM edges
+            ), counts AS (
+              SELECT host, dst_host, CAST(count(*) AS BIGINT) AS n_to_dst
+              FROM pairs WHERE host <> dst_host
+              GROUP BY host, dst_host
+            ), totals AS (
+              SELECT host, CAST(sum(n_to_dst) AS BIGINT) AS n_pages,
+                     max(n_to_dst) AS max_n
+              FROM counts GROUP BY host
+            ), best AS (
+              SELECT c.host, t.n_pages, c.n_to_dst,
+                     min(c.dst_host) AS dst_host
+              FROM counts c JOIN totals t
+                ON c.host = t.host AND c.n_to_dst = t.max_n
+              GROUP BY c.host, t.n_pages, c.n_to_dst
+            )
+            SELECT host, dst_host, n_pages, n_to_dst,
+                   CAST(n_to_dst * 1000000 // n_pages AS BIGINT)
+                     AS share_ppm,
+                   (n_pages >= 5 AND
+                    n_to_dst * 1000000 // n_pages >= 800000) AS moved
+            FROM best
         """,
         "more_like_this": f"""
             -- two proven chains glued: keyword BM25 weights (global

@@ -3872,3 +3872,47 @@ class TestMergePostings:
             merge_postings([], n_docs=1)
         with _pytest.raises(ValueError):
             merge_postings([idx], n_docs=0)
+
+
+class TestHostMoves:
+    """Site-migration detection (graph.host_moves)."""
+
+    def _run(self, spark, rows, **kw):
+        from web_scrapper_spark.operators.graph import host_moves
+
+        df = spark.createDataFrame(rows, "src_url string, dst_url string")
+        return {r["host"]: r for r in host_moves(df, **kw).collect()}
+
+    def test_mass_move_detected_scatter_not(self, spark):
+        rows = (
+            [("http://old.com/p%d" % i, "https://new.com/p%d" % i)
+             for i in range(8)]
+            + [("http://old.com/x", "http://cdn.com/x")]
+            + [("http://sc.com/%d" % i, "http://z%d.com/" % i)
+               for i in range(6)]
+        )
+        out = self._run(spark, rows)
+        assert out["old.com"]["moved"] is True
+        assert out["old.com"]["dst_host"] == "new.com"
+        assert out["old.com"]["share_ppm"] == 8 * 1_000_000 // 9
+        assert out["sc.com"]["moved"] is False
+
+    def test_same_host_and_case_and_userinfo(self, spark):
+        rows = [
+            ("HTTP://u:p@Old.COM/a", "https://NEW.com/a"),
+            ("http://old.com/b", "https://new.com/b"),
+            ("http://old.com/c", "HTTPS://old.com/c2"),  # same host: out
+        ]
+        out = self._run(spark, rows, min_pages=2)
+        assert out["old.com"]["n_pages"] == 2
+        assert out["old.com"]["dst_host"] == "new.com"
+        assert out["old.com"]["moved"] is True
+
+    def test_tie_breaks_to_smallest_host(self, spark):
+        rows = [
+            ("http://t.com/1", "http://bbb.com/"),
+            ("http://t.com/2", "http://aaa.com/"),
+        ]
+        out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
+        assert out["t.com"]["dst_host"] == "aaa.com"
+        assert out["t.com"]["n_to_dst"] == 1

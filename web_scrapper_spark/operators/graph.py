@@ -980,3 +980,81 @@ def url_equivalence_classes(edges: DataFrame, src: str = "src_url",
         F.col("component").alias("canonical_url"),
         "cluster_size",
     )
+
+
+def host_moves(
+    redirects: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    min_pages: int = 5,
+    min_share_ppm: int = 800_000,
+) -> DataFrame:
+    """Site-migration detection from redirect evidence: when most of a
+    host's redirecting URLs point at ONE other host, the site moved
+    (the mass-301 pattern of domain changes and HTTPS/CDN migrations).
+    The crawl-ops consequences are concrete: rewrite seed lists, remap
+    frontier rows through :func:`url_equivalence_classes`, transfer
+    the politeness/volatility history, stop charging the old host's
+    budget.
+
+    Per source host: redirecting pages counted, the DOMINANT
+    destination host picked deterministically (max count, ties to the
+    lexicographically smallest host), and its exact integer share;
+    ``moved`` requires ≥ ``min_pages`` evidence and share ≥
+    ``min_share_ppm`` (default 80%) — a link-rot scatter of one-off
+    redirects never qualifies. Same-host redirects (path shuffles,
+    http→https on one host) are excluded up front.
+
+    Returns (host, dst_host, n_pages, n_to_dst, share_ppm, moved).
+
+    Scale shape: one projection to (src_host, dst_host) pairs, one
+    map-side-combined pair count, one host-grain argmax struct — the
+    URL grain collapses immediately; nothing bigger than host×host
+    pairs ever shuffles.
+    """
+    host_of = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1),
+        r"^[^@]*@", "",
+    )
+    pairs = redirects.select(
+        F.lower(host_of(F.col(src))).alias("host"),
+        F.lower(host_of(F.col(dst))).alias("dst_host"),
+    ).filter(F.col("host") != F.col("dst_host"))
+    counts = pairs.groupBy("host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_to_dst")
+    )
+    totals = counts.groupBy("host").agg(
+        F.sum("n_to_dst").cast("long").alias("n_pages"),
+        F.max(
+            F.struct(
+                F.col("n_to_dst"),
+                # invert for "ties -> smallest host" under max()
+                F.col("dst_host").alias("_h"),
+            )
+        ).alias("_top"),
+    )
+    # max(struct(n, host)) breaks count ties toward the LARGEST host;
+    # re-pick deterministically with a min over the tied rows instead
+    top = counts.join(
+        totals.select(
+            "host", "n_pages", F.col("_top.n_to_dst").alias("_max_n")
+        ),
+        "host",
+    ).filter(F.col("n_to_dst") == F.col("_max_n"))
+    best = top.groupBy("host", "n_pages", "n_to_dst").agg(
+        F.min("dst_host").alias("dst_host")
+    )
+    share = F.expr(
+        "cast(n_to_dst as decimal(38,0)) * 1000000 div n_pages"
+    ).cast("long")
+    return best.select(
+        "host",
+        "dst_host",
+        "n_pages",
+        "n_to_dst",
+        share.alias("share_ppm"),
+        (
+            (F.col("n_pages") >= F.lit(int(min_pages)))
+            & (share >= F.lit(int(min_share_ppm)))
+        ).alias("moved"),
+    )
