@@ -6755,7 +6755,9 @@ def oracle_sql() -> dict[str, str]:
                        || '.ex.org' AS host
               FROM documents
             )
-            SELECT u.host, l.last_robots_epoch,
+            SELECT u.host,
+                   CAST(coalesce(l.last_robots_epoch, -1) AS BIGINT)
+                     AS last_robots_epoch,
                    CAST(CASE WHEN l.last_robots_epoch IS NOT NULL
                         THEN 15 - l.last_robots_epoch
                         ELSE -1 END AS BIGINT) AS age_epochs,

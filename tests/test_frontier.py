@@ -2044,6 +2044,7 @@ class TestRobotsRefreshDue:
         assert out["h1"]["due"] is True and out["h1"]["last_robots_epoch"] == 5
         assert out["h2"]["due"] is False and out["h2"]["age_epochs"] == 1
         assert out["h3"]["due"] is True and out["h3"]["age_epochs"] == -1
+        assert out["h3"]["last_robots_epoch"] == -1
 
     def test_nested_robots_path_does_not_count(self, spark):
         out = self._run(
@@ -2054,7 +2055,7 @@ class TestRobotsRefreshDue:
             epoch=10,
             ttl=4,
         )
-        assert out["h1"]["last_robots_epoch"] is None
+        assert out["h1"]["last_robots_epoch"] == -1
         assert out["h1"]["due"] is True
 
     def test_exact_ttl_boundary_is_due(self, spark):

@@ -209,8 +209,10 @@ def robots_refresh_due(
 
     ``hosts`` is the universe to audit (e.g. the live frontier's
     distinct hosts — host-grain, 3 orders smaller than URLs). Returns
-    (host, last_robots_epoch, age_epochs, due) — ``last_robots_epoch``
-    NULL and ``age_epochs = -1`` for never-fetched hosts (always due).
+    (host, last_robots_epoch, age_epochs, due) — never-fetched hosts
+    carry the ``-1`` sentinel in BOTH columns (the host_volatility
+    convention; sentinels, not NULLs, so engines/pandas never disagree
+    on null rendering) and are always due.
 
     One filtered host-grain aggregate over the seen set (only rows
     whose path is exactly ``/robots.txt`` survive the scan filter) +
@@ -235,7 +237,9 @@ def robots_refresh_due(
     ).otherwise(F.lit(-1))
     return out.select(
         host_col,
-        "last_robots_epoch",
+        F.coalesce(F.col("last_robots_epoch"), F.lit(-1))
+        .cast("long")
+        .alias("last_robots_epoch"),
         age.cast("long").alias("age_epochs"),
         (
             F.col("last_robots_epoch").isNull()
