@@ -800,3 +800,45 @@ class TestSearchCli:
         frows = _json.loads(f.output.strip())
         # the anchor field (w_anchor=2) outvotes doc 1's body tf
         assert frows[0]["doc_id"] == 3
+
+
+class TestSearchCliLike:
+    """analyze search --like: MLT as a CLI surface."""
+
+    def test_like_and_usage_guards(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [
+                (1, "quantum entanglement physics quantum"),
+                (2, "quantum physics entanglement notes"),
+                (3, "banana bread baking flour"),
+            ],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--like", "1",
+             "--topk", "1", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert rows[0]["like_doc"] == 1 and rows[0]["doc_id"] == 2
+
+        bad = runner.invoke(
+            cli_mod.cli, ["analyze", "search", "-i", dpath]
+        )
+        assert bad.exit_code != 0
+        both = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "x", "--like", "1"],
+        )
+        assert both.exit_code != 0

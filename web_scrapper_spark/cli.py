@@ -770,19 +770,23 @@ if __name__ == "__main__":
 
 @analyze.command("search")
 @_with_io
-@click.option("--query", "-q", "query_strs", multiple=True, required=True,
+@click.option("--query", "-q", "query_strs", multiple=True,
               help="query string (repeatable)")
+@click.option("--like", "like_ids", multiple=True, type=int,
+              help="More-Like-This: find docs similar to this doc_id "
+                   "(repeatable; mutually exclusive with -q/--anchors)")
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
                    "fielded ranking (w_anchor=2)")
 @click.option("--min-df", default=1, show_default=True, type=int)
 @click.option("--max-df-ppm", default=1_000_000, show_default=True, type=int)
-def analyze_search(in_path, id_col, text_col, cpus, query_strs, topk,
-                   anchors_path, min_df, max_df_ppm) -> None:
+def analyze_search(in_path, id_col, text_col, cpus, query_strs, like_ids,
+                   topk, anchors_path, min_df, max_df_ppm) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
-    --anchors, ranks fielded BM25F (body + anchor text)."""
+    --anchors, ranks fielded BM25F (body + anchor text); with --like,
+    More-Like-This document similarity."""
     from pyspark.sql import functions as F
 
     from .operators.textops import (
@@ -790,11 +794,36 @@ def analyze_search(in_path, id_col, text_col, cpus, query_strs, topk,
         bm25f_search,
         build_postings,
         doc_lengths,
+        more_like_this,
     )
 
+    if bool(like_ids) == bool(query_strs):
+        raise click.UsageError("pass either -q/--query or --like")
+    if like_ids and anchors_path:
+        raise click.UsageError("--like does not combine with --anchors")
     spark, _owned = _own_spark(cpus)
     try:
         docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if like_ids:
+            out = more_like_this(
+                docs, list(like_ids), k=topk, min_df=min_df,
+                max_df_ppm=max_df_ppm,
+            )
+            rows = out.orderBy("query_id", "rank").collect()
+            click.echo(json.dumps(
+                [
+                    {
+                        "like_doc": r["query_id"],
+                        "rank": r["rank"],
+                        "doc_id": r["doc_id"],
+                        "score_u": r["score_u"],
+                        "n_terms": r["n_terms"],
+                    }
+                    for r in rows
+                ],
+                indent=2,
+            ))
+            return
         qdf = spark.createDataFrame(
             [(i + 1, q) for i, q in enumerate(query_strs)],
             "query_id long, text string",
