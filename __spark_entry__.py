@@ -3332,8 +3332,14 @@ def _q_host_moves(spark, sf_dir):
     )
     user = F.when(d % 6 == 0, F.lit("u:p@")).otherwise(F.lit(""))
     m = (d % 7).cast("string")
+    # explicit default ports on a slice of rows: :80/:443 must fold
+    # into the portless host (the surt discipline) or the evidence
+    # splits and the move share drops below threshold
+    sport = F.when(d % 8 == 0, F.lit(":80")).otherwise(F.lit(""))
+    dport = F.when(d % 9 == 0, F.lit(":443")).otherwise(F.lit(""))
     src_move = F.concat(
-        scheme, user, F.lit("M"), m, F.lit(".old.org/p/"), d.cast("string")
+        scheme, user, F.lit("M"), m, F.lit(".old.org"), sport,
+        F.lit("/p/"), d.cast("string"),
     )
     dst_move = F.when(
         d % 5 == 0,
@@ -3343,7 +3349,8 @@ def _q_host_moves(spark, sf_dir):
         ),
     ).otherwise(
         F.concat(
-            F.lit("https://m"), m, F.lit(".new.org/p/"), d.cast("string")
+            F.lit("https://m"), m, F.lit(".new.org"), dport,
+            F.lit("/p/"), d.cast("string"),
         )
     )
     moves = docs.select(src_move.alias("src_url"), dst_move.alias("dst_url"))
@@ -3438,8 +3445,13 @@ def _q_robots_refresh(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
     h19 = F.concat(F.lit("h"), (d % 19).cast("string"), F.lit(".ex.org"))
+    # every 4th robots capture uses an UPPERCASE scheme — schemes are
+    # case-insensitive (RFC 3986 §3.1); these rows must still count
+    rscheme = F.when(d % 24 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
     url = F.when(
-        d % 6 == 0, F.concat(F.lit("https://"), h19, F.lit("/robots.txt"))
+        d % 6 == 0, F.concat(rscheme, h19, F.lit("/robots.txt"))
     ).when(
         d % 6 == 3,
         F.concat(F.lit("https://"), h19, F.lit("/sub/robots.txt")),
@@ -6585,13 +6597,18 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'http://' END
                      || CASE WHEN doc_id % 6 = 0 THEN 'u:p@' ELSE '' END
                      || 'M' || CAST(doc_id % 7 AS VARCHAR)
-                     || '.old.org/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                     || '.old.org'
+                     || CASE WHEN doc_id % 8 = 0 THEN ':80' ELSE '' END
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS src_url,
                      CASE WHEN doc_id % 5 = 0 THEN
                        'https://cdn' || CAST(doc_id % 3 AS VARCHAR)
                          || '.other.org/p/' || CAST(doc_id AS VARCHAR)
                      ELSE
                        'https://m' || CAST(doc_id % 7 AS VARCHAR)
-                         || '.new.org/p/' || CAST(doc_id AS VARCHAR)
+                         || '.new.org'
+                         || CASE WHEN doc_id % 9 = 0 THEN ':443'
+                            ELSE '' END
+                         || '/p/' || CAST(doc_id AS VARCHAR)
                      END AS dst_url
               FROM documents
               UNION ALL
@@ -6600,12 +6617,14 @@ def oracle_sql() -> dict[str, str]:
                      'http://z' || CAST(doc_id % 13 AS VARCHAR) || '.org/'
               FROM documents
             ), pairs AS (
-              SELECT lower(regexp_replace(regexp_extract(src_url,
-                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
-                       '^[^@]*@', '')) AS host,
-                     lower(regexp_replace(regexp_extract(dst_url,
-                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
-                       '^[^@]*@', '')) AS dst_host
+              SELECT lower(regexp_replace(regexp_replace(
+                       regexp_extract(src_url,
+                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', ''), ':(80|443)$', '')) AS host,
+                     lower(regexp_replace(regexp_replace(
+                       regexp_extract(dst_url,
+                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', ''), ':(80|443)$', '')) AS dst_host
               FROM edges
             ), counts AS (
               SELECT host, dst_host, CAST(count(*) AS BIGINT) AS n_to_dst
@@ -6731,7 +6750,9 @@ def oracle_sql() -> dict[str, str]:
                        AS host,
                      CASE
                        WHEN doc_id % 6 = 0 THEN
-                         'https://h' || CAST(doc_id % 19 AS VARCHAR)
+                         CASE WHEN doc_id % 24 = 0 THEN 'HTTPS://'
+                              ELSE 'https://' END
+                           || 'h' || CAST(doc_id % 19 AS VARCHAR)
                            || '.ex.org/robots.txt'
                        WHEN doc_id % 6 = 3 THEN
                          'https://h' || CAST(doc_id % 19 AS VARCHAR)
@@ -6748,7 +6769,7 @@ def oracle_sql() -> dict[str, str]:
                        AS last_robots_epoch
               FROM seen
               WHERE regexp_matches(url,
-                '^[a-z][a-z0-9+.-]*://[^/]+/robots\\.txt$')
+                '^(?i:[a-z][a-z0-9+.-]*)://[^/]+/robots\\.txt$')
               GROUP BY host
             ), universe AS (
               SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR)

@@ -2058,6 +2058,23 @@ class TestRobotsRefreshDue:
         assert out["h1"]["last_robots_epoch"] == -1
         assert out["h1"]["due"] is True
 
+    def test_uppercase_scheme_counts(self, spark):
+        # schemes are case-insensitive (RFC 3986 §3.1): an
+        # HTTPS://host/robots.txt capture must count, but the PATH
+        # stays case-sensitive — /ROBOTS.TXT is a different path
+        out = self._run(
+            spark,
+            [("h1", "HTTPS://h1/robots.txt", 9),
+             ("h2", "https://h2/ROBOTS.TXT", 9)],
+            [("h1",), ("h2",)],
+            epoch=10,
+            ttl=4,
+        )
+        assert out["h1"]["last_robots_epoch"] == 9
+        assert out["h1"]["due"] is False
+        assert out["h2"]["last_robots_epoch"] == -1
+        assert out["h2"]["due"] is True
+
     def test_exact_ttl_boundary_is_due(self, spark):
         out = self._run(
             spark,

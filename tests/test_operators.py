@@ -2119,6 +2119,23 @@ class TestBm25Search:
             map(tuple, bm25_search(idx, once, n, t).collect())
         ) == sorted(map(tuple, bm25_search(idx, thrice, n, t).collect()))
 
+    def test_duplicate_query_rows_collapse(self, spark):
+        # duplicate query_id ROWS (not just terms within a row) must
+        # not double-count score_u / n_terms
+        from web_scrapper_spark.operators.textops import bm25_search
+
+        _, _, idx, n, t = self._index(spark)
+        once = spark.createDataFrame(
+            [(1, "alpha delta")], "query_id long, text string"
+        )
+        dup = spark.createDataFrame(
+            [(1, "alpha delta"), (1, "alpha delta"), (1, "delta alpha")],
+            "query_id long, text string",
+        )
+        assert sorted(
+            map(tuple, bm25_search(idx, once, n, t).collect())
+        ) == sorted(map(tuple, bm25_search(idx, dup, n, t).collect()))
+
     def test_k_bounds_results(self, spark):
         from web_scrapper_spark.operators.textops import bm25_search
 
@@ -3916,3 +3933,29 @@ class TestHostMoves:
         out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
         assert out["t.com"]["dst_host"] == "aaa.com"
         assert out["t.com"]["n_to_dst"] == 1
+
+    def test_default_ports_fold_into_host(self, spark):
+        # :80/:443 are the same host (surt discipline): the http->https
+        # migration with explicit ports is SAME-host (excluded), and
+        # explicit-port aliases must not split one host's evidence
+        rows = [
+            # same host modulo default ports -> excluded entirely
+            ("http://e.com:80/a", "https://e.com:443/a"),
+            # old.com evidence split across :80 / portless must merge
+            ("http://old.com:80/1", "https://new.com/1"),
+            ("http://old.com/2", "https://new.com:443/2"),
+            ("http://old.com/3", "https://new.com/3"),
+        ]
+        out = self._run(spark, rows, min_pages=3)
+        assert "e.com" not in out
+        assert out["old.com"]["n_pages"] == 3
+        assert out["old.com"]["dst_host"] == "new.com"
+        assert out["old.com"]["moved"] is True
+
+    def test_non_default_port_kept_distinct(self, spark):
+        rows = [
+            ("http://p.com:8080/1", "http://q.com/1"),
+            ("http://p.com:8080/2", "http://q.com/2"),
+        ]
+        out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
+        assert "p.com:8080" in out and "p.com" not in out

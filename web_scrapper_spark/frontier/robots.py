@@ -222,8 +222,14 @@ def robots_refresh_due(
     """
     if ttl_epochs < 1:
         raise ValueError("ttl_epochs must be >= 1")
+    # scheme match is case-insensitive ((?i: ) scoped to the scheme
+    # only — RFC 3986 §3.1 schemes are case-insensitive, paths are
+    # not): seen rows like HTTP://host/robots.txt must count, or the
+    # host is wrongly reported never-fetched/always due
     robots_rows = seen.filter(
-        F.col(url_col).rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+        F.col(url_col).rlike(
+            r"^(?i:[a-z][a-z0-9+.-]*)://[^/]+/robots\.txt$"
+        )
     )
     latest = robots_rows.groupBy(host_col).agg(
         F.max(F.col(epoch_col)).cast("long").alias("last_robots_epoch")

@@ -1012,9 +1012,18 @@ def host_moves(
     URL grain collapses immediately; nothing bigger than host×host
     pairs ever shuffles.
     """
+    # default ports stripped (the surt_key_col discipline): without it
+    # http://h:80 -> https://h:443 passes the same-host exclusion as a
+    # bogus cross-host "move", and explicit-port aliases split one
+    # host's evidence across two keys
     host_of = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1),
-        r"^[^@]*@", "",
+        F.regexp_replace(
+            F.regexp_extract(
+                c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1
+            ),
+            r"^[^@]*@", "",
+        ),
+        r":(80|443)$", "",
     )
     pairs = redirects.select(
         F.lower(host_of(F.col(src))).alias("host"),

@@ -1144,12 +1144,16 @@ def bm25_search(
         raise ValueError("n_docs must be positive")
     if t_tokens <= 0:
         raise ValueError("t_tokens must be positive")
+    # distinct() on the exploded pairs: duplicate query_id rows in the
+    # queries table must not re-emit the same terms (the per-row
+    # array_distinct only dedups WITHIN a row) — without it score_u
+    # and n_terms double-count
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(tokens_col(F.col(query_text_col)))
         ).alias("term"),
-    )
+    ).distinct()
     hits = postings.join(F.broadcast(qterms), "term")
     has_dls = "dls" in postings.columns
     zipped = (
@@ -1309,14 +1313,21 @@ def delta_decode_postings(encoded: DataFrame) -> DataFrame:
     """Inverse of :func:`delta_encode_postings`: rebuild absolute
     doc_ids from (first_doc, doc_gaps) with a per-row prefix-sum fold.
     Zero shuffle; ``decode(encode(x)) == x`` is the tested contract."""
-    n = F.size("doc_gaps")
-    ids = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.aggregate(
-            F.slice("doc_gaps", 1, i),
-            F.lit(0).cast("long"),
-            lambda acc, g: acc + g,
+    # single running fold carrying (acc, ids): linear per block — the
+    # previous slice(1..i)+aggregate form re-summed every prefix
+    # (O(block²) work and array copies per posting row)
+    init = F.struct(
+        F.lit(0).cast("long").alias("acc"),
+        F.expr("cast(array() as array<bigint>)").alias("ids"),
+    )
+    ids = F.aggregate(
+        F.col("doc_gaps"),
+        init,
+        lambda st, g: F.struct(
+            (st["acc"] + g).alias("acc"),
+            F.concat(st["ids"], F.array(st["acc"] + g)).alias("ids"),
         ),
+        lambda st: st["ids"],
     )
     keep = [
         c for c in encoded.columns if c not in ("first_doc", "doc_gaps")
@@ -1371,14 +1382,19 @@ def bm25f_search(
     """
     if w_body < 0 or w_anchor < 0 or w_body + w_anchor == 0:
         raise ValueError("field weights must be non-negative, not both 0")
+    # localCheckpoint: each field tokenizes EXACTLY once — without the
+    # lineage cut Catalyst re-runs tokenize+explode for every consumer
+    # branch (tf, dl, the totals collect, the final scored plan), the
+    # same re-tokenization bm25_term_weights/build_postings guard
+    # against with the identical discipline
     body = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("_toks"),
-    )
+    ).localCheckpoint(eager=True)
     anch = anchors.select(
         F.col(anchor_id_col).alias("doc_id"),
         tokens_col(F.col(anchor_text_col)).alias("_toks"),
-    )
+    ).localCheckpoint(eager=True)
     tf_b = (
         body.select("doc_id", F.explode("_toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -1403,7 +1419,7 @@ def bm25f_search(
             F.lit(w_body) * F.col("dl_b")
             + F.lit(w_anchor) * F.coalesce(F.col("dl_a"), F.lit(0))
         ).cast("long").alias("dlf"),
-    )
+    ).localCheckpoint(eager=True)
     tot = dlf.agg(
         F.count("*").alias("n"), F.sum("dlf").alias("t")
     ).collect()[0]
@@ -1414,12 +1430,14 @@ def bm25f_search(
             "query_id long, doc_id long, score_u long, n_terms long, "
             "rank int",
         )
+    # distinct() on the exploded pairs — duplicate query_id rows must
+    # not double-count score_u/n_terms (same fix as bm25_search)
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(tokens_col(F.col(query_text_col)))
         ).alias("term"),
-    )
+    ).distinct()
     terms = qterms.select("term").distinct()
     cand_b = tf_b.join(F.broadcast(terms), "term")
     cand_a = tf_a.join(F.broadcast(terms), "term").join(
