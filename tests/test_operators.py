@@ -442,6 +442,103 @@ class TestSimilarity:
         assert r3 >= 0.4          # partial probe recovers a solid share
         assert r_all == 1.0       # probing every cell == exact search
 
+    def test_assign_cells_plan_free_of_centroid_literals(self, spark):
+        # the round-2 scale-killer: centroids embedded as plan
+        # LITERALS (one expression node per component — plan compile
+        # dies at real IVF cell counts). The quantizer must travel as
+        # a sparkContext broadcast into a narrow Arrow map stage, so
+        # the plan is O(1) in C and carries no centroid values.
+        import contextlib
+        import io
+
+        sentinel = 123456.789
+        cents = spark.createDataFrame(
+            [(i, [sentinel + i, float(i), 1.0]) for i in range(8)],
+            "cell_id long, centroid array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [0.5, 0.1, 0.9])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sim.assign_cells(vecs, cents, n_probe=2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(True)
+        plan = buf.getvalue()
+        assert "123456" not in plan          # no per-centroid literals
+        assert "MapInPandas" in plan         # the Arrow map stage
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_assign_cells_bounded_at_large_cell_count(self, spark):
+        # C = 4096 cells x 16 dims: the literal plan died here (plan
+        # build alone exploded); the broadcast path must finish in
+        # bounded time and assign each vector to its own generator cell
+        import time
+
+        n_cells, dim = 4096, 16
+        # distinct deterministic directions: one-hot + a pseudo-random
+        # offset mod a prime > n_cells, so no two centroids coincide
+        cent_rows = [
+            (c, [((c * 31 + i * 17) % 4099) / 4099.0
+                 + (1.0 if i == c % dim else 0.0)
+                 for i in range(dim)])
+            for c in range(n_cells)
+        ]
+        cents = spark.createDataFrame(
+            cent_rows, "cell_id long, centroid array<double>"
+        )
+        vec_ids = list(range(0, n_cells, 16))  # 256 probes
+        vecs = spark.createDataFrame(
+            [(c, cent_rows[c][1]) for c in vec_ids],
+            "vec_id long, embedding array<double>",
+        )
+        t0 = time.monotonic()
+        got = {
+            r["vec_id"]: r["cell_id"]
+            for r in sim.assign_cells(vecs, cents, n_probe=1).collect()
+        }
+        elapsed = time.monotonic() - t0
+        assert got == {c: c for c in vec_ids}
+        assert elapsed < 120  # literal-plan form never finished here
+
+    def test_assign_cells_tie_null_and_mismatch_semantics(self, spark):
+        # exact ties break to the LOWER cell_id; NULL / zero /
+        # dimension-mismatched vectors score -2 everywhere and land in
+        # the lowest cell_ids
+        cents = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (9, [1.0, 0.0]), (11, [0.0, 1.0])],
+            "cell_id long, centroid array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(1, [2.0, 0.0]), (2, None), (3, [0.0, 0.0]),
+             (4, [1.0, 1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        one = {
+            r["vec_id"]: r["cell_id"]
+            for r in sim.assign_cells(vecs, cents, n_probe=1).collect()
+        }
+        assert one == {1: 5, 2: 5, 3: 5, 4: 5}
+        two = {}
+        for r in sim.assign_cells(vecs, cents, n_probe=2).collect():
+            two.setdefault(r["vec_id"], []).append(r["cell_id"])
+        assert two[1] == [5, 9] and two[2] == [5, 9]
+
+    def test_assign_cells_rejects_bad_inputs(self, spark):
+        cents = spark.createDataFrame(
+            [], "cell_id long, centroid array<double>"
+        )
+        vecs = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            sim.assign_cells(vecs, cents)
+        good = spark.createDataFrame(
+            [(1, [1.0])], "cell_id long, centroid array<double>"
+        )
+        with pytest.raises(ValueError):
+            sim.assign_cells(vecs, good, n_probe=0)
+
 
 class TestMultimodal:
     def setup_method(self):

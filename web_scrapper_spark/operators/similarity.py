@@ -93,57 +93,98 @@ def train_centroids(
     return centroids
 
 
+def _collect_centroid_matrix(centroids: DataFrame) -> tuple:
+    """Collect the (tiny relative to the corpus) centroid table into
+    ``(cell_ids, matrix, cell_id_type)`` — ids sorted ascending, the
+    matrix a C×D float64 numpy array aligned with the id order. This
+    is the ONE driver-side materialization of the quantizer; it is
+    what gets sparkContext-broadcast to executors (torrent-distributed
+    once per job, never serialized into the query plan)."""
+    import numpy as np
+
+    id_type = centroids.schema["cell_id"].dataType
+    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    if not rows:
+        raise ValueError("centroids table is empty")
+    dims = {len(r["centroid"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError("centroid vectors have mixed dimensions")
+    cell_ids = [r["cell_id"] for r in rows]
+    mat = np.asarray(
+        [list(r["centroid"]) for r in rows], dtype=np.float64
+    )
+    return cell_ids, mat, id_type
+
+
 def assign_cells(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids,
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
     """Attach the n_probe nearest centroid cell_ids to each vector row.
 
-    Scale path: the centroid table is collected (it is tiny — it would
-    be broadcast anyway) and embedded as a literal array; each row
-    computes its cosine to every centroid and takes the top n_probe via
-    a comparator ``array_sort`` — a narrow per-row projection. No join,
-    no window, no Exchange: the corpus side (n_probe=1) never shuffles,
-    and the N×C candidate space never materializes. Ties break on
-    cell_id ascending; zero vectors (NULL cosine) fold to -2 so they
-    deterministically land in the lowest cell_id."""
-    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(r["cell_id"]).alias("cell_id"),
-                F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("centroid"),
-            )
-            for r in rows
-        ]
+    Scale path: the centroid matrix is ``sparkContext.broadcast`` as a
+    numpy C×D array and each Arrow batch computes one vectorized
+    ``V @ Mᵀ`` argmax inside ``mapInPandas`` — a narrow map stage. No
+    join, no window, no Exchange: the corpus side never shuffles, the
+    N×C candidate space never materializes, and (unlike the previous
+    literal-embedded form) the PLAN stays O(1) in C — at real IVF cell
+    counts (10⁴–10⁵ cells × 100+ dims) per-centroid literals would be
+    millions of Catalyst expression nodes and the plan compile, not
+    the data, becomes the bottleneck.
+
+    Semantics (unchanged): top ``n_probe`` cells by cosine descending,
+    exact ties break on cell_id ascending (columns are laid out in
+    ascending cell_id order, so a stable argsort on -cos IS the
+    tie-break); NULL / zero / dimension-mismatched vectors score -2
+    against every centroid and deterministically land in the lowest
+    cell_ids. ``centroids`` is the (cell_id, centroid) DataFrame or a
+    precollected :func:`_collect_centroid_matrix` triple (so callers
+    assigning both corpus and queries collect the quantizer once).
+    """
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    if isinstance(centroids, tuple):
+        cell_ids, mat, id_type = centroids
+    else:
+        cell_ids, mat, id_type = _collect_centroid_matrix(centroids)
+    k = min(int(n_probe), len(cell_ids))
+    base = fan_out(vectors)
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("cell_id", id_type, True)]
     )
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            F.coalesce(cosine_col(F.col(vec_col), c["centroid"]), F.lit(-2.0)).alias(
-                "cos"
-            ),
-            c["cell_id"].alias("cell_id"),
-        ),
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (list(cell_ids), mat)
     )
 
-    def cmp(l, r):
-        return (
-            F.when(l["cos"] > r["cos"], -1)
-            .when(l["cos"] < r["cos"], 1)
-            .when(l["cell_id"] < r["cell_id"], -1)
-            .when(l["cell_id"] > r["cell_id"], 1)
-            .otherwise(0)
-        )
+    def _assign(batches):
+        ids, m = bc.value
+        ids_arr = np.asarray(ids)
+        d = m.shape[1]
+        m_norm = np.sqrt((m * m).sum(axis=1))
+        for pdf in batches:
+            vecs = pdf[vec_col].tolist()
+            v = np.zeros((len(vecs), d), dtype=np.float64)
+            ok = np.zeros(len(vecs), dtype=bool)
+            for i, row in enumerate(vecs):
+                if row is not None and len(row) == d:
+                    v[i] = row
+                    ok[i] = True
+            dots = v @ m.T
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            denom = v_norm[:, None] * m_norm[None, :]
+            safe = (denom > 0) & ok[:, None]
+            cos = np.where(safe, dots / np.where(denom > 0, denom, 1.0), -2.0)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            rep = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
+            rep["cell_id"] = ids_arr[order].ravel()
+            yield rep
 
-    topn = F.slice(F.array_sort(scored, cmp), 1, n_probe)
-    return (
-        fan_out(vectors).withColumn("_probe", F.explode(topn))
-        .withColumn("cell_id", F.col("_probe.cell_id"))
-        .drop("_probe")
-    )
+    return base.mapInPandas(_assign, schema=out_schema)
 
 
 def ivf_topk(
@@ -161,18 +202,14 @@ def ivf_topk(
     cosine within candidates. Same output shape as cosine_topk."""
     if centroids is None:
         centroids = train_centroids(corpus, vec_col=vec_col, seed_col=seed_col)
-    # materialize the (tiny) centroid table ONCE: assign_cells collects
-    # it, and collecting a lazy plan twice would re-run the whole Lloyd
-    # training job for each of the two assignment calls below
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        centroids.collect(), schema=centroids.schema
-    )
+    # collect the quantizer ONCE (collecting a lazy plan twice would
+    # re-run the whole Lloyd training job for each assignment call)
+    cents = _collect_centroid_matrix(centroids)
     corpus_cells = assign_cells(
-        corpus.select(corpus_id, vec_col), centroids, vec_col, n_probe=1
+        corpus.select(corpus_id, vec_col), cents, vec_col, n_probe=1
     )
     query_cells = assign_cells(
-        queries.select(query_id, vec_col), centroids, vec_col, n_probe=n_probe
+        queries.select(query_id, vec_col), cents, vec_col, n_probe=n_probe
     ).select(query_id, F.col(vec_col).alias("_qvec"), "cell_id")
     # dedup candidate ids BEFORE the cosine so multi-probe duplicates
     # never pay the O(dim) fold twice (duplicate rows carry identical
