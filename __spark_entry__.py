@@ -1160,6 +1160,45 @@ def _q_dhash_pairs(spark, sf_dir):
     return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_png_decode(spark, sf_dir):
+    """REAL compressed-raster decode (multimodal.png_decode_pixels):
+    48 genuine PNGs (stdlib-zlib IDAT, all five scanline filters, gray
+    + RGB) decoded to pixels inside the Arrow pass; output is exact
+    integer luma statistics + the decoded-pixel dHash. The oracle
+    re-decodes every payload with an INDEPENDENT pure-Python
+    implementation (byte-list scanline recurrences, no numpy) and
+    freezes the expected rows into VALUES — same zlib stream, two
+    decoders, hash-exact agreement."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_png_media_rows(), mm.MEDIA_SCHEMA
+    )
+    stats = mm.image_luma_stats_df(media)
+    hashes = mm.image_dhash_df(media)
+    return stats.join(hashes, "media_id").select(
+        "media_id", "width", "height", "luma_sum", "n_px", "dhash"
+    )
+
+
+def _q_png_dhash_pairs(spark, sf_dir):
+    """Decoded-pixel image dedup over REAL PNGs
+    (multimodal.dhash_near_pairs ∘ png_decode_pixels): ids 32..39 are
+    byte-different RE-ENCODES of 0..7 (different filter regime, same
+    pixels — must land at Hamming 0: the re-encode dedup claim); ids
+    40..47 perturb sampled pixels of 8..15 (small nonzero Hamming).
+    The oracle brute-forces all C(48,2) pairs with the independent
+    pure-Python decoder + an independently-written dHash."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_png_media_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _pld_host(doc_id):
     """Six host shapes covering every branch of the eTLD+1 algorithm:
     2-label ccTLD registry, deep subdomain, private platform suffix,
@@ -5395,6 +5434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "mirror_hosts": _q_mirror_hosts,
         "dhash_pairs": _q_dhash_pairs,
+        "png_decode": _q_png_decode,
+        "png_dhash_pairs": _q_png_dhash_pairs,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -5656,6 +5697,149 @@ def _dhash_oracle_sql() -> str:
             f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
         )
     return _ORACLE_CACHE["dhash"]
+
+
+def _oracle_png_decode(b: bytes) -> list:
+    """INDEPENDENT pure-Python PNG decode for the oracle side: byte
+    lists and the spec's scanline recurrences written directly (no
+    numpy, no code shared with multimodal.png_decode_pixels beyond the
+    stdlib zlib call both must make). Returns the luma grid as a list
+    of row lists."""
+    import struct
+    import zlib
+
+    assert b[:8] == b"\x89PNG\r\n\x1a\n", "oracle: not a PNG"
+    pos, hdr, idat = 8, None, b""
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    w, h, depth, color, _c, _f, _i = hdr
+    assert depth == 8 and color in (0, 2, 6)
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    prev = [0] * stride
+    grid = []
+    p = 0
+    for _r in range(h):
+        ft = raw[p]
+        cur = raw[p + 1:p + 1 + stride]
+        p += 1 + stride
+        rec = [0] * stride
+        for i in range(stride):
+            a = rec[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            x = cur[i]
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + a
+            elif ft == 2:
+                v = x + up
+            elif ft == 3:
+                v = x + (a + up) // 2
+            else:
+                pp = a + up - c
+                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    up if pb <= pc else c
+                )
+                v = x + pred
+            rec[i] = v & 0xFF
+        prev = rec
+        if ch == 1:
+            grid.append(list(rec))
+        else:
+            grid.append(
+                [
+                    (
+                        rec[i * ch] * 299
+                        + rec[i * ch + 1] * 587
+                        + rec[i * ch + 2] * 114
+                    )
+                    // 1000
+                    for i in range(w)
+                ]
+            )
+    return grid
+
+
+def _oracle_dhash(grid: list) -> int:
+    """Independently-written dHash over a list-of-lists luma grid:
+    bit k (LSB-first) = sampled(row k//8, col k%8 + 1) > sampled(row
+    k//8, col k%8), floor-index sampling — the documented bit layout
+    of multimodal.dhash64, re-derived without numpy. Returns the
+    UNSIGNED 64-bit value."""
+    h, w = len(grid), len(grid[0])
+    ri = [(r * h) // 8 for r in range(8)]
+    ci = [(c * w) // 9 for c in range(9)]
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[ri[r]][ci[c + 1]] > grid[ri[r]][ci[c]]:
+                val |= 1 << (r * 8 + c)
+    return val
+
+
+def _png_oracle_rows() -> list:
+    """(media_id, w, h, luma_sum, n_px, dhash_unsigned) for every
+    planted PNG, via the independent decoder + independent dHash."""
+    if "png_rows" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_png_media_rows,
+        )
+
+        out = []
+        for media_id, _kind, payload, _meta in planted_png_media_rows():
+            grid = _oracle_png_decode(bytes(payload))
+            h, w = len(grid), len(grid[0])
+            out.append(
+                (
+                    media_id,
+                    w,
+                    h,
+                    sum(sum(row) for row in grid),
+                    h * w,
+                    _oracle_dhash(grid),
+                )
+            )
+        _ORACLE_CACHE["png_rows"] = out
+    return _ORACLE_CACHE["png_rows"]
+
+
+def _png_decode_oracle_sql() -> str:
+    rows = ",\n              ".join(
+        f"({mid}, {w}, {h}, {ls}, {npx}, "
+        f"{dh - (1 << 64) if dh >= (1 << 63) else dh})"
+        for mid, w, h, ls, npx, dh in _png_oracle_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(media_id, width, height, luma_sum, n_px, dhash)"
+    )
+
+
+def _png_dhash_oracle_sql() -> str:
+    hashes = [(mid, dh) for mid, _w, _h, _ls, _npx, dh in _png_oracle_rows()]
+    values = []
+    for ai in range(len(hashes)):
+        for bi in range(ai + 1, len(hashes)):
+            id_a, h_a = hashes[ai]
+            id_b, h_b = hashes[bi]
+            d = bin(h_a ^ h_b).count("1")
+            if d <= 3:
+                values.append(f"({id_a}, {id_b}, {d})")
+    rows = ",\n              ".join(values)
+    return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
 
 
 def _psl_values_sql() -> str:
@@ -9060,6 +9244,8 @@ def oracle_sql() -> dict[str, str]:
               AND shared * 100 // least(sa.n_keys, sb.n_keys) >= 80
         """,
         "dhash_pairs": _dhash_oracle_sql(),
+        "png_decode": _png_decode_oracle_sql(),
+        "png_dhash_pairs": _png_dhash_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

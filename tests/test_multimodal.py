@@ -241,3 +241,92 @@ class TestAudioFingerprint:
         # exactly the 8 volume-scaled replays, all at distance 0
         assert sorted(got) == [(i, i + 48) for i in range(8)]
         assert set(got.values()) == {0}
+
+
+class TestPngCodec:
+    """REAL stdlib PNG decode (multimodal.build_png / png_decode_pixels)."""
+
+    def test_roundtrip_every_filter_gray(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        for shape in [(16, 16), (5, 3), (1, 1), (7, 23)]:
+            g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for filters in ([0], [1], [2], [3], [4], None, [4, 3, 2, 1, 0]):
+                p = mm.build_png(g, filters=filters)
+                assert (mm.png_decode_pixels(p) == g).all(), (shape, filters)
+
+    def test_rgb_decodes_to_integer_luma(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(12)
+        g = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        lum = (
+            g[:, :, 0].astype(int) * 299
+            + g[:, :, 1].astype(int) * 587
+            + g[:, :, 2].astype(int) * 114
+        ) // 1000
+        assert (mm.png_decode_pixels(mm.build_png(g)) == lum).all()
+
+    def test_reencode_same_pixels_same_dhash_different_bytes(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(13)
+        g = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+        p1 = mm.build_png(g, filters=[1])
+        p2 = mm.build_png(g, filters=[4, 2])
+        assert p1 != p2
+        assert mm.dhash64(mm.png_decode_pixels(p1)) == mm.dhash64(
+            mm.png_decode_pixels(p2)
+        )
+
+    def test_corrupt_and_unsupported_raise(self):
+        import pytest as _pytest
+
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        with _pytest.raises(ValueError, match="magic"):
+            mm.png_decode_pixels(b"not a png")
+        g = np.zeros((4, 4), dtype=np.uint8)
+        good = bytearray(mm.build_png(g))
+        good[40] ^= 1  # flip a payload byte -> CRC mismatch
+        with _pytest.raises(ValueError, match="CRC"):
+            mm.png_decode_pixels(bytes(good))
+        with _pytest.raises(ValueError, match="truncated"):
+            mm.png_decode_pixels(mm.build_png(g)[:-6])
+        with _pytest.raises(NotImplementedError):
+            mm.compressed_raster_decoder(b"\xff\xd8jpegdata", {})
+
+    def test_end_to_end_spark_pipeline_on_real_pixels(self, spark):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        mm.clear_decoders()
+        mm.register_decoder("image", mm.compressed_raster_decoder)
+        rows = mm.planted_png_media_rows()
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        stats = {
+            r["media_id"]: r
+            for r in mm.image_luma_stats_df(media).collect()
+        }
+        for mid, _k, payload, meta in rows:
+            grid = mm.png_decode_pixels(payload)
+            assert stats[mid]["width"] == meta["width"]
+            assert stats[mid]["height"] == meta["height"]
+            assert stats[mid]["luma_sum"] == int(grid.astype(np.int64).sum())
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in mm.dhash_near_pairs(media, max_hamming=3).collect()
+        }
+        # the 8 re-encodes land at exactly Hamming 0
+        for i in range(8):
+            assert pairs.get((i, i + 32)) == 0

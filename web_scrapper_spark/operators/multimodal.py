@@ -3,15 +3,20 @@
 Media payloads are opaque ``binary`` columns + typed metadata structs —
 the same shape the pages table uses for ``html``. The Spark-side
 plumbing here is real and tested: schemas, Arrow batch flow through
-``mapInPandas``, partition-preserving transforms. The codec layer is
-STUBBED (this container ships no image/audio libraries): decoding
-dispatches to a pluggable decoder, with
+``mapInPandas``, partition-preserving transforms. Decoding dispatches
+to a pluggable decoder registry:
 
-- ``NotImplementedError`` when no decoder is registered (the honest
-  production default — plug Pillow/torchaudio/pyav on a real cluster),
-- a deterministic fake decoder used by tests and fixtures, which
-  derives pixel/sample data from md5 of the payload so every stage
-  downstream of decode is fully exercised.
+- **PNG decode is REAL** (:func:`png_decode_pixels` /
+  :func:`compressed_raster_decoder`): stdlib-``zlib`` inflate of the
+  IDAT stream, all five scanline filters undone per the PNG spec,
+  8-bit gray/RGB/RGBA → luma grid. :func:`build_png` is the matching
+  encoder, so fixtures ship genuine compressed rasters end-to-end.
+- ``NotImplementedError`` for formats whose codecs aren't in this
+  container (JPEG/GIF pixel data — plug Pillow/torchaudio/pyav on a
+  real cluster and ``register_decoder``),
+- a deterministic fake decoder used by some tests/fixtures, which
+  derives pixel data from md5 of the payload so every stage
+  downstream of decode is exercised independently of any codec.
 """
 
 from __future__ import annotations
@@ -571,3 +576,313 @@ def planted_wav_media_rows(n: int = 64) -> list:
             )
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# PNG codec — REAL pixels from stdlib zlib (no codec library)
+# ---------------------------------------------------------------------------
+# PNG is the one compressed raster decodable with nothing but the
+# standard library: the IDAT stream is zlib, and the only other work is
+# the five scanline filters (RFC 2083 §6). This converts the former
+# honest stub into a working end-to-end image path over GENUINE
+# compressed bytes, matching what the audio leg does with RIFF/PCM.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a, b, c):
+    """Paeth predictor (PNG spec §6.6), vectorized over int16 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def build_png(pixels, filters=None, level: int = 6) -> bytes:
+    """A real PNG encoder: 8-bit grayscale (2-D input) or RGB (h×w×3
+    input), per-scanline filter types from ``filters`` (cycled; default
+    ``[0,1,2,3,4]`` so every filter appears), zlib-compressed IDAT,
+    CRC-correct chunks. Pure function — shared by fixtures, tests, and
+    the driver-oracle builder, and byte-level verifiable by any
+    external PNG reader."""
+    import struct
+    import zlib
+
+    g = np.asarray(pixels, dtype=np.uint8)
+    if g.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = g.shape
+    elif g.ndim == 3 and g.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = g.shape[:2]
+    else:
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+    bpp = channels
+    raw = bytearray()
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * channels, dtype=np.int16)
+    for r in range(h):
+        line = g[r].reshape(-1).astype(np.int16)
+        ft = int(filters[r % len(filters)])
+        if ft not in (0, 1, 2, 3, 4):
+            raise ValueError(f"bad filter type {ft}")
+        left = np.concatenate([zero, line[:-bpp]]) if w * channels > bpp \
+            else np.zeros_like(line)
+        ul = np.concatenate([zero, prev[:-bpp]]) if w * channels > bpp \
+            else np.zeros_like(prev)
+        if ft == 0:
+            out = line
+        elif ft == 1:
+            out = line - left
+        elif ft == 2:
+            out = line - prev
+        elif ft == 3:
+            out = line - (left + prev) // 2
+        else:
+            out = line - _paeth_predict(left, prev, ul)
+        raw.append(ft)
+        raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_pixels(payload: bytes) -> "np.ndarray":
+    """REAL PNG decode with the standard library only: chunk walk with
+    CRC verification, IDAT concatenation + zlib inflate, the five
+    scanline filters undone (Sub via per-lane cumulative sums, Up
+    vectorized, Average/Paeth per the spec's left/up recurrences),
+    8-bit gray/RGB/RGBA → uint8 luma grid (integer ITU-R 601 weights
+    ``(299 r + 587 g + 114 b) // 1000`` so the result is engine-exact).
+    Unsupported shapes (16-bit, palette, interlaced) and corrupt
+    streams raise ``ValueError`` with a reason."""
+    import struct
+    import zlib
+
+    b = payload or b""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated chunk")
+        data = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not ended:
+        raise ValueError("truncated chunk stream (no IEND)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if color not in (0, 2, 6):
+        raise ValueError(f"unsupported color type {color}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad compression/filter method")
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("pixel data length mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    for r in range(h):
+        ft = int(arr[r * (1 + stride)])
+        line = arr[r * (1 + stride) + 1:(r + 1) * (1 + stride)].astype(
+            np.int32
+        )
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            # Sub: rec[i] = line[i] + rec[i-bpp] — a per-lane running
+            # sum mod 256, so cumsum per channel lane is exact
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft == 3:
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else c
+                )
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    if channels == 1:
+        return out.reshape(h, w)
+    px = out.reshape(h, w, channels).astype(np.int32)
+    luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return luma.astype(np.uint8)
+
+
+def compressed_raster_decoder(payload: bytes, meta: dict) -> "np.ndarray":
+    """The production ``image`` decoder: REAL pixels for PNG via
+    :func:`png_decode_pixels`; other compressed rasters (JPEG/GIF)
+    still raise ``NotImplementedError`` — their codecs aren't in this
+    container, and a loud error beats silently fake pixels."""
+    b = payload or b""
+    if b[:8] == PNG_MAGIC:
+        return png_decode_pixels(b)
+    raise NotImplementedError(
+        "compressed_raster_decoder: only PNG is decodable with the "
+        "standard library; register a codec-backed decoder (Pillow) "
+        "for JPEG/GIF pixels"
+    )
+
+
+def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
+    """Deterministic REAL-PNG fixture for the decoded-pixel dedup
+    queries. Base images (gray and RGB, md5-chain pixels, five filter
+    regimes) fill ids ``0..period-1``; ids ``period..period+7`` are
+    byte-DIFFERENT re-encodes of ids 0..7 (different filter choice,
+    same pixels — dHash must land at Hamming 0: the re-encode dedup
+    claim); later ids replay ``i - period`` with ``i % 3 + 1`` sampled
+    pixels inverted (small, nonzero Hamming). Pure function shared by
+    the Spark query and the driver-oracle brute-force builder."""
+
+    def base_pixels(i: int) -> "np.ndarray":
+        h = 16 + (i % 3) * 8
+        w = 16 + (i % 5) * 8
+        rgb = i % 4 == 3
+        count = h * w * (3 if rgb else 1)
+        chunk = hashlib.md5(f"png{i}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < count:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        a = np.frombuffer(bytes(vals[:count]), dtype=np.uint8)
+        return a.reshape((h, w, 3) if rgb else (h, w)).copy()
+
+    def perturb(g: "np.ndarray", k: int) -> "np.ndarray":
+        # invert k pixels AT dHash sample positions so the hash moves
+        # by a small, nonzero number of bits
+        g = g.copy()
+        h, w = g.shape[:2]
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(9) * w) // 9
+        for j in range(k):
+            g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
+        return g
+
+    rows = []
+    for i in range(n):
+        if i < period:
+            px = base_pixels(i)
+            filters = [i % 5]
+        elif i < period + 8:
+            px = base_pixels(i - period)
+            filters = [(i + 2) % 5, (i + 3) % 5]
+        else:
+            px = perturb(base_pixels(i - period), i % 3 + 1)
+            filters = [i % 5]
+        payload = build_png(px, filters=filters)
+        rows.append(
+            (
+                i,
+                "image",
+                payload,
+                {
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "codec": "png",
+                },
+            )
+        )
+    return rows
+
+
+IMAGE_LUMA_STATS_SCHEMA = (
+    "media_id long, width int, height int, luma_sum long, n_px long"
+)
+
+
+def image_luma_stats_df(media: DataFrame) -> DataFrame:
+    """decode → exact integer luma statistics, one Arrow pass: (width,
+    height, Σ luma, pixel count) per image — the all-integer companion
+    to :func:`image_features_df` (whose mean_luma is a float): every
+    column is engine-exact, so decoded REAL pixels can sit behind a
+    hash-exact oracle. Payload bytes are read once and never shuffled."""
+    decoders = dict(_DECODERS)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                grid = _decode(decoders, kind, payload, meta).astype(np.int64)
+                h, w = grid.shape
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "luma_sum": int(grid.sum()),
+                        "n_px": h * w,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "luma_sum", "n_px"],
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        run, schema=IMAGE_LUMA_STATS_SCHEMA
+    )
