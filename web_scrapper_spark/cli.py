@@ -755,6 +755,57 @@ def job_run_now(jobs_dir, job_id, epochs, epoch_seconds, cpus, robots, force) ->
             spark.stop()
 
 
+@job.command("daemon")
+@click.option("--jobs-dir", "-j", required=True, type=str)
+@click.option("--cpus", type=int, default=8)
+@click.option("--epochs-per-firing", type=int, default=1)
+@click.option("--max-instances", type=int, default=3,
+              help="concurrent runs of ONE job before firings skip")
+@click.option("--max-firings", type=int, default=None,
+              help="exit after this many firing attempts (default: run "
+                   "until interrupted)")
+@click.option("--for-seconds", type=float, default=None,
+              help="exit after this much wall-clock")
+def job_daemon(jobs_dir, cpus, epochs_per_firing, max_instances,
+               max_firings, for_seconds) -> None:
+    """Start-and-leave-running scheduler loop (T1; the reference's
+    BackgroundScheduler+CronTrigger): sleeps to each active job's next
+    cron firing, fires run_now on a worker thread, honors pause at
+    fire time, skips past max-instances stacking. Ctrl-C exits."""
+    import time as _time
+
+    from .schedulers import JobError
+    from .schedulers.daemon import JobDaemon
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        daemon = JobDaemon(
+            _registry(jobs_dir),
+            spark_factory=lambda: spark,
+            max_instances=max_instances,
+            epochs_per_firing=epochs_per_firing,
+        )
+        until = (
+            _time.time() + for_seconds if for_seconds is not None else None
+        )
+        try:
+            report = daemon.run(max_firings=max_firings, until_ts=until)
+        except KeyboardInterrupt:
+            daemon.stop()
+            report = {
+                "fired": len(daemon.fired),
+                "skipped": len(daemon.skipped),
+                "interrupted": True,
+            }
+        click.echo(json.dumps(report))
+    except JobError as err:
+        click.echo(f"job error: {err}", err=True)
+        sys.exit(2)
+    finally:
+        if _owned:
+            spark.stop()
+
+
 @cli.command()
 @click.option("--store", "-s", "store_dir", required=True, type=str)
 def report(store_dir) -> None:

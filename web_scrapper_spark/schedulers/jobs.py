@@ -104,6 +104,10 @@ class JobRegistry:
             raise JobError(f"configuration file not found: {config_path}")
         bind_job(load_config(config_path))  # raises ConfigError if invalid
         self._validate_notify(email, webhook)
+        if cron_expression is not None:
+            from .daemon import parse_cron  # lazy: daemon imports jobs
+
+            parse_cron(cron_expression)  # fail at create, not first firing
         job_id = str(uuid.uuid4())
         with self._locked():
             jobs = self._load()
@@ -168,6 +172,10 @@ class JobRegistry:
             raise JobError(f"unknown job fields: {sorted(unknown)}")
         job = self.get(job_id)
         self._validate_notify(changes.get("email"), changes.get("webhook"))
+        if changes.get("cron_expression") is not None:
+            from .daemon import parse_cron
+
+            parse_cron(changes["cron_expression"])
         if "config_path" in changes:
             if not os.path.exists(changes["config_path"]):
                 raise JobError(
