@@ -842,3 +842,83 @@ class TestSearchCliLike:
             ["analyze", "search", "-i", dpath, "-q", "x", "--like", "1"],
         )
         assert both.exit_code != 0
+
+
+class TestSearchFromStoreCli:
+    """analyze search --from-store: mid-crawl retrieval from the
+    incremental index (cfg.index_articles) without a rebuild."""
+
+    def test_from_store_serves_queries(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        from pyspark.sql import functions as F
+
+        import web_scrapper_spark.cli as cli_mod
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures import (
+            SiteSpec,
+            pages_dataframe,
+            robots_dataframe,
+            seed_urls,
+        )
+        from web_scrapper_spark.frontier.store import SnapshotStore
+
+        spec = SiteSpec(n_hosts=2, n_articles=24, blog_page_size=8)
+        store_dir = str(tmp_path / "store")
+        engine = CrawlEngine(
+            spark, SnapshotStore(store_dir), pages_dataframe(spark, spec),
+            robots_dataframe(spark, spec),
+            CrawlConfig(index_articles=True),
+        )
+        engine.init([(u, "content") for u in seed_urls(spec)])
+        engine.run(max_epochs=20)
+        # query a term that provably exists: the index's highest-df term
+        idx = engine.search_index()
+        term = (
+            idx["postings"].orderBy(F.desc("df"), "term").limit(1)
+            .collect()[0]["term"]
+        )
+
+        real_stop = spark.stop
+        spark.stop = lambda: None
+        try:
+            cli_mod._spark = lambda cpus: spark
+            runner = CliRunner()
+            r = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "-q", term, "--topk", "3", "--cpus", "4"],
+            )
+            assert r.exit_code == 0, r.output
+            rows = _json.loads(r.output.strip())
+            assert len(rows) == 3
+            assert rows[0]["rank"] == 1 and rows[0]["score_u"] > 0
+
+            # usage guards: -i XOR --from-store; no --like/--anchors
+            both = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "-i", "x", "--from-store", store_dir,
+                 "-q", "a"],
+            )
+            assert both.exit_code != 0
+            like = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "--like", "1"],
+            )
+            assert like.exit_code != 0
+
+            # a store with no index refuses loudly
+            bare = str(tmp_path / "bare")
+            SnapshotStore(bare)
+            none = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", bare, "-q", "a",
+                 "--cpus", "4"],
+            )
+            assert none.exit_code == 2
+            assert "no incremental index" in none.output
+        finally:
+            spark.stop = real_stop

@@ -1068,3 +1068,71 @@ def test_canonical_url_col_garbage_passes_through_raw(spark):
     }
     assert got["http://h.org/sp ace"] == "http://h.org/sp ace"  # raw
     assert got["http://OK.org/a"] == "http://ok.org/a"
+
+
+def test_incremental_index_equals_batch_build(spark, tmp_path):
+    """cfg.index_articles: after k epochs of run_epoch, the merged-on-
+    read search index is IDENTICAL to a from-scratch batch build over
+    the same docs — the postings_merge contract (merge(build(A),
+    build(B)) == build(A ∪ B)) exercised end-to-end through the crawl
+    loop, plus a live BM25 query served mid-crawl from the index."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.operators.textops import (
+        bm25_search,
+        build_postings,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(index_articles=True)
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    assert results[-1]["done"]
+    # shards were appended across MULTIPLE epochs (else this tests
+    # nothing incremental)
+    n_shards = len(store.committed_ids("index_shards"))
+    assert n_shards >= 2
+
+    idx = engine.search_index()
+    assert idx is not None
+
+    docs = (
+        engine.articles(merged=False)
+        .filter(F.col("row_kind") == "full")
+        .select(
+            F.xxhash64("src_url").alias("doc_id"),
+            F.coalesce(F.col("content"), F.lit("")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    assert n > 10
+    assert idx["n_docs"] == n
+    batch = build_postings(
+        docs, n_docs=n, include_dls=True, block_size=cfg.index_block_size
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"],
+                tuple(r["doc_ids"]), tuple(r["tfs"]), tuple(r["dls"]),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(idx["postings"]) == canon(batch)
+
+    # the index actually serves queries mid-crawl
+    queries = spark.createDataFrame(
+        [(1, "the and a")], "query_id long, text string"
+    )
+    hits = bm25_search(
+        idx["postings"], queries, idx["n_docs"], idx["t_tokens"], k=5
+    ).collect()
+    assert len(hits) > 0

@@ -820,7 +820,15 @@ if __name__ == "__main__":
 
 
 @analyze.command("search")
-@_with_io
+@click.option("--input", "-i", "in_path", default=None, type=str,
+              help="parquet documents table (builds the index fresh)")
+@click.option("--from-store", "store_dir", default=None, type=str,
+              help="serve from a crawl store's INCREMENTAL index "
+                   "(cfg.index_articles crawls) — no rebuild, no "
+                   "re-tokenization; doc_id = xxhash64(page url)")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--cpus", default=0, type=int, help="cores (default: all)")
 @click.option("--query", "-q", "query_strs", multiple=True,
               help="query string (repeatable)")
 @click.option("--like", "like_ids", multiple=True, type=int,
@@ -832,12 +840,13 @@ if __name__ == "__main__":
                    "fielded ranking (w_anchor=2)")
 @click.option("--min-df", default=1, show_default=True, type=int)
 @click.option("--max-df-ppm", default=1_000_000, show_default=True, type=int)
-def analyze_search(in_path, id_col, text_col, cpus, query_strs, like_ids,
-                   topk, anchors_path, min_df, max_df_ppm) -> None:
+def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
+                   like_ids, topk, anchors_path, min_df, max_df_ppm) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
-    More-Like-This document similarity."""
+    More-Like-This document similarity; with --from-store, serves
+    mid-crawl from a store's incremental index."""
     from pyspark.sql import functions as F
 
     from .operators.textops import (
@@ -848,12 +857,56 @@ def analyze_search(in_path, id_col, text_col, cpus, query_strs, like_ids,
         more_like_this,
     )
 
+    if bool(in_path) == bool(store_dir):
+        raise click.UsageError("pass exactly one of -i/--input or --from-store")
     if bool(like_ids) == bool(query_strs):
         raise click.UsageError("pass either -q/--query or --like")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
+    if store_dir and (like_ids or anchors_path):
+        raise click.UsageError(
+            "--from-store serves -q queries only (--like/--anchors need "
+            "the corpus text)"
+        )
     spark, _owned = _own_spark(cpus)
     try:
+        if store_dir:
+            from .crawl.epoch import load_search_index
+            from .frontier.store import SnapshotStore
+
+            idx = load_search_index(
+                spark, SnapshotStore(store_dir),
+                min_df=min_df, max_df_ppm=max_df_ppm,
+            )
+            if idx is None:
+                click.echo(
+                    "store has no incremental index (crawl with "
+                    "index_articles enabled first)", err=True,
+                )
+                sys.exit(2)
+            qdf = spark.createDataFrame(
+                [(i + 1, q) for i, q in enumerate(query_strs)],
+                "query_id long, text string",
+            )
+            out = bm25_search(
+                idx["postings"], qdf, idx["n_docs"], idx["t_tokens"], k=topk
+            )
+            rows = out.orderBy("query_id", "rank").collect()
+            queries_by_id = {i + 1: q for i, q in enumerate(query_strs)}
+            click.echo(json.dumps(
+                [
+                    {
+                        "query": queries_by_id[r["query_id"]],
+                        "rank": r["rank"],
+                        "doc_id": r["doc_id"],
+                        "score_u": r["score_u"],
+                        "n_terms": r["n_terms"],
+                    }
+                    for r in rows
+                ],
+                indent=2,
+            ))
+            return
         docs = _analyze_docs(spark, in_path, id_col, text_col)
         if like_ids:
             out = more_like_this(

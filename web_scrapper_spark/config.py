@@ -141,6 +141,11 @@ class BoundJob:
     respect_meta_robots: bool = False
     #: Heritrix maxOutlinks position cap; yaml key ``scraper.max_outlinks``
     max_outlinks: Optional[int] = None
+    #: incremental search-index maintenance: each epoch appends an
+    #: ungated postings shard over its new full-article pages, served
+    #: mid-crawl by ``analyze search --from-store``; yaml key
+    #: ``scraper.index_articles``
+    index_articles: bool = False
     #: freshness-driven revisit scheduling (CrawlEngine.enqueue_revisits);
     #: yaml key ``scraper.revisit`` — a mapping with optional keys
     #: epoch_hours (int, default 24), default_hours (int, default 168),
@@ -165,6 +170,7 @@ class BoundJob:
             content_seen_filter=self.content_seen,
             respect_meta_robots=self.respect_meta_robots,
             max_outlinks_per_page=self.max_outlinks,
+            index_articles=self.index_articles,
         )
 
 
@@ -276,6 +282,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         ),
         content_seen=bool(scraper.get("content_seen", False)),
         respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
+        index_articles=bool(scraper.get("index_articles", False)),
         max_outlinks=(
             int(scraper["max_outlinks"])
             if scraper.get("max_outlinks") is not None

@@ -220,6 +220,18 @@ class CrawlConfig:
     # magnitude fatter than a frontier row — Iceberg sizes files by
     # bytes; this is the row-count equivalent for fat rows)
     write_rows_per_file_wide: Optional[int] = 64_000
+    # incremental search-index maintenance: after each articles commit,
+    # build an UNGATED postings shard over the epoch's NEWLY-indexed
+    # full-article pages (doc_id = xxhash64(src_url), text = the
+    # byte-identical content column) and append it + its norms rows as
+    # index_shards / index_doclens deltas. search_index() merges on
+    # read with the global df gates — merge(build(A), build(B)) ==
+    # build(A ∪ B) EXACTLY (the postings_merge contract), so a
+    # mid-crawl index equals the from-scratch batch build without ever
+    # re-tokenizing old epochs. Off by default (costs one tokenize
+    # pass over each epoch's new articles).
+    index_articles: bool = False
+    index_block_size: int = 1024
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -227,6 +239,46 @@ class CrawlConfig:
     )
     ecommerce: EcommerceConfig = field(default_factory=EcommerceConfig)
     business: BusinessConfig = field(default_factory=BusinessConfig)
+
+
+def load_search_index(
+    spark: SparkSession,
+    store: "SnapshotStore",
+    *,
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+    block_size: int = 1024,
+    as_of_epoch: Optional[int] = None,
+) -> Optional[Dict]:
+    """Store-standalone search-index load: merge the per-epoch UNGATED
+    ``index_shards`` deltas (written by ``cfg.index_articles`` crawls)
+    with the global df gates applied at merge time. Used by
+    :meth:`CrawlEngine.search_index` and by ``analyze search
+    --from-store`` (query a crawl's index without an engine, without a
+    rebuild). Returns ``{postings, doc_lens, n_docs, t_tokens}`` or
+    None when the store has no indexed epochs. ``block_size`` must
+    match the writing crawl's ``cfg.index_block_size``."""
+    from ..operators.textops import merge_postings
+
+    shards = store.read_committed(spark, "index_shards", as_of_epoch)
+    dls = store.read_committed(spark, "index_doclens", as_of_epoch)
+    if shards is None or dls is None:
+        return None
+    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
+    postings = merge_postings(
+        [shards],
+        min_df=min_df,
+        max_df_ppm=max_df_ppm,
+        n_docs=n_docs,
+        block_size=block_size,
+    )
+    return {
+        "postings": postings,
+        "doc_lens": dls,
+        "n_docs": n_docs,
+        "t_tokens": t_tokens,
+    }
 
 
 class CrawlEngine:
@@ -588,6 +640,78 @@ class CrawlEngine:
     def businesses(self, as_of_epoch: Optional[int] = None) -> Optional[DataFrame]:
         cap = self._epoch if as_of_epoch is None else as_of_epoch
         return self.store.read_committed(self.spark, "businesses", cap)
+
+    # -- incremental search index (cfg.index_articles) -----------------
+    def _commit_index_shard(self, articles_out: DataFrame, epoch: int) -> Dict:
+        """Append this epoch's UNGATED postings shard + norms rows.
+
+        Doc grain = full-article pages (row_kind='full': one row per
+        fetched single-article page; listing rows index when their
+        article is fetched — how a crawler indexes), doc_id =
+        xxhash64(src_url), text = the byte-identical ``content``
+        column. Docs already in index_doclens (a revisit refetch) are
+        anti-joined out so shard doc sets stay DISJOINT — the
+        precondition of the merge ≡ batch-build contract. Only the
+        delta pays tokenization; the anti-join trades at doc-id grain
+        (16-byte rows), never text.
+        """
+        from ..operators.textops import build_postings, doc_lengths
+
+        docs = (
+            articles_out.filter(F.col("row_kind") == "full")
+            .select(
+                F.xxhash64("src_url").alias("doc_id"),
+                F.coalesce(F.col("content"), F.lit("")).alias("text"),
+            )
+            .dropDuplicates(["doc_id"])
+        )
+        prev = self.store.read_committed(self.spark, "index_doclens")
+        if prev is not None:
+            docs = docs.join(prev.select("doc_id"), "doc_id", "left_anti")
+        docs = docs.localCheckpoint(eager=True)  # count + 2 consumers
+        n_new = docs.count()
+        if not n_new:
+            return {}
+        shard = build_postings(
+            docs,
+            n_docs=n_new,
+            include_dls=True,
+            block_size=self.cfg.index_block_size,
+        )
+        dls = doc_lengths(docs)
+        return {
+            "index_shards": self.store.commit(
+                "index_shards", shard, epoch=epoch, mode="append"
+            ),
+            "index_doclens": self.store.commit(
+                "index_doclens", dls, epoch=epoch, mode="append"
+            ),
+        }
+
+    def search_index(
+        self,
+        *,
+        min_df: int = 1,
+        max_df_ppm: int = 1_000_000,
+        as_of_epoch: Optional[int] = None,
+    ) -> Optional[Dict]:
+        """The crawl's live search index, merged on read from the
+        per-epoch ungated shards with the df gates applied HERE, where
+        global document frequencies are finally known
+        (operators/textops.merge_postings: merge(build(A), build(B)) ≡
+        build(A ∪ B) exactly). Returns ``{postings, doc_lens, n_docs,
+        t_tokens}`` — the bm25_search inputs — or None before the
+        first indexed epoch. ``analyze search`` can serve queries
+        mid-crawl from this without re-tokenizing a single old epoch."""
+        cap = self._epoch if as_of_epoch is None else as_of_epoch
+        return load_search_index(
+            self.spark,
+            self.store,
+            min_df=min_df,
+            max_df_ppm=max_df_ppm,
+            block_size=self.cfg.index_block_size,
+            as_of_epoch=cap,
+        )
 
     def metrics(self) -> List[Dict]:
         return self.store.epoch_metrics()
@@ -967,6 +1091,10 @@ class CrawlEngine:
                 epoch=epoch,
                 mode="append",
             )
+            if cfg.index_articles and n_article_rows:
+                tables.update(
+                    self._commit_index_shard(articles_out, epoch)
+                )
         if product_rows is not None and noindex_src is not None:
             product_rows = product_rows.join(
                 F.broadcast(noindex_src), "src_url", "left_anti"
