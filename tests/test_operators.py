@@ -603,6 +603,76 @@ class TestSources:
         assert any("JDBC driver" in str(w.message) for w in caught)
         assert back.count() == 2
 
+    def test_sqlite_roundtrip_real_database(self, spark, tmp_path):
+        # S10's in-sandbox REAL leg: sqlite needs no jar. The written
+        # file must be a genuine sqlite database (verified by opening
+        # it with the stdlib directly), and the roundtrip preserves
+        # ints, floats, text, blobs and NULLs.
+        import sqlite3
+
+        from web_scrapper_spark.sources import read_any, write_any
+
+        df = spark.createDataFrame(
+            [(1, 1.5, "a", bytearray(b"\x00\x01"), None),
+             (2, None, "b", None, "x")],
+            "id long, score double, v string, payload binary, extra string",
+        )
+        path = str(tmp_path / "real.db")
+        write_any(df, path, "sqlite", table="items")
+        con = sqlite3.connect(path)
+        try:
+            rows = con.execute(
+                "SELECT id, score, v, payload, extra FROM items "
+                "ORDER BY id"
+            ).fetchall()
+        finally:
+            con.close()
+        assert rows[0] == (1, 1.5, "a", b"\x00\x01", None)
+        assert rows[1] == (2, None, "b", None, "x")
+        back = read_any(spark, path, "sqlite", table="items")
+        got = sorted(map(tuple, back.collect()))
+        assert got[0][0] == 1 and got[0][3] == bytearray(b"\x00\x01")
+        assert back.count() == 2
+        # append mode accumulates; query pushdown filters in sqlite
+        write_any(df, path, "sqlite", table="items", mode="append")
+        assert read_any(spark, path, "sqlite", table="items").count() == 4
+        one = read_any(
+            spark, path, "sqlite",
+            query="SELECT id FROM items WHERE id = 1",
+        )
+        assert one.count() == 2 and one.columns == ["id"]
+
+    def test_db_format_serves_sqlite_urls_without_jar(self, spark, tmp_path):
+        # 'db' + a sqlite url = the reference's DEFAULT engine, served
+        # for real (no warning, no parquet fallback)
+        import warnings as _warnings
+
+        from web_scrapper_spark.sources import read_any, write_any
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        url = f"sqlite:///{tmp_path}/ref.db"
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            write_any(df, url, "db", table="items")
+            back = read_any(spark, url, "database", table="items")
+        assert not [w for w in caught if "JDBC" in str(w.message)]
+        assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+        # missing table still refuses loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="table"):
+            write_any(df, url, "db")
+
+    def test_sqlite_url_parsing(self):
+        from web_scrapper_spark.sources import sqlite_path_from_url
+
+        assert sqlite_path_from_url("sqlite:///rel/x.db") == "rel/x.db"
+        assert sqlite_path_from_url("sqlite:////abs/x.db") == "/abs/x.db"
+        assert sqlite_path_from_url("jdbc:sqlite:/a/b.db") == "/a/b.db"
+        assert sqlite_path_from_url("plain.sqlite3") == "plain.sqlite3"
+        assert sqlite_path_from_url("postgresql://h/db") is None
+        assert sqlite_path_from_url("/data/out.parquet") is None
+
     def test_jdbc_capability_probe_and_errors(self, spark):
         # the probe resolves real classpath classes and rejects absent
         # drivers; the explicit jdbc entry points fail fast with a

@@ -9,6 +9,7 @@ from .io import (
     write_any,
     write_jdbc,
 )
+from .sqlitedb import read_sqlite, sqlite_path_from_url, write_sqlite
 from .warc import (
     cdx_revisits,
     latest_captures,
@@ -29,7 +30,10 @@ __all__ = [
     "cdx_revisits",
     "read_warc",
     "read_warc_ranges",
+    "read_sqlite",
+    "sqlite_path_from_url",
     "write_any",
     "write_jdbc",
+    "write_sqlite",
     "write_warc",
 ]

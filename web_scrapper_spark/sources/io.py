@@ -6,9 +6,13 @@ Covers the reference's storage handlers Spark-natively:
 - S6/S7  JSON source/sink       → spark.read/write.json
 - S10    database source/sink   → spark.read/write.jdbc behind a
                                   capability probe (jdbc_driver_available);
-                                  no driver jar in this sandbox, so the
-                                  `db` format falls back to parquet WITH
-                                  a loud warning — never silently
+                                  sqlite urls (the reference's DEFAULT
+                                  engine) are served FOR REAL via the
+                                  stdlib (sources/sqlitedb.py,
+                                  driver-sized like xlsx/RSS); other
+                                  engines without a jar fall back to
+                                  parquet WITH a loud warning — never
+                                  silently
 - S11    query-pushdown loader  → select/where/orderBy/limit + OFFSET
                                   via a row_number window (the
                                   reference's only declarative surface,
@@ -39,6 +43,7 @@ _FORMAT_ALIASES = {
     "parquet": "parquet",
     "db": "db",
     "database": "db",
+    "sqlite": "sqlite",
     "excel": "xlsx",
     "xlsx": "xlsx",
     "xls": "xlsx",
@@ -159,14 +164,32 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
         from .excel import read_xlsx
 
         return read_xlsx(spark, path, sheet_name=options.get("sheet_name"))
+    if fmt == "sqlite":
+        from .sqlitedb import read_sqlite
+
+        return read_sqlite(
+            spark, path, table=options.get("table"),
+            query=options.get("query"),
+        )
     if fmt == "db":
         if jdbc_driver_available(spark, options.get("driver")) is not None:
             table = options.pop("table")
             return read_jdbc(spark, path, table, **options)
+        from .sqlitedb import read_sqlite, sqlite_path_from_url
+
+        sq = sqlite_path_from_url(path)
+        if sq is not None:
+            # sqlite needs no jar — stdlib serves the url FOR REAL
+            # (driver-sized; the reference's own default engine)
+            return read_sqlite(
+                spark, sq, table=options.get("table"),
+                query=options.get("query"),
+            )
         warnings.warn(
             "format 'db' requested but no JDBC driver is on the classpath; "
             f"reading {path!r} as PARQUET instead. Ship the driver jar via "
-            "spark.jars / --packages for a real database source.",
+            "spark.jars / --packages for a real database source (sqlite "
+            "urls are served natively via the stdlib).",
             stacklevel=2,
         )
         options.pop("table", None)
@@ -206,6 +229,17 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
 
         write_xlsx(df, path, sheet_name=options.get("sheet_name", "Sheet1"))
         return
+    if fmt == "sqlite":
+        from .sqlitedb import write_sqlite
+
+        table = options.get("table")
+        if not table:
+            raise ValueError("format 'sqlite' requires options['table']")
+        write_sqlite(
+            df, path, table,
+            mode=mode if mode in ("overwrite", "append") else "overwrite",
+        )
+        return
     if fmt == "db":
         if jdbc_driver_available(df.sparkSession, options.get("driver")) is not None:
             table = options.pop("table", None)
@@ -217,10 +251,30 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
                 )
             write_jdbc(df, path, table, mode=mode, **options)
             return
+        from .sqlitedb import sqlite_path_from_url, write_sqlite
+
+        sq = sqlite_path_from_url(path)
+        if sq is not None:
+            # sqlite needs no jar: the reference's DEFAULT engine is
+            # served for real by the stdlib (driver-sized — the
+            # reference's own per-job local-file usage)
+            table = options.get("table")
+            if not table:
+                raise ValueError(
+                    "format 'db' requires options['table'] (set "
+                    "scraper.output.table in the config)"
+                )
+            write_sqlite(
+                df, sq, table,
+                mode=mode if mode in ("overwrite", "append")
+                else "overwrite",
+            )
+            return
         warnings.warn(
             "format 'db' requested but no JDBC driver is on the classpath; "
             f"writing PARQUET to {path!r} instead. Ship the driver jar via "
-            "spark.jars / --packages for a real database sink.",
+            "spark.jars / --packages for a real database sink (sqlite "
+            "urls are served natively via the stdlib).",
             stacklevel=2,
         )
         options.pop("table", None)
