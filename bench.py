@@ -551,6 +551,20 @@ Reference baseline for context: the reference crawler is strictly
 sequential (≤1 URL in flight, 30 s timeout, declared 2 s delay — see
 /root/repo/BASELINE.md), i.e. well under 1 URL/sec against real
 sites; it publishes no benchmark numbers of its own.
+
+## Round-3 serial-fraction work (historical note)
+
+A per-phase Amdahl profile in round 3 located ~13.8 s of serialized
+driver time per frontier run (commit jobs on the critical path). Three
+changes moved pipeline_eff_8_to_32 from 0.407 to ~0.7: extraction
+commits made ASYNC on the epoch's commit pool (parquet writes overlap
+the candidate/frontier work and the other commits), the per-epoch
+article/link counts fused into one cached groupBy action, and the
+local[32] driver heap scaled to 24 g (8 g GC-thrashes at 32 threads).
+Post-change re-profiling shows the remaining serial time is the
+irreducible per-epoch manifest/commit fsync chain (already
+thread-overlapped) plus bus-saturated shuffle stages — the ceiling
+the no-Spark controls reproduce.
 """
 
 
