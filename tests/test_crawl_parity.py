@@ -1136,3 +1136,18 @@ def test_incremental_index_equals_batch_build(spark, tmp_path):
         idx["postings"], queries, idx["n_docs"], idx["t_tokens"], k=5
     ).collect()
     assert len(hits) > 0
+
+    # plan pin: the merged-on-read index NEVER re-tokenizes — no
+    # Python stage, no text column read; only the shard parquet
+    # (term/doc_ids/tfs/dls columns) enters the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        engine.search_index()["postings"].explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "html" not in line, line

@@ -173,6 +173,48 @@ class TestOracleMutation:
             monkeypatch,
         )
 
+    def test_cdc_family_pins_rolling_hash(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        from web_scrapper_spark.operators import cdc
+
+        real = cdc._hash60
+
+        def mutate(mp):
+            # a rolling-hash bug shifts every content-defined cut point
+            mp.setattr(cdc, "_hash60", lambda s: real(s) + 1)
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "cdc_chunks", mutate, monkeypatch,
+        )
+
+    def test_bpe_family_pins_merge_selection(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators import bpe
+
+        real = bpe._pair_counts
+
+        def mutate(mp):
+            # a pair-count bug biasing one symbol changes the argmax
+            # merge order, which cascades through the whole vocabulary
+            mp.setattr(
+                bpe,
+                "_pair_counts",
+                lambda wf: real(wf).withColumn(
+                    "freq",
+                    F.when(
+                        F.col("left") == "e", F.col("freq") + 5
+                    ).otherwise(F.col("freq")),
+                ),
+            )
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "bpe_learn", mutate, monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""
