@@ -568,15 +568,47 @@ sites; it publishes no benchmark numbers of its own.
 
 ## Round-3 serial-fraction work (historical note)
 
-A per-phase Amdahl profile in round 3 located ~13.8 s of serialized
-driver time per frontier run (commit jobs on the critical path). Three
-changes moved pipeline_eff_8_to_32 from 0.407 to ~0.7: extraction
-commits made ASYNC on the epoch's commit pool (parquet writes overlap
-the candidate/frontier work and the other commits), the per-epoch
-article/link counts fused into one cached groupBy action, and the
-local[32] driver heap scaled to 24 g (8 g GC-thrashes at 32 threads).
-Post-change re-profiling shows the remaining serial time is the
-irreducible per-epoch manifest/commit fsync chain (already
+A per-phase profile of the frontier epoch at 4.5M URLs (phases summed
+over the run, measured before the changes) located the non-scaling
+time:
+
+| phase | local[8] | local[32] | speedup (ideal 4×) |
+|---|---|---|---|
+| extract_commit | 17.35 s | 7.42 s | 2.34× |
+| dequeue        |  7.24 s | 3.96 s | 1.83× |
+| fetch          |  5.82 s | 4.16 s | 1.40× |
+| merge_commits  |  2.34 s | 2.21 s | 1.06× |
+| hot_carry      |  0.90 s | 1.00 s | flat |
+
+An Amdahl fit (t = s + c/n) put the serialized driver fraction at
+~13.8 s — commit jobs on the critical path. Four changes, all
+verified green against the crawl-parity suite and the oracle gate:
+
+1. Extraction commits made ASYNC on the epoch's commit pool (the
+   parquet writes overlap the candidate/frontier work and the other
+   commits; futures resolve together before commit_epoch).
+2. The per-epoch article/link counts fused into one cached groupBy
+   action on the common path.
+3. The local[32] driver heap scaled to 24 g (8 g GC-thrashes at 32
+   threads; neutral at local[8]).
+4. The cached pages fixture url-clustered (the Iceberg-bucketing
+   model) so the fetch join reshuffles only the batch side — +12%
+   frontier throughput at local[32], neutral at local[8].
+
+Measured across THREE independent 8→32 sweeps this round (co-tenant
+interference swings identical jobs 30-40% on this host, so the band
+is the honest number; every sample is interleaved best-of-N):
+
+| metric | round 2 | round-3 samples | round-3 band |
+|---|---|---|---|
+| pipeline_eff_8_to_32 | 0.407 | 0.705, 0.489, 0.573 | 0.49–0.71 |
+| frontier_eff_8_to_32 | 0.406 | 0.453, 0.533, 0.490 | 0.45–0.53 |
+| 32-core frontier URLs/sec | 291.8k | 344k, 371k, 320k | 320–371k |
+
+Every round-3 sample beats round 2 on both ratios, with the primary
+2→8 pairs holding ≥ 0.8 throughout. Post-change re-profiling shows
+the remaining serial time is the irreducible per-epoch
+manifest/commit fsync chain (~1.7-2.6 s/epoch, already
 thread-overlapped) plus bus-saturated shuffle stages — the ceiling
 the no-Spark controls reproduce.
 """
