@@ -3403,7 +3403,22 @@ def _q_host_moves(spark, sf_dir):
             F.lit(".org/"),
         ).alias("dst_url"),
     )
-    return host_moves(moves.unionByName(scatter))
+    # scheme-MISmatched "default" ports are genuinely non-default
+    # endpoints: https://q*.org:80 and http://q*.new.org:443 must keep
+    # their ports as distinct hosts (the round-3 review fix) — the
+    # ported host names land verbatim in the output rows, so a
+    # regression back to blanket :80/:443 stripping hash-reds here
+    ported = docs.filter(d % 11 == 0).select(
+        F.concat(
+            F.lit("https://q"), (d % 3).cast("string"),
+            F.lit(".org:80/p/"), d.cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://q"), (d % 3).cast("string"),
+            F.lit(".new.org:443/p/"), d.cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_moves(moves.unionByName(scatter).unionByName(ported))
 
 
 def _q_postings_merge(spark, sf_dir):
@@ -6800,16 +6815,41 @@ def oracle_sql() -> dict[str, str]:
                        || '.org/p/' || CAST(doc_id AS VARCHAR),
                      'http://z' || CAST(doc_id % 13 AS VARCHAR) || '.org/'
               FROM documents
-            ), pairs AS (
-              SELECT lower(regexp_replace(regexp_replace(
-                       regexp_extract(src_url,
-                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
-                       '^[^@]*@', ''), ':(80|443)$', '')) AS host,
-                     lower(regexp_replace(regexp_replace(
-                       regexp_extract(dst_url,
-                         '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
-                       '^[^@]*@', ''), ':(80|443)$', '')) AS dst_host
+              UNION ALL
+              SELECT 'https://q' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.org:80/p/' || CAST(doc_id AS VARCHAR),
+                     'http://q' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.new.org:443/p/' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 11 = 0
+            ), hp AS (
+              -- scheme-matched default-port strip: http drops :80,
+              -- https drops :443; a mismatched "default" port is a
+              -- real endpoint and survives
+              SELECT lower(regexp_extract(src_url,
+                       '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS s_scheme,
+                     regexp_replace(regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', '') AS s_hp,
+                     lower(regexp_extract(dst_url,
+                       '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS d_scheme,
+                     regexp_replace(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^[^@]*@', '') AS d_hp
               FROM edges
+            ), pairs AS (
+              SELECT lower(CASE
+                       WHEN s_scheme = 'http'
+                         THEN regexp_replace(s_hp, ':80$', '')
+                       WHEN s_scheme = 'https'
+                         THEN regexp_replace(s_hp, ':443$', '')
+                       ELSE s_hp END) AS host,
+                     lower(CASE
+                       WHEN d_scheme = 'http'
+                         THEN regexp_replace(d_hp, ':80$', '')
+                       WHEN d_scheme = 'https'
+                         THEN regexp_replace(d_hp, ':443$', '')
+                       ELSE d_hp END) AS dst_host
+              FROM hp
             ), counts AS (
               SELECT host, dst_host, CAST(count(*) AS BIGINT) AS n_to_dst
               FROM pairs WHERE host <> dst_host

@@ -1151,3 +1151,94 @@ def test_incremental_index_equals_batch_build(spark, tmp_path):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line and "html" not in line, line
+
+
+def test_commit_pool_shutdown_on_midpipeline_failure(spark, tmp_path, monkeypatch):
+    """Review fix (round 4): the epoch's async-commit pool is opened
+    inside a try/finally at creation, so an exception anywhere in the
+    frontier pipeline — AFTER extraction commits were submitted but
+    BEFORE their .result() — still shuts the pool down (queued futures
+    cancelled, running ones awaited) instead of leaking background
+    threads mid-write."""
+    import concurrent.futures as cf
+
+    from web_scrapper_spark.crawl import epoch as epoch_mod
+
+    created = []
+    real_pool = cf.ThreadPoolExecutor
+
+    class RecordingPool(real_pool):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            created.append(self)
+
+    monkeypatch.setattr(cf, "ThreadPoolExecutor", RecordingPool)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected mid-pipeline failure")
+
+    # robots_filter runs in the candidate pipeline ~150 lines after the
+    # first pool.submit — exactly the window the old code left uncovered
+    monkeypatch.setattr(epoch_mod, "robots_filter", boom)
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    pages = pages_dataframe(spark, SPEC)
+    engine = CrawlEngine(
+        spark, store, pages, robots_dataframe(spark, SPEC), CrawlConfig()
+    )
+    engine.init(_seeds())
+    with pytest.raises(RuntimeError, match="injected mid-pipeline"):
+        engine.run(max_epochs=2)
+    assert created, "commit pool never constructed — injection point moved?"
+    assert all(p._shutdown for p in created), "pool leaked on failure path"
+
+
+def test_from_store_index_recovers_writer_block_size(spark, tmp_path):
+    """Review fix (round 4): load_search_index(block_size=None) reads
+    the writing crawl's index_block_size back from the shard snapshot
+    metadata — a store written with a non-default block size merges
+    correctly without the reader knowing the number (the old CLI
+    hard-coded 1024 and violated load_search_index's own contract)."""
+    from web_scrapper_spark.crawl.epoch import load_search_index
+    from web_scrapper_spark.operators.textops import build_postings
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(index_articles=True, index_block_size=4)
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    engine.run(max_epochs=30)
+
+    # the stamp round-trips through the manifest
+    stamped = {
+        s["metrics"].get("block_size")
+        for s in store.snapshots("index_shards")
+    }
+    assert stamped == {4}
+
+    auto = load_search_index(spark, store)          # no block_size arg
+    explicit = load_search_index(spark, store, block_size=4)
+    assert auto is not None and explicit is not None
+
+    def canon(idx):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"],
+                tuple(r["doc_ids"]), tuple(r["tfs"]), tuple(r["dls"]),
+            )
+            for r in idx["postings"].collect()
+        )
+
+    got = canon(auto)
+    assert got == canon(explicit)
+    # the writer's size actually shaped the blocks: with block_size=4
+    # a common term spans multiple blocks, which the default-1024
+    # merge would have collapsed
+    assert any(row[2] > 0 for row in got), (
+        "no multi-block term — fixture too small to distinguish "
+        "block sizes"
+    )
+    wrong = load_search_index(spark, store, block_size=1024)
+    assert canon(wrong) != got

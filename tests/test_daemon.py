@@ -74,6 +74,27 @@ class TestCron:
         at = _ts(2026, 3, 4, 12, 0, 0)
         assert cron_next("0 12 * * *", at) == _ts(2026, 3, 5, 12, 0)
 
+    def test_dow_ranges_ending_in_seven(self):
+        """Review fix (round 4): '5-7' is valid Vixie cron for
+        Fri,Sat,Sun — the 7→0 fold must apply to PRODUCED values, not
+        to range endpoints (folding endpoints first turned 5-7 into
+        the inverted 5-0 and rejected the schedule)."""
+        assert parse_cron("* * * * 5-7")["dow"] == frozenset({5, 6, 0})
+        assert parse_cron("* * * * 0-7")["dow"] == frozenset(range(7))
+        assert parse_cron("* * * * 6-7")["dow"] == frozenset({6, 0})
+        # stepped range through 7: 1-7/2 = {1,3,5,7} -> {1,3,5,0}
+        assert parse_cron("* * * * 1-7/2")["dow"] == frozenset({1, 3, 5, 0})
+        # single 7 still folds; plain ranges unchanged
+        assert parse_cron("* * * * 7")["dow"] == frozenset({0})
+        assert parse_cron("* * * * 1-5")["dow"] == frozenset({1, 2, 3, 4, 5})
+        # next-firing walk agrees: Fri after a Wednesday
+        after = _ts(2026, 3, 4, 12, 7, 30)  # Wednesday
+        assert cron_next("0 0 * * 5-7", after) == _ts(2026, 3, 6, 0, 0)
+        # out-of-range dow still rejected
+        for bad in ("* * * * 8", "* * * * 5-9", "* * * * 7-5"):
+            with pytest.raises(JobError):
+                parse_cron(bad)
+
     def test_parse_errors(self):
         for bad in (
             "* * * *",            # 4 fields

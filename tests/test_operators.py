@@ -663,6 +663,50 @@ class TestSources:
         with _pytest.raises(ValueError, match="table"):
             write_any(df, url, "db")
 
+    def test_sqlite_mixed_storage_class_columns(self, spark, tmp_path):
+        # Review fix (round 4): sqlite columns are DYNAMICALLY typed —
+        # one column can hold INTEGER, REAL, TEXT and BLOB rows at
+        # once. Inference must scan every row and promote (int-only →
+        # long, int/real → double, mixed-with-text → string with
+        # str()-converted cells) instead of trusting the first
+        # non-null value and letting createDataFrame explode.
+        import sqlite3
+
+        from web_scrapper_spark.sources.sqlitedb import read_sqlite
+
+        path = str(tmp_path / "mixed.db")
+        con = sqlite3.connect(path)
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE m (a, b, c, d, e)"
+                )  # no declared types: pure dynamic columns
+                con.executemany(
+                    "INSERT INTO m VALUES (?, ?, ?, ?, ?)",
+                    [
+                        (1, 1, 1.5, b"\x01", None),
+                        ("two", 2, 2, b"\x02", None),
+                        (3.5, 3, None, "txt", None),
+                        (None, 4, 4.0, None, None),
+                    ],
+                )
+        finally:
+            con.close()
+        df = read_sqlite(spark, path, table="m")
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert types == {
+            "a": "string",   # int+text+real mix -> string
+            "b": "bigint",   # all-integer
+            "c": "double",   # integer/real mix -> double
+            "d": "string",   # blob+text mix -> string (blobs decoded)
+            "e": "string",   # all NULL -> string
+        }
+        rows = sorted(map(tuple, df.collect()), key=lambda r: str(r[0]))
+        assert ("1", 1, 1.5, "\x01", None) in rows
+        assert ("two", 2, 2.0, "\x02", None) in rows
+        assert ("3.5", 3, None, "txt", None) in rows
+        assert (None, 4, 4.0, None, None) in rows
+
     def test_sqlite_url_parsing(self):
         from web_scrapper_spark.sources import sqlite_path_from_url
 
@@ -4126,3 +4170,18 @@ class TestHostMoves:
         ]
         out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
         assert "p.com:8080" in out and "p.com" not in out
+
+    def test_scheme_mismatched_default_port_kept(self, spark):
+        # Review fix (round 4): only the SCHEME-MATCHED default folds.
+        # https://h:80 and http://h:443 are real non-default endpoints
+        # (different origins) — blanket :80/:443 stripping conflated
+        # them with the portless host
+        rows = [
+            ("https://p.com:80/1", "http://q.com:443/1"),
+            ("https://p.com:80/2", "http://q.com:443/2"),
+            # the matched defaults still fold (case-insensitive scheme)
+            ("HTTP://p.com:80/3", "HTTPS://r.com:443/3"),
+        ]
+        out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
+        assert "p.com:80" in out and out["p.com:80"]["dst_host"] == "q.com:443"
+        assert "p.com" in out and out["p.com"]["dst_host"] == "r.com"

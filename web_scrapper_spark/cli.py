@@ -840,8 +840,13 @@ if __name__ == "__main__":
                    "fielded ranking (w_anchor=2)")
 @click.option("--min-df", default=1, show_default=True, type=int)
 @click.option("--max-df-ppm", default=1_000_000, show_default=True, type=int)
+@click.option("--block-size", default=None, type=int,
+              help="postings block size for --from-store (default: the "
+                   "writing crawl's index_block_size, read back from "
+                   "the store's shard metadata)")
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
-                   like_ids, topk, anchors_path, min_df, max_df_ppm) -> None:
+                   like_ids, topk, anchors_path, min_df, max_df_ppm,
+                   block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
@@ -877,6 +882,7 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             idx = load_search_index(
                 spark, SnapshotStore(store_dir),
                 min_df=min_df, max_df_ppm=max_df_ppm,
+                block_size=block_size,  # None -> writer's stamped value
             )
             if idx is None:
                 click.echo(

@@ -247,7 +247,7 @@ def load_search_index(
     *,
     min_df: int = 1,
     max_df_ppm: int = 1_000_000,
-    block_size: int = 1024,
+    block_size: Optional[int] = None,
     as_of_epoch: Optional[int] = None,
 ) -> Optional[Dict]:
     """Store-standalone search-index load: merge the per-epoch UNGATED
@@ -257,13 +257,26 @@ def load_search_index(
     --from-store`` (query a crawl's index without an engine, without a
     rebuild). Returns ``{postings, doc_lens, n_docs, t_tokens}`` or
     None when the store has no indexed epochs. ``block_size`` must
-    match the writing crawl's ``cfg.index_block_size``."""
+    match the writing crawl's ``cfg.index_block_size`` — pass None
+    (the default) to read the writer's value back from the shard
+    snapshot metadata, so a store written with a non-default block
+    size merges correctly without the caller knowing the number."""
     from ..operators.textops import merge_postings
 
     shards = store.read_committed(spark, "index_shards", as_of_epoch)
     dls = store.read_committed(spark, "index_doclens", as_of_epoch)
     if shards is None or dls is None:
         return None
+    if block_size is None:
+        # the writer stamps cfg.index_block_size on every shard
+        # snapshot; honor it (pre-stamp stores fall back to the
+        # historical default)
+        stamped = [
+            s["metrics"]["block_size"]
+            for s in store.snapshots("index_shards")
+            if s.get("metrics", {}).get("block_size")
+        ]
+        block_size = int(stamped[-1]) if stamped else 1024
     tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
     postings = merge_postings(
@@ -681,7 +694,10 @@ class CrawlEngine:
         dls = doc_lengths(docs)
         return {
             "index_shards": self.store.commit(
-                "index_shards", shard, epoch=epoch, mode="append"
+                "index_shards", shard, epoch=epoch, mode="append",
+                # readers (load_search_index with block_size=None)
+                # recover the writer's block size from this stamp
+                metrics={"block_size": self.cfg.index_block_size},
             ),
             "index_doclens": self.store.commit(
                 "index_doclens", dls, epoch=epoch, mode="append"
@@ -1078,319 +1094,319 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(6)
-        async_commits: Dict[str, object] = {}
-        tables = {}
-        if content_seen_snap is not None:
-            tables["content_seen"] = content_seen_snap
-        n_links_pre = None
-        if content_rows is not None:
-            articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
-                "link_kind"
-            )
-            if noindex_src is not None:
-                # REP noindex: extraction rows from flagged pages never
-                # reach the corpus (links still followed below)
-                articles_out = articles_out.join(
+        try:
+            async_commits: Dict[str, object] = {}
+            tables = {}
+            if content_seen_snap is not None:
+                tables["content_seen"] = content_seen_snap
+            n_links_pre = None
+            if content_rows is not None:
+                articles_out = content_rows.filter(F.col("row_kind") != "link").drop(
+                    "link_kind"
+                )
+                if noindex_src is not None:
+                    # REP noindex: extraction rows from flagged pages never
+                    # reach the corpus (links still followed below)
+                    articles_out = articles_out.join(
+                        F.broadcast(noindex_src), "src_url", "left_anti"
+                    )
+                if (
+                    noindex_src is None
+                    and nofollow_src is None
+                    and cfg.max_outlinks_per_page is None
+                ):
+                    # ONE action gives the article-row count AND the link
+                    # count (and materializes the cache): on the common
+                    # path (no REP flags, no outlink cap) the two counts
+                    # are exactly the row_kind split of the cached rows, so
+                    # the epoch pays one driver round-trip, not two
+                    kind_counts = {
+                        bool(r["is_link"]): r["cnt"]
+                        for r in content_rows.groupBy(
+                            (F.col("row_kind") == "link").alias("is_link")
+                        )
+                        .agg(F.count("*").alias("cnt"))
+                        .collect()
+                    }
+                    n_article_rows = kind_counts.get(False, 0)
+                    n_links_pre = kind_counts.get(True, 0)
+                else:
+                    # this count materializes the content_rows cache (the
+                    # job the bare commit used to pay) and sizes the write
+                    n_article_rows = articles_out.count()
+                async_commits["articles"] = pool.submit(
+                    self.store.commit,
+                    "articles",
+                    _coalesce_for_write(
+                        articles_out, n_article_rows, cfg.write_rows_per_file_wide
+                    ),
+                    epoch,
+                    mode="append",
+                )
+                if cfg.index_articles and n_article_rows:
+                    async_commits["_index"] = pool.submit(
+                        self._commit_index_shard, articles_out, epoch
+                    )
+            if product_rows is not None and noindex_src is not None:
+                product_rows = product_rows.join(
                     F.broadcast(noindex_src), "src_url", "left_anti"
                 )
-            if (
-                noindex_src is None
-                and nofollow_src is None
-                and cfg.max_outlinks_per_page is None
-            ):
-                # ONE action gives the article-row count AND the link
-                # count (and materializes the cache): on the common
-                # path (no REP flags, no outlink cap) the two counts
-                # are exactly the row_kind split of the cached rows, so
-                # the epoch pays one driver round-trip, not two
-                kind_counts = {
-                    bool(r["is_link"]): r["cnt"]
-                    for r in content_rows.groupBy(
-                        (F.col("row_kind") == "link").alias("is_link")
+            if business_rows is not None and noindex_src is not None:
+                business_rows = business_rows.join(
+                    F.broadcast(noindex_src), "src_url", "left_anti"
+                )
+            if product_rows is not None:
+                # uncached: sizing uses an upper-bound estimate (items per
+                # fetched page ≤ 64) instead of a count that would run the
+                # extraction twice
+                async_commits["products"] = pool.submit(
+                    self.store.commit,
+                    "products",
+                    _coalesce_for_write(
+                        product_rows, n_fetched * 64, cfg.write_rows_per_file_wide
+                    ),
+                    epoch,
+                    mode="append",
+                )
+            if business_rows is not None:
+                async_commits["businesses"] = pool.submit(
+                    self.store.commit,
+                    "businesses",
+                    _coalesce_for_write(
+                        business_rows, n_fetched * 64, cfg.write_rows_per_file_wide
+                    ),
+                    epoch,
+                    mode="append",
+                )
+            mark("extract_commit")
+
+            # --- discovered links → frontier candidates --------------------
+            # counted on the cached extraction output (no recompute); a
+            # link-free epoch skips the whole candidate pipeline INCLUDING
+            # its shuffle of the seen set
+            link_rows = (
+                content_rows.filter(F.col("row_kind") == "link")
+                if content_rows is not None
+                else None
+            )
+            if link_rows is not None and nofollow_src is not None:
+                # REP nofollow: flagged pages contribute no outlinks
+                link_rows = link_rows.join(
+                    F.broadcast(nofollow_src), "src_url", "left_anti"
+                )
+            if link_rows is not None and cfg.max_outlinks_per_page is not None:
+                # Heritrix maxOutlinks: per-row position predicate, no window
+                link_rows = link_rows.filter(
+                    F.col("item_pos") < cfg.max_outlinks_per_page
+                )
+            n_links = (
+                n_links_pre
+                if n_links_pre is not None
+                else (link_rows.count() if link_rows is not None else 0)
+            )
+            new_frontier_rows = None
+            if n_links:
+                links = link_rows.select(
+                    "src_url", "url", "item_pos", "link_kind"
+                )
+                parents = batch.select(
+                    F.col("url").alias("src_url"),
+                    F.col("ord_key").alias("parent_key"),
+                    F.col("depth").alias("parent_depth"),
+                    F.col("stype").alias("parent_stype"),
+                )
+                candidates = (
+                    links.join(parents, "src_url")  # links are small; AQE broadcasts
+                    .select(
+                        canonical_url_col("url").alias("url"),
+                        F.concat(
+                            F.col("parent_key"),
+                            F.lit("/"),
+                            zfill_col(F.col("item_pos"), POS_PAD),
+                        ).alias("ord_key"),
+                        (F.col("parent_depth") + 1).alias("depth"),
+                        F.col("parent_stype").alias("stype"),
                     )
-                    .agg(F.count("*").alias("cnt"))
-                    .collect()
-                }
-                n_article_rows = kind_counts.get(False, 0)
-                n_links_pre = kind_counts.get(True, 0)
-            else:
-                # this count materializes the content_rows cache (the
-                # job the bare commit used to pay) and sizes the write
-                n_article_rows = articles_out.count()
-            async_commits["articles"] = pool.submit(
-                self.store.commit,
-                "articles",
-                _coalesce_for_write(
-                    articles_out, n_article_rows, cfg.write_rows_per_file_wide
-                ),
-                epoch,
-                mode="append",
-            )
-            if cfg.index_articles and n_article_rows:
-                async_commits["_index"] = pool.submit(
-                    self._commit_index_shard, articles_out, epoch
+                    .filter(F.col("depth") <= cfg.max_depth)
                 )
-        if product_rows is not None and noindex_src is not None:
-            product_rows = product_rows.join(
-                F.broadcast(noindex_src), "src_url", "left_anti"
-            )
-        if business_rows is not None and noindex_src is not None:
-            business_rows = business_rows.join(
-                F.broadcast(noindex_src), "src_url", "left_anti"
-            )
-        if product_rows is not None:
-            # uncached: sizing uses an upper-bound estimate (items per
-            # fetched page ≤ 64) instead of a count that would run the
-            # extraction twice
-            async_commits["products"] = pool.submit(
-                self.store.commit,
-                "products",
-                _coalesce_for_write(
-                    product_rows, n_fetched * 64, cfg.write_rows_per_file_wide
-                ),
-                epoch,
-                mode="append",
-            )
-        if business_rows is not None:
-            async_commits["businesses"] = pool.submit(
-                self.store.commit,
-                "businesses",
-                _coalesce_for_write(
-                    business_rows, n_fetched * 64, cfg.write_rows_per_file_wide
-                ),
-                epoch,
-                mode="append",
-            )
-        mark("extract_commit")
+                # robots first (broadcast lookup, narrow); the in-batch
+                # first-discovery dedup runs AFTER the seen anti-join below
+                # so both key on url and share ONE exchange — the groupBy
+                # reuses the join's hash(url) partitioning instead of
+                # paying its own shuffle. Equivalent either way: every
+                # duplicate of a url gets the same bloom/anti-join verdict,
+                # and min(ord_key) per url is order-independent.
+                candidates = robots_filter(candidates, self.robots)
+                if cfg.trap_guard:
+                    from ..frontier.traps import path_trap_filter
 
-        # --- discovered links → frontier candidates --------------------
-        # counted on the cached extraction output (no recompute); a
-        # link-free epoch skips the whole candidate pipeline INCLUDING
-        # its shuffle of the seen set
-        link_rows = (
-            content_rows.filter(F.col("row_kind") == "link")
-            if content_rows is not None
-            else None
-        )
-        if link_rows is not None and nofollow_src is not None:
-            # REP nofollow: flagged pages contribute no outlinks
-            link_rows = link_rows.join(
-                F.broadcast(nofollow_src), "src_url", "left_anti"
-            )
-        if link_rows is not None and cfg.max_outlinks_per_page is not None:
-            # Heritrix maxOutlinks: per-row position predicate, no window
-            link_rows = link_rows.filter(
-                F.col("item_pos") < cfg.max_outlinks_per_page
-            )
-        n_links = (
-            n_links_pre
-            if n_links_pre is not None
-            else (link_rows.count() if link_rows is not None else 0)
-        )
-        new_frontier_rows = None
-        if n_links:
-            links = link_rows.select(
-                "src_url", "url", "item_pos", "link_kind"
-            )
-            parents = batch.select(
-                F.col("url").alias("src_url"),
-                F.col("ord_key").alias("parent_key"),
-                F.col("depth").alias("parent_depth"),
-                F.col("stype").alias("parent_stype"),
-            )
-            candidates = (
-                links.join(parents, "src_url")  # links are small; AQE broadcasts
-                .select(
-                    canonical_url_col("url").alias("url"),
-                    F.concat(
-                        F.col("parent_key"),
-                        F.lit("/"),
-                        zfill_col(F.col("item_pos"), POS_PAD),
-                    ).alias("ord_key"),
-                    (F.col("parent_depth") + 1).alias("depth"),
-                    F.col("parent_stype").alias("stype"),
-                )
-                .filter(F.col("depth") <= cfg.max_depth)
-            )
-            # robots first (broadcast lookup, narrow); the in-batch
-            # first-discovery dedup runs AFTER the seen anti-join below
-            # so both key on url and share ONE exchange — the groupBy
-            # reuses the join's hash(url) partitioning instead of
-            # paying its own shuffle. Equivalent either way: every
-            # duplicate of a url gets the same bloom/anti-join verdict,
-            # and min(ord_key) per url is order-independent.
-            candidates = robots_filter(candidates, self.robots)
-            if cfg.trap_guard:
-                from ..frontier.traps import path_trap_filter
-
-                candidates = path_trap_filter(
-                    candidates,
-                    max_depth=cfg.trap_path_depth_max,
-                    dup_segment_min=cfg.trap_dup_segment_min,
-                )
-
-            # bloom pre-filter: provably-unseen candidates skip the
-            # exact seen anti-join; maybe-seen ones go through it.
-            # Below the threshold the exact join alone is cheaper.
-            # The filter is INCREMENTAL: full O(|seen|) builds happen
-            # only at first activation and at geometric capacity
-            # doublings (amortized O(1)/key over the crawl); every
-            # other epoch pays only an O(delta) union (see the
-            # seen_delta union below), not a rescan of the seen set.
-            n_seen_prev = self.store.committed_rows("seen", self._epoch)
-            bloom_active = n_seen_prev >= cfg.bloom_min_seen
-            if bloom_active:
-                if self._bloom is None or n_seen_prev > self._bloom_capacity:
-                    t_bloom = time.time()
-                    self._bloom_capacity = max(
-                        4 * cfg.bloom_min_seen, 2 * n_seen_prev
+                    candidates = path_trap_filter(
+                        candidates,
+                        max_depth=cfg.trap_path_depth_max,
+                        dup_segment_min=cfg.trap_dup_segment_min,
                     )
-                    if cfg.seen_filter == "cuckoo":
-                        from ..frontier.cuckoo import build_sharded_cuckoo
 
-                        self._bloom = build_sharded_cuckoo(
-                            seen.select("url_hash"), "url_hash",
-                            n_shards=max(cfg.bloom_shards, 1),
-                            expected=self._bloom_capacity,
+                # bloom pre-filter: provably-unseen candidates skip the
+                # exact seen anti-join; maybe-seen ones go through it.
+                # Below the threshold the exact join alone is cheaper.
+                # The filter is INCREMENTAL: full O(|seen|) builds happen
+                # only at first activation and at geometric capacity
+                # doublings (amortized O(1)/key over the crawl); every
+                # other epoch pays only an O(delta) union (see the
+                # seen_delta union below), not a rescan of the seen set.
+                n_seen_prev = self.store.committed_rows("seen", self._epoch)
+                bloom_active = n_seen_prev >= cfg.bloom_min_seen
+                if bloom_active:
+                    if self._bloom is None or n_seen_prev > self._bloom_capacity:
+                        t_bloom = time.time()
+                        self._bloom_capacity = max(
+                            4 * cfg.bloom_min_seen, 2 * n_seen_prev
                         )
-                    elif cfg.bloom_shards > 1:
-                        self._bloom = build_sharded_bloom(
-                            seen.select("url_hash"), "url_hash",
-                            n_shards=cfg.bloom_shards,
-                            expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
-                        )
+                        if cfg.seen_filter == "cuckoo":
+                            from ..frontier.cuckoo import build_sharded_cuckoo
+
+                            self._bloom = build_sharded_cuckoo(
+                                seen.select("url_hash"), "url_hash",
+                                n_shards=max(cfg.bloom_shards, 1),
+                                expected=self._bloom_capacity,
+                            )
+                        elif cfg.bloom_shards > 1:
+                            self._bloom = build_sharded_bloom(
+                                seen.select("url_hash"), "url_hash",
+                                n_shards=cfg.bloom_shards,
+                                expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
+                            )
+                        else:
+                            self._bloom = build_bloom(
+                                seen.select("url_hash"), "url_hash",
+                                expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
+                            )
+                        phases["bloom_full_build"] = round(time.time() - t_bloom, 3)
+                    bloom = self._bloom
+                    hashed = candidates.withColumn("url_hash", F.hash("url"))
+                    from ..frontier.cuckoo import (
+                        ShardedCuckoo,
+                        sharded_cuckoo_prefilter,
+                    )
+
+                    if isinstance(bloom, ShardedCuckoo):
+                        definitely_new = sharded_cuckoo_prefilter(
+                            hashed, "url_hash", bloom, keep_maybe_seen=False
+                        ).drop("url_hash")
+                        maybe_seen = sharded_cuckoo_prefilter(
+                            hashed, "url_hash", bloom, keep_maybe_seen=True
+                        ).drop("url_hash")
+                    elif isinstance(bloom, ShardedBloom):
+                        definitely_new = sharded_bloom_prefilter(
+                            hashed, "url_hash", sharded=bloom, keep_maybe_seen=False
+                        ).drop("url_hash")
+                        maybe_seen = sharded_bloom_prefilter(
+                            hashed, "url_hash", sharded=bloom, keep_maybe_seen=True
+                        ).drop("url_hash")
                     else:
-                        self._bloom = build_bloom(
-                            seen.select("url_hash"), "url_hash",
-                            expected=self._bloom_capacity, fpp=cfg.bloom_fpp,
-                        )
-                    phases["bloom_full_build"] = round(time.time() - t_bloom, 3)
-                bloom = self._bloom
-                hashed = candidates.withColumn("url_hash", F.hash("url"))
-                from ..frontier.cuckoo import (
-                    ShardedCuckoo,
-                    sharded_cuckoo_prefilter,
-                )
-
-                if isinstance(bloom, ShardedCuckoo):
-                    definitely_new = sharded_cuckoo_prefilter(
-                        hashed, "url_hash", bloom, keep_maybe_seen=False
-                    ).drop("url_hash")
-                    maybe_seen = sharded_cuckoo_prefilter(
-                        hashed, "url_hash", bloom, keep_maybe_seen=True
-                    ).drop("url_hash")
-                elif isinstance(bloom, ShardedBloom):
-                    definitely_new = sharded_bloom_prefilter(
-                        hashed, "url_hash", sharded=bloom, keep_maybe_seen=False
-                    ).drop("url_hash")
-                    maybe_seen = sharded_bloom_prefilter(
-                        hashed, "url_hash", sharded=bloom, keep_maybe_seen=True
-                    ).drop("url_hash")
+                        definitely_new = bloom_prefilter(
+                            hashed, bloom, "url_hash", keep_maybe_seen=False
+                        ).drop("url_hash")
+                        maybe_seen = bloom_prefilter(
+                            hashed, bloom, "url_hash", keep_maybe_seen=True
+                        ).drop("url_hash")
+                # ranked IS the pre-dequeue live frontier (pending ∪ this
+                # epoch's batch), so anti-joining it covers both the rows
+                # still enqueued and the URLs fetched this very epoch —
+                # without the batch side a link to a same-epoch-fetched URL
+                # would re-enqueue it, re-fetch it next epoch, and append a
+                # duplicate seen row, breaking the append-only seen
+                # invariant the footer metrics rely on. Anti vs A then
+                # anti vs B ≡ anti vs (A ∪ B), so both exclusion sets ride
+                # ONE shuffle: seen ∪ ranked in the exact path, ranked
+                # alone for bloom-cleared rows (the bloom already proved
+                # them unseen).
+                ranked_urls = ranked.select("url")
+                if bloom_active:
+                    survivors = maybe_seen.join(
+                        seen.select("url").unionByName(ranked_urls),
+                        "url",
+                        "left_anti",
+                    )
+                    candidates = definitely_new.join(
+                        ranked_urls, "url", "left_anti"
+                    ).unionByName(survivors)
                 else:
-                    definitely_new = bloom_prefilter(
-                        hashed, bloom, "url_hash", keep_maybe_seen=False
-                    ).drop("url_hash")
-                    maybe_seen = bloom_prefilter(
-                        hashed, bloom, "url_hash", keep_maybe_seen=True
-                    ).drop("url_hash")
-            # ranked IS the pre-dequeue live frontier (pending ∪ this
-            # epoch's batch), so anti-joining it covers both the rows
-            # still enqueued and the URLs fetched this very epoch —
-            # without the batch side a link to a same-epoch-fetched URL
-            # would re-enqueue it, re-fetch it next epoch, and append a
-            # duplicate seen row, breaking the append-only seen
-            # invariant the footer metrics rely on. Anti vs A then
-            # anti vs B ≡ anti vs (A ∪ B), so both exclusion sets ride
-            # ONE shuffle: seen ∪ ranked in the exact path, ranked
-            # alone for bloom-cleared rows (the bloom already proved
-            # them unseen).
-            ranked_urls = ranked.select("url")
-            if bloom_active:
-                survivors = maybe_seen.join(
-                    seen.select("url").unionByName(ranked_urls),
-                    "url",
-                    "left_anti",
+                    candidates = candidates.join(
+                        seen.select("url").unionByName(ranked_urls),
+                        "url",
+                        "left_anti",
+                    )
+                candidates = first_discovery_wins(candidates)
+                new_frontier_rows = with_frontier_columns(
+                    candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
                 )
-                candidates = definitely_new.join(
-                    ranked_urls, "url", "left_anti"
-                ).unionByName(survivors)
-            else:
-                candidates = candidates.join(
-                    seen.select("url").unionByName(ranked_urls),
-                    "url",
-                    "left_anti",
-                )
-            candidates = first_discovery_wins(candidates)
-            new_frontier_rows = with_frontier_columns(
-                candidates, epoch=epoch, salt_buckets=cfg.salt_buckets
-            )
 
-        # --- retry bookkeeping (T7/T9) ----------------------------------
-        # a retry is RE-ENQUEUED at this epoch: discovered_epoch moves
-        # to `epoch` so the row survives its own dequeue tombstone
-        # (tombstones kill rows enqueued strictly before their epoch)
-        retry = (
-            misses.filter(F.col("attempts") + 1 < cfg.max_attempts)
-            .withColumn("attempts", F.col("attempts") + 1)
-            .withColumn("discovered_epoch", F.lit(epoch))
-            .select(*frontier_cols)
-        )
-        parked = (
-            misses.filter(F.col("attempts") + 1 >= cfg.max_attempts)
-            .select(
-                "url", "url_hash", "host", "stype",
-                F.lit("failed").alias("status"),
-                "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
+            # --- retry bookkeeping (T7/T9) ----------------------------------
+            # a retry is RE-ENQUEUED at this epoch: discovered_epoch moves
+            # to `epoch` so the row survives its own dequeue tombstone
+            # (tombstones kill rows enqueued strictly before their epoch)
+            retry = (
+                misses.filter(F.col("attempts") + 1 < cfg.max_attempts)
+                .withColumn("attempts", F.col("attempts") + 1)
+                .withColumn("discovered_epoch", F.lit(epoch))
+                .select(*frontier_cols)
             )
-        )
-        fetched_seen = fetched.select(
-            "url", "url_hash", "host", "stype",
-            F.lit("ok").alias("status"),
-            "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
-        )
-        if dup_pages is not None:
-            # byte-duplicate bodies were fetched (they consumed a
-            # politeness slot) but not processed — status "dup" keeps
-            # them out of both ok and failed accounting
-            fetched_seen = fetched_seen.unionByName(
-                dup_pages.select(
+            parked = (
+                misses.filter(F.col("attempts") + 1 >= cfg.max_attempts)
+                .select(
                     "url", "url_hash", "host", "stype",
-                    F.lit("dup").alias("status"),
+                    F.lit("failed").alias("status"),
                     "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
                 )
             )
-
-        # --- dedup-merge commits ----------------------------------------
-        # seen is APPEND-ONLY: every dequeued url is new to it by
-        # construction (candidates were anti-joined against seen before
-        # entering the frontier), so the epoch writes an O(batch) delta,
-        # never an O(|seen|) rewrite — Iceberg's append commit.
-        # The frontier is merge-on-read: a normal epoch appends ONLY the
-        # O(delta) enqueue rows (retry + discovered) and the O(batch)
-        # dequeue tombstones. Compaction epochs — triggered when
-        # tombstones exceed compact_ratio × live — fold everything into
-        # a fresh O(live) base instead (Iceberg rewrite_data_files).
-        seen_delta = fetched_seen.unionByName(parked)
-        frontier_delta = retry
-        if new_frontier_rows is not None:
-            frontier_delta = frontier_delta.unionByName(new_frontier_rows)
-
-        base_entry = self._frontier_base_entry()
-        tombs_since_base = (
-            self.store.committed_rows(
-                "frontier_tomb", self._epoch, after_epoch=base_entry["epoch"]
+            fetched_seen = fetched.select(
+                "url", "url_hash", "host", "stype",
+                F.lit("ok").alias("status"),
+                "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
             )
-            + n_batch
-        )
-        compact = tombs_since_base >= max(
-            cfg.compact_min_tombstones, cfg.compact_ratio * n_frontier
-        )
+            if dup_pages is not None:
+                # byte-duplicate bodies were fetched (they consumed a
+                # politeness slot) but not processed — status "dup" keeps
+                # them out of both ok and failed accounting
+                fetched_seen = fetched_seen.unionByName(
+                    dup_pages.select(
+                        "url", "url_hash", "host", "stype",
+                        F.lit("dup").alias("status"),
+                        "ord_key", "depth", F.lit(epoch).alias("fetched_epoch"),
+                    )
+                )
 
-        # commits are independent Spark jobs over different tables —
-        # submit them from threads so their stages interleave (store
-        # serializes the manifest updates). Same pool as the async
-        # extraction commits above: everything resolves together here.
-        try:
+            # --- dedup-merge commits ----------------------------------------
+            # seen is APPEND-ONLY: every dequeued url is new to it by
+            # construction (candidates were anti-joined against seen before
+            # entering the frontier), so the epoch writes an O(batch) delta,
+            # never an O(|seen|) rewrite — Iceberg's append commit.
+            # The frontier is merge-on-read: a normal epoch appends ONLY the
+            # O(delta) enqueue rows (retry + discovered) and the O(batch)
+            # dequeue tombstones. Compaction epochs — triggered when
+            # tombstones exceed compact_ratio × live — fold everything into
+            # a fresh O(live) base instead (Iceberg rewrite_data_files).
+            seen_delta = fetched_seen.unionByName(parked)
+            frontier_delta = retry
+            if new_frontier_rows is not None:
+                frontier_delta = frontier_delta.unionByName(new_frontier_rows)
+
+            base_entry = self._frontier_base_entry()
+            tombs_since_base = (
+                self.store.committed_rows(
+                    "frontier_tomb", self._epoch, after_epoch=base_entry["epoch"]
+                )
+                + n_batch
+            )
+            compact = tombs_since_base >= max(
+                cfg.compact_min_tombstones, cfg.compact_ratio * n_frontier
+            )
+
+            # commits are independent Spark jobs over different tables —
+            # submit them from threads so their stages interleave (store
+            # serializes the manifest updates). Same pool as the async
+            # extraction commits above: everything resolves together here.
             if compact:
                 # pending ∪ retry ∪ discovered IS the post-epoch live
                 # frontier: committing it as the new base folds every
@@ -1485,7 +1501,13 @@ class CrawlEngine:
                 else:
                     tables[name] = fut.result()
         finally:
-            pool.shutdown(wait=True)
+            # opened at pool creation (review fix): any exception in
+            # the frontier pipeline between submit and result now
+            # cancels queued commits and awaits running ones instead
+            # of leaking the pool with background futures still
+            # writing (their snapshots stay orphaned — commit_epoch
+            # never runs on the failure path, so resume ignores them)
+            pool.shutdown(wait=True, cancel_futures=True)
         mark("merge_commits")
         tables["seen"] = ssnap
 

@@ -1023,16 +1023,30 @@ def host_moves(
     # default ports stripped (the surt_key_col discipline): without it
     # http://h:80 -> https://h:443 passes the same-host exclusion as a
     # bogus cross-host "move", and explicit-port aliases split one
-    # host's evidence across two keys
-    host_of = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(
+    # host's evidence across two keys. Only the SCHEME-MATCHED default
+    # folds: http strips :80, https strips :443 — https://h:80 and
+    # http://h:443 are genuinely non-default endpoints and must stay
+    # distinct hosts (they are different origins, not aliases).
+    def host_of(c):
+        scheme = F.lower(
+            F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+        )
+        hostport = F.regexp_replace(
             F.regexp_extract(
                 c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1
             ),
             r"^[^@]*@", "",
-        ),
-        r":(80|443)$", "",
-    )
+        )
+        return (
+            F.when(
+                scheme == "http", F.regexp_replace(hostport, r":80$", "")
+            )
+            .when(
+                scheme == "https",
+                F.regexp_replace(hostport, r":443$", ""),
+            )
+            .otherwise(hostport)
+        )
     pairs = redirects.select(
         F.lower(host_of(F.col(src))).alias("host"),
         F.lower(host_of(F.col(dst))).alias("dst_host"),

@@ -73,7 +73,17 @@ def _parse_field(spec: str, lo: int, hi: int, name: str) -> frozenset:
         else:
             raise JobError(f"bad cron field {name!r}: {part!r}")
         if name == "dow":
-            a, b = (0 if a == 7 else a), (0 if b == 7 else b)
+            # Vixie cron: 7 means Sunday too, INCLUDING as a range
+            # endpoint ('5-7' = Fri,Sat,Sun). Validate and expand the
+            # range with the raw endpoints (0..7), then fold each
+            # produced value v%7 — folding the endpoints first would
+            # turn '5-7' into 5-0 and reject a valid schedule.
+            if not (0 <= a <= 7 and 0 <= b <= 7 and a <= b):
+                raise JobError(
+                    f"cron {name!r} value out of range [0,7]: {part!r}"
+                )
+            out.update(v % 7 for v in range(a, b + 1, step))
+            continue
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):
             raise JobError(
                 f"cron {name!r} value out of range [{lo},{hi}]: {part!r}"

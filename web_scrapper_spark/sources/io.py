@@ -257,7 +257,13 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **opt
         if sq is not None:
             # sqlite needs no jar: the reference's DEFAULT engine is
             # served for real by the stdlib (driver-sized — the
-            # reference's own per-job local-file usage)
+            # reference's own per-job local-file usage).
+            # BEHAVIOR CHANGE vs pre-round-3 builds: sqlite urls under
+            # format 'db' used to take the loud parquet fallback (a
+            # distributed write); they now collect() to the driver and
+            # write a real sqlite file. Size accordingly — this sink
+            # is for reference-parity result sets, not bulk corpus
+            # tables (use parquet/warc for those).
             table = options.get("table")
             if not table:
                 raise ValueError(

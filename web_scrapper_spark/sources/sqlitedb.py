@@ -131,9 +131,13 @@ def read_sqlite(
     query: Optional[str] = None,
 ) -> DataFrame:
     """Driver-sized sqlite source: ``table`` or a pushdown ``query``
-    (exactly one). Column types come from sqlite's storage classes of
-    the returned rows (INTEGER→long, REAL→double, BLOB→binary,
-    TEXT→string; all NULLs→string)."""
+    (exactly one). Column types come from sqlite's storage classes
+    across ALL returned rows — sqlite columns are dynamically typed,
+    so a single column can mix INTEGER and TEXT values. Promotion:
+    all-INTEGER→long, INTEGER/REAL mix→double, all-BLOB→binary,
+    anything mixed with TEXT (or all NULLs)→string with values
+    str()-converted (blobs utf-8-decoded with replacement), so
+    createDataFrame never meets a row that violates the schema."""
     if bool(table) == bool(query):
         raise ValueError("pass exactly one of table= or query=")
     if table and not table.replace("_", "").isalnum():
@@ -147,28 +151,52 @@ def read_sqlite(
         con.close()
 
     def col_type(i: int) -> T.DataType:
+        # full-column scan, not first-non-null: a dynamically-typed
+        # sqlite column mixing storage classes must promote, or rows
+        # after the first would violate the inferred schema
+        kinds = set()
         for r in rows:
             v = r[i]
             if v is None:
                 continue
-            if isinstance(v, bool) or isinstance(v, int):
-                return T.LongType()
-            if isinstance(v, float):
-                return T.DoubleType()
-            if isinstance(v, (bytes, memoryview)):
-                return T.BinaryType()
-            return T.StringType()
+            if isinstance(v, (bool, int)):
+                kinds.add("int")
+            elif isinstance(v, float):
+                kinds.add("float")
+            elif isinstance(v, (bytes, memoryview)):
+                kinds.add("blob")
+            else:
+                kinds.add("text")
+        if kinds == {"int"}:
+            return T.LongType()
+        if kinds and kinds <= {"int", "float"}:
+            return T.DoubleType()
+        if kinds == {"blob"}:
+            return T.BinaryType()
         return T.StringType()
 
     schema = T.StructType(
         [T.StructField(n, col_type(i), True) for i, n in enumerate(names)]
     )
-    conv = [
-        (lambda v: bytes(v) if v is not None else None)
-        if isinstance(schema[i].dataType, T.BinaryType)
-        else (lambda v: v)
-        for i in range(len(names))
-    ]
+
+    def converter(dt: T.DataType):
+        if isinstance(dt, T.BinaryType):
+            return lambda v: None if v is None else bytes(v)
+        if isinstance(dt, T.DoubleType):
+            return lambda v: None if v is None else float(v)
+        if isinstance(dt, T.LongType):
+            return lambda v: None if v is None else int(v)
+
+        def to_str(v):
+            if v is None:
+                return None
+            if isinstance(v, (bytes, memoryview)):
+                return bytes(v).decode("utf-8", "replace")
+            return str(v)
+
+        return to_str
+
+    conv = [converter(schema[i].dataType) for i in range(len(names))]
     data = [
         tuple(conv[i](r[i]) for i in range(len(names))) for r in rows
     ]
