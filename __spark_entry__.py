@@ -3486,6 +3486,41 @@ def _q_more_like_this(spark, sf_dir):
     )
 
 
+def _q_mlt_from_index(spark, sf_dir):
+    """More-Like-This served from a PREBUILT index (operators/
+    textops.py more_like_this with index=): the interactive path a
+    live crawl uses — query terms derived from the persisted postings
+    via bm25_term_weights_from_postings (integer triples, zero corpus
+    re-tokenization) and the search streaming the same postings. The
+    oracle replays the identical glued arithmetic from the raw text,
+    proving from-index ≡ from-text bit-exactly."""
+    from web_scrapper_spark.operators.textops import (
+        build_postings,
+        doc_lengths,
+        more_like_this,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    dls = doc_lengths(docs)
+    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    idx = {
+        "postings": build_postings(
+            docs, n_docs, include_dls=True
+        ).localCheckpoint(eager=True),
+        "doc_lens": dls,
+        "n_docs": n_docs,
+        "t_tokens": t_tokens,
+    }
+    src = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % 89 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    return more_like_this(None, src, k=5, m_terms=4, index=idx)
+
+
 def _q_robots_refresh(spark, sf_dir):
     """robots.txt TTL refresh scheduling (frontier/robots.py
     robots_refresh_due): a synthetic seen set where every 6th doc is a
@@ -5528,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_equivalence": _q_url_equivalence,
         "robots_refresh": _q_robots_refresh,
         "more_like_this": _q_more_like_this,
+        "mlt_from_index": _q_mlt_from_index,
         "postings_merge": _q_postings_merge,
         "host_moves": _q_host_moves,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
@@ -6964,6 +7000,95 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM agg WHERE doc_id <> query_id
             QUALIFY rank <= 4
+        """,
+        "mlt_from_index": f"""
+            -- from-index MLT replay: identical glued arithmetic to
+            -- more_like_this but UNGATED (the persisted-index
+            -- defaults), sources %89, top-4 query terms, top-5 hits —
+            -- proves the postings-derived weights and the streamed
+            -- search match the from-text build bit-exactly
+            WITH kwords AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+            ), kkept AS (
+              SELECT doc_id, word FROM kwords
+              WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+            ), kdls AS (
+              SELECT doc_id, count(*) AS dl FROM kkept GROUP BY doc_id
+            ), ktfs AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM kkept GROUP BY doc_id, word
+            ), kdfs AS (
+              SELECT word, count(*) AS df FROM ktfs GROUP BY word
+            ), knt AS (
+              SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM kdls
+            ), kscored AS (
+              SELECT ktfs.doc_id, ktfs.word,
+                     CAST((CAST(floor(ln(CAST(2 * (knt.n + 1) AS DOUBLE)
+                                  / (2 * kdfs.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * ktfs.tf * knt.t)
+                          // (CAST(20 AS HUGEINT) * ktfs.tf * knt.t
+                              + 6 * knt.t + 18 * kdls.dl * knt.n)
+                          AS BIGINT) AS score_u
+              FROM ktfs
+              JOIN kdfs USING (word)
+              JOIN kdls USING (doc_id)
+              CROSS JOIN knt
+              WHERE ktfs.doc_id % 89 = 0
+            ), qterms AS (
+              SELECT doc_id AS query_id, word AS term
+              FROM (
+                SELECT doc_id, word,
+                       row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_u DESC, word ASC
+                       ) AS rnk
+                FROM kscored
+              ) WHERE rnk <= 4
+            ), dl0 AS (
+              SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl
+              FROM documents
+            ), nt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t
+              FROM dl0
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+                    FROM documents)
+              GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term
+            ), hits AS (
+              SELECT q.query_id, tf.doc_id, tf.tf, dft.df, d.dl
+              FROM qterms q
+              JOIN tf USING (term)
+              JOIN dft ON tf.term = dft.term
+              JOIN dl0 d ON tf.doc_id = d.doc_id
+            ), scored AS (
+              SELECT query_id, doc_id,
+                     CAST((CAST(floor(ln(CAST(2 * (nt.n + 1) AS DOUBLE)
+                                  / (2 * hits.df + 1)) * 1000000 + 0.5)
+                            AS HUGEINT)
+                           * 44 * hits.tf * nt.t)
+                          // (CAST(20 AS HUGEINT) * hits.tf * nt.t
+                              + 6 * nt.t + 18 * hits.dl * nt.n)
+                          AS BIGINT) AS score_u
+              FROM hits CROSS JOIN nt
+            ), agg AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(score_u) AS BIGINT) AS score_u,
+                     CAST(count(*) AS BIGINT) AS n_terms
+              FROM scored GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, score_u, n_terms,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_u DESC, doc_id ASC
+                   ) AS rank
+            FROM agg WHERE doc_id <> query_id
+            QUALIFY rank <= 5
         """,
         "robots_refresh": """
             -- TTL replay: root-robots regex filter (nested paths

@@ -896,19 +896,34 @@ class TestSearchFromStoreCli:
             assert len(rows) == 3
             assert rows[0]["rank"] == 1 and rows[0]["score_u"] > 0
 
-            # usage guards: -i XOR --from-store; no --like/--anchors
+            # --like now serves from the live index too (round-4 fix:
+            # MLT consumes the persisted postings, no re-tokenization)
+            some_doc = int(
+                idx["doc_lens"].limit(1).collect()[0]["doc_id"]
+            )
+            like_ok = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "--like", str(some_doc), "--topk", "3", "--cpus", "4"],
+            )
+            assert like_ok.exit_code == 0, like_ok.output
+            like_rows = _json.loads(like_ok.output.strip())
+            assert like_rows and like_rows[0]["like_doc"] == some_doc
+            assert all(r["doc_id"] != some_doc for r in like_rows)
+
+            # usage guards: -i XOR --from-store; no --anchors
             both = runner.invoke(
                 cli_mod.cli,
                 ["analyze", "search", "-i", "x", "--from-store", store_dir,
                  "-q", "a"],
             )
             assert both.exit_code != 0
-            like = runner.invoke(
+            anch = runner.invoke(
                 cli_mod.cli,
                 ["analyze", "search", "--from-store", store_dir,
-                 "--like", "1"],
+                 "-q", "a", "--anchors", "x"],
             )
-            assert like.exit_code != 0
+            assert anch.exit_code != 0
 
             # a store with no index refuses loudly
             bare = str(tmp_path / "bare")

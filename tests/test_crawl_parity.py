@@ -1242,3 +1242,65 @@ def test_from_store_index_recovers_writer_block_size(spark, tmp_path):
     )
     wrong = load_search_index(spark, store, block_size=1024)
     assert canon(wrong) != got
+
+
+def test_mlt_from_live_index_matches_self_built(spark, tmp_path):
+    """Round-4 verdict fix: more_like_this against the crawl's live
+    index (search_index() output with persisted keyword norms) equals
+    the self-built MLT over the same corpus — and the from-index plan
+    is candidate-grain: it never reads text and never re-tokenizes."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.operators.textops import more_like_this
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(index_articles=True)
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    engine.run(max_epochs=30)
+
+    idx = engine.search_index()
+    assert idx is not None
+    # the keyword norms were persisted and the scalars recovered
+    assert "kw_dl" in idx["doc_lens"].columns
+    assert idx["kw_n_docs"] > 0 and idx["kw_t_tokens"] > 0
+
+    # the same corpus as the index sees it (doc_id = xxhash64(url)):
+    # the RAW committed articles table still carries row_kind (the
+    # merged engine.articles() view folds it away)
+    docs = (
+        store.read_committed(spark, "articles")
+        .filter(F.col("row_kind") == "full")
+        .select(
+            F.xxhash64("src_url").alias("doc_id"),
+            F.coalesce(F.col("content"), F.lit("")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    src = [
+        int(r["doc_id"])
+        for r in docs.orderBy("doc_id").limit(3).collect()
+    ]
+    self_built = more_like_this(docs, src, k=4, m_terms=3)
+    from_idx = more_like_this(None, src, k=4, m_terms=3, index=idx)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(from_idx) == canon(self_built)
+
+    # candidate-grain plan pin: no Python stage, no text/html read
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_idx.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "html" not in line, line

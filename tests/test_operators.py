@@ -4034,6 +4034,111 @@ class TestMoreLikeThis:
 
         with _pytest.raises(ValueError):
             more_like_this(self._docs(spark), [], k=2)
+        with _pytest.raises(ValueError, match="docs= or index="):
+            more_like_this(None, [1], k=2)
+
+    def test_term_weights_from_postings_parity(self, spark):
+        # the from-index derivation is EXACT: same (doc, word, tf, df,
+        # dl, score_u) rows as the from-text build, because the
+        # keyword vocabulary is a pure filter of the index tokenizer
+        from web_scrapper_spark.operators.textops import (
+            bm25_term_weights,
+            bm25_term_weights_from_postings,
+            build_postings,
+        )
+
+        docs = self._docs(spark)
+        from_text = bm25_term_weights(docs).collect()
+        idx = build_postings(docs, n_docs=len(self.DOCS), include_dls=True)
+        from_idx = bm25_term_weights_from_postings(idx).collect()
+
+        def canon(rows):
+            return sorted(
+                (r["doc_id"], r["word"], r["tf"], r["df"], r["dl"],
+                 r["score_u"])
+                for r in rows
+            )
+
+        assert canon(from_idx) == canon(from_text)
+        # ranked variant agrees too
+        rt = bm25_term_weights(docs, k=2).collect()
+        ri = bm25_term_weights_from_postings(idx, k=2).collect()
+        assert canon(rt) == canon(ri)
+
+    def test_from_index_equals_self_built(self, spark):
+        # the interactive path: MLT against a prebuilt index returns
+        # the identical result — no corpus re-tokenization (plan-
+        # pinned: no Python stage, no text read in the query plan)
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            doc_lengths,
+            more_like_this,
+        )
+
+        docs = self._docs(spark)
+        dls = doc_lengths(docs)
+        n = len(self.DOCS)
+        t = sum(r["dl"] for r in dls.collect())
+        idx = {
+            "postings": build_postings(
+                docs, n_docs=n, include_dls=True
+            ).localCheckpoint(eager=True),
+            "doc_lens": dls,
+            "n_docs": n,
+            "t_tokens": t,
+        }
+        self_built = more_like_this(docs, [1, 3], k=3, m_terms=3)
+        from_idx = more_like_this(None, [1, 3], k=3, m_terms=3, index=idx)
+
+        def canon(df):
+            return sorted(map(tuple, df.collect()))
+
+        assert canon(from_idx) == canon(self_built)
+
+        # zero re-tokenization: the from-index plan never reads text
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            from_idx.explain("formatted")
+        plan = buf.getvalue()
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "text" not in line and "html" not in line, line
+
+    def test_prebuilt_term_weights_accepted(self, spark):
+        # a persisted bm25_term_weights table (ranked or not) skips
+        # even the postings-derivation for query formation
+        from web_scrapper_spark.operators.textops import (
+            bm25_term_weights,
+            build_postings,
+            doc_lengths,
+            more_like_this,
+        )
+
+        docs = self._docs(spark)
+        dls = doc_lengths(docs)
+        n = len(self.DOCS)
+        t = sum(r["dl"] for r in dls.collect())
+        idx = {
+            "postings": build_postings(docs, n_docs=n, include_dls=True),
+            "doc_lens": dls,
+            "n_docs": n,
+            "t_tokens": t,
+        }
+        base = more_like_this(docs, [1], k=2, m_terms=3)
+        for tw in (
+            bm25_term_weights(docs),          # unranked
+            bm25_term_weights(docs, k=3),     # ranked with k == m_terms
+        ):
+            got = more_like_this(
+                None, [1], k=2, m_terms=3, index=idx, term_weights=tw
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, base.collect())
+            )
 
 
 class TestMergePostings:

@@ -868,10 +868,10 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
         raise click.UsageError("pass either -q/--query or --like")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
-    if store_dir and (like_ids or anchors_path):
+    if store_dir and anchors_path:
         raise click.UsageError(
-            "--from-store serves -q queries only (--like/--anchors need "
-            "the corpus text)"
+            "--from-store does not combine with --anchors (anchor text "
+            "is not in the index)"
         )
     spark, _owned = _own_spark(cpus)
     try:
@@ -890,6 +890,27 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "index_articles enabled first)", err=True,
                 )
                 sys.exit(2)
+            if like_ids:
+                # MLT against the LIVE index: query terms derived from
+                # the persisted postings, zero corpus re-tokenization
+                out = more_like_this(
+                    None, list(like_ids), k=topk, index=idx
+                )
+                rows = out.orderBy("query_id", "rank").collect()
+                click.echo(json.dumps(
+                    [
+                        {
+                            "like_doc": r["query_id"],
+                            "rank": r["rank"],
+                            "doc_id": r["doc_id"],
+                            "score_u": r["score_u"],
+                            "n_terms": r["n_terms"],
+                        }
+                        for r in rows
+                    ],
+                    indent=2,
+                ))
+                return
             qdf = spark.createDataFrame(
                 [(i + 1, q) for i, q in enumerate(query_strs)],
                 "query_id long, text string",

@@ -277,7 +277,17 @@ def load_search_index(
             if s.get("metrics", {}).get("block_size")
         ]
         block_size = int(stamped[-1]) if stamped else 1024
-    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    has_kw = "kw_dl" in dls.columns
+    aggs = [F.count("*").alias("n"), F.sum("dl").alias("t")]
+    if has_kw:
+        # keyword-corpus scalars ride the same one-row aggregate —
+        # more_like_this query formation needs them, and computing
+        # them here costs nothing extra
+        aggs += [
+            F.count_if(F.col("kw_dl") > 0).alias("kn"),
+            F.sum("kw_dl").alias("kt"),
+        ]
+    tot = dls.agg(*aggs).collect()[0]
     n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
     postings = merge_postings(
         [shards],
@@ -286,12 +296,17 @@ def load_search_index(
         n_docs=n_docs,
         block_size=block_size,
     )
-    return {
+    out = {
         "postings": postings,
         "doc_lens": dls,
         "n_docs": n_docs,
         "t_tokens": t_tokens,
     }
+    if has_kw:
+        out["kw_doc_lens"] = dls.select("doc_id", "kw_dl")
+        out["kw_n_docs"] = int(tot["kn"] or 0)
+        out["kw_t_tokens"] = int(tot["kt"] or 0)
+    return out
 
 
 class CrawlEngine:
@@ -691,7 +706,9 @@ class CrawlEngine:
             include_dls=True,
             block_size=self.cfg.index_block_size,
         )
-        dls = doc_lengths(docs)
+        # kw_dl rides the norms table so MLT query formation is
+        # candidate-grain at read time (no corpus aggregate per call)
+        dls = doc_lengths(docs, include_kw=True)
         return {
             "index_shards": self.store.commit(
                 "index_shards", shard, epoch=epoch, mode="append",
