@@ -1199,6 +1199,81 @@ def _q_png_dhash_pairs(spark, sf_dir):
     return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode (operators/rasters.jpeg_decode_pixels
+    behind multimodal.compressed_raster_decoder): 48 genuine JPEGs
+    (quality-scaled Annex-K quantization, canonical Huffman DHT, gray
+    + YCbCr 4:4:4) decoded to Y-plane pixels inside the Arrow pass via
+    the spec'd fixed-point integer IDCT. The oracle re-decodes every
+    payload with an INDEPENDENT pure-Python implementation (its own
+    bit reader, Huffman walk and integer IDCT loops — no numpy, no
+    shared code) and freezes the expected rows into VALUES — same
+    entropy stream, two decoders, hash-exact agreement."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_jpeg_media_rows(), mm.MEDIA_SCHEMA
+    )
+    stats = mm.image_luma_stats_df(media)
+    hashes = mm.image_dhash_df(media)
+    return stats.join(hashes, "media_id").select(
+        "media_id", "width", "height", "luma_sum", "n_px", "dhash"
+    )
+
+
+def _q_jpeg_dhash_pairs(spark, sf_dir):
+    """Decoded-pixel image dedup over REAL JPEGs: ids 32..39 are
+    byte-different RE-ENCODES of 0..7 (wider Huffman codes, identical
+    quantized coefficients — decoded pixels identical, Hamming 0: the
+    lossless re-encode dedup claim); ids 40..47 perturb source pixels
+    of 8..15 before encoding. The oracle brute-forces all C(48,2)
+    pairs with the independent pure-Python decoder + the independently
+    written dHash."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_jpeg_media_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
+def _q_gif_decode(spark, sf_dir):
+    """REAL GIF decode (operators/rasters.gif_decode_pixels behind
+    multimodal.compressed_raster_decoder): 48 genuine GIF89a payloads
+    (variable-width LZW, palette-mapped, gray + small-palette RGB)
+    decoded inside the Arrow pass — all-integer, engine-exact. The
+    oracle re-decodes every payload with an INDEPENDENT pure-Python
+    LZW + palette walk and freezes the rows into VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_gif_media_rows(), mm.MEDIA_SCHEMA
+    )
+    stats = mm.image_luma_stats_df(media)
+    hashes = mm.image_dhash_df(media)
+    return stats.join(hashes, "media_id").select(
+        "media_id", "width", "height", "luma_sum", "n_px", "dhash"
+    )
+
+
+def _q_gif_dhash_pairs(spark, sf_dir):
+    """Decoded-pixel image dedup over REAL GIFs: ids 32..39 re-encode
+    0..7 with a rotated palette (byte-different color table + index
+    stream, identical decoded pixels — Hamming 0); ids 40..47 perturb
+    pixels of 8..15. Oracle = brute force over the independent
+    decoder, frozen to VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_gif_media_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _pld_host(doc_id):
     """Six host shapes covering every branch of the eTLD+1 algorithm:
     2-label ccTLD registry, deep subdomain, private platform suffix,
@@ -5486,6 +5561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_pairs": _q_dhash_pairs,
         "png_decode": _q_png_decode,
         "png_dhash_pairs": _q_png_dhash_pairs,
+        "jpeg_decode": _q_jpeg_decode,
+        "jpeg_dhash_pairs": _q_jpeg_dhash_pairs,
+        "gif_decode": _q_gif_decode,
+        "gif_dhash_pairs": _q_gif_dhash_pairs,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -5881,6 +5960,329 @@ def _png_decode_oracle_sql() -> str:
 
 def _png_dhash_oracle_sql() -> str:
     hashes = [(mid, dh) for mid, _w, _h, _ls, _npx, dh in _png_oracle_rows()]
+    values = []
+    for ai in range(len(hashes)):
+        for bi in range(ai + 1, len(hashes)):
+            id_a, h_a = hashes[ai]
+            id_b, h_b = hashes[bi]
+            d = bin(h_a ^ h_b).count("1")
+            if d <= 3:
+                values.append(f"({id_a}, {id_b}, {d})")
+    rows = ",\n              ".join(values)
+    return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
+
+
+def _oracle_jpeg_decode(b: bytes) -> list:
+    """INDEPENDENT pure-Python baseline-JPEG decode for the oracle
+    side: its own zigzag derivation, bit reader, canonical Huffman
+    walk and integer-IDCT loops — no numpy, no code shared with
+    rasters.jpeg_decode_pixels. The only shared contract is the
+    spec'd fixed-point basis formula round(8192 * a(v) *
+    cos((2x+1)v pi/16)) and the (acc+4096)>>13 two-pass rounding.
+    Returns the Y-plane luma grid as a list of row lists."""
+    import math as _math
+    import struct as _struct
+
+    basis = [
+        [
+            round(
+                8192
+                * (_math.sqrt(1.0 / 8.0) if v == 0 else 0.5)
+                * _math.cos((2 * x + 1) * v * _math.pi / 16.0)
+            )
+            for x in range(8)
+        ]
+        for v in range(8)
+    ]
+    # independent zigzag derivation: diagonals ordered by sum, even
+    # sums walk bottom-up, odd sums top-down
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
+        ),
+    )
+    assert b[:2] == b"\xff\xd8", "oracle: not a JPEG"
+    pos, qt, huff, frame, scan, entropy = 2, {}, {}, None, None, None
+    while pos + 4 <= len(b):
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = _struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                tq = seg[i] & 0x0F
+                tab = [[0] * 8 for _ in range(8)]
+                for k in range(64):
+                    r, c = zz[k]
+                    tab[r][c] = seg[i + 1 + k]
+                qt[tq] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1:i + 17])
+                nv = sum(counts)
+                vals = list(seg[i + 17:i + 17 + nv])
+                # canonical codes as BIT STRINGS (a structurally
+                # different reconstruction than the engine's)
+                codes = {}
+                code, vi = 0, 0
+                for clen in range(1, 17):
+                    for _ in range(counts[clen - 1]):
+                        codes[format(code, "0{}b".format(clen))] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(cls, tid)] = codes
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            fh, fw = _struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = [
+                (seg[6 + 3 * ci], seg[8 + 3 * ci]) for ci in range(nc)
+            ]
+            frame = (fw, fh, comps)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4,
+                 seg[2 + 2 * ci] & 0x0F)
+                for ci in range(ns)
+            ]
+            start = pos + 2 + ln
+            end = start
+            while end + 1 < len(b) and not (
+                b[end] == 0xFF and b[end + 1] != 0x00
+            ):
+                end += 1
+            entropy = b[start:end].replace(b"\xff\x00", b"\xff")
+            pos = end
+            continue
+        pos += 2 + ln
+    fw, fh, comps = frame
+    bits = "".join(format(byte, "08b") for byte in entropy)
+    cursor = [0]
+
+    def read_huff(codes):
+        run = ""
+        while True:
+            run += bits[cursor[0]]
+            cursor[0] += 1
+            if run in codes:
+                return codes[run]
+
+    def read_bits(n):
+        if n == 0:
+            return 0
+        v = int(bits[cursor[0]:cursor[0] + n], 2)
+        cursor[0] += n
+        return v
+
+    def extend(v, size):
+        if size == 0:
+            return 0
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    qt_of = {cid: tq for cid, tq in comps}
+    bh, bwd = (fh + 7) // 8, (fw + 7) // 8
+    pred = {cid: 0 for cid, _ in comps}
+    luma_cid = comps[0][0]
+    grid = [[0] * (bwd * 8) for _ in range(bh * 8)]
+    for mcu in range(bh * bwd):
+        for cid, dct, act in scan:
+            q = qt[qt_of[cid]]
+            coef = [[0] * 8 for _ in range(8)]
+            s = read_huff(huff[(0, dct)])
+            pred[cid] += extend(read_bits(s), s)
+            r0, c0 = zz[0]
+            coef[r0][c0] = pred[cid] * q[r0][c0]
+            k = 1
+            while k < 64:
+                rs = read_huff(huff[(1, act)])
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                v = extend(read_bits(size), size)
+                r, c = zz[k]
+                coef[r][c] = v * q[r][c]
+                k += 1
+            if cid != luma_cid:
+                continue
+            tmp = [
+                [
+                    (
+                        sum(coef[u][v] * basis[v][x] for v in range(8))
+                        + 4096
+                    )
+                    >> 13
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+            by, bx = divmod(mcu, bwd)
+            for y in range(8):
+                for x in range(8):
+                    px = (
+                        (
+                            sum(tmp[u][x] * basis[u][y] for u in range(8))
+                            + 4096
+                        )
+                        >> 13
+                    ) + 128
+                    grid[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+    return [row[:fw] for row in grid[:fh]]
+
+
+def _oracle_gif_decode(b: bytes) -> list:
+    """INDEPENDENT pure-Python GIF decode for the oracle side: its own
+    LZW (dict of code -> byte list, deferred width bump written
+    differently), palette walk and integer luma — no numpy, no shared
+    code with rasters.gif_decode_pixels beyond the format itself."""
+    import struct as _struct
+
+    assert b[:6] in (b"GIF87a", b"GIF89a"), "oracle: not a GIF"
+    flags = b[10]
+    pos = 13
+    gct = []
+    if flags & 0x80:
+        glen = 2 << (flags & 0x07)
+        for j in range(glen):
+            gct.append(
+                (b[pos + 3 * j], b[pos + 3 * j + 1], b[pos + 3 * j + 2])
+            )
+        pos += 3 * glen
+    while b[pos] == 0x21:  # extensions
+        pos += 2
+        while b[pos] != 0:
+            pos += 1 + b[pos]
+        pos += 1
+    assert b[pos] == 0x2C, "oracle: no image descriptor"
+    _l, _t, w, h = _struct.unpack("<HHHH", b[pos + 1:pos + 9])
+    iflags = b[pos + 9]
+    pos += 10
+    pal = gct
+    if iflags & 0x80:
+        plen = 2 << (iflags & 0x07)
+        pal = [
+            (b[pos + 3 * j], b[pos + 3 * j + 1], b[pos + 3 * j + 2])
+            for j in range(plen)
+        ]
+        pos += 3 * plen
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()
+    while b[pos] != 0:
+        ln = b[pos]
+        data += b[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    # bit stream LSB-first as one big int (structurally different from
+    # the engine's accumulator reader)
+    big = int.from_bytes(bytes(data), "little")
+    nbits_total = 8 * len(data)
+    at = 0
+    width = mcs + 1
+    table = {i: [i] for i in range(clear)}
+    nxt = eoi + 1
+    out: list = []
+    prev = None
+    while len(out) < w * h and at + width <= nbits_total:
+        code = (big >> at) & ((1 << width) - 1)
+        at += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            nxt = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[nxt] = prev + [entry[0]]
+            nxt += 1
+        else:
+            entry = prev + [prev[0]]
+            table[nxt] = entry
+            nxt += 1
+        out.extend(entry)
+        prev = entry
+        if nxt >= (1 << width) and width < 12:
+            # nxt counts literals + the two reserved codes + added
+            # entries — the decoder-visible table size
+            width += 1
+    grid = []
+    for r in range(h):
+        row = []
+        for c in range(w):
+            cr, cg, cb = pal[out[r * w + c]]
+            row.append((299 * cr + 587 * cg + 114 * cb) // 1000)
+        grid.append(row)
+    return grid
+
+
+def _raster_oracle_rows(fmt: str) -> list:
+    """(media_id, w, h, luma_sum, n_px, dhash_unsigned) for every
+    planted JPEG or GIF, via the independent decoders + independent
+    dHash."""
+    key = f"{fmt}_rows"
+    if key not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_gif_media_rows,
+            planted_jpeg_media_rows,
+        )
+
+        rows = (
+            planted_jpeg_media_rows()
+            if fmt == "jpeg"
+            else planted_gif_media_rows()
+        )
+        dec = _oracle_jpeg_decode if fmt == "jpeg" else _oracle_gif_decode
+        out = []
+        for media_id, _kind, payload, _meta in rows:
+            grid = dec(bytes(payload))
+            h, w = len(grid), len(grid[0])
+            out.append(
+                (
+                    media_id,
+                    w,
+                    h,
+                    sum(sum(row) for row in grid),
+                    h * w,
+                    _oracle_dhash(grid),
+                )
+            )
+        _ORACLE_CACHE[key] = out
+    return _ORACLE_CACHE[key]
+
+
+def _raster_decode_oracle_sql(fmt: str) -> str:
+    rows = ",\n              ".join(
+        f"({mid}, {w}, {h}, {ls}, {npx}, "
+        f"{dh - (1 << 64) if dh >= (1 << 63) else dh})"
+        for mid, w, h, ls, npx, dh in _raster_oracle_rows(fmt)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(media_id, width, height, luma_sum, n_px, dhash)"
+    )
+
+
+def _raster_dhash_oracle_sql(fmt: str) -> str:
+    hashes = [
+        (mid, dh) for mid, _w, _h, _ls, _npx, dh in _raster_oracle_rows(fmt)
+    ]
     values = []
     for ai in range(len(hashes)):
         for bi in range(ai + 1, len(hashes)):
@@ -9411,6 +9813,10 @@ def oracle_sql() -> dict[str, str]:
         "dhash_pairs": _dhash_oracle_sql(),
         "png_decode": _png_decode_oracle_sql(),
         "png_dhash_pairs": _png_dhash_oracle_sql(),
+        "jpeg_decode": _raster_decode_oracle_sql("jpeg"),
+        "jpeg_dhash_pairs": _raster_dhash_oracle_sql("jpeg"),
+        "gif_decode": _raster_decode_oracle_sql("gif"),
+        "gif_dhash_pairs": _raster_dhash_oracle_sql("gif"),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

