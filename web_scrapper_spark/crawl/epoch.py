@@ -232,6 +232,14 @@ class CrawlConfig:
     # pass over each epoch's new articles).
     index_articles: bool = False
     index_block_size: int = 1024
+    # merge-on-read compaction for the incremental index (the
+    # frontier_base discipline applied to index_shards): when the
+    # number of delta shards since the last compacted base reaches
+    # this, fold base+deltas into a new UNGATED base shard — reads
+    # stay O(base + recent deltas), not O(epochs). The merge contract
+    # (merge(build(A), build(B)) == build(A ∪ B)) makes the fold
+    # semantically invisible.
+    index_compact_max_shards: int = 8
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -263,17 +271,45 @@ def load_search_index(
     size merges correctly without the caller knowing the number."""
     from ..operators.textops import merge_postings
 
-    shards = store.read_committed(spark, "index_shards", as_of_epoch)
-    dls = store.read_committed(spark, "index_doclens", as_of_epoch)
-    if shards is None or dls is None:
+    # merge-on-read with a compacted base (cfg.index_compact_max_shards
+    # crawls): O(base + recent deltas) files, never O(epochs)
+    base_entry = store.latest_committed("index_base", as_of_epoch)
+    parts = []
+    if base_entry is not None:
+        parts.append(store.read(spark, "index_base", base_entry["id"]))
+    deltas = store.read_committed(
+        spark, "index_shards", as_of_epoch,
+        after_epoch=base_entry["epoch"] if base_entry else None,
+    )
+    if deltas is not None:
+        parts.append(deltas)
+    dl_base_entry = store.latest_committed("index_dl_base", as_of_epoch)
+    dl_parts = []
+    if dl_base_entry is not None:
+        dl_parts.append(
+            store.read(spark, "index_dl_base", dl_base_entry["id"])
+        )
+    dl_deltas = store.read_committed(
+        spark, "index_doclens", as_of_epoch,
+        after_epoch=dl_base_entry["epoch"] if dl_base_entry else None,
+    )
+    if dl_deltas is not None:
+        dl_parts.append(dl_deltas)
+    if not parts or not dl_parts:
         return None
+    dls = dl_parts[0]
+    for p in dl_parts[1:]:
+        # allowMissingColumns: a pre-kw_dl store's old deltas union
+        # with nulls instead of refusing
+        dls = dls.unionByName(p, allowMissingColumns=True)
     if block_size is None:
-        # the writer stamps cfg.index_block_size on every shard
+        # the writer stamps cfg.index_block_size on every shard/base
         # snapshot; honor it (pre-stamp stores fall back to the
         # historical default)
         stamped = [
             s["metrics"]["block_size"]
-            for s in store.snapshots("index_shards")
+            for t in ("index_shards", "index_base")
+            for s in store.snapshots(t)
             if s.get("metrics", {}).get("block_size")
         ]
         block_size = int(stamped[-1]) if stamped else 1024
@@ -286,11 +322,17 @@ def load_search_index(
         aggs += [
             F.count_if(F.col("kw_dl") > 0).alias("kn"),
             F.sum("kw_dl").alias("kt"),
+            # a pre-kw_dl store's old deltas union in as nulls: the
+            # candidate-grain MLT scalars would be WRONG, so their
+            # presence demotes to the full-derivation path
+            F.count_if(F.col("kw_dl").isNull()).alias("knull"),
         ]
     tot = dls.agg(*aggs).collect()[0]
+    if has_kw and int(tot["knull"] or 0) > 0:
+        has_kw = False
     n_docs, t_tokens = int(tot["n"] or 0), int(tot["t"] or 0)
     postings = merge_postings(
-        [shards],
+        parts,
         min_df=min_df,
         max_df_ppm=max_df_ppm,
         n_docs=n_docs,
@@ -709,7 +751,7 @@ class CrawlEngine:
         # kw_dl rides the norms table so MLT query formation is
         # candidate-grain at read time (no corpus aggregate per call)
         dls = doc_lengths(docs, include_kw=True)
-        return {
+        tables = {
             "index_shards": self.store.commit(
                 "index_shards", shard, epoch=epoch, mode="append",
                 # readers (load_search_index with block_size=None)
@@ -718,6 +760,85 @@ class CrawlEngine:
             ),
             "index_doclens": self.store.commit(
                 "index_doclens", dls, epoch=epoch, mode="append"
+            ),
+        }
+        tables.update(self._maybe_compact_index(epoch, shard, dls, n_new))
+        return tables
+
+    def _maybe_compact_index(
+        self, epoch: int, shard: DataFrame, dls: DataFrame, n_new: int
+    ) -> Dict:
+        """Ratio-triggered index compaction (the frontier_base
+        discipline): when the delta shards accumulated since the last
+        ``index_base`` reach ``cfg.index_compact_max_shards``, fold
+        base + committed deltas + this epoch's shard into one new
+        UNGATED base (min_df=1, max_df_ppm=10^6 — the gates stay a
+        read-time decision), and likewise the keyword-norm deltas into
+        ``index_dl_base``. Readers then union O(base + recent deltas)
+        files instead of O(epochs). The fold is semantically invisible
+        by the merge_postings contract; crash-safe because the base
+        snapshots only become visible through this epoch's
+        commit_epoch record."""
+        from ..operators.textops import merge_postings
+
+        cfg = self.cfg
+        base_entry = self.store.latest_committed("index_base", self._epoch)
+        after = base_entry["epoch"] if base_entry else None
+        n_deltas = 1 + len(
+            self.store.committed_ids(
+                "index_shards", self._epoch, after_epoch=after
+            )
+        )
+        if n_deltas < max(2, cfg.index_compact_max_shards):
+            return {}
+        parts = []
+        if base_entry is not None:
+            parts.append(
+                self.store.read(self.spark, "index_base", base_entry["id"])
+            )
+        prev_deltas = self.store.read_committed(
+            self.spark, "index_shards", self._epoch, after_epoch=after
+        )
+        if prev_deltas is not None:
+            parts.append(prev_deltas)
+        parts.append(shard)
+        n_total = self.store.committed_rows("index_doclens") + n_new
+        folded = merge_postings(
+            parts,
+            min_df=1,
+            max_df_ppm=1_000_000,
+            n_docs=n_total,
+            block_size=cfg.index_block_size,
+        )
+        dl_base_entry = self.store.latest_committed(
+            "index_dl_base", self._epoch
+        )
+        dl_parts = [dls]
+        if dl_base_entry is not None:
+            dl_parts.append(
+                self.store.read(
+                    self.spark, "index_dl_base", dl_base_entry["id"]
+                )
+            )
+        dl_after = dl_base_entry["epoch"] if dl_base_entry else None
+        prev_dls = self.store.read_committed(
+            self.spark, "index_doclens", self._epoch, after_epoch=dl_after
+        )
+        if prev_dls is not None:
+            dl_parts.append(prev_dls)
+        dl_folded = dl_parts[0]
+        for p in dl_parts[1:]:
+            dl_folded = dl_folded.unionByName(p, allowMissingColumns=True)
+        return {
+            "index_base": self.store.commit(
+                "index_base", folded, epoch=epoch,
+                metrics={
+                    "block_size": cfg.index_block_size,
+                    "folded_shards": n_deltas,
+                },
+            ),
+            "index_dl_base": self.store.commit(
+                "index_dl_base", dl_folded, epoch=epoch
             ),
         }
 
@@ -781,6 +902,17 @@ class CrawlEngine:
     def run_epoch(self) -> Dict:
         """One checkpointed batch. Returns the epoch's metrics (empty
         frontier → {'done': True})."""
+        try:
+            return self._run_epoch_impl()
+        except BaseException:
+            # deferred-manifest discipline: a failed epoch's snapshot
+            # entries never reach disk (its parquet dirs stay orphans
+            # resume ignores); without this, the next epoch's
+            # begin_epoch_batch would refuse
+            self.store.abort_epoch_batch()
+            raise
+
+    def _run_epoch_impl(self) -> Dict:
         cfg = self.cfg
         epoch = self._epoch + 1
 
@@ -790,6 +922,9 @@ class CrawlEngine:
         if n_frontier == 0:
             return {"epoch": epoch, "done": True, "dequeued": 0}
 
+        # ONE durable manifest write per epoch (commit_epoch): every
+        # table/blob commit below lands in the pending manifest only
+        self.store.begin_epoch_batch()
         t0 = time.time()
         phases = {}
 
@@ -875,6 +1010,8 @@ class CrawlEngine:
         if n_batch == 0:
             for df in to_unpersist:
                 df.unpersist()
+            # nothing committed this epoch — close the batch untouched
+            self.store.abort_epoch_batch()
             return {"epoch": epoch, "done": True, "dequeued": 0}
 
         # S2/S3: rotate UA / assign session + proxy as columns on the

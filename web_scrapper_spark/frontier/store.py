@@ -45,6 +45,7 @@ class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
         self._lock = threading.Lock()
+        self._pending: Optional[Dict] = None
         os.makedirs(root, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -52,11 +53,38 @@ class SnapshotStore:
         return os.path.join(self.root, MANIFEST)
 
     def manifest(self) -> Dict:
+        # inside an epoch batch, the pending manifest IS the manifest
+        # (disk + this epoch's deferred entries) — readers and snap-id
+        # assignment see one consistent view
+        if self._pending is not None:
+            return self._pending
         path = self._manifest_path()
         if not os.path.exists(path):
             return {"tables": {}, "epochs": []}
         with open(path) as fh:
             return json.load(fh)
+
+    def begin_epoch_batch(self) -> None:
+        """Defer manifest durability for one epoch: snapshot entries
+        accumulate in the in-memory pending manifest and hit disk ONCE
+        at :meth:`commit_epoch` (one serialize + atomic replace per
+        epoch instead of one per table — the epoch's serial commit
+        chain measured 7-9 manifest rewrites). Crash before
+        commit_epoch leaves the on-disk manifest untouched; the
+        epoch's snapshot dirs are orphans resume already ignores (the
+        same guarantee the per-table writes gave, since visibility was
+        always gated on the epoch record)."""
+        with self._lock:
+            if self._pending is not None:
+                raise RuntimeError("epoch batch already open")
+            # manifest() reads disk while _pending is still None
+            self._pending = self.manifest()
+
+    def abort_epoch_batch(self) -> None:
+        """Discard the deferred entries (failure path): the on-disk
+        manifest never saw this epoch."""
+        with self._lock:
+            self._pending = None
 
     def _write_manifest(self, manifest: Dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -105,7 +133,10 @@ class SnapshotStore:
                     "mode": mode,
                 }
             )
-            self._write_manifest(manifest)
+            if self._pending is None:
+                self._write_manifest(manifest)
+            # batch mode: the entry lives in the pending manifest and
+            # lands on disk with commit_epoch's single write
         return snap_id
 
     def commit_blob(
@@ -138,7 +169,8 @@ class SnapshotStore:
                     "metrics": meta or {},
                 }
             )
-            self._write_manifest(manifest)
+            if self._pending is None:
+                self._write_manifest(manifest)
         return snap_id
 
     def read_blob(self, name: str) -> Optional[Dict]:
@@ -159,14 +191,20 @@ class SnapshotStore:
     def commit_epoch(self, epoch: int, tables: Dict[str, int], metrics: Dict) -> None:
         """Record a completed epoch: table→snapshot-id mapping + metrics.
         An epoch absent from this list is treated as never having
-        happened on resume (its orphan snapshots are ignored)."""
-        manifest = self.manifest()
-        manifest["epochs"] = [e for e in manifest["epochs"] if e["epoch"] != epoch]
-        manifest["epochs"].append(
-            {"epoch": epoch, "tables": tables, "metrics": metrics}
-        )
-        manifest["epochs"].sort(key=lambda e: e["epoch"])
-        self._write_manifest(manifest)
+        happened on resume (its orphan snapshots are ignored). Closes
+        an open epoch batch: this is the ONE durable manifest write
+        the whole epoch makes."""
+        with self._lock:
+            manifest = self.manifest()
+            manifest["epochs"] = [
+                e for e in manifest["epochs"] if e["epoch"] != epoch
+            ]
+            manifest["epochs"].append(
+                {"epoch": epoch, "tables": tables, "metrics": metrics}
+            )
+            manifest["epochs"].sort(key=lambda e: e["epoch"])
+            self._pending = None
+            self._write_manifest(manifest)
 
     # -- reads -------------------------------------------------------------
     def snapshots(self, table: str) -> List[Dict]:
@@ -341,7 +379,12 @@ class SnapshotStore:
                         pass
                 entry["path"] = None
                 removed += 1
-        self._write_manifest(manifest)
+        if removed:
+            # no-op expiries (nothing old enough) must not pay a
+            # manifest rewrite — the epoch's write budget is ONE
+            # durable write (commit_epoch) plus maintenance that
+            # actually did something
+            self._write_manifest(manifest)
         return removed
 
 
