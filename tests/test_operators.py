@@ -738,6 +738,47 @@ class TestSources:
         with pytest.raises(RuntimeError, match="no JDBC driver"):
             write_jdbc(df, "jdbc:postgresql://h/d", "items")
 
+    def test_live_jdbc_roundtrip_embedded_derby(self, spark, tmp_path):
+        # S10's LIVE JDBC leg (round-4: closes the last S10 asterisk):
+        # pyspark ships Apache Derby for the hive metastore, and
+        # Derby's EMBEDDED driver needs no server — so the real
+        # spark.read/write.jdbc path is provable in-sandbox:
+        # distributed batch-insert write, typed read-back with NULLs,
+        # dbtable-subquery pushdown, append mode. Derby is NOT in
+        # DEFAULT_JDBC_DRIVERS (a 'db'-format postgres URL must keep
+        # its loud parquet fallback), so the driver is explicit.
+        import pytest
+
+        from web_scrapper_spark.sources import (
+            jdbc_driver_available, read_jdbc, write_jdbc,
+        )
+
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        if jdbc_driver_available(spark, drv) is None:
+            pytest.skip("Derby jars absent from this Spark build")
+        url = f"jdbc:derby:{tmp_path}/db;create=true"
+        df = spark.createDataFrame(
+            [(1, 1.5, "a"), (2, None, "b")],
+            "id bigint, score double, v string",
+        )
+        write_jdbc(df, url, "items", mode="overwrite", driver=drv)
+        back = read_jdbc(spark, url, "items", driver=drv)
+        assert sorted(map(tuple, back.collect())) == [
+            (1, 1.5, "a"), (2, None, "b"),
+        ]
+        # dbtable pushdown: the subquery runs IN the database (Spark's
+        # JDBC writer quotes column names, so Derby needs the quoted
+        # case-exact identifiers here)
+        one = read_jdbc(
+            spark, url,
+            '(SELECT "id" FROM items WHERE "id" = 1) AS q',
+            driver=drv,
+        )
+        assert [tuple(r) for r in one.collect()] == [(1,)]
+        # append accumulates across JDBC batch inserts
+        write_jdbc(df, url, "items", mode="append", driver=drv)
+        assert read_jdbc(spark, url, "items", driver=drv).count() == 4
+
     def test_write_any_db_requires_table(self, spark):
         # driver on the classpath but no target table: a clear
         # ValueError, not a KeyError after the crawl already ran

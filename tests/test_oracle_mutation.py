@@ -215,6 +215,55 @@ class TestOracleMutation:
             spark, duck, frozen_oracles, "bpe_learn", mutate, monkeypatch,
         )
 
+    def test_raster_family_pins_encoder_quantization(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        # round-4 family: the jpeg_decode gate compares engine-decoded
+        # pixels against VALUES frozen from the independent oracle
+        # decoder over the SHARED planted fixture. A bug in the shared
+        # encoder path (here: the quality-scaled quantization table
+        # that both the fixture and any re-freeze would use) must move
+        # the decoded luma sums and go RED against the frozen VALUES.
+        from web_scrapper_spark.operators import rasters
+
+        real = rasters.scaled_quant_table
+
+        def mutate(mp):
+            mp.setattr(
+                rasters,
+                "scaled_quant_table",
+                lambda base, quality: real(base, max(1, quality - 20)),
+            )
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "jpeg_decode", mutate, monkeypatch,
+        )
+
+    def test_bm25_tokenizer_also_pins_mlt_from_index(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        # round-4 family: mlt_from_index glues weights-from-postings
+        # onto the search replay; the shared tokenizer is load-bearing
+        # through BOTH stages (postings tf/dl, N/T scalars, search
+        # scores), so the same one-extra-token bug must red it too.
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators import textops
+
+        real = textops.tokens_col
+
+        def mutate(mp):
+            mp.setattr(
+                textops,
+                "tokens_col",
+                lambda c: real(F.concat(c, F.lit(" zzmutant"))),
+            )
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "mlt_from_index", mutate,
+            monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""

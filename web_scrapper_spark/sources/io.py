@@ -66,8 +66,13 @@ DEFAULT_JDBC_DRIVERS = (
 def jdbc_driver_available(spark: SparkSession, driver: Optional[str] = None) -> Optional[str]:
     """Capability probe (S10): the first JDBC driver class loadable in
     the session's JVM, or None. A cluster ships the jar via
-    ``spark.jars``/``--packages``; this sandbox ships none, so callers
-    must branch rather than assume."""
+    ``spark.jars``/``--packages``; this sandbox ships no SERVER-backed
+    driver, so callers must branch rather than assume. (Embedded
+    Apache Derby IS present — pyspark bundles it for the hive
+    metastore — which is how the live spark.read/write.jdbc path is
+    proven in-repo: ``test_live_jdbc_roundtrip_embedded_derby``. Derby
+    is deliberately NOT in DEFAULT_JDBC_DRIVERS: its presence must not
+    make a postgres-URL 'db' write skip the loud parquet fallback.)"""
     candidates = (driver,) if driver else DEFAULT_JDBC_DRIVERS
     jvm = spark.sparkContext._jvm
     for cls in candidates:
