@@ -1123,14 +1123,33 @@ class CrawlEngine:
                 fresh = hashed
             # within-batch: the copy first in crawl order wins —
             # deterministic, matches the sequential reference's "first
-            # visit processes" semantics
-            rn = F.row_number().over(
-                Window.partitionBy("body_fp").orderBy("ord_key", "url")
-            )
-            fresh = fresh.withColumn("_csrn", rn).persist()
+            # visit processes" semantics. SKEW-PROOF (round 4): a
+            # Window.partitionBy(body_fp) sorts a hot fingerprint's
+            # ENTIRE copy set in one task — boilerplate bodies (error
+            # pages, parked domains) have millions of byte-identical
+            # copies at crawl scale (measured: 3M same-body pages
+            # spent ~30 s in the old window). The winner per fp is
+            # just argmin(ord_key, url) — a map-side-combinable
+            # aggregate (combiners shrink every partition's
+            # contribution to one row per fp, so the hot key never
+            # concentrates), and the survivor/dup split joins back on
+            # the FULL (body_fp, ord_key, url) key, which spreads the
+            # hot fingerprint's rows uniformly. Identical winner to
+            # the old row_number (lexicographic min), bit-exact.
+            fresh = fresh.persist()
             to_unpersist.append(fresh)
-            survivors = fresh.filter(F.col("_csrn") == 1).drop("_csrn")
-            dup_batch = fresh.filter(F.col("_csrn") > 1).drop("_csrn")
+            winners = (
+                fresh.groupBy("body_fp")
+                .agg(F.min(F.struct("ord_key", "url")).alias("_w"))
+                .select(
+                    "body_fp",
+                    F.col("_w.ord_key").alias("ord_key"),
+                    F.col("_w.url").alias("url"),
+                )
+            )
+            keys = ["body_fp", "ord_key", "url"]
+            survivors = fresh.join(winners, keys, "left_semi")
+            dup_batch = fresh.join(winners, keys, "left_anti")
             dup_pages = (
                 dup_batch if dup_prior is None
                 else dup_batch.unionByName(dup_prior)

@@ -1007,10 +1007,45 @@ def _assemble_postings(
         ),
         "term",
     )
-    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
-    blocked = kept.withColumn(
-        "block",
-        F.floor((F.row_number().over(w) - 1) / block_size).cast("long"),
+    # SKEW-PROOF per-term ranking (round 4): a plain
+    # Window.partitionBy(term) puts a hot term's ENTIRE posting list
+    # in one partition — fine after a max-df gate, but UNGATED shard
+    # builds (the incremental-index path, gates applied at merge) meet
+    # stopword-class terms whose lists are O(corpus): one executor
+    # would sort millions of rows serially (measured: a 3M-doc
+    # single-term epoch spent ~30 s in this window). Instead: bucket
+    # by the doc_id's top byte — ORDER-PRESERVING (arithmetic shift on
+    # two's-complement longs) and uniform for hashed ids (the crawl
+    # index keys docs by xxhash64(url)) — rank locally within
+    # (term, bucket), and add the per-term prefix count of earlier
+    # buckets. Exact same rank for ANY doc_id distribution (skewed
+    # ids just degrade back to fewer effective buckets), so the
+    # blocking — and every oracle — is bit-identical.
+    kept = kept.withColumn("_bkt", F.shiftright(F.col("doc_id"), 56))
+    w_local = Window.partitionBy("term", "_bkt").orderBy(F.asc("doc_id"))
+    w_pfx = (
+        Window.partitionBy("term")
+        .orderBy(F.asc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx = (
+        kept.groupBy("term", "_bkt")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_pfx", F.coalesce(F.sum("_c").over(w_pfx), F.lit(0))
+        )
+        .drop("_c")
+    )
+    blocked = (
+        kept.withColumn("_lr", F.row_number().over(w_local))
+        .join(pfx, ["term", "_bkt"])
+        .withColumn(
+            "block",
+            F.floor(
+                (F.col("_pfx") + F.col("_lr") - 1) / block_size
+            ).cast("long"),
+        )
+        .drop("_bkt", "_lr", "_pfx")
     )
     entry_cols = ["doc_id", "tf"] + (["dl"] if include_dls else [])
     entries = F.array_sort(F.collect_list(F.struct(*entry_cols)))
