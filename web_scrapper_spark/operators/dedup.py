@@ -93,19 +93,31 @@ def paragraph_dedup(
             F.filter(F.split(F.col("para"), r"\s+"), lambda w: w != F.lit(""))
         ).alias("n_words"),
     )
-    win = Window.partitionBy("para_md5").orderBy(id_col, "para_idx")
-    grp = Window.partitionBy("para_md5")
-    return (
-        hashed.withColumn("rn", F.row_number().over(win))
-        .withColumn("dup_count", F.count("*").over(grp))
-        .select(
-            id_col,
-            "para_idx",
-            "para_md5",
-            "n_words",
-            "dup_count",
-            (F.col("rn") == 1).alias("keep"),
-        )
+    # SKEW-PROOF winner pick (round 4): boilerplate paragraphs
+    # ("all rights reserved", cookie banners) have millions of
+    # byte-identical copies at crawl scale — a Window.partitionBy
+    # (para_md5) would sort a hot paragraph's whole copy set in one
+    # task. The keeper is argmin(id, para_idx) — a map-side-combined
+    # aggregate that also carries dup_count — and the keep flag joins
+    # back on the md5+winner equality; the md5-keyed join is
+    # AQE-skew-splittable (unlike a window). Same keeper as the old
+    # row_number (lexicographic min), bit-exact.
+    winners = hashed.groupBy("para_md5").agg(
+        F.min(F.struct(F.col(id_col).alias("_i"), F.col("para_idx"))).alias(
+            "_w"
+        ),
+        F.count("*").alias("dup_count"),
+    )
+    return hashed.join(winners, "para_md5").select(
+        id_col,
+        "para_idx",
+        "para_md5",
+        "n_words",
+        "dup_count",
+        (
+            (F.col(id_col) == F.col("_w._i"))
+            & (F.col("para_idx") == F.col("_w.para_idx"))
+        ).alias("keep"),
     )
 
 
@@ -689,12 +701,26 @@ def semdedup(
             F.coalesce(cosine_col(F.col(vec_col), F.col("_cent")), F.lit(-2.0)),
         )
     )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("component").orderBy(F.asc("_ccos"), F.asc(id_col))
+    # SKEW-PROOF keeper pick (round 4): a near-dup component can hold
+    # millions of members (template clusters) — the keeper is
+    # argmin(_ccos, id), a map-side-combined aggregate, and losers
+    # are everyone failing the full-key equality (identical floats:
+    # the winner's _ccos re-joins against its own computed value).
+    # Same keeper as the old row_number window, without the one-task
+    # sort of a hot component.
+    _keep = dup.groupBy("component").agg(
+        F.min(F.struct(F.col("_ccos"), F.col(id_col).alias("_i"))).alias(
+            "_w"
+        )
+    )
     losers = (
-        dup.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") > 1)
+        dup.join(_keep, "component")
+        .filter(
+            ~(
+                (F.col("_ccos") == F.col("_w._ccos"))
+                & (F.col(id_col) == F.col("_w._i"))
+            )
+        )
         .select(F.col(id_col), F.lit(True).alias("_lost"))
     )
     out = (

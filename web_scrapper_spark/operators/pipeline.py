@@ -116,16 +116,17 @@ def funnel_flags(
     )
 
     # --- stage 4: exact dedup among survivors (one fp exchange, the
-    # min-over-partition picks the same keeper dedup_exact would) ----
-    w = Window.partitionBy("_fp")
-    f4 = cur.withColumn(
-        "_c4",
-        F.col("_c3")
-        & (
-            F.col(id_col)
-            == F.min(F.when(F.col("_c3"), F.col(id_col))).over(w)
-        ),
+    # argmin picks the same keeper dedup_exact would). SKEW-PROOF
+    # (round 4): a hot fingerprint (boilerplate body) used to gather
+    # its whole copy set in one window task; the per-fp winner is now
+    # a map-side-combined aggregate and the keep flag a fp-keyed join
+    # (AQE-skew-splittable) ------------------------------------------
+    _fp_win = cur.groupBy("_fp").agg(
+        F.min(F.when(F.col("_c3"), F.col(id_col))).alias("_fpmin")
     )
+    f4 = cur.join(_fp_win, "_fp").withColumn(
+        "_c4", F.col("_c3") & (F.col(id_col) == F.col("_fpmin"))
+    ).drop("_fpmin")
     # Materialize the flags ONCE: four downstream consumers (the final
     # aggregate, pair generation, the components join, decontamination)
     # would otherwise each re-scan the corpus and re-evaluate the
