@@ -644,6 +644,9 @@ are now map-side-combinable aggregates + key-spread joins, bit-exact
                                      'secondary_8_to_32': None}),
       'frontier_feat')}
 {_feature_delta_md(r)}
+Ratios at or above 1.0× are the host's co-tenant noise band (the
+features cannot be free); the defensible reading is the features-on
+EFFICIENCY row above, measured level-internally on interleaved runs.
 
 ## 2. Full pipeline incl. HTML extraction (Arrow/Python parse stage)
 
