@@ -358,6 +358,10 @@ def anchor_text_profile(
     counts = words.groupBy("target", "word").agg(F.count("*").alias("freq"))
     from pyspark.sql import Window
 
+    # hot-target note (round-4 skew audit): the window input is the
+    # AGGREGATED (target, word) grain — a popular page's partition is
+    # bounded by its distinct anchor VOCABULARY, not its inlink count
+    # (the map-side-combined groupBy above absorbed the instance skew)
     win = Window.partitionBy("target").orderBy(F.desc("freq"), F.asc("word"))
     return (
         counts.withColumn("rank", F.row_number().over(win))

@@ -148,6 +148,11 @@ def stratified_sample(
         else:
             staged = pre
 
+    # hot-stratum note (round-4 skew audit): with prefilter_margin set
+    # (the production path), the window's per-stratum input is already
+    # hash-bounded to ~margin x quota rows — a corpus-sized stratum
+    # never reaches this sort. The unfiltered path is the small-data /
+    # fallback branch and keeps the simple exact rank.
     win = Window.partitionBy(stratum_col).orderBy("_h", id_col)
     return (
         staged.withColumn("_rank", F.row_number().over(win))
