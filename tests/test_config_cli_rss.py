@@ -911,6 +911,33 @@ class TestSearchFromStoreCli:
             assert like_rows and like_rows[0]["like_doc"] == some_doc
             assert all(r["doc_id"] != some_doc for r in like_rows)
 
+            # df-gated --like (round-5 advice fix): the CLI must load
+            # the index UNGATED for query formation and gate only the
+            # search side (Lucene MLT semantics) — pinned against the
+            # programmatic ungated-index + merge-contract-view call
+            from web_scrapper_spark.operators.textops import (
+                merge_postings,
+                more_like_this,
+            )
+
+            gates = dict(min_df=2, max_df_ppm=400_000)
+            want = more_like_this(
+                None, [some_doc], k=3, index=idx,
+                search_postings=merge_postings(
+                    [idx["postings"]], n_docs=idx["n_docs"], **gates
+                ),
+            ).orderBy("rank").collect()
+            gated = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "--like", str(some_doc), "--topk", "3", "--cpus", "4",
+                 "--min-df", "2", "--max-df-ppm", "400000"],
+            )
+            assert gated.exit_code == 0, gated.output
+            got = _json.loads(gated.output.strip())
+            assert [(r["doc_id"], r["score_u"]) for r in got] == [
+                (r["doc_id"], r["score_u"]) for r in want]
+
             # usage guards: -i XOR --from-store; no --anchors
             both = runner.invoke(
                 cli_mod.cli,

@@ -214,6 +214,30 @@ class TestSnapshotStore:
         # ...unless narrowed past the expired range
         assert store.read_committed(spark, "seen", after_epoch=1).count() == 3
 
+    def test_expire_refuses_inside_open_epoch_batch(self, spark, tmp_path):
+        """Regression (round-5 advice): expire_snapshots during an open
+        epoch batch would _write_manifest the PENDING manifest —
+        flushing uncommitted-epoch snapshot rows to disk and breaking
+        begin_epoch_batch's invariant that the on-disk manifest stays
+        untouched until commit_epoch. Must refuse; after commit it runs."""
+        import json as _json
+
+        store = SnapshotStore(str(tmp_path / "store"))
+        for e in range(3):
+            s = store.commit("t", spark.range(e + 1), epoch=e)
+            store.commit_epoch(e, {"t": s}, {})
+        on_disk = open(store._manifest_path()).read()
+        store.begin_epoch_batch()
+        store.commit("t", spark.range(9), epoch=3)
+        with pytest.raises(RuntimeError, match="open epoch batch"):
+            store.expire_snapshots("t", keep_last=1)
+        # the refusal left the on-disk manifest byte-identical
+        assert open(store._manifest_path()).read() == on_disk
+        store.abort_epoch_batch()
+        assert _json.loads(on_disk) == store.manifest()
+        # outside a batch, maintenance works as before
+        assert store.expire_snapshots("t", keep_last=1) == 2
+
     def test_blob_commit_read_expire(self, tmp_path):
         store = SnapshotStore(str(tmp_path / "store"))
         assert store.read_blob("x") is None

@@ -2268,6 +2268,24 @@ class TestBuildPostings:
         with _pytest.raises(ValueError):
             build_postings(self._docs(spark, [(1, "x")]), 1, block_size=0)
 
+    def test_string_ids_fall_back_to_plain_window(self, spark):
+        """Regression (round-5 advice): the skew-proof blocking buckets
+        by shiftright(doc_id, 56), which needs an integral id — string
+        ids (valid for every other postings consumer) used to die in
+        analysis with a raw error. They must degrade to the constant-
+        bucket path: identical ordered blocking, no skew protection."""
+        from web_scrapper_spark.operators.textops import build_postings
+
+        rows = [("d%02d" % i, "common") for i in range(7)]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        out = sorted(
+            build_postings(docs, 7, block_size=3).collect(),
+            key=lambda r: r["block"],
+        )
+        assert [r["block"] for r in out] == [0, 1, 2]
+        assert [list(r["doc_ids"]) for r in out] == [
+            ["d00", "d01", "d02"], ["d03", "d04", "d05"], ["d06"]]
+
 
 class TestBm25Search:
     """DAAT BM25 retrieval over the blocked index
@@ -4180,6 +4198,49 @@ class TestMoreLikeThis:
             assert sorted(map(tuple, got.collect())) == sorted(
                 map(tuple, base.collect())
             )
+
+    def test_df_gated_from_index_equals_from_text(self, spark):
+        """Regression (round-5 advice): df-gated MLT against a prebuilt
+        index must match the self-build path — query weights ALWAYS
+        ungated (Lucene semantics), gates applied only to the search
+        side via search_postings (ungated index + merge-contract view).
+        Deriving query weights from gated postings diverges: gates that
+        elide a doc's distinctive terms change the query itself."""
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            doc_lengths,
+            merge_postings,
+            more_like_this,
+        )
+
+        docs = self._docs(spark)
+        dls = doc_lengths(docs)
+        n = len(self.DOCS)
+        t = sum(r["dl"] for r in dls.collect())
+        # max_df 3/5 docs -> 'quantum'/'physics'/'entanglement' (df=3)
+        # are elided from the SEARCH index but stay query-formable
+        gates = dict(min_df=2, max_df_ppm=550_000)
+        ungated = build_postings(
+            docs, n_docs=n, include_dls=True
+        ).localCheckpoint(eager=True)
+        idx = {"postings": ungated, "doc_lens": dls,
+               "n_docs": n, "t_tokens": t}
+        from_text = more_like_this(docs, [1, 3], k=3, m_terms=3, **gates)
+        from_idx = more_like_this(
+            None, [1, 3], k=3, m_terms=3, index=idx,
+            search_postings=merge_postings([ungated], n_docs=n, **gates),
+        )
+        assert sorted(map(tuple, from_idx.collect())) == sorted(
+            map(tuple, from_text.collect())
+        )
+        # the gates are NOT a no-op on this fixture: gated differs from
+        # ungated (otherwise this parity test would be vacuous)
+        ungated_res = more_like_this(docs, [1, 3], k=3, m_terms=3)
+        assert sorted(map(tuple, from_text.collect())) != sorted(
+            map(tuple, ungated_res.collect())
+        )
+        with pytest.raises(ValueError, match="requires index"):
+            more_like_this(docs, [1], search_postings=ungated)
 
 
 class TestMergePostings:

@@ -410,6 +410,41 @@ class TestCorpusFunnel:
             "input", "url_filter", "lang_en", "gopher",
             "exact_dedup", "near_dedup", "decontaminate")] == list(range(7))
 
+    def test_null_text_doc_stays_counted(self, spark):
+        """Regression (round-5 advice): md5(NULL) is NULL and NULL join
+        keys never match, so a null-text doc silently vanished from the
+        whole funnel at the stage-4 fingerprint join — 'input' itself
+        undercounted. The sentinel fingerprint keeps the row; null and
+        EMPTY texts must stay in distinct fp groups (old window
+        semantics), so an empty-text doc isn't deduped against nulls."""
+        from web_scrapper_spark.operators.pipeline import (
+            corpus_funnel,
+            funnel_flags,
+        )
+
+        rows = [
+            (0, self.BASE, "https://news.example.org/a"),
+            (1, None, "https://news.example.org/nulltext"),
+            (2, self.BASE, "https://blog.example.org/f"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+        bench = spark.createDataFrame([(100, self.BENCHED)], ["doc_id", "text"])
+        out = {r["stage"]: r.asDict()
+               for r in corpus_funnel(docs, bench).collect()}
+        assert out["input"]["docs"] == 3          # was 2 before the fix
+        assert out["exact_dedup"]["docs"] == 1    # doc 2 deduped vs 0
+
+        # null vs empty text: different fingerprint groups
+        rows2 = rows + [(3, "", "https://news.example.org/empty"),
+                        (4, None, "https://news.example.org/null2")]
+        docs2 = spark.createDataFrame(
+            rows2, "doc_id long, text string, url string")
+        flags = funnel_flags(docs2, bench)
+        fps = {r["doc_id"]: r["_fp"]
+               for r in flags.select("doc_id", "_fp").collect()}
+        assert fps[1] == fps[4]       # both null-text docs share a group
+        assert fps[1] != fps[3]       # ...distinct from the empty-text doc
+
 
 class TestTokenBudgetSelect:
     """Quality-greedy token-budget selection (sampling.py

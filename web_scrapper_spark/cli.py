@@ -879,9 +879,15 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             from .crawl.epoch import load_search_index
             from .frontier.store import SnapshotStore
 
+            gated = (min_df, max_df_ppm) != (1, 1_000_000)
+            # --like: load the index UNGATED — Lucene MLT derives query
+            # weights from the full vocabulary regardless of search-side
+            # df gates (the self-build path's documented semantics); the
+            # gates are applied to a merged search view below
             idx = load_search_index(
                 spark, SnapshotStore(store_dir),
-                min_df=min_df, max_df_ppm=max_df_ppm,
+                min_df=1 if like_ids else min_df,
+                max_df_ppm=1_000_000 if like_ids else max_df_ppm,
                 block_size=block_size,  # None -> writer's stamped value
             )
             if idx is None:
@@ -891,10 +897,22 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                 )
                 sys.exit(2)
             if like_ids:
+                search_view = None
+                if gated:
+                    from .operators.textops import merge_postings
+
+                    # merge contract: merge([ungated], gates) ≡
+                    # build_gated — from-store MLT now matches the
+                    # from-text path for any df-gate settings
+                    search_view = merge_postings(
+                        [idx["postings"]], min_df=min_df,
+                        max_df_ppm=max_df_ppm, n_docs=idx["n_docs"],
+                    )
                 # MLT against the LIVE index: query terms derived from
                 # the persisted postings, zero corpus re-tokenization
                 out = more_like_this(
-                    None, list(like_ids), k=topk, index=idx
+                    None, list(like_ids), k=topk, index=idx,
+                    search_postings=search_view,
                 )
                 rows = out.orderBy("query_id", "rank").collect()
                 click.echo(json.dumps(

@@ -346,46 +346,58 @@ class SnapshotStore:
         data (the table is their union), so expiring one would corrupt
         every ``read_committed`` — refused unless ``force=True`` (the
         engine passes force after folding deltas into a new base, when
-        readers skip them via ``after_epoch``)."""
-        manifest = self.manifest()
-        snaps = manifest["tables"].get(table, [])
-        doomed = snaps[:-keep_last] if keep_last else snaps
-        if not force:
-            committed = set(self.committed_ids(table))
-            live = [
-                e["id"]
-                for e in doomed
-                if e.get("path")
-                and e.get("mode") == "append"
-                and e["id"] in committed
-            ]
-            if live:
-                raise ValueError(
-                    f"snapshots {live} of append table {table!r} are "
-                    "committed live data — expiring them would truncate "
-                    "read_committed; pass force=True only after folding "
-                    "them into a base"
+        readers skip them via ``after_epoch``).
+
+        Refuses to run while an epoch batch is open: the write below
+        would flush the PENDING manifest (uncommitted-epoch snapshot
+        rows) to disk, breaking ``begin_epoch_batch``'s invariant that
+        the on-disk manifest is untouched until ``commit_epoch``."""
+        with self._lock:
+            if self._pending is not None:
+                raise RuntimeError(
+                    "expire_snapshots inside an open epoch batch would "
+                    "flush the pending (uncommitted) manifest to disk — "
+                    "run maintenance after commit_epoch/abort_epoch_batch"
                 )
-        removed = 0
-        for entry in doomed:
-            if entry.get("path"):
-                target = os.path.join(self.root, entry["path"])
-                if os.path.isdir(target):
-                    shutil.rmtree(target, ignore_errors=True)
-                else:  # blob snapshots are single files
-                    try:
-                        os.remove(target)
-                    except OSError:
-                        pass
-                entry["path"] = None
-                removed += 1
-        if removed:
-            # no-op expiries (nothing old enough) must not pay a
-            # manifest rewrite — the epoch's write budget is ONE
-            # durable write (commit_epoch) plus maintenance that
-            # actually did something
-            self._write_manifest(manifest)
-        return removed
+            manifest = self.manifest()
+            snaps = manifest["tables"].get(table, [])
+            doomed = snaps[:-keep_last] if keep_last else snaps
+            if not force:
+                committed = set(self.committed_ids(table))
+                live = [
+                    e["id"]
+                    for e in doomed
+                    if e.get("path")
+                    and e.get("mode") == "append"
+                    and e["id"] in committed
+                ]
+                if live:
+                    raise ValueError(
+                        f"snapshots {live} of append table {table!r} are "
+                        "committed live data — expiring them would truncate "
+                        "read_committed; pass force=True only after folding "
+                        "them into a base"
+                    )
+            removed = 0
+            for entry in doomed:
+                if entry.get("path"):
+                    target = os.path.join(self.root, entry["path"])
+                    if os.path.isdir(target):
+                        shutil.rmtree(target, ignore_errors=True)
+                    else:  # blob snapshots are single files
+                        try:
+                            os.remove(target)
+                        except OSError:
+                            pass
+                    entry["path"] = None
+                    removed += 1
+            if removed:
+                # no-op expiries (nothing old enough) must not pay a
+                # manifest rewrite — the epoch's write budget is ONE
+                # durable write (commit_epoch) plus maintenance that
+                # actually did something
+                self._write_manifest(manifest)
+            return removed
 
 
 def _parquet_rows(path: str) -> int:

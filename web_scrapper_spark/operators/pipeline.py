@@ -104,10 +104,15 @@ def funnel_flags(
     cur = gopher_quality(cur, id_col=id_col, text_col=text_col,
                          keep_cols=(text_col, "_c1", "_c2"))
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # NULL-safe fingerprint: md5(NULL) is NULL and NULL join keys never
+    # match, so a null-text doc would vanish from the funnel at the
+    # stage-4 join (undercounting even the 'input' stage). The sentinel
+    # reproduces the old window's null semantics — all null-text docs
+    # share one group, DISTINCT from empty-text docs (md5("")).
     cur = cur.select(
         id_col, text_col, "_c1", "_c2",
         (F.col("_c2") & F.col("gopher_keep")).alias("_c3"),
-        F.md5(normalized).alias("_fp"),
+        F.md5(F.coalesce(normalized, F.lit("\x00<null-text>"))).alias("_fp"),
         F.size(
             F.regexp_extract_all(
                 F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)

@@ -1021,7 +1021,18 @@ def _assemble_postings(
     # buckets. Exact same rank for ANY doc_id distribution (skewed
     # ids just degrade back to fewer effective buckets), so the
     # blocking — and every oracle — is bit-identical.
-    kept = kept.withColumn("_bkt", F.shiftright(F.col("doc_id"), 56))
+    #
+    # Type contract: the top-byte bucket needs an INTEGRAL doc_id
+    # (shiftright). Non-integral ids (string ids are valid for every
+    # other postings consumer) degrade to a constant bucket — exactly
+    # the pre-round-4 plain window, same ranks — instead of failing
+    # analysis with a raw cast error. Skew protection therefore
+    # requires long ids (the crawl index keys docs by xxhash64(url)).
+    _id_type = dict(tf.dtypes).get("doc_id", "")
+    if _id_type in ("tinyint", "smallint", "int", "bigint"):
+        kept = kept.withColumn("_bkt", F.shiftright(F.col("doc_id"), 56))
+    else:
+        kept = kept.withColumn("_bkt", F.lit(0))
     w_local = Window.partitionBy("term", "_bkt").orderBy(F.asc("doc_id"))
     w_pfx = (
         Window.partitionBy("term")
@@ -1829,6 +1840,7 @@ def more_like_this(
     max_df_ppm: int = 1_000_000,
     index: Optional[dict] = None,
     term_weights: Optional[DataFrame] = None,
+    search_postings: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Lucene-style More-Like-This: find the documents most similar to
     a given one by querying the index with the source's most
@@ -1854,7 +1866,11 @@ def more_like_this(
     corpus TEXT is never read. ``term_weights`` optionally skips even
     that derivation with a persisted :func:`bm25_term_weights` table
     (ranked or unranked; ranked tables must have been built with
-    ``k >= m_terms``).
+    ``k >= m_terms``). ``search_postings`` (with ``index``) serves the
+    Lucene df-gate semantics for a prebuilt index: query weights come
+    from ``index`` (pass it UNGATED) while the DAAT search streams the
+    gated view — mirroring what the self-build path does internally
+    when ``min_df``/``max_df_ppm`` are non-default.
 
     Without ``index``, the self-build fallback constructs the index
     from ``docs`` (two text passes: the N/T norms projection and the
@@ -1872,10 +1888,15 @@ def more_like_this(
     if not source_ids:
         raise ValueError("source_ids must be non-empty")
     ungated = (min_df, max_df_ppm) == (1, 1_000_000)
+    if search_postings is not None and index is None:
+        raise ValueError("search_postings requires index=")
     if index is not None:
-        postings = index["postings"]
         n_docs, t_tokens = int(index["n_docs"]), int(index["t_tokens"])
         if term_weights is None:
+            # query formation ALWAYS reads index["postings"] (pass it
+            # ungated — Lucene MLT: a doc's distinctive terms don't
+            # change because the search index elides stop terms);
+            # search_postings, when given, gates only the search side
             if index.get("kw_doc_lens") is not None and index.get(
                 "kw_n_docs"
             ):
@@ -1883,7 +1904,7 @@ def more_like_this(
                 # (load_search_index over an index_articles crawl) —
                 # query formation is candidate-grain, no corpus pass
                 term_weights = _source_term_weights(
-                    postings,
+                    index["postings"],
                     index["kw_doc_lens"],
                     int(index["kw_n_docs"]),
                     int(index["kw_t_tokens"]),
@@ -1892,8 +1913,12 @@ def more_like_this(
                 )
             else:
                 term_weights = bm25_term_weights_from_postings(
-                    postings, id_col=id_col
+                    index["postings"], id_col=id_col
                 )
+        postings = (
+            search_postings if search_postings is not None
+            else index["postings"]
+        )
     else:
         if docs is None:
             raise ValueError("pass docs= or index=")
