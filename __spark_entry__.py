@@ -5976,10 +5976,13 @@ def _oracle_jpeg_decode(b: bytes) -> list:
     """INDEPENDENT pure-Python baseline-JPEG decode for the oracle
     side: its own zigzag derivation, bit reader, canonical Huffman
     walk and integer-IDCT loops — no numpy, no code shared with
-    rasters.jpeg_decode_pixels. The only shared contract is the
-    spec'd fixed-point basis formula round(8192 * a(v) *
-    cos((2x+1)v pi/16)) and the (acc+4096)>>13 two-pass rounding.
-    Returns the Y-plane luma grid as a list of row lists."""
+    rasters.jpeg_decode_pixels. Handles interleaved sampling factors
+    1-2 (4:4:4 and 4:2:0 fixtures) and DRI/RSTn restart intervals
+    (bit strings per restart segment, DC predictors reset). The only
+    shared contract is the spec'd fixed-point basis formula
+    round(8192 * a(v) * cos((2x+1)v pi/16)) and the (acc+4096)>>13
+    two-pass rounding. Returns the Y-plane luma grid as a list of
+    row lists."""
     import math as _math
     import struct as _struct
 
@@ -6004,7 +6007,9 @@ def _oracle_jpeg_decode(b: bytes) -> list:
         ),
     )
     assert b[:2] == b"\xff\xd8", "oracle: not a JPEG"
-    pos, qt, huff, frame, scan, entropy = 2, {}, {}, None, None, None
+    pos, qt, huff, frame, scan = 2, {}, {}, None, None
+    chunks = None  # [(entropy_bytes, rst_no_or_None), ...]
+    dri = 0
     while pos + 4 <= len(b):
         marker = b[pos + 1]
         if marker == 0xD9:
@@ -6044,9 +6049,13 @@ def _oracle_jpeg_decode(b: bytes) -> list:
             fh, fw = _struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = [
-                (seg[6 + 3 * ci], seg[8 + 3 * ci]) for ci in range(nc)
+                (seg[6 + 3 * ci], seg[7 + 3 * ci] >> 4,
+                 seg[7 + 3 * ci] & 0x0F, seg[8 + 3 * ci])
+                for ci in range(nc)
             ]
             frame = (fw, fh, comps)
+        elif marker == 0xDD:
+            (dri,) = _struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             scan = [
@@ -6055,32 +6064,55 @@ def _oracle_jpeg_decode(b: bytes) -> list:
                 for ci in range(ns)
             ]
             start = pos + 2 + ln
-            end = start
-            while end + 1 < len(b) and not (
-                b[end] == 0xFF and b[end + 1] != 0x00
-            ):
+            chunks = []
+            end = cstart = start
+            while end + 1 < len(b):
+                if b[end] == 0xFF and b[end + 1] != 0x00:
+                    if 0xD0 <= b[end + 1] <= 0xD7:
+                        chunks.append(
+                            (b[cstart:end].replace(b"\xff\x00", b"\xff"),
+                             b[end + 1] - 0xD0)
+                        )
+                        end = cstart = end + 2
+                        continue
+                    break
                 end += 1
-            entropy = b[start:end].replace(b"\xff\x00", b"\xff")
+            chunks.append(
+                (b[cstart:end].replace(b"\xff\x00", b"\xff"), None)
+            )
             pos = end
             continue
         pos += 2 + ln
     fw, fh, comps = frame
-    bits = "".join(format(byte, "08b") for byte in entropy)
-    cursor = [0]
+    chunk_bits = [
+        "".join(format(byte, "08b") for byte in ent) for ent, _m in chunks
+    ]
+    state = {"bits": chunk_bits[0], "at": 0, "chunk": 0}
+
+    def next_chunk(expect_rst):
+        # restart boundary: the previous chunk ended with RSTn — check
+        # the 0-7 cycle and realign on the next chunk's bit string
+        assert state["chunk"] + 1 < len(chunk_bits), "oracle: missing RST"
+        assert chunks[state["chunk"]][1] == expect_rst % 8, (
+            "oracle: RST sequence error"
+        )
+        state["chunk"] += 1
+        state["bits"] = chunk_bits[state["chunk"]]
+        state["at"] = 0
 
     def read_huff(codes):
         run = ""
         while True:
-            run += bits[cursor[0]]
-            cursor[0] += 1
+            run += state["bits"][state["at"]]
+            state["at"] += 1
             if run in codes:
                 return codes[run]
 
     def read_bits(n):
         if n == 0:
             return 0
-        v = int(bits[cursor[0]:cursor[0] + n], 2)
-        cursor[0] += n
+        v = int(state["bits"][state["at"]:state["at"] + n], 2)
+        state["at"] += n
         return v
 
     def extend(v, size):
@@ -6088,65 +6120,83 @@ def _oracle_jpeg_decode(b: bytes) -> list:
             return 0
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-    qt_of = {cid: tq for cid, tq in comps}
-    bh, bwd = (fh + 7) // 8, (fw + 7) // 8
-    pred = {cid: 0 for cid, _ in comps}
+    qt_of = {cid: tq for cid, _h, _v, tq in comps}
+    fac_of = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    hmax = max(ch for _cid, ch, _cv, _tq in comps)
+    vmax = max(cv for _cid, _ch, cv, _tq in comps)
     luma_cid = comps[0][0]
-    grid = [[0] * (bwd * 8) for _ in range(bh * 8)]
-    for mcu in range(bh * bwd):
+    assert fac_of[luma_cid] == (hmax, vmax), "oracle: luma not full-res"
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    pred = {cid: 0 for cid, _h, _v, _tq in comps}
+    grid = [[0] * (mcux * hmax * 8) for _ in range(mcuy * vmax * 8)]
+    for mcu in range(mcuy * mcux):
+        if dri and mcu and mcu % dri == 0:
+            next_chunk(mcu // dri - 1)
+            for cid in pred:
+                pred[cid] = 0
+        my, mx = mcu // mcux, mcu % mcux
         for cid, dct, act in scan:
             q = qt[qt_of[cid]]
-            coef = [[0] * 8 for _ in range(8)]
-            s = read_huff(huff[(0, dct)])
-            pred[cid] += extend(read_bits(s), s)
-            r0, c0 = zz[0]
-            coef[r0][c0] = pred[cid] * q[r0][c0]
-            k = 1
-            while k < 64:
-                rs = read_huff(huff[(1, act)])
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
+            ch, cv = fac_of[cid]
+            for bi in range(ch * cv):
+                coef = [[0] * 8 for _ in range(8)]
+                s = read_huff(huff[(0, dct)])
+                pred[cid] += extend(read_bits(s), s)
+                r0, c0 = zz[0]
+                coef[r0][c0] = pred[cid] * q[r0][c0]
+                k = 1
+                while k < 64:
+                    rs = read_huff(huff[(1, act)])
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0x0F
+                    v = extend(read_bits(size), size)
+                    r, c = zz[k]
+                    coef[r][c] = v * q[r][c]
+                    k += 1
+                if cid != luma_cid:
                     continue
-                k += rs >> 4
-                size = rs & 0x0F
-                v = extend(read_bits(size), size)
-                r, c = zz[k]
-                coef[r][c] = v * q[r][c]
-                k += 1
-            if cid != luma_cid:
-                continue
-            tmp = [
-                [
-                    (
-                        sum(coef[u][v] * basis[v][x] for v in range(8))
-                        + 4096
-                    )
-                    >> 13
-                    for x in range(8)
-                ]
-                for u in range(8)
-            ]
-            by, bx = divmod(mcu, bwd)
-            for y in range(8):
-                for x in range(8):
-                    px = (
+                tmp = [
+                    [
                         (
-                            sum(tmp[u][x] * basis[u][y] for u in range(8))
+                            sum(coef[u][v] * basis[v][x] for v in range(8))
                             + 4096
                         )
                         >> 13
-                    ) + 128
-                    grid[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+                        for x in range(8)
+                    ]
+                    for u in range(8)
+                ]
+                by = my * vmax + bi // ch
+                bx = mx * hmax + bi % ch
+                for y in range(8):
+                    for x in range(8):
+                        px = (
+                            (
+                                sum(
+                                    tmp[u][x] * basis[u][y]
+                                    for u in range(8)
+                                )
+                                + 4096
+                            )
+                            >> 13
+                        ) + 128
+                        grid[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
     return [row[:fw] for row in grid[:fh]]
 
 
 def _oracle_gif_decode(b: bytes) -> list:
     """INDEPENDENT pure-Python GIF decode for the oracle side: its own
     LZW (dict of code -> byte list, deferred width bump written
-    differently), palette walk and integer luma — no numpy, no shared
-    code with rasters.gif_decode_pixels beyond the format itself."""
+    differently), palette walk, integer luma, and a closed-form
+    4-pass de-interlace (cumulative pass sizes + per-pass arithmetic,
+    not the engine's order-list build) — no numpy, no shared code
+    with rasters.gif_decode_pixels beyond the format itself."""
     import struct as _struct
 
     assert b[:6] in (b"GIF87a", b"GIF89a"), "oracle: not a GIF"
@@ -6222,13 +6272,26 @@ def _oracle_gif_decode(b: bytes) -> list:
             # nxt counts literals + the two reserved codes + added
             # entries — the decoder-visible table size
             width += 1
-    grid = []
+    if iflags & 0x40:
+        # closed-form de-interlace: stored row n falls in the pass
+        # whose cumulative size first exceeds n, then start + step *
+        # offset (starts 0/4/2/1, steps 8/8/4/2)
+        def screen_row(n):
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                size = (h - start + step - 1) // step if h > start else 0
+                if n < size:
+                    return start + step * n
+                n -= size
+            raise AssertionError("oracle: interlace row out of range")
+    else:
+        def screen_row(n):
+            return n
+    grid = [[0] * w for _ in range(h)]
     for r in range(h):
-        row = []
+        row = grid[screen_row(r)]
         for c in range(w):
             cr, cg, cb = pal[out[r * w + c]]
-            row.append((299 * cr + 587 * cg + 114 * cb) // 1000)
-        grid.append(row)
+            row[c] = (299 * cr + 587 * cg + 114 * cb) // 1000
     return grid
 
 

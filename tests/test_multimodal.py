@@ -423,6 +423,60 @@ class TestJpegCodec:
         with _pytest.raises(ValueError):
             rs.build_jpeg(np.zeros((0, 4), dtype=np.uint8))
 
+    def test_420_subsampling_roundtrip(self):
+        # 4:2:0 (the dominant real-web shape): 16x16 MCUs, 4 Y + 2
+        # chroma blocks each. The luma path is bit-identical to the
+        # 4:4:4 encode of the same pixels (same Y blocks, same quant;
+        # chroma blocks are Huffman-walked for bit position only)
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        rng = np.random.default_rng(24)
+        for shape in [(16, 16, 3), (24, 40, 3), (17, 9, 3), (33, 17, 3)]:
+            g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            d444 = rs.jpeg_decode_pixels(rs.build_jpeg(g, quality=80))
+            d420 = rs.jpeg_decode_pixels(
+                rs.build_jpeg(g, quality=80, subsampling="420")
+            )
+            assert (d444 == d420).all(), shape
+        # grayscale has no chroma to subsample
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="grayscale"):
+            rs.build_jpeg(
+                np.zeros((8, 8), dtype=np.uint8), subsampling="420"
+            )
+
+    def test_restart_intervals_roundtrip(self):
+        # DRI/RSTn: byte-aligned restart markers with DC predictor
+        # resets change the entropy layout, never the pixels
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        rng = np.random.default_rng(25)
+        g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+        base = rs.jpeg_decode_pixels(rs.build_jpeg(g, quality=85))
+        for ri in (1, 2, 5):
+            p = rs.build_jpeg(g, quality=85, restart_interval=ri)
+            assert b"\xff\xdd" in p  # DRI present
+            assert (rs.jpeg_decode_pixels(p) == base).all(), ri
+        rgb = rng.integers(0, 256, size=(20, 36, 3), dtype=np.uint8)
+        a = rs.jpeg_decode_pixels(
+            rs.build_jpeg(rgb, subsampling="420", restart_interval=1)
+        )
+        b = rs.jpeg_decode_pixels(rs.build_jpeg(rgb, subsampling="420"))
+        assert (a == b).all()
+        # a corrupted RST sequence number is refused loudly
+        p = bytearray(rs.build_jpeg(g, quality=85, restart_interval=1))
+        i = bytes(p).index(b"\xff\xd0")
+        p[i + 1] = 0xD5
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="RST sequence"):
+            rs.jpeg_decode_pixels(bytes(p))
+
     def test_idct_contract_pinned(self):
         # the fixed-point basis is the cross-implementation contract —
         # freeze a few values so a "cleanup" can't silently break the
@@ -489,6 +543,27 @@ class TestGifCodec:
             assert a != b, rot  # any nonzero rot must change bytes
             assert (rs.gif_decode_pixels(b) == g).all(), rot
 
+    def test_interlaced_roundtrip(self):
+        # 4-pass interlace: byte-different row order, identical pixels;
+        # composes with the palette-rotation re-encode trick
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        rng = np.random.default_rng(34)
+        for shape in [(16, 16), (5, 3), (1, 1), (24, 17), (200, 31)]:
+            g = rng.integers(0, 8, size=shape, dtype=np.uint8) * 31
+            plain = rs.build_gif(g)
+            inter = rs.build_gif(g, interlace=True)
+            if shape[0] > 1:
+                assert plain != inter, shape
+            assert (rs.gif_decode_pixels(inter) == g).all(), shape
+            rot = rs.build_gif(g, palette_rot=3, interlace=True)
+            assert (rs.gif_decode_pixels(rot) == g).all(), shape
+        # the row mapping is a permutation for every height
+        for h in range(1, 50):
+            assert sorted(rs.interlace_rows(h)) == list(range(h))
+
     def test_unsupported_and_corrupt_raise(self):
         import pytest as _pytest
 
@@ -500,11 +575,10 @@ class TestGifCodec:
             rs.gif_decode_pixels(b"not a gif")
         g = np.zeros((8, 8), dtype=np.uint8)
         payload = bytearray(rs.build_gif(g))
-        # set the interlace flag on the image descriptor
+        # truncate the LZW data mid-stream -> loud refusal
         i = bytes(payload).index(b"\x2c")
-        payload[i + 9] |= 0x40
-        with _pytest.raises(ValueError, match="interlaced"):
-            rs.gif_decode_pixels(bytes(payload))
+        with _pytest.raises(ValueError):
+            rs.gif_decode_pixels(bytes(payload[:i + 12]))
         too_many = np.zeros((20, 20, 3), dtype=np.uint8)
         for k in range(400):  # 400 distinct colors > 256
             too_many[k // 20, k % 20] = [k % 256, k // 256, 7]

@@ -888,18 +888,37 @@ def planted_jpeg_media_rows(n: int = 48, period: int = 32) -> list:
             g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
         return g
 
+    def enc_params(j: int) -> tuple:
+        """(quality, subsampling, restart_interval) for base index j —
+        deterministic coverage of the real-web shapes: half the RGB
+        images 4:2:0 (the dominant encoding), restart intervals on a
+        subset of both gray and color, 4:4:4 everywhere else."""
+        quality = 70 + (j % 4) * 10
+        sub = "420" if j % 8 == 3 else "444"  # RGB ids are j%4==3
+        dri = 2 if j % 5 == 2 else 0
+        return quality, sub, dri
+
     rows = []
     for i in range(n):
         if i < period:
             px = base_pixels(i)
-            quality, pad = 70 + (i % 4) * 10, 0
+            quality, sub, dri = enc_params(i)
+            pad = 0
         elif i < period + 8:
+            # byte-different re-encode of 0..7: wider Huffman AND a
+            # flipped restart layout — decoded pixels identical
             px = base_pixels(i - period)
-            quality, pad = 70 + ((i - period) % 4) * 10, 1
+            quality, sub, dri = enc_params(i - period)
+            dri = 3 if dri == 0 else 0
+            pad = 1
         else:
             px = perturb(base_pixels(i - period), i % 3 + 1)
-            quality, pad = 70 + ((i - period) % 4) * 10, 0
-        payload = build_jpeg(px, quality=quality, huff_pad=pad)
+            quality, sub, dri = enc_params(i - period)
+            pad = 0
+        payload = build_jpeg(
+            px, quality=quality, huff_pad=pad, subsampling=sub,
+            restart_interval=dri,
+        )
         rows.append(
             (
                 i,
@@ -964,13 +983,20 @@ def planted_gif_media_rows(n: int = 48, period: int = 32) -> list:
 
     rows = []
     for i in range(n):
+        # deterministic interlace coverage: a quarter of the base
+        # images store rows in the 4-pass order; re-encodes FLIP the
+        # interlace bit on top of the palette rotation (byte-different
+        # row order and color table, identical decoded pixels)
         if i < period:
             px, rot = base_pixels(i), 0
+            inter = i % 4 == 1
         elif i < period + 8:
             px, rot = base_pixels(i - period), 7 + i % 5
+            inter = not ((i - period) % 4 == 1)
         else:
             px, rot = perturb(base_pixels(i - period), i % 3 + 1), 0
-        payload = build_gif(px, palette_rot=rot)
+            inter = (i - period) % 4 == 1
+        payload = build_gif(px, palette_rot=rot, interlace=inter)
         rows.append(
             (
                 i,

@@ -7,34 +7,39 @@ library + numpy only — no Pillow, no libjpeg — with the decode side
 specified in EXACT integer arithmetic so an independently written
 pure-Python twin (the driver oracle) reproduces every pixel bit-for-bit.
 
-JPEG (ITU-T T.81 baseline sequential, the subset real web JPEGs use
-minus chroma subsampling):
+JPEG (ITU-T T.81 baseline sequential, the shapes real web JPEGs use):
 
 - encoder: level shift, per-block float64 FDCT, quality-scaled Annex-K
   quantization, zigzag, DC prediction, AC run-length, canonical
   Huffman tables DERIVED from the image's own symbol set (fixed-length
   codes — legal JPEG, written to DHT like any optimized encoder's),
-  byte-stuffed entropy segment, JFIF/APP0 + DQT + SOF0 + DHT + SOS
-  markers. Grayscale (1 component) and YCbCr 4:4:4 (3 components).
-- decoder: full marker walk (APPn/COM skipped, DQT/DHT/SOF0/SOS
+  byte-stuffed entropy segment, JFIF/APP0 + DQT [+ DRI] + SOF0 + DHT
+  + SOS markers. Grayscale (1 component), YCbCr 4:4:4 AND 4:2:0
+  (box-averaged chroma, 16x16 MCUs — the dominant real-web encoding),
+  optional restart intervals (byte-aligned RST0-7 every N MCUs with
+  DC predictor resets).
+- decoder: full marker walk (APPn/COM skipped, DQT/DHT/SOF0/SOS/DRI
   parsed), canonical Huffman reconstruction from DHT, entropy decode
-  with 0xFF00 un-stuffing, dequantize + de-zigzag, and a FIXED-POINT
-  integer IDCT (14-bit basis table, two separable passes with defined
-  ``(acc + 4096) >> 13`` rounding) so two implementations cannot
-  disagree by even one ulp. Output is the Y plane — for JFIF YCbCr
-  that IS the ITU-R 601 luma the PNG path computes. Progressive,
-  12-bit, subsampled, arithmetic-coded and restart-interval streams
+  with 0xFF00 un-stuffing and RSTn segmentation, interleaved sampling
+  factors 1-2 per axis (4:4:4/4:2:0/4:2:2/4:4:0 — chroma blocks
+  Huffman-walked to keep bit position, luma materialized), dequantize
+  + de-zigzag, and a FIXED-POINT integer IDCT (14-bit basis table,
+  two separable passes with defined ``(acc + 4096) >> 13`` rounding)
+  so two implementations cannot disagree by even one ulp. Output is
+  the Y plane — for JFIF YCbCr that IS the ITU-R 601 luma the PNG
+  path computes. Progressive, 12-bit and arithmetic-coded streams
   raise ``ValueError`` loudly (honest subset, never wrong pixels).
 
 GIF (GIF89a):
 
 - encoder: first-seen palette build (≤256 colors), logical screen +
-  global color table, single non-interlaced image, REAL variable-width
-  LZW with code growth and 4096-entry dictionary reset, sub-block
-  framing.
+  global color table, single image (sequential or 4-pass interlaced),
+  REAL variable-width LZW with code growth and 4096-entry dictionary
+  reset, sub-block framing.
 - decoder: header/LSD/GCT parse, extension-block skip, LZW decode
-  (LSB-first), palette mapping, integer ITU-R 601 luma — all integer,
-  so decode is trivially engine-exact. Interlaced images raise.
+  (LSB-first), palette mapping, 4-pass de-interlace, integer ITU-R
+  601 luma — all integer, so decode is trivially engine-exact. First
+  image only (multi-frame GIFs decode their first frame).
 
 Reference parity note: the reference scraper (Abrsjh/Web-scrapper)
 downloads image FILES and never decodes pixels (scraper.py image-URL
@@ -246,6 +251,16 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed like any entropy byte) and
+        emit RSTm — the marker itself is written RAW (markers are
+        never stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m % 8))
+
 
 def _canonical_fixed_table(symbols: set, extra_len: int = 0) -> dict:
     """A legal JPEG Huffman table assigning EVERY used symbol the same
@@ -279,20 +294,52 @@ def _dht_segment(tables: List[Tuple[int, int, dict]]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + bytes(payload)
 
 
+def _downsample_2x(plane: "np.ndarray", hs: int, vs: int) -> "np.ndarray":
+    """Chroma downsample by (hs, vs) via box average with defined
+    half-up rounding ``(sum + n//2) // n`` — encoder-side only (the
+    file carries the result; decode exactness never depends on it).
+    Odd dims edge-pad first."""
+    if hs == 1 and vs == 1:
+        return plane
+    h, w = plane.shape
+    p = np.pad(
+        plane, ((0, (-h) % vs), (0, (-w) % hs)), mode="edge"
+    ).astype(np.int64)
+    acc = np.zeros((p.shape[0] // vs, p.shape[1] // hs), dtype=np.int64)
+    for dy in range(vs):
+        for dx in range(hs):
+            acc += p[dy::vs, dx::hs]
+    n = hs * vs
+    return ((acc + n // 2) // n).astype(np.uint8)
+
+
 def build_jpeg(
     pixels,
     quality: int = 85,
     huff_pad: int = 0,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """A real baseline-JPEG encoder: 8-bit grayscale (2-D input) or
-    RGB (h x w x 3 input, JFIF YCbCr 4:4:4). ``huff_pad`` widens the
+    RGB (h x w x 3 input, JFIF YCbCr). ``huff_pad`` widens the
     canonical Huffman code length — byte-different output, identical
-    decoded pixels (same quantized coefficients). Pure function,
-    shared by fixtures, tests and the driver-oracle builder."""
+    decoded pixels (same quantized coefficients). ``subsampling`` is
+    ``"444"`` (every component full-resolution, 1 block each per MCU)
+    or ``"420"`` (RGB only: luma 2x2, box-averaged half-res chroma —
+    the dominant real-web JPEG shape; MCU = 4 Y + Cb + Cr blocks over
+    a 16x16 tile). ``restart_interval`` > 0 writes a DRI marker and
+    emits byte-aligned RST0-7 markers every that many MCUs with DC
+    predictor resets (large real-web JPEGs use these for error
+    resilience). Pure function, shared by fixtures, tests and the
+    driver-oracle builder."""
     g = np.asarray(pixels, dtype=np.uint8)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if g.ndim == 2:
         planes = [g]
         ncomp = 1
+        if subsampling != "444":
+            raise ValueError("grayscale JPEG has no chroma to subsample")
     elif g.ndim == 3 and g.shape[2] == 3:
         ycc = _rgb_to_ycbcr(g)
         planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
@@ -302,43 +349,73 @@ def build_jpeg(
     h, w = planes[0].shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     qtabs = [scaled_quant_table(QUANT_LUMA, quality)]
     if ncomp == 3:
         qtabs.append(scaled_quant_table(QUANT_CHROMA, quality))
 
+    # per-component sampling factors (h_i, v_i) and source planes
+    if ncomp == 3 and subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0]] + [
+            _downsample_2x(planes[ci], 2, 2) for ci in (1, 2)
+        ]
+    else:
+        factors = [(1, 1)] * ncomp
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
     # quantize every block of every component first (two-pass encoder:
-    # symbol sets are needed before the tables can be written)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    comp_blocks: List[List[List[int]]] = []
+    # symbol sets are needed before the tables can be written); blocks
+    # kept as a per-component 2-D grid so the MCU walk below can pull
+    # h_i x v_i of them in raster order
+    comp_grid: List[List[List[List[int]]]] = []
     for ci in range(ncomp):
+        hi, vi = factors[ci]
         plane = planes[ci]
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
         padded = np.pad(
-            plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+            plane,
+            ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])),
+            mode="edge",
         ).astype(np.float64) - 128.0
         qt = qtabs[0 if ci == 0 else 1].astype(np.float64)
-        blocks = []
-        for by in range(bh):
-            for bx in range(bw):
+        grid = []
+        for by in range(gh // 8):
+            row = []
+            for bx in range(gw // 8):
                 blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
                 coef = np.rint(_fdct_2d(blk) / qt).astype(np.int64)
-                blocks.append([int(coef[r][c]) for (r, c) in ZIGZAG])
-        comp_blocks.append(blocks)
+                row.append([int(coef[r][c]) for (r, c) in ZIGZAG])
+            grid.append(row)
+        comp_grid.append(grid)
 
-    # gather symbols (one DC + one AC table per luma/chroma class)
+    # gather symbols (one DC + one AC table per luma/chroma class);
+    # DC predictors reset at every restart boundary
     dc_syms: List[set] = [set(), set()]
     ac_syms: List[set] = [set(), set()]
     prev = [0] * ncomp
-    sym_stream: List[List[tuple]] = []  # per MCU, flattened later
-    for mcu in range(bh * bw):
+    sym_stream: List[List[tuple]] = []  # per MCU
+    for mcu in range(mcuy * mcux):
+        if ri and mcu and mcu % ri == 0:
+            prev = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
         mcu_syms = []
         for ci in range(ncomp):
             cls = 0 if ci == 0 else 1
-            dc, ac, prev[ci] = _block_symbols(comp_blocks[ci][mcu], prev[ci])
-            for sym, _n, _v in dc:
-                dc_syms[cls].add(sym)
-            for sym, _n, _v in ac:
-                ac_syms[cls].add(sym)
-            mcu_syms.append((cls, dc, ac))
+            hi, vi = factors[ci]
+            for bi in range(hi * vi):
+                blk = comp_grid[ci][my * vi + bi // hi][mx * hi + bi % hi]
+                dc, ac, prev[ci] = _block_symbols(blk, prev[ci])
+                for sym, _n, _v in dc:
+                    dc_syms[cls].add(sym)
+                for sym, _n, _v in ac:
+                    ac_syms[cls].add(sym)
+                mcu_syms.append((cls, dc, ac))
         sym_stream.append(mcu_syms)
     ntab = 1 if ncomp == 1 else 2
     dc_tabs = [
@@ -351,7 +428,11 @@ def build_jpeg(
     ]
 
     bw_out = _BitWriter()
-    for mcu_syms in sym_stream:
+    rst = 0
+    for mcu, mcu_syms in enumerate(sym_stream):
+        if ri and mcu and mcu % ri == 0:
+            bw_out.restart(rst)
+            rst += 1
         for cls, dc, ac in mcu_syms:
             for sym, nbits, v in dc:
                 code, ln = dc_tabs[cls]["codes"][sym]
@@ -371,9 +452,12 @@ def build_jpeg(
     for ti in range(len(qtabs)):
         zz = bytes(int(qtabs[ti][r][c]) for (r, c) in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     comp_spec = bytearray()
     for ci in range(ncomp):
-        comp_spec += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = factors[ci]
+        comp_spec += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += (
         b"\xff\xc0"
         + struct.pack(">H", 8 + 3 * ncomp)
@@ -459,12 +543,16 @@ def _extend(v: int, size: int) -> int:
 
 def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     """REAL baseline-JPEG decode with the standard library + numpy:
-    marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman entropy
-    decode (0xFF00 un-stuffed), dequantize + de-zigzag, and the
-    module's fixed-point integer IDCT — engine-exact by construction.
-    Returns the Y plane as the uint8 luma grid (JFIF Y IS the ITU-R
-    601 luma). Progressive/12-bit/subsampled/restart streams raise
-    ``ValueError`` with a reason."""
+    marker walk, DQT/DHT/SOF0/SOS/DRI parse, canonical Huffman entropy
+    decode (0xFF00 un-stuffed, RST0-7-segmented), dequantize +
+    de-zigzag, and the module's fixed-point integer IDCT —
+    engine-exact by construction. Handles interleaved sampling factors
+    1-2 per axis (4:4:4, 4:2:0, 4:2:2, 4:4:0 — chroma blocks are
+    Huffman-walked to keep bit position; only the luma plane is
+    materialized) and restart intervals (byte realign + DC predictor
+    reset at every RSTn). Returns the Y plane as the uint8 luma grid
+    (JFIF Y IS the ITU-R 601 luma). Progressive/12-bit/
+    arithmetic-coded streams raise ``ValueError`` with a reason."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -474,7 +562,8 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     ac_tables: dict = {}
     frame = None
     scan = None
-    entropy = None
+    segments = None  # entropy, split at RSTn boundaries
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -514,15 +603,18 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling not supported")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hi}x{vi} not supported"
+                    )
+                comps.append((cid, hi, vi, tq))
             frame = (fw, fh, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xDD:  # DRI
-            raise ValueError("restart intervals not supported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -530,63 +622,103 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
                 cid = seg[1 + 2 * ci]
                 tt = seg[2 + 2 * ci]
                 scan.append((cid, tt >> 4, tt & 0x0F))
-            # entropy data runs from here to the next real marker
+            # entropy data runs to the next real marker; RST0-7 split
+            # it into independently byte-aligned segments
             start = pos + 2 + seglen
+            segments = []
+            seg_start = start
             end = start
             while end + 1 < len(b):
-                if b[end] == 0xFF and b[end + 1] not in (0x00,):
-                    if 0xD0 <= b[end + 1] <= 0xD7:
-                        raise ValueError("restart markers not supported")
+                if b[end] == 0xFF and b[end + 1] != 0x00:
+                    nxt = b[end + 1]
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(
+                            (b[seg_start:end].replace(b"\xff\x00", b"\xff"),
+                             nxt - 0xD0)
+                        )
+                        end += 2
+                        seg_start = end
+                        continue
                     break
                 end += 1
-            entropy = b[start:end].replace(b"\xff\x00", b"\xff")
+            segments.append(
+                (b[seg_start:end].replace(b"\xff\x00", b"\xff"), None)
+            )
             pos = end
             continue
         pos += 2 + seglen
-    if frame is None or scan is None or entropy is None:
+    if frame is None or scan is None or segments is None:
         raise ValueError("missing SOF/SOS/entropy data")
     fw, fh, comps = frame
     if fw == 0 or fh == 0:
         raise ValueError("empty image")
-    qt_by_cid = {cid: tq for cid, tq in comps}
-    bh, bwd = (fh + 7) // 8, (fw + 7) // 8
-    br = _BitReader(entropy)
-    prev = {cid: 0 for cid, _ in comps}
-    yplane = np.zeros((bh * 8, bwd * 8), dtype=np.uint8)
-    luma_cid = comps[0][0]
-    for mcu in range(bh * bwd):
+    if len(segments) > 1 and restart_interval == 0:
+        raise ValueError("RST markers without a DRI interval")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_cid, luma_h, luma_v = comps[0][0], comps[0][1], comps[0][2]
+    if (luma_h, luma_v) != (hmax, vmax):
+        raise ValueError("luma must be the highest-resolution component")
+    qt_by_cid = {cid: tq for cid, _h, _v, tq in comps}
+    fac_by_cid = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(segments[0][0])
+    seg_idx = 0
+    prev = {cid: 0 for cid, _h, _v, _tq in comps}
+    yplane = np.zeros((mcuy * vmax * 8, mcux * hmax * 8), dtype=np.uint8)
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # byte realign: the encoder padded to a boundary and wrote
+            # RSTn — move to the next segment, check the 0-7 cycle,
+            # reset every DC predictor
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing RST marker at restart boundary")
+            expected = (mcu // restart_interval - 1) % 8
+            got = segments[seg_idx - 1][1]
+            if got != expected:
+                raise ValueError(
+                    f"RST sequence error (got {got}, want {expected})"
+                )
+            br = _BitReader(segments[seg_idx][0])
+            prev = {cid: 0 for cid in prev}
+        my, mx = divmod(mcu, mcux)
         for cid, dct, act in scan:
             if dct not in dc_tables or act not in ac_tables:
                 raise ValueError("scan references missing Huffman table")
-            coef = np.zeros((8, 8), dtype=np.int64)
-            s = _huff_read(br, dc_tables[dct])
-            diff = _extend(br.bits(s), s)
-            prev[cid] += diff
             qt = qtabs.get(qt_by_cid[cid])
             if qt is None:
                 raise ValueError("component references missing DQT")
-            r0, c0 = ZIGZAG[0]
-            coef[r0][c0] = prev[cid] * qt[r0][c0]
-            k = 1
-            while k < 64:
-                rs = _huff_read(br, ac_tables[act])
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0x0F
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                v = _extend(br.bits(size), size)
-                r, c = ZIGZAG[k]
-                coef[r][c] = v * qt[r][c]
-                k += 1
-            if cid == luma_cid:
-                px = idct_2d_int(coef)
-                by, bx = divmod(mcu, bwd)
-                yplane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+            hi, vi = fac_by_cid[cid]
+            for bi in range(hi * vi):
+                coef = np.zeros((8, 8), dtype=np.int64)
+                s = _huff_read(br, dc_tables[dct])
+                diff = _extend(br.bits(s), s)
+                prev[cid] += diff
+                r0, c0 = ZIGZAG[0]
+                coef[r0][c0] = prev[cid] * qt[r0][c0]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_tables[act])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    v = _extend(br.bits(size), size)
+                    r, c = ZIGZAG[k]
+                    coef[r][c] = v * qt[r][c]
+                    k += 1
+                if cid == luma_cid:
+                    px = idct_2d_int(coef)
+                    by = my * vmax + bi // hi
+                    bx = mx * hmax + bi % hi
+                    yplane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
     return yplane[:fh, :fw]
 
 
@@ -595,15 +727,27 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
 # ---------------------------------------------------------------------------
 
 
-def build_gif(pixels, palette_rot: int = 0) -> bytes:
+def interlace_rows(h: int) -> List[int]:
+    """GIF 4-pass interlace row order: the n-th row STORED in the file
+    belongs at ``interlace_rows(h)[n]`` on screen. Passes start at
+    0/4/2/1 with strides 8/8/4/2 (GIF89a spec, appendix E)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def build_gif(pixels, palette_rot: int = 0, interlace: bool = False) -> bytes:
     """A real GIF89a encoder: grayscale (2-D) or RGB (h x w x 3) input
     with at most 256 distinct colors (first-seen palette order),
-    global color table, one non-interlaced image, REAL variable-width
-    LZW with dictionary reset. ``palette_rot`` rotates the palette
-    slot assignment — byte-different color table AND index stream,
+    global color table, one image, REAL variable-width LZW with
+    dictionary reset. ``palette_rot`` rotates the palette slot
+    assignment — byte-different color table AND index stream,
     identical decoded pixels (the lossless re-encode fixture trick).
-    Pure function — fixtures, tests and the driver-oracle builder
-    share it."""
+    ``interlace`` stores rows in the 4-pass order with the interlace
+    flag set — also byte-different, pixel-identical on decode. Pure
+    function — fixtures, tests and the driver-oracle builder share
+    it."""
     g = np.asarray(pixels, dtype=np.uint8)
     if g.ndim == 2:
         rgb = np.stack([g, g, g], axis=2)
@@ -640,6 +784,10 @@ def build_gif(pixels, palette_rot: int = 0) -> bytes:
             rotated[remap[j]] = color
         palette = rotated
         idx = np.array([remap[j] for j in idx], dtype=np.int32)
+    if interlace:
+        # store rows in 4-pass order: row-permute the index grid
+        grid2 = idx.reshape(h, w)
+        idx = grid2[interlace_rows(h), :].reshape(-1)
     # GCT size: 2^(n+1) >= len(palette)
     n = max(1, (max(2, len(palette)) - 1).bit_length())
     gct_len = 1 << n
@@ -650,7 +798,8 @@ def build_gif(pixels, palette_rot: int = 0) -> bytes:
     for j in range(gct_len):
         r, g2, b2 = palette[j] if j < len(palette) else (0, 0, 0)
         out += bytes([r, g2, b2])
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
     min_code = max(2, n)
     out.append(min_code)
     out += _lzw_encode(idx.tolist(), min_code)
@@ -714,7 +863,8 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
     skip, variable-width LZW decode (LSB-first, code growth, CLEAR/EOI
     handling), palette mapping, integer ITU-R 601 luma ``(299 r +
     587 g + 114 b) // 1000`` — all integer, engine-exact. First image
-    only; interlaced images raise ``ValueError``."""
+    only; interlaced images are de-interlaced via the 4-pass row
+    mapping."""
     b = payload or b""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad magic)")
@@ -743,8 +893,6 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
         left, top, w, h = struct.unpack("<HHHH", b[pos + 1:pos + 9])
         iflags = b[pos + 9]
         pos += 10
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         pal = gct
         if iflags & 0x80:
             plen = 2 << (iflags & 0x07)
@@ -764,10 +912,15 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
             data += b[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         indices = _lzw_decode(bytes(data), min_code, w * h)
+        # interlaced streams store rows in the 4-pass order: the n-th
+        # stored row lands at interlace_rows(h)[n] on screen
+        row_at = interlace_rows(h) if iflags & 0x40 else range(h)
         grid = np.zeros((h, w), dtype=np.uint8)
         for i in range(h * w):
             r, g2, b2 = pal[indices[i]] if indices[i] < len(pal) else (0, 0, 0)
-            grid[i // w][i % w] = (299 * r + 587 * g2 + 114 * b2) // 1000
+            grid[row_at[i // w]][i % w] = (
+                299 * r + 587 * g2 + 114 * b2
+            ) // 1000
         return grid
     raise ValueError("truncated GIF (no image descriptor)")
 
