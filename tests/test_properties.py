@@ -314,3 +314,126 @@ class TestDhashProperties:
         grid = bitmap_payload_decoder(payload, {})
         assert grid.shape == (8, 9)
         dhash64(grid)
+
+
+class TestRasterCodecProperties:
+    """Round-5 verdict task: property-fuzz the raster codecs. The
+    mutation suite pins shared constants; these pin the SPEC CORNERS —
+    odd dimensions, EOB-heavy blocks, LZW dictionary resets, 4:2:0
+    edge MCUs, restart boundaries, interlace passes. Every example
+    asserts the engine decoder and the INDEPENDENT oracle twin
+    (__spark_entry__) agree bit-for-bit; GIF additionally asserts the
+    exact-roundtrip contract against the source."""
+
+    @staticmethod
+    def _oracle():
+        import __spark_entry__ as se
+
+        return se
+
+    @staticmethod
+    def _pixels(h, w, seed, channels=0, levels=256):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if channels == 0 else (h, w, channels)
+        px = rng.integers(0, levels, size=shape, dtype=np.int64)
+        if levels < 256:
+            px = px * (255 // max(1, levels - 1))
+        return px.astype(np.uint8)
+
+    @given(
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=100),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_gray_engine_equals_oracle(self, h, w, q, pad, dri, seed):
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        px = self._pixels(h, w, seed)
+        payload = rs.build_jpeg(
+            px, quality=q, huff_pad=pad, restart_interval=dri
+        )
+        eng = rs.jpeg_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_jpeg_decode(payload))
+        assert eng.shape == (h, w)
+        assert np.array_equal(eng.astype(np.int64), ora)
+
+    @given(
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=100),
+        st.sampled_from(["444", "420"]),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_rgb_engine_equals_oracle(self, h, w, q, sub, dri, seed):
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        px = self._pixels(h, w, seed, channels=3)
+        payload = rs.build_jpeg(
+            px, quality=q, subsampling=sub, restart_interval=dri
+        )
+        eng = rs.jpeg_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_jpeg_decode(payload))
+        assert eng.shape == (h, w)
+        assert np.array_equal(eng.astype(np.int64), ora)
+        if sub == "420":
+            # the luma plane never depends on chroma layout
+            d444 = rs.jpeg_decode_pixels(
+                rs.build_jpeg(px, quality=q, restart_interval=dri)
+            )
+            assert np.array_equal(eng, d444)
+
+    @given(
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=2, max_value=256),
+        st.booleans(),
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_gif_gray_exact_roundtrip(self, h, w, levels, inter, rot, seed):
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        px = self._pixels(h, w, seed, levels=levels)
+        payload = rs.build_gif(px, palette_rot=rot, interlace=inter)
+        eng = rs.gif_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_gif_decode(payload))
+        assert np.array_equal(eng, px)  # gray GIF is lossless
+        assert np.array_equal(eng.astype(np.int64), ora)
+
+    @given(
+        st.integers(min_value=40, max_value=90),
+        st.integers(min_value=40, max_value=90),
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.booleans(),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_gif_large_dict_reset_engine_equals_oracle(
+        self, h, w, seed, inter
+    ):
+        # bigger grids force LZW code growth (and, with 256 levels,
+        # dictionary resets) through BOTH implementations
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        px = self._pixels(h, w, seed)
+        payload = rs.build_gif(px, interlace=inter)
+        eng = rs.gif_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_gif_decode(payload))
+        assert np.array_equal(eng, px)
+        assert np.array_equal(eng.astype(np.int64), ora)
