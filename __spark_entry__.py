@@ -3596,6 +3596,50 @@ def _q_mlt_from_index(spark, sf_dir):
     return more_like_this(None, src, k=5, m_terms=4, index=idx)
 
 
+def _q_mlt_persisted_weights(spark, sf_dir):
+    """More-Like-This through the PERSISTED term-weight table
+    (crawl/epoch.py cfg.index_term_weights → load_search_index
+    attaches it; operators/textops.py more_like_this consumes
+    index['term_weights'] automatically): query formation is a pure
+    read of the ranked top-m table — no per-call postings derivation.
+    Built here exactly as the epoch commit builds it
+    (bm25_term_weights_from_postings(merged, k=top_m)); the oracle is
+    the SAME from-index replay, proving persisted ≡ derived ≡
+    from-text bit-exactly."""
+    from web_scrapper_spark.operators.textops import (
+        bm25_term_weights_from_postings,
+        build_postings,
+        doc_lengths,
+        more_like_this,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    dls = doc_lengths(docs)
+    tot = dls.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    postings = build_postings(
+        docs, n_docs, include_dls=True
+    ).localCheckpoint(eager=True)
+    idx = {
+        "postings": postings,
+        "doc_lens": dls,
+        "n_docs": n_docs,
+        "t_tokens": t_tokens,
+        # the persisted table, exactly as _commit_term_weights writes it
+        "term_weights": bm25_term_weights_from_postings(
+            postings, k=6
+        ).localCheckpoint(eager=True),
+        "term_weights_top_m": 6,
+    }
+    src = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % 89 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    return more_like_this(None, src, k=5, m_terms=4, index=idx)
+
+
 def _q_robots_refresh(spark, sf_dir):
     """robots.txt TTL refresh scheduling (frontier/robots.py
     robots_refresh_due): a synthetic seen set where every 6th doc is a
@@ -5643,6 +5687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_refresh": _q_robots_refresh,
         "more_like_this": _q_more_like_this,
         "mlt_from_index": _q_mlt_from_index,
+        "mlt_persisted_weights": _q_mlt_persisted_weights,
         "postings_merge": _q_postings_merge,
         "host_moves": _q_host_moves,
         # sources / declarative loader / sorts / limits (S11, O1-O3)
@@ -10066,6 +10111,9 @@ def oracle_sql() -> dict[str, str]:
     # the postings_merge contract is merge(build(A), build(B)) ≡ the
     # BATCH build bit-for-bit — so its oracle IS the batch replay
     out["postings_merge"] = out["postings"]
+    # the persisted-weights MLT path must return EXACTLY what the
+    # from-index derivation returns — its oracle IS the same replay
+    out["mlt_persisted_weights"] = out["mlt_from_index"]
     return out
 
 

@@ -264,6 +264,35 @@ class TestOracleMutation:
             monkeypatch,
         )
 
+    def test_persisted_weights_rank_pins_mlt(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        # round-5 family: mlt_persisted_weights consumes a PRE-RANKED
+        # weight table (the cfg.index_term_weights store table) — a
+        # rank-maintenance bug in the writer (every rank off by one,
+        # silently dropping the last query term) must red the gate,
+        # proving the query really reads the persisted ranks rather
+        # than re-deriving them
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators import textops
+
+        real = textops.bm25_term_weights_from_postings
+
+        def mutate(mp):
+            def shifted(postings, k=0, **kw):
+                out = real(postings, k=k, **kw)
+                return out.withColumn("rank", F.col("rank") + 1)
+
+            mp.setattr(
+                textops, "bm25_term_weights_from_postings", shifted
+            )
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "mlt_persisted_weights", mutate,
+            monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""

@@ -146,6 +146,10 @@ class BoundJob:
     #: mid-crawl by ``analyze search --from-store``; yaml key
     #: ``scraper.index_articles``
     index_articles: bool = False
+    #: persist the ranked BM25 term-weight table at every indexing
+    #: epoch (interactive ``--like`` query formation becomes a pure
+    #: read); yaml key ``scraper.index_term_weights``
+    index_term_weights: bool = False
     #: freshness-driven revisit scheduling (CrawlEngine.enqueue_revisits);
     #: yaml key ``scraper.revisit`` — a mapping with optional keys
     #: epoch_hours (int, default 24), default_hours (int, default 168),
@@ -171,6 +175,7 @@ class BoundJob:
             respect_meta_robots=self.respect_meta_robots,
             max_outlinks_per_page=self.max_outlinks,
             index_articles=self.index_articles,
+            index_term_weights=self.index_term_weights,
         )
 
 
@@ -283,6 +288,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         content_seen=bool(scraper.get("content_seen", False)),
         respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
         index_articles=bool(scraper.get("index_articles", False)),
+        index_term_weights=bool(scraper.get("index_term_weights", False)),
         max_outlinks=(
             int(scraper["max_outlinks"])
             if scraper.get("max_outlinks") is not None

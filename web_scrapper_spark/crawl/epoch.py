@@ -240,6 +240,14 @@ class CrawlConfig:
     # (merge(build(A), build(B)) == build(A ∪ B)) makes the fold
     # semantically invisible.
     index_compact_max_shards: int = 8
+    # persist the ranked BM25 term-weight table (top_m keyword terms
+    # per doc) alongside the index at every indexing epoch: interactive
+    # More-Like-This query formation becomes a PURE READ of one
+    # replace-mode table instead of a per-call postings derivation.
+    # Costs an integer-grain pass over the merged index per epoch
+    # (same inputs the compaction fold reads; no text). Off by default.
+    index_term_weights: bool = False
+    index_term_weights_top_m: int = 8
     content: ContentConfig = field(
         default_factory=lambda: ContentConfig(
             selectors={}, follow_next_page=True, max_pages=10**6
@@ -348,6 +356,35 @@ def load_search_index(
         out["kw_doc_lens"] = dls.select("doc_id", "kw_dl")
         out["kw_n_docs"] = int(tot["kn"] or 0)
         out["kw_t_tokens"] = int(tot["kt"] or 0)
+    # persisted ranked term weights (cfg.index_term_weights): consumed
+    # ONLY when written at the newest indexed epoch in view — a store
+    # whose crawl later disabled the flag (or an as_of cut past the
+    # last refresh) silently falls back to per-call derivation rather
+    # than serving weights computed against an older corpus
+    tw_entry = store.latest_committed("index_term_weights", as_of_epoch)
+    if tw_entry is not None:
+        shard_ids = set(
+            store.committed_ids(
+                "index_shards", as_of_epoch,
+                after_epoch=base_entry["epoch"] if base_entry else None,
+            )
+        )
+        newest = base_entry["epoch"] if base_entry else None
+        for s in store.snapshots("index_shards"):
+            if s["id"] in shard_ids:
+                newest = (
+                    s["epoch"] if newest is None
+                    else max(newest, s["epoch"])
+                )
+        if newest is not None and tw_entry["epoch"] >= newest:
+            out["term_weights"] = store.read(
+                spark, "index_term_weights", tw_entry["id"]
+            )
+            top_m = 0
+            for s in store.snapshots("index_term_weights"):
+                if s["id"] == tw_entry["id"]:
+                    top_m = int(s.get("metrics", {}).get("top_m") or 0)
+            out["term_weights_top_m"] = top_m
     return out
 
 
@@ -763,7 +800,53 @@ class CrawlEngine:
             ),
         }
         tables.update(self._maybe_compact_index(epoch, shard, dls, n_new))
+        tables.update(self._commit_term_weights(epoch, shard, n_new))
         return tables
+
+    def _commit_term_weights(
+        self, epoch: int, shard: DataFrame, n_new: int
+    ) -> Dict:
+        """Persist the ranked top-m BM25 term weights of the WHOLE
+        index as of this epoch (cfg.index_term_weights): one
+        replace-mode table, derived from the merged ungated postings
+        via bm25_term_weights_from_postings — integer triples only,
+        the corpus text is never read. Readers (load_search_index)
+        consume it only when its epoch matches the newest indexed
+        epoch in view, so a crawl that later turns the flag off can
+        never serve stale weights."""
+        if not self.cfg.index_term_weights:
+            return {}
+        from ..operators.textops import (
+            bm25_term_weights_from_postings,
+            merge_postings,
+        )
+
+        base_entry = self.store.latest_committed("index_base", self._epoch)
+        after = base_entry["epoch"] if base_entry else None
+        parts = []
+        if base_entry is not None:
+            parts.append(
+                self.store.read(self.spark, "index_base", base_entry["id"])
+            )
+        prev_deltas = self.store.read_committed(
+            self.spark, "index_shards", self._epoch, after_epoch=after
+        )
+        if prev_deltas is not None:
+            parts.append(prev_deltas)
+        parts.append(shard)
+        n_total = self.store.committed_rows("index_doclens") + n_new
+        merged = merge_postings(
+            parts, n_docs=n_total, block_size=self.cfg.index_block_size
+        )
+        tw = bm25_term_weights_from_postings(
+            merged, k=self.cfg.index_term_weights_top_m
+        )
+        return {
+            "index_term_weights": self.store.commit(
+                "index_term_weights", tw, epoch=epoch, mode="replace",
+                metrics={"top_m": self.cfg.index_term_weights_top_m},
+            )
+        }
 
     def _maybe_compact_index(
         self, epoch: int, shard: DataFrame, dls: DataFrame, n_new: int

@@ -1866,7 +1866,11 @@ def more_like_this(
     corpus TEXT is never read. ``term_weights`` optionally skips even
     that derivation with a persisted :func:`bm25_term_weights` table
     (ranked or unranked; ranked tables must have been built with
-    ``k >= m_terms``). ``search_postings`` (with ``index``) serves the
+    ``k >= m_terms``) — an ``index`` dict carrying a persisted table
+    as ``term_weights``/``term_weights_top_m`` keys (what
+    ``load_search_index`` attaches for ``cfg.index_term_weights``
+    crawls) is consumed automatically when ranked deep enough.
+    ``search_postings`` (with ``index``) serves the
     Lucene df-gate semantics for a prebuilt index: query weights come
     from ``index`` (pass it UNGATED) while the DAAT search streams the
     gated view — mirroring what the self-build path does internally
@@ -1892,6 +1896,14 @@ def more_like_this(
         raise ValueError("search_postings requires index=")
     if index is not None:
         n_docs, t_tokens = int(index["n_docs"]), int(index["t_tokens"])
+        if term_weights is None and index.get("term_weights") is not None:
+            # the index carries a PERSISTED ranked weight table
+            # (cfg.index_term_weights — load_search_index attaches it
+            # only when fresh): query formation is a pure read. A
+            # table ranked shallower than m_terms can't serve the
+            # query and falls through to derivation.
+            if int(index.get("term_weights_top_m") or 0) >= m_terms:
+                term_weights = index["term_weights"]
         if term_weights is None:
             # query formation ALWAYS reads index["postings"] (pass it
             # ungated — Lucene MLT: a doc's distinctive terms don't
