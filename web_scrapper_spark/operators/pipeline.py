@@ -25,13 +25,16 @@ ord   stage          keep condition
 
 Scale shape: stages 1–3 are per-row column expressions chained through
 ``keep_cols`` pass-through (no joins back on the id — the corpus is
-scanned once up to the first wide op). Stage 4 is one hash exchange on
-the text fingerprint; the window's exchange is shared by every
-downstream consumer (main aggregate, pair generation, decontamination)
-via Spark's ReusedExchange, so the expensive flag computation is not
-repeated per branch. Stage 5 reuses the bucketed LSH self-join (never
-all-pairs) and the large-star/small-star closure; stage 6 broadcasts
-the benchmark gram set. The final report is ONE aggregation producing
+scanned once up to the first wide op, then checkpointed so the flag
+chain is evaluated exactly once). Stage 4 is a map-side-combined
+per-fingerprint winner aggregate plus a keep join back on the UNIQUE
+doc id (skew-proof: a boilerplate fingerprint's copy set meets only
+the partial aggregate, and the join key has no hot values at all);
+the flags+keep frame is materialized once for every downstream
+consumer (main aggregate, pair generation, decontamination). Stage 5
+reuses the bucketed LSH self-join (never all-pairs) and the
+large-star/small-star closure; stage 6 broadcasts the benchmark gram
+set. The final report is ONE aggregation producing
 a 7-row funnel via ``stack`` — no per-stage actions, no driver loops.
 
 Reference parity note: the reference scraper has no corpus-pipeline
@@ -120,28 +123,37 @@ def funnel_flags(
         ).cast("long").alias("_bpe"),
     )
 
-    # --- stage 4: exact dedup among survivors (one fp exchange, the
-    # argmin picks the same keeper dedup_exact would). SKEW-PROOF
-    # (round 4): a hot fingerprint (boilerplate body) used to gather
-    # its whole copy set in one window task; the per-fp winner is now
-    # a map-side-combined aggregate and the keep flag a fp-keyed join
-    # (AQE-skew-splittable) ------------------------------------------
-    _fp_win = cur.groupBy("_fp").agg(
-        F.min(F.when(F.col("_c3"), F.col(id_col))).alias("_fpmin")
+    # --- stage 4: exact dedup among survivors (the argmin picks the
+    # same keeper dedup_exact would). SKEW-PROOF (round 4) and
+    # SINGLE-EVAL (round 5): the flag chain (two tokenizations) is
+    # checkpointed BEFORE stage 4 so the winner aggregate and the keep
+    # join both read materialized rows instead of each re-evaluating
+    # the chain (reclaimed ~1 s of the round-4 reshape's sf0.1 cost);
+    # a hot fingerprint (boilerplate body) meets only the map-side-
+    # combined aggregate, and the keep flag joins back on the UNIQUE
+    # doc id (winner-membership semi-form: zero skew by construction,
+    # winners-only build side AQE-broadcastable) — equivalent to the
+    # fp-equality form because ids are globally unique --------------
+    cur = cur.localCheckpoint(eager=True)
+    keepers = (
+        cur.groupBy("_fp")
+        .agg(F.min(F.when(F.col("_c3"), F.col(id_col))).alias(id_col))
+        .where(F.col(id_col).isNotNull())
+        .select(id_col)
+        .withColumn("_keep4", F.lit(True))
     )
-    f4 = cur.join(_fp_win, "_fp").withColumn(
-        "_c4", F.col("_c3") & (F.col(id_col) == F.col("_fpmin"))
-    ).drop("_fpmin")
-    # Materialize the flags ONCE: four downstream consumers (the final
-    # aggregate, pair generation, the components join, decontamination)
-    # would otherwise each re-scan the corpus and re-evaluate the
-    # url/lang/gopher flag chain — the plan shows 14 parquet scans
-    # without this, 1 with it. Eager count (same pattern as
-    # minhash_lsh_pairs' internal caches): inside one job tree the
-    # branches race on a cold cache and each recompute the chain.
-    # localCheckpoint (eager): one materialization, blocks free with
-    # the returned frame — persist() leaked the corpus-wide flag cache
-    # for the session's life
+    f4 = cur.join(keepers, id_col, "left").withColumn(
+        "_c4", F.col("_c3") & F.coalesce(F.col("_keep4"), F.lit(False))
+    ).drop("_keep4")
+    # Materialize the flags+keep ONCE: four downstream consumers (the
+    # final aggregate, pair generation, the components join,
+    # decontamination) would otherwise each re-run the winner agg and
+    # keep join — measured slower (V4 experiment) than the second
+    # materialization even at sf0.1, and 4 wide exchanges at scale.
+    # localCheckpoint (eager): blocks free with the returned frame —
+    # persist() leaked the corpus-wide flag cache for the session's
+    # life; eager because inside one job tree the branches race on a
+    # cold cache and each recompute the chain
     f4 = f4.localCheckpoint(eager=True)
 
     # --- stage 5: near-dedup over stage-4 survivors ------------------
