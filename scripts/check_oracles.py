@@ -50,8 +50,14 @@ def main() -> int:
 
     import __spark_entry__ as se
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    out_path = "/tmp/check_oracles.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -117,9 +123,17 @@ def main() -> int:
             f"oracle={row['oracle_rows']} err={row['err']}"
         )
 
-    with open("/tmp/check_oracles.json", "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"\n{n_red} red rows; full report at /tmp/check_oracles.json")
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_red": n_red,
+        "n_no_oracle": sum(
+            1 for r in results.values() if r["err"] == "no_oracle"
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=1)
+    print(f"\n{n_red} red rows; full report at {out_path}")
     spark.stop()
     return 1 if n_red else 0
 
