@@ -6017,6 +6017,195 @@ def _png_dhash_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
 
 
+def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
+    """INDEPENDENT progressive (SOF2) reconstruction for the oracle
+    side: a SPARSE dict coefficient store keyed (component, padded
+    block index, zigzag k), per-scan bit-string readers over table
+    snapshots, and the Annex-G successive-approximation control flow
+    written with its own loop structure (no code shared with
+    rasters._prog_decode_scan). Returns the luma grid as row lists."""
+    hmax = max(h for _c, h, _v, _t in comps)
+    vmax = max(v for _c, _h, v, _t in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    fac = {cid: (h, v) for cid, h, v, _t in comps}
+    tqof = {cid: t for cid, _h, _v, t in comps}
+    pbx = {cid: mcux * h for cid, h, _v, _t in comps}
+    adim = {}
+    for cid, h, v, _t in comps:
+        cw = -(-fw * h // hmax)
+        ch = -(-fh * v // vmax)
+        adim[cid] = (-(-ch // 8), -(-cw // 8))
+    coefs: dict = {}  # (cid, block_index, k) -> accumulated value
+
+    for scan, ss, se, ah, al, bits, tabs in scans:
+        at = [0]
+
+        def bit():
+            v = bits[at[0]]
+            at[0] += 1
+            return v == "1"
+
+        def nbits(n):
+            if n == 0:
+                return 0
+            v = int(bits[at[0]:at[0] + n], 2)
+            at[0] += n
+            return v
+
+        def hread(codes):
+            run = ""
+            while True:
+                run += bits[at[0]]
+                at[0] += 1
+                if run in codes:
+                    return codes[run]
+
+        def extend(v, s):
+            if s == 0:
+                return 0
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        p1 = 1 << al
+
+        def refine_one(cid, bi, k):
+            cur = coefs.get((cid, bi, k), 0)
+            if cur:
+                if bit() and not (abs(cur) & p1):
+                    coefs[(cid, bi, k)] = cur + (p1 if cur > 0 else -p1)
+            return cur
+
+        if se == 0:  # DC scan
+            if len(scan) > 1:  # interleaved over the PADDED grids
+                order = []
+                for mcu in range(mcuy * mcux):
+                    my, mx = mcu // mcux, mcu % mcux
+                    for cid, dct, _a in scan:
+                        h, v = fac[cid]
+                        for bi2 in range(h * v):
+                            order.append((
+                                cid, dct,
+                                (my * v + bi2 // h) * pbx[cid]
+                                + mx * h + bi2 % h,
+                            ))
+            else:
+                cid, dct, _a = scan[0]
+                aby, abx = adim[cid]
+                order = [
+                    (cid, dct, r * pbx[cid] + c)
+                    for r in range(aby) for c in range(abx)
+                ]
+            if ah == 0:
+                p0 = {cid: 0 for cid, _d, _a in scan}
+                for cid, dct, bi in order:
+                    s = hread(tabs[(0, dct)])
+                    p0[cid] += extend(nbits(s), s)
+                    coefs[(cid, bi, 0)] = p0[cid] << al
+            else:
+                for cid, _dct, bi in order:
+                    if bit():
+                        coefs[(cid, bi, 0)] = (
+                            coefs.get((cid, bi, 0), 0) | p1
+                        )
+            continue
+        # AC scan: one component, raster over ACTUAL blocks
+        assert len(scan) == 1, "oracle: interleaved AC scan"
+        cid, _dct, act = scan[0]
+        codes = tabs[(1, act)]
+        aby, abx = adim[cid]
+        eobrun = 0
+        for r_ in range(aby):
+            for c_ in range(abx):
+                bi = r_ * pbx[cid] + c_
+                if ah == 0:  # first pass of this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = hread(codes)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << rr) - 1 + nbits(rr)
+                            break
+                        k += rr
+                        assert k <= se, "oracle: AC run past band"
+                        coefs[(cid, bi, k)] = extend(nbits(s), s) << al
+                        k += 1
+                    continue
+                # refinement pass
+                if eobrun:
+                    for k in range(ss, se + 1):
+                        refine_one(cid, bi, k)
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = hread(codes)
+                    rr, s = rs >> 4, rs & 15
+                    newv = 0
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1 + nbits(rr)
+                            for k2 in range(k, se + 1):
+                                refine_one(cid, bi, k2)
+                            break
+                        # rr == 15: ZRL — skip 16 zero-history slots
+                    else:
+                        assert s == 1, "oracle: bad refinement symbol"
+                        newv = p1 if bit() else -p1
+                    while k <= se:
+                        if refine_one(cid, bi, k) == 0:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if newv and k <= se:
+                        coefs[(cid, bi, k)] = newv
+                    k += 1
+
+    luma_cid = comps[0][0]
+    lh, lv = fac[luma_cid]
+    assert (lh, lv) == (hmax, vmax), "oracle: luma not full-res"
+    q = qt[tqof[luma_cid]]
+    nby, nbx = mcuy * lv, mcux * lh
+    grid = [[0] * (nbx * 8) for _ in range(nby * 8)]
+    for by in range(nby):
+        for bx in range(nbx):
+            bi = by * pbx[luma_cid] + bx
+            coef = [[0] * 8 for _ in range(8)]
+            for k in range(64):
+                v = coefs.get((luma_cid, bi, k), 0)
+                if v:
+                    r, c = zz[k]
+                    coef[r][c] = v * q[r][c]
+            tmp = [
+                [
+                    (
+                        sum(coef[u][v2] * basis[v2][x] for v2 in range(8))
+                        + 4096
+                    )
+                    >> 13
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+            for y in range(8):
+                for x in range(8):
+                    px = (
+                        (
+                            sum(tmp[u][x] * basis[u][y] for u in range(8))
+                            + 4096
+                        )
+                        >> 13
+                    ) + 128
+                    grid[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+    return [row[:fw] for row in grid[:fh]]
+
+
 def _oracle_jpeg_decode(b: bytes) -> list:
     """INDEPENDENT pure-Python baseline-JPEG decode for the oracle
     side: its own zigzag derivation, bit reader, canonical Huffman
@@ -6055,6 +6244,8 @@ def _oracle_jpeg_decode(b: bytes) -> list:
     pos, qt, huff, frame, scan = 2, {}, {}, None, None
     chunks = None  # [(entropy_bytes, rst_no_or_None), ...]
     dri = 0
+    prog = False
+    prog_scans = []  # (scan, ss, se, ah, al, bitstring, tables snapshot)
     while pos + 4 <= len(b):
         marker = b[pos + 1]
         if marker == 0xD9:
@@ -6090,7 +6281,7 @@ def _oracle_jpeg_decode(b: bytes) -> list:
                     code <<= 1
                 huff[(cls, tid)] = codes
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             fh, fw = _struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = [
@@ -6099,6 +6290,7 @@ def _oracle_jpeg_decode(b: bytes) -> list:
                 for ci in range(nc)
             ]
             frame = (fw, fh, comps)
+            prog = marker == 0xC2
         elif marker == 0xDD:
             (dri,) = _struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
@@ -6125,10 +6317,23 @@ def _oracle_jpeg_decode(b: bytes) -> list:
             chunks.append(
                 (b[cstart:end].replace(b"\xff\x00", b"\xff"), None)
             )
+            if prog:
+                assert len(chunks) == 1, "oracle: RST in progressive"
+                prog_scans.append((
+                    scan,
+                    seg[1 + 2 * ns], seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F,
+                    "".join(format(x, "08b") for x in chunks[0][0]),
+                    dict(huff),  # tables as of THIS scan
+                ))
             pos = end
             continue
         pos += 2 + ln
     fw, fh, comps = frame
+    if prog:
+        return _oracle_jpeg_progressive(
+            fw, fh, comps, qt, prog_scans, basis, zz
+        )
     chunk_bits = [
         "".join(format(byte, "08b") for byte in ent) for ent, _m in chunks
     ]

@@ -415,11 +415,11 @@ class TestJpegCodec:
             rs.jpeg_decode_pixels(b"not a jpeg")
         g = np.zeros((8, 8), dtype=np.uint8)
         good = bytearray(rs.build_jpeg(g))
-        # flip SOF0 into SOF2 (progressive) -> loud refusal
+        # flip SOF0 into SOF9 (arithmetic-coded) -> loud refusal
         i = bytes(good).index(b"\xff\xc0")
-        prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
-        with _pytest.raises(ValueError, match="baseline"):
-            rs.jpeg_decode_pixels(prog)
+        arith = bytes(good[:i]) + b"\xff\xc9" + bytes(good[i + 2:])
+        with _pytest.raises(ValueError, match="baseline|progressive"):
+            rs.jpeg_decode_pixels(arith)
         with _pytest.raises(ValueError):
             rs.build_jpeg(np.zeros((0, 4), dtype=np.uint8))
 
@@ -476,6 +476,45 @@ class TestJpegCodec:
 
         with _pytest.raises(ValueError, match="RST sequence"):
             rs.jpeg_decode_pixels(bytes(p))
+
+    def test_progressive_equals_baseline_pixels(self):
+        # SOF2 successive approximation accumulates the SAME quantized
+        # coefficients the baseline stream carries, so the two encodes
+        # of one image must decode bit-identically — gray, 4:4:4 and
+        # 4:2:0, odd dims included
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        rng = np.random.default_rng(26)
+        for shape in [(16, 16), (17, 9), (1, 1), (24, 40)]:
+            g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            base = rs.jpeg_decode_pixels(rs.build_jpeg(g, quality=80))
+            prog = rs.jpeg_decode_pixels(
+                rs.build_jpeg(g, quality=80, progressive=True)
+            )
+            assert (base == prog).all(), shape
+        for sub in ("444", "420"):
+            g = rng.integers(0, 256, size=(33, 17, 3), dtype=np.uint8)
+            base = rs.jpeg_decode_pixels(
+                rs.build_jpeg(g, quality=75, subsampling=sub)
+            )
+            prog = rs.jpeg_decode_pixels(
+                rs.build_jpeg(g, quality=75, subsampling=sub,
+                              progressive=True)
+            )
+            assert (base == prog).all(), sub
+        # byte-different wider-Huffman progressive re-encode: same px
+        g = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        a = rs.build_jpeg(g, progressive=True)
+        b = rs.build_jpeg(g, progressive=True, huff_pad=1)
+        assert a != b
+        assert (rs.jpeg_decode_pixels(a) == rs.jpeg_decode_pixels(b)).all()
+        # progressive + restart is declined loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="progressive"):
+            rs.build_jpeg(g, progressive=True, restart_interval=2)
 
     def test_idct_contract_pinned(self):
         # the fixed-point basis is the cross-implementation contract —

@@ -397,6 +397,36 @@ class TestRasterCodecProperties:
     @given(
         st.integers(min_value=1, max_value=33),
         st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=100),
+        st.sampled_from([(0, "444"), (3, "444"), (3, "420")]),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_progressive_equals_baseline_and_oracle(
+        self, h, w, q, chan_sub, seed
+    ):
+        # the SOF2 ladder carries the SAME quantized coefficients, so
+        # progressive ≡ baseline pixels; and the independent oracle
+        # twin (sparse-store successive approximation) agrees with the
+        # engine decoder bit-for-bit
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        channels, sub = chan_sub
+        px = self._pixels(h, w, seed, channels=channels)
+        base = rs.jpeg_decode_pixels(
+            rs.build_jpeg(px, quality=q, subsampling=sub)
+        )
+        pb = rs.build_jpeg(px, quality=q, subsampling=sub, progressive=True)
+        prog = rs.jpeg_decode_pixels(pb)
+        assert np.array_equal(base, prog)
+        ora = np.array(self._oracle()._oracle_jpeg_decode(pb))
+        assert np.array_equal(prog.astype(np.int64), ora)
+
+    @given(
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=1, max_value=17),
         st.integers(min_value=2, max_value=256),
         st.booleans(),
         st.integers(min_value=0, max_value=11),

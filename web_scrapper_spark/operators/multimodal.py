@@ -889,35 +889,46 @@ def planted_jpeg_media_rows(n: int = 48, period: int = 32) -> list:
         return g
 
     def enc_params(j: int) -> tuple:
-        """(quality, subsampling, restart_interval) for base index j —
-        deterministic coverage of the real-web shapes: half the RGB
-        images 4:2:0 (the dominant encoding), restart intervals on a
-        subset of both gray and color, 4:4:4 everywhere else."""
+        """(quality, subsampling, restart_interval, progressive) for
+        base index j — deterministic coverage of the real-web shapes:
+        half the RGB images 4:2:0 (the dominant encoding), restart
+        intervals on a subset of both gray and color, SOF2 progressive
+        on a gray/RGB subset (restart forced off — the encoder
+        declines the combination), 4:4:4 baseline everywhere else."""
         quality = 70 + (j % 4) * 10
         sub = "420" if j % 8 == 3 else "444"  # RGB ids are j%4==3
-        dri = 2 if j % 5 == 2 else 0
-        return quality, sub, dri
+        prog = j % 8 in (5, 7)  # gray (5) and RGB-4:4:4 (7) progressive
+        dri = 0 if prog else (2 if j % 5 == 2 else 0)
+        return quality, sub, dri, prog
 
     rows = []
     for i in range(n):
         if i < period:
             px = base_pixels(i)
-            quality, sub, dri = enc_params(i)
+            quality, sub, dri, prog = enc_params(i)
             pad = 0
         elif i < period + 8:
             # byte-different re-encode of 0..7: wider Huffman AND a
-            # flipped restart layout — decoded pixels identical
-            px = base_pixels(i - period)
-            quality, sub, dri = enc_params(i - period)
-            dri = 3 if dri == 0 else 0
+            # flipped restart layout — or, for odd j, the OTHER frame
+            # type (progressive <-> baseline: same quantized
+            # coefficients, entirely different entropy structure) —
+            # decoded pixels identical in every case
+            j = i - period
+            px = base_pixels(j)
+            quality, sub, dri, prog = enc_params(j)
+            if j % 2 == 1:
+                prog = not prog
+                dri = 0
+            else:
+                dri = 3 if dri == 0 else 0
             pad = 1
         else:
             px = perturb(base_pixels(i - period), i % 3 + 1)
-            quality, sub, dri = enc_params(i - period)
+            quality, sub, dri, prog = enc_params(i - period)
             pad = 0
         payload = build_jpeg(
             px, quality=quality, huff_pad=pad, subsampling=sub,
-            restart_interval=dri,
+            restart_interval=dri, progressive=prog,
         )
         rows.append(
             (

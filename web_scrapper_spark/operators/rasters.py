@@ -7,7 +7,8 @@ library + numpy only — no Pillow, no libjpeg — with the decode side
 specified in EXACT integer arithmetic so an independently written
 pure-Python twin (the driver oracle) reproduces every pixel bit-for-bit.
 
-JPEG (ITU-T T.81 baseline sequential, the shapes real web JPEGs use):
+JPEG (ITU-T T.81 baseline sequential AND progressive, the shapes real
+web JPEGs use):
 
 - encoder: level shift, per-block float64 FDCT, quality-scaled Annex-K
   quantization, zigzag, DC prediction, AC run-length, canonical
@@ -17,18 +18,27 @@ JPEG (ITU-T T.81 baseline sequential, the shapes real web JPEGs use):
   + SOS markers. Grayscale (1 component), YCbCr 4:4:4 AND 4:2:0
   (box-averaged chroma, 16x16 MCUs — the dominant real-web encoding),
   optional restart intervals (byte-aligned RST0-7 every N MCUs with
-  DC predictor resets).
-- decoder: full marker walk (APPn/COM skipped, DQT/DHT/SOF0/SOS/DRI
-  parsed), canonical Huffman reconstruction from DHT, entropy decode
-  with 0xFF00 un-stuffing and RSTn segmentation, interleaved sampling
-  factors 1-2 per axis (4:4:4/4:2:0/4:2:2/4:4:0 — chroma blocks
-  Huffman-walked to keep bit position, luma materialized), dequantize
-  + de-zigzag, and a FIXED-POINT integer IDCT (14-bit basis table,
-  two separable passes with defined ``(acc + 4096) >> 13`` rounding)
-  so two implementations cannot disagree by even one ulp. Output is
-  the Y plane — for JFIF YCbCr that IS the ITU-R 601 luma the PNG
-  path computes. Progressive, 12-bit and arithmetic-coded streams
-  raise ``ValueError`` loudly (honest subset, never wrong pixels).
+  DC predictor resets), and optional SOF2 PROGRESSIVE output (round
+  5): the libjpeg default-script shape — DC first + spectral bands
+  (1,5)/(6,63) at Al=1, then DC/AC refinement to Al=0, per-scan
+  canonical DHTs, cross-block EOB runs, Annex-G correction-bit
+  interleave. The final coefficients equal the baseline encoder's
+  exactly, so progressive and baseline encodes of the same pixels
+  decode bit-identically (tested).
+- decoder: full marker walk (APPn/COM skipped, DQT/DHT/SOF0/SOF2/
+  SOS/DRI parsed), canonical Huffman reconstruction from DHT, entropy
+  decode with 0xFF00 un-stuffing and RSTn segmentation, interleaved
+  sampling factors 1-2 per axis (4:4:4/4:2:0/4:2:2/4:4:0 — chroma
+  blocks Huffman-walked to keep bit position, luma materialized),
+  progressive scan accumulation (DC first/refine, AC first/refine
+  with EOB runs, per-scan table snapshots) into a persistent
+  coefficient store, dequantize + de-zigzag, and a FIXED-POINT
+  integer IDCT (14-bit basis table, two separable passes with defined
+  ``(acc + 4096) >> 13`` rounding) so two implementations cannot
+  disagree by even one ulp. Output is the Y plane — for JFIF YCbCr
+  that IS the ITU-R 601 luma the PNG path computes. 12-bit and
+  arithmetic-coded streams raise ``ValueError`` loudly (honest
+  subset, never wrong pixels).
 
 GIF (GIF89a):
 
@@ -313,12 +323,201 @@ def _downsample_2x(plane: "np.ndarray", hs: int, vs: int) -> "np.ndarray":
     return ((acc + n // 2) // n).astype(np.uint8)
 
 
+def _cat_signed(v: int) -> int:
+    return _category(v)
+
+
+def _ac_pt(v: int, al: int) -> int:
+    """AC successive-approximation point transform: |v| >> Al with the
+    sign restored (truncation toward ZERO — spec G.1.2.2; DC uses a
+    plain arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ScanOps:
+    """Symbol/bit stream of one progressive scan, built BEFORE the
+    scan's Huffman table exists (two-pass encoder): ops are
+    ``(symbol, nbits, value)`` — symbol None means raw bits (DC
+    refinement / sign / correction bits), value coded via put_value
+    for symbol ops and via put for raw ops."""
+
+    def __init__(self) -> None:
+        self.ops: list = []
+        self.symbols: set = set()
+
+    def sym(self, s: int, nbits: int = 0, value: int = 0) -> None:
+        self.ops.append((s, nbits, value))
+        self.symbols.add(s)
+
+    def raw(self, nbits: int, value: int) -> None:
+        if nbits:
+            self.ops.append((None, nbits, value))
+
+    def emit(self, bw: "_BitWriter", table: Optional[dict]) -> None:
+        for s, nbits, value in self.ops:
+            if s is None:
+                bw.put(value, nbits)
+            else:
+                code, ln = table["codes"][s]
+                bw.put(code, ln)
+                bw.put_value(value, nbits)
+
+
+def _prog_dc_first(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
+    """Interleaved DC-first scan (Ss=Se=0, Ah=0): diff coding of the
+    arithmetic-shifted DC values, MCU block order, per-component
+    predictors. One shared table class (the canonical fixed tables
+    make per-class DHT irrelevant for legality)."""
+    ops = _ScanOps()
+    prev = [0] * len(comp_grid)
+    for mcu in range(mcuy * mcux):
+        my, mx = divmod(mcu, mcux)
+        for ci, grid in enumerate(comp_grid):
+            hi, vi = factors[ci]
+            for bi in range(hi * vi):
+                blk = grid[my * vi + bi // hi][mx * hi + bi % hi]
+                v = blk[0] >> al
+                diff = v - prev[ci]
+                prev[ci] = v
+                s = _cat_signed(diff)
+                ops.sym(s, s, diff)
+    return ops
+
+
+def _prog_dc_refine(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
+    """DC refinement (Ah=Al+1): one raw bit per block in the same
+    interleaved order — no Huffman coding at all."""
+    ops = _ScanOps()
+    for mcu in range(mcuy * mcux):
+        my, mx = divmod(mcu, mcux)
+        for ci, grid in enumerate(comp_grid):
+            hi, vi = factors[ci]
+            for bi in range(hi * vi):
+                blk = grid[my * vi + bi // hi][mx * hi + bi % hi]
+                ops.raw(1, (blk[0] >> al) & 1)
+    return ops
+
+
+def _prog_ac_first(blocks, ss, se, al) -> "_ScanOps":
+    """Non-interleaved AC-first scan over one component's blocks in
+    raster order: zero runs, ZRL, and cross-block EOB runs (G.1.2.2)."""
+    ops = _ScanOps()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.sym(r << 4, r, eobrun - (1 << r))
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [_ac_pt(blk[k], al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.sym(0xF0)
+                run -= 16
+            s = _cat_signed(v)
+            ops.sym((run << 4) | s, s, v)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _prog_ac_refine(blocks, ss, se, al) -> "_ScanOps":
+    """Non-interleaved AC refinement (Ah=Al+1, G.1.2.3): newly
+    significant coefficients coded as (run<<4)|1 + sign, correction
+    bits for already-significant ones buffered and flushed after the
+    next emitted symbol (ZRL / new-coefficient / EOB-run), runs of 16
+    via ZRL, EOB runs carrying their buffered bits across blocks."""
+    ops = _ScanOps()
+    eobrun = 0
+    pend: list = []  # correction bits buffered across the EOB run
+
+    def flush_pend():
+        for b in pend:
+            ops.raw(1, b)
+        pend.clear()
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.sym(r << 4, r, eobrun - (1 << r))
+            eobrun = 0
+            flush_pend()
+
+    for blk in blocks:
+        absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob = -1  # index of the LAST newly-significant coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list = []  # bits since the last emitted symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs are emitted at ANY nonzero position (including
+            # already-significant ones) so each ZRL carries exactly
+            # the correction bits of the coefficients inside its own
+            # 16-position span — the decoder reads those bits while
+            # skipping that span. Not emitted past the last newly-
+            # significant coefficient (foldable into the EOB run).
+            while r > 15 and i <= eob:
+                flush_eob()
+                ops.sym(0xF0)
+                for b in br:
+                    ops.raw(1, b)
+                br.clear()
+                r -= 16
+            if a > 1:
+                br.append((abs(blk[ss + i]) >> al) & 1)
+                continue
+            # newly significant (a == 1)
+            flush_eob()
+            ops.sym((r << 4) | 1)
+            ops.raw(1, 1 if blk[ss + i] > 0 else 0)
+            for b in br:
+                ops.raw(1, b)
+            br.clear()
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 32767:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
 def build_jpeg(
     pixels,
     quality: int = 85,
     huff_pad: int = 0,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """A real baseline-JPEG encoder: 8-bit grayscale (2-D input) or
     RGB (h x w x 3 input, JFIF YCbCr). ``huff_pad`` widens the
@@ -393,6 +592,16 @@ def build_jpeg(
                 row.append([int(coef[r][c]) for (r, c) in ZIGZAG])
             grid.append(row)
         comp_grid.append(grid)
+
+    if progressive:
+        if ri:
+            raise ValueError(
+                "restart intervals not supported with progressive"
+            )
+        return _assemble_progressive(
+            h, w, ncomp, factors, hmax, vmax, mcux, mcuy, comp_grid,
+            qtabs, huff_pad,
+        )
 
     # gather symbols (one DC + one AC table per luma/chroma class);
     # DC predictors reset at every restart boundary
@@ -481,6 +690,88 @@ def build_jpeg(
     return bytes(out)
 
 
+#: the fixed progressive scan ladder build_jpeg emits (per spectral
+#: band, successive approximation to Al=0 — the libjpeg default-script
+#: shape, bands (1,5) and (6,63))
+_PROG_BANDS = ((1, 5), (6, 63))
+
+
+def _assemble_progressive(
+    h, w, ncomp, factors, hmax, vmax, mcux, mcuy, comp_grid, qtabs,
+    huff_pad,
+) -> bytes:
+    """Emit the SOF2 stream: DC first (Al=1, interleaved) → AC first
+    per component per band (Al=1) → DC refinement (raw bits) → AC
+    refinement per component per band (to Al=0). Each entropy-coded
+    scan carries its own canonical fixed DHT (legal — tables may be
+    redefined between scans); the final coefficients equal the
+    baseline encoder's exactly, so progressive and baseline encodes
+    of the same pixels decode bit-identically."""
+    # actual (unpadded) per-component block grids for the
+    # non-interleaved AC scans — trailing MCU-padding blocks are NOT
+    # coded in a non-interleaved scan (A.2.2)
+    def comp_blocks(ci):
+        hi, vi = factors[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        chh = (h * vi + vmax - 1) // vmax
+        bx, by = (cw + 7) // 8, (chh + 7) // 8
+        return [
+            comp_grid[ci][r][c] for r in range(by) for c in range(bx)
+        ]
+
+    scans = []  # (scan_comps, ss, se, ah, al, ops_or_None)
+    all_comps = list(range(ncomp))
+    scans.append((all_comps, 0, 0, 0, 1,
+                  _prog_dc_first(comp_grid, factors, mcux, mcuy, 1)))
+    for ci in range(ncomp):
+        for ss, se in _PROG_BANDS:
+            scans.append(([ci], ss, se, 0, 1,
+                          _prog_ac_first(comp_blocks(ci), ss, se, 1)))
+    scans.append((all_comps, 0, 0, 1, 0,
+                  _prog_dc_refine(comp_grid, factors, mcux, mcuy, 0)))
+    for ci in range(ncomp):
+        for ss, se in _PROG_BANDS:
+            scans.append(([ci], ss, se, 1, 0,
+                          _prog_ac_refine(comp_blocks(ci), ss, se, 0)))
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for ti in range(len(qtabs)):
+        zz = bytes(int(qtabs[ti][r][c]) for (r, c) in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    comp_spec = bytearray()
+    for ci in range(ncomp):
+        hi, vi = factors[ci]
+        comp_spec += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += (
+        b"\xff\xc2"  # SOF2: progressive DCT, Huffman
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + bytes(comp_spec)
+    )
+    for scan_comps, ss, se, ah, al, ops in scans:
+        is_dc = se == 0
+        table = None
+        if ops.symbols:
+            table = _canonical_fixed_table(ops.symbols, huff_pad)
+            out += _dht_segment([(0 if is_dc else 1, 0, table)])
+        sos = bytearray([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])  # DC/AC table 0 for every scan
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+        bw = _BitWriter()
+        ops.emit(bw, table)
+        out += bw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # JPEG decoder
 # ---------------------------------------------------------------------------
@@ -541,6 +832,119 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _prog_decode_scan(state, scan, ss, se, ah, al, entropy,
+                      dc_tables, ac_tables) -> None:
+    """Decode one progressive scan into the persistent zigzag
+    coefficient store (G.2): DC first/refine (interleaved MCU order
+    for multi-component scans, raster otherwise), AC first/refine
+    with EOB runs and correction bits. Mutates ``state['coef']``."""
+    br = _BitReader(entropy)
+    comps = state["comps"]
+    fac = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    if se == 0:  # DC scan
+        if ah == 0:
+            pred = {cid: 0 for cid, _dt, _at in scan}
+        if len(scan) > 1:  # interleaved MCU walk over the padded grid
+            order = []
+            for mcu in range(state["mcuy"] * state["mcux"]):
+                my, mx = divmod(mcu, state["mcux"])
+                for cid, dct, _act in scan:
+                    hi, vi = fac[cid]
+                    for bi in range(hi * vi):
+                        order.append(
+                            (cid, dct, my * vi + bi // hi,
+                             mx * hi + bi % hi)
+                        )
+        else:
+            cid, dct, _act = scan[0]
+            aby, abx = state["actual"][cid]
+            order = [
+                (cid, dct, r, c) for r in range(aby) for c in range(abx)
+            ]
+        for cid, dct, by, bx in order:
+            coef = state["coef"][cid]
+            if ah == 0:
+                if dct not in dc_tables:
+                    raise ValueError("scan references missing DC table")
+                s = _huff_read(br, dc_tables[dct])
+                pred[cid] += _extend(br.bits(s), s)
+                coef[by][bx][0] = pred[cid] << al
+            else:
+                coef[by][bx][0] |= br.bit() << al
+        return
+    # AC scan: single component, raster order over ACTUAL blocks
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan in progressive stream")
+    cid, _dct, act = scan[0]
+    if act not in ac_tables:
+        raise ValueError("scan references missing AC table")
+    tab = ac_tables[act]
+    coef = state["coef"][cid]
+    aby, abx = state["actual"][cid]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for r_ in range(aby):
+        for c_ in range(abx):
+            blk = coef[r_][c_]
+            if ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(br, tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement
+            def refine_to(k_from, k_to):
+                for k in range(k_from, k_to + 1):
+                    if blk[k]:
+                        if br.bit() and not (abs(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+            if eobrun > 0:
+                refine_to(ss, se)
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_read(br, tab)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1 + br.bits(r)
+                        refine_to(k, se)
+                        break
+                    # ZRL: skip 16 zero-HISTORY positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement symbol")
+                    newval = p1 if br.bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        if br.bit() and not (abs(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+
+
 def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     """REAL baseline-JPEG decode with the standard library + numpy:
     marker walk, DQT/DHT/SOF0/SOS/DRI parse, canonical Huffman entropy
@@ -551,8 +955,11 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     Huffman-walked to keep bit position; only the luma plane is
     materialized) and restart intervals (byte realign + DC predictor
     reset at every RSTn). Returns the Y plane as the uint8 luma grid
-    (JFIF Y IS the ITU-R 601 luma). Progressive/12-bit/
-    arithmetic-coded streams raise ``ValueError`` with a reason."""
+    (JFIF Y IS the ITU-R 601 luma). Progressive (SOF2) streams decode
+    via per-scan successive-approximation accumulation into a
+    persistent coefficient store (:func:`_prog_decode_scan`); 12-bit
+    and arithmetic-coded streams raise ``ValueError`` with a
+    reason."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -564,6 +971,8 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     scan = None
     segments = None  # entropy, split at RSTn boundaries
     restart_interval = 0
+    progressive = False
+    prog_state = None  # persistent coefficient store across SOF2 scans
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -594,7 +1003,7 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
                 tbl = _huff_decoder(bits, vals)
                 (dc_tables if cls == 0 else ac_tables)[tid] = tbl
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -610,9 +1019,12 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
                     )
                 comps.append((cid, hi, vi, tq))
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline/progressive Huffman JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -644,9 +1056,82 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
             segments.append(
                 (b[seg_start:end].replace(b"\xff\x00", b"\xff"), None)
             )
+            if progressive:
+                # decode this scan NOW (tables may be redefined before
+                # the next one) into the persistent coefficient store
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                if len(segments) > 1:
+                    raise ValueError(
+                        "restart markers not supported in progressive"
+                    )
+                fw_, fh_, comps_ = frame
+                if prog_state is None:
+                    hmax_ = max(c[1] for c in comps_)
+                    vmax_ = max(c[2] for c in comps_)
+                    mcux_ = (fw_ + 8 * hmax_ - 1) // (8 * hmax_)
+                    mcuy_ = (fh_ + 8 * vmax_ - 1) // (8 * vmax_)
+                    prog_state = {
+                        "comps": comps_,
+                        "mcux": mcux_,
+                        "mcuy": mcuy_,
+                        "coef": {
+                            cid: [
+                                [[0] * 64 for _ in range(mcux_ * hi)]
+                                for _ in range(mcuy_ * vi)
+                            ]
+                            for cid, hi, vi, _tq in comps_
+                        },
+                        "actual": {
+                            cid: (
+                                ((fh_ * vi + vmax_ - 1) // vmax_ + 7) // 8,
+                                ((fw_ * hi + hmax_ - 1) // hmax_ + 7) // 8,
+                            )
+                            for cid, hi, vi, _tq in comps_
+                        },
+                    }
+                ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                _prog_decode_scan(
+                    prog_state, scan, ss_, se_, ahal >> 4, ahal & 0x0F,
+                    segments[0][0], dict(dc_tables), dict(ac_tables),
+                )
+                pos = end
+                segments = None  # consumed — not the baseline path
+                continue
             pos = end
             continue
         pos += 2 + seglen
+    if progressive:
+        # every scan already accumulated into the coefficient store —
+        # dequantize + de-zigzag + fixed-point IDCT the luma plane
+        if frame is None or prog_state is None:
+            raise ValueError("missing SOF/SOS/entropy data")
+        fw, fh, comps = frame
+        if fw == 0 or fh == 0:
+            raise ValueError("empty image")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        luma_cid, luma_h, luma_v = comps[0][0], comps[0][1], comps[0][2]
+        if (luma_h, luma_v) != (hmax, vmax):
+            raise ValueError("luma must be the highest-resolution component")
+        qt = qtabs.get(dict((c[0], c[3]) for c in comps)[luma_cid])
+        if qt is None:
+            raise ValueError("component references missing DQT")
+        grid = prog_state["coef"][luma_cid]
+        nby, nbx = len(grid), len(grid[0])
+        yplane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grid[by][bx]
+                coef = np.zeros((8, 8), dtype=np.int64)
+                for k in range(64):
+                    r, c = ZIGZAG[k]
+                    coef[r][c] = zz[k] * qt[r][c]
+                yplane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    idct_2d_int(coef)
+                )
+        return yplane[:fh, :fw]
     if frame is None or scan is None or segments is None:
         raise ValueError("missing SOF/SOS/entropy data")
     fw, fh, comps = frame
