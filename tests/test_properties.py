@@ -369,7 +369,7 @@ class TestRasterCodecProperties:
         st.integers(min_value=1, max_value=33),
         st.integers(min_value=1, max_value=17),
         st.integers(min_value=1, max_value=100),
-        st.sampled_from(["444", "420"]),
+        st.sampled_from(["444", "420", "422", "440"]),
         st.integers(min_value=0, max_value=2),
         st.integers(min_value=0, max_value=2**31 - 1),
     )
@@ -398,7 +398,7 @@ class TestRasterCodecProperties:
         st.integers(min_value=1, max_value=33),
         st.integers(min_value=1, max_value=17),
         st.integers(min_value=1, max_value=100),
-        st.sampled_from([(0, "444"), (3, "444"), (3, "420")]),
+        st.sampled_from([(0, "444"), (3, "444"), (3, "420"), (3, "422")]),
         st.integers(min_value=0, max_value=2**31 - 1),
     )
     @settings(max_examples=30, deadline=None)

@@ -15,8 +15,9 @@ web JPEGs use):
   Huffman tables DERIVED from the image's own symbol set (fixed-length
   codes — legal JPEG, written to DHT like any optimized encoder's),
   byte-stuffed entropy segment, JFIF/APP0 + DQT [+ DRI] + SOF0 + DHT
-  + SOS markers. Grayscale (1 component), YCbCr 4:4:4 AND 4:2:0
+  + SOS markers. Grayscale (1 component), YCbCr 4:4:4, 4:2:0
   (box-averaged chroma, 16x16 MCUs — the dominant real-web encoding),
+  4:2:2 and 4:4:0,
   optional restart intervals (byte-aligned RST0-7 every N MCUs with
   DC predictor resets), and optional SOF2 PROGRESSIVE output (round
   5): the libjpeg default-script shape — DC first + spectral bands
@@ -523,16 +524,18 @@ def build_jpeg(
     RGB (h x w x 3 input, JFIF YCbCr). ``huff_pad`` widens the
     canonical Huffman code length — byte-different output, identical
     decoded pixels (same quantized coefficients). ``subsampling`` is
-    ``"444"`` (every component full-resolution, 1 block each per MCU)
-    or ``"420"`` (RGB only: luma 2x2, box-averaged half-res chroma —
-    the dominant real-web JPEG shape; MCU = 4 Y + Cb + Cr blocks over
-    a 16x16 tile). ``restart_interval`` > 0 writes a DRI marker and
+    ``"444"`` (every component full-resolution, 1 block each per MCU),
+    ``"420"`` (RGB only: luma 2x2, box-averaged half-res chroma — the
+    dominant real-web JPEG shape; MCU = 4 Y + Cb + Cr blocks over a
+    16x16 tile), or the rarer ``"422"``/``"440"`` (half-res chroma on
+    one axis). ``restart_interval`` > 0 writes a DRI marker and
     emits byte-aligned RST0-7 markers every that many MCUs with DC
     predictor resets (large real-web JPEGs use these for error
     resilience). Pure function, shared by fixtures, tests and the
     driver-oracle builder."""
     g = np.asarray(pixels, dtype=np.uint8)
-    if subsampling not in ("444", "420"):
+    _SUBS = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in _SUBS:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if g.ndim == 2:
         planes = [g]
@@ -556,10 +559,11 @@ def build_jpeg(
         qtabs.append(scaled_quant_table(QUANT_CHROMA, quality))
 
     # per-component sampling factors (h_i, v_i) and source planes
-    if ncomp == 3 and subsampling == "420":
-        factors = [(2, 2), (1, 1), (1, 1)]
+    lh, lv = _SUBS[subsampling]
+    if ncomp == 3 and (lh, lv) != (1, 1):
+        factors = [(lh, lv), (1, 1), (1, 1)]
         planes = [planes[0]] + [
-            _downsample_2x(planes[ci], 2, 2) for ci in (1, 2)
+            _downsample_2x(planes[ci], lh, lv) for ci in (1, 2)
         ]
     else:
         factors = [(1, 1)] * ncomp
