@@ -1274,6 +1274,44 @@ def _q_gif_dhash_pairs(spark, sf_dir):
     return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_gif_frames(spark, sf_dir):
+    """REAL animated-GIF demux (rasters.gif_decode_frames behind
+    multimodal.animation_frames_df): 24 genuine multi-frame GIF89a
+    payloads (GCE delays/disposal, delta sub-rectangles with
+    transparency, explicit rects with disposal 2/3, local palettes,
+    interlaced frames, NETSCAPE loop blocks) rendered frame-by-frame
+    on the logical screen inside the Arrow pass. Output is one row per
+    COMPOSITED frame: delay + integer luma stats + frame dHash. The
+    oracle re-renders every animation with an INDEPENDENT pure-Python
+    compositor (big-int LZW, list-of-list screens, closed-form
+    de-interlace — no numpy, no shared code) and freezes the rows into
+    VALUES — same bytes, two compositors, hash-exact agreement."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.planted_gif_animation_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.animation_frames_df(media)
+
+
+def _q_gif_frame_dedup(spark, sf_dir):
+    """Animation-grain near-dedup over rendered frames
+    (multimodal.animation_near_pairs): ids 16..19 re-encode 0..3 with
+    a different byte layout (delta ↔ full frames, flipped interlace,
+    rotated local palettes) — identical rendered frames, Hamming 0 on
+    every frame pair; ids 20..23 perturb frame 0 of 4..7 (distances
+    1/1/0/3). Candidates come from the pigeonhole-blocked Hamming
+    self-join at frame grain (never a cross join), re-aggregated to
+    animation grain. Oracle = brute force over the independent
+    compositor's frames, frozen to VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.planted_gif_animation_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.animation_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _pld_host(doc_id):
     """Six host shapes covering every branch of the eTLD+1 algorithm:
     2-label ccTLD registry, deep subdomain, private platform suffix,
@@ -5609,6 +5647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_dhash_pairs": _q_jpeg_dhash_pairs,
         "gif_decode": _q_gif_decode,
         "gif_dhash_pairs": _q_gif_dhash_pairs,
+        "gif_frames": _q_gif_frames,
+        "gif_frame_dedup": _q_gif_frame_dedup,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -6606,6 +6646,215 @@ def _raster_dhash_oracle_sql(fmt: str) -> str:
                 values.append(f"({id_a}, {id_b}, {d})")
     rows = ",\n              ".join(values)
     return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
+
+
+def _oracle_gif_frames(b: bytes) -> list:
+    """INDEPENDENT pure-Python animated-GIF compositor for the oracle
+    side: its own block walk (GCE state machine written as a dict),
+    big-int LZW reader, list-of-list RGB screens, closed-form 4-pass
+    de-interlace and per-pixel compositing loops — no numpy, no code
+    shared with rasters.gif_decode_frames beyond the format itself.
+    Returns ``[(delay_cs, luma_grid_rows), ...]`` per rendered
+    frame."""
+    import struct as _struct
+
+    assert b[:6] in (b"GIF87a", b"GIF89a"), "oracle: not a GIF"
+    sw, sh = _struct.unpack("<HH", b[6:10])
+    flags, bg_idx = b[10], b[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        glen = 2 << (flags & 0x07)
+        gct = [
+            (b[pos + 3 * j], b[pos + 3 * j + 1], b[pos + 3 * j + 2])
+            for j in range(glen)
+        ]
+        pos += 3 * glen
+    bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else (0, 0, 0)
+    screen = [[bg for _ in range(sw)] for _ in range(sh)]
+    gce = {"delay": 0, "disposal": 0, "transparent": None}
+    frames = []
+
+    def lzw(data, mcs, npx):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        big = int.from_bytes(bytes(data), "little")
+        total, at, width = 8 * len(data), 0, mcs + 1
+        table = {i: [i] for i in range(clear)}
+        nxt, out, prev = eoi + 1, [], None
+        while len(out) < npx and at + width <= total:
+            code = (big >> at) & ((1 << width) - 1)
+            at += width
+            if code == clear:
+                table = {i: [i] for i in range(clear)}
+                nxt, width, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[nxt] = prev + [entry[0]]
+                nxt += 1
+            else:
+                entry = prev + [prev[0]]
+                table[nxt] = entry
+                nxt += 1
+            out.extend(entry)
+            prev = entry
+            if nxt >= (1 << width) and width < 12:
+                width += 1
+        assert len(out) >= npx, "oracle: LZW under-run"
+        return out[:npx]
+
+    def screen_row(n, fh, interlaced):
+        if not interlaced:
+            return n
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            size = (fh - start + step - 1) // step if fh > start else 0
+            if n < size:
+                return start + step * n
+            n -= size
+        raise AssertionError("oracle: interlace row out of range")
+
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:
+            assert frames, "oracle: no image data"
+            return frames
+        if block == 0x21:
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                gflags = b[pos + 1]
+                gce = {
+                    "delay": _struct.unpack("<H", b[pos + 2:pos + 4])[0],
+                    "disposal": (gflags >> 2) & 0x07,
+                    "transparent": b[pos + 4] if gflags & 0x01 else None,
+                }
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        assert block == 0x2C, f"oracle: unexpected block 0x{block:02x}"
+        left, top, fw, fh = _struct.unpack("<HHHH", b[pos + 1:pos + 9])
+        iflags = b[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            plen = 2 << (iflags & 0x07)
+            pal = [
+                (b[pos + 3 * j], b[pos + 3 * j + 1], b[pos + 3 * j + 2])
+                for j in range(plen)
+            ]
+            pos += 3 * plen
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = lzw(data, mcs, fw * fh)
+        saved = (
+            [row[left:left + fw] for row in screen[top:top + fh]]
+            if gce["disposal"] == 3
+            else None
+        )
+        inter = bool(iflags & 0x40)
+        for n in range(fh):
+            r = top + screen_row(n, fh, inter)
+            for c in range(fw):
+                v = idx[n * fw + c]
+                if v == gce["transparent"]:
+                    continue
+                screen[r][left + c] = pal[v]
+        luma = [
+            [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000 for p in row]
+            for row in screen
+        ]
+        frames.append((gce["delay"], luma))
+        if gce["disposal"] == 2:
+            for r in range(top, top + fh):
+                for c in range(left, left + fw):
+                    screen[r][c] = bg
+        elif gce["disposal"] == 3:
+            for n, row in enumerate(saved):
+                screen[top + n][left:left + fw] = row
+        gce = {"delay": 0, "disposal": 0, "transparent": None}
+    raise AssertionError("oracle: truncated GIF (no trailer)")
+
+
+def _anim_oracle_rows() -> list:
+    """(media_id, frame_idx, delay_cs, w, h, luma_sum, n_px,
+    dhash_unsigned) per rendered frame of every planted animation, via
+    the independent compositor + independent dHash."""
+    if "anim_rows" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_gif_animation_rows,
+        )
+
+        out = []
+        for media_id, _kind, payload, _meta in planted_gif_animation_rows():
+            for fi, (delay, grid) in enumerate(
+                _oracle_gif_frames(bytes(payload))
+            ):
+                h, w = len(grid), len(grid[0])
+                out.append(
+                    (
+                        media_id,
+                        fi,
+                        delay,
+                        w,
+                        h,
+                        sum(sum(row) for row in grid),
+                        h * w,
+                        _oracle_dhash(grid),
+                    )
+                )
+        _ORACLE_CACHE["anim_rows"] = out
+    return _ORACLE_CACHE["anim_rows"]
+
+
+def _gif_frames_oracle_sql() -> str:
+    rows = ",\n              ".join(
+        f"({mid}, {fi}, {dl}, {w}, {h}, {ls}, {npx}, "
+        f"{dh - (1 << 64) if dh >= (1 << 63) else dh})"
+        for mid, fi, dl, w, h, ls, npx, dh in _anim_oracle_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(media_id, frame_idx, "
+        "delay_cs, width, height, luma_sum, n_px, dhash)"
+    )
+
+
+def _gif_frame_dedup_oracle_sql() -> str:
+    """Brute force over the independent compositor's frames: for every
+    animation pair a < b, count frame pairs within Hamming 3 and take
+    the minimum distance — the engine's blocked self-join must produce
+    exactly these animation-grain rows."""
+    rows = _anim_oracle_rows()
+    agg: dict = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[0] == b[0]:
+                continue
+            d = bin(a[7] ^ b[7]).count("1")
+            if d > 3:
+                continue
+            key = (min(a[0], b[0]), max(a[0], b[0]))
+            cnt, mn = agg.get(key, (0, 99))
+            agg[key] = (cnt + 1, min(mn, d))
+    values = ",\n              ".join(
+        f"({ma}, {mb}, {cnt}, {mn})"
+        for (ma, mb), (cnt, mn) in sorted(agg.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {values}) "
+        "AS t(media_a, media_b, frames_matched, min_hamming)"
+    )
 
 
 def _psl_values_sql() -> str:
@@ -10130,6 +10379,8 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_dhash_pairs": _raster_dhash_oracle_sql("jpeg"),
         "gif_decode": _raster_decode_oracle_sql("gif"),
         "gif_dhash_pairs": _raster_dhash_oracle_sql("gif"),
+        "gif_frames": _gif_frames_oracle_sql(),
+        "gif_frame_dedup": _gif_frame_dedup_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

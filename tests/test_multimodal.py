@@ -643,3 +643,127 @@ class TestGifCodec:
             }
             for i in range(8):
                 assert pairs.get((i, i + 32)) == 0
+
+
+class TestGifAnimation:
+    """Round-5 animated-GIF demux: the frame-sample leg over a REAL
+    multi-frame container (rasters.build_gif_animation /
+    gif_decode_frames + multimodal.animation_frames_df)."""
+
+    def test_disposal_semantics_pinned(self):
+        # rect frames + disposal 2 (restore background) and 3 (restore
+        # previous): the rendered screens follow the GIF89a compositing
+        # rules exactly, computed here by hand
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        f0 = np.full((6, 8), 200, dtype=np.uint8)
+        f1 = np.zeros((6, 8), dtype=np.uint8)
+        f1[1:4, 2:6] = 90
+        f2 = np.full((6, 8), 30, dtype=np.uint8)
+        pay = rs.build_gif_animation(
+            [f0, f1, f2],
+            disposals=[2, 3, 1],
+            rects=[None, (2, 1, 4, 3), (0, 0, 2, 2)],
+            delays_cs=[7, 11, 13],
+        )
+        frames = rs.gif_decode_frames(pay)
+        assert [f["delay_cs"] for f in frames] == [7, 11, 13]
+        assert np.array_equal(frames[0]["luma"], f0)
+        # disposal 2 on the full-screen frame 0 clears to the
+        # background color = global palette slot 0 = first-seen = 200
+        exp1 = np.full((6, 8), 200, dtype=np.uint8)
+        exp1[1:4, 2:6] = 90
+        assert np.array_equal(frames[1]["luma"], exp1)
+        # disposal 3 restores frame 1's rect, then frame 2 paints its
+        # own 2x2 corner
+        exp2 = np.full((6, 8), 200, dtype=np.uint8)
+        exp2[0:2, 0:2] = 30
+        assert np.array_equal(frames[2]["luma"], exp2)
+
+    def test_delta_encoding_is_smaller_and_identical(self):
+        # the inter-frame delta optimization: byte-smaller stream,
+        # bit-identical rendered frames
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        base = (np.arange(30 * 40).reshape(30, 40) % 7 * 36).astype(
+            np.uint8
+        )
+        frames = [base]
+        for k in range(1, 4):
+            nxt = frames[-1].copy()
+            nxt[5 * k:5 * k + 3, 8:14] = 255
+            frames.append(nxt)
+        full = rs.build_gif_animation(frames)
+        delta = rs.build_gif_animation(
+            frames, delta_frames=True, transparency=True
+        )
+        assert len(delta) < len(full)
+        for fa, fb, src in zip(
+            rs.gif_decode_frames(full), rs.gif_decode_frames(delta), frames
+        ):
+            assert np.array_equal(fa["luma"], src)
+            assert np.array_equal(fb["luma"], src)
+
+    def test_encoder_contract_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = np.zeros((4, 4), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="no frames"):
+            rs.build_gif_animation([])
+        with _pytest.raises(ValueError, match="screen size"):
+            rs.build_gif_animation([g, np.zeros((5, 4), dtype=np.uint8)])
+        with _pytest.raises(ValueError, match="transparency"):
+            rs.build_gif_animation([g, g], delta_frames=True)
+        with _pytest.raises(ValueError, match="disposal"):
+            rs.build_gif_animation([g], disposals=[7])
+        with _pytest.raises(ValueError, match="outside"):
+            rs.build_gif_animation([g], rects=[(2, 2, 4, 4)])
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            rs.build_gif_animation(
+                [g, g],
+                rects=[None, (0, 0, 2, 2)],
+                delta_frames=True,
+                transparency=True,
+            )
+
+    def test_spark_demux_and_near_pairs(self, spark):
+        # end-to-end over the planted fixture: per-frame rows match a
+        # driver-side recompute; re-encoded animations (16..19) match
+        # their sources (0..3) at min_hamming 0
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+        from web_scrapper_spark.operators import rasters as rs
+
+        rows = mm.planted_gif_animation_rows()
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {
+            (r["media_id"], r["frame_idx"]): r
+            for r in mm.animation_frames_df(media).collect()
+        }
+        n_expected = 0
+        for mid, _kind, payload, meta in rows:
+            frames = rs.gif_decode_frames(bytes(payload))
+            assert len(frames) == meta["n_frames"]
+            for fr in frames:
+                n_expected += 1
+                r = got[(mid, fr["frame_idx"])]
+                grid = fr["luma"].astype(np.int64)
+                assert r["delay_cs"] == fr["delay_cs"]
+                assert r["luma_sum"] == int(grid.sum())
+                assert r["n_px"] == grid.size
+                assert r["dhash"] == mm.dhash64(fr["luma"])
+        assert len(got) == n_expected
+        pairs = {
+            (r["media_a"], r["media_b"]): r
+            for r in mm.animation_near_pairs(media, max_hamming=3).collect()
+        }
+        for s in range(4):
+            assert pairs[(s, 16 + s)]["min_hamming"] == 0

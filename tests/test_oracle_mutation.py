@@ -293,6 +293,33 @@ class TestOracleMutation:
             monkeypatch,
         )
 
+    def test_animation_family_pins_disposal_chain(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        # round-5 family: the gif_frames gate compares engine-rendered
+        # animation frames against VALUES frozen from the independent
+        # compositor over the SHARED planted fixture. A bug in the
+        # shared encoder's GCE emission (here: disposal methods
+        # silently collapsed to 1 = leave-in-place) changes what the
+        # disposal-2/3 fixtures render and must go RED against the
+        # frozen VALUES — proving the gate pins the whole
+        # encode→composite disposal chain, not just byte equality.
+        from web_scrapper_spark.operators import rasters
+
+        real = rasters.build_gif_animation
+
+        def flattened(frames, *args, **kwargs):
+            if kwargs.get("disposals") is not None:
+                kwargs = dict(kwargs, disposals=[1] * len(frames))
+            return real(frames, *args, **kwargs)
+
+        def mutate(mp):
+            mp.setattr(rasters, "build_gif_animation", flattened)
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "gif_frames", mutate, monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""

@@ -467,3 +467,78 @@ class TestRasterCodecProperties:
         ora = np.array(self._oracle()._oracle_gif_decode(payload))
         assert np.array_equal(eng, px)
         assert np.array_equal(eng.astype(np.int64), ora)
+
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_gif_animation_engine_equals_oracle(
+        self, h, w, n_frames, mode, seed
+    ):
+        # random animations across every encoder feature axis must
+        # render identically through the engine compositor and the
+        # independent oracle twin; plain full-frame mode additionally
+        # round-trips the source screens exactly
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        rng = np.random.default_rng(seed)
+        frames = [
+            (rng.integers(0, 5, size=(h, w)) * 51).astype(np.uint8)
+            for _ in range(n_frames)
+        ]
+        delays = [int(rng.integers(0, 500)) for _ in range(n_frames)]
+        kw = {"delays_cs": delays}
+        if mode == 1:
+            kw.update(delta_frames=True, transparency=True)
+        elif mode == 2:
+            kw.update(
+                rects=[None]
+                + [
+                    (
+                        int(rng.integers(0, w)),
+                        int(rng.integers(0, h)),
+                        0,  # patched below
+                        0,
+                    )
+                    for _ in range(n_frames - 1)
+                ],
+                disposals=[1]
+                + [int(rng.integers(0, 4)) for _ in range(n_frames - 1)],
+            )
+            kw["rects"] = [None] + [
+                (
+                    left,
+                    top,
+                    int(rng.integers(1, w - left + 1)),
+                    int(rng.integers(1, h - top + 1)),
+                )
+                for (left, top, _z, _z2) in kw["rects"][1:]
+            ]
+        elif mode == 3:
+            kw.update(
+                local_palette_rot=[
+                    int(rng.integers(0, 7)) for _ in range(n_frames)
+                ],
+                interlace_mask=int(rng.integers(0, 2 ** n_frames)),
+                transparency=bool(rng.integers(0, 2)),
+            )
+        payload = rs.build_gif_animation(frames, **kw)
+        eng = rs.gif_decode_frames(payload)
+        ora = self._oracle()._oracle_gif_frames(payload)
+        assert len(eng) == len(ora) == n_frames
+        for fr, (delay, grid) in zip(eng, ora):
+            assert fr["delay_cs"] == delay
+            assert np.array_equal(
+                fr["luma"].astype(np.int64), np.array(grid)
+            )
+        if mode in (0, 1):
+            # full-frame and delta encodings composite back to the
+            # exact source screens (gray GIF is lossless)
+            for fr, src in zip(eng, frames):
+                assert np.array_equal(fr["luma"], src)

@@ -1066,3 +1066,254 @@ def image_luma_stats_df(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload", "meta").mapInPandas(
         run, schema=IMAGE_LUMA_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: real multi-frame demux (round 5). The frame_sample_df
+# plumbing above slices opaque payloads; these operators demux a REAL
+# animation container — every frame rendered on the logical screen by
+# rasters.gif_decode_frames — which is what video-grain training-data
+# dedup consumes. Payload bytes are read exactly once per animation and
+# never shuffled: 100 TB of animations reduce to a ~40-byte-per-frame
+# stats/fingerprint table inside the Arrow pass before any join.
+# ---------------------------------------------------------------------------
+
+ANIMATION_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, delay_cs int, width int, height int, "
+    "luma_sum long, n_px int, dhash long"
+)
+
+
+def animation_frames_df(media: DataFrame) -> DataFrame:
+    """Real animation demux: one media row → one row per RENDERED
+    frame (composited logical screen, so delta/disposal encodings and
+    full-frame encodings of the same animation produce identical
+    rows). Emits per-frame integer luma stats + the frame dHash in a
+    single Arrow pass; the binary payload never leaves the scan
+    partition."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .rasters import gif_decode_frames
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fr in gif_decode_frames(bytes(payload or b"")):
+                    grid = fr["luma"].astype(np.int64)
+                    h, w = grid.shape
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": fr["frame_idx"],
+                            "delay_cs": fr["delay_cs"],
+                            "width": w,
+                            "height": h,
+                            "luma_sum": int(grid.sum()),
+                            "n_px": h * w,
+                            "dhash": dhash64(fr["luma"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "delay_cs",
+                    "width",
+                    "height",
+                    "luma_sum",
+                    "n_px",
+                    "dhash",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=ANIMATION_FRAMES_SCHEMA
+    )
+
+
+def animation_near_pairs(
+    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8
+) -> DataFrame:
+    """Animation-grain near-duplicate pairs: two animations match when
+    ANY of their rendered frames land within ``max_hamming`` dHash
+    bits. Frames get a synthetic id ``media_id * 4096 + frame_idx`` so
+    the pigeonhole-blocked Hamming self-join
+    (:func:`~web_scrapper_spark.operators.dedup.hamming_blocked_pairs`)
+    runs at frame grain — never a cross join — and the result is
+    re-aggregated to animation grain: ``(media_a, media_b,
+    frames_matched, min_hamming)`` with same-animation frame pairs
+    dropped."""
+    from .dedup import hamming_blocked_pairs
+
+    frames = animation_frames_df(media).select(
+        (F.col("media_id") * 4096 + F.col("frame_idx")).alias("fid"),
+        "dhash",
+    )
+    pairs = hamming_blocked_pairs(
+        frames,
+        id_col="fid",
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
+    a = F.col("id_a")
+    bb = F.col("id_b")
+    cross = pairs.select(
+        F.least(a / 4096, bb / 4096).cast("long").alias("media_a"),
+        F.greatest(a / 4096, bb / 4096).cast("long").alias("media_b"),
+        "hamming",
+    ).where(F.col("media_a") != F.col("media_b"))
+    return cross.groupBy("media_a", "media_b").agg(
+        F.count("*").cast("int").alias("frames_matched"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
+def planted_gif_animation_rows(n: int = 24, period: int = 16) -> list:
+    """Deterministic REAL animated-GIF fixture
+    (rasters.build_gif_animation): ids ``0..period-1`` are base
+    animations (2-5 frames, md5-chain gray and small-palette RGB
+    screens) cycling the encoder's feature axes — plain full frames,
+    delta+transparency sub-rectangles, explicit rects with disposal
+    2/3, local palettes + interlaced frames. Ids ``period..period+3``
+    RE-ENCODE animations 0..3 with a different byte layout (delta ↔
+    full frames, flipped interlace, rotated local palettes) — the
+    rendered frames are IDENTICAL, so every frame pair lands at
+    Hamming 0 (the re-encode dedup claim at animation grain). Ids
+    ``period+4..period+7`` replay 4..7 with sampled pixels of frame 0
+    perturbed — pixel-different rendered frames at small dHash
+    distance (1/1/0/3 bits: one pair hash-collides, which the pair
+    query must also report, at distance 0). Pure function shared by
+    the Spark query and the driver-oracle builder."""
+    from .rasters import build_gif_animation
+
+    def screen(i: int, k: int) -> "np.ndarray":
+        h = 14 + (i % 3) * 7
+        w = 15 + (i % 4) * 6
+        if i % 3 == 2:
+            # RGB over a small deterministic palette
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            for r in range(h):
+                for c in range(w):
+                    j = (r * w + c + i + 3 * k) % 9
+                    px[r, c] = [
+                        (j * 29 + i) % 256,
+                        (j * 43 + 2 * i + 5 * k) % 256,
+                        (j * 11 + 3 * i) % 256,
+                    ]
+            return px
+        chunk = hashlib.md5(f"anim{i}-{k}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < h * w:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        base = (
+            np.frombuffer(bytes(vals[: h * w]), dtype=np.uint8)
+            .reshape(h, w)
+            .copy()
+        )
+        # animations evolve: frame k overwrites a moving block so
+        # delta encodings have a real changed region
+        if k > 0:
+            r0, c0 = (3 * k) % max(h - 4, 1), (5 * k) % max(w - 5, 1)
+            base[:] = screen(i, 0)
+            base[r0:r0 + 4, c0:c0 + 5] = (40 * k + i) % 256
+        return base
+
+    def frames_of(i: int):
+        nf = 2 + i % 4
+        return [screen(i, k) for k in range(nf)]
+
+    def encode(i: int, variant: int, frames) -> bytes:
+        nf = len(frames)
+        delays = [(5 * (k + 1) + i) % 300 for k in range(nf)]
+        mode = (i + variant) % 4
+        if mode == 0:
+            return build_gif_animation(frames, delays_cs=delays, loop=i % 3)
+        if mode == 1:
+            return build_gif_animation(
+                frames,
+                delays_cs=delays,
+                delta_frames=True,
+                transparency=True,
+            )
+        if mode == 2 and i % 3 != 2:
+            if variant == 0:
+                # gray animations: each later frame paints EXACTLY its
+                # moving 4x5 block, so disposal 2 (background fill)
+                # and 3 (restore previous) VISIBLY change what the
+                # following frames composite to — the disposal-chain
+                # mutation family depends on this visibility
+                h, w = frames[0].shape[:2]
+                rects = [None] + [
+                    ((5 * k) % max(w - 5, 1), (3 * k) % max(h - 4, 1),
+                     5, 4)
+                    for k in range(1, nf)
+                ]
+                disposals = [1] + [
+                    (2, 3, 1)[(k - 1) % 3] for k in range(1, nf)
+                ]
+                return build_gif_animation(
+                    frames, delays_cs=delays, rects=rects,
+                    disposals=disposals,
+                )
+            # re-encode variant: rect+disposal compositing is NOT
+            # render-preserving, so the byte-different twin uses
+            # delta frames + interlace instead (identical renders)
+            return build_gif_animation(
+                frames,
+                delays_cs=delays,
+                delta_frames=True,
+                transparency=True,
+                interlace_mask=0b01010,
+            )
+        return build_gif_animation(
+            frames,
+            delays_cs=delays,
+            local_palette_rot=[(k + variant) % 5 for k in range(nf)],
+            interlace_mask=(0b10101 >> variant) & 0x1F,
+        )
+
+    rows = []
+    for i in range(n):
+        if i < period:
+            payload = encode(i, 0, frames_of(i))
+            src = i
+        elif i < period + 4:
+            src = i - period
+            payload = encode(src, 1, frames_of(src))
+        else:
+            src = i - period
+            frames = frames_of(src)
+            # perturb frame 0: the only frame every encode mode paints
+            # full-screen, so the change is guaranteed visible
+            g = frames[0]
+            h, w = g.shape[:2]
+            ri = (np.arange(8) * h) // 8
+            ci = (np.arange(9) * w) // 9
+            for j in range(1 + i % 2):
+                if g.ndim == 2:
+                    g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
+                else:
+                    g[ri[(j * 3) % 8], ci[(j * 5) % 9]] = (
+                        g[ri[(j * 3) % 8], ci[(j * 5) % 9]] // 2
+                    )
+            payload = encode(src, 0, frames)
+        rows.append(
+            (
+                i,
+                "video",
+                payload,
+                {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "n_frames": 2 + src % 4,
+                    "codec": "gif89a",
+                },
+            )
+        )
+    return rows
