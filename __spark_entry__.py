@@ -5918,13 +5918,16 @@ def _oracle_png_decode(b: bytes) -> list:
     """INDEPENDENT pure-Python PNG decode for the oracle side: byte
     lists and the spec's scanline recurrences written directly (no
     numpy, no code shared with multimodal.png_decode_pixels beyond the
-    stdlib zlib call both must make). Returns the luma grid as a list
-    of row lists."""
+    stdlib zlib call both must make). Covers the engine's full shape
+    set — 8/16-bit gray / gray+alpha / RGB / RGBA, 8-bit palette, and
+    Adam7 interlace via its own pass-grid arithmetic (per-pass row
+    consumption + start/step placement, not the engine's strided
+    slicing). Returns the luma grid as a list of row lists."""
     import struct
     import zlib
 
     assert b[:8] == b"\x89PNG\r\n\x1a\n", "oracle: not a PNG"
-    pos, hdr, idat = 8, None, b""
+    pos, hdr, idat, plte = 8, None, b"", None
     while pos + 12 <= len(b):
         (clen,) = struct.unpack(">I", b[pos:pos + 4])
         tag = b[pos + 4:pos + 8]
@@ -5933,58 +5936,99 @@ def _oracle_png_decode(b: bytes) -> list:
             hdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data
+        elif tag == b"PLTE":
+            plte = [
+                (data[3 * j], data[3 * j + 1], data[3 * j + 2])
+                for j in range(len(data) // 3)
+            ]
         elif tag == b"IEND":
             break
         pos += 12 + clen
-    w, h, depth, color, _c, _f, _i = hdr
-    assert depth == 8 and color in (0, 2, 6)
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    w, h, depth, color, _c, _f, inter = hdr
+    assert depth in (8, 16) and color in (0, 2, 3, 4, 6)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    sb = depth // 8
+    bpp = ch * sb
     raw = zlib.decompress(idat)
-    stride = w * ch
-    prev = [0] * stride
-    grid = []
-    p = 0
-    for _r in range(h):
-        ft = raw[p]
-        cur = raw[p + 1:p + 1 + stride]
-        p += 1 + stride
-        rec = [0] * stride
-        for i in range(stride):
-            a = rec[i - ch] if i >= ch else 0
-            up = prev[i]
-            c = prev[i - ch] if i >= ch else 0
-            x = cur[i]
-            if ft == 0:
-                v = x
-            elif ft == 1:
-                v = x + a
-            elif ft == 2:
-                v = x + up
-            elif ft == 3:
-                v = x + (a + up) // 2
-            else:
-                pp = a + up - c
-                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (
-                    up if pb <= pc else c
-                )
-                v = x + pred
-            rec[i] = v & 0xFF
-        prev = rec
-        if ch == 1:
-            grid.append(list(rec))
-        else:
-            grid.append(
-                [
-                    (
-                        rec[i * ch] * 299
-                        + rec[i * ch + 1] * 587
-                        + rec[i * ch + 2] * 114
+
+    def unfilter(rows, stride, at):
+        """rows scanlines of `stride` bytes starting at raw[at] →
+        (list of recovered byte rows, next offset)."""
+        prev = [0] * stride
+        out = []
+        for _r in range(rows):
+            ft = raw[at]
+            cur = raw[at + 1:at + 1 + stride]
+            at += 1 + stride
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                x = cur[i]
+                if ft == 0:
+                    v = x
+                elif ft == 1:
+                    v = x + a
+                elif ft == 2:
+                    v = x + up
+                elif ft == 3:
+                    v = x + (a + up) // 2
+                else:
+                    pp = a + up - c
+                    pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else c
                     )
-                    // 1000
-                    for i in range(w)
-                ]
-            )
+                    v = x + pred
+                rec[i] = v & 0xFF
+            prev = rec
+            out.append(rec)
+        return out, at
+
+    # sample grid: h x w lists of ch-tuples (16-bit keeps byte 0 =
+    # the big-endian high byte, the spec's 16→8 scaling)
+    samples = [[None] * w for _ in range(h)]
+
+    def place(rec_rows, xs, ys, xstep, ystep, pw):
+        for n, rec in enumerate(rec_rows):
+            y = ys + n * ystep
+            for cidx in range(pw):
+                samples[y][xs + cidx * xstep] = tuple(
+                    rec[cidx * bpp + k * sb] for k in range(ch)
+                )
+
+    if inter == 0:
+        rows, _at = unfilter(h, w * bpp, 0)
+        place(rows, 0, 0, 1, 1, w)
+    else:
+        at = 0
+        for xs, ys, xstep, ystep in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, at = unfilter(ph, pw * bpp, at)
+            place(rows, xs, ys, xstep, ystep, pw)
+
+    grid = []
+    for r in range(h):
+        row = []
+        for c in range(w):
+            s = samples[r][c]
+            if color == 3:
+                pr, pg, pb2 = plte[s[0]]
+                row.append((299 * pr + 587 * pg + 114 * pb2) // 1000)
+            elif color in (0, 4):
+                row.append(s[0])
+            else:
+                row.append(
+                    (299 * s[0] + 587 * s[1] + 114 * s[2]) // 1000
+                )
+        grid.append(row)
     return grid
 
 

@@ -767,3 +767,108 @@ class TestGifAnimation:
         }
         for s in range(4):
             assert pairs[(s, 16 + s)]["min_hamming"] == 0
+
+
+class TestPngShapes:
+    """Round-5 PNG coverage: palette, alpha, 16-bit and Adam7 —
+    the real-web shapes beyond 8-bit gray/RGB."""
+
+    def test_palette_matches_truecolor_luma(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(5)
+        idx = rng.integers(0, 7, (19, 23))
+        px = np.zeros((19, 23, 3), dtype=np.uint8)
+        for c, mul in enumerate((31, 57, 11)):
+            px[:, :, c] = (idx * mul + c) % 256
+        pal = mm.build_png(px, palette=True)
+        true = mm.build_png(px)
+        assert pal != true
+        assert len(pal) < len(true)  # 1 byte/px beats 3 bytes/px
+        assert np.array_equal(
+            mm.png_decode_pixels(pal), mm.png_decode_pixels(true)
+        )
+        # rotation: byte-different PLTE + index stream, same pixels
+        rot = mm.build_png(px, palette=True, palette_rot=5)
+        assert rot != pal
+        assert np.array_equal(
+            mm.png_decode_pixels(rot), mm.png_decode_pixels(pal)
+        )
+
+    def test_alpha_channels_ignored_for_luma(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(6)
+        gray = rng.integers(0, 256, (11, 13), dtype=np.int64).astype(
+            np.uint8
+        )
+        alpha = rng.integers(0, 256, (11, 13), dtype=np.int64).astype(
+            np.uint8
+        )
+        ga = np.stack([gray, alpha], axis=2)
+        assert np.array_equal(mm.png_decode_pixels(mm.build_png(ga)), gray)
+        rgb = rng.integers(0, 256, (11, 13, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        rgba = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        assert np.array_equal(
+            mm.png_decode_pixels(mm.build_png(rgba)),
+            mm.png_decode_pixels(mm.build_png(rgb)),
+        )
+
+    def test_16bit_high_byte_semantics(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(7)
+        g8 = rng.integers(0, 256, (9, 9), dtype=np.int64).astype(np.uint8)
+        # uint8 source: v*257 replication keeps the high byte == v
+        assert np.array_equal(
+            mm.png_decode_pixels(mm.build_png(g8, depth=16)), g8
+        )
+        # raw uint16 source: decode takes the high byte
+        g16 = rng.integers(0, 65536, (9, 9), dtype=np.int64).astype(
+            np.uint16
+        )
+        assert np.array_equal(
+            mm.png_decode_pixels(mm.build_png(g16, depth=16)),
+            (g16 >> 8).astype(np.uint8),
+        )
+
+    def test_adam7_roundtrip_and_byte_difference(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(8)
+        for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (17, 13)]:
+            g = rng.integers(0, 256, (h, w), dtype=np.int64).astype(
+                np.uint8
+            )
+            seq = mm.build_png(g)
+            inter = mm.build_png(g, interlace=True)
+            if h * w > 1:
+                assert seq != inter
+            assert np.array_equal(mm.png_decode_pixels(inter), g), (h, w)
+
+    def test_contract_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        g = np.zeros((4, 4), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="palette mode"):
+            mm.build_png(g, palette=True)
+        with _pytest.raises(ValueError, match="bit depth"):
+            mm.build_png(g, depth=12)
+        with _pytest.raises(ValueError, match="256"):
+            px = np.arange(20 * 20 * 3, dtype=np.int64).reshape(
+                20, 20, 3
+            ) % np.array([256, 255, 254])
+            mm.build_png(px.astype(np.uint8), palette=True)

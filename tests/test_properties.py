@@ -542,3 +542,60 @@ class TestRasterCodecProperties:
             # exact source screens (gray GIF is lossless)
             for fr, src in zip(eng, frames):
                 assert np.array_equal(fr["luma"], src)
+
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=18),
+        st.integers(min_value=0, max_value=6),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_png_shapes_engine_equals_oracle(
+        self, h, w, shape, interlace, seed
+    ):
+        # every PNG shape x interlace through both decoders: the
+        # engine (numpy strided passes) and the independent oracle
+        # twin (byte lists + pass arithmetic) must agree bit-for-bit,
+        # and lossless shapes must round-trip the source exactly
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        kw = {}
+        if shape == 0:  # 8-bit gray
+            px = rng.integers(0, 256, (h, w), dtype=np.int64)
+        elif shape == 1:  # RGB
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.int64)
+        elif shape == 2:  # gray+alpha
+            px = rng.integers(0, 256, (h, w, 2), dtype=np.int64)
+        elif shape == 3:  # RGBA
+            px = rng.integers(0, 256, (h, w, 4), dtype=np.int64)
+        elif shape == 4:  # palette
+            idx = rng.integers(0, 9, (h, w))
+            px = np.stack(
+                [(idx * m + c) % 256 for c, m in enumerate((37, 59, 17))],
+                axis=2,
+            )
+            kw = {"palette": True, "palette_rot": int(rng.integers(0, 9))}
+        elif shape == 5:  # 16-bit gray, raw uint16 source
+            px = rng.integers(0, 65536, (h, w), dtype=np.int64)
+            kw = {"depth": 16}
+        else:  # 16-bit RGB
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.int64)
+            kw = {"depth": 16}
+        src = px.astype(np.uint16 if shape == 5 else np.uint8)
+        payload = mm.build_png(
+            src,
+            interlace=interlace,
+            filters=[int(rng.integers(0, 5)) for _ in range(3)],
+            **kw,
+        )
+        eng = mm.png_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_png_decode(payload))
+        assert np.array_equal(eng.astype(np.int64), ora)
+        if shape == 0:
+            assert np.array_equal(eng, src)
+        elif shape == 5:
+            assert np.array_equal(eng, (src >> 8).astype(np.uint8))

@@ -9,7 +9,9 @@ to a pluggable decoder registry:
 - **PNG decode is REAL** (:func:`png_decode_pixels` /
   :func:`compressed_raster_decoder`): stdlib-``zlib`` inflate of the
   IDAT stream, all five scanline filters undone per the PNG spec,
-  8-bit gray/RGB/RGBA → luma grid. :func:`build_png` is the matching
+  and the web's common shapes decoded — 8/16-bit gray, gray+alpha,
+  RGB, RGBA, 8-bit indexed-palette (PLTE), sequential or
+  Adam7-interlaced → luma grid. :func:`build_png` is the matching
   encoder, so fixtures ship genuine compressed rasters end-to-end.
 - ``NotImplementedError`` for formats whose codecs aren't in this
   container (JPEG/GIF pixel data — plug Pillow/torchaudio/pyav on a
@@ -609,41 +611,35 @@ def _paeth_predict(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def build_png(pixels, filters=None, level: int = 6) -> bytes:
-    """A real PNG encoder: 8-bit grayscale (2-D input) or RGB (h×w×3
-    input), per-scanline filter types from ``filters`` (cycled; default
-    ``[0,1,2,3,4]`` so every filter appears), zlib-compressed IDAT,
-    CRC-correct chunks. Pure function — shared by fixtures, tests, and
-    the driver-oracle builder, and byte-level verifiable by any
-    external PNG reader."""
-    import struct
-    import zlib
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    g = np.asarray(pixels, dtype=np.uint8)
-    if g.ndim == 2:
-        color_type, channels = 0, 1
-        h, w = g.shape
-    elif g.ndim == 3 and g.shape[2] == 3:
-        color_type, channels = 2, 3
-        h, w = g.shape[:2]
-    else:
-        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    if filters is None:
-        filters = [0, 1, 2, 3, 4]
-    bpp = channels
+
+def _filter_rows(byte_grid: "np.ndarray", bpp: int, filters, f0: int = 0):
+    """Apply PNG scanline filters to a (rows, stride) uint8 byte grid.
+    ``filters`` is cycled by GLOBAL stored-row ordinal starting at
+    ``f0`` (so interlace passes continue the cycle). Returns (raw
+    bytes with leading filter-type byte per row, next ordinal)."""
+    rows, stride = byte_grid.shape
     raw = bytearray()
     zero = np.zeros(bpp, dtype=np.int16)
-    prev = np.zeros(w * channels, dtype=np.int16)
-    for r in range(h):
-        line = g[r].reshape(-1).astype(np.int16)
-        ft = int(filters[r % len(filters)])
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(rows):
+        line = byte_grid[r].astype(np.int16)
+        ft = int(filters[(f0 + r) % len(filters)])
         if ft not in (0, 1, 2, 3, 4):
             raise ValueError(f"bad filter type {ft}")
-        left = np.concatenate([zero, line[:-bpp]]) if w * channels > bpp \
+        left = np.concatenate([zero, line[:-bpp]]) if stride > bpp \
             else np.zeros_like(line)
-        ul = np.concatenate([zero, prev[:-bpp]]) if w * channels > bpp \
+        ul = np.concatenate([zero, prev[:-bpp]]) if stride > bpp \
             else np.zeros_like(prev)
         if ft == 0:
             out = line
@@ -658,73 +654,139 @@ def build_png(pixels, filters=None, level: int = 6) -> bytes:
         raw.append(ft)
         raw.extend((out & 0xFF).astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(raw), f0 + rows
+
+
+def build_png(
+    pixels,
+    filters=None,
+    level: int = 6,
+    depth: int = 8,
+    interlace: bool = False,
+    palette: bool = False,
+    palette_rot: int = 0,
+) -> bytes:
+    """A real PNG encoder covering the web's common shapes: grayscale
+    (2-D input), gray+alpha (h×w×2), RGB (h×w×3), RGBA (h×w×4),
+    indexed-palette (``palette=True`` with RGB input, ≤256 first-seen
+    colors, PLTE chunk; ``palette_rot`` rotates slot assignment — a
+    byte-different table AND index stream, identical pixels), 16-bit
+    depth (uint8 input is bit-replicated ``v*257`` per the spec's
+    sample scaling; uint16 input is taken raw), and Adam7 interlace
+    (each pass filtered as its own sub-image, filter cycle continuing
+    across passes). Per-scanline filter types from ``filters``
+    (cycled; default ``[0,1,2,3,4]``), zlib IDAT, CRC-correct chunks.
+    Pure function — shared by fixtures, tests, and the driver-oracle
+    builder, and byte-level verifiable by any external PNG reader."""
+    import struct
+    import zlib
+
+    g = np.asarray(pixels)
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+    plte = b""
+    if palette:
+        if depth != 8 or g.ndim != 3 or g.shape[2] != 3:
+            raise ValueError("palette mode needs 8-bit (h, w, 3) input")
+        g = g.astype(np.uint8)
+        h, w = g.shape[:2]
+        colors: list = []
+        index_of: dict = {}
+        flat = g.reshape(-1, 3)
+        for i in range(flat.shape[0]):
+            c = (int(flat[i][0]), int(flat[i][1]), int(flat[i][2]))
+            if c not in index_of:
+                if len(colors) == 256:
+                    raise ValueError("more than 256 distinct colors")
+                index_of[c] = len(colors)
+                colors.append(c)
+        if palette_rot and len(colors) > 1:
+            p = len(colors)
+            rot = 1 + (int(palette_rot) - 1) % (p - 1)
+            remap = [(j + rot) % p for j in range(p)]
+            rotated = [None] * p
+            for j, c in enumerate(colors):
+                rotated[remap[j]] = c
+            colors = rotated
+            index_of = {c: j for j, c in enumerate(colors)}
+        idx = np.array(
+            [index_of[(int(p2[0]), int(p2[1]), int(p2[2]))] for p2 in flat],
+            dtype=np.uint8,
+        ).reshape(h, w)
+        color_type, channels, sample_grid = 3, 1, idx
+    else:
+        if depth not in (8, 16):
+            raise ValueError(f"unsupported bit depth {depth}")
+        if g.ndim == 2:
+            color_type, channels = 0, 1
+            g = g.reshape(g.shape[0], g.shape[1], 1)
+        elif g.ndim == 3 and g.shape[2] in (2, 3, 4):
+            color_type = {2: 4, 3: 2, 4: 6}[g.shape[2]]
+            channels = g.shape[2]
+        else:
+            raise ValueError(
+                "pixels must be (h, w[, channels∈{2,3,4}]) with gray, "
+                "gray+alpha, RGB or RGBA samples"
+            )
+        h, w = g.shape[:2]
+        if depth == 16:
+            if g.dtype == np.uint16:
+                sample_grid = g
+            else:
+                sample_grid = g.astype(np.uint16) * 257
+        else:
+            sample_grid = g.astype(np.uint8)
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    bpp = channels * (depth // 8)
+
+    def to_bytes(sub: "np.ndarray") -> "np.ndarray":
+        # (rows, cols[, ch]) samples → (rows, stride) big-endian bytes
+        rows = sub.shape[0]
+        if depth == 16:
+            return np.frombuffer(
+                np.ascontiguousarray(sub, dtype=">u2").tobytes(),
+                dtype=np.uint8,
+            ).reshape(rows, -1)
+        return np.ascontiguousarray(sub, dtype=np.uint8).reshape(rows, -1)
+
+    raw = bytearray()
+    f0 = 0
+    if interlace:
+        for xs, ys, xstep, ystep in ADAM7:
+            sub = sample_grid[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            part, f0 = _filter_rows(to_bytes(sub), bpp, filters, f0)
+            raw.extend(part)
+    else:
+        part, f0 = _filter_rows(to_bytes(sample_grid), bpp, filters, 0)
+        raw.extend(part)
+    if color_type == 3:
+        plte = _png_chunk(
+            b"PLTE", b"".join(bytes(c) for c in colors)
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def png_decode_pixels(payload: bytes) -> "np.ndarray":
-    """REAL PNG decode with the standard library only: chunk walk with
-    CRC verification, IDAT concatenation + zlib inflate, the five
-    scanline filters undone (Sub via per-lane cumulative sums, Up
-    vectorized, Average/Paeth per the spec's left/up recurrences),
-    8-bit gray/RGB/RGBA → uint8 luma grid (integer ITU-R 601 weights
-    ``(299 r + 587 g + 114 b) // 1000`` so the result is engine-exact).
-    Unsupported shapes (16-bit, palette, interlaced) and corrupt
-    streams raise ``ValueError`` with a reason."""
-    import struct
-    import zlib
-
-    b = payload or b""
-    if b[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG (bad magic)")
-    pos, ihdr, idat, ended = 8, None, bytearray(), False
-    while pos + 12 <= len(b):
-        (clen,) = struct.unpack(">I", b[pos:pos + 4])
-        tag = b[pos + 4:pos + 8]
-        if pos + 12 + clen > len(b):
-            raise ValueError("truncated chunk")
-        data = b[pos + 8:pos + 8 + clen]
-        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            ended = True
-            break
-        pos += 12 + clen
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    if not ended:
-        raise ValueError("truncated chunk stream (no IEND)")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
-    if color not in (0, 2, 6):
-        raise ValueError(f"unsupported color type {color}")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-    if comp != 0 or filt != 0:
-        raise ValueError("bad compression/filter method")
-    if w == 0 or h == 0:
-        raise ValueError("empty image")
-    channels = {0: 1, 2: 3, 6: 4}[color]
-    stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError("pixel data length mismatch")
-    bpp = channels
-    out = np.zeros((h, stride), dtype=np.uint8)
+def _unfilter(arr: "np.ndarray", n_rows: int, stride: int, bpp: int):
+    """Undo the five PNG scanline filters over one (sub-)image: input
+    is the raw ``n_rows * (1 + stride)`` byte vector (leading filter
+    byte per row), output a (n_rows, stride) uint8 grid. Sub via
+    per-lane cumulative sums, Up vectorized, Average/Paeth per the
+    spec's left/up recurrences."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    arr = np.frombuffer(raw, dtype=np.uint8)
-    for r in range(h):
+    for r in range(n_rows):
         ft = int(arr[r * (1 + stride)])
         line = arr[r * (1 + stride) + 1:(r + 1) * (1 + stride)].astype(
             np.int32
@@ -733,7 +795,7 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
             rec = line
         elif ft == 1:
             # Sub: rec[i] = line[i] + rec[i-bpp] — a per-lane running
-            # sum mod 256, so cumsum per channel lane is exact
+            # sum mod 256, so cumsum per byte lane is exact
             rec = line.copy()
             for lane in range(bpp):
                 rec[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
@@ -760,9 +822,106 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
             raise ValueError(f"bad scanline filter {ft}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    if channels == 1:
-        return out.reshape(h, w)
-    px = out.reshape(h, w, channels).astype(np.int32)
+    return out
+
+
+def png_decode_pixels(payload: bytes) -> "np.ndarray":
+    """REAL PNG decode with the standard library only: chunk walk with
+    CRC verification, IDAT concatenation + zlib inflate, the five
+    scanline filters undone, then sample decode across the web's
+    common shapes — 8/16-bit gray, gray+alpha, RGB, RGBA, 8-bit
+    indexed-palette (PLTE), sequential or Adam7-interlaced (each pass
+    unfiltered as its own sub-image and placed by the pass grid).
+    16-bit samples take the HIGH byte (the spec's 16→8 scaling);
+    alpha is ignored for luma. Output is the uint8 integer ITU-R 601
+    luma grid ``(299 r + 587 g + 114 b) // 1000``, engine-exact.
+    Unsupported shapes (1/2/4-bit packed) and corrupt streams raise
+    ``ValueError`` with a reason."""
+    import struct
+    import zlib
+
+    b = payload or b""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, ihdr, idat, plte, ended = 8, None, bytearray(), None, False
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated chunk")
+        data = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"PLTE":
+            if clen % 3 != 0 or clen == 0:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not ended:
+        raise ValueError("truncated chunk stream (no IEND)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if color not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unsupported color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise ValueError(f"unsupported bit depth {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad compression/filter method")
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    if color == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    sb = depth // 8  # bytes per sample
+    bpp = channels * sb
+    raw = zlib.decompress(bytes(idat))
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    # samples (h, w, channels) as uint8 — 16-bit takes the high byte
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
+            raise ValueError("pixel data length mismatch")
+        grid = _unfilter(arr, h, stride, bpp)
+        samples[:, :, :] = grid.reshape(h, w, channels, sb)[:, :, :, 0]
+    else:
+        at = 0
+        for xs, ys, xstep, ystep in ADAM7:
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (1 + stride)
+            if at + need > len(arr):
+                raise ValueError("pixel data length mismatch")
+            grid = _unfilter(arr[at:at + need], ph, stride, bpp)
+            at += need
+            samples[ys::ystep, xs::xstep, :] = grid.reshape(
+                ph, pw, channels, sb
+            )[:, :, :, 0]
+        if at != len(arr):
+            raise ValueError("pixel data length mismatch")
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        px = plte[idx].astype(np.int32)
+    elif color in (0, 4):
+        return samples[:, :, 0].copy()
+    else:
+        px = samples.astype(np.int32)
     luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
     return luma.astype(np.uint8)
 
@@ -793,26 +952,62 @@ def compressed_raster_decoder(payload: bytes, meta: dict) -> "np.ndarray":
 
 def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
     """Deterministic REAL-PNG fixture for the decoded-pixel dedup
-    queries. Base images (gray and RGB, md5-chain pixels, five filter
-    regimes) fill ids ``0..period-1``; ids ``period..period+7`` are
-    byte-DIFFERENT re-encodes of ids 0..7 (different filter choice,
-    same pixels — dHash must land at Hamming 0: the re-encode dedup
-    claim); later ids replay ``i - period`` with ``i % 3 + 1`` sampled
-    pixels inverted (small, nonzero Hamming). Pure function shared by
-    the Spark query and the driver-oracle brute-force builder."""
+    queries, covering the web's common PNG shapes: ``i % 8`` selects
+    gray / RGB / 16-bit gray / RGBA / gray+alpha / indexed-palette /
+    16-bit RGB / small-palette RGB sources (md5-chain pixels, five
+    filter regimes), with Adam7 interlace on half the ids. Ids
+    ``period..period+7`` are byte-DIFFERENT re-encodes of ids 0..7
+    (different filter cycle, flipped interlace, rotated palette slots,
+    8-bit sources re-emitted at 16-bit depth — all luma-preserving, so
+    dHash must land at Hamming 0: the re-encode dedup claim); later
+    ids replay ``i - period`` with ``i % 3 + 1`` sampled pixels
+    inverted (small, nonzero Hamming). Pure function shared by the
+    Spark query and the driver-oracle brute-force builder."""
 
     def base_pixels(i: int) -> "np.ndarray":
         h = 16 + (i % 3) * 8
         w = 16 + (i % 5) * 8
-        rgb = i % 4 == 3
-        count = h * w * (3 if rgb else 1)
+        kind = i % 8
+        if kind in (5, 7):
+            # indexed-palette source: few distinct colors
+            chunk = hashlib.md5(f"png{i}".encode()).digest()
+            vals = bytearray()
+            while len(vals) < h * w:
+                chunk = hashlib.md5(chunk).digest()
+                vals.extend(chunk)
+            idx = np.frombuffer(bytes(vals[: h * w]), dtype=np.uint8)
+            idx = (idx % (4 + kind)).reshape(h, w).astype(np.int32)
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = (idx * 37 + i) % 256
+            px[:, :, 1] = (idx * 59 + 2 * i) % 256
+            px[:, :, 2] = (idx * 17 + 3 * i) % 256
+            return px
+        channels = {0: 1, 1: 3, 2: 1, 3: 4, 4: 2, 6: 3}[kind]
+        count = h * w * channels
         chunk = hashlib.md5(f"png{i}".encode()).digest()
         vals = bytearray()
         while len(vals) < count:
             chunk = hashlib.md5(chunk).digest()
             vals.extend(chunk)
         a = np.frombuffer(bytes(vals[:count]), dtype=np.uint8)
-        return a.reshape((h, w, 3) if rgb else (h, w)).copy()
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        return a.reshape(shape).copy()
+
+    def encode(i: int, px: "np.ndarray", reenc: bool) -> bytes:
+        kind = i % 8
+        inter = (i // 8) % 2 == 0
+        filters = [(i + 2) % 5, (i + 3) % 5] if reenc else [i % 5]
+        kw = {}
+        if kind in (5, 7):
+            kw = dict(palette=True, palette_rot=(3 + i) if reenc else 0)
+        elif kind in (2, 6):
+            kw = dict(depth=16)
+        elif reenc and kind in (0, 1):
+            # luma-preserving depth flip: v*257 keeps the high byte
+            kw = dict(depth=16)
+        if reenc:
+            inter = not inter
+        return build_png(px, filters=filters, interlace=inter, **kw)
 
     def perturb(g: "np.ndarray", k: int) -> "np.ndarray":
         # invert k pixels AT dHash sample positions so the hash moves
@@ -828,15 +1023,16 @@ def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
     rows = []
     for i in range(n):
         if i < period:
+            payload = encode(i, base_pixels(i), reenc=False)
             px = base_pixels(i)
-            filters = [i % 5]
         elif i < period + 8:
-            px = base_pixels(i - period)
-            filters = [(i + 2) % 5, (i + 3) % 5]
+            src = i - period
+            px = base_pixels(src)
+            payload = encode(src, px, reenc=True)
         else:
-            px = perturb(base_pixels(i - period), i % 3 + 1)
-            filters = [i % 5]
-        payload = build_png(px, filters=filters)
+            src = i - period
+            px = perturb(base_pixels(src), i % 3 + 1)
+            payload = encode(src, px, reenc=False)
         rows.append(
             (
                 i,
