@@ -6101,13 +6101,18 @@ def _png_dhash_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
 
 
-def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
+def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz,
+                             dri=0) -> list:
     """INDEPENDENT progressive (SOF2) reconstruction for the oracle
     side: a SPARSE dict coefficient store keyed (component, padded
     block index, zigzag k), per-scan bit-string readers over table
     snapshots, and the Annex-G successive-approximation control flow
     written with its own loop structure (no code shared with
-    rasters._prog_decode_scan). Returns the luma grid as row lists."""
+    rasters._prog_decode_scan). Restart intervals hop to the next
+    RSTn-delimited bit string every ``dri`` MCUs (interleaved DC
+    scans) or blocks (non-interleaved scans), resetting predictors
+    and checking the 0-7 marker cycle. Returns the luma grid as row
+    lists."""
     hmax = max(h for _c, h, _v, _t in comps)
     vmax = max(v for _c, _h, v, _t in comps)
     mcux = -(-fw // (8 * hmax))
@@ -6122,26 +6127,38 @@ def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
         adim[cid] = (-(-ch // 8), -(-cw // 8))
     coefs: dict = {}  # (cid, block_index, k) -> accumulated value
 
-    for scan, ss, se, ah, al, bits, tabs in scans:
-        at = [0]
+    for scan, ss, se, ah, al, chunk_list, tabs in scans:
+        st = {"ci": 0, "at": 0}
+
+        def hop(n_hops):
+            # restart boundary: check the marker cycle, move to the
+            # next byte-aligned bit string
+            assert st["ci"] + 1 < len(chunk_list), "oracle: missing RST"
+            assert chunk_list[st["ci"]][1] == (n_hops - 1) % 8, (
+                "oracle: RST sequence error"
+            )
+            st["ci"] += 1
+            st["at"] = 0
 
         def bit():
-            v = bits[at[0]]
-            at[0] += 1
+            v = chunk_list[st["ci"]][0][st["at"]]
+            st["at"] += 1
             return v == "1"
 
         def nbits(n):
             if n == 0:
                 return 0
-            v = int(bits[at[0]:at[0] + n], 2)
-            at[0] += n
+            s_ = chunk_list[st["ci"]][0]
+            v = int(s_[st["at"]:st["at"] + n], 2)
+            st["at"] += n
             return v
 
         def hread(codes):
             run = ""
+            s_ = chunk_list[st["ci"]][0]
             while True:
-                run += bits[at[0]]
-                at[0] += 1
+                run += s_[st["at"]]
+                st["at"] += 1
                 if run in codes:
                     return codes[run]
 
@@ -6160,6 +6177,9 @@ def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
             return cur
 
         if se == 0:  # DC scan
+            # order carries each block's unit ordinal (MCU index for
+            # interleaved scans, block index otherwise) so the restart
+            # hop fires once per dri units
             if len(scan) > 1:  # interleaved over the PADDED grids
                 order = []
                 for mcu in range(mcuy * mcux):
@@ -6168,7 +6188,7 @@ def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
                         h, v = fac[cid]
                         for bi2 in range(h * v):
                             order.append((
-                                cid, dct,
+                                mcu, cid, dct,
                                 (my * v + bi2 // h) * pbx[cid]
                                 + mx * h + bi2 % h,
                             ))
@@ -6176,17 +6196,26 @@ def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
                 cid, dct, _a = scan[0]
                 aby, abx = adim[cid]
                 order = [
-                    (cid, dct, r * pbx[cid] + c)
+                    (r * abx + c, cid, dct, r * pbx[cid] + c)
                     for r in range(aby) for c in range(abx)
                 ]
             if ah == 0:
                 p0 = {cid: 0 for cid, _d, _a in scan}
-                for cid, dct, bi in order:
+                last_unit = 0
+                for unit, cid, dct, bi in order:
+                    if dri and unit != last_unit and unit % dri == 0:
+                        hop(unit // dri)
+                        p0 = {c2: 0 for c2, _d, _a in scan}
+                    last_unit = unit
                     s = hread(tabs[(0, dct)])
                     p0[cid] += extend(nbits(s), s)
                     coefs[(cid, bi, 0)] = p0[cid] << al
             else:
-                for cid, _dct, bi in order:
+                last_unit = 0
+                for unit, cid, _dct, bi in order:
+                    if dri and unit != last_unit and unit % dri == 0:
+                        hop(unit // dri)
+                    last_unit = unit
                     if bit():
                         coefs[(cid, bi, 0)] = (
                             coefs.get((cid, bi, 0), 0) | p1
@@ -6201,6 +6230,12 @@ def _oracle_jpeg_progressive(fw, fh, comps, qt, scans, basis, zz) -> list:
         for r_ in range(aby):
             for c_ in range(abx):
                 bi = r_ * pbx[cid] + c_
+                unit = r_ * abx + c_
+                if dri and unit and unit % dri == 0:
+                    assert eobrun == 0, (
+                        "oracle: EOB run crosses restart boundary"
+                    )
+                    hop(unit // dri)
                 if ah == 0:  # first pass of this band
                     if eobrun:
                         eobrun -= 1
@@ -6402,12 +6437,17 @@ def _oracle_jpeg_decode(b: bytes) -> list:
                 (b[cstart:end].replace(b"\xff\x00", b"\xff"), None)
             )
             if prog:
-                assert len(chunks) == 1, "oracle: RST in progressive"
+                assert len(chunks) == 1 or dri, (
+                    "oracle: RST in progressive without DRI"
+                )
                 prog_scans.append((
                     scan,
                     seg[1 + 2 * ns], seg[2 + 2 * ns],
                     seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F,
-                    "".join(format(x, "08b") for x in chunks[0][0]),
+                    [
+                        ("".join(format(x, "08b") for x in ent), m)
+                        for ent, m in chunks
+                    ],
                     dict(huff),  # tables as of THIS scan
                 ))
             pos = end
@@ -6416,7 +6456,7 @@ def _oracle_jpeg_decode(b: bytes) -> list:
     fw, fh, comps = frame
     if prog:
         return _oracle_jpeg_progressive(
-            fw, fh, comps, qt, prog_scans, basis, zz
+            fw, fh, comps, qt, prog_scans, basis, zz, dri
         )
     chunk_bits = [
         "".join(format(byte, "08b") for byte in ent) for ent, _m in chunks

@@ -510,11 +510,14 @@ class TestJpegCodec:
         b = rs.build_jpeg(g, progressive=True, huff_pad=1)
         assert a != b
         assert (rs.jpeg_decode_pixels(a) == rs.jpeg_decode_pixels(b)).all()
-        # progressive + restart is declined loudly
-        import pytest as _pytest
-
-        with _pytest.raises(ValueError, match="progressive"):
-            rs.build_jpeg(g, progressive=True, restart_interval=2)
+        # progressive + restart (round 5): every scan is punctuated by
+        # RSTn at its own boundaries, and the pixels still equal the
+        # baseline encode exactly
+        pr = rs.build_jpeg(g, progressive=True, restart_interval=2)
+        assert b"\xff\xdd" in pr and b"\xff\xd0" in pr
+        assert (
+            rs.jpeg_decode_pixels(pr) == rs.jpeg_decode_pixels(a)
+        ).all()
 
     def test_idct_contract_pinned(self):
         # the fixed-point basis is the cross-implementation contract —

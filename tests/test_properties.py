@@ -399,16 +399,18 @@ class TestRasterCodecProperties:
         st.integers(min_value=1, max_value=17),
         st.integers(min_value=1, max_value=100),
         st.sampled_from([(0, "444"), (3, "444"), (3, "420"), (3, "422")]),
+        st.integers(min_value=0, max_value=4),
         st.integers(min_value=0, max_value=2**31 - 1),
     )
     @settings(max_examples=30, deadline=None)
     def test_jpeg_progressive_equals_baseline_and_oracle(
-        self, h, w, q, chan_sub, seed
+        self, h, w, q, chan_sub, dri, seed
     ):
         # the SOF2 ladder carries the SAME quantized coefficients, so
-        # progressive ≡ baseline pixels; and the independent oracle
-        # twin (sparse-store successive approximation) agrees with the
-        # engine decoder bit-for-bit
+        # progressive ≡ baseline pixels — with or without restart
+        # intervals punctuating every scan — and the independent
+        # oracle twin (sparse-store successive approximation, chunked
+        # bit strings) agrees with the engine decoder bit-for-bit
         import numpy as np
 
         from web_scrapper_spark.operators import rasters as rs
@@ -418,7 +420,10 @@ class TestRasterCodecProperties:
         base = rs.jpeg_decode_pixels(
             rs.build_jpeg(px, quality=q, subsampling=sub)
         )
-        pb = rs.build_jpeg(px, quality=q, subsampling=sub, progressive=True)
+        pb = rs.build_jpeg(
+            px, quality=q, subsampling=sub, progressive=True,
+            restart_interval=dri,
+        )
         prog = rs.jpeg_decode_pixels(pb)
         assert np.array_equal(base, prog)
         ora = np.array(self._oracle()._oracle_jpeg_decode(pb))

@@ -1088,13 +1088,14 @@ def planted_jpeg_media_rows(n: int = 48, period: int = 32) -> list:
         """(quality, subsampling, restart_interval, progressive) for
         base index j — deterministic coverage of the real-web shapes:
         half the RGB images 4:2:0 (the dominant encoding), restart
-        intervals on a subset of both gray and color, SOF2 progressive
-        on a gray/RGB subset (restart forced off — the encoder
-        declines the combination), 4:4:4 baseline everywhere else."""
+        intervals on a subset of both gray and color INCLUDING the
+        progressive ids (round 5: every SOF2 scan is RSTn-punctuated
+        at its own boundaries), SOF2 progressive on a gray/RGB subset,
+        4:4:4 baseline everywhere else."""
         quality = 70 + (j % 4) * 10
         sub = "420" if j % 8 == 3 else "444"  # RGB ids are j%4==3
         prog = j % 8 in (5, 7)  # gray (5) and RGB-4:4:4 (7) progressive
-        dri = 0 if prog else (2 if j % 5 == 2 else 0)
+        dri = 2 if j % 5 == 2 else 0
         return quality, sub, dri, prog
 
     rows = []
@@ -1114,7 +1115,6 @@ def planted_jpeg_media_rows(n: int = 48, period: int = 32) -> list:
             quality, sub, dri, prog = enc_params(j)
             if j % 2 == 1:
                 prog = not prog
-                dri = 0
             else:
                 dri = 3 if dri == 0 else 0
             pad = 1

@@ -19,9 +19,12 @@ web JPEGs use):
   (box-averaged chroma, 16x16 MCUs — the dominant real-web encoding),
   4:2:2 and 4:4:0,
   optional restart intervals (byte-aligned RST0-7 every N MCUs with
-  DC predictor resets), and optional SOF2 PROGRESSIVE output (round
-  5): the libjpeg default-script shape — DC first + spectral bands
-  (1,5)/(6,63) at Al=1, then DC/AC refinement to Al=0, per-scan
+  DC predictor resets — in BOTH frame types: progressive scans are
+  punctuated at their own boundaries, MCUs for interleaved DC scans
+  and single data units for non-interleaved AC scans, with EOB runs
+  flushed before each marker), and optional SOF2 PROGRESSIVE output
+  (round 5): the libjpeg default-script shape — DC first + spectral
+  bands (1,5)/(6,63) at Al=1, then DC/AC refinement to Al=0, per-scan
   canonical DHTs, cross-block EOB runs, Annex-G correction-bit
   interleave. The final coefficients equal the baseline encoder's
   exactly, so progressive and baseline encodes of the same pixels
@@ -354,24 +357,35 @@ class _ScanOps:
         if nbits:
             self.ops.append((None, nbits, value))
 
+    def rst(self, m: int) -> None:
+        """Restart boundary: byte-align + RSTm when emitted (not a
+        Huffman symbol — never touches the symbol set)."""
+        self.ops.append(("RST", 0, m))
+
     def emit(self, bw: "_BitWriter", table: Optional[dict]) -> None:
         for s, nbits, value in self.ops:
             if s is None:
                 bw.put(value, nbits)
+            elif s == "RST":
+                bw.restart(value)
             else:
                 code, ln = table["codes"][s]
                 bw.put(code, ln)
                 bw.put_value(value, nbits)
 
 
-def _prog_dc_first(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
+def _prog_dc_first(comp_grid, factors, mcux, mcuy, al, ri=0) -> "_ScanOps":
     """Interleaved DC-first scan (Ss=Se=0, Ah=0): diff coding of the
     arithmetic-shifted DC values, MCU block order, per-component
-    predictors. One shared table class (the canonical fixed tables
-    make per-class DHT irrelevant for legality)."""
+    predictors (reset at every ``ri``-MCU restart boundary). One
+    shared table class (the canonical fixed tables make per-class DHT
+    irrelevant for legality)."""
     ops = _ScanOps()
     prev = [0] * len(comp_grid)
     for mcu in range(mcuy * mcux):
+        if ri and mcu and mcu % ri == 0:
+            ops.rst(mcu // ri - 1)
+            prev = [0] * len(comp_grid)
         my, mx = divmod(mcu, mcux)
         for ci, grid in enumerate(comp_grid):
             hi, vi = factors[ci]
@@ -385,11 +399,15 @@ def _prog_dc_first(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
     return ops
 
 
-def _prog_dc_refine(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
+def _prog_dc_refine(comp_grid, factors, mcux, mcuy, al, ri=0) -> "_ScanOps":
     """DC refinement (Ah=Al+1): one raw bit per block in the same
-    interleaved order — no Huffman coding at all."""
+    interleaved order — no Huffman coding at all (restart markers
+    still punctuate every ``ri`` MCUs; there is no predictor to
+    reset)."""
     ops = _ScanOps()
     for mcu in range(mcuy * mcux):
+        if ri and mcu and mcu % ri == 0:
+            ops.rst(mcu // ri - 1)
         my, mx = divmod(mcu, mcux)
         for ci, grid in enumerate(comp_grid):
             hi, vi = factors[ci]
@@ -399,9 +417,12 @@ def _prog_dc_refine(comp_grid, factors, mcux, mcuy, al) -> "_ScanOps":
     return ops
 
 
-def _prog_ac_first(blocks, ss, se, al) -> "_ScanOps":
+def _prog_ac_first(blocks, ss, se, al, ri=0) -> "_ScanOps":
     """Non-interleaved AC-first scan over one component's blocks in
-    raster order: zero runs, ZRL, and cross-block EOB runs (G.1.2.2)."""
+    raster order: zero runs, ZRL, and cross-block EOB runs (G.1.2.2).
+    In a non-interleaved scan the MCU is ONE data unit, so a restart
+    interval punctuates every ``ri`` blocks — the EOB run must
+    terminate before each boundary."""
     ops = _ScanOps()
     eobrun = 0
 
@@ -412,7 +433,10 @@ def _prog_ac_first(blocks, ss, se, al) -> "_ScanOps":
             ops.sym(r << 4, r, eobrun - (1 << r))
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            ops.rst(bi // ri - 1)
         vals = [_ac_pt(blk[k], al) for k in range(ss, se + 1)]
         last = -1
         for i, v in enumerate(vals):
@@ -444,12 +468,14 @@ def _prog_ac_first(blocks, ss, se, al) -> "_ScanOps":
     return ops
 
 
-def _prog_ac_refine(blocks, ss, se, al) -> "_ScanOps":
+def _prog_ac_refine(blocks, ss, se, al, ri=0) -> "_ScanOps":
     """Non-interleaved AC refinement (Ah=Al+1, G.1.2.3): newly
     significant coefficients coded as (run<<4)|1 + sign, correction
     bits for already-significant ones buffered and flushed after the
     next emitted symbol (ZRL / new-coefficient / EOB-run), runs of 16
-    via ZRL, EOB runs carrying their buffered bits across blocks."""
+    via ZRL, EOB runs carrying their buffered bits across blocks —
+    but never across a restart boundary (every ``ri`` blocks), where
+    the run and its buffered bits are flushed first."""
     ops = _ScanOps()
     eobrun = 0
     pend: list = []  # correction bits buffered across the EOB run
@@ -467,7 +493,10 @@ def _prog_ac_refine(blocks, ss, se, al) -> "_ScanOps":
             eobrun = 0
             flush_pend()
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            ops.rst(bi // ri - 1)
         absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
         eob = -1  # index of the LAST newly-significant coefficient
         for i, a in enumerate(absv):
@@ -598,13 +627,9 @@ def build_jpeg(
         comp_grid.append(grid)
 
     if progressive:
-        if ri:
-            raise ValueError(
-                "restart intervals not supported with progressive"
-            )
         return _assemble_progressive(
             h, w, ncomp, factors, hmax, vmax, mcux, mcuy, comp_grid,
-            qtabs, huff_pad,
+            qtabs, huff_pad, ri,
         )
 
     # gather symbols (one DC + one AC table per luma/chroma class);
@@ -702,7 +727,7 @@ _PROG_BANDS = ((1, 5), (6, 63))
 
 def _assemble_progressive(
     h, w, ncomp, factors, hmax, vmax, mcux, mcuy, comp_grid, qtabs,
-    huff_pad,
+    huff_pad, ri=0,
 ) -> bytes:
     """Emit the SOF2 stream: DC first (Al=1, interleaved) → AC first
     per component per band (Al=1) → DC refinement (raw bits) → AC
@@ -710,7 +735,11 @@ def _assemble_progressive(
     scan carries its own canonical fixed DHT (legal — tables may be
     redefined between scans); the final coefficients equal the
     baseline encoder's exactly, so progressive and baseline encodes
-    of the same pixels decode bit-identically."""
+    of the same pixels decode bit-identically. ``ri`` > 0 writes a
+    DRI marker and punctuates EVERY scan with byte-aligned RST0-7 at
+    its own restart boundaries — MCUs for the interleaved DC scans,
+    single data units (blocks) for the non-interleaved AC scans, per
+    A.2.2 — with DC predictors and EOB runs restarting there."""
     # actual (unpadded) per-component block grids for the
     # non-interleaved AC scans — trailing MCU-padding blocks are NOT
     # coded in a non-interleaved scan (A.2.2)
@@ -726,17 +755,17 @@ def _assemble_progressive(
     scans = []  # (scan_comps, ss, se, ah, al, ops_or_None)
     all_comps = list(range(ncomp))
     scans.append((all_comps, 0, 0, 0, 1,
-                  _prog_dc_first(comp_grid, factors, mcux, mcuy, 1)))
+                  _prog_dc_first(comp_grid, factors, mcux, mcuy, 1, ri)))
     for ci in range(ncomp):
         for ss, se in _PROG_BANDS:
             scans.append(([ci], ss, se, 0, 1,
-                          _prog_ac_first(comp_blocks(ci), ss, se, 1)))
+                          _prog_ac_first(comp_blocks(ci), ss, se, 1, ri)))
     scans.append((all_comps, 0, 0, 1, 0,
-                  _prog_dc_refine(comp_grid, factors, mcux, mcuy, 0)))
+                  _prog_dc_refine(comp_grid, factors, mcux, mcuy, 0, ri)))
     for ci in range(ncomp):
         for ss, se in _PROG_BANDS:
             scans.append(([ci], ss, se, 1, 0,
-                          _prog_ac_refine(comp_blocks(ci), ss, se, 0)))
+                          _prog_ac_refine(comp_blocks(ci), ss, se, 0, ri)))
 
     out = bytearray(b"\xff\xd8")
     out += (
@@ -746,6 +775,8 @@ def _assemble_progressive(
     for ti in range(len(qtabs)):
         zz = bytes(int(qtabs[ti][r][c]) for (r, c) in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     comp_spec = bytearray()
     for ci in range(ncomp):
         hi, vi = factors[ci]
@@ -836,45 +867,82 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _prog_decode_scan(state, scan, ss, se, ah, al, entropy,
+class _SegReader:
+    """Restart-aware cursor over the RSTn-split entropy segments of
+    one scan: ``br`` is the current segment's bit reader; ``advance``
+    validates the 0-7 marker cycle and realigns on the next segment
+    (each segment starts byte-aligned by construction of the split)."""
+
+    def __init__(self, segments) -> None:
+        self.segments = segments
+        self.idx = 0
+        self.br = _BitReader(segments[0][0])
+
+    def advance(self) -> None:
+        if self.idx + 1 >= len(self.segments):
+            raise ValueError("missing RST marker at restart boundary")
+        marker = self.segments[self.idx][1]
+        if marker != self.idx % 8:
+            raise ValueError("RST marker out of sequence")
+        self.idx += 1
+        self.br = _BitReader(self.segments[self.idx][0])
+
+    def done(self) -> None:
+        if self.idx != len(self.segments) - 1:
+            raise ValueError("unexpected RST marker in scan")
+
+
+def _prog_decode_scan(state, scan, ss, se, ah, al, segments, ri,
                       dc_tables, ac_tables) -> None:
     """Decode one progressive scan into the persistent zigzag
     coefficient store (G.2): DC first/refine (interleaved MCU order
     for multi-component scans, raster otherwise), AC first/refine
-    with EOB runs and correction bits. Mutates ``state['coef']``."""
-    br = _BitReader(entropy)
+    with EOB runs and correction bits. With a restart interval every
+    ``ri`` MCUs (interleaved scans) or data units (non-interleaved —
+    the MCU is one block there, A.2.2) the reader realigns on the
+    next RSTn segment, DC predictors reset and EOB runs must already
+    be exhausted. Mutates ``state['coef']``."""
+    sr = _SegReader(segments)
     comps = state["comps"]
     fac = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
     if se == 0:  # DC scan
         if ah == 0:
             pred = {cid: 0 for cid, _dt, _at in scan}
         if len(scan) > 1:  # interleaved MCU walk over the padded grid
-            order = []
+            units = []
             for mcu in range(state["mcuy"] * state["mcux"]):
                 my, mx = divmod(mcu, state["mcux"])
+                unit = []
                 for cid, dct, _act in scan:
                     hi, vi = fac[cid]
                     for bi in range(hi * vi):
-                        order.append(
+                        unit.append(
                             (cid, dct, my * vi + bi // hi,
                              mx * hi + bi % hi)
                         )
+                units.append(unit)
         else:
             cid, dct, _act = scan[0]
             aby, abx = state["actual"][cid]
-            order = [
-                (cid, dct, r, c) for r in range(aby) for c in range(abx)
+            units = [
+                [(cid, dct, r, c)] for r in range(aby) for c in range(abx)
             ]
-        for cid, dct, by, bx in order:
-            coef = state["coef"][cid]
-            if ah == 0:
-                if dct not in dc_tables:
-                    raise ValueError("scan references missing DC table")
-                s = _huff_read(br, dc_tables[dct])
-                pred[cid] += _extend(br.bits(s), s)
-                coef[by][bx][0] = pred[cid] << al
-            else:
-                coef[by][bx][0] |= br.bit() << al
+        for u, unit in enumerate(units):
+            if ri and u and u % ri == 0:
+                sr.advance()
+                if ah == 0:
+                    pred = {cid: 0 for cid, _dt, _at in scan}
+            for cid, dct, by, bx in unit:
+                coef = state["coef"][cid]
+                if ah == 0:
+                    if dct not in dc_tables:
+                        raise ValueError("scan references missing DC table")
+                    s = _huff_read(sr.br, dc_tables[dct])
+                    pred[cid] += _extend(sr.br.bits(s), s)
+                    coef[by][bx][0] = pred[cid] << al
+                else:
+                    coef[by][bx][0] |= sr.br.bit() << al
+        sr.done()
         return
     # AC scan: single component, raster order over ACTUAL blocks
     if len(scan) != 1:
@@ -889,7 +957,13 @@ def _prog_decode_scan(state, scan, ss, se, ah, al, entropy,
     p1, m1 = 1 << al, -1 << al
     for r_ in range(aby):
         for c_ in range(abx):
+            bi_ = r_ * abx + c_
+            if ri and bi_ and bi_ % ri == 0:
+                if eobrun:
+                    raise ValueError("EOB run crosses restart boundary")
+                sr.advance()
             blk = coef[r_][c_]
+            br = sr.br
             if ah == 0:  # AC first
                 if eobrun > 0:
                     eobrun -= 1
@@ -947,6 +1021,7 @@ def _prog_decode_scan(state, scan, ss, se, ah, al, entropy,
                 if newval and k <= se:
                     blk[k] = newval
                 k += 1
+    sr.done()
 
 
 def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
@@ -1065,10 +1140,8 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
                 # the next one) into the persistent coefficient store
                 if frame is None:
                     raise ValueError("SOS before SOF")
-                if len(segments) > 1:
-                    raise ValueError(
-                        "restart markers not supported in progressive"
-                    )
+                if len(segments) > 1 and not restart_interval:
+                    raise ValueError("RST markers without a DRI interval")
                 fw_, fh_, comps_ = frame
                 if prog_state is None:
                     hmax_ = max(c[1] for c in comps_)
@@ -1098,7 +1171,8 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
                 ahal = seg[3 + 2 * ns]
                 _prog_decode_scan(
                     prog_state, scan, ss_, se_, ahal >> 4, ahal & 0x0F,
-                    segments[0][0], dict(dc_tables), dict(ac_tables),
+                    segments, restart_interval,
+                    dict(dc_tables), dict(ac_tables),
                 )
                 pos = end
                 segments = None  # consumed — not the baseline path
