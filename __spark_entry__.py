@@ -1162,13 +1162,15 @@ def _q_dhash_pairs(spark, sf_dir):
 
 def _q_png_decode(spark, sf_dir):
     """REAL compressed-raster decode (multimodal.png_decode_pixels):
-    48 genuine PNGs (stdlib-zlib IDAT, all five scanline filters, gray
-    + RGB) decoded to pixels inside the Arrow pass; output is exact
-    integer luma statistics + the decoded-pixel dHash. The oracle
-    re-decodes every payload with an INDEPENDENT pure-Python
-    implementation (byte-list scanline recurrences, no numpy) and
-    freezes the expected rows into VALUES — same zlib stream, two
-    decoders, hash-exact agreement."""
+    56 genuine PNGs (stdlib-zlib IDAT, all five scanline filters)
+    covering the web's shapes — 8/16-bit gray, gray+alpha, RGB, RGBA,
+    indexed-palette, packed 1/2/4-bit favicon depths, sequential and
+    Adam7-interlaced — decoded to pixels inside the Arrow pass; output
+    is exact integer luma statistics + the decoded-pixel dHash. The
+    oracle re-decodes every payload with an INDEPENDENT pure-Python
+    implementation (byte-list scanline recurrences, its own pass-grid
+    arithmetic, no numpy) and freezes the expected rows into VALUES —
+    same zlib stream, two decoders, hash-exact agreement."""
     from web_scrapper_spark.operators import multimodal as mm
 
     mm.register_decoder("image", mm.compressed_raster_decoder)
@@ -1187,9 +1189,10 @@ def _q_png_dhash_pairs(spark, sf_dir):
     (multimodal.dhash_near_pairs ∘ png_decode_pixels): ids 32..39 are
     byte-different RE-ENCODES of 0..7 (different filter regime, same
     pixels — must land at Hamming 0: the re-encode dedup claim); ids
-    40..47 perturb sampled pixels of 8..15 (small nonzero Hamming).
-    The oracle brute-forces all C(48,2) pairs with the independent
-    pure-Python decoder + an independently-written dHash."""
+    40..47 perturb sampled pixels of 8..15 (small nonzero Hamming);
+    ids 48..55 are packed 1/2/4-bit favicon shapes. The oracle
+    brute-forces all C(56,2) pairs with the independent pure-Python
+    decoder + an independently-written dHash."""
     from web_scrapper_spark.operators import multimodal as mm
 
     mm.register_decoder("image", mm.compressed_raster_decoder)
@@ -5945,10 +5948,11 @@ def _oracle_png_decode(b: bytes) -> list:
             break
         pos += 12 + clen
     w, h, depth, color, _c, _f, inter = hdr
-    assert depth in (8, 16) and color in (0, 2, 3, 4, 6)
+    assert depth in (1, 2, 4, 8, 16) and color in (0, 2, 3, 4, 6)
+    assert depth >= 8 or color in (0, 3), "oracle: packed non-gray"
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     sb = depth // 8
-    bpp = ch * sb
+    bpp = ch * sb if depth >= 8 else 1
     raw = zlib.decompress(idat)
 
     def unfilter(rows, stride, at):
@@ -5993,13 +5997,27 @@ def _oracle_png_decode(b: bytes) -> list:
     def place(rec_rows, xs, ys, xstep, ystep, pw):
         for n, rec in enumerate(rec_rows):
             y = ys + n * ystep
+            if depth < 8:
+                # packed samples, MSB-first: sample j sits at bit
+                # offset j*depth of the row's byte vector
+                for j in range(pw):
+                    off = j * depth
+                    byte = rec[off // 8]
+                    shift = 8 - depth - (off % 8)
+                    samples[y][xs + j * xstep] = (
+                        (byte >> shift) & ((1 << depth) - 1),
+                    )
+                continue
             for cidx in range(pw):
                 samples[y][xs + cidx * xstep] = tuple(
                     rec[cidx * bpp + k * sb] for k in range(ch)
                 )
 
+    def stride_of(pw):
+        return (pw * depth + 7) // 8 if depth < 8 else pw * bpp
+
     if inter == 0:
-        rows, _at = unfilter(h, w * bpp, 0)
+        rows, _at = unfilter(h, stride_of(w), 0)
         place(rows, 0, 0, 1, 1, w)
     else:
         at = 0
@@ -6011,7 +6029,7 @@ def _oracle_png_decode(b: bytes) -> list:
             ph = (h - ys + ystep - 1) // ystep if h > ys else 0
             if pw == 0 or ph == 0:
                 continue
-            rows, at = unfilter(ph, pw * bpp, at)
+            rows, at = unfilter(ph, stride_of(pw), at)
             place(rows, xs, ys, xstep, ystep, pw)
 
     grid = []
@@ -6022,6 +6040,8 @@ def _oracle_png_decode(b: bytes) -> list:
             if color == 3:
                 pr, pg, pb2 = plte[s[0]]
                 row.append((299 * pr + 587 * pg + 114 * pb2) // 1000)
+            elif color == 0 and depth < 8:
+                row.append(s[0] * 255 // ((1 << depth) - 1))
             elif color in (0, 4):
                 row.append(s[0])
             else:

@@ -551,11 +551,11 @@ class TestRasterCodecProperties:
     @given(
         st.integers(min_value=1, max_value=24),
         st.integers(min_value=1, max_value=18),
-        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=9),
         st.booleans(),
         st.integers(min_value=0, max_value=2**31 - 1),
     )
-    @settings(max_examples=50, deadline=None)
+    @settings(max_examples=60, deadline=None)
     def test_png_shapes_engine_equals_oracle(
         self, h, w, shape, interlace, seed
     ):
@@ -587,9 +587,20 @@ class TestRasterCodecProperties:
         elif shape == 5:  # 16-bit gray, raw uint16 source
             px = rng.integers(0, 65536, (h, w), dtype=np.int64)
             kw = {"depth": 16}
-        else:  # 16-bit RGB
+        elif shape == 6:  # 16-bit RGB
             px = rng.integers(0, 256, (h, w, 3), dtype=np.int64)
             kw = {"depth": 16}
+        elif shape in (7, 8):  # packed 1/2/4-bit gray
+            d = {7: 1, 8: 2}[shape] * (2 if bool(seed & 1) else 1)
+            px = rng.integers(0, 1 << d, (h, w), dtype=np.int64)
+            kw = {"depth": d}
+        else:  # packed 4-bit palette
+            idx = rng.integers(0, 16, (h, w))
+            px = np.stack(
+                [(idx * m + c) % 256 for c, m in enumerate((41, 23, 7))],
+                axis=2,
+            )
+            kw = {"palette": True, "depth": 4}
         src = px.astype(np.uint16 if shape == 5 else np.uint8)
         payload = mm.build_png(
             src,
@@ -604,3 +615,9 @@ class TestRasterCodecProperties:
             assert np.array_equal(eng, src)
         elif shape == 5:
             assert np.array_equal(eng, (src >> 8).astype(np.uint8))
+        elif shape in (7, 8):
+            d = kw["depth"]
+            rep = (src.astype(np.int64) * 255 // ((1 << d) - 1)).astype(
+                np.uint8
+            )
+            assert np.array_equal(eng, rep)

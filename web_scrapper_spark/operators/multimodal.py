@@ -686,8 +686,10 @@ def build_png(
         filters = [0, 1, 2, 3, 4]
     plte = b""
     if palette:
-        if depth != 8 or g.ndim != 3 or g.shape[2] != 3:
-            raise ValueError("palette mode needs 8-bit (h, w, 3) input")
+        if depth not in (1, 2, 4, 8) or g.ndim != 3 or g.shape[2] != 3:
+            raise ValueError(
+                "palette mode needs (h, w, 3) input at depth 1/2/4/8"
+            )
         g = g.astype(np.uint8)
         h, w = g.shape[:2]
         colors: list = []
@@ -696,8 +698,11 @@ def build_png(
         for i in range(flat.shape[0]):
             c = (int(flat[i][0]), int(flat[i][1]), int(flat[i][2]))
             if c not in index_of:
-                if len(colors) == 256:
-                    raise ValueError("more than 256 distinct colors")
+                if len(colors) == (1 << depth):
+                    raise ValueError(
+                        f"more than {1 << depth} distinct colors "
+                        f"for depth {depth}"
+                    )
                 index_of[c] = len(colors)
                 colors.append(c)
         if palette_rot and len(colors) > 1:
@@ -715,12 +720,16 @@ def build_png(
         ).reshape(h, w)
         color_type, channels, sample_grid = 3, 1, idx
     else:
-        if depth not in (8, 16):
+        if depth not in (1, 2, 4, 8, 16):
             raise ValueError(f"unsupported bit depth {depth}")
         if g.ndim == 2:
             color_type, channels = 0, 1
             g = g.reshape(g.shape[0], g.shape[1], 1)
         elif g.ndim == 3 and g.shape[2] in (2, 3, 4):
+            if depth < 8:
+                raise ValueError(
+                    "depth 1/2/4 is gray-or-palette only (PNG spec)"
+                )
             color_type = {2: 4, 3: 2, 4: 6}[g.shape[2]]
             channels = g.shape[2]
         else:
@@ -736,18 +745,35 @@ def build_png(
                 sample_grid = g.astype(np.uint16) * 257
         else:
             sample_grid = g.astype(np.uint8)
+            if depth < 8:
+                sample_grid = sample_grid.reshape(h, w)
+                if int(sample_grid.max(initial=0)) >= (1 << depth):
+                    raise ValueError(
+                        f"gray samples must be < {1 << depth} "
+                        f"at depth {depth}"
+                    )
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    bpp = channels * (depth // 8)
+    bpp = max(1, channels * (depth // 8))
 
     def to_bytes(sub: "np.ndarray") -> "np.ndarray":
-        # (rows, cols[, ch]) samples → (rows, stride) big-endian bytes
+        # (rows, cols[, ch]) samples → (rows, stride) big-endian bytes;
+        # depths below 8 pack samples MSB-first, rows byte-padded
         rows = sub.shape[0]
         if depth == 16:
             return np.frombuffer(
                 np.ascontiguousarray(sub, dtype=">u2").tobytes(),
                 dtype=np.uint8,
             ).reshape(rows, -1)
+        if depth < 8:
+            pw = sub.shape[1]
+            bits = np.zeros((rows, pw * depth), dtype=np.uint8)
+            for k in range(depth):
+                bits[:, k::depth] = (sub >> (depth - 1 - k)) & 1
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+            return np.packbits(bits, axis=1)
         return np.ascontiguousarray(sub, dtype=np.uint8).reshape(rows, -1)
 
     raw = bytearray()
@@ -872,7 +898,8 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
     w, h, depth, color, comp, filt, interlace = ihdr
     if color not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported color type {color}")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
+    if depth not in (1, 2, 4, 8, 16) or (color == 3 and depth == 16) \
+            or (depth < 8 and color not in (0, 3)):
         raise ValueError(f"unsupported bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
@@ -883,18 +910,35 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
     if color == 3 and plte is None:
         raise ValueError("palette image without PLTE")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    sb = depth // 8  # bytes per sample
-    bpp = channels * sb
+    sb = depth // 8  # bytes per sample (0 for packed depths)
+    bpp = max(1, channels * sb)
     raw = zlib.decompress(bytes(idat))
     arr = np.frombuffer(raw, dtype=np.uint8)
-    # samples (h, w, channels) as uint8 — 16-bit takes the high byte
+
+    def row_stride(pw: int) -> int:
+        if depth < 8:
+            return (pw * depth + 7) // 8
+        return pw * bpp
+
+    def to_samples(grid: "np.ndarray", ph: int, pw: int) -> "np.ndarray":
+        # (rows, stride) bytes → (rows, pw, channels) uint8 samples;
+        # 16-bit takes the high byte, packed depths unpack MSB-first
+        if depth < 8:
+            bits = np.unpackbits(grid, axis=1)[:, : pw * depth]
+            vals = np.zeros((ph, pw), dtype=np.uint8)
+            for k in range(depth):
+                vals = (vals << 1) | bits[:, k::depth]
+            return vals.reshape(ph, pw, 1)
+        return grid.reshape(ph, pw, channels, sb)[:, :, :, 0]
+
+    # samples (h, w, channels) as uint8
     samples = np.zeros((h, w, channels), dtype=np.uint8)
     if interlace == 0:
-        stride = w * bpp
+        stride = row_stride(w)
         if len(raw) != h * (1 + stride):
             raise ValueError("pixel data length mismatch")
         grid = _unfilter(arr, h, stride, bpp)
-        samples[:, :, :] = grid.reshape(h, w, channels, sb)[:, :, :, 0]
+        samples[:, :, :] = to_samples(grid, h, w)
     else:
         at = 0
         for xs, ys, xstep, ystep in ADAM7:
@@ -902,17 +946,20 @@ def png_decode_pixels(payload: bytes) -> "np.ndarray":
             ph = (h - ys + ystep - 1) // ystep if h > ys else 0
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * bpp
+            stride = row_stride(pw)
             need = ph * (1 + stride)
             if at + need > len(arr):
                 raise ValueError("pixel data length mismatch")
             grid = _unfilter(arr[at:at + need], ph, stride, bpp)
             at += need
-            samples[ys::ystep, xs::xstep, :] = grid.reshape(
-                ph, pw, channels, sb
-            )[:, :, :, 0]
+            samples[ys::ystep, xs::xstep, :] = to_samples(grid, ph, pw)
         if at != len(arr):
             raise ValueError("pixel data length mismatch")
+    if depth < 8 and color == 0:
+        # bit replication scales packed gray to 8-bit exactly
+        return (
+            samples[:, :, 0].astype(np.int32) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
     if color == 3:
         idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
@@ -950,7 +997,7 @@ def compressed_raster_decoder(payload: bytes, meta: dict) -> "np.ndarray":
     )
 
 
-def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
+def planted_png_media_rows(n: int = 56, period: int = 32) -> list:
     """Deterministic REAL-PNG fixture for the decoded-pixel dedup
     queries, covering the web's common PNG shapes: ``i % 8`` selects
     gray / RGB / 16-bit gray / RGBA / gray+alpha / indexed-palette /
@@ -959,10 +1006,12 @@ def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
     ``period..period+7`` are byte-DIFFERENT re-encodes of ids 0..7
     (different filter cycle, flipped interlace, rotated palette slots,
     8-bit sources re-emitted at 16-bit depth — all luma-preserving, so
-    dHash must land at Hamming 0: the re-encode dedup claim); later
-    ids replay ``i - period`` with ``i % 3 + 1`` sampled pixels
-    inverted (small, nonzero Hamming). Pure function shared by the
-    Spark query and the driver-oracle brute-force builder."""
+    dHash must land at Hamming 0: the re-encode dedup claim); ids
+    ``period+8..period+15`` replay ``i - period`` with ``i % 3 + 1``
+    sampled pixels inverted (small, nonzero Hamming); ids 48+ add the
+    PACKED favicon shapes — 1/2/4-bit gray and 4-bit palette,
+    sequential and Adam7. Pure function shared by the Spark query and
+    the driver-oracle brute-force builder."""
 
     def base_pixels(i: int) -> "np.ndarray":
         h = 16 + (i % 3) * 8
@@ -1020,6 +1069,33 @@ def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
             g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
         return g
 
+    def packed(i: int):
+        """Packed-depth payloads for ids 48+: 1/2/4-bit gray and
+        4-bit palette, Adam7 on the second half."""
+        j = i - 48
+        d = (1, 2, 4, 4)[j % 4]
+        h, w = 16 + (j % 3) * 8, 16 + (j % 5) * 8
+        chunk = hashlib.md5(f"pngpacked{j}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < h * w:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        g = (
+            np.frombuffer(bytes(vals[: h * w]), dtype=np.uint8)
+            .reshape(h, w) % (1 << d)
+        ).astype(np.uint8)
+        inter = j >= 4
+        if j % 4 == 3:  # 4-bit palette
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            for c, m in enumerate((37, 59, 17)):
+                px[:, :, c] = (g.astype(np.int32) * m + c + j) % 256
+            return build_png(px, palette=True, depth=4, interlace=inter), px
+        # packed gray decodes to bit-replicated 8-bit
+        scaled = (g.astype(np.int32) * 255 // ((1 << d) - 1)).astype(
+            np.uint8
+        )
+        return build_png(g, depth=d, interlace=inter), scaled
+
     rows = []
     for i in range(n):
         if i < period:
@@ -1029,10 +1105,12 @@ def planted_png_media_rows(n: int = 48, period: int = 32) -> list:
             src = i - period
             px = base_pixels(src)
             payload = encode(src, px, reenc=True)
-        else:
+        elif i < period + 16:
             src = i - period
             px = perturb(base_pixels(src), i % 3 + 1)
             payload = encode(src, px, reenc=False)
+        else:
+            payload, px = packed(i)
         rows.append(
             (
                 i,
