@@ -1315,6 +1315,39 @@ def _q_gif_frame_dedup(spark, sf_dir):
     return mm.animation_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_anim_frames_mixed(spark, sf_dir):
+    """Container-independent animation demux
+    (multimodal.animation_frames_df over animation_demux): a mixed
+    fixture of GIF89a and APNG payloads — six content animations each
+    encoded in BOTH containers, plus APNG-only feature shapes
+    (semi-transparent Porter-Duff blend-over, dispose-to-background,
+    dispose-to-previous sub-rectangles) — rendered frame-by-frame in
+    one Arrow pass. The oracle re-renders everything with the two
+    INDEPENDENT pure-Python compositors (per-pixel premultiplied
+    integer loops for APNG) and freezes the rows into VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.planted_anim_mixed_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.animation_frames_df(media)
+
+
+def _q_anim_cross_dedup(spark, sf_dir):
+    """Cross-CONTAINER animation dedup (multimodal.animation_near_pairs
+    over the mixed fixture): the same frames encoded as GIF and as
+    APNG must pair at min_hamming 0 for every content animation —
+    byte-disjoint files, identical rendered frames: the
+    container-independent dedup claim a 100 TB media corpus needs.
+    Oracle = brute force over the independent compositors' frames."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.planted_anim_mixed_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.animation_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _pld_host(doc_id):
     """Six host shapes covering every branch of the eTLD+1 algorithm:
     2-label ccTLD registry, deep subdomain, private platform suffix,
@@ -5652,6 +5685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_dhash_pairs": _q_gif_dhash_pairs,
         "gif_frames": _q_gif_frames,
         "gif_frame_dedup": _q_gif_frame_dedup,
+        "anim_frames_mixed": _q_anim_frames_mixed,
+        "anim_cross_dedup": _q_anim_cross_dedup,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -6939,6 +6974,202 @@ def _gif_frame_dedup_oracle_sql() -> str:
     the minimum distance — the engine's blocked self-join must produce
     exactly these animation-grain rows."""
     rows = _anim_oracle_rows()
+    agg: dict = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[0] == b[0]:
+                continue
+            d = bin(a[7] ^ b[7]).count("1")
+            if d > 3:
+                continue
+            key = (min(a[0], b[0]), max(a[0], b[0]))
+            cnt, mn = agg.get(key, (0, 99))
+            agg[key] = (cnt + 1, min(mn, d))
+    values = ",\n              ".join(
+        f"({ma}, {mb}, {cnt}, {mn})"
+        for (ma, mb), (cnt, mn) in sorted(agg.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {values}) "
+        "AS t(media_a, media_b, frames_matched, min_hamming)"
+    )
+
+
+def _oracle_apng_frames(b: bytes) -> list:
+    """INDEPENDENT pure-Python APNG compositor for the oracle side:
+    its own chunk walk, byte-list unfilter and per-pixel premultiplied
+    Porter-Duff loops (no numpy, no code shared with
+    multimodal.apng_decode_frames beyond stdlib zlib and the module's
+    documented integer compositing contract). Returns
+    ``[(delay_num, delay_den, luma_grid_rows), ...]``."""
+    import struct as _struct
+    import zlib as _zlib
+
+    assert b[:8] == b"\x89PNG\r\n\x1a\n", "oracle: not a PNG"
+    pos, hdr, actl = 8, None, None
+    fctls = []
+    default_in_anim = False
+    while pos + 12 <= len(b):
+        (clen,) = _struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        if tag == b"IHDR":
+            hdr = _struct.unpack(">IIBBBBB", data)
+        elif tag == b"acTL":
+            actl = _struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            fctls.append([_struct.unpack(">IIIIIHHBB", data), b""])
+        elif tag == b"IDAT":
+            if fctls:
+                default_in_anim = True
+                fctls[0][1] += data
+        elif tag == b"fdAT":
+            fctls[-1][1] += data[4:]
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    w, h, depth, color, _c, _f, inter = hdr
+    assert actl is not None and default_in_anim, "oracle: not an APNG"
+    assert depth == 8 and color == 6 and inter == 0
+    assert len(fctls) == actl[0], "oracle: frame count mismatch"
+
+    # canvas: premultiplied (Pr, Pg, Pb, a) per pixel
+    canvas = [[(0, 0, 0, 0)] * w for _ in range(h)]
+    frames = []
+    for idx, (f, blob) in enumerate(fctls):
+        _sq, fw, fh, left, top, dnum, dden, dop, bop = f
+        if idx == 0 and dop == 2:
+            dop = 1
+        raw = _zlib.decompress(blob)
+        stride = fw * 4
+        # unfilter (byte lists, bpp = 4)
+        prev = [0] * stride
+        rows = []
+        at = 0
+        for _r in range(fh):
+            ft = raw[at]
+            cur = raw[at + 1:at + 1 + stride]
+            at += 1 + stride
+            rec = [0] * stride
+            for i in range(stride):
+                a_ = rec[i - 4] if i >= 4 else 0
+                up = prev[i]
+                c_ = prev[i - 4] if i >= 4 else 0
+                x = cur[i]
+                if ft == 0:
+                    v = x
+                elif ft == 1:
+                    v = x + a_
+                elif ft == 2:
+                    v = x + up
+                elif ft == 3:
+                    v = x + (a_ + up) // 2
+                else:
+                    pp = a_ + up - c_
+                    pa, pb, pc = abs(pp - a_), abs(pp - up), abs(pp - c_)
+                    pred = a_ if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else c_
+                    )
+                    v = x + pred
+                rec[i] = v & 0xFF
+            prev = rec
+            rows.append(rec)
+        saved = None
+        if dop == 2:
+            saved = [
+                canvas[top + r][left:left + fw] for r in range(fh)
+            ]
+        for r in range(fh):
+            rec = rows[r]
+            crow = canvas[top + r]
+            for c in range(fw):
+                sr, sg, sb2, sa = rec[4 * c:4 * c + 4]
+                if bop == 0:
+                    crow[left + c] = (sr * sa, sg * sa, sb2 * sa, sa)
+                else:
+                    pr, pg, pb2, da = crow[left + c]
+                    inv = 255 - sa
+                    crow[left + c] = (
+                        sr * sa + pr * inv // 255,
+                        sg * sa + pg * inv // 255,
+                        sb2 * sa + pb2 * inv // 255,
+                        sa + da * inv // 255,
+                    )
+        luma = [
+            [
+                (299 * p[0] + 587 * p[1] + 114 * p[2]) // 255000
+                for p in row
+            ]
+            for row in canvas
+        ]
+        frames.append((dnum, dden, luma))
+        if dop == 1:
+            for r in range(fh):
+                canvas[top + r][left:left + fw] = [(0, 0, 0, 0)] * fw
+        elif dop == 2:
+            for r in range(fh):
+                canvas[top + r][left:left + fw] = saved[r]
+    return frames
+
+
+def _anim_mixed_oracle_rows() -> list:
+    """(media_id, frame_idx, delay_cs, w, h, luma_sum, n_px,
+    dhash_unsigned) per rendered frame of the mixed GIF/APNG fixture,
+    via the independent compositors (+ the same delay normalization
+    the engine documents: num*100//den, den 0 → 100)."""
+    if "anim_mixed_rows" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_anim_mixed_rows,
+        )
+
+        out = []
+        for media_id, _kind, payload, _meta in planted_anim_mixed_rows():
+            payload = bytes(payload)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                frames = [
+                    (d, g) for d, g in _oracle_gif_frames(payload)
+                ]
+            else:
+                frames = [
+                    (num * 100 // (den or 100), g)
+                    for num, den, g in _oracle_apng_frames(payload)
+                ]
+            for fi, (delay, grid) in enumerate(frames):
+                h, w = len(grid), len(grid[0])
+                out.append(
+                    (
+                        media_id,
+                        fi,
+                        delay,
+                        w,
+                        h,
+                        sum(sum(row) for row in grid),
+                        h * w,
+                        _oracle_dhash(grid),
+                    )
+                )
+        _ORACLE_CACHE["anim_mixed_rows"] = out
+    return _ORACLE_CACHE["anim_mixed_rows"]
+
+
+def _anim_mixed_frames_oracle_sql() -> str:
+    rows = ",\n              ".join(
+        f"({mid}, {fi}, {dl}, {w}, {h}, {ls}, {npx}, "
+        f"{dh - (1 << 64) if dh >= (1 << 63) else dh})"
+        for mid, fi, dl, w, h, ls, npx, dh in _anim_mixed_oracle_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(media_id, frame_idx, "
+        "delay_cs, width, height, luma_sum, n_px, dhash)"
+    )
+
+
+def _anim_cross_dedup_oracle_sql() -> str:
+    """Brute force over the mixed-container frames: animation pairs
+    a < b with any frame pair within Hamming 3 — every GIF must pair
+    with its APNG twin at min_hamming 0."""
+    rows = _anim_mixed_oracle_rows()
     agg: dict = {}
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
@@ -10485,6 +10716,8 @@ def oracle_sql() -> dict[str, str]:
         "gif_dhash_pairs": _raster_dhash_oracle_sql("gif"),
         "gif_frames": _gif_frames_oracle_sql(),
         "gif_frame_dedup": _gif_frame_dedup_oracle_sql(),
+        "anim_frames_mixed": _anim_mixed_frames_oracle_sql(),
+        "anim_cross_dedup": _anim_cross_dedup_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

@@ -875,3 +875,116 @@ class TestPngShapes:
                 20, 20, 3
             ) % np.array([256, 255, 254])
             mm.build_png(px.astype(np.uint8), palette=True)
+
+
+class TestApng:
+    """Round-5 APNG: the web's second animation container, plus the
+    cross-container dedup claim."""
+
+    def test_blend_over_integer_contract(self):
+        # one semi-transparent pixel, hand-computed through the
+        # documented premultiplied integer contract
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        f0 = np.full((8, 9, 3), 100, dtype=np.uint8)
+        ov = np.zeros((8, 9, 4), dtype=np.uint8)
+        ov[:, :, 0] = 200  # red overlay
+        ov[:, :, 3] = 128
+        pay = mm.build_apng([f0, ov], blend=[0, 1])
+        frames = mm.apng_decode_frames(pay)
+        # canvas after over: P_r = 200*128 + (100*255)*127//255,
+        # P_g = P_b = (100*255)*127//255; luma = (299Pr+587Pg+114Pb)//255000
+        pr = 200 * 128 + (100 * 255) * 127 // 255
+        pg = (100 * 255) * 127 // 255
+        exp = (299 * pr + 587 * pg + 114 * pg) // 255000
+        assert int(frames[1]["luma"][0, 0]) == exp
+        # fully-opaque over == replace
+        ov2 = ov.copy()
+        ov2[:, :, 3] = 255
+        a = mm.apng_decode_frames(mm.build_apng([f0, ov2], blend=[0, 1]))
+        b = mm.apng_decode_frames(mm.build_apng([f0, ov2], blend=[0, 0]))
+        assert np.array_equal(a[1]["luma"], b[1]["luma"])
+
+    def test_dispose_semantics(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        f0 = np.full((10, 12, 3), 80, dtype=np.uint8)
+        patch = np.full((10, 12, 3), 240, dtype=np.uint8)
+        f2 = f0.copy()
+        rect = (3, 2, 5, 4)
+        # dispose 1: the patch region becomes transparent black
+        # beneath frame 2's blend-over-nothing... frame 2 paints
+        # full-canvas opaque, so instead check dispose 2 (revert)
+        for dop, expect_patch_gone in ((2, True), (0, False)):
+            pay = mm.build_apng(
+                [f0, patch, f2],
+                dispose=[0, dop, 0],
+                blend=[0, 0, 1],
+                rects=[None, rect, (0, 0, 1, 1)],
+            )
+            frames = mm.apng_decode_frames(pay)
+            region = frames[2]["luma"][2:6, 3:8]
+            if expect_patch_gone:
+                assert (region == frames[0]["luma"][2:6, 3:8]).all()
+            else:
+                assert (region == frames[1]["luma"][2:6, 3:8]).all()
+        # dispose 1: region clears to transparent black → luma 0
+        pay = mm.build_apng(
+            [f0, patch, f2],
+            dispose=[0, 1, 0],
+            blend=[0, 0, 1],
+            rects=[None, rect, (0, 0, 1, 1)],
+        )
+        frames = mm.apng_decode_frames(pay)
+        assert (frames[2]["luma"][2:6, 3:8] == 0).all()
+
+    def test_contract_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        g = np.zeros((4, 4), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="no frames"):
+            mm.build_apng([])
+        with _pytest.raises(ValueError, match="dispose_op 2"):
+            mm.build_apng([g, g], dispose=[2, 0])
+        with _pytest.raises(ValueError, match="default image"):
+            mm.build_apng([g, g], rects=[(0, 0, 2, 2), None])
+        with _pytest.raises(ValueError, match="blend_op"):
+            mm.build_apng([g, g], blend=[1, 0])
+        with _pytest.raises(ValueError, match="acTL"):
+            mm.apng_decode_frames(mm.build_png(g))
+        # a plain still PNG is NOT demuxable as an animation, but an
+        # APNG still decodes through the still-image path (frame 0)
+        pay = mm.build_apng([g, g])
+        assert np.array_equal(mm.png_decode_pixels(pay), g)
+
+    def test_cross_container_dedup_spark(self, spark):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rows = mm.planted_anim_mixed_rows()
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {
+            (r["media_id"], r["frame_idx"]): r
+            for r in mm.animation_frames_df(media).collect()
+        }
+        for mid, _k, pay, meta in rows:
+            frs = mm.animation_demux(bytes(pay))
+            assert len(frs) == meta["n_frames"]
+            for fr in frs:
+                r = got[(mid, fr["frame_idx"])]
+                assert r["dhash"] == mm.dhash64(fr["luma"])
+                assert r["delay_cs"] == fr["delay_cs"]
+        pairs = {
+            (r["media_a"], r["media_b"]): r["min_hamming"]
+            for r in mm.animation_near_pairs(media, max_hamming=3).collect()
+        }
+        for p in range(6):
+            assert pairs[(2 * p, 2 * p + 1)] == 0, p

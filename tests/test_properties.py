@@ -621,3 +621,69 @@ class TestRasterCodecProperties:
                 np.uint8
             )
             assert np.array_equal(eng, rep)
+
+    @given(
+        st.integers(min_value=1, max_value=18),
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_apng_engine_equals_oracle(self, h, w, n_frames, kind, seed):
+        # random APNG animations — gray/RGB/RGBA frames, random
+        # dispose/blend ops and sub-rectangles — must render
+        # identically through the numpy engine compositor and the
+        # per-pixel pure-Python oracle twin (the premultiplied integer
+        # contract is the only shared surface)
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        ch = {0: 0, 1: 3, 2: 4}[kind]
+        frames = []
+        for _ in range(n_frames):
+            shape = (h, w) if ch == 0 else (h, w, ch)
+            frames.append(
+                rng.integers(0, 256, shape, dtype=np.int64).astype(
+                    np.uint8
+                )
+            )
+        dispose = [0] + [
+            int(rng.integers(0, 3)) for _ in range(n_frames - 1)
+        ]
+        blend = [0] + [
+            int(rng.integers(0, 2)) for _ in range(n_frames - 1)
+        ]
+        rects = [None]
+        for _ in range(n_frames - 1):
+            if rng.integers(0, 2):
+                left = int(rng.integers(0, w))
+                top = int(rng.integers(0, h))
+                rects.append(
+                    (
+                        left,
+                        top,
+                        int(rng.integers(1, w - left + 1)),
+                        int(rng.integers(1, h - top + 1)),
+                    )
+                )
+            else:
+                rects.append(None)
+        delays = [
+            (int(rng.integers(0, 300)), int(rng.integers(0, 120)))
+            for _ in range(n_frames)
+        ]
+        payload = mm.build_apng(
+            frames, delays=delays, dispose=dispose, blend=blend,
+            rects=rects,
+        )
+        eng = mm.apng_decode_frames(payload)
+        ora = self._oracle()._oracle_apng_frames(payload)
+        assert len(eng) == len(ora) == n_frames
+        for fr, (dn, dd, grid) in zip(eng, ora):
+            assert (fr["delay_num"], fr["delay_den"]) == (dn, dd)
+            assert np.array_equal(
+                fr["luma"].astype(np.int64), np.array(grid)
+            )

@@ -1358,23 +1358,53 @@ ANIMATION_FRAMES_SCHEMA = (
 )
 
 
+def animation_demux(payload: bytes) -> list:
+    """Container-sniffing frame demux: GIF89a animations via
+    :func:`~web_scrapper_spark.operators.rasters.gif_decode_frames`,
+    APNG via :func:`apng_decode_frames` — both normalized to
+    ``[{"frame_idx", "delay_cs", "luma"}, ...]`` (APNG's rational
+    delay becomes ``num * 100 // den`` centiseconds; a zero
+    denominator means 1/100 s per the spec). Unknown magics raise
+    ``ValueError`` loudly."""
+    b = payload or b""
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .rasters import gif_decode_frames
+
+        return gif_decode_frames(b)
+    if b[:8] == PNG_MAGIC:
+        out = []
+        for fr in apng_decode_frames(b):
+            den = fr["delay_den"] or 100
+            out.append(
+                {
+                    "frame_idx": fr["frame_idx"],
+                    "delay_cs": fr["delay_num"] * 100 // den,
+                    "luma": fr["luma"],
+                }
+            )
+        return out
+    raise ValueError(
+        f"animation_demux: unknown container magic {bytes(b[:8])!r} "
+        "(GIF89a and APNG are demuxable)"
+    )
+
+
 def animation_frames_df(media: DataFrame) -> DataFrame:
     """Real animation demux: one media row → one row per RENDERED
     frame (composited logical screen, so delta/disposal encodings and
     full-frame encodings of the same animation produce identical
-    rows). Emits per-frame integer luma stats + the frame dHash in a
-    single Arrow pass; the binary payload never leaves the scan
-    partition."""
+    rows — across CONTAINERS too: the same content as GIF and APNG
+    demuxes to identical frame rows). Emits per-frame integer luma
+    stats + the frame dHash in a single Arrow pass; the binary
+    payload never leaves the scan partition."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .rasters import gif_decode_frames
-
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                for fr in gif_decode_frames(bytes(payload or b"")):
+                for fr in animation_demux(bytes(payload or b"")):
                     grid = fr["luma"].astype(np.int64)
                     h, w = grid.shape
                     rows.append(
@@ -1587,6 +1617,381 @@ def planted_gif_animation_rows(n: int = 24, period: int = 16) -> list:
                     "sample_rate": None,
                     "n_frames": 2 + src % 4,
                     "codec": "gif89a",
+                },
+            )
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG): the web's second animation container (round 5).
+# The default image doubles as frame 0, so png_decode_pixels on an APNG
+# still returns the first frame; the functions below add the real
+# multi-frame encode (acTL/fcTL/fdAT chunks, per-frame dispose/blend)
+# and a frame-compositing decoder over a PREMULTIPLIED integer RGBA
+# canvas — every blend/dispose rule is exact integer arithmetic so the
+# independent oracle twin reproduces each rendered frame bit-for-bit.
+#
+# Compositing contract (ours, fixed): the canvas holds premultiplied
+# channels P = c*a (0..255*255) and alpha a (0..255). blend_op 0
+# replaces the region (P = src_c*src_a, a = src_a); blend_op 1 is
+# Porter-Duff over: P_out = P_src + P_dst*(255-src_a)//255, a_out =
+# src_a + a_dst*(255-src_a)//255. dispose_op 0 keeps the canvas, 1
+# clears the frame's region to transparent black, 2 restores the
+# pre-frame region (first frame: 2 is treated as 1, per the spec).
+# The rendered frame luma composites onto opaque black:
+# (299*Pr + 587*Pg + 114*Pb) // (1000*255).
+# ---------------------------------------------------------------------------
+
+
+def build_apng(
+    frames,
+    delays=None,
+    dispose=None,
+    blend=None,
+    rects=None,
+    num_plays: int = 0,
+    filters=None,
+    level: int = 6,
+) -> bytes:
+    """A real APNG encoder: same-shape gray / RGB / RGBA full-screen
+    frames (uint8), each stored as an 8-bit RGBA region — frame 0 in
+    IDAT (the default image doubles as the first animation frame),
+    later frames in fdAT with shared fcTL/fdAT sequence numbering.
+    ``delays`` are (num, den) tuples or centisecond ints (stored as
+    n/100); ``dispose``/``blend`` are per-frame ops per the spec;
+    ``rects`` optionally stores only a sub-window of a frame's array
+    (what the canvas then shows depends on dispose/blend — the
+    decoder defines the rendered frame). Any external APNG viewer can
+    verify the bytes; still-PNG readers see frame 0."""
+    import struct
+    import zlib
+
+    if not frames:
+        raise ValueError("no frames")
+    norm = []
+    for fr in frames:
+        g = np.asarray(fr, dtype=np.uint8)
+        if g.ndim == 2:
+            g = np.stack([g, g, g, np.full_like(g, 255)], axis=2)
+        elif g.ndim == 3 and g.shape[2] == 3:
+            g = np.concatenate(
+                [g, np.full(g.shape[:2] + (1,), 255, dtype=np.uint8)],
+                axis=2,
+            )
+        elif not (g.ndim == 3 and g.shape[2] == 4):
+            raise ValueError("frames must be (h, w[, 3|4]) uint8")
+        norm.append(g)
+    h, w = norm[0].shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty frame")
+    for g in norm:
+        if g.shape[:2] != (h, w):
+            raise ValueError("all frames must share the canvas size")
+    n = len(norm)
+    if delays is None:
+        delays = [10] * n
+    delays = [
+        d if isinstance(d, tuple) else (int(d), 100) for d in delays
+    ]
+    disp = list(dispose) if dispose is not None else [0] * n
+    blnd = list(blend) if blend is not None else [0] * n
+    boxes = list(rects) if rects is not None else [None] * n
+    if not (len(delays) == len(disp) == len(blnd) == len(boxes) == n):
+        raise ValueError("per-frame option lengths must match frames")
+    for d in disp:
+        if d not in (0, 1, 2):
+            raise ValueError(f"bad dispose_op {d}")
+    for bo in blnd:
+        if bo not in (0, 1):
+            raise ValueError(f"bad blend_op {bo}")
+    if disp[0] == 2:
+        raise ValueError("first frame cannot use dispose_op 2")
+    if boxes[0] is not None:
+        raise ValueError("frame 0 is the default image: full-canvas only")
+    if blnd[0] != 0:
+        raise ValueError("frame 0 blend_op must be 0 (nothing beneath)")
+    for box in boxes:
+        if box is None:
+            continue
+        bl, bt, bw, bh = box
+        if bw <= 0 or bh <= 0 or bl < 0 or bt < 0 \
+                or bl + bw > w or bt + bh > h:
+            raise ValueError(f"rect {box} outside the {w}x{h} canvas")
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+
+    def region_idat(region: "np.ndarray") -> bytes:
+        byte_grid = np.ascontiguousarray(region, dtype=np.uint8).reshape(
+            region.shape[0], -1
+        )
+        raw, _f = _filter_rows(byte_grid, 4, filters, 0)
+        return zlib.compress(raw, level)
+
+    out = bytearray(PNG_MAGIC)
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", n, num_plays))
+    seq = 0
+    # frame 0: fcTL + IDAT
+    out += _png_chunk(
+        b"fcTL",
+        struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0,
+            delays[0][0], delays[0][1], disp[0], blnd[0],
+        ),
+    )
+    seq += 1
+    out += _png_chunk(b"IDAT", region_idat(norm[0]))
+    for k in range(1, n):
+        left, top, fw, fh = boxes[k] or (0, 0, w, h)
+        out += _png_chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, left, top,
+                delays[k][0], delays[k][1], disp[k], blnd[k],
+            ),
+        )
+        seq += 1
+        data = region_idat(norm[k][top:top + fh, left:left + fw])
+        out += _png_chunk(
+            b"fdAT", struct.pack(">I", seq) + data
+        )
+        seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_decode_frames(payload: bytes) -> list:
+    """REAL APNG decode: chunk walk (CRC-checked), per-frame zlib
+    inflate + unfilter, and exact integer compositing on the
+    premultiplied RGBA canvas per the module's contract. Returns
+    ``[{"frame_idx", "delay_num", "delay_den", "luma"}, ...]`` with
+    ``luma`` the full rendered canvas per frame. Streams without acTL,
+    sequence errors and out-of-canvas regions raise ``ValueError``."""
+    import struct
+    import zlib
+
+    b = payload or b""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, ihdr = 8, None
+    actl = None
+    # ordered frame records: (fcTL fields, [data chunks])
+    fctls: list = []
+    expect_seq = 0
+    default_is_frame0 = False
+    ended = False
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated chunk")
+        data = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expect_seq:
+                raise ValueError("fcTL sequence number out of order")
+            expect_seq += 1
+            fctls.append((f, []))
+        elif tag == b"IDAT":
+            if fctls:  # an fcTL before IDAT makes it frame 0
+                default_is_frame0 = True
+                fctls[0][1].append(data)
+        elif tag == b"fdAT":
+            if not fctls:
+                raise ValueError("fdAT before any fcTL")
+            (sq,) = struct.unpack(">I", data[:4])
+            if sq != expect_seq:
+                raise ValueError("fdAT sequence number out of order")
+            expect_seq += 1
+            fctls[-1][1].append(data[4:])
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or truncated stream")
+    if actl is None:
+        raise ValueError("not an APNG (no acTL)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 6 or interlace != 0:
+        raise ValueError(
+            "APNG decoder expects the 8-bit RGBA sequential layout "
+            "build_apng emits"
+        )
+    if not default_is_frame0:
+        raise ValueError("default image outside the animation")
+    if len(fctls) != actl[0]:
+        raise ValueError("acTL frame count mismatch")
+    # premultiplied canvas: P (h, w, 3) in 0..65025, alpha (h, w)
+    P = np.zeros((h, w, 3), dtype=np.int64)
+    A = np.zeros((h, w), dtype=np.int64)
+    frames = []
+    for idx, (f, chunks) in enumerate(fctls):
+        _sq, fw, fh, left, top, dnum, dden, dop, bop = f
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("frame region outside the canvas")
+        if dop > 2 or bop > 1:
+            raise ValueError("bad dispose/blend op")
+        if idx == 0 and dop == 2:
+            dop = 1  # spec: first-frame dispose 2 folds to 1
+        raw = zlib.decompress(b"".join(chunks))
+        stride = fw * 4
+        if len(raw) != fh * (1 + stride):
+            raise ValueError("frame data length mismatch")
+        grid = _unfilter(
+            np.frombuffer(raw, dtype=np.uint8), fh, stride, 4
+        ).reshape(fh, fw, 4).astype(np.int64)
+        src_c, src_a = grid[:, :, :3], grid[:, :, 3]
+        saved = None
+        if dop == 2:
+            saved = (
+                P[top:top + fh, left:left + fw].copy(),
+                A[top:top + fh, left:left + fw].copy(),
+            )
+        Pr = P[top:top + fh, left:left + fw]
+        Ar = A[top:top + fh, left:left + fw]
+        if bop == 0:  # source: replace
+            Pr[:, :, :] = src_c * src_a[:, :, None]
+            Ar[:, :] = src_a
+        else:  # over
+            inv = 255 - src_a
+            Pr[:, :, :] = (
+                src_c * src_a[:, :, None]
+                + Pr * inv[:, :, None] // 255
+            )
+            Ar[:, :] = src_a + Ar * inv // 255
+        luma = (
+            P[:, :, 0] * 299 + P[:, :, 1] * 587 + P[:, :, 2] * 114
+        ) // (1000 * 255)
+        frames.append(
+            {
+                "frame_idx": idx,
+                "delay_num": int(dnum),
+                "delay_den": int(dden),
+                "luma": luma.astype(np.uint8),
+            }
+        )
+        if dop == 1:
+            P[top:top + fh, left:left + fw] = 0
+            A[top:top + fh, left:left + fw] = 0
+        elif dop == 2:
+            P[top:top + fh, left:left + fw] = saved[0]
+            A[top:top + fh, left:left + fw] = saved[1]
+    return frames
+
+
+def planted_anim_mixed_rows(n_pairs: int = 6, n_feature: int = 6) -> list:
+    """Deterministic MIXED-CONTAINER animation fixture: for each
+    p < n_pairs the SAME frame content (gray md5-chain screens with a
+    moving block) is encoded as a GIF89a animation (id ``2p``, delta
+    frames with transparency) AND as an APNG (id ``2p+1``) with
+    matching centisecond delays — the rendered frames are identical,
+    so frame dedup must pair every GIF with its APNG twin at Hamming 0
+    (container-independent dedup, the claim that matters at corpus
+    scale). Ids ``2*n_pairs..`` add APNG-ONLY feature animations:
+    semi-transparent blend-over regions, dispose 1 (background) and 2
+    (previous) sub-rectangles — shapes GIF cannot express. Pure
+    function shared by the Spark queries and the driver-oracle
+    builder."""
+    from .rasters import build_gif_animation
+
+    def screens(p: int):
+        h = 15 + (p % 3) * 6
+        w = 16 + (p % 4) * 5
+        chunk = hashlib.md5(f"mixed{p}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < h * w:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        base = (
+            np.frombuffer(bytes(vals[: h * w]), dtype=np.uint8)
+            .reshape(h, w)
+            .copy()
+        )
+        nf = 2 + p % 3
+        out = [base]
+        for k in range(1, nf):
+            nxt = base.copy()
+            r0 = (3 * k) % max(h - 4, 1)
+            c0 = (5 * k) % max(w - 5, 1)
+            nxt[r0:r0 + 4, c0:c0 + 5] = (37 * k + p) % 256
+            out.append(nxt)
+        return out
+
+    rows = []
+    for p in range(n_pairs):
+        frames = screens(p)
+        delays = [(4 * (k + 1) + p) % 200 for k in range(len(frames))]
+        gif = build_gif_animation(
+            frames, delays_cs=delays, delta_frames=True, transparency=True
+        )
+        apng = build_apng(frames, delays=delays)
+        for off, payload, codec in ((0, gif, "gif89a"), (1, apng, "apng")):
+            rows.append(
+                (
+                    2 * p + off,
+                    "video",
+                    payload,
+                    {
+                        "width": int(frames[0].shape[1]),
+                        "height": int(frames[0].shape[0]),
+                        "sample_rate": None,
+                        "n_frames": len(frames),
+                        "codec": codec,
+                    },
+                )
+            )
+    for j in range(n_feature):
+        i = 2 * n_pairs + j
+        h, w = 14 + (j % 2) * 7, 15 + (j % 3) * 6
+        chunk = hashlib.md5(f"apngfeat{j}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < h * w * 3:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        f0 = (
+            np.frombuffer(bytes(vals[: h * w * 3]), dtype=np.uint8)
+            .reshape(h, w, 3)
+            .copy()
+        )
+        # semi-transparent overlay frame (blend over) + a dispose
+        # exercise: the region vanishes (dispose 1) or reverts
+        # (dispose 2) beneath frame 3
+        ov = np.zeros((h, w, 4), dtype=np.uint8)
+        ov[:, :, 0] = 220
+        ov[:, :, 1] = 40
+        ov[:, :, 2] = (j * 50) % 256
+        ov[:, :, 3] = 60 + 40 * (j % 4)
+        f2 = np.full((h, w, 3), (25 * j) % 256, dtype=np.uint8)
+        rect = ((2 + j) % max(w - 6, 1), (1 + j) % max(h - 5, 1), 6, 5)
+        payload = build_apng(
+            [f0, ov, f2],
+            delays=[(2, 25), (j + 1, 50), 8],
+            dispose=[0, (1, 2, 0)[j % 3], 0],
+            blend=[0, 1, (0, 1)[j % 2]],
+            rects=[None, rect, None],
+        )
+        rows.append(
+            (
+                i,
+                "video",
+                payload,
+                {
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "n_frames": 3,
+                    "codec": "apng",
                 },
             )
         )
