@@ -988,3 +988,42 @@ class TestApng:
         }
         for p in range(6):
             assert pairs[(2 * p, 2 * p + 1)] == 0, p
+
+    def test_near_pairs_hash_range_media_ids(self, spark):
+        # the engine keys docs by signed xxhash64 — animation ids can
+        # be negative or near the 64-bit extremes. The struct fid keeps
+        # pair attribution exact where an arithmetic media_id*K +
+        # frame_idx packing would truncate toward zero or overflow.
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+        from web_scrapper_spark.operators.rasters import (
+            build_gif_animation,
+        )
+
+        g0 = (np.arange(12 * 14).reshape(12, 14) % 7 * 36).astype(
+            np.uint8
+        )
+        g1 = g0.copy()
+        g1[2:6, 3:8] = 250
+        pay = build_gif_animation([g0, g1], delays_cs=[4, 6])
+        ids = [-1, -(2 ** 62) - 3, 2 ** 62 + 1, 7]
+        rows = [
+            (i, "video", pay,
+             {"width": 14, "height": 12, "sample_rate": None,
+              "n_frames": 2, "codec": "gif89a"})
+            for i in ids
+        ]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        pairs = {
+            (r["media_a"], r["media_b"]): r
+            for r in mm.animation_near_pairs(media, max_hamming=3).collect()
+        }
+        import itertools
+
+        for a, b in itertools.combinations(sorted(ids), 2):
+            assert (a, b) in pairs, (a, b)
+            assert pairs[(a, b)]["min_hamming"] == 0
+            # both frames of each twin match pairwise
+            assert pairs[(a, b)]["frames_matched"] >= 2
+        assert len(pairs) == 6

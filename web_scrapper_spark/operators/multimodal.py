@@ -690,34 +690,15 @@ def build_png(
             raise ValueError(
                 "palette mode needs (h, w, 3) input at depth 1/2/4/8"
             )
+        from .rasters import _first_seen_palette, _rotate_slots
+
         g = g.astype(np.uint8)
         h, w = g.shape[:2]
-        colors: list = []
-        index_of: dict = {}
-        flat = g.reshape(-1, 3)
-        for i in range(flat.shape[0]):
-            c = (int(flat[i][0]), int(flat[i][1]), int(flat[i][2]))
-            if c not in index_of:
-                if len(colors) == (1 << depth):
-                    raise ValueError(
-                        f"more than {1 << depth} distinct colors "
-                        f"for depth {depth}"
-                    )
-                index_of[c] = len(colors)
-                colors.append(c)
+        colors, idx_flat = _first_seen_palette(g.reshape(-1, 3), 1 << depth)
         if palette_rot and len(colors) > 1:
-            p = len(colors)
-            rot = 1 + (int(palette_rot) - 1) % (p - 1)
-            remap = [(j + rot) % p for j in range(p)]
-            rotated = [None] * p
-            for j, c in enumerate(colors):
-                rotated[remap[j]] = c
-            colors = rotated
-            index_of = {c: j for j, c in enumerate(colors)}
-        idx = np.array(
-            [index_of[(int(p2[0]), int(p2[1]), int(p2[2]))] for p2 in flat],
-            dtype=np.uint8,
-        ).reshape(h, w)
+            colors, remap = _rotate_slots(colors, palette_rot)
+            idx_flat = np.asarray(remap, dtype=np.int32)[idx_flat]
+        idx = idx_flat.astype(np.uint8).reshape(h, w)
         color_type, channels, sample_grid = 3, 1, idx
     else:
         if depth not in (1, 2, 4, 8, 16):
@@ -1443,17 +1424,22 @@ def animation_near_pairs(
 ) -> DataFrame:
     """Animation-grain near-duplicate pairs: two animations match when
     ANY of their rendered frames land within ``max_hamming`` dHash
-    bits. Frames get a synthetic id ``media_id * 4096 + frame_idx`` so
+    bits. Frames carry a STRUCT id ``(media_id, frame_idx)`` through
     the pigeonhole-blocked Hamming self-join
     (:func:`~web_scrapper_spark.operators.dedup.hamming_blocked_pairs`)
-    runs at frame grain — never a cross join — and the result is
+    — struct ordering gives the a<b dedup for free, and unlike an
+    arithmetic ``media_id*K + frame_idx`` packing it stays correct for
+    NEGATIVE and full-range 64-bit media ids (this engine keys docs by
+    signed xxhash64) and for any frame count. The result is
     re-aggregated to animation grain: ``(media_a, media_b,
     frames_matched, min_hamming)`` with same-animation frame pairs
     dropped."""
     from .dedup import hamming_blocked_pairs
 
     frames = animation_frames_df(media).select(
-        (F.col("media_id") * 4096 + F.col("frame_idx")).alias("fid"),
+        F.struct(
+            F.col("media_id").alias("m"), F.col("frame_idx").alias("f")
+        ).alias("fid"),
         "dhash",
     )
     pairs = hamming_blocked_pairs(
@@ -1463,11 +1449,11 @@ def animation_near_pairs(
         max_hamming=max_hamming,
         n_chunks=n_chunks,
     )
-    a = F.col("id_a")
-    bb = F.col("id_b")
+    ma = F.col("id_a.m")
+    mb = F.col("id_b.m")
     cross = pairs.select(
-        F.least(a / 4096, bb / 4096).cast("long").alias("media_a"),
-        F.greatest(a / 4096, bb / 4096).cast("long").alias("media_b"),
+        F.least(ma, mb).alias("media_a"),
+        F.greatest(ma, mb).alias("media_b"),
         "hamming",
     ).where(F.col("media_a") != F.col("media_b"))
     return cross.groupBy("media_a", "media_b").agg(
@@ -1509,7 +1495,11 @@ def planted_gif_animation_rows(n: int = 24, period: int = 16) -> list:
                         (j * 11 + 3 * i) % 256,
                     ]
             return px
-        chunk = hashlib.md5(f"anim{i}-{k}".encode()).digest()
+        # gray animations evolve from ONE md5-chain base screen: frame
+        # k paints a moving block over frame 0's pixels, so delta
+        # encodings have a real changed region (the chain is keyed by
+        # frame 0 only — later frames never need their own chain)
+        chunk = hashlib.md5(f"anim{i}-0".encode()).digest()
         vals = bytearray()
         while len(vals) < h * w:
             chunk = hashlib.md5(chunk).digest()
@@ -1519,11 +1509,8 @@ def planted_gif_animation_rows(n: int = 24, period: int = 16) -> list:
             .reshape(h, w)
             .copy()
         )
-        # animations evolve: frame k overwrites a moving block so
-        # delta encodings have a real changed region
         if k > 0:
             r0, c0 = (3 * k) % max(h - 4, 1), (5 * k) % max(w - 5, 1)
-            base[:] = screen(i, 0)
             base[r0:r0 + 4, c0:c0 + 5] = (40 * k + i) % 256
         return base
 

@@ -1300,6 +1300,54 @@ def interlace_rows(h: int) -> List[int]:
     return order
 
 
+def _first_seen_palette(flat: "np.ndarray", max_colors: int):
+    """Vectorized FIRST-SEEN palette build over an (n, 3) uint8 pixel
+    array: unique color keys + first-occurrence ranking replace the
+    per-pixel dict loop (shared by the GIF encoders and build_png's
+    palette mode). Returns (palette as RGB tuples in first-seen order,
+    int32 per-pixel index vector); raises when the distinct-color
+    count exceeds ``max_colors``."""
+    keys = (
+        (flat[:, 0].astype(np.int64) << 16)
+        | (flat[:, 1].astype(np.int64) << 8)
+        | flat[:, 2].astype(np.int64)
+    )
+    uniq, first_idx, inv = np.unique(
+        keys, return_index=True, return_inverse=True
+    )
+    if uniq.shape[0] > max_colors:
+        raise ValueError(f"more than {max_colors} distinct colors")
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(order.shape[0], dtype=np.int32)
+    rank[order] = np.arange(order.shape[0], dtype=np.int32)
+    palette = [
+        (
+            int(flat[first_idx[o], 0]),
+            int(flat[first_idx[o], 1]),
+            int(flat[first_idx[o], 2]),
+        )
+        for o in order
+    ]
+    return palette, rank[inv].astype(np.int32)
+
+
+def _rotate_slots(palette: list, rot: int):
+    """Non-no-op palette slot rotation (the byte-different re-encode
+    trick, shared by all palette encoders): any nonzero ``rot``
+    rotates by ``1 + (rot-1) % (p-1)`` so a multiple of the palette
+    size can never silently no-op. Returns (rotated palette, remap
+    list old slot → new slot)."""
+    p = len(palette)
+    if not rot or p <= 1:
+        return list(palette), list(range(p))
+    r = 1 + (int(rot) - 1) % (p - 1)
+    remap = [(j + r) % p for j in range(p)]
+    rotated = [None] * p
+    for j, c in enumerate(palette):
+        rotated[remap[j]] = c
+    return rotated, remap
+
+
 def build_gif(pixels, palette_rot: int = 0, interlace: bool = False) -> bytes:
     """A real GIF89a encoder: grayscale (2-D) or RGB (h x w x 3) input
     with at most 256 distinct colors (first-seen palette order),
@@ -1321,32 +1369,10 @@ def build_gif(pixels, palette_rot: int = 0, interlace: bool = False) -> bytes:
     h, w = rgb.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    palette: List[Tuple[int, int, int]] = []
-    index_of: dict = {}
-    idx = np.zeros(h * w, dtype=np.int32)
-    flat = rgb.reshape(-1, 3)
-    for i in range(h * w):
-        c = (int(flat[i][0]), int(flat[i][1]), int(flat[i][2]))
-        j = index_of.get(c)
-        if j is None:
-            j = len(palette)
-            if j == 256:
-                raise ValueError("more than 256 distinct colors")
-            index_of[c] = j
-            palette.append(c)
-        idx[i] = j
+    palette, idx = _first_seen_palette(rgb.reshape(-1, 3), 256)
     if palette_rot and len(palette) > 1:
-        p = len(palette)
-        # any nonzero palette_rot guarantees a REAL rotation (a
-        # multiple of the palette size would silently no-op and break
-        # the byte-different re-encode contract)
-        rot = 1 + (int(palette_rot) - 1) % (p - 1)
-        remap = [(j + rot) % p for j in range(p)]  # old slot -> new slot
-        rotated = [None] * p
-        for j, color in enumerate(palette):
-            rotated[remap[j]] = color
-        palette = rotated
-        idx = np.array([remap[j] for j in idx], dtype=np.int32)
+        palette, remap = _rotate_slots(palette, palette_rot)
+        idx = np.asarray(remap, dtype=np.int32)[idx]
     if interlace:
         # store rows in 4-pass order: row-permute the index grid
         grid2 = idx.reshape(h, w)
@@ -1439,6 +1465,8 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
     gct = None
     if flags & 0x80:
         glen = 2 << (flags & 0x07)
+        if pos + 3 * glen > len(b):
+            raise ValueError("truncated global color table")
         gct = [tuple(b[pos + 3 * j:pos + 3 * j + 3]) for j in range(glen)]
         pos += 3 * glen
     while pos < len(b):
@@ -1453,12 +1481,16 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated image descriptor")
         left, top, w, h = struct.unpack("<HHHH", b[pos + 1:pos + 9])
         iflags = b[pos + 9]
         pos += 10
         pal = gct
         if iflags & 0x80:
             plen = 2 << (iflags & 0x07)
+            if pos + 3 * plen > len(b):
+                raise ValueError("truncated local color table")
             pal = [
                 tuple(b[pos + 3 * j:pos + 3 * j + 3]) for j in range(plen)
             ]
@@ -1467,6 +1499,8 @@ def gif_decode_pixels(payload: bytes) -> "np.ndarray":
             raise ValueError("no color table")
         if w == 0 or h == 0:
             raise ValueError("empty image")
+        if pos >= len(b):
+            raise ValueError("truncated image data")
         min_code = b[pos]
         pos += 1
         data = bytearray()
@@ -1652,21 +1686,23 @@ def build_gif_animation(
             raise ValueError(f"rect {box} outside the {w}x{h} screen")
 
     # global palette: first-seen over all frames in frame/raster order
-    palette: List[Tuple[int, int, int]] = []
-    index_of: dict = {}
-    for g in norm:
-        flat = g.reshape(-1, 3)
-        for i in range(flat.shape[0]):
-            c = (int(flat[i][0]), int(flat[i][1]), int(flat[i][2]))
-            if c not in index_of:
-                index_of[c] = len(palette)
-                palette.append(c)
+    # (one vectorized scan over the concatenated frames; the reserved
+    # transparent slot shrinks the color budget by one)
+    all_flat = np.concatenate([g.reshape(-1, 3) for g in norm])
+    try:
+        palette, all_idx = _first_seen_palette(
+            all_flat, 256 - (1 if transparency else 0)
+        )
+    except ValueError:
+        raise ValueError("more than 256 distinct colors across frames")
+    frame_idx_grids = [
+        chunk.reshape(g.shape[:2])
+        for chunk, g in zip(np.split(all_idx, len(norm)), norm)
+    ]
     t_idx = -1
     if transparency:
         t_idx = len(palette)
-        palette.append((0, 0, 0))  # placeholder color, never rendered
-    if len(palette) > 256:
-        raise ValueError("more than 256 distinct colors across frames")
+        palette = palette + [(0, 0, 0)]  # placeholder, never rendered
 
     n = max(1, (max(2, len(palette)) - 1).bit_length())
     gct_len = 1 << n
@@ -1682,16 +1718,9 @@ def build_gif_animation(
     out += struct.pack("<H", int(loop) & 0xFFFF)
     out += b"\x00"
 
-    def frame_indices(g):
-        flat = g.reshape(-1, 3)
-        return np.array(
-            [index_of[(int(p[0]), int(p[1]), int(p[2]))] for p in flat],
-            dtype=np.int32,
-        ).reshape(g.shape[:2])
-
     prev_screen = None
     for k, g in enumerate(norm):
-        idx = frame_indices(g)
+        idx = frame_idx_grids[k]
         left = top = 0
         fh, fw = h, w
         if boxes[k] is not None:
@@ -1713,11 +1742,9 @@ def build_gif_animation(
                 idx = np.full((1, 1), t_idx, dtype=np.int32)
                 fh = fw = 1
         pal_size = len(palette)
-        rot = int(rots[k]) if pal_size > 1 else 0
-        if rot:
-            rot = 1 + (rot - 1) % (pal_size - 1)
-        remap = [(j + rot) % pal_size for j in range(pal_size)] if rot \
-            else None
+        remap = None
+        if int(rots[k]) and pal_size > 1:
+            _rotated, remap = _rotate_slots(palette, rots[k])
         # Graphic Control Extension
         gce_flags = (disp[k] & 0x07) << 2
         frame_t = t_idx
@@ -1746,7 +1773,7 @@ def build_gif_animation(
                 lct[remap[j]] = color
             for r, g2, b2 in lct:
                 out += bytes([r, g2, b2])
-            idx = np.vectorize(lambda j: remap[j])(idx) if idx.size else idx
+            idx = np.asarray(remap, dtype=np.int32)[idx]
             min_code = max(2, ln)
         else:
             out.append(iflags)
@@ -1823,7 +1850,9 @@ def gif_decode_frames(payload: bytes) -> List[dict]:
             label = b[pos + 1]
             pos += 2
             if label == 0xF9:  # Graphic Control Extension
-                if pos + 1 > len(b) or b[pos] < 4:
+                if pos + 5 > len(b):
+                    raise ValueError("truncated GCE")
+                if b[pos] < 4:
                     raise ValueError("bad GCE block size")
                 ln = b[pos]
                 gflags = b[pos + 1]
@@ -1842,6 +1871,8 @@ def gif_decode_frames(payload: bytes) -> List[dict]:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated image descriptor")
         left, top, fw, fh = struct.unpack("<HHHH", b[pos + 1:pos + 9])
         iflags = b[pos + 9]
         pos += 10
@@ -1860,6 +1891,8 @@ def gif_decode_frames(payload: bytes) -> List[dict]:
             pos += 3 * plen
         if pal is None:
             raise ValueError("no color table")
+        if pos >= len(b):
+            raise ValueError("truncated image data")
         min_code = b[pos]
         pos += 1
         data = bytearray()
