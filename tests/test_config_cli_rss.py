@@ -964,3 +964,82 @@ class TestSearchFromStoreCli:
             assert "no incremental index" in none.output
         finally:
             spark.stop = real_stop
+
+
+class TestAnalyzeMediaCli:
+    def test_all_modes_over_mixed_parquet(self, spark, tmp_path):
+        """`analyze media`: header triage, animation demux and both
+        dedup grains over one mixed parquet — undecodable payloads
+        cost a row, never the job."""
+        import numpy as np
+        from click.testing import CliRunner
+
+        from web_scrapper_spark import cli as cli_mod
+        from web_scrapper_spark.operators import multimodal as mm
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = (np.arange(12 * 14).reshape(12, 14) % 5 * 50).astype(np.uint8)
+        anim = [g, np.roll(g, 3, axis=1)]
+        rows = [
+            (1, bytearray(mm.build_png(g))),
+            (2, bytearray(rs.build_gif(g))),
+            (3, bytearray(mm.build_png(g, filters=[2]))),  # re-encode
+            (4, bytearray(rs.build_gif_animation(anim))),
+            (5, bytearray(mm.build_apng(anim))),
+            (6, bytearray(b"garbage-not-a-media-file")),
+        ]
+        media_dir = str(tmp_path / "media")
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).write.parquet(media_dir)
+
+        real_stop = spark.stop
+        spark.stop = lambda: None
+        try:
+            cli_mod._spark = lambda cpus: spark
+            runner = CliRunner()
+
+            sniff = runner.invoke(
+                cli_mod.cli, ["analyze", "media", "-i", media_dir]
+            )
+            assert sniff.exit_code == 0, sniff.output
+            rep = json.loads(sniff.output)
+            fmt = {
+                (r["format"], r["valid"]): r["count"]
+                for r in rep["by_format"]
+            }
+            assert fmt[("png", True)] == 3  # stills + the APNG
+            assert fmt[("gif", True)] == 2
+            assert fmt[(None, False)] == 1  # garbage triaged, no crash
+
+            frames = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "media", "-i", media_dir, "--mode", "frames"],
+            )
+            rep = json.loads(frames.output)
+            # both 2-frame animations + the 1-frame still GIF demux
+            assert rep["animations"] == 3 and rep["frames"] == 5
+
+            out_dir = str(tmp_path / "pairs")
+            dedup = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "media", "-i", media_dir, "--mode", "dedup",
+                 "-o", out_dir],
+            )
+            rep = json.loads(dedup.output)
+            assert rep["near_dup_pairs"] >= 1  # 1 and 3 share pixels
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+            assert (1, 3) in pairs
+
+            anim_d = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "media", "-i", media_dir, "--mode",
+                 "anim-dedup"],
+            )
+            rep = json.loads(anim_d.output)
+            assert rep["near_dup_animation_pairs"] >= 1  # GIF≡APNG twin
+        finally:
+            spark.stop = real_stop

@@ -330,10 +330,13 @@ def dhash64(grid: "np.ndarray") -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def image_dhash_df(media: DataFrame) -> DataFrame:
+def image_dhash_df(media: DataFrame, skip_errors: bool = False) -> DataFrame:
     """decode → dHash, one Arrow pass per partition. Payload bytes are
     read exactly once and never shuffled: 100 TB of images reduce to a
-    16-byte-per-row fingerprint table before any join happens."""
+    16-byte-per-row fingerprint table before any join happens.
+    ``skip_errors`` drops rows whose payloads fail to decode (the
+    web-crawl posture: corrupt media should cost a row, not the job);
+    the default stays strict for oracle-checked fixtures."""
     decoders = dict(_DECODERS)
 
     def run(batches: Iterator) -> Iterator:
@@ -345,7 +348,12 @@ def image_dhash_df(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
                 meta = dict(meta) if meta is not None else {}
-                grid = _decode(decoders, kind, payload, meta)
+                try:
+                    grid = _decode(decoders, kind, payload, meta)
+                except ValueError:
+                    if skip_errors:
+                        continue
+                    raise
                 rows.append({"media_id": media_id, "dhash": dhash64(grid)})
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
@@ -355,7 +363,8 @@ def image_dhash_df(media: DataFrame) -> DataFrame:
 
 
 def dhash_near_pairs(
-    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8
+    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8,
+    skip_errors: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance. Blocking
     is the generalized pigeonhole self-join
@@ -365,7 +374,7 @@ def dhash_near_pairs(
     (chunk_id, byte), never a cross join."""
     from .dedup import hamming_blocked_pairs
 
-    hashed = image_dhash_df(media)
+    hashed = image_dhash_df(media, skip_errors=skip_errors)
     return hamming_blocked_pairs(
         hashed,
         id_col="media_id",
@@ -1370,14 +1379,19 @@ def animation_demux(payload: bytes) -> list:
     )
 
 
-def animation_frames_df(media: DataFrame) -> DataFrame:
+def animation_frames_df(
+    media: DataFrame, skip_errors: bool = False
+) -> DataFrame:
     """Real animation demux: one media row → one row per RENDERED
     frame (composited logical screen, so delta/disposal encodings and
     full-frame encodings of the same animation produce identical
     rows — across CONTAINERS too: the same content as GIF and APNG
     demuxes to identical frame rows). Emits per-frame integer luma
     stats + the frame dHash in a single Arrow pass; the binary
-    payload never leaves the scan partition."""
+    payload never leaves the scan partition. ``skip_errors`` drops
+    payloads that are not demuxable animations (still images, corrupt
+    streams) instead of failing the job — the web-crawl posture; the
+    strict default stays for oracle-checked fixtures."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1385,7 +1399,13 @@ def animation_frames_df(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                for fr in animation_demux(bytes(payload or b"")):
+                try:
+                    frames = animation_demux(bytes(payload or b""))
+                except ValueError:
+                    if skip_errors:
+                        continue
+                    raise
+                for fr in frames:
                     grid = fr["luma"].astype(np.int64)
                     h, w = grid.shape
                     rows.append(
@@ -1420,7 +1440,8 @@ def animation_frames_df(media: DataFrame) -> DataFrame:
 
 
 def animation_near_pairs(
-    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8
+    media: DataFrame, max_hamming: int = 3, n_chunks: int = 8,
+    skip_errors: bool = False,
 ) -> DataFrame:
     """Animation-grain near-duplicate pairs: two animations match when
     ANY of their rendered frames land within ``max_hamming`` dHash
@@ -1436,7 +1457,7 @@ def animation_near_pairs(
     dropped."""
     from .dedup import hamming_blocked_pairs
 
-    frames = animation_frames_df(media).select(
+    frames = animation_frames_df(media, skip_errors=skip_errors).select(
         F.struct(
             F.col("media_id").alias("m"), F.col("frame_idx").alias("f")
         ).alias("fid"),
