@@ -1315,6 +1315,42 @@ def _q_gif_frame_dedup(spark, sf_dir):
     return mm.animation_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_favicon_decode(spark, sf_dir):
+    """REAL BMP + ICO (favicon) decode
+    (multimodal.compressed_raster_decoder): 40 genuine payloads —
+    paletted/truecolor BI_RGB BMPs and ICO containers wrapping DIB or
+    PNG entries (largest-entry-wins, decoy entries planted) — decoded
+    inside the Arrow pass. Container-flip re-encodes (BMP ↔ ICO,
+    PNG-entry ↔ DIB-entry) carry identical luma. The oracle re-decodes
+    every payload with an INDEPENDENT pure-Python header walk + byte
+    loops and freezes the rows into VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_favicon_media_rows(), mm.MEDIA_SCHEMA
+    )
+    stats = mm.image_luma_stats_df(media)
+    hashes = mm.image_dhash_df(media)
+    return stats.join(hashes, "media_id").select(
+        "media_id", "width", "height", "luma_sum", "n_px", "dhash"
+    )
+
+
+def _q_favicon_dhash_pairs(spark, sf_dir):
+    """Favicon dedup across CONTAINERS: ids 28..33 re-encode 0..5 in a
+    different container (byte-disjoint files, identical pixels —
+    Hamming 0); ids 34..39 perturb 6..11. Oracle = brute force over
+    the independent decoder, frozen to VALUES."""
+    from web_scrapper_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", mm.compressed_raster_decoder)
+    media = spark.createDataFrame(
+        mm.planted_favicon_media_rows(), mm.MEDIA_SCHEMA
+    )
+    return mm.dhash_near_pairs(media, max_hamming=3, n_chunks=8)
+
+
 def _q_anim_frames_mixed(spark, sf_dir):
     """Container-independent animation demux
     (multimodal.animation_frames_df over animation_demux): a mixed
@@ -5687,6 +5723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frame_dedup": _q_gif_frame_dedup,
         "anim_frames_mixed": _q_anim_frames_mixed,
         "anim_cross_dedup": _q_anim_cross_dedup,
+        "favicon_decode": _q_favicon_decode,
+        "favicon_dhash_pairs": _q_favicon_dhash_pairs,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -7190,6 +7228,126 @@ def _anim_cross_dedup_oracle_sql() -> str:
         f"SELECT * FROM (VALUES {values}) "
         "AS t(media_a, media_b, frames_matched, min_hamming)"
     )
+
+
+def _oracle_favicon_decode(b: bytes) -> list:
+    """INDEPENDENT pure-Python BMP/ICO decode for the oracle side:
+    its own header walks, per-pixel bit extraction for packed paletted
+    rows and bottom-up row arithmetic written with byte loops — no
+    numpy, no code shared with multimodal's BMP/ICO decoders. ICO
+    entries that are PNGs route to the (also independent)
+    _oracle_png_decode. Returns the luma grid as row lists."""
+    import struct as _struct
+
+    def dib(data: bytes, ico: bool) -> list:
+        (hsize, w, h, _pl, bpp, comp, _isz, _xp, _yp, used, _imp) = (
+            _struct.unpack("<IiiHHIIiiII", data[:40])
+        )
+        assert hsize >= 40 and comp == 0, "oracle: unsupported DIB"
+        if ico:
+            h //= 2
+        top_down = h < 0
+        h = abs(h)
+        at = hsize
+        pal = None
+        if bpp <= 8:
+            np_ = used or (1 << bpp)
+            pal = [
+                (data[at + 4 * j + 2], data[at + 4 * j + 1],
+                 data[at + 4 * j])
+                for j in range(np_)
+            ]
+            at += 4 * np_
+        stride = ((w * bpp + 31) // 32) * 4
+        grid = []
+        for rr in range(h):
+            src = rr if top_down else h - 1 - rr
+            row_bytes = data[at + src * stride:at + (src + 1) * stride]
+            row = []
+            for c in range(w):
+                if bpp in (24, 32):
+                    nb = bpp // 8
+                    b_ = row_bytes[c * nb]
+                    g_ = row_bytes[c * nb + 1]
+                    r_ = row_bytes[c * nb + 2]
+                else:
+                    off = c * bpp
+                    byte = row_bytes[off // 8]
+                    shift = 8 - bpp - (off % 8)
+                    r_, g_, b_ = pal[(byte >> shift) & ((1 << bpp) - 1)]
+                row.append((299 * r_ + 587 * g_ + 114 * b_) // 1000)
+            grid.append(row)
+        return grid
+
+    if b[:2] == b"BM":
+        return dib(b[14:], ico=False)
+    assert b[:4] == b"\x00\x00\x01\x00", "oracle: not BMP/ICO"
+    count = _struct.unpack("<H", b[4:6])[0]
+    best = None
+    for k in range(count):
+        at = 6 + 16 * k
+        w, h = b[at] or 256, b[at + 1] or 256
+        size, off = _struct.unpack("<II", b[at + 8:at + 16])
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    blob = b[best[1]:best[1] + best[2]]
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _oracle_png_decode(blob)
+    return dib(blob, ico=True)
+
+
+def _favicon_oracle_rows() -> list:
+    """(media_id, w, h, luma_sum, n_px, dhash_unsigned) for every
+    planted BMP/ICO payload, via the independent decoder."""
+    if "favicon_rows" not in _ORACLE_CACHE:
+        from web_scrapper_spark.operators.multimodal import (
+            planted_favicon_media_rows,
+        )
+
+        out = []
+        for media_id, _kind, payload, _meta in planted_favicon_media_rows():
+            grid = _oracle_favicon_decode(bytes(payload))
+            h, w = len(grid), len(grid[0])
+            out.append(
+                (
+                    media_id,
+                    w,
+                    h,
+                    sum(sum(row) for row in grid),
+                    h * w,
+                    _oracle_dhash(grid),
+                )
+            )
+        _ORACLE_CACHE["favicon_rows"] = out
+    return _ORACLE_CACHE["favicon_rows"]
+
+
+def _favicon_decode_oracle_sql() -> str:
+    rows = ",\n              ".join(
+        f"({mid}, {w}, {h}, {ls}, {npx}, "
+        f"{dh - (1 << 64) if dh >= (1 << 63) else dh})"
+        for mid, w, h, ls, npx, dh in _favicon_oracle_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(media_id, width, height, luma_sum, n_px, dhash)"
+    )
+
+
+def _favicon_dhash_oracle_sql() -> str:
+    hashes = [
+        (mid, dh) for mid, _w, _h, _ls, _npx, dh in _favicon_oracle_rows()
+    ]
+    values = []
+    for ai in range(len(hashes)):
+        for bi in range(ai + 1, len(hashes)):
+            id_a, h_a = hashes[ai]
+            id_b, h_b = hashes[bi]
+            d = bin(h_a ^ h_b).count("1")
+            if d <= 3:
+                values.append(f"({id_a}, {id_b}, {d})")
+    rows = ",\n              ".join(values)
+    return f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, hamming)"
 
 
 def _psl_values_sql() -> str:
@@ -10718,6 +10876,8 @@ def oracle_sql() -> dict[str, str]:
         "gif_frame_dedup": _gif_frame_dedup_oracle_sql(),
         "anim_frames_mixed": _anim_mixed_frames_oracle_sql(),
         "anim_cross_dedup": _anim_cross_dedup_oracle_sql(),
+        "favicon_decode": _favicon_decode_oracle_sql(),
+        "favicon_dhash_pairs": _favicon_dhash_oracle_sql(),
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

@@ -1027,3 +1027,108 @@ class TestApng:
             # both frames of each twin match pairwise
             assert pairs[(a, b)]["frames_matched"] >= 2
         assert len(pairs) == 6
+
+
+class TestBmpIco:
+    """Round-5 favicon family: BI_RGB BMP and the ICO container."""
+
+    def test_bmp_roundtrips(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(9)
+        for h, w in [(1, 1), (5, 3), (16, 16), (13, 17), (9, 31)]:
+            g = rng.integers(0, 256, (h, w), dtype=np.int64).astype(
+                np.uint8
+            )
+            assert np.array_equal(
+                mm.bmp_decode_pixels(mm.build_bmp(g)), g
+            ), (h, w)
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.int64).astype(
+                np.uint8
+            )
+            px = rgb.astype(np.int32)
+            luma = (
+                px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+            ) // 1000
+            assert np.array_equal(
+                mm.bmp_decode_pixels(mm.build_bmp(rgb)),
+                luma.astype(np.uint8),
+            ), (h, w)
+
+    def test_ico_largest_entry_wins_both_kinds(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(10)
+        small = rng.integers(0, 256, (8, 8), dtype=np.int64).astype(
+            np.uint8
+        )
+        big = rng.integers(0, 256, (24, 20), dtype=np.int64).astype(
+            np.uint8
+        )
+        for mask in (0, 1, 2, 3):  # DIB/PNG per entry
+            ico = mm.build_ico([small, big], png_mask=mask)
+            assert np.array_equal(mm.ico_decode_pixels(ico), big), mask
+        # 256-px side: directory byte wraps to 0
+        big256 = rng.integers(0, 256, (256, 256), dtype=np.int64).astype(
+            np.uint8
+        )
+        ico = mm.build_ico([small, big256], png_mask=2)
+        assert np.array_equal(mm.ico_decode_pixels(ico), big256)
+
+    def test_container_flip_reencode_identical(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, (14, 15), dtype=np.int64).astype(
+            np.uint8
+        )
+        a = mm.build_bmp(g)
+        b = mm.build_ico([g])
+        c = mm.build_ico([g], png_mask=1)
+        assert len({a, b, c}) == 3  # byte-disjoint
+        da = mm.compressed_raster_decoder(a, {})
+        db = mm.compressed_raster_decoder(b, {})
+        dc = mm.compressed_raster_decoder(c, {})
+        assert np.array_equal(da, db) and np.array_equal(db, dc)
+
+    def test_contract_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        with _pytest.raises(ValueError, match="magic"):
+            mm.bmp_decode_pixels(b"not a bmp")
+        with _pytest.raises(ValueError, match="header"):
+            mm.ico_decode_pixels(b"\x00\x00\x02\x00\x01\x00")  # .cur
+        g = np.zeros((4, 4), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="truncated"):
+            mm.bmp_decode_pixels(mm.build_bmp(g)[:30])
+        with _pytest.raises(ValueError, match="truncated"):
+            mm.ico_decode_pixels(mm.build_ico([g])[:10])
+        with _pytest.raises(ValueError, match="256"):
+            mm.build_ico([np.zeros((300, 4), dtype=np.uint8)])
+        # compressed BMP refuses loudly
+        bad = bytearray(mm.build_bmp(g))
+        bad[30] = 1  # BI_RLE8
+        with _pytest.raises(ValueError, match="compression"):
+            mm.bmp_decode_pixels(bytes(bad))
+
+    def test_sniffer_covers_bmp_ico(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        g = np.zeros((6, 9), dtype=np.uint8)
+        fmt, w, h, _sr, _ch, ok = mm.parse_media_header(mm.build_bmp(g))
+        assert (fmt, w, h, ok) == ("bmp", 9, 6, True)
+        big = np.zeros((20, 24), dtype=np.uint8)
+        ico = mm.build_ico([g, big], png_mask=1)
+        fmt, w, h, _sr, _ch, ok = mm.parse_media_header(ico)
+        assert (fmt, w, h, ok) == ("ico", 24, 20, True)

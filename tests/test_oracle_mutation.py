@@ -320,6 +320,33 @@ class TestOracleMutation:
             spark, duck, frozen_oracles, "gif_frames", mutate, monkeypatch,
         )
 
+    def test_favicon_family_pins_row_order(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        # round-5 family: favicon_decode compares engine-decoded
+        # BMP/ICO pixels against VALUES frozen from the independent
+        # byte-loop oracle over the SHARED planted fixture. A bug in
+        # the shared encoder's bottom-up row emission (here: rows
+        # written top-down while the header still claims bottom-up)
+        # flips every image vertically — luma SUMS are unchanged, so
+        # only the dHash columns can catch it; the gate must go RED.
+        from web_scrapper_spark.operators import multimodal as mmod
+
+        real = mmod.build_bmp
+
+        def flipped(pixels):
+            import numpy as np
+
+            return real(np.asarray(pixels)[::-1])
+
+        def mutate(mp):
+            mp.setattr(mmod, "build_bmp", flipped)
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "favicon_decode", mutate,
+            monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""

@@ -687,3 +687,42 @@ class TestRasterCodecProperties:
             assert np.array_equal(
                 fr["luma"].astype(np.int64), np.array(grid)
             )
+
+    @given(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=22),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_ico_engine_equals_oracle(self, h, w, kind, seed):
+        # favicon family: gray/RGB BMP and DIB/PNG-entry ICO through
+        # the engine and the independent byte-loop oracle twin
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        if kind == 1:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.int64).astype(
+                np.uint8
+            )
+        else:
+            px = rng.integers(0, 256, (h, w), dtype=np.int64).astype(
+                np.uint8
+            )
+        if kind in (0, 1):
+            payload = mm.build_bmp(px)
+            eng = mm.bmp_decode_pixels(payload)
+        else:
+            decoy = rng.integers(0, 256, (1, 1), dtype=np.int64).astype(
+                np.uint8
+            )
+            payload = mm.build_ico(
+                [decoy, px], png_mask=0b10 if kind == 3 else 0
+            )
+            eng = mm.ico_decode_pixels(payload)
+        ora = np.array(self._oracle()._oracle_favicon_decode(payload))
+        assert np.array_equal(eng.astype(np.int64), ora)
+        if kind in (0, 2, 3):
+            assert np.array_equal(eng, px)  # gray BMP/ICO is lossless

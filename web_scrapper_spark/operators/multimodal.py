@@ -268,6 +268,24 @@ def parse_media_header(b: bytes):
                 return ("wav", None, None, sr, ch, True)
             i += 8 + clen + (clen & 1)
         return ("wav", None, None, None, None, False)
+    if b[:2] == b"BM":
+        if len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+            return ("bmp", w, h, None, None, True)
+        return ("bmp", None, None, None, None, False)
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 6 and (b[4] | b[5]):
+        # ICO: (w, h) of the LARGEST directory entry (0 bytes = 256)
+        count = int.from_bytes(b[4:6], "little")
+        best = None
+        for k in range(count):
+            at = 6 + 16 * k
+            if at + 16 > len(b):
+                return ("ico", None, None, None, None, False)
+            w, h = b[at] or 256, b[at + 1] or 256
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h)
+        return ("ico", best[0], best[1], None, None, True)
     return (None, None, None, None, None, False)
 
 
@@ -981,9 +999,14 @@ def compressed_raster_decoder(payload: bytes, meta: dict) -> "np.ndarray":
         from .rasters import gif_decode_pixels
 
         return gif_decode_pixels(b)
+    if b[:2] == b"BM":
+        return bmp_decode_pixels(b)
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 6 and b[4] | b[5]:
+        return ico_decode_pixels(b)
     raise ValueError(
         "compressed_raster_decoder: unknown raster magic "
-        f"{bytes(b[:8])!r} (PNG, baseline JPEG and GIF are decodable)"
+        f"{bytes(b[:8])!r} (PNG, baseline JPEG, GIF, BMP and ICO are "
+        "decodable)"
     )
 
 
@@ -2000,6 +2023,302 @@ def planted_anim_mixed_rows(n_pairs: int = 6, n_feature: int = 6) -> list:
                     "sample_rate": None,
                     "n_frames": 3,
                     "codec": "apng",
+                },
+            )
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# BMP + ICO (favicon.ico): round 5. Every site root serves one; a crawl
+# that fingerprints favicons groups hosts by operator cheaply. ICO is a
+# trivial container whose entries are either PNGs (reused decoder) or
+# headerless DIBs — so a small real BMP/DIB decoder closes the whole
+# favicon family. Same luma contract as every other raster.
+# ---------------------------------------------------------------------------
+
+
+def build_bmp(pixels) -> bytes:
+    """A real BI_RGB BMP encoder: 8-bit gray (h, w) input written as a
+    256-entry paletted 8bpp DIB, or RGB (h, w, 3) written as 24bpp —
+    bottom-up rows, 4-byte row padding, BITMAPINFOHEADER. Pure
+    function shared by fixtures, tests and the driver-oracle
+    builder."""
+    import struct
+
+    g = np.asarray(pixels, dtype=np.uint8)
+    if g.ndim == 2:
+        h, w = g.shape
+        bpp = 8
+        palette = b"".join(bytes([v, v, v, 0]) for v in range(256))
+        stride = (w + 3) & ~3
+        rows = bytearray()
+        for r in range(h - 1, -1, -1):
+            rows += bytes(g[r]) + b"\x00" * (stride - w)
+    elif g.ndim == 3 and g.shape[2] == 3:
+        h, w = g.shape[:2]
+        bpp = 24
+        palette = b""
+        stride = (3 * w + 3) & ~3
+        rows = bytearray()
+        for r in range(h - 1, -1, -1):
+            for c in range(w):
+                rows += bytes([g[r, c, 2], g[r, c, 1], g[r, c, 0]])  # BGR
+            rows += b"\x00" * (stride - 3 * w)
+    else:
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(rows), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    off = 14 + 40 + len(palette)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return hdr + dib + palette + bytes(rows)
+
+
+def _decode_dib(data: bytes, ico_mask: bool = False) -> "np.ndarray":
+    """Decode a BITMAPINFOHEADER DIB (the body of a BMP after the file
+    header, or an ICO entry): 1/4/8-bit paletted or 24/32-bit BI_RGB,
+    bottom-up or top-down, 4-byte row padding. ``ico_mask`` halves the
+    header height (ICO stores XOR+AND masks; the AND mask is ignored
+    for luma — documented contract). Returns the uint8 luma grid."""
+    import struct
+
+    if len(data) < 40:
+        raise ValueError("truncated DIB header")
+    (hsize, w, h, _planes, bpp, comp, _isz, _xp, _yp, used, _imp) = (
+        struct.unpack("<IiiHHIIiiII", data[:40])
+    )
+    if hsize < 40:
+        raise ValueError(f"unsupported DIB header size {hsize}")
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if ico_mask:
+        if h % 2 != 0:
+            raise ValueError("ICO DIB height must be doubled")
+        h //= 2
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("empty image")
+    at = hsize
+    palette = None
+    if bpp <= 8:
+        n = used or (1 << bpp)
+        if at + 4 * n > len(data):
+            raise ValueError("truncated BMP palette")
+        palette = np.frombuffer(
+            data[at:at + 4 * n], dtype=np.uint8
+        ).reshape(n, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        at += 4 * n
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * h
+    if at + need > len(data):
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(data[at:at + need], dtype=np.uint8).reshape(
+        h, stride
+    )
+    if not top_down:
+        raw = raw[::-1]
+    if bpp in (24, 32):
+        nb = bpp // 8
+        px = raw[:, : w * nb].reshape(h, w, nb).astype(np.int32)
+        b_, g_, r_ = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        luma = (r_ * 299 + g_ * 587 + b_ * 114) // 1000
+        return luma.astype(np.uint8)
+    # packed paletted: MSB-first within each byte
+    bits = np.unpackbits(raw, axis=1)[:, : w * bpp]
+    idx = np.zeros((h, w), dtype=np.int32)
+    for k in range(bpp):
+        idx = (idx << 1) | bits[:, k::bpp]
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("BMP palette index out of range")
+    px = palette[idx].astype(np.int32)
+    luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return luma.astype(np.uint8)
+
+
+def bmp_decode_pixels(payload: bytes) -> "np.ndarray":
+    """REAL BMP decode: BM file header + BI_RGB DIB via
+    :func:`_decode_dib`. Compressed (RLE/bitfields) BMPs raise
+    ``ValueError`` loudly."""
+    import struct
+
+    b = payload or b""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    if len(b) < 14:
+        raise ValueError("truncated BMP file header")
+    (_sz, _r1, _r2, off) = struct.unpack("<IHHI", b[2:14])
+    return _decode_dib(b[14:])
+
+
+def build_ico(images, png_mask: int = 0) -> bytes:
+    """A real ICO container: each image (gray or RGB uint8 array,
+    ≤256 on a side) becomes one directory entry; bit k of ``png_mask``
+    stores image k as an embedded PNG (the modern favicon shape),
+    otherwise as a doubled-height DIB with an all-zero AND mask (the
+    classic shape). Pure function shared by fixtures and the
+    driver-oracle builder."""
+    import struct
+
+    if not images:
+        raise ValueError("no images")
+    blobs = []
+    dims = []
+    for k, im in enumerate(images):
+        g = np.asarray(im, dtype=np.uint8)
+        h, w = g.shape[:2]
+        if h == 0 or w == 0 or h > 256 or w > 256:
+            raise ValueError("ICO images must be 1..256 px per side")
+        dims.append((w, h))
+        if (png_mask >> k) & 1:
+            blobs.append(build_png(g))
+        else:
+            bmp = build_bmp(g)
+            # strip the 14-byte file header, double the height, append
+            # the AND mask (all visible), patch the image-size field
+            import struct as _s
+
+            dib = bytearray(bmp[14:])
+            (hsize, w_, h_, planes, bpp) = _s.unpack(
+                "<IiiHH", dib[:16]
+            )
+            _s.pack_into("<i", dib, 8, h_ * 2)
+            mask_stride = ((w + 31) // 32) * 4
+            dib += b"\x00" * (mask_stride * h)
+            blobs.append(bytes(dib))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for (w, h), blob in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, 32, len(blob), off,
+        )
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def ico_decode_pixels(payload: bytes) -> "np.ndarray":
+    """REAL ICO (favicon) decode: directory walk, LARGEST entry wins
+    (ties: first), entry decoded as embedded PNG or doubled-height DIB
+    (AND mask ignored for luma). Returns the uint8 luma grid."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 6:
+        raise ValueError("truncated ICO header")
+    rsv, typ, count = struct.unpack("<HHH", b[:6])
+    if rsv != 0 or typ != 1 or count == 0:
+        raise ValueError("not an ICO (bad header)")
+    best = None
+    for k in range(count):
+        at = 6 + 16 * k
+        if at + 16 > len(b):
+            raise ValueError("truncated ICO directory")
+        bw, bh, _cc, _r, _pl, _bpp, size, off = struct.unpack(
+            "<BBBBHHII", b[at:at + 16]
+        )
+        w, h = bw or 256, bh or 256
+        if off + size > len(b):
+            raise ValueError("truncated ICO entry")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _area, off, size = best
+    blob = b[off:off + size]
+    if blob[:8] == PNG_MAGIC:
+        return png_decode_pixels(blob)
+    return _decode_dib(blob, ico_mask=True)
+
+
+def planted_favicon_media_rows(n: int = 40, period: int = 28) -> list:
+    """Deterministic BMP/ICO fixture: ids ``0..period-1`` cycle gray
+    BMP / RGB BMP / single-DIB ICO / PNG-entry ICO / multi-entry ICO
+    (a smaller decoy entry that largest-wins must skip). Ids
+    ``period..period+5`` re-encode ids 0..5 in a DIFFERENT container
+    with identical decoded luma (BMP ↔ single-entry DIB ICO, PNG-entry
+    ↔ DIB-entry, decoy added) — byte-disjoint files, dHash Hamming 0.
+    Ids ``period+6..`` perturb sampled pixels of 6..11. Pure function
+    shared by the Spark query and the driver-oracle builder."""
+
+    def base_pixels(i: int):
+        h = 12 + (i % 4) * 6
+        w = 13 + (i % 3) * 7
+        rgb = i % 5 == 2
+        count = h * w * (3 if rgb else 1)
+        chunk = hashlib.md5(f"favicon{i}".encode()).digest()
+        vals = bytearray()
+        while len(vals) < count:
+            chunk = hashlib.md5(chunk).digest()
+            vals.extend(chunk)
+        a = np.frombuffer(bytes(vals[:count]), dtype=np.uint8)
+        return a.reshape((h, w, 3) if rgb else (h, w)).copy()
+
+    def decoy(i: int):
+        return np.full((4, 4), (23 * i) % 256, dtype=np.uint8)
+
+    def encode(i: int, px, reenc: bool) -> bytes:
+        kind = i % 5
+        if not reenc:
+            if kind == 0:
+                return build_bmp(px)
+            if kind == 1:
+                return build_ico([px])
+            if kind == 2:
+                return build_bmp(px)  # RGB BMP
+            if kind == 3:
+                return build_ico([px], png_mask=1)
+            return build_ico([decoy(i), px])  # decoy first, largest wins
+        # container flip, identical decoded luma
+        if kind == 0:
+            return build_ico([px])
+        if kind == 1:
+            return build_bmp(px)
+        if kind == 2:
+            return build_ico([decoy(i), px])
+        if kind == 3:
+            return build_ico([px])  # PNG entry → DIB entry
+        return build_ico([px], png_mask=1)
+
+    def perturb(g, k: int):
+        g = g.copy()
+        h, w = g.shape[:2]
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(9) * w) // 9
+        for j in range(k):
+            g[ri[(j * 3) % 8], ci[(j * 5) % 9]] ^= 0xFF
+        return g
+
+    rows = []
+    for i in range(n):
+        if i < period:
+            px = base_pixels(i)
+            payload = encode(i, px, reenc=False)
+        elif i < period + 6:
+            src = i - period
+            px = base_pixels(src)
+            payload = encode(src, px, reenc=True)
+        else:
+            src = i - period
+            px = perturb(base_pixels(src), i % 3 + 1)
+            payload = encode(src, px, reenc=False)
+        rows.append(
+            (
+                i,
+                "image",
+                payload,
+                {
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "codec": "bmp" if payload[:2] == b"BM" else "ico",
                 },
             )
         )
