@@ -4415,17 +4415,22 @@ def _unicode_clean_oracle_sql() -> str:
 def _q_media_sniff(spark, sf_dir):
     """Container-header triage (operators/multimodal.py
     sniff_media_headers — REAL byte parsing, no codec stubs):
-    documents become binary payloads cycling png/gif/jpeg/wav/garbage
-    with header fields derived from doc_id; the sniffer must invert
-    the construction exactly (construct→parse roundtrip oracle). NULL
-    ints coalesce to -1 for the pandas dtype boundary."""
+    documents become binary payloads cycling every major web media
+    container — png/gif/jpeg/wav plus (round 5) webp (VP8X canvas
+    dims), mp3 (ID3v2 skip + MPEG-1 Layer III frame header), ogg
+    (Vorbis identification packet), mp4/avif (ftyp brands) and
+    garbage — with header fields derived from doc_id; the sniffer
+    must invert the construction exactly (construct→parse roundtrip
+    oracle). NULL ints coalesce to -1 for the pandas dtype
+    boundary."""
     from web_scrapper_spark.operators.multimodal import (
         build_container_payload,
         sniff_media_headers,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    kinds = ["png", "gif", "jpeg", "wav", "garbage"]
+    kinds = ["png", "gif", "jpeg", "wav", "webp", "mp3", "ogg", "mp4",
+             "avif", "garbage"]
 
     def build(batches):
         import pandas as pd
@@ -4435,7 +4440,9 @@ def _q_media_sniff(spark, sf_dir):
                 {
                     "media_id": pdf["doc_id"],
                     "payload": [
-                        build_container_payload(kinds[int(i) % 5], int(i))
+                        build_container_payload(
+                            kinds[int(i) % 10], int(i)
+                        )
                         for i in pdf["doc_id"]
                     ],
                 }
@@ -9869,24 +9876,34 @@ def oracle_sql() -> dict[str, str]:
         "media_sniff": """
             -- construct->parse roundtrip: the sniffer must recover
             -- exactly the header fields the builder derived from
-            -- doc_id (png/gif/jpeg carry dimensions, wav carries
-            -- sample_rate/channels, garbage is invalid)
+            -- doc_id (png/gif/jpeg/webp carry dimensions, wav/ogg
+            -- carry sample_rate/channels, mp3's rate comes from the
+            -- MPEG-1 index table, mp4/avif are format-only, garbage
+            -- is invalid)
             WITH m AS (
-              SELECT doc_id, CAST(doc_id % 5 AS INT) AS k FROM documents
+              SELECT doc_id, CAST(doc_id % 10 AS INT) AS k FROM documents
             )
             SELECT doc_id AS media_id,
                    CASE WHEN k = 0 THEN 'png' WHEN k = 1 THEN 'gif'
                         WHEN k = 2 THEN 'jpeg' WHEN k = 3 THEN 'wav'
+                        WHEN k = 4 THEN 'webp' WHEN k = 5 THEN 'mp3'
+                        WHEN k = 6 THEN 'ogg' WHEN k = 7 THEN 'mp4'
+                        WHEN k = 8 THEN 'avif'
                    END AS format,
-                   CAST(CASE WHEN k <= 2 THEN doc_id % 1000 + 1
+                   CAST(CASE WHEN k <= 2 OR k = 4 THEN doc_id % 1000 + 1
                              ELSE -1 END AS INT) AS width,
-                   CAST(CASE WHEN k <= 2 THEN (doc_id * 7) % 1000 + 1
+                   CAST(CASE WHEN k <= 2 OR k = 4
+                             THEN (doc_id * 7) % 1000 + 1
                              ELSE -1 END AS INT) AS height,
-                   CAST(CASE WHEN k = 3 THEN 8000 + (doc_id % 8) * 4000
+                   CAST(CASE WHEN k = 3 OR k = 6
+                             THEN 8000 + (doc_id % 8) * 4000
+                             WHEN k = 5 THEN CASE doc_id % 3
+                               WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               ELSE 32000 END
                              ELSE -1 END AS INT) AS sample_rate,
-                   CAST(CASE WHEN k = 3 THEN doc_id % 2 + 1
+                   CAST(CASE WHEN k IN (3, 5, 6) THEN doc_id % 2 + 1
                              ELSE -1 END AS INT) AS channels,
-                   (k <= 3) AS valid
+                   (k <= 8) AS valid
             FROM m
         """,
         "cdx_revisits": """

@@ -302,8 +302,11 @@ class TestPngCodec:
             mm.png_decode_pixels(bytes(good))
         with _pytest.raises(ValueError, match="truncated"):
             mm.png_decode_pixels(mm.build_png(g)[:-6])
-        # unknown magic raises loudly (JPEG/GIF now decode for real)
+        # unknown magic raises loudly (JPEG/GIF/BMP/ICO now decode for
+        # real — a BM prefix routes to the BMP decoder's own error)
         with _pytest.raises(ValueError, match="unknown raster magic"):
+            mm.compressed_raster_decoder(b"WEBPnot-decodable", {})
+        with _pytest.raises(ValueError, match="truncated BMP"):
             mm.compressed_raster_decoder(b"BM_not_a_png", {})
         with _pytest.raises(ValueError):
             mm.compressed_raster_decoder(b"\xff\xd8garbage-jpeg", {})
@@ -1132,3 +1135,70 @@ class TestBmpIco:
         ico = mm.build_ico([g, big], png_mask=1)
         fmt, w, h, _sr, _ch, ok = mm.parse_media_header(ico)
         assert (fmt, w, h, ok) == ("ico", 24, 20, True)
+
+
+class TestExtendedTriage:
+    """Round-5 triage: the rest of the web's media containers —
+    WebP, MP3, OGG, MP4, AVIF — parsed at the byte level."""
+
+    def test_roundtrip_new_kinds(self):
+        from web_scrapper_spark.operators.multimodal import (
+            build_container_payload,
+            parse_media_header,
+        )
+
+        for kind in ("webp", "mp3", "ogg", "mp4", "avif"):
+            for mid in (0, 1, 7, 123, 999, 12345):
+                fmt, w, h, sr, ch, ok = parse_media_header(
+                    build_container_payload(kind, mid)
+                )
+                assert ok and fmt == kind, (kind, mid)
+                if kind == "webp":
+                    assert (w, h) == (
+                        mid % 1000 + 1, mid * 7 % 1000 + 1
+                    )
+                if kind == "ogg":
+                    assert (sr, ch) == (
+                        8000 + mid % 8 * 4000, mid % 2 + 1
+                    )
+                if kind == "mp3":
+                    assert sr == (44100, 48000, 32000)[mid % 3]
+                    assert ch == mid % 2 + 1
+
+    def test_webp_vp8l_and_vp8_dims(self):
+        import struct
+
+        from web_scrapper_spark.operators.multimodal import (
+            parse_media_header,
+        )
+
+        w1, h1 = 321, 77
+        bits = (w1 - 1) | ((h1 - 1) << 14)
+        vp8l = (
+            b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L"
+            + struct.pack("<I", 5) + bytes([0x2F])
+            + struct.pack("<I", bits)
+        )
+        assert parse_media_header(vp8l)[:3] == ("webp", w1, h1)
+        vp8 = (
+            b"RIFF" + struct.pack("<I", 24) + b"WEBPVP8 "
+            + struct.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+            + struct.pack("<HH", 640, 480)
+        )
+        assert parse_media_header(vp8)[:3] == ("webp", 640, 480)
+
+    def test_truncation_never_crashes_and_invalid(self):
+        from web_scrapper_spark.operators.multimodal import (
+            build_container_payload,
+            parse_media_header,
+        )
+
+        for kind in ("webp", "mp3", "ogg", "mp4", "avif"):
+            full = build_container_payload(kind, 5)
+            for cut in range(len(full)):
+                fmt, _w, _h, _sr, _ch, ok = parse_media_header(
+                    full[:cut]
+                )
+                assert isinstance(ok, bool)
+        # a .cur file is NOT an ico; a bare RIFF is invalid
+        assert parse_media_header(b"RIFF\x00\x00\x00\x00AVI ")[5] is False

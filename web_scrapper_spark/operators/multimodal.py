@@ -224,6 +224,33 @@ def build_container_payload(kind: str, media_id: int) -> bytes:
         fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
         body = b"WAVEfmt " + struct.pack("<I", 16) + fmt + b"data" + b"\x00" * 4
         return b"RIFF" + struct.pack("<I", len(body)) + body
+    if kind == "webp":
+        # RIFF/WEBP with a VP8X chunk: canvas dims as minus-one 24-bit LE
+        vp8x = bytes(4) + struct.pack("<I", w - 1)[:3] \
+            + struct.pack("<I", h - 1)[:3]
+        body = b"WEBPVP8X" + struct.pack("<I", 10) + vp8x
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    if kind == "mp3":
+        # ID3v2.3 (empty) + one MPEG-1 Layer III frame header
+        sr_idx = media_id % 3  # 44100 / 48000 / 32000
+        mode = 0xC0 if ch == 1 else 0x00
+        hdr = bytes([0xFF, 0xFB, (0x09 << 4) | (sr_idx << 2), mode])
+        return b"ID3\x03\x00\x00\x00\x00\x00\x00" + hdr + b"\x00" * 8
+    if kind == "ogg":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
+            + struct.pack("<I", sr) + bytes(12) + b"\xb8\x01"
+        )
+        page = (
+            b"OggS\x00\x02" + bytes(8) + struct.pack("<I", media_id % 9973)
+            + bytes(4) + bytes(4) + bytes([1, len(ident)])
+        )
+        return page + ident
+    if kind == "mp4":
+        return struct.pack(">I", 20) + b"ftypisom" \
+            + struct.pack(">I", 512) + b"isommp42"
+    if kind == "avif":
+        return struct.pack(">I", 16) + b"ftypavif" + b"avifmif1"
     return b"not-a-container-" + str(media_id).encode()
 
 
@@ -268,6 +295,60 @@ def parse_media_header(b: bytes):
                 return ("wav", None, None, sr, ch, True)
             i += 8 + clen + (clen & 1)
         return ("wav", None, None, None, None, False)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # canvas dims from VP8X (extended), VP8L (lossless 14-bit
+        # fields) or VP8 (lossy keyframe) — whichever chunk leads
+        tag, data = b[12:16], b[20:]
+        if tag == b"VP8X" and len(data) >= 10:
+            w = 1 + int.from_bytes(data[4:7], "little")
+            h = 1 + int.from_bytes(data[7:10], "little")
+            return ("webp", w, h, None, None, True)
+        if tag == b"VP8L" and len(data) >= 5 and data[0] == 0x2F:
+            bits = int.from_bytes(data[1:5], "little")
+            w = 1 + (bits & 0x3FFF)
+            h = 1 + ((bits >> 14) & 0x3FFF)
+            return ("webp", w, h, None, None, True)
+        if tag == b"VP8 " and len(data) >= 10 \
+                and data[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(data[6:8], "little") & 0x3FFF
+            h = int.from_bytes(data[8:10], "little") & 0x3FFF
+            return ("webp", w, h, None, None, True)
+        return ("webp", None, None, None, None, False)
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF
+                           and (b[1] & 0xE0) == 0xE0):
+        # MP3: skip ID3v2 (syncsafe size), parse the first MPEG audio
+        # frame header — MPEG-1 Layer III sample-rate index + mode
+        i = 0
+        if b[:3] == b"ID3":
+            if len(b) < 10:
+                return ("mp3", None, None, None, None, False)
+            i = 10 + (
+                (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+            )
+        if i + 4 <= len(b) and b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            version = (b[i + 1] >> 3) & 3
+            layer = (b[i + 1] >> 1) & 3
+            sr_idx = (b[i + 2] >> 2) & 3
+            if version == 3 and layer == 1 and sr_idx < 3:  # MPEG1 L3
+                sr = (44100, 48000, 32000)[sr_idx]
+                ch = 1 if (b[i + 3] >> 6) == 3 else 2
+                return ("mp3", None, None, sr, ch, True)
+        return ("mp3", None, None, None, None, False)
+    if b[:4] == b"OggS":
+        # first page: find the Vorbis identification packet
+        j = b.find(b"\x01vorbis")
+        if j >= 0 and j + 16 <= len(b):
+            ch = b[j + 11]
+            sr = int.from_bytes(b[j + 12:j + 16], "little")
+            if ch and sr:
+                return ("ogg", None, None, sr, ch, True)
+        return ("ogg", None, None, None, None, False)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        size = int.from_bytes(b[:4], "big")
+        brand = b[8:12]
+        fmt = "avif" if brand in (b"avif", b"avis") else "mp4"
+        ok = 8 <= size <= max(len(b), 8) and size % 4 == 0
+        return (fmt, None, None, None, None, ok)
     if b[:2] == b"BM":
         if len(b) >= 26:
             w = int.from_bytes(b[18:22], "little", signed=True)
