@@ -281,3 +281,51 @@ class TestAdaptiveDelayStream:
         assert final == batch
         assert final["a.org"] == (3, 165, 0, 1650)
         assert final["b.org"][3] == 4000  # latest-epoch backoff
+
+
+class TestMediaStream:
+    def test_animation_frames_stream_matches_batch(self, spark, tmp_path):
+        """Round-5 media twin: streaming demux of mixed GIF/APNG (+ a
+        corrupt payload that must cost a row, not the stream) equals
+        the batch operator row-for-row."""
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+        from web_scrapper_spark.operators.rasters import (
+            build_gif_animation,
+        )
+
+        g = (np.arange(10 * 12).reshape(10, 12) % 6 * 42).astype(np.uint8)
+        anim = [g, np.roll(g, 2, axis=0), np.roll(g, 4, axis=0)]
+        media_dir = str(tmp_path / "media_in")
+        # two file waves -> at least two micro-batches
+        spark.createDataFrame(
+            [(1, bytearray(build_gif_animation(anim, delays_cs=[3, 5, 7])))],
+            st.stream.MEDIA_STREAM_SCHEMA,
+        ).write.mode("append").parquet(media_dir)
+        spark.createDataFrame(
+            [
+                (2, bytearray(mm.build_apng(anim, delays=[3, 5, 7]))),
+                (3, bytearray(b"corrupt-not-an-animation")),
+            ],
+            st.stream.MEDIA_STREAM_SCHEMA,
+        ).write.mode("append").parquet(media_dir)
+
+        stream = st.media_stream(spark, media_dir, max_files_per_trigger=1)
+        out = st.animation_frames_stream(stream)
+        _run_to_memory(out, "media_frames")
+        streamed = {
+            (r["media_id"], r["frame_idx"]): (r["delay_cs"], r["dhash"])
+            for r in spark.sql("select * from media_frames").collect()
+        }
+        batch = {
+            (r["media_id"], r["frame_idx"]): (r["delay_cs"], r["dhash"])
+            for r in mm.animation_frames_df(
+                spark.read.parquet(media_dir), skip_errors=True
+            ).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) == 6  # 3 GIF + 3 APNG frames, corrupt dropped
+        # the GIF and APNG twins fingerprint identically frame-by-frame
+        for k in range(3):
+            assert streamed[(1, k)] == streamed[(2, k)]

@@ -9,6 +9,8 @@ accounting, and a foreachBatch incremental-extraction runner.
 
 from .stream import (
     adaptive_delay_stream,
+    animation_frames_stream,
+    media_stream,
     dedup_pages_stream,
     extract_articles_stream,
     host_rate_metrics,
@@ -20,6 +22,8 @@ from .stream import (
 
 __all__ = [
     "pages_stream",
+    "media_stream",
+    "animation_frames_stream",
     "adaptive_delay_stream",
     "dedup_pages_stream",
     "extract_articles_stream",

@@ -315,3 +315,37 @@ def adaptive_delay_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming media demux (round 5): newly crawled media files demux to
+# frame fingerprints per micro-batch — the incremental feed a
+# continuously-updated frame-dedup table consumes.
+# ---------------------------------------------------------------------------
+
+MEDIA_STREAM_SCHEMA = "media_id long, payload binary"
+
+
+def media_stream(
+    spark: SparkSession, media_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source readStream over a media parquet directory (new
+    files = newly crawled payloads)."""
+    return (
+        spark.readStream.schema(MEDIA_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_dir)
+    )
+
+
+def animation_frames_stream(media: DataFrame) -> DataFrame:
+    """STATELESS streaming twin of
+    :func:`~web_scrapper_spark.operators.multimodal.animation_frames_df`:
+    the same Arrow demux pass applied per micro-batch — GIF89a and
+    APNG payloads render to per-frame luma stats + dHash rows as they
+    arrive; a corrupt or non-animation payload costs a row, never the
+    stream. Downstream, the emitted fingerprint rows append to the
+    frame table the batch-side blocked Hamming join dedups."""
+    from ..operators.multimodal import animation_frames_df
+
+    return animation_frames_df(media, skip_errors=True)
