@@ -1315,6 +1315,59 @@ def _q_gif_frame_dedup(spark, sf_dir):
     return mm.animation_near_pairs(media, max_hamming=3, n_chunks=8)
 
 
+def _q_jpeg_exif(spark, sf_dir):
+    """EXIF provenance extraction (rasters.jpeg_exif_fields behind
+    multimodal.image_exif_df): documents become real JPEGs with APP1
+    Exif segments spliced in — make/model/software/datetime/
+    orientation derived from doc_id, byte order alternating II/MM,
+    short-inline and offset-addressed ASCII both exercised, and every
+    fifth id carrying NO Exif (NULL columns). The oracle recomputes
+    the field formulas in pure SQL (construct→parse roundtrip)."""
+    from web_scrapper_spark.operators.multimodal import image_exif_df
+    from web_scrapper_spark.operators.rasters import (
+        build_jpeg,
+        insert_exif,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = (np.arange(64).reshape(8, 8) % 11 * 23).astype(np.uint8)
+        base = build_jpeg(g)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 5 == 4:
+                    payloads.append(base)
+                    continue
+                fields = {
+                    "make": f"cam{i % 7}",
+                    "model": f"M{i % 13}",
+                    "software": f"scraper/{i % 5}",
+                    "datetime": (
+                        f"{2020 + i % 6:04d}:{i % 12 + 1:02d}:"
+                        f"{i % 28 + 1:02d} {i % 24:02d}:"
+                        f"{i * 7 % 60:02d}:{i * 13 % 60:02d}"
+                    ),
+                    "orientation": i % 8 + 1,
+                }
+                payloads.append(
+                    insert_exif(
+                        base, fields, "II" if i % 2 == 0 else "MM"
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return image_exif_df(media)
+
+
 def _q_favicon_decode(spark, sf_dir):
     """REAL BMP + ICO (favicon) decode
     (multimodal.compressed_raster_decoder): 40 genuine payloads —
@@ -5732,6 +5785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anim_cross_dedup": _q_anim_cross_dedup,
         "favicon_decode": _q_favicon_decode,
         "favicon_dhash_pairs": _q_favicon_dhash_pairs,
+        "jpeg_exif": _q_jpeg_exif,
         "registered_domain": _q_registered_domain,
         "pld_flood": _q_pld_flood,
         "embed_decontam": _q_embed_decontam,
@@ -10895,6 +10949,34 @@ def oracle_sql() -> dict[str, str]:
         "anim_cross_dedup": _anim_cross_dedup_oracle_sql(),
         "favicon_decode": _favicon_decode_oracle_sql(),
         "favicon_dhash_pairs": _favicon_dhash_oracle_sql(),
+        "jpeg_exif": """
+            -- construct->parse roundtrip: the extractor must recover
+            -- exactly the Exif fields the builder derived from
+            -- doc_id; every fifth id carries no APP1 -> NULL columns
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE 'cam' || (doc_id % 7) END AS make,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE 'M' || (doc_id % 13) END AS model,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE 'scraper/' || (doc_id % 5) END AS software,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE lpad(CAST(2020 + doc_id % 6 AS VARCHAR), 4, '0')
+                             || ':' ||
+                             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                             || ':' ||
+                             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                             || ' ' ||
+                             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                             || ':' ||
+                             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                             || ':' ||
+                             lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0')
+                        END AS datetime,
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE doc_id % 8 + 1 END AS INT) AS orientation
+            FROM documents
+        """,
         "registered_domain": _registered_domain_oracle_sql(),
         "perceptron_gate": _perceptron_oracle_sql(iters=3, buckets=128),
         "opic_importance": _opic_oracle_sql(),

@@ -1202,3 +1202,88 @@ class TestExtendedTriage:
                 assert isinstance(ok, bool)
         # a .cur file is NOT an ico; a bare RIFF is invalid
         assert parse_media_header(b"RIFF\x00\x00\x00\x00AVI ")[5] is False
+
+
+class TestExif:
+    """Round-5 provenance channel: APP1/TIFF-IFD EXIF build + parse."""
+
+    FIELDS = {
+        "make": "AcmeCam", "model": "X100", "software": "crawl/1.0",
+        "datetime": "2026:08:22 01:02:03", "orientation": 6,
+    }
+
+    def test_roundtrip_both_byte_orders_and_frame_types(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = (np.arange(256).reshape(16, 16) % 13 * 19).astype(np.uint8)
+        for bo in ("II", "MM"):
+            for prog in (False, True):
+                base = rs.build_jpeg(g, progressive=prog)
+                j = rs.insert_exif(base, self.FIELDS, byte_order=bo)
+                assert rs.jpeg_exif_fields(j) == self.FIELDS, (bo, prog)
+                # the splice never touches pixels
+                assert np.array_equal(
+                    rs.jpeg_decode_pixels(j), rs.jpeg_decode_pixels(base)
+                )
+        assert rs.jpeg_exif_fields(rs.build_jpeg(g)) == {}
+
+    def test_inline_and_offset_ascii(self):
+        import numpy as np
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = np.zeros((8, 8), dtype=np.uint8)
+        # <=4 bytes incl NUL stays inline; longer goes offset-addressed
+        short = rs.insert_exif(rs.build_jpeg(g), {"make": "abc"})
+        assert rs.jpeg_exif_fields(short)["make"] == "abc"
+        long_ = rs.insert_exif(
+            rs.build_jpeg(g), {"make": "a-rather-long-camera-name"}
+        )
+        assert (
+            rs.jpeg_exif_fields(long_)["make"]
+            == "a-rather-long-camera-name"
+        )
+
+    def test_malformed_raises_or_empty(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = np.zeros((8, 8), dtype=np.uint8)
+        j = bytearray(rs.insert_exif(rs.build_jpeg(g), self.FIELDS))
+        # corrupt the TIFF byte-order mark -> loud error
+        at = bytes(j).index(b"Exif\x00\x00") + 6
+        j[at:at + 2] = b"XX"
+        with _pytest.raises(ValueError, match="byte order"):
+            rs.jpeg_exif_fields(bytes(j))
+        with _pytest.raises(ValueError, match="SOI"):
+            rs.jpeg_exif_fields(b"not a jpeg")
+        with _pytest.raises(ValueError, match="unsupported EXIF"):
+            rs.exif_app1({"nope": 1})
+
+    def test_spark_exif_df(self, spark):
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = np.zeros((8, 8), dtype=np.uint8)
+        base = rs.build_jpeg(g)
+        rows = [
+            (1, bytearray(rs.insert_exif(base, self.FIELDS, "II"))),
+            (2, bytearray(rs.insert_exif(base, self.FIELDS, "MM"))),
+            (3, bytearray(base)),          # no Exif -> NULLs
+            (4, bytearray(b"not media")),  # parse error -> NULLs
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in mm.image_exif_df(media).collect()}
+        for mid in (1, 2):
+            assert got[mid]["make"] == "AcmeCam"
+            assert got[mid]["orientation"] == 6
+            assert got[mid]["datetime"] == "2026:08:22 01:02:03"
+        for mid in (3, 4):
+            assert got[mid]["make"] is None
+            assert got[mid]["orientation"] is None

@@ -2404,3 +2404,53 @@ def planted_favicon_media_rows(n: int = 40, period: int = 28) -> list:
             )
         )
     return rows
+
+
+EXIF_FIELDS_SCHEMA = (
+    "media_id long, make string, model string, software string, "
+    "datetime string, orientation int"
+)
+
+
+def image_exif_df(media: DataFrame) -> DataFrame:
+    """Provenance extraction without pixel decode
+    (:func:`~web_scrapper_spark.operators.rasters.jpeg_exif_fields`):
+    one Arrow pass over the payload bytes emits the governance columns
+    a training-data pipeline filters on — camera make/model, authoring
+    software, capture timestamp, orientation. JPEGs without Exif (and
+    non-JPEG payloads) yield NULL columns; payload bytes never leave
+    the scan partition."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .rasters import jpeg_exif_fields
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    f = jpeg_exif_fields(bytes(payload or b""))
+                except ValueError:
+                    f = {}
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "make": f.get("make"),
+                        "model": f.get("model"),
+                        "software": f.get("software"),
+                        "datetime": f.get("datetime"),
+                        "orientation": f.get("orientation"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "make", "model", "software", "datetime",
+                    "orientation",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=EXIF_FIELDS_SCHEMA
+    )

@@ -1938,3 +1938,138 @@ def gif_decode_frames(payload: bytes) -> List[dict]:
             screen[top:top + fh, left:left + fw] = saved
         delay_cs, disposal, transparent = 0, 0, None
     raise ValueError("truncated GIF (no trailer)")
+
+
+# ---------------------------------------------------------------------------
+# EXIF (round 5): the provenance channel of web imagery. APP1/TIFF-IFD
+# metadata — camera make/model, authoring software, timestamps,
+# orientation — is what a training-data pipeline needs for governance
+# (provenance filters, synthetic-image heuristics, dedup tie-breaks)
+# without decoding a single pixel. Real byte-level TIFF parsing, both
+# byte orders, no library.
+# ---------------------------------------------------------------------------
+
+#: the governance tags the extractor surfaces: tag id → (name, kind)
+EXIF_TAGS = {
+    0x010F: ("make", "ascii"),
+    0x0110: ("model", "ascii"),
+    0x0131: ("software", "ascii"),
+    0x0132: ("datetime", "ascii"),
+    0x0112: ("orientation", "short"),
+}
+
+
+def exif_app1(fields: dict, byte_order: str = "II") -> bytes:
+    """A real APP1 Exif segment: TIFF header in ``byte_order``
+    (``II`` little- or ``MM`` big-endian) + IFD0 carrying the
+    :data:`EXIF_TAGS` subset of ``fields`` — ASCII values NUL-
+    terminated (inline when ≤4 bytes, offset-addressed otherwise),
+    orientation as SHORT. Pure function shared by fixtures and the
+    driver-oracle builder; any external EXIF reader can verify the
+    bytes."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    name_of = {name: (tag, kind) for tag, (name, kind) in EXIF_TAGS.items()}
+    entries = []
+    for name in sorted(fields):
+        if name not in name_of:
+            raise ValueError(f"unsupported EXIF field {name!r}")
+        tag, kind = name_of[name]
+        entries.append((tag, kind, fields[name]))
+    entries.sort()  # TIFF requires ascending tag order
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    body = bytearray()
+    overflow = bytearray()
+    body += struct.pack(e + "H", n)
+    for tag, kind, value in entries:
+        if kind == "short":
+            body += struct.pack(e + "HHI", tag, 3, 1)
+            body += struct.pack(e + "H", int(value)) + b"\x00\x00"
+            continue
+        raw = str(value).encode("ascii") + b"\x00"
+        body += struct.pack(e + "HHI", tag, 2, len(raw))
+        if len(raw) <= 4:
+            body += raw + b"\x00" * (4 - len(raw))
+        else:
+            body += struct.pack(e + "I", data_off + len(overflow))
+            overflow += raw
+    body += struct.pack(e + "I", 0)  # no next IFD
+    tiff = (
+        byte_order.encode() + struct.pack(e + "HI", 42, ifd_off)
+        + bytes(body) + bytes(overflow)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_exif(jpeg: bytes, fields: dict, byte_order: str = "II") -> bytes:
+    """Splice an APP1 Exif segment into an existing JPEG, right after
+    SOI (before APP0/JFIF — the layout cameras emit). Works on any
+    frame type the module encodes, baseline or progressive."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    return jpeg[:2] + exif_app1(fields, byte_order) + jpeg[2:]
+
+
+def jpeg_exif_fields(payload: bytes) -> dict:
+    """REAL EXIF extraction: marker walk to APP1 ``Exif\\0\\0``, TIFF
+    header (II/MM, magic 42), IFD0 entry walk, the
+    :data:`EXIF_TAGS` subset decoded (ASCII inline-or-offset, SHORT).
+    Returns ``{}`` when the JPEG carries no Exif APP1; malformed TIFF
+    structures raise ``ValueError``."""
+    b = payload or b""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = b[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no more APP segments
+            return {}
+        (seglen,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            if t[:2] == b"II":
+                e = "<"
+            elif t[:2] == b"MM":
+                e = ">"
+            else:
+                raise ValueError("bad TIFF byte order")
+            magic, ifd = struct.unpack(e + "HI", t[2:8])
+            if magic != 42:
+                raise ValueError("bad TIFF magic")
+            if ifd + 2 > len(t):
+                raise ValueError("truncated IFD")
+            (n,) = struct.unpack(e + "H", t[ifd:ifd + 2])
+            out = {}
+            for k in range(n):
+                at = ifd + 2 + 12 * k
+                if at + 12 > len(t):
+                    raise ValueError("truncated IFD entry")
+                tag, typ, cnt = struct.unpack(e + "HHI", t[at:at + 8])
+                if tag not in EXIF_TAGS:
+                    continue
+                name, kind = EXIF_TAGS[tag]
+                if kind == "short" and typ == 3:
+                    out[name] = struct.unpack(
+                        e + "H", t[at + 8:at + 10]
+                    )[0]
+                elif kind == "ascii" and typ == 2:
+                    if cnt <= 4:
+                        raw = t[at + 8:at + 8 + cnt]
+                    else:
+                        (off,) = struct.unpack(e + "I", t[at + 8:at + 12])
+                        if off + cnt > len(t):
+                            raise ValueError("truncated ASCII value")
+                        raw = t[off:off + cnt]
+                    out[name] = raw.split(b"\x00")[0].decode(
+                        "ascii", "replace"
+                    )
+            return out
+        pos += 2 + seglen
+    return {}
