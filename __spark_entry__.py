@@ -1365,7 +1365,13 @@ def _q_jpeg_exif(spark, sf_dir):
             )
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
-    return image_exif_df(media)
+    res = image_exif_df(media)
+    # NULL ints coalesce to -1 for the pandas dtype boundary (the
+    # repo convention media_sniff established)
+    return res.withColumn(
+        "orientation",
+        F.coalesce(F.col("orientation"), F.lit(-1)).cast("int"),
+    )
 
 
 def _q_favicon_decode(spark, sf_dir):
@@ -10973,7 +10979,7 @@ def oracle_sql() -> dict[str, str]:
                              || ':' ||
                              lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0')
                         END AS datetime,
-                   CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN -1
                         ELSE doc_id % 8 + 1 END AS INT) AS orientation
             FROM documents
         """,

@@ -1287,3 +1287,66 @@ class TestExif:
         for mid in (3, 4):
             assert got[mid]["make"] is None
             assert got[mid]["orientation"] is None
+
+    def test_fill_bytes_and_truncated_tiff(self):
+        # review findings: spec-legal 0xFF fill bytes before markers
+        # must not desync either walk, and a truncated TIFF header
+        # raises the documented ValueError (not struct.error)
+        import numpy as np
+        import pytest as _pytest
+        import struct
+
+        from web_scrapper_spark.operators import rasters as rs
+
+        g = np.zeros((8, 8), dtype=np.uint8)
+        j = rs.insert_exif(rs.build_jpeg(g), self.FIELDS)
+        filled = j[:2] + b"\xff\xff" + j[2:]
+        assert rs.jpeg_exif_fields(filled) == self.FIELDS
+        assert np.array_equal(
+            rs.jpeg_decode_pixels(filled), rs.jpeg_decode_pixels(j)
+        )
+        bad = (
+            b"\xff\xd8\xff\xe1" + struct.pack(">H", 10)
+            + b"Exif\x00\x00II"
+        )
+        with _pytest.raises(ValueError, match="truncated TIFF"):
+            rs.jpeg_exif_fields(bad)
+
+    def test_skip_errors_covers_stdlib_parse_failures(self, spark):
+        # review finding: corrupt payloads can raise zlib.error /
+        # struct.error out of the byte-level decoders — skip_errors
+        # paths must treat those as a lost row, never a lost job
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from web_scrapper_spark.operators import multimodal as mm
+
+        g = np.zeros((8, 8), dtype=np.uint8)
+        good = bytearray(mm.build_png(g))
+        i = bytes(good).index(b"IDAT") - 4
+        (ln,) = struct.unpack(">I", good[i:i + 4])
+        data = bytes(good[i + 8:i + 8 + ln])[: ln // 2]
+        rest = good[i + 12 + ln:]
+        trunc = (
+            good[:i] + struct.pack(">I", len(data)) + b"IDAT" + data
+            + struct.pack(
+                ">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF
+            )
+            + rest
+        )
+        mm.register_decoder("image", mm.compressed_raster_decoder)
+        rows = [
+            (1, bytearray(mm.build_png(g)),),
+            (2, bytearray(bytes(trunc)),),  # zlib.error inside decode
+        ]
+        media = spark.createDataFrame(
+            [
+                (mid, "image", p, None)
+                for mid, p in rows
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        got = mm.image_dhash_df(media, skip_errors=True).collect()
+        assert [r["media_id"] for r in got] == [1]

@@ -715,11 +715,17 @@ class TestRasterCodecProperties:
             payload = mm.build_bmp(px)
             eng = mm.bmp_decode_pixels(payload)
         else:
+            # decoy only when the main entry is strictly larger —
+            # largest-entry-wins keeps the FIRST entry on area ties
+            # (documented), so a 1x1 main image must stand alone
             decoy = rng.integers(0, 256, (1, 1), dtype=np.int64).astype(
                 np.uint8
             )
+            entries = [decoy, px] if h * w > 1 else [px]
+            main_bit = len(entries) - 1
             payload = mm.build_ico(
-                [decoy, px], png_mask=0b10 if kind == 3 else 0
+                entries,
+                png_mask=(1 << main_bit) if kind == 3 else 0,
             )
             eng = mm.ico_decode_pixels(payload)
         ora = np.array(self._oracle()._oracle_favicon_decode(payload))

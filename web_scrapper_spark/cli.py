@@ -564,19 +564,20 @@ def analyze_media(in_path, id_col, payload_col, cpus, mode, max_hamming,
             F.col(payload_col).alias("payload"),
         )
         if mode == "sniff":
-            sniffed = mm.sniff_media_headers(media)
-            out = sniffed
-            rows = (
-                sniffed.groupBy("format", "valid").count()
-                .orderBy("format", "valid").collect()
-            )
-            summary = {
-                "by_format": [
-                    {"format": r["format"], "valid": r["valid"],
-                     "count": r["count"]}
-                    for r in rows
-                ],
-            }
+            out = mm.sniff_media_headers(media)
+
+            def summarize(df):
+                rows = (
+                    df.groupBy("format", "valid").count()
+                    .orderBy("format", "valid").collect()
+                )
+                return {
+                    "by_format": [
+                        {"format": r["format"], "valid": r["valid"],
+                         "count": r["count"]}
+                        for r in rows
+                    ],
+                }
         else:
             full = media.select(
                 "media_id",
@@ -589,25 +590,36 @@ def analyze_media(in_path, id_col, payload_col, cpus, mode, max_hamming,
             )
             if mode == "frames":
                 out = mm.animation_frames_df(full, skip_errors=True)
-                agg = out.agg(
-                    F.countDistinct("media_id").alias("animations"),
-                    F.count(F.lit(1)).alias("frames"),
-                ).collect()[0]
-                summary = {"animations": agg["animations"],
-                           "frames": agg["frames"]}
+
+                def summarize(df):
+                    agg = df.agg(
+                        F.countDistinct("media_id").alias("animations"),
+                        F.count(F.lit(1)).alias("frames"),
+                    ).collect()[0]
+                    return {"animations": agg["animations"],
+                            "frames": agg["frames"]}
             elif mode == "dedup":
                 mm.register_decoder("image", mm.compressed_raster_decoder)
                 out = mm.dhash_near_pairs(
                     full, max_hamming=max_hamming, skip_errors=True
                 )
-                summary = {"near_dup_pairs": out.count()}
+
+                def summarize(df):
+                    return {"near_dup_pairs": df.count()}
             else:  # anim-dedup
                 out = mm.animation_near_pairs(
                     full, max_hamming=max_hamming, skip_errors=True
                 )
-                summary = {"near_dup_animation_pairs": out.count()}
+
+                def summarize(df):
+                    return {"near_dup_animation_pairs": df.count()}
         if out_path:
+            # write FIRST and summarize from the sink: the decode/join
+            # pipeline executes once, not once per consumer
             out.write.mode("overwrite").parquet(out_path)
+            out = spark.read.parquet(out_path)
+        summary = summarize(out)
+        if out_path:
             summary["output"] = out_path
         summary["mode"] = mode
         click.echo(json.dumps(summary))

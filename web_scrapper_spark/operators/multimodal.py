@@ -46,6 +46,19 @@ FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
 _DECODERS: dict = {}
 
 
+def _decode_error_types():
+    """The exception classes a malformed crawled payload can
+    legitimately raise out of the byte-level decoders: the documented
+    ValueError contract plus the stdlib parsing layers beneath it
+    (zlib streams, struct unpacks, short-buffer indexing). skip_errors
+    paths catch exactly these — anything else is a real bug and must
+    still fail the job."""
+    import struct
+    import zlib
+
+    return (ValueError, IndexError, struct.error, zlib.error)
+
+
 def register_decoder(kind: str, fn: Callable) -> None:
     _DECODERS[kind] = fn
 
@@ -353,7 +366,8 @@ def parse_media_header(b: bytes):
         if len(b) >= 26:
             w = int.from_bytes(b[18:22], "little", signed=True)
             h = abs(int.from_bytes(b[22:26], "little", signed=True))
-            return ("bmp", w, h, None, None, True)
+            if w > 0 and h > 0:  # decodability matches the decoder
+                return ("bmp", w, h, None, None, True)
         return ("bmp", None, None, None, None, False)
     if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 6 and (b[4] | b[5]):
         # ICO: (w, h) of the LARGEST directory entry (0 bytes = 256)
@@ -449,7 +463,7 @@ def image_dhash_df(media: DataFrame, skip_errors: bool = False) -> DataFrame:
                 meta = dict(meta) if meta is not None else {}
                 try:
                     grid = _decode(decoders, kind, payload, meta)
-                except ValueError:
+                except _decode_error_types():
                     if skip_errors:
                         continue
                     raise
@@ -1505,7 +1519,7 @@ def animation_frames_df(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames = animation_demux(bytes(payload or b""))
-                except ValueError:
+                except _decode_error_types():
                     if skip_errors:
                         continue
                     raise
@@ -2260,16 +2274,11 @@ def build_ico(images, png_mask: int = 0) -> bytes:
         if (png_mask >> k) & 1:
             blobs.append(build_png(g))
         else:
-            bmp = build_bmp(g)
-            # strip the 14-byte file header, double the height, append
-            # the AND mask (all visible), patch the image-size field
-            import struct as _s
-
-            dib = bytearray(bmp[14:])
-            (hsize, w_, h_, planes, bpp) = _s.unpack(
-                "<IiiHH", dib[:16]
-            )
-            _s.pack_into("<i", dib, 8, h_ * 2)
+            # strip the 14-byte file header, double the header height
+            # (ICO convention: XOR image + AND mask share one DIB),
+            # append an all-zero AND mask (every pixel visible)
+            dib = bytearray(build_bmp(g)[14:])
+            struct.pack_into("<i", dib, 8, h * 2)
             mask_stride = ((w + 31) // 32) * 4
             dib += b"\x00" * (mask_stride * h)
             blobs.append(bytes(dib))
@@ -2431,7 +2440,7 @@ def image_exif_df(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     f = jpeg_exif_fields(bytes(payload or b""))
-                except ValueError:
+                except _decode_error_types():
                     f = {}
                 rows.append(
                     {

@@ -1055,6 +1055,11 @@ def jpeg_decode_pixels(payload: bytes) -> "np.ndarray":
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker desync")
+        # spec-legal fill bytes: runs of 0xFF may pad before a marker
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            break
         marker = b[pos + 1]
         if marker == 0xD9:
             break
@@ -2027,6 +2032,12 @@ def jpeg_exif_fields(payload: bytes) -> dict:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker desync")
+        # spec-legal fill bytes: any run of 0xFF may pad before the
+        # marker id (real camera files use them)
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            return {}
         marker = b[pos + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS: no more APP segments
             return {}
@@ -2034,6 +2045,8 @@ def jpeg_exif_fields(payload: bytes) -> dict:
         seg = b[pos + 4:pos + 2 + seglen]
         if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
             t = seg[6:]
+            if len(t) < 8:
+                raise ValueError("truncated TIFF header")
             if t[:2] == b"II":
                 e = "<"
             elif t[:2] == b"MM":
