@@ -4272,6 +4272,86 @@ def _q_postings(spark, sf_dir):
     )
 
 
+def _q_positional_postings(spark, sf_dir):
+    """Positional inverted index (operators/textops.py
+    build_positional_postings): the `postings` query plus per-
+    occurrence token offsets (the Lucene PositionsEnum layout phrase
+    queries intersect). Same df gates/blocking as `postings`; the
+    flatten explodes BOTH grains — posting entries within blocks AND
+    offsets within entries — so the hash validates within-block order
+    and within-list offset order. The oracle re-derives every offset
+    relationally (generate_subscripts over the proven tokenizer)."""
+    from web_scrapper_spark.operators.textops import (
+        build_positional_postings,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_positional_postings(
+        docs, docs.count(), min_df=2, max_df_ppm=800_000, block_size=64
+    )
+    flat = idx.select(
+        "term",
+        "df",
+        "block",
+        F.posexplode(
+            F.arrays_zip("doc_ids", "tfs", "position_lists")
+        ).alias("pos", "entry"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.doc_ids").alias("doc_id"),
+        F.col("entry.tfs").alias("tf"),
+        F.col("entry.position_lists").alias("_pl"),
+    )
+    return flat.select(
+        "term",
+        "df",
+        "block",
+        "pos",
+        "doc_id",
+        "tf",
+        F.posexplode("_pl").alias("pidx", "position"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        "pos",
+        "doc_id",
+        "tf",
+        F.col("pidx").cast("long").alias("pidx"),
+        F.col("position").cast("long").alias("position"),
+    )
+
+
+def _q_phrase_search(spark, sf_dir):
+    """Exact phrase query (operators/textops.py phrase_search):
+    slop=0 PhraseQuery for "value table" over the documents corpus,
+    top-20 by (occurrences desc, doc_id asc). The oracle replays the
+    slot-alignment rule relationally — every offset of term_i votes
+    for base p-i, a base all slots voted is a match — so the hash
+    pins tokenization, alignment, dedup of bases AND the ranking."""
+    from web_scrapper_spark.operators.textops import phrase_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return phrase_search(docs, "value table", k=20)
+
+
+def _q_snippets(spark, sf_dir):
+    """Search-result snippets (operators/textops.py snippet_extract):
+    for each doc matching >=1 of {query, spark, window}, the 12-token
+    span covering the most distinct query terms (ties -> earliest),
+    rendered as space-joined tokens. Engine scores spans with a
+    per-doc range-frame window; the oracle re-derives them with a
+    bounded positional SELF-JOIN — different formulation, same rule —
+    then slices the token list for the rendering."""
+    from web_scrapper_spark.operators.textops import snippet_extract
+
+    docs = _read(spark, sf_dir, "documents")
+    return snippet_extract(docs, "query spark window", window=12)
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -5826,6 +5906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": _q_mix_sources,
         "token_budget": _q_token_budget,
         "postings": _q_postings,
+        "positional_postings": _q_positional_postings,
+        "phrase_search": _q_phrase_search,
+        "snippets": _q_snippets,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
         "asof_join": _q_asof_join,
@@ -9715,6 +9798,106 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, tf
             FROM kept
             WINDOW w AS (PARTITION BY term ORDER BY doc_id ASC)
+        """,
+        "positional_postings": f"""
+            -- positional-index replay: the postings oracle plus every
+            -- 0-based token offset, re-derived with generate_subscripts
+            -- over the same tokenizer and exploded at offset grain so
+            -- within-list order is hashed too.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(t) AS term,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+              FROM toks
+            ), ptf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                     list_sort(list(p)) AS positions
+              FROM occ GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM ptf GROUP BY term
+            ), kept AS (
+              SELECT ptf.term, ptf.doc_id, ptf.tf, ptf.positions, dft.df
+              FROM ptf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            ), blocked AS (
+              SELECT term, df,
+                     CAST((row_number() OVER w - 1) // 64 AS BIGINT) AS block,
+                     CAST((row_number() OVER w - 1) % 64 AS BIGINT) AS pos,
+                     doc_id, tf, positions
+              FROM kept
+              WINDOW w AS (PARTITION BY term ORDER BY doc_id ASC)
+            )
+            SELECT term, df, block, pos, doc_id, tf,
+                   CAST(generate_subscripts(positions, 1) - 1 AS BIGINT)
+                     AS pidx,
+                   CAST(unnest(positions) AS BIGINT) AS position
+            FROM blocked
+        """,
+        "phrase_search": f"""
+            -- slot-alignment phrase replay for "value table": term_i
+            -- at offset p votes for base p-i; a base with ALL slots is
+            -- one phrase occurrence; rank (count desc, doc asc) top-20.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(t) AS term,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+              FROM toks
+            ), slots(term, slot) AS (
+              VALUES ('value', CAST(0 AS BIGINT)),
+                     ('table', CAST(1 AS BIGINT))
+            ), hits AS (
+              SELECT occ.doc_id, occ.p - slots.slot AS base, slots.slot
+              FROM occ JOIN slots USING (term)
+              WHERE occ.p - slots.slot >= 0
+            ), starts AS (
+              SELECT doc_id, base FROM hits
+              GROUP BY doc_id, base
+              HAVING count(DISTINCT slot) = 2
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS phrase_tf,
+                   CAST(min(base) AS BIGINT) AS first_pos
+            FROM starts GROUP BY doc_id
+            ORDER BY phrase_tf DESC, doc_id ASC LIMIT 20
+        """,
+        "snippets": f"""
+            -- best-fragment replay for {{query, spark, window}}, 12
+            -- tokens: score every match offset by DISTINCT query terms
+            -- inside [p, p+11] via a positional self-join (the engine
+            -- uses a range-frame window — different formulation, same
+            -- rule), pick (score desc, offset asc), slice the token
+            -- list for the rendering.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, term, p FROM (
+                SELECT doc_id, unnest(t) AS term,
+                       CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+                FROM toks
+              ) WHERE term IN ('query', 'spark', 'window')
+            ), sc AS (
+              SELECT m1.doc_id, m1.p AS start,
+                     CAST(count(DISTINCT m2.term) AS BIGINT) AS n_terms
+              FROM occ m1 JOIN occ m2
+                ON m1.doc_id = m2.doc_id
+               AND m2.p >= m1.p AND m2.p < m1.p + 12
+              GROUP BY m1.doc_id, m1.p
+            ), win AS (
+              SELECT doc_id, start, n_terms,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY n_terms DESC, start ASC) AS rn
+              FROM sc
+            )
+            SELECT w.doc_id, CAST(w.start AS BIGINT) AS start, w.n_terms,
+                   array_to_string(
+                     t.t[w.start + 1 : w.start + 12], ' ') AS snippet
+            FROM win w JOIN toks t USING (doc_id) WHERE w.rn = 1
         """,
         "token_budget": """
             -- the rule the histogram path must equal: one global

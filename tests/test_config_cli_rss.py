@@ -1043,3 +1043,94 @@ class TestAnalyzeMediaCli:
             assert rep["near_dup_animation_pairs"] >= 1  # GIF≡APNG twin
         finally:
             spark.stop = real_stop
+
+
+class TestSearchCliPhrase:
+    """analyze search --phrase / --snippet-window: positional retrieval
+    as a CLI surface."""
+
+    def _docs_path(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [
+                (1, "machine learning with big data and machine learning"),
+                (2, "learning machine tricks"),
+                (3, "big data machine learning pipelines at scale"),
+            ],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        return dpath
+
+    def test_phrase_with_snippets(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        dpath = self._docs_path(spark, tmp_path)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--phrase",
+             "machine learning", "--snippet-window", "4",
+             "--topk", "5", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        # doc2 has the terms reversed — never a phrase match
+        assert [(x["doc_id"], x["phrase_tf"]) for x in rows] == [
+            (1, 2), (3, 1)
+        ]
+        assert rows[0]["first_pos"] == 0
+        assert rows[0]["snippet"].startswith("machine learning")
+        assert all("snippet" in x for x in rows)
+
+    def test_query_snippets_attach_per_hit(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        dpath = self._docs_path(spark, tmp_path)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "pipelines",
+             "--snippet-window", "3", "--topk", "2", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert rows[0]["doc_id"] == 3
+        assert "pipelines" in rows[0]["snippet"]
+
+    def test_usage_guards(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        dpath = self._docs_path(spark, tmp_path)
+        runner = CliRunner()
+        # --phrase with -q
+        bad = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "x",
+             "--phrase", "a b"],
+        )
+        assert bad.exit_code != 0
+        # --phrase needs an input table, not a store
+        bad2 = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "--from-store", str(tmp_path),
+             "--phrase", "a b"],
+        )
+        assert bad2.exit_code != 0
+        # snippets need text: refused with --like
+        bad3 = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--like", "1",
+             "--snippet-window", "5"],
+        )
+        assert bad3.exit_code != 0

@@ -4392,3 +4392,209 @@ class TestHostMoves:
         out = self._run(spark, rows, min_pages=1, min_share_ppm=1)
         assert "p.com:80" in out and out["p.com:80"]["dst_host"] == "q.com:443"
         assert "p.com" in out and out["p.com"]["dst_host"] == "r.com"
+
+
+class TestPositionalPostings:
+    """Positional inverted index (textops.build_positional_postings)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_offsets_sorted_and_aligned_with_tf(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+        )
+
+        rows = [(1, "alpha beta alpha"), (2, "beta alpha"), (3, "beta")]
+        out = {
+            (r["term"], r["block"]): r
+            for r in build_positional_postings(
+                self._docs(spark, rows), 3
+            ).collect()
+        }
+        a = out[("alpha", 0)]
+        assert list(a["doc_ids"]) == [1, 2]
+        assert [list(p) for p in a["position_lists"]] == [[0, 2], [1]]
+        assert list(a["tfs"]) == [2, 1]
+        b = out[("beta", 0)]
+        assert [list(p) for p in b["position_lists"]] == [[1], [0], [0]]
+        # invariant: size(position_lists[i]) == tfs[i]
+        for r in out.values():
+            assert [len(p) for p in r["position_lists"]] == list(r["tfs"])
+
+    def test_blocking_carries_positions(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+        )
+
+        rows = [(i, "x x x") for i in range(5)]
+        out = sorted(
+            build_positional_postings(
+                self._docs(spark, rows), 5, block_size=2
+            ).collect(),
+            key=lambda r: r["block"],
+        )
+        assert [r["block"] for r in out] == [0, 1, 2]
+        assert all(
+            [list(p) for p in r["position_lists"]]
+            == [[0, 1, 2]] * len(r["doc_ids"])
+            for r in out
+        )
+
+    def test_df_gates_match_plain_postings(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            build_postings,
+        )
+
+        rows = [(i, "the unique%d word extra" % i) for i in range(10)]
+        docs = self._docs(spark, rows)
+        plain = build_postings(docs, 10, min_df=2, max_df_ppm=900_000)
+        positional = build_positional_postings(
+            docs, 10, min_df=2, max_df_ppm=900_000
+        )
+        assert {r["term"] for r in plain.collect()} == {
+            r["term"] for r in positional.collect()
+        }
+
+
+class TestPhraseSearch:
+    """Exact phrase query (textops.phrase_search)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_consecutive_run_required(self, spark):
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        rows = [
+            (1, "big data big data systems"),
+            (2, "big systems data"),       # terms present, not adjacent
+            (3, "data big"),               # wrong order
+        ]
+        out = phrase_search(self._docs(spark, rows), "big data", k=10).collect()
+        assert [(r["doc_id"], r["phrase_tf"], r["first_pos"]) for r in out] == [
+            (1, 2, 0)
+        ]
+
+    def test_duplicate_phrase_terms(self, spark):
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        rows = [(1, "go go go stop"), (2, "go stop go")]
+        out = phrase_search(self._docs(spark, rows), "go go", k=10).collect()
+        # doc1: runs at 0 and 1 (overlapping counts twice); doc2: none
+        assert [(r["doc_id"], r["phrase_tf"]) for r in out] == [(1, 2)]
+
+    def test_ranking_and_k(self, spark):
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        rows = [
+            (1, "a b"), (2, "a b a b"), (3, "a b a b a b"), (4, "b a"),
+        ]
+        out = phrase_search(self._docs(spark, rows), "a b", k=2).collect()
+        assert [(r["doc_id"], r["phrase_tf"]) for r in out] == [(3, 3), (2, 2)]
+
+    def test_index_path_equals_docs_path(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            phrase_search,
+        )
+
+        rows = [
+            (1, "red fish blue fish"),
+            (2, "blue fish red fish blue fish"),
+            (3, "fish red blue"),
+        ]
+        docs = self._docs(spark, rows)
+        idx = build_positional_postings(docs, 3, block_size=2)
+        from_docs = phrase_search(docs, "blue fish", k=10).collect()
+        from_idx = phrase_search(phrase="blue fish", index=idx, k=10).collect()
+        assert [tuple(r) for r in from_docs] == [tuple(r) for r in from_idx]
+        assert [(r["doc_id"], r["phrase_tf"]) for r in from_docs] == [
+            (2, 2), (1, 1)
+        ]
+
+    def test_single_term_phrase_and_null_text(self, spark):
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        rows = [(1, "solo act"), (2, None), (3, "")]
+        out = phrase_search(self._docs(spark, rows), "solo", k=10).collect()
+        assert [(r["doc_id"], r["phrase_tf"], r["first_pos"]) for r in out] == [
+            (1, 1, 0)
+        ]
+
+    def test_contract_errors(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        docs = self._docs(spark, [(1, "x")])
+        with _pytest.raises(ValueError):
+            phrase_search(docs, "   !!!   ")           # no tokens
+        with _pytest.raises(ValueError):
+            phrase_search(docs, "x", index=docs)       # both sources
+        with _pytest.raises(ValueError):
+            phrase_search(phrase="x")                  # neither source
+
+
+class TestSnippetExtract:
+    """Best-fragment snippets (textops.snippet_extract)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_densest_window_wins(self, spark):
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        rows = [(1, "alpha x x x x x x x x alpha beta gamma tail")]
+        out = snippet_extract(
+            self._docs(spark, rows), "alpha beta gamma", window=4
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # window at 9 covers alpha,beta,gamma (3 distinct) vs 1 at 0
+        assert (r["start"], r["n_terms"]) == (9, 3)
+        assert r["snippet"] == "alpha beta gamma tail"
+
+    def test_tie_breaks_earliest(self, spark):
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        rows = [(1, "key a a a a a a a a key")]
+        out = snippet_extract(self._docs(spark, rows), "key", window=3).collect()
+        assert (out[0]["start"], out[0]["n_terms"]) == (0, 1)
+        assert out[0]["snippet"] == "key a a"
+
+    def test_window_clips_at_doc_end(self, spark):
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        rows = [(1, "pad pad target")]
+        out = snippet_extract(self._docs(spark, rows), "target", window=5).collect()
+        assert out[0]["snippet"] == "target"
+
+    def test_non_matching_docs_absent(self, spark):
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        rows = [(1, "hit here"), (2, "nothing relevant"), (3, None)]
+        out = snippet_extract(self._docs(spark, rows), "hit", window=2).collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_query_tokenized_like_corpus(self, spark):
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        # query tokenizer lowers + splits on non-word, same as corpus
+        rows = [(1, "mixed case token stream")]
+        out = snippet_extract(
+            self._docs(spark, rows), "  MIXED, Token!  ", window=3
+        ).collect()
+        assert (out[0]["start"], out[0]["n_terms"]) == (0, 2)
+
+    def test_contract_errors(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import snippet_extract
+
+        docs = self._docs(spark, [(1, "x")])
+        with _pytest.raises(ValueError):
+            snippet_extract(docs, "...")
+        with _pytest.raises(ValueError):
+            snippet_extract(docs, "x", window=0)

@@ -933,6 +933,14 @@ if __name__ == "__main__":
 @click.option("--like", "like_ids", multiple=True, type=int,
               help="More-Like-This: find docs similar to this doc_id "
                    "(repeatable; mutually exclusive with -q/--anchors)")
+@click.option("--phrase", "phrase_str", default=None, type=str,
+              help="exact phrase query (slop=0; consecutive tokens) — "
+                   "mutually exclusive with -q/--like/--anchors; "
+                   "requires -i/--input (the store index is not "
+                   "positional)")
+@click.option("--snippet-window", default=0, show_default=True, type=int,
+              help="attach a best-fragment snippet of this many tokens "
+                   "to every hit (requires -i/--input)")
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
@@ -944,8 +952,8 @@ if __name__ == "__main__":
                    "writing crawl's index_block_size, read back from "
                    "the store's shard metadata)")
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
-                   like_ids, topk, anchors_path, min_df, max_df_ppm,
-                   block_size) -> None:
+                   like_ids, phrase_str, snippet_window, topk, anchors_path,
+                   min_df, max_df_ppm, block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
@@ -963,8 +971,19 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
 
     if bool(in_path) == bool(store_dir):
         raise click.UsageError("pass exactly one of -i/--input or --from-store")
-    if bool(like_ids) == bool(query_strs):
-        raise click.UsageError("pass either -q/--query or --like")
+    n_modes = sum(map(bool, (query_strs, like_ids, phrase_str)))
+    if n_modes != 1:
+        raise click.UsageError("pass exactly one of -q/--query, --like, "
+                               "--phrase")
+    if phrase_str and (anchors_path or store_dir):
+        raise click.UsageError("--phrase requires -i/--input and does not "
+                               "combine with --anchors (the store index "
+                               "carries no positions)")
+    if snippet_window < 0:
+        raise click.UsageError("--snippet-window must be >= 0")
+    if snippet_window and (store_dir or like_ids):
+        raise click.UsageError("--snippet-window requires -i/--input with "
+                               "-q or --phrase (snippets re-read text)")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
     if store_dir and anchors_path:
@@ -1052,6 +1071,38 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             ))
             return
         docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if phrase_str:
+            from .operators.textops import phrase_search, snippet_extract
+
+            out = phrase_search(docs, phrase_str, k=topk)
+            rows = out.collect()
+            snippets = {}
+            if snippet_window and rows:
+                hit_ids = [r["doc_id"] for r in rows]
+                snippets = {
+                    r["doc_id"]: r["snippet"]
+                    for r in snippet_extract(
+                        docs.where(F.col("doc_id").isin(hit_ids)),
+                        phrase_str, window=snippet_window,
+                    ).collect()
+                }
+            click.echo(json.dumps(
+                [
+                    {
+                        "phrase": phrase_str,
+                        "doc_id": r["doc_id"],
+                        "phrase_tf": r["phrase_tf"],
+                        "first_pos": r["first_pos"],
+                        **(
+                            {"snippet": snippets.get(r["doc_id"])}
+                            if snippet_window else {}
+                        ),
+                    }
+                    for r in rows
+                ],
+                indent=2,
+            ))
+            return
         if like_ids:
             out = more_like_this(
                 docs, list(like_ids), k=topk, min_df=min_df,
@@ -1091,6 +1142,20 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             out = bm25_search(idx, qdf, int(tot["n"]), int(tot["t"]), k=topk)
         rows = out.orderBy("query_id", "rank").collect()
         queries_by_id = {i + 1: q for i, q in enumerate(query_strs)}
+        snippets = {}
+        if snippet_window and rows:
+            from .operators.textops import snippet_extract
+
+            # one bounded snippet pass per query, over its hits only
+            for qid, q in queries_by_id.items():
+                hit_ids = [r["doc_id"] for r in rows if r["query_id"] == qid]
+                if not hit_ids:
+                    continue
+                for r in snippet_extract(
+                    docs.where(F.col("doc_id").isin(hit_ids)),
+                    q, window=snippet_window,
+                ).collect():
+                    snippets[(qid, r["doc_id"])] = r["snippet"]
         click.echo(json.dumps(
             [
                 {
@@ -1099,6 +1164,14 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "doc_id": r["doc_id"],
                     "score_u": r["score_u"],
                     "n_terms": r["n_terms"],
+                    **(
+                        {
+                            "snippet": snippets.get(
+                                (r["query_id"], r["doc_id"])
+                            )
+                        }
+                        if snippet_window else {}
+                    ),
                 }
                 for r in rows
             ],

@@ -1059,6 +1059,12 @@ def _assemble_postings(
         .drop("_bkt", "_lr", "_pfx")
     )
     entry_cols = ["doc_id", "tf"] + (["dl"] if include_dls else [])
+    include_positions = "positions" in tf.columns
+    if include_positions:
+        # per-entry payload: the sorted token-offset array rides the
+        # struct unchanged (doc_id leads and is unique, so array_sort's
+        # lexicographic struct order never inspects the array field)
+        entry_cols.append("positions")
     entries = F.array_sort(F.collect_list(F.struct(*entry_cols)))
     out_cols = [
         F.col("term"),
@@ -1069,6 +1075,10 @@ def _assemble_postings(
     ]
     if include_dls:
         out_cols.append(F.transform("_e", lambda x: x["dl"]).alias("dls"))
+    if include_positions:
+        out_cols.append(
+            F.transform("_e", lambda x: x["positions"]).alias("position_lists")
+        )
     return (
         blocked.groupBy("term", "df", "block")
         .agg(entries.alias("_e"))
@@ -1127,6 +1137,232 @@ def merge_postings(
         r = p.select("term", F.explode(zipped).alias("_e")).select(*cols)
         rows = r if rows is None else rows.unionByName(r)
     return _assemble_postings(rows, max_df, min_df, block_size, include_dls)
+
+
+def tokenize_query(text: str) -> list:
+    """Driver-side twin of :func:`tokens_col` for query strings —
+    lower → split on ``TOKEN_SPLIT_REGEX`` → drop empties. The phrase
+    and snippet operators tokenize their (tiny) query argument with
+    this so query terms and indexed terms come from the SAME
+    vocabulary (reference tokenizer: utils/text.py:187)."""
+    import re as _re
+
+    return [t for t in _re.split(TOKEN_SPLIT_REGEX, str(text).lower()) if t]
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    n_docs: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Positional inverted index — :func:`build_postings` plus the
+    per-occurrence token offsets phrase and proximity queries need
+    (the Lucene ``PositionsEnum`` layout: positions live NEXT to the
+    posting entry, so a phrase query never re-reads text).
+
+    One row per (term, block)::
+
+      (term, df, block, doc_ids: array<long>, tfs: array<long>,
+       position_lists: array<array<long>>)
+
+    ``position_lists[i]`` holds the ascending 0-based token offsets of
+    ``term`` in ``doc_ids[i]``; ``size(position_lists[i]) == tfs[i]``
+    by construction. Blocking, df gates and skew shape are shared with
+    :func:`build_postings` via the same assembly tail — the only
+    addition is the per-(term, doc) sorted offset array, aggregated
+    map-side from the SAME posexplode that produces tf (no second
+    tokenization, no extra exchange).
+
+    Scale shape: identical to build_postings — (term, doc_id) rows
+    carry one extra array column whose total size is the token count
+    of the corpus; text itself never shuffles.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    max_df = (max_df_ppm * int(n_docs)) // 1_000_000
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    tf = (
+        staged.select(
+            "doc_id", F.posexplode("_toks").alias("p", "term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_sort(
+                F.collect_list(F.col("p").cast("long"))
+            ).alias("positions"),
+        )
+    )
+    return _assemble_postings(tf, max_df, min_df, block_size, False)
+
+
+def phrase_search(
+    docs: Optional[DataFrame] = None,
+    phrase: str = "",
+    *,
+    index: Optional[DataFrame] = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query — every doc containing the query tokens as a
+    CONSECUTIVE run, ranked by occurrence count (Lucene
+    ``PhraseQuery`` with slop=0).
+
+    Returns ``(doc_id, phrase_tf, first_pos)`` — top-``k`` by
+    (phrase_tf desc, doc_id asc), ``first_pos`` the earliest match
+    offset (the snippet anchor).
+
+    Algorithm (the classic positional-intersection reshaped as
+    relational ops): tokenize the phrase into slots ``(term_i, i)``;
+    every occurrence of ``term_i`` at offset ``p`` votes for alignment
+    base ``p - i``; a base where ALL slots voted is a phrase match.
+    Duplicate phrase terms need no special case — each slot checks its
+    own offset independently ("table table" demands positions p and
+    p+1 both hold "table").
+
+    Sources: ``docs`` (tokenize once, filter to query terms BEFORE any
+    aggregation) or ``index=`` (a :func:`build_positional_postings`
+    frame — only the query terms' blocks are read; build it UNGATED or
+    ensure the phrase terms survive the df gates, else matches are
+    silently lost — same contract as any gated index).
+
+    Scale shape: the slots table is query-sized and broadcast; only
+    the query terms' occurrence rows survive the join, and both
+    aggregates are map-side combined on (doc_id, base) / (doc_id).
+    Final ranking is orderBy+limit = TakeOrdered, no full sort.
+    """
+    terms = tokenize_query(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    if (docs is None) == (index is None):
+        raise ValueError("exactly one of docs / index is required")
+    src = docs if docs is not None else index
+    spark = src.sparkSession
+    slots = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, slot long"
+    )
+    if docs is not None:
+        occ = fan_out(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("p", "term"),
+        ).select("doc_id", F.col("p").cast("long").alias("p"), "term")
+    else:
+        occ = (
+            index.where(F.col("term").isin(terms))
+            .select(
+                "term",
+                F.explode(
+                    F.arrays_zip("doc_ids", "position_lists")
+                ).alias("_e"),
+            )
+            .select(
+                "term",
+                F.col("_e.doc_ids").alias("doc_id"),
+                F.explode("_e.position_lists").alias("p"),
+            )
+        )
+    hits = (
+        occ.join(F.broadcast(slots), "term")
+        .select(
+            "doc_id", "slot", (F.col("p") - F.col("slot")).alias("base")
+        )
+        .where(F.col("base") >= 0)
+    )
+    starts = (
+        hits.groupBy("doc_id", "base")
+        .agg(F.countDistinct("slot").alias("_n"))
+        .where(F.col("_n") == len(terms))
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("phrase_tf"),
+            F.min("base").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def snippet_extract(
+    docs: DataFrame,
+    query: str,
+    *,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic search-result snippets — for every doc matching
+    ≥1 query term, the ``window``-token span covering the MOST
+    DISTINCT query terms (ties → earliest span), rendered as text
+    (the Lucene highlighter's best-fragment rule, made total-order
+    deterministic).
+
+    Returns ``(doc_id, start, n_terms, snippet)``: 0-based token
+    offset of the span, distinct query terms inside it, and the span's
+    tokens joined by single spaces (tokenized rendering — byte-offset
+    highlighting would need the raw text anyway; this is the ranking
+    primitive).
+
+    Scale shape: spans are scored with ONE per-doc range-frame window
+    (``range [p, p+window-1]`` over match offsets — O(matches×window)
+    scan, partitioned by doc so no cross-doc skew is possible), the
+    winner picked with a map-side-combinable min(struct) aggregate,
+    and the text re-joined ONCE at doc grain for rendering. Only docs
+    with matches flow past the first filter.
+    """
+    q_terms = sorted(set(tokenize_query(query)))
+    if not q_terms:
+        raise ValueError("query must contain at least one token")
+    if window <= 0:
+        raise ValueError("window must be positive")
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    matches = staged.select(
+        "doc_id", F.posexplode("_toks").alias("p", "term")
+    ).where(F.col("term").isin(q_terms))
+    w_span = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("p"))
+        .rangeBetween(0, window - 1)
+    )
+    scored = matches.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.size(
+            F.array_distinct(F.collect_list("term").over(w_span))
+        ).cast("long").alias("hits"),
+    )
+    winners = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("hits")).alias("_neg"), F.col("p").alias("start")
+            )
+        ).alias("_w")
+    ).select(
+        "doc_id",
+        F.col("_w.start").alias("start"),
+        (-F.col("_w._neg")).alias("n_terms"),
+    )
+    return winners.join(staged, "doc_id").select(
+        "doc_id",
+        "start",
+        "n_terms",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start") + 1, window), " "
+        ).alias("snippet"),
+    )
 
 
 def doc_lengths(
