@@ -4352,6 +4352,38 @@ def _q_snippets(spark, sf_dir):
     return snippet_extract(docs, "query spark window", window=12)
 
 
+def _q_proximity_search(spark, sf_dir):
+    """Unordered proximity query (operators/textops.py
+    proximity_search): docs where {query, spark, window} all co-occur
+    inside a 12-token span, ranked by span count — Lucene's unordered
+    SpanNearQuery between a bag-of-words AND and slop=0 phrase. The
+    engine scores spans with the snippet range-frame window; the
+    oracle replays them with a bounded positional self-join and a
+    full-coverage HAVING — different formulation, same rule."""
+    from web_scrapper_spark.operators.textops import proximity_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return proximity_search(docs, "query spark window", window=12, k=25)
+
+
+def _q_phrase_from_index(spark, sf_dir):
+    """Phrase query served from a PERSISTED positional index
+    (operators/textops.py phrase_search(index=)): build the positional
+    index ungated, then answer "value table" reading ONLY the two query
+    terms' posting blocks — never the text. The oracle is the SAME
+    relational phrase replay as `phrase_search`, so a hash match proves
+    from-index ≡ from-text exactly (the mlt_from_index discipline
+    applied to phrase retrieval)."""
+    from web_scrapper_spark.operators.textops import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_positional_postings(docs, docs.count(), block_size=64)
+    return phrase_search(phrase="value table", index=idx, k=20)
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -5908,6 +5940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "positional_postings": _q_positional_postings,
         "phrase_search": _q_phrase_search,
+        "phrase_from_index": _q_phrase_from_index,
+        "proximity_search": _q_proximity_search,
         "snippets": _q_snippets,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
@@ -9865,6 +9899,33 @@ def oracle_sql() -> dict[str, str]:
             FROM starts GROUP BY doc_id
             ORDER BY phrase_tf DESC, doc_id ASC LIMIT 20
         """,
+        "proximity_search": f"""
+            -- unordered-SpanNear replay for {{query, spark, window}},
+            -- 12 tokens: a match offset whose span [p, p+11] covers
+            -- ALL THREE terms is one window; count per doc, earliest
+            -- kept, rank (count desc, doc asc) top-25.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, term, p FROM (
+                SELECT doc_id, unnest(t) AS term,
+                       CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+                FROM toks
+              ) WHERE term IN ('query', 'spark', 'window')
+            ), full_cover AS (
+              SELECT m1.doc_id, m1.p AS start
+              FROM occ m1 JOIN occ m2
+                ON m1.doc_id = m2.doc_id
+               AND m2.p >= m1.p AND m2.p < m1.p + 12
+              GROUP BY m1.doc_id, m1.p
+              HAVING count(DISTINCT m2.term) = 3
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(min(start) AS BIGINT) AS best_start
+            FROM full_cover GROUP BY doc_id
+            ORDER BY n_windows DESC, doc_id ASC LIMIT 25
+        """,
         "snippets": f"""
             -- best-fragment replay for {{query, spark, window}}, 12
             -- tokens: score every match offset by DISTINCT query terms
@@ -11355,6 +11416,9 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-weights MLT path must return EXACTLY what the
     # from-index derivation returns — its oracle IS the same replay
     out["mlt_persisted_weights"] = out["mlt_from_index"]
+    # phrase served from the positional index must equal phrase over
+    # re-read text — its oracle IS the same slot-alignment replay
+    out["phrase_from_index"] = out["phrase_search"]
     return out
 
 

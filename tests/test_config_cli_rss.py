@@ -1134,3 +1134,114 @@ class TestSearchCliPhrase:
              "--snippet-window", "5"],
         )
         assert bad3.exit_code != 0
+
+
+class TestSearchFromStorePhraseCli:
+    """analyze search --phrase --from-store: phrase queries served from
+    the crawl's positional index (cfg.index_positions)."""
+
+    def test_from_store_phrase(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        from pyspark.sql import functions as F
+
+        import web_scrapper_spark.cli as cli_mod
+        from web_scrapper_spark.crawl.epoch import CrawlConfig, CrawlEngine
+        from web_scrapper_spark.fixtures import (
+            SiteSpec,
+            pages_dataframe,
+            robots_dataframe,
+            seed_urls,
+        )
+        from web_scrapper_spark.frontier.store import SnapshotStore
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        spec = SiteSpec(n_hosts=2, n_articles=24, blog_page_size=8)
+        store_dir = str(tmp_path / "store")
+        engine = CrawlEngine(
+            spark, SnapshotStore(store_dir), pages_dataframe(spark, spec),
+            robots_dataframe(spark, spec),
+            CrawlConfig(index_articles=True, index_positions=True),
+        )
+        engine.init([(u, "content") for u in seed_urls(spec)])
+        engine.run(max_epochs=20)
+        # a phrase that provably exists: first two tokens of a doc
+        docs = (
+            engine.articles(merged=False)
+            .filter(F.col("row_kind") == "full")
+            .select(
+                F.xxhash64("src_url").alias("doc_id"),
+                F.coalesce(F.col("content"), F.lit("")).alias("text"),
+            )
+            .dropDuplicates(["doc_id"])
+        )
+        sample = docs.filter(F.length("text") > 20).first()
+        phrase = " ".join(sample["text"].lower().split()[:2])
+        want = [
+            (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            for r in phrase_search(docs, phrase, k=5).collect()
+        ]
+
+        real_stop = spark.stop
+        spark.stop = lambda: None
+        try:
+            cli_mod._spark = lambda cpus: spark
+            runner = CliRunner()
+            r = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "--phrase", phrase, "--topk", "5", "--cpus", "4"],
+            )
+            assert r.exit_code == 0, r.output
+            rows = _json.loads(r.output.strip())
+            assert [
+                (x["doc_id"], x["phrase_tf"], x["first_pos"]) for x in rows
+            ] == want
+            assert rows and rows[0]["phrase"] == phrase
+
+            # df gates are refused with --phrase (silent term loss)
+            gated = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store_dir,
+                 "--phrase", phrase, "--min-df", "2", "--cpus", "4"],
+            )
+            assert gated.exit_code != 0
+
+            # a store indexed WITHOUT positions refuses loudly
+            store2 = str(tmp_path / "store2")
+            e2 = CrawlEngine(
+                spark, SnapshotStore(store2), pages_dataframe(spark, spec),
+                robots_dataframe(spark, spec),
+                CrawlConfig(index_articles=True),
+            )
+            e2.init([(u, "content") for u in seed_urls(spec)])
+            e2.run(max_epochs=3)
+            nopos = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "--from-store", store2,
+                 "--phrase", phrase, "--cpus", "4"],
+            )
+            assert nopos.exit_code == 2
+            assert "no positions" in nopos.output
+        finally:
+            spark.stop = real_stop
+
+    def test_config_validation(self, tmp_path):
+        import pytest as _pytest
+
+        from web_scrapper_spark.config import ConfigError, bind_job
+
+        cfg = {
+            "scraper": {
+                "type": "content",
+                "urls": ["https://h0.example.org/blog"],
+                "index_positions": True,
+            },
+            "output": {"format": "json", "path": str(tmp_path / "o.json")},
+        }
+        with _pytest.raises(ConfigError, match="index_articles"):
+            bind_job(cfg)
+        cfg["scraper"]["index_articles"] = True
+        bind_job(cfg)  # no raise

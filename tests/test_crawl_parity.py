@@ -1519,3 +1519,157 @@ def test_one_manifest_write_per_epoch(spark, tmp_path, monkeypatch):
     # and the store is not wedged: the next epoch begins a fresh batch
     store2 = SnapshotStore(store.root)
     assert store2.manifest() == manifest_before
+
+
+def test_positional_index_from_crawl_serves_phrase(spark, tmp_path):
+    """cfg.index_positions: positional shards appended per epoch merge
+    on read into an index IDENTICAL to a from-scratch positional batch
+    build; the DERIVED plain shards still satisfy the plain merge ≡
+    batch contract (one tokenization, two index shapes); phrase
+    queries served from the store equal phrase queries over the
+    re-read text; and the from-store phrase plan never touches text
+    or Python."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.operators.textops import (
+        build_positional_postings,
+        build_postings,
+        phrase_search,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(index_articles=True, index_positions=True)
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    assert results[-1]["done"]
+    assert len(store.committed_ids("index_positions")) >= 2
+
+    idx = engine.search_index()
+    assert idx is not None and "positions" in idx
+
+    docs = (
+        engine.articles(merged=False)
+        .filter(F.col("row_kind") == "full")
+        .select(
+            F.xxhash64("src_url").alias("doc_id"),
+            F.coalesce(F.col("content"), F.lit("")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    assert idx["n_docs"] == n
+
+    def canon_pos(df):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"], tuple(r["doc_ids"]),
+                tuple(r["tfs"]), tuple(r["dls"]),
+                tuple(tuple(p) for p in r["position_lists"]),
+            )
+            for r in df.collect()
+        )
+
+    batch_pos = build_positional_postings(
+        docs, n_docs=n, include_dls=True, block_size=cfg.index_block_size
+    )
+    assert canon_pos(idx["positions"]) == canon_pos(batch_pos)
+
+    # the DERIVED plain shards still equal the plain batch build
+    def canon(df):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"],
+                tuple(r["doc_ids"]), tuple(r["tfs"]), tuple(r["dls"]),
+            )
+            for r in df.collect()
+        )
+
+    batch_plain = build_postings(
+        docs, n_docs=n, include_dls=True, block_size=cfg.index_block_size
+    )
+    assert canon(idx["postings"]) == canon(batch_plain)
+
+    # phrase from store == phrase from text (pick a phrase that occurs:
+    # take the first two tokens of some doc's content)
+    sample = docs.filter(F.length("text") > 20).first()
+    phrase = " ".join(sample["text"].lower().split()[:2])
+    from_store = phrase_search(
+        phrase=phrase, index=idx["positions"], k=50
+    ).collect()
+    from_text = phrase_search(docs, phrase, k=50).collect()
+    assert [tuple(r) for r in from_store] == [tuple(r) for r in from_text]
+    assert len(from_store) >= 1
+
+    # plan pin: from-store phrase reads shard parquet only
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        phrase_search(
+            phrase=phrase, index=engine.search_index()["positions"], k=5
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "html" not in line, line
+
+
+def test_positional_index_compaction_fold(spark, tmp_path):
+    """index_compact_max_shards folds positional deltas into
+    index_positions_base exactly like the plain index — reads stay
+    O(base + recent deltas) and the merged view is unchanged."""
+    from pyspark.sql import functions as F
+
+    from web_scrapper_spark.operators.textops import (
+        build_positional_postings,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(
+        index_articles=True, index_positions=True,
+        index_compact_max_shards=2,
+    )
+    engine = CrawlEngine(
+        spark, store, pages_dataframe(spark, SPEC),
+        robots_dataframe(spark, SPEC), cfg,
+    )
+    engine.init(_seeds())
+    results = engine.run(max_epochs=30)
+    assert results[-1]["done"]
+    # the fold actually fired
+    assert len(store.committed_ids("index_positions_base")) >= 1
+
+    idx = engine.search_index()
+    docs = (
+        engine.articles(merged=False)
+        .filter(F.col("row_kind") == "full")
+        .select(
+            F.xxhash64("src_url").alias("doc_id"),
+            F.coalesce(F.col("content"), F.lit("")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    batch = build_positional_postings(
+        docs, n_docs=n, include_dls=True, block_size=cfg.index_block_size
+    )
+
+    def canon_pos(df):
+        return sorted(
+            (
+                r["term"], r["df"], r["block"], tuple(r["doc_ids"]),
+                tuple(r["tfs"]), tuple(r["dls"]),
+                tuple(tuple(p) for p in r["position_lists"]),
+            )
+            for r in df.collect()
+        )
+
+    assert canon_pos(idx["positions"]) == canon_pos(batch)

@@ -4598,3 +4598,118 @@ class TestSnippetExtract:
             snippet_extract(docs, "...")
         with _pytest.raises(ValueError):
             snippet_extract(docs, "x", window=0)
+
+
+class TestProximitySearch:
+    """Unordered within-window co-occurrence (textops.proximity_search)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_all_terms_must_fit_in_window(self, spark):
+        from web_scrapper_spark.operators.textops import proximity_search
+
+        rows = [
+            (1, "cat x dog"),                    # within 3
+            (2, "cat x x x x x x x x x dog"),    # 10 apart, outside 3
+            (3, "dog only here"),
+        ]
+        out = proximity_search(
+            self._docs(spark, rows), "cat dog", window=3, k=10
+        ).collect()
+        assert [(r["doc_id"], r["n_windows"], r["best_start"]) for r in out] \
+            == [(1, 1, 0)]
+
+    def test_order_does_not_matter_and_counting(self, spark):
+        from web_scrapper_spark.operators.textops import proximity_search
+
+        # every match offset whose span covers both terms counts
+        rows = [(1, "dog cat dog"), (2, "cat dog")]
+        out = proximity_search(
+            self._docs(spark, rows), "cat dog", window=2, k=10
+        ).collect()
+        # doc1: start 0 (dog,cat) and start 1 (cat,dog) both cover
+        assert [(r["doc_id"], r["n_windows"]) for r in out] == [(2, 1), (1, 2)][::-1]
+
+    def test_ranking_k_and_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import proximity_search
+
+        docs = self._docs(spark, [(1, "a b"), (2, "a b a b")])
+        out = proximity_search(docs, "a b", window=2, k=1).collect()
+        assert [(r["doc_id"], r["n_windows"]) for r in out] == [(2, 3)]
+        with _pytest.raises(ValueError):
+            proximity_search(docs, "  ")
+        with _pytest.raises(ValueError):
+            proximity_search(docs, "a", window=0)
+
+
+class TestMergePositionalPostings:
+    """Positional incremental index (textops.merge_positional_postings)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_merge_equals_batch_with_norms_and_gates(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            merge_positional_postings,
+        )
+
+        rows = [
+            (i, "w%d common t%d w%d common" % (i % 3, i, (i + 1) % 3))
+            for i in range(12)
+        ]
+        docs = self._docs(spark, rows)
+        batch = build_positional_postings(
+            docs, 12, block_size=3, include_dls=True,
+            min_df=2, max_df_ppm=900_000,
+        )
+        a = build_positional_postings(
+            docs.filter("doc_id % 2 = 0"), 6, block_size=3, include_dls=True
+        )
+        b = build_positional_postings(
+            docs.filter("doc_id % 2 = 1"), 6, block_size=3, include_dls=True
+        )
+        merged = merge_positional_postings(
+            [a, b], n_docs=12, block_size=3, min_df=2, max_df_ppm=900_000
+        )
+
+        def canon(df):
+            return sorted(tuple(map(str, r)) for r in df.collect())
+
+        assert canon(merged) == canon(batch)
+
+    def test_positional_minus_positions_is_plain_build(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            build_postings,
+        )
+
+        rows = [(i, "a b a c b" if i % 2 else "c a b") for i in range(8)]
+        docs = self._docs(spark, rows)
+        plain = build_postings(docs, 8, block_size=3, include_dls=True)
+        derived = build_positional_postings(
+            docs, 8, block_size=3, include_dls=True
+        ).drop("position_lists")
+
+        def canon(df):
+            return sorted(tuple(map(str, r)) for r in df.collect())
+
+        assert canon(derived) == canon(plain)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            merge_positional_postings,
+        )
+
+        docs = self._docs(spark, [(1, "x")])
+        shard = build_positional_postings(docs, 1)
+        with _pytest.raises(ValueError):
+            merge_positional_postings([], n_docs=1)
+        with _pytest.raises(ValueError):
+            merge_positional_postings([shard], n_docs=0)

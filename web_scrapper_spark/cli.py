@@ -935,9 +935,10 @@ if __name__ == "__main__":
                    "(repeatable; mutually exclusive with -q/--anchors)")
 @click.option("--phrase", "phrase_str", default=None, type=str,
               help="exact phrase query (slop=0; consecutive tokens) — "
-                   "mutually exclusive with -q/--like/--anchors; "
-                   "requires -i/--input (the store index is not "
-                   "positional)")
+                   "mutually exclusive with -q/--like/--anchors; with "
+                   "--from-store, serves from the crawl's positional "
+                   "index (index_positions crawls) with zero "
+                   "re-tokenization")
 @click.option("--snippet-window", default=0, show_default=True, type=int,
               help="attach a best-fragment snippet of this many tokens "
                    "to every hit (requires -i/--input)")
@@ -975,15 +976,18 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if n_modes != 1:
         raise click.UsageError("pass exactly one of -q/--query, --like, "
                                "--phrase")
-    if phrase_str and (anchors_path or store_dir):
-        raise click.UsageError("--phrase requires -i/--input and does not "
-                               "combine with --anchors (the store index "
-                               "carries no positions)")
+    if phrase_str and anchors_path:
+        raise click.UsageError("--phrase does not combine with --anchors "
+                               "(phrase matching is positional, not fielded)")
     if snippet_window < 0:
         raise click.UsageError("--snippet-window must be >= 0")
     if snippet_window and (store_dir or like_ids):
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
+    if phrase_str and store_dir and (min_df, max_df_ppm) != (1, 1_000_000):
+        raise click.UsageError("--phrase ignores df gates (a gate silently "
+                               "losing a phrase's rare term is never what "
+                               "you want) — drop --min-df/--max-df-ppm")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
     if store_dir and anchors_path:
@@ -1014,6 +1018,31 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "index_articles enabled first)", err=True,
                 )
                 sys.exit(2)
+            if phrase_str:
+                from .operators.textops import phrase_search
+
+                if "positions" not in idx:
+                    click.echo(
+                        "store index has no positions (crawl with "
+                        "index_positions enabled first)", err=True,
+                    )
+                    sys.exit(2)
+                out = phrase_search(
+                    phrase=phrase_str, index=idx["positions"], k=topk
+                )
+                click.echo(json.dumps(
+                    [
+                        {
+                            "phrase": phrase_str,
+                            "doc_id": r["doc_id"],
+                            "phrase_tf": r["phrase_tf"],
+                            "first_pos": r["first_pos"],
+                        }
+                        for r in out.collect()
+                    ],
+                    indent=2,
+                ))
+                return
             if like_ids:
                 search_view = None
                 if gated:

@@ -146,6 +146,11 @@ class BoundJob:
     #: mid-crawl by ``analyze search --from-store``; yaml key
     #: ``scraper.index_articles``
     index_articles: bool = False
+    #: positional incremental index (requires index_articles): the
+    #: epoch shard carries per-occurrence token offsets, enabling
+    #: ``analyze search --phrase --from-store``; yaml key
+    #: ``scraper.index_positions``
+    index_positions: bool = False
     #: persist the ranked BM25 term-weight table at every indexing
     #: epoch (interactive ``--like`` query formation becomes a pure
     #: read); yaml key ``scraper.index_term_weights``
@@ -175,6 +180,7 @@ class BoundJob:
             respect_meta_robots=self.respect_meta_robots,
             max_outlinks_per_page=self.max_outlinks,
             index_articles=self.index_articles,
+            index_positions=self.index_positions,
             index_term_weights=self.index_term_weights,
         )
 
@@ -264,6 +270,11 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
     """scraper config dict → engine configs (the get_scraper analog)."""
     validate_config(config)
     scraper = config["scraper"]
+    if scraper.get("index_positions") and not scraper.get("index_articles"):
+        raise ConfigError(
+            "scraper.index_positions requires scraper.index_articles "
+            "(the positional shard is the articles index's twin)"
+        )
     stype = scraper["type"]
     selectors = scraper.get("selectors", {}) or {}
     seeds = [(url, stype) for url in scraper["urls"]]
@@ -288,6 +299,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         content_seen=bool(scraper.get("content_seen", False)),
         respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
         index_articles=bool(scraper.get("index_articles", False)),
+        index_positions=bool(scraper.get("index_positions", False)),
         index_term_weights=bool(scraper.get("index_term_weights", False)),
         max_outlinks=(
             int(scraper["max_outlinks"])

@@ -232,6 +232,16 @@ class CrawlConfig:
     # pass over each epoch's new articles).
     index_articles: bool = False
     index_block_size: int = 1024
+    # positional incremental index (requires index_articles): the
+    # per-epoch shard is built POSITIONAL (per-occurrence token
+    # offsets, the Lucene PositionsEnum layout) and committed as
+    # index_positions deltas; the plain index_shards shard is DERIVED
+    # from it by dropping position_lists — bit-identical to the
+    # build_postings shard (tested contract), so ONE tokenization pays
+    # for both shapes. Enables `analyze search --phrase --from-store`:
+    # exact phrase queries mid-crawl with zero re-tokenization. Off by
+    # default (position arrays cost index bytes ~ token count).
+    index_positions: bool = False
     # merge-on-read compaction for the incremental index (the
     # frontier_base discipline applied to index_shards): when the
     # number of delta shards since the last compacted base reaches
@@ -352,6 +362,30 @@ def load_search_index(
         "n_docs": n_docs,
         "t_tokens": t_tokens,
     }
+    # positional index (cfg.index_positions crawls): merged on read
+    # UNGATED — phrase queries must see every term; df gating stays a
+    # search-side decision. Coverage = the epochs crawled with the
+    # flag ON (a store that enabled it mid-crawl serves phrase over
+    # the indexed suffix only — enable from the first epoch for full
+    # coverage).
+    p_base_entry = store.latest_committed("index_positions_base", as_of_epoch)
+    p_parts = []
+    if p_base_entry is not None:
+        p_parts.append(
+            store.read(spark, "index_positions_base", p_base_entry["id"])
+        )
+    p_deltas = store.read_committed(
+        spark, "index_positions", as_of_epoch,
+        after_epoch=p_base_entry["epoch"] if p_base_entry else None,
+    )
+    if p_deltas is not None:
+        p_parts.append(p_deltas)
+    if p_parts:
+        from ..operators.textops import merge_positional_postings
+
+        out["positions"] = merge_positional_postings(
+            p_parts, n_docs=n_docs, block_size=block_size
+        )
     if has_kw:
         out["kw_doc_lens"] = dls.select("doc_id", "kw_dl")
         out["kw_n_docs"] = int(tot["kn"] or 0)
@@ -779,12 +813,27 @@ class CrawlEngine:
         n_new = docs.count()
         if not n_new:
             return {}
-        shard = build_postings(
-            docs,
-            n_docs=n_new,
-            include_dls=True,
-            block_size=self.cfg.index_block_size,
-        )
+        pshard = None
+        if self.cfg.index_positions:
+            from ..operators.textops import build_positional_postings
+
+            # ONE tokenization serves both index shapes: the plain
+            # shard is the positional shard minus position_lists
+            # (bit-identical to build_postings — tested contract)
+            pshard = build_positional_postings(
+                docs,
+                n_docs=n_new,
+                include_dls=True,
+                block_size=self.cfg.index_block_size,
+            ).localCheckpoint(eager=True)  # 2 consumers below
+            shard = pshard.drop("position_lists")
+        else:
+            shard = build_postings(
+                docs,
+                n_docs=n_new,
+                include_dls=True,
+                block_size=self.cfg.index_block_size,
+            )
         # kw_dl rides the norms table so MLT query formation is
         # candidate-grain at read time (no corpus aggregate per call)
         dls = doc_lengths(docs, include_kw=True)
@@ -799,7 +848,14 @@ class CrawlEngine:
                 "index_doclens", dls, epoch=epoch, mode="append"
             ),
         }
-        tables.update(self._maybe_compact_index(epoch, shard, dls, n_new))
+        if pshard is not None:
+            tables["index_positions"] = self.store.commit(
+                "index_positions", pshard, epoch=epoch, mode="append",
+                metrics={"block_size": self.cfg.index_block_size},
+            )
+        tables.update(
+            self._maybe_compact_index(epoch, shard, dls, n_new, pshard)
+        )
         tables.update(self._commit_term_weights(epoch, shard, n_new))
         return tables
 
@@ -849,7 +905,8 @@ class CrawlEngine:
         }
 
     def _maybe_compact_index(
-        self, epoch: int, shard: DataFrame, dls: DataFrame, n_new: int
+        self, epoch: int, shard: DataFrame, dls: DataFrame, n_new: int,
+        pshard: Optional[DataFrame] = None,
     ) -> Dict:
         """Ratio-triggered index compaction (the frontier_base
         discipline): when the delta shards accumulated since the last
@@ -912,7 +969,7 @@ class CrawlEngine:
         dl_folded = dl_parts[0]
         for p in dl_parts[1:]:
             dl_folded = dl_folded.unionByName(p, allowMissingColumns=True)
-        return {
+        out = {
             "index_base": self.store.commit(
                 "index_base", folded, epoch=epoch,
                 metrics={
@@ -924,6 +981,42 @@ class CrawlEngine:
                 "index_dl_base", dl_folded, epoch=epoch
             ),
         }
+        if pshard is not None:
+            # fold the positional deltas the same way (the same merge
+            # ≡ batch contract, positional flavor); ungated — gates
+            # stay a read-time decision and phrase queries need every
+            # term anyway
+            from ..operators.textops import merge_positional_postings
+
+            p_base_entry = self.store.latest_committed(
+                "index_positions_base", self._epoch
+            )
+            p_after = p_base_entry["epoch"] if p_base_entry else None
+            p_parts = []
+            if p_base_entry is not None:
+                p_parts.append(
+                    self.store.read(
+                        self.spark, "index_positions_base",
+                        p_base_entry["id"],
+                    )
+                )
+            p_prev = self.store.read_committed(
+                self.spark, "index_positions", self._epoch,
+                after_epoch=p_after,
+            )
+            if p_prev is not None:
+                p_parts.append(p_prev)
+            p_parts.append(pshard)
+            out["index_positions_base"] = self.store.commit(
+                "index_positions_base",
+                merge_positional_postings(
+                    p_parts, n_docs=n_total,
+                    block_size=cfg.index_block_size,
+                ),
+                epoch=epoch,
+                metrics={"block_size": cfg.index_block_size},
+            )
+        return out
 
     def search_index(
         self,

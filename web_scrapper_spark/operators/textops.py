@@ -1159,6 +1159,7 @@ def build_positional_postings(
     min_df: int = 1,
     max_df_ppm: int = 1_000_000,
     block_size: int = 1024,
+    include_dls: bool = False,
 ) -> DataFrame:
     """Positional inverted index — :func:`build_postings` plus the
     per-occurrence token offsets phrase and proximity queries need
@@ -1168,7 +1169,7 @@ def build_positional_postings(
     One row per (term, block)::
 
       (term, df, block, doc_ids: array<long>, tfs: array<long>,
-       position_lists: array<array<long>>)
+       [dls: array<long>,] position_lists: array<array<long>>)
 
     ``position_lists[i]`` holds the ascending 0-based token offsets of
     ``term`` in ``doc_ids[i]``; ``size(position_lists[i]) == tfs[i]``
@@ -1176,7 +1177,11 @@ def build_positional_postings(
     :func:`build_postings` via the same assembly tail — the only
     addition is the per-(term, doc) sorted offset array, aggregated
     map-side from the SAME posexplode that produces tf (no second
-    tokenization, no extra exchange).
+    tokenization, no extra exchange). With ``include_dls=True`` the
+    output MINUS ``position_lists`` is bit-identical to
+    ``build_postings(include_dls=True)`` — one tokenization serves
+    both index shapes (how the crawl's ``index_positions`` shard
+    derives its plain twin for free).
 
     Scale shape: identical to build_postings — (term, doc_id) rows
     carry one extra array column whose total size is the token count
@@ -1189,11 +1194,14 @@ def build_positional_postings(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("_toks"),
     )
+    proj = ["doc_id", F.posexplode("_toks").alias("p", "term")]
+    group_keys = ["term", "doc_id"]
+    if include_dls:
+        proj.append(F.size("_toks").cast("long").alias("dl"))
+        group_keys.append("dl")
     tf = (
-        staged.select(
-            "doc_id", F.posexplode("_toks").alias("p", "term")
-        )
-        .groupBy("term", "doc_id")
+        staged.select(*proj)
+        .groupBy(*group_keys)
         .agg(
             F.count("*").cast("long").alias("tf"),
             F.array_sort(
@@ -1201,7 +1209,55 @@ def build_positional_postings(
             ).alias("positions"),
         )
     )
-    return _assemble_postings(tf, max_df, min_df, block_size, False)
+    return _assemble_postings(tf, max_df, min_df, block_size, include_dls)
+
+
+def merge_positional_postings(
+    parts: list,
+    *,
+    n_docs: int,
+    min_df: int = 1,
+    max_df_ppm: int = 1_000_000,
+    block_size: int = 1024,
+) -> DataFrame:
+    """:func:`merge_postings` for positional shards — per-epoch
+    positional-index maintenance with the identical contract:
+    ``merge(build(A), build(B)) ≡ build(A ∪ B)`` EXACTLY for shards
+    over DISJOINT doc sets. Position lists are per-doc payloads, so
+    disjointness means no list ever merges — entries just re-block
+    under global df. Defaults stay ungated: phrase queries must see
+    every term (a df gate silently losing a phrase's rare term is the
+    gated-index contract, not a default).
+
+    Scale shape: explode back to (term, doc_id, tf, positions[, dl])
+    rows — position arrays move, text never does — then the shared
+    assembly tail: one df aggregate, the bounded blocking window, one
+    array aggregate.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    if not n_docs:
+        raise ValueError("n_docs (merged corpus size) is required")
+    include_dls = all("dls" in p.columns for p in parts)
+    max_df = (max_df_ppm * int(n_docs)) // 1_000_000
+    rows = None
+    for p in parts:
+        arrays = ["doc_ids", "tfs", "position_lists"] + (
+            ["dls"] if include_dls else []
+        )
+        cols = [
+            F.col("_e.doc_ids").alias("doc_id"),
+            F.col("term"),
+            F.col("_e.tfs").alias("tf"),
+            F.col("_e.position_lists").alias("positions"),
+        ]
+        if include_dls:
+            cols.append(F.col("_e.dls").alias("dl"))
+        r = p.select(
+            "term", F.explode(F.arrays_zip(*arrays)).alias("_e")
+        ).select(*cols)
+        rows = r if rows is None else rows.unionByName(r)
+    return _assemble_postings(rows, max_df, min_df, block_size, include_dls)
 
 
 def phrase_search(
@@ -1289,6 +1345,67 @@ def phrase_search(
             F.min("base").cast("long").alias("first_pos"),
         )
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def proximity_search(
+    docs: DataFrame,
+    query: str,
+    *,
+    window: int = 12,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unordered proximity query — docs where ALL query terms co-occur
+    inside a ``window``-token span, ranked by how often (the
+    middle ground between a bag-of-words AND query and a slop=0
+    :func:`phrase_search`; Lucene's unordered SpanNearQuery).
+
+    Returns ``(doc_id, n_windows, best_start)`` top-``k`` by
+    (n_windows desc, doc_id asc): ``n_windows`` counts match offsets
+    whose span ``[p, p+window)`` covers every distinct query term,
+    ``best_start`` is the earliest such offset (the snippet anchor —
+    feed it to :func:`snippet_extract`'s window for rendering).
+
+    Scale shape: identical to :func:`snippet_extract` — matches
+    filtered to query terms before anything wide, one per-doc
+    range-frame window scores spans, map-side-combined (doc) aggregate,
+    TakeOrdered ranking. No self-join, no skew surface beyond doc
+    length.
+    """
+    q_terms = sorted(set(tokenize_query(query)))
+    if not q_terms:
+        raise ValueError("query must contain at least one token")
+    if window <= 0:
+        raise ValueError("window must be positive")
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    matches = staged.select(
+        "doc_id", F.posexplode("_toks").alias("p", "term")
+    ).where(F.col("term").isin(q_terms))
+    w_span = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("p"))
+        .rangeBetween(0, window - 1)
+    )
+    covered = matches.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.size(
+            F.array_distinct(F.collect_list("term").over(w_span))
+        ).alias("_hits"),
+    ).where(F.col("_hits") == len(q_terms))
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.min("p").cast("long").alias("best_start"),
+        )
+        .orderBy(F.desc("n_windows"), F.asc("doc_id"))
         .limit(k)
     )
 
