@@ -4384,6 +4384,34 @@ def _q_phrase_from_index(spark, sf_dir):
     return phrase_search(phrase="value table", index=idx, k=20)
 
 
+def _q_boolean_search(spark, sf_dir):
+    """Boolean retrieval (operators/textops.py boolean_search): the
+    Lucene BooleanQuery clause semantics — must=[table] AND
+    must_not=[vector] gate eligibility, n_should over {query, spark,
+    window} ranks. The oracle replays the conditional distinct counts
+    and the HAVING gates relationally."""
+    from web_scrapper_spark.operators.textops import boolean_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, must=("table",), should=("query", "spark", "window"),
+        must_not=("vector",), k=30,
+    )
+
+
+def _q_term_cooccurrence(spark, sf_dir):
+    """Distributional related terms (operators/textops.py
+    term_cooccurrence): for seed "spark", neighbors within ±5 tokens
+    ranked by the integer PMI lift pairs·T·10⁶ // (cnt_a·cnt_b)
+    (Church & Hanks association ratio, DECIMAL-exact). The oracle
+    replays the banded positional join, totals and HUGEINT floor
+    division."""
+    from web_scrapper_spark.operators.textops import term_cooccurrence
+
+    docs = _read(spark, sf_dir, "documents")
+    return term_cooccurrence(docs, ["spark"], window=5, k=15, min_pairs=2)
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -5942,6 +5970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "phrase_from_index": _q_phrase_from_index,
         "proximity_search": _q_proximity_search,
+        "boolean_search": _q_boolean_search,
+        "term_cooccurrence": _q_term_cooccurrence,
         "snippets": _q_snippets,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
@@ -9925,6 +9955,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(start) AS BIGINT) AS best_start
             FROM full_cover GROUP BY doc_id
             ORDER BY n_windows DESC, doc_id ASC LIMIT 25
+        """,
+        "boolean_search": f"""
+            -- BooleanQuery replay: conditional DISTINCT clause counts
+            -- per doc; must=1/1 and not=0 gate, n_should ranks.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(t) AS term FROM toks
+              ) WHERE term IN ('table', 'query', 'spark', 'window',
+                               'vector')
+            ), g AS (
+              SELECT doc_id,
+                     count(DISTINCT CASE WHEN term IN ('table')
+                                         THEN term END) AS n_must,
+                     CAST(count(DISTINCT CASE WHEN term IN
+                       ('query', 'spark', 'window') THEN term END)
+                       AS BIGINT) AS n_should,
+                     count(DISTINCT CASE WHEN term IN ('vector')
+                                         THEN term END) AS n_not
+              FROM occ GROUP BY doc_id
+            )
+            SELECT doc_id, n_should FROM g
+            WHERE n_must = 1 AND n_not = 0
+            ORDER BY n_should DESC, doc_id ASC LIMIT 30
+        """,
+        "term_cooccurrence": f"""
+            -- association-ratio replay for seed 'spark': banded
+            -- positional join (0 < |dp| <= 5), pair counts >= 2,
+            -- lift = pairs*T*1e6 // (cnt_seed*cnt_term) in HUGEINT
+            -- floor division, top-15 per seed (lift desc, term asc).
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(t) AS term,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+              FROM toks
+            ), tot AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cnt
+              FROM occ GROUP BY term
+            ), tt AS (
+              SELECT CAST(count(*) AS BIGINT) AS t FROM occ
+            ), so AS (
+              SELECT doc_id, p AS sp, term AS seed FROM occ
+              WHERE term IN ('spark')
+            ), pr AS (
+              SELECT so.seed, o.term, CAST(count(*) AS BIGINT) AS pairs
+              FROM so JOIN occ o
+                ON so.doc_id = o.doc_id
+               AND abs(o.p - so.sp) <= 5 AND o.p <> so.sp
+              GROUP BY so.seed, o.term
+              HAVING count(*) >= 2
+            ), sc AS (
+              SELECT pr.seed, pr.term, pr.pairs,
+                     CAST(CAST(pr.pairs AS HUGEINT)
+                          * (SELECT t FROM tt) * 1000000
+                          // (CAST(cs.cnt AS HUGEINT) * ct.cnt)
+                       AS BIGINT) AS lift_ppm
+              FROM pr
+              JOIN tot cs ON cs.term = pr.seed
+              JOIN tot ct ON ct.term = pr.term
+            )
+            SELECT seed, term, pairs, lift_ppm,
+                   CAST(row_number() OVER (
+                     PARTITION BY seed
+                     ORDER BY lift_ppm DESC, term ASC) AS BIGINT) AS rank
+            FROM sc
+            QUALIFY rank <= 15
         """,
         "snippets": f"""
             -- best-fragment replay for {{query, spark, window}}, 12

@@ -1245,3 +1245,86 @@ class TestSearchFromStorePhraseCli:
             bind_job(cfg)
         cfg["scraper"]["index_articles"] = True
         bind_job(cfg)  # no raise
+
+
+class TestSearchCliBooleanRelated:
+    """analyze search boolean mode + analyze related."""
+
+    def _docs_path(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [
+                (1, "rust compiler borrow checker"),
+                (2, "rust compiler tutorial"),
+                (3, "python compiler tutorial"),
+                (4, "rust game borrow"),
+            ],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        return dpath
+
+    def test_boolean_mode(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        dpath = self._docs_path(spark, tmp_path)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--must", "rust",
+             "--should", "borrow", "--should", "checker",
+             "--must-not", "game", "--topk", "5", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        # doc4 excluded by must_not, doc3 by must; doc1 outranks doc2
+        assert [(x["doc_id"], x["n_should"]) for x in rows] == [
+            (1, 2), (2, 0)
+        ]
+
+        # boolean and -q are exclusive; multi-token clause is a usage
+        # error, not a traceback
+        both = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "x", "--must", "y"],
+        )
+        assert both.exit_code != 0
+        multi = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--must", "two words",
+             "--cpus", "4"],
+        )
+        assert multi.exit_code != 0
+        assert "exactly one term" in multi.output
+
+    def test_related(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        dpath = self._docs_path(spark, tmp_path)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "related", "-i", dpath, "-t", "rust",
+             "--window", "3", "--topk", "3", "--min-pairs", "2",
+             "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert rows and all(x["seed"] == "rust" for x in rows)
+        assert [x["rank"] for x in rows] == list(range(1, len(rows) + 1))
+        # 'compiler' co-occurs with rust twice within the band
+        assert "compiler" in {x["term"] for x in rows}
+
+        bad = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "related", "-i", dpath, "-t", "  ", "--cpus", "4"],
+        )
+        assert bad.exit_code != 0

@@ -4713,3 +4713,126 @@ class TestMergePositionalPostings:
             merge_positional_postings([], n_docs=1)
         with _pytest.raises(ValueError):
             merge_positional_postings([shard], n_docs=0)
+
+
+class TestBooleanSearch:
+    """Boolean clause retrieval (textops.boolean_search)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_clause_semantics(self, spark):
+        from web_scrapper_spark.operators.textops import boolean_search
+
+        rows = [
+            (1, "cat dog bird"),        # must ok, 2 should
+            (2, "cat dog"),             # must ok, 1 should
+            (3, "dog bird"),            # missing must
+            (4, "cat dog bird snake"),  # must_not hit
+            (5, "cat"),                 # must ok, 0 should
+        ]
+        out = boolean_search(
+            self._docs(spark, rows), must=("cat",),
+            should=("dog", "bird"), must_not=("snake",), k=10,
+        ).collect()
+        assert [(r["doc_id"], r["n_should"]) for r in out] == [
+            (1, 2), (2, 1), (5, 0)
+        ]
+
+    def test_pure_should_requires_one(self, spark):
+        from web_scrapper_spark.operators.textops import boolean_search
+
+        rows = [(1, "x y"), (2, "z")]
+        out = boolean_search(
+            self._docs(spark, rows), should=("x", "y"), k=10
+        ).collect()
+        assert [(r["doc_id"], r["n_should"]) for r in out] == [(1, 2)]
+
+    def test_index_path_and_duplicate_tf_ignored(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            boolean_search,
+            build_postings,
+        )
+
+        rows = [(1, "cat cat cat dog"), (2, "cat dog dog")]
+        docs = self._docs(spark, rows)
+        idx = build_postings(docs, 2)
+        from_docs = boolean_search(
+            docs, must=("cat", "dog"), k=10
+        ).collect()
+        from_idx = boolean_search(
+            index=idx, must=("cat", "dog"), k=10
+        ).collect()
+        # presence-based: tf never changes membership or score
+        assert [tuple(r) for r in from_docs] == [tuple(r) for r in from_idx]
+        assert [r["doc_id"] for r in from_docs] == [1, 2]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import boolean_search
+
+        docs = self._docs(spark, [(1, "x")])
+        with _pytest.raises(ValueError):
+            boolean_search(docs)                       # no terms
+        with _pytest.raises(ValueError):
+            boolean_search(docs, must=("two words",))  # multi-token
+        with _pytest.raises(ValueError):
+            boolean_search(docs, must=("x",), must_not=("x",))
+        with _pytest.raises(ValueError):
+            boolean_search(docs, must=("x",), index=docs)
+
+
+class TestTermCooccurrence:
+    """PMI-lift related terms (textops.term_cooccurrence)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_window_band_and_lift_ranking(self, spark):
+        from web_scrapper_spark.operators.textops import term_cooccurrence
+
+        # 'near' always adjacent to seed; 'far' always outside the
+        # window; 'common' everywhere (high cnt -> low lift)
+        rows = [
+            (i, "seed near common x x x x x x far common")
+            for i in range(4)
+        ]
+        out = term_cooccurrence(
+            self._docs(spark, rows), ["seed"], window=2, k=5, min_pairs=2
+        ).collect()
+        terms = [r["term"] for r in out]
+        assert "near" in terms and "far" not in terms
+        by = {r["term"]: r for r in out}
+        assert by["near"]["pairs"] == 4
+        # near (cnt 4) outranks common (cnt 8, only 1 in-window copy)
+        assert by["near"]["lift_ppm"] > by["common"]["lift_ppm"]
+        assert by["near"]["rank"] < by["common"]["rank"]
+
+    def test_integer_lift_replay(self, spark):
+        from web_scrapper_spark.operators.textops import term_cooccurrence
+
+        rows = [(1, "a b a b"), (2, "a c")]
+        out = term_cooccurrence(
+            self._docs(spark, rows), ["a"], window=1, k=10, min_pairs=1
+        ).collect()
+        by = {r["term"]: r for r in out}
+        # T=6; pairs(a,b): a@0-b@1, b@1-a@2, a@2-b@3 -> 3; cnt_a=3, cnt_b=2
+        assert by["b"]["pairs"] == 3
+        assert by["b"]["lift_ppm"] == 3 * 6 * 1_000_000 // (3 * 2)
+        # self-pairs: a@0..a@2 not adjacent (|dp|=2 > 1) -> absent
+        assert "a" not in by
+        assert by["c"]["pairs"] == 1
+
+    def test_min_pairs_and_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import term_cooccurrence
+
+        docs = self._docs(spark, [(1, "a b")])
+        out = term_cooccurrence(docs, ["a"], window=1, k=5, min_pairs=2)
+        assert out.collect() == []
+        with _pytest.raises(ValueError):
+            term_cooccurrence(docs, [" "], window=1)
+        with _pytest.raises(ValueError):
+            term_cooccurrence(docs, ["a"], window=0)

@@ -347,6 +347,33 @@ class TestOracleMutation:
             monkeypatch,
         )
 
+    def test_phrase_family_pins_token_offsets(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        """A tokenizer bug that PREPENDS one token shifts every 0-based
+        offset by one — first_pos, position lists and snippet spans all
+        drift off-oracle (appending, the other families' trick, would
+        leave existing offsets untouched and prove nothing here)."""
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators import textops
+
+        real = textops.tokens_col
+
+        def mutate(mp):
+            mp.setattr(
+                textops,
+                "tokens_col",
+                lambda c: real(F.concat(F.lit("zzmutant "), c)),
+            )
+
+        for name in ("phrase_search", "phrase_from_index", "snippets",
+                     "positional_postings"):
+            _assert_pins(
+                spark, duck, frozen_oracles, name, mutate, monkeypatch,
+            )
+            monkeypatch.undo()
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""

@@ -942,6 +942,14 @@ if __name__ == "__main__":
 @click.option("--snippet-window", default=0, show_default=True, type=int,
               help="attach a best-fragment snippet of this many tokens "
                    "to every hit (requires -i/--input)")
+@click.option("--must", "must_terms", multiple=True,
+              help="boolean mode: term that MUST be present (repeatable)")
+@click.option("--should", "should_terms", multiple=True,
+              help="boolean mode: optional term; the count present "
+                   "ranks (repeatable)")
+@click.option("--must-not", "must_not_terms", multiple=True,
+              help="boolean mode: term that must NOT be present "
+                   "(repeatable)")
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
@@ -953,7 +961,8 @@ if __name__ == "__main__":
                    "writing crawl's index_block_size, read back from "
                    "the store's shard metadata)")
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
-                   like_ids, phrase_str, snippet_window, topk, anchors_path,
+                   like_ids, phrase_str, snippet_window, must_terms,
+                   should_terms, must_not_terms, topk, anchors_path,
                    min_df, max_df_ppm, block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
@@ -972,10 +981,14 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
 
     if bool(in_path) == bool(store_dir):
         raise click.UsageError("pass exactly one of -i/--input or --from-store")
-    n_modes = sum(map(bool, (query_strs, like_ids, phrase_str)))
+    boolean_mode = bool(must_terms or should_terms or must_not_terms)
+    n_modes = sum(map(bool, (query_strs, like_ids, phrase_str, boolean_mode)))
     if n_modes != 1:
         raise click.UsageError("pass exactly one of -q/--query, --like, "
-                               "--phrase")
+                               "--phrase, --must/--should/--must-not")
+    if boolean_mode and (anchors_path or snippet_window):
+        raise click.UsageError("boolean mode does not combine with "
+                               "--anchors/--snippet-window")
     if phrase_str and anchors_path:
         raise click.UsageError("--phrase does not combine with --anchors "
                                "(phrase matching is positional, not fielded)")
@@ -984,10 +997,11 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if snippet_window and (store_dir or like_ids):
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
-    if phrase_str and store_dir and (min_df, max_df_ppm) != (1, 1_000_000):
-        raise click.UsageError("--phrase ignores df gates (a gate silently "
-                               "losing a phrase's rare term is never what "
-                               "you want) — drop --min-df/--max-df-ppm")
+    if (phrase_str or boolean_mode) and store_dir \
+            and (min_df, max_df_ppm) != (1, 1_000_000):
+        raise click.UsageError("--phrase/boolean mode ignores df gates (a "
+                               "gate silently losing a clause term flips "
+                               "matches) — drop --min-df/--max-df-ppm")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
     if store_dir and anchors_path:
@@ -1018,6 +1032,25 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "index_articles enabled first)", err=True,
                 )
                 sys.exit(2)
+            if boolean_mode:
+                from .operators.textops import boolean_search
+
+                try:
+                    out = boolean_search(
+                        index=idx["postings"], must=must_terms,
+                        should=should_terms, must_not=must_not_terms,
+                        k=topk,
+                    )
+                except ValueError as err:
+                    raise click.UsageError(str(err)) from None
+                click.echo(json.dumps(
+                    [
+                        {"doc_id": r["doc_id"], "n_should": r["n_should"]}
+                        for r in out.collect()
+                    ],
+                    indent=2,
+                ))
+                return
             if phrase_str:
                 from .operators.textops import phrase_search
 
@@ -1100,6 +1133,24 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             ))
             return
         docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if boolean_mode:
+            from .operators.textops import boolean_search
+
+            try:
+                out = boolean_search(
+                    docs, must=must_terms, should=should_terms,
+                    must_not=must_not_terms, k=topk,
+                )
+            except ValueError as err:
+                raise click.UsageError(str(err)) from None
+            click.echo(json.dumps(
+                [
+                    {"doc_id": r["doc_id"], "n_should": r["n_should"]}
+                    for r in out.collect()
+                ],
+                indent=2,
+            ))
+            return
         if phrase_str:
             from .operators.textops import phrase_search, snippet_extract
 
@@ -1203,6 +1254,54 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     ),
                 }
                 for r in rows
+            ],
+            indent=2,
+        ))
+    finally:
+        if _owned:
+            spark.stop()
+
+
+@analyze.command("related")
+@click.option("--input", "-i", "in_path", required=True, type=str,
+              help="parquet documents table")
+@click.option("--seed", "-t", "seed_strs", multiple=True, required=True,
+              help="seed term (repeatable)")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--window", default=5, show_default=True, type=int,
+              help="co-occurrence band: neighbors within ±window tokens")
+@click.option("--topk", default=10, show_default=True, type=int)
+@click.option("--min-pairs", default=2, show_default=True, type=int,
+              help="drop neighbor terms with fewer co-occurrence pairs")
+@click.option("--cpus", default=0, type=int, help="cores (default: all)")
+def analyze_related(in_path, seed_strs, id_col, text_col, window, topk,
+                    min_pairs, cpus) -> None:
+    """Distributional related terms: for each seed, the neighbors most
+    over-represented within ±window tokens, ranked by the integer PMI
+    lift pairs·T·10⁶ // (cnt_seed·cnt_term)."""
+    from .operators.textops import term_cooccurrence
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        try:
+            out = term_cooccurrence(
+                docs, list(seed_strs), window=window, k=topk,
+                min_pairs=min_pairs,
+            )
+        except ValueError as err:
+            raise click.UsageError(str(err)) from None
+        click.echo(json.dumps(
+            [
+                {
+                    "seed": r["seed"],
+                    "rank": r["rank"],
+                    "term": r["term"],
+                    "pairs": r["pairs"],
+                    "lift_ppm": r["lift_ppm"],
+                }
+                for r in out.orderBy("seed", "rank").collect()
             ],
             indent=2,
         ))

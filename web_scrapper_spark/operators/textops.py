@@ -1349,6 +1349,211 @@ def phrase_search(
     )
 
 
+def boolean_search(
+    docs: Optional[DataFrame] = None,
+    *,
+    must: tuple = (),
+    should: tuple = (),
+    must_not: tuple = (),
+    index: Optional[DataFrame] = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval — Lucene's ``BooleanQuery`` clause semantics
+    over the same index family BM25 ranks with:
+
+    - ``must``: every term present (AND)
+    - ``should``: optional terms; the count present is the score (OR
+      clauses contribute ranking, not eligibility — unless ``must`` is
+      empty, in which case ≥1 should-term is required, the Lucene rule)
+    - ``must_not``: no term present (NOT)
+
+    Returns ``(doc_id, n_should)`` top-``k`` by (n_should desc,
+    doc_id asc). Each clause entry must tokenize to exactly one term
+    (multi-token needs :func:`phrase_search`).
+
+    Sources: ``docs`` (tokenize once, filter to clause terms before
+    aggregation) or ``index=`` (a :func:`build_postings` /
+    :func:`build_positional_postings` frame — clause terms' blocks
+    only; build it ungated or ensure clause terms survive the gates).
+
+    Scale shape: occurrence rows are clause-term-filtered before the
+    one (doc_id) aggregate (conditional count_distinct — map-side
+    combined); eligibility is a HAVING on that aggregate; ranking is
+    TakeOrdered. Nothing corpus-wide shuffles but the clause terms'
+    postings.
+    """
+    def _one(term: str, clause: str) -> str:
+        toks = tokenize_query(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"{clause} entry {term!r} must tokenize to exactly one "
+                "term (use phrase_search for multi-token)"
+            )
+        return toks[0]
+
+    must_t = sorted({_one(t, "must") for t in must})
+    should_t = sorted({_one(t, "should") for t in should})
+    not_t = sorted({_one(t, "must_not") for t in must_not})
+    if not must_t and not should_t:
+        raise ValueError("at least one must or should term is required")
+    overlap = set(must_t) & set(not_t)
+    if overlap:
+        raise ValueError(f"terms both must and must_not: {sorted(overlap)}")
+    all_terms = sorted(set(must_t) | set(should_t) | set(not_t))
+    if (docs is None) == (index is None):
+        raise ValueError("exactly one of docs / index is required")
+    if docs is not None:
+        occ = fan_out(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        ).where(F.col("term").isin(all_terms))
+    else:
+        occ = (
+            index.where(F.col("term").isin(all_terms))
+            .select("term", F.explode("doc_ids").alias("doc_id"))
+        )
+    must_arr = F.array(*[F.lit(t) for t in must_t]) if must_t else None
+    should_arr = (
+        F.array(*[F.lit(t) for t in should_t]) if should_t else None
+    )
+    not_arr = F.array(*[F.lit(t) for t in not_t]) if not_t else None
+    aggs = []
+    aggs.append(
+        (
+            F.count_distinct(
+                F.when(F.array_contains(must_arr, F.col("term")), F.col("term"))
+            ) if must_t else F.lit(0)
+        ).alias("_n_must")
+    )
+    aggs.append(
+        (
+            F.count_distinct(
+                F.when(
+                    F.array_contains(should_arr, F.col("term")), F.col("term")
+                )
+            ) if should_t else F.lit(0)
+        ).cast("long").alias("n_should")
+    )
+    aggs.append(
+        (
+            F.count_distinct(
+                F.when(F.array_contains(not_arr, F.col("term")), F.col("term"))
+            ) if not_t else F.lit(0)
+        ).alias("_n_not")
+    )
+    grouped = occ.groupBy("doc_id").agg(*aggs)
+    cond = F.col("_n_not") == 0
+    if must_t:
+        cond = cond & (F.col("_n_must") == len(must_t))
+    else:
+        cond = cond & (F.col("n_should") > 0)
+    return (
+        grouped.where(cond)
+        .select("doc_id", "n_should")
+        .orderBy(F.desc("n_should"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    seeds: list,
+    *,
+    window: int = 5,
+    k: int = 10,
+    min_pairs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributional "related terms" — for each seed term, the
+    neighbor terms most over-represented inside ``±window`` token
+    offsets, ranked by integer LIFT (the PMI ratio without the log —
+    identical ranking per seed, no cross-engine float)::
+
+      lift_ppm = pairs · T · 10⁶ // (cnt_seed · cnt_neighbor)
+
+    where ``pairs`` counts (seed occurrence, neighbor occurrence)
+    position pairs with ``0 < |Δp| ≤ window``, ``cnt_·`` are corpus
+    term frequencies and ``T`` the corpus token count (Church & Hanks
+    1990's word-association ratio, integer-exact). Returns
+    ``(seed, term, pairs, lift_ppm)`` top-``k`` per seed by
+    (lift_ppm desc, term asc); ``min_pairs`` drops the unstable
+    hapax-pair tail.
+
+    Scale shape: the corpus tokenizes ONCE; seed occurrences (tiny
+    after the seed filter) join neighbor occurrences doc-locally —
+    an equi-join on doc_id with the offset band as a residual
+    predicate, bounded by doc length, never cross-doc; term totals are
+    one map-side-combined aggregate; the DECIMAL(38,0) lift division
+    avoids long overflow at 100 TB token counts (the bm25 fixed-point
+    discipline); per-seed ranking windows are k-bounded.
+    """
+    seed_t = sorted({t for s in seeds for t in tokenize_query(s)})
+    if not seed_t:
+        raise ValueError("seeds must contain at least one token")
+    if window <= 0:
+        raise ValueError("window must be positive")
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    occ = staged.select(
+        "doc_id", F.posexplode("_toks").alias("p", "term")
+    )
+    occ = occ.localCheckpoint(eager=False)  # 3 consumers, 1 tokenization
+    totals = occ.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    t_tokens = occ.count()
+    seed_occ = occ.where(F.col("term").isin(seed_t)).select(
+        "doc_id", F.col("p").alias("sp"), F.col("term").alias("seed")
+    )
+    pairs = (
+        seed_occ.join(occ, "doc_id")
+        .where(
+            (F.abs(F.col("p") - F.col("sp")) <= window)
+            & (F.col("p") != F.col("sp"))
+        )
+        .groupBy("seed", "term")
+        .agg(F.count("*").cast("long").alias("pairs"))
+        .where(F.col("pairs") >= min_pairs)
+    )
+    seed_cnt = totals.select(
+        F.col("term").alias("seed"), F.col("cnt").alias("seed_cnt")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        pairs.join(F.broadcast(seed_cnt), "seed")
+        .join(totals, "term")
+        .withColumn(
+            "_num",
+            dec(F.col("pairs")) * dec(F.lit(int(t_tokens)))
+            * dec(F.lit(1_000_000)),
+        )
+        .withColumn("_den", dec(F.col("seed_cnt")) * dec(F.col("cnt")))
+        # IntegralDivide truncates exactly on decimals — floor for the
+        # non-negative operands here, matching DuckDB `//` (the bm25
+        # fixed-point discipline)
+        .select(
+            "seed",
+            "term",
+            "pairs",
+            F.expr("_num div _den").cast("long").alias("lift_ppm"),
+        )
+    )
+    w_rank = Window.partitionBy("seed").orderBy(
+        F.desc("lift_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "seed", "term", "pairs", "lift_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def proximity_search(
     docs: DataFrame,
     query: str,
