@@ -4412,6 +4412,24 @@ def _q_term_cooccurrence(spark, sf_dir):
     return term_cooccurrence(docs, ["spark"], window=5, k=15, min_pairs=2)
 
 
+def _q_spell_correct(spark, sf_dir):
+    """SymSpell spell correction (operators/textops.py spell_correct):
+    symmetric-deletion candidate join to depth 2, verified with true
+    Levenshtein, ranked (distance asc, corpus-count desc, term asc).
+    The oracle is the BRUTE-FORCE rule the algorithm must equal —
+    query x full-vocab Levenshtein <= 2 — so a hash match proves the
+    deletion-dictionary candidate generation is COMPLETE, not just
+    precise (the strongest contract a candidate-pruning algorithm can
+    state)."""
+    from web_scrapper_spark.operators.textops import spell_correct
+
+    docs = _read(spark, sf_dir, "documents")
+    return spell_correct(
+        docs, ["tabel", "sprk", "window", "qury", "scann"],
+        max_edit=2, k=5, min_count=2,
+    )
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -5972,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": _q_proximity_search,
         "boolean_search": _q_boolean_search,
         "term_cooccurrence": _q_term_cooccurrence,
+        "spell_correct": _q_spell_correct,
         "snippets": _q_snippets,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
@@ -10023,6 +10042,36 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY lift_ppm DESC, term ASC) AS BIGINT) AS rank
             FROM sc
             QUALIFY rank <= 15
+        """,
+        "spell_correct": f"""
+            -- brute-force completeness rule: query x FULL VOCAB
+            -- Levenshtein <= 2 (no candidate pruning on the oracle
+            -- side), rank (distance, cnt desc, term). The engine's
+            -- deletion-dictionary join must find every one of these.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(t) AS term FROM toks
+              ) GROUP BY term HAVING count(*) >= 2
+            ), q(query) AS (
+              VALUES ('tabel'), ('sprk'), ('window'), ('qury'),
+                     ('scann')
+            ), c AS (
+              SELECT q.query, v.term,
+                     CAST(levenshtein(q.query, v.term) AS BIGINT)
+                       AS distance,
+                     v.cnt
+              FROM q CROSS JOIN vocab v
+              WHERE levenshtein(q.query, v.term) <= 2
+            )
+            SELECT query, term AS suggestion, distance, cnt,
+                   CAST(row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY distance ASC, cnt DESC, term ASC)
+                     AS BIGINT) AS rank
+            FROM c
+            QUALIFY rank <= 5
         """,
         "snippets": f"""
             -- best-fragment replay for {{query, spark, window}}, 12

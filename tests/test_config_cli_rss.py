@@ -1328,3 +1328,45 @@ class TestSearchCliBooleanRelated:
             ["analyze", "related", "-i", dpath, "-t", "  ", "--cpus", "4"],
         )
         assert bad.exit_code != 0
+
+
+class TestSearchCliSuggest:
+    """analyze search --suggest: did-you-mean over corpus or store."""
+
+    def test_suggest_docs_and_guards(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(1, "kubernetes cluster deployment"),
+             (2, "kubernetes cluster")],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--suggest", "kubernets",
+             "--max-edit", "1", "--topk", "3", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert rows[0]["suggestion"] == "kubernetes"
+        assert rows[0]["distance"] == 1
+
+        both = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "-q", "x",
+             "--suggest", "y"],
+        )
+        assert both.exit_code != 0
+        bad_edit = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--suggest", "x",
+             "--max-edit", "3", "--cpus", "4"],
+        )
+        assert bad_edit.exit_code != 0

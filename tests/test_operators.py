@@ -4836,3 +4836,123 @@ class TestTermCooccurrence:
             term_cooccurrence(docs, [" "], window=1)
         with _pytest.raises(ValueError):
             term_cooccurrence(docs, ["a"], window=0)
+
+
+class TestSpellCorrect:
+    """SymSpell symmetric-deletion correction (textops.spell_correct)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ed1_complete_against_brute_force(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            spell_correct,
+            tokenize_query,
+        )
+
+        vocab_text = "table spark query window partition shuffle stage"
+        rows = [(i, vocab_text) for i in range(2)]
+        docs = self._docs(spark, rows)
+        vocab = vocab_text.split()
+
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(None)
+            def d(i, j):
+                if not i:
+                    return j
+                if not j:
+                    return i
+                return min(
+                    d(i - 1, j) + 1, d(i, j - 1) + 1,
+                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+            return d(len(a), len(b))
+
+        queries = ["tble", "sparc", "windw", "stagee", "query", "zzz"]
+        out = spell_correct(docs, queries, max_edit=1, k=10, min_count=1)
+        got = {
+            (r["query"], r["suggestion"], r["distance"])
+            for r in out.collect()
+        }
+        want = {
+            (q, v, lev(q, v))
+            for q in queries for v in vocab if lev(q, v) <= 1
+        }
+        assert got == want
+
+    def test_transposition_is_distance_two(self, spark):
+        from web_scrapper_spark.operators.textops import spell_correct
+
+        docs = self._docs(spark, [(1, "table table")])
+        # plain Levenshtein (both engines' builtin): 'tabel' is 2 away
+        assert spell_correct(
+            docs, ["tabel"], max_edit=1, k=5, min_count=1
+        ).collect() == []
+        out = spell_correct(
+            docs, ["tabel"], max_edit=2, k=5, min_count=1
+        ).collect()
+        assert [(r["suggestion"], r["distance"]) for r in out] == [
+            ("table", 2)
+        ]
+
+    def test_popularity_prior_and_min_count(self, spark):
+        from web_scrapper_spark.operators.textops import spell_correct
+
+        docs = self._docs(
+            spark, [(1, "cart cart cart care typo"), (2, "care cart")]
+        )
+        out = spell_correct(
+            docs, ["carr"], max_edit=1, k=5, min_count=2
+        ).collect()
+        # cart (cnt 4) outranks care (cnt 2) at equal distance;
+        # hapax 'typo' never suggestable at min_count=2
+        assert [(r["suggestion"], r["rank"]) for r in out] == [
+            ("cart", 1), ("care", 2)
+        ]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import spell_correct
+
+        docs = self._docs(spark, [(1, "x")])
+        with _pytest.raises(ValueError):
+            spell_correct(docs, ["a"], max_edit=3)
+        with _pytest.raises(ValueError):
+            spell_correct(docs, ["two words"])
+        with _pytest.raises(ValueError):
+            spell_correct(docs, [])
+        with _pytest.raises(ValueError):
+            spell_correct(docs, ["a"], k=0)
+
+
+class TestSpellCorrectFromIndex:
+    def test_index_path_equals_docs_path(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            spell_correct,
+        )
+
+        rows = [(1, "alpha beta beta gamma"), (2, "beta gamma gamma")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_postings(docs, 2)
+        qs = ["alpa", "betta", "gama"]
+        a = spell_correct(docs, qs, max_edit=2, k=5, min_count=1)
+        b = spell_correct(queries=qs, index=idx, max_edit=2, k=5,
+                          min_count=1)
+        ka = sorted(tuple(r) for r in a.collect())
+        kb = sorted(tuple(r) for r in b.collect())
+        assert ka == kb and ka
+
+    def test_guard_both_sources(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import spell_correct
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            spell_correct(docs, ["a"], index=docs)
+        with _pytest.raises(ValueError):
+            spell_correct(queries=["a"])

@@ -950,6 +950,12 @@ if __name__ == "__main__":
 @click.option("--must-not", "must_not_terms", multiple=True,
               help="boolean mode: term that must NOT be present "
                    "(repeatable)")
+@click.option("--suggest", "suggest_terms", multiple=True,
+              help="spell-correct mode: \"did you mean\" suggestions "
+                   "for this term against the corpus/index vocabulary "
+                   "(repeatable)")
+@click.option("--max-edit", default=1, show_default=True, type=int,
+              help="suggest mode: maximum Levenshtein distance (1 or 2)")
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
@@ -962,8 +968,9 @@ if __name__ == "__main__":
                    "the store's shard metadata)")
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                    like_ids, phrase_str, snippet_window, must_terms,
-                   should_terms, must_not_terms, topk, anchors_path,
-                   min_df, max_df_ppm, block_size) -> None:
+                   should_terms, must_not_terms, suggest_terms, max_edit,
+                   topk, anchors_path, min_df, max_df_ppm,
+                   block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
@@ -982,12 +989,14 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if bool(in_path) == bool(store_dir):
         raise click.UsageError("pass exactly one of -i/--input or --from-store")
     boolean_mode = bool(must_terms or should_terms or must_not_terms)
-    n_modes = sum(map(bool, (query_strs, like_ids, phrase_str, boolean_mode)))
+    n_modes = sum(map(bool, (query_strs, like_ids, phrase_str, boolean_mode,
+                             suggest_terms)))
     if n_modes != 1:
         raise click.UsageError("pass exactly one of -q/--query, --like, "
-                               "--phrase, --must/--should/--must-not")
-    if boolean_mode and (anchors_path or snippet_window):
-        raise click.UsageError("boolean mode does not combine with "
+                               "--phrase, --must/--should/--must-not, "
+                               "--suggest")
+    if (boolean_mode or suggest_terms) and (anchors_path or snippet_window):
+        raise click.UsageError("boolean/suggest mode does not combine with "
                                "--anchors/--snippet-window")
     if phrase_str and anchors_path:
         raise click.UsageError("--phrase does not combine with --anchors "
@@ -997,7 +1006,7 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if snippet_window and (store_dir or like_ids):
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
-    if (phrase_str or boolean_mode) and store_dir \
+    if (phrase_str or boolean_mode or suggest_terms) and store_dir \
             and (min_df, max_df_ppm) != (1, 1_000_000):
         raise click.UsageError("--phrase/boolean mode ignores df gates (a "
                                "gate silently losing a clause term flips "
@@ -1032,6 +1041,30 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "index_articles enabled first)", err=True,
                 )
                 sys.exit(2)
+            if suggest_terms:
+                from .operators.textops import spell_correct
+
+                try:
+                    out = spell_correct(
+                        queries=list(suggest_terms),
+                        index=idx["postings"], max_edit=max_edit, k=topk,
+                    )
+                except ValueError as err:
+                    raise click.UsageError(str(err)) from None
+                click.echo(json.dumps(
+                    [
+                        {
+                            "query": r["query"],
+                            "rank": r["rank"],
+                            "suggestion": r["suggestion"],
+                            "distance": r["distance"],
+                            "cnt": r["cnt"],
+                        }
+                        for r in out.orderBy("query", "rank").collect()
+                    ],
+                    indent=2,
+                ))
+                return
             if boolean_mode:
                 from .operators.textops import boolean_search
 
@@ -1133,6 +1166,29 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             ))
             return
         docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if suggest_terms:
+            from .operators.textops import spell_correct
+
+            try:
+                out = spell_correct(
+                    docs, list(suggest_terms), max_edit=max_edit, k=topk,
+                )
+            except ValueError as err:
+                raise click.UsageError(str(err)) from None
+            click.echo(json.dumps(
+                [
+                    {
+                        "query": r["query"],
+                        "rank": r["rank"],
+                        "suggestion": r["suggestion"],
+                        "distance": r["distance"],
+                        "cnt": r["cnt"],
+                    }
+                    for r in out.orderBy("query", "rank").collect()
+                ],
+                indent=2,
+            ))
+            return
         if boolean_mode:
             from .operators.textops import boolean_search
 

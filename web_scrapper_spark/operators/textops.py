@@ -1349,6 +1349,161 @@ def phrase_search(
     )
 
 
+def _deletion_variants(col: Column) -> Column:
+    """All single-character deletions of a term (plus nothing else) —
+    the SymSpell dictionary key generator, as one native ``transform``
+    over the character positions (no Python, no explode yet)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1),
+            col.substr(i + 1, F.length(col) - i),
+        ),
+    )
+
+
+def spell_correct(
+    docs: Optional[DataFrame] = None,
+    queries: list = (),
+    *,
+    index: Optional[DataFrame] = None,
+    max_edit: int = 1,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """"Did you mean" — SymSpell-style spell correction against the
+    corpus vocabulary (Garbe's symmetric-deletion algorithm: both the
+    vocab term and the query generate ≤``max_edit`` character
+    deletions; a shared deletion key is a candidate, verified with
+    true Levenshtein — complete for plain edit distance ≤ max_edit,
+    never a vocabulary scan per query).
+
+    Returns ``(query, suggestion, distance, cnt, rank)`` top-``k`` per
+    query by (distance asc, cnt desc, suggestion asc); ``cnt`` is the
+    corpus frequency prior (misspellings below ``min_count`` never
+    become suggestions). Exact vocabulary hits rank first at
+    distance 0. ``max_edit`` ∈ {1, 2}.
+
+    Sources: ``docs`` (vocabulary from one tokenization) or ``index=``
+    (any :func:`build_postings`-family frame — the vocabulary IS the
+    index's term dictionary, ``cnt`` the summed tfs, so a crawl store
+    serves "did you mean" with zero re-tokenization; build it ungated
+    or gated terms can't be suggested).
+
+    Scale shape: the deletion dictionary is vocab-sized × term length
+    (built from the one map-side-combined term-count aggregate — text
+    never shuffles); the query side is query-sized and BROADCAST into
+    the key join; verification is the built-in ``levenshtein`` on
+    candidate pairs only. A 100 TB corpus's VOCABULARY is what this
+    scales in — millions of rows, not the corpus.
+    """
+    if max_edit not in (1, 2):
+        raise ValueError("max_edit must be 1 or 2")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if (docs is None) == (index is None):
+        raise ValueError("exactly one of docs / index is required")
+    q_terms = []
+    for q in queries:
+        toks = tokenize_query(q)
+        if len(toks) != 1:
+            raise ValueError(
+                f"query {q!r} must tokenize to exactly one term"
+            )
+        q_terms.append(toks[0])
+    if not q_terms:
+        raise ValueError("queries must be non-empty")
+    if docs is not None:
+        spark = docs.sparkSession
+        vocab = (
+            fan_out(docs).select(
+                F.explode(tokens_col(F.col(text_col))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+    else:
+        spark = index.sparkSession
+        # cnt = total term frequency summed across the term's blocks —
+        # identical to the from-docs count by the postings tf contract
+        vocab = (
+            index.select(
+                "term",
+                F.aggregate(
+                    "tfs", F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias("_tf"),
+            )
+            .groupBy("term")
+            .agg(F.sum("_tf").cast("long").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+
+    def keys_of(frame, col_name):
+        """(col, key) rows: the term itself plus deletions to depth
+        max_edit, deduped — the symmetric half of the join."""
+        base = frame.select(
+            F.col(col_name),
+            F.array_union(
+                F.array(F.col(col_name)),
+                _deletion_variants(F.col(col_name)),
+            ).alias("_d1"),
+        )
+        if max_edit == 2:
+            keyed = base.select(
+                col_name,
+                F.explode(
+                    F.array_distinct(
+                        F.flatten(
+                            F.transform(
+                                "_d1",
+                                lambda d: F.array_union(
+                                    F.array(d), _deletion_variants(d)
+                                ),
+                            )
+                        )
+                    )
+                ).alias("key"),
+            )
+        else:
+            keyed = base.select(
+                col_name, F.explode(F.array_distinct("_d1")).alias("key")
+            )
+        return keyed
+
+    vkeys = keys_of(vocab, "term")
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(q_terms))],
+                                "query string")
+    qkeys = keys_of(qdf, "query")
+    cands = (
+        vkeys.join(F.broadcast(qkeys), "key")
+        .select("query", "term")
+        .distinct()
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("query"), F.col("term")).cast("long"),
+        )
+        .where(F.col("distance") <= max_edit)
+        .join(vocab, "term")
+    )
+    w_rank = Window.partitionBy("query").orderBy(
+        F.asc("distance"), F.desc("cnt"), F.asc("term")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "query",
+            F.col("term").alias("suggestion"),
+            "distance",
+            "cnt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def boolean_search(
     docs: Optional[DataFrame] = None,
     *,
