@@ -4430,6 +4430,28 @@ def _q_spell_correct(spark, sf_dir):
     )
 
 
+def _q_concordance(spark, sf_dir):
+    """KWIC concordance (operators/textops.py concordance): every
+    occurrence of 'spark' with ±4 context tokens, clipped at doc
+    edges. The oracle re-slices the token lists relationally, so the
+    hash pins position derivation AND both context renderings."""
+    from web_scrapper_spark.operators.textops import concordance
+
+    docs = _read(spark, sf_dir, "documents")
+    return concordance(docs, "spark", context=4)
+
+
+def _q_prefix_suggest(spark, sf_dir):
+    """Autocomplete (operators/textops.py prefix_suggest): top-5
+    completions per prefix by corpus frequency (cnt desc, term asc),
+    prefixes {s, c, b, w, zz} — zz proves empty prefixes vanish rather
+    than erroring."""
+    from web_scrapper_spark.operators.textops import prefix_suggest
+
+    docs = _read(spark, sf_dir, "documents")
+    return prefix_suggest(docs, ["s", "c", "b", "w", "zz"], k=5)
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -5991,6 +6013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": _q_boolean_search,
         "term_cooccurrence": _q_term_cooccurrence,
         "spell_correct": _q_spell_correct,
+        "concordance": _q_concordance,
+        "prefix_suggest": _q_prefix_suggest,
         "snippets": _q_snippets,
         "robots_audit": _q_robots_audit,
         "quality_drift": _q_quality_drift,
@@ -10071,6 +10095,48 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY distance ASC, cnt DESC, term ASC)
                      AS BIGINT) AS rank
             FROM c
+            QUALIFY rank <= 5
+        """,
+        "concordance": f"""
+            -- KWIC replay: 0-based occurrence positions of 'spark',
+            -- left = tokens [max(0,p-4), p-1], right = [p+1, p+4],
+            -- re-sliced 1-based and clipped by DuckDB list slicing.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), m AS (
+              SELECT doc_id, p FROM (
+                SELECT doc_id, unnest(t) AS term,
+                       CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+                FROM toks
+              ) WHERE term = 'spark'
+            )
+            SELECT m.doc_id, m.p AS pos,
+                   array_to_string(
+                     t.t[CAST(greatest(0, m.p - 4) + 1 AS BIGINT)
+                         : CAST(m.p AS BIGINT)], ' ') AS "left",
+                   'spark' AS match,
+                   array_to_string(
+                     t.t[CAST(m.p + 2 AS BIGINT)
+                         : CAST(m.p + 5 AS BIGINT)], ' ') AS "right"
+            FROM m JOIN toks t USING (doc_id)
+        """,
+        "prefix_suggest": f"""
+            -- autocomplete replay: vocab counts, starts_with join,
+            -- (cnt desc, term asc) top-5 per prefix.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(t) AS term FROM toks
+              ) GROUP BY term
+            ), p(prefix) AS (
+              VALUES ('s'), ('c'), ('b'), ('w'), ('zz')
+            )
+            SELECT prefix, term, cnt,
+                   CAST(row_number() OVER (
+                     PARTITION BY prefix
+                     ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+            FROM vocab JOIN p ON starts_with(term, prefix)
             QUALIFY rank <= 5
         """,
         "snippets": f"""

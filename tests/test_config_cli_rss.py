@@ -1370,3 +1370,49 @@ class TestSearchCliSuggest:
              "--max-edit", "3", "--cpus", "4"],
         )
         assert bad_edit.exit_code != 0
+
+
+class TestSearchCliCompleteKwic:
+    """analyze search --complete + analyze kwic."""
+
+    def test_complete_and_kwic(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(1, "graph graphics graphite chart"), (2, "graph chart")],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--complete", "graph",
+             "--topk", "2", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert [(x["term"], x["rank"]) for x in rows] == [
+            ("graph", 1), ("graphics", 2)
+        ]
+        both = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--complete", "g",
+             "--suggest", "x"],
+        )
+        assert both.exit_code != 0
+
+        k = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "kwic", "-i", dpath, "-t", "chart",
+             "--context", "2", "--cpus", "4"],
+        )
+        assert k.exit_code == 0, k.output
+        krows = _json.loads(k.output.strip())
+        assert [(x["doc_id"], x["pos"]) for x in krows] == [(1, 3), (2, 1)]
+        assert krows[0]["left"] == "graphics graphite"
+        assert krows[1]["left"] == "graph" and krows[1]["right"] == ""

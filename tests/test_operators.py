@@ -4956,3 +4956,88 @@ class TestSpellCorrectFromIndex:
             spell_correct(docs, ["a"], index=docs)
         with _pytest.raises(ValueError):
             spell_correct(queries=["a"])
+
+
+class TestConcordance:
+    """KWIC concordance (textops.concordance)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_context_clipping_and_positions(self, spark):
+        from web_scrapper_spark.operators.textops import concordance
+
+        docs = self._docs(
+            spark, [(1, "the quick brown fox jumps over the lazy dog")]
+        )
+        out = {
+            r["pos"]: r
+            for r in concordance(docs, "the", context=3).collect()
+        }
+        assert set(out) == {0, 6}
+        assert out[0]["left"] == "" and out[0]["right"] == "quick brown fox"
+        assert out[6]["left"] == "fox jumps over"
+        assert out[6]["right"] == "lazy dog"
+        assert all(r["match"] == "the" for r in out.values())
+
+    def test_no_match_and_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import concordance
+
+        docs = self._docs(spark, [(1, "a b c"), (2, None)])
+        assert concordance(docs, "zz", context=2).collect() == []
+        with _pytest.raises(ValueError):
+            concordance(docs, "two words")
+        with _pytest.raises(ValueError):
+            concordance(docs, "a", context=0)
+
+
+class TestPrefixSuggest:
+    """Autocomplete (textops.prefix_suggest)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_popularity_ranking_and_exact_prefix(self, spark):
+        from web_scrapper_spark.operators.textops import prefix_suggest
+
+        docs = self._docs(
+            spark,
+            [(1, "car card card cargo cart"), (2, "card car")],
+        )
+        out = prefix_suggest(docs, ["car"], k=3).collect()
+        # card cnt 3 > car cnt 2 > cargo/cart cnt 1 (tie -> cargo)
+        assert [(r["term"], r["cnt"], r["rank"]) for r in out] == [
+            ("card", 3, 1), ("car", 2, 2), ("cargo", 1, 3)
+        ]
+
+    def test_index_path_equals_docs_path(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_postings,
+            prefix_suggest,
+        )
+
+        docs = self._docs(spark, [(1, "net nets nested x"), (2, "net y")])
+        idx = build_postings(docs, 2)
+        a = sorted(
+            tuple(r) for r in prefix_suggest(docs, ["ne"], k=5).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in prefix_suggest(prefixes=["ne"], index=idx, k=5).collect()
+        )
+        assert a == b and a
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import prefix_suggest
+
+        docs = self._docs(spark, [(1, "x")])
+        with _pytest.raises(ValueError):
+            prefix_suggest(docs, ["  "])
+        with _pytest.raises(ValueError):
+            prefix_suggest(docs, ["a"], k=0)
+        with _pytest.raises(ValueError):
+            prefix_suggest(docs, ["a"], index=docs)

@@ -956,6 +956,9 @@ if __name__ == "__main__":
                    "(repeatable)")
 @click.option("--max-edit", default=1, show_default=True, type=int,
               help="suggest mode: maximum Levenshtein distance (1 or 2)")
+@click.option("--complete", "complete_prefixes", multiple=True,
+              help="autocomplete mode: top completions for this prefix "
+                   "by corpus frequency (repeatable)")
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
@@ -969,8 +972,8 @@ if __name__ == "__main__":
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                    like_ids, phrase_str, snippet_window, must_terms,
                    should_terms, must_not_terms, suggest_terms, max_edit,
-                   topk, anchors_path, min_df, max_df_ppm,
-                   block_size) -> None:
+                   complete_prefixes, topk, anchors_path, min_df,
+                   max_df_ppm, block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
@@ -990,12 +993,13 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
         raise click.UsageError("pass exactly one of -i/--input or --from-store")
     boolean_mode = bool(must_terms or should_terms or must_not_terms)
     n_modes = sum(map(bool, (query_strs, like_ids, phrase_str, boolean_mode,
-                             suggest_terms)))
+                             suggest_terms, complete_prefixes)))
     if n_modes != 1:
         raise click.UsageError("pass exactly one of -q/--query, --like, "
                                "--phrase, --must/--should/--must-not, "
-                               "--suggest")
-    if (boolean_mode or suggest_terms) and (anchors_path or snippet_window):
+                               "--suggest, --complete")
+    if (boolean_mode or suggest_terms or complete_prefixes) \
+            and (anchors_path or snippet_window):
         raise click.UsageError("boolean/suggest mode does not combine with "
                                "--anchors/--snippet-window")
     if phrase_str and anchors_path:
@@ -1006,8 +1010,8 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if snippet_window and (store_dir or like_ids):
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
-    if (phrase_str or boolean_mode or suggest_terms) and store_dir \
-            and (min_df, max_df_ppm) != (1, 1_000_000):
+    if (phrase_str or boolean_mode or suggest_terms or complete_prefixes) \
+            and store_dir and (min_df, max_df_ppm) != (1, 1_000_000):
         raise click.UsageError("--phrase/boolean mode ignores df gates (a "
                                "gate silently losing a clause term flips "
                                "matches) — drop --min-df/--max-df-ppm")
@@ -1041,6 +1045,29 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     "index_articles enabled first)", err=True,
                 )
                 sys.exit(2)
+            if complete_prefixes:
+                from .operators.textops import prefix_suggest
+
+                try:
+                    out = prefix_suggest(
+                        prefixes=list(complete_prefixes),
+                        index=idx["postings"], k=topk,
+                    )
+                except ValueError as err:
+                    raise click.UsageError(str(err)) from None
+                click.echo(json.dumps(
+                    [
+                        {
+                            "prefix": r["prefix"],
+                            "rank": r["rank"],
+                            "term": r["term"],
+                            "cnt": r["cnt"],
+                        }
+                        for r in out.orderBy("prefix", "rank").collect()
+                    ],
+                    indent=2,
+                ))
+                return
             if suggest_terms:
                 from .operators.textops import spell_correct
 
@@ -1166,6 +1193,28 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             ))
             return
         docs = _analyze_docs(spark, in_path, id_col, text_col)
+        if complete_prefixes:
+            from .operators.textops import prefix_suggest
+
+            try:
+                out = prefix_suggest(
+                    docs, list(complete_prefixes), k=topk,
+                )
+            except ValueError as err:
+                raise click.UsageError(str(err)) from None
+            click.echo(json.dumps(
+                [
+                    {
+                        "prefix": r["prefix"],
+                        "rank": r["rank"],
+                        "term": r["term"],
+                        "cnt": r["cnt"],
+                    }
+                    for r in out.orderBy("prefix", "rank").collect()
+                ],
+                indent=2,
+            ))
+            return
         if suggest_terms:
             from .operators.textops import spell_correct
 
@@ -1358,6 +1407,48 @@ def analyze_related(in_path, seed_strs, id_col, text_col, window, topk,
                     "lift_ppm": r["lift_ppm"],
                 }
                 for r in out.orderBy("seed", "rank").collect()
+            ],
+            indent=2,
+        ))
+    finally:
+        if _owned:
+            spark.stop()
+
+
+@analyze.command("kwic")
+@click.option("--input", "-i", "in_path", required=True, type=str,
+              help="parquet documents table")
+@click.option("--term", "-t", "term", required=True, type=str)
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--context", default=5, show_default=True, type=int)
+@click.option("--limit", "limit_n", default=50, show_default=True, type=int,
+              help="print at most this many occurrences (doc_id, pos order)")
+@click.option("--cpus", default=0, type=int, help="cores (default: all)")
+def analyze_kwic(in_path, term, id_col, text_col, context, limit_n,
+                 cpus) -> None:
+    """Keyword-in-context concordance: every occurrence of TERM with
+    its ±context surrounding tokens."""
+    from .operators.textops import concordance
+
+    spark, _owned = _own_spark(cpus)
+    try:
+        docs = _analyze_docs(spark, in_path, id_col, text_col)
+        try:
+            out = concordance(docs, term, context=context)
+        except ValueError as err:
+            raise click.UsageError(str(err)) from None
+        rows = out.orderBy("doc_id", "pos").limit(limit_n).collect()
+        click.echo(json.dumps(
+            [
+                {
+                    "doc_id": r["doc_id"],
+                    "pos": r["pos"],
+                    "left": r["left"],
+                    "match": r["match"],
+                    "right": r["right"],
+                }
+                for r in rows
             ],
             indent=2,
         ))

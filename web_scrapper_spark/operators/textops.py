@@ -1504,6 +1504,131 @@ def spell_correct(
     )
 
 
+def prefix_suggest(
+    docs: Optional[DataFrame] = None,
+    prefixes: list = (),
+    *,
+    index: Optional[DataFrame] = None,
+    k: int = 5,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Autocomplete — top-``k`` vocabulary completions per prefix by
+    corpus frequency (the Lucene suggester's popularity rule,
+    deterministic): ``(prefix, term, cnt, rank)`` ranked (cnt desc,
+    term asc). Prefixes are lowercased; a term equal to the prefix is
+    itself a completion. Vocabulary from one tokenization (``docs``)
+    or any postings index's term dictionary (``index=``, cnt = summed
+    tfs — the crawl store serves autocomplete with zero
+    re-tokenization).
+
+    Scale shape: one map-side-combined vocab aggregate; the prefix
+    table is query-sized and BROADCAST; ``startswith`` filters at the
+    join; per-prefix ranking windows are k-bounded.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    pfx = sorted({str(p).lower() for p in prefixes if str(p).strip()})
+    if not pfx:
+        raise ValueError("prefixes must be non-empty")
+    if (docs is None) == (index is None):
+        raise ValueError("exactly one of docs / index is required")
+    if docs is not None:
+        spark = docs.sparkSession
+        vocab = (
+            fan_out(docs).select(
+                F.explode(tokens_col(F.col(text_col))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+    else:
+        spark = index.sparkSession
+        vocab = (
+            index.select(
+                "term",
+                F.aggregate(
+                    "tfs", F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias("_tf"),
+            )
+            .groupBy("term")
+            .agg(F.sum("_tf").cast("long").alias("cnt"))
+        )
+    vocab = vocab.where(F.col("cnt") >= min_count)
+    pdf = spark.createDataFrame([(p,) for p in pfx], "prefix string")
+    w_rank = Window.partitionBy("prefix").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        vocab.join(
+            F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "prefix", "term", "cnt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def concordance(
+    docs: DataFrame,
+    term: str,
+    *,
+    context: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance — every occurrence of
+    ``term`` with its ±``context`` surrounding tokens, the classic
+    corpus-linguistics view (and the debugging lens for every other
+    positional operator): ``(doc_id, pos, left, match, right)``, left/
+    right space-joined token spans clipped at doc edges.
+
+    Scale shape: occurrences are term-filtered from ONE tokenization
+    before anything wide; context rendering is a doc-grain join back
+    to the staged token arrays plus two native ``slice`` calls — no
+    window, no self-join, nothing beyond the matching docs moves.
+    """
+    toks = tokenize_query(term)
+    if len(toks) != 1:
+        raise ValueError("term must tokenize to exactly one token")
+    if context <= 0:
+        raise ValueError("context must be positive")
+    t = toks[0]
+    staged = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    matches = staged.select(
+        "doc_id", F.posexplode("_toks").alias("p", "term")
+    ).where(F.col("term") == t).select(
+        "doc_id", F.col("p").cast("long").alias("pos")
+    )
+    left_start = F.greatest(F.lit(0), F.col("pos") - context)
+    return matches.join(staged, "doc_id").select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(
+                F.col("_toks"),
+                (left_start + 1).cast("int"),
+                (F.col("pos") - left_start).cast("int"),
+            ),
+            " ",
+        ).alias("left"),
+        F.lit(t).alias("match"),
+        F.array_join(
+            F.slice(
+                F.col("_toks"), (F.col("pos") + 2).cast("int"), context
+            ),
+            " ",
+        ).alias("right"),
+    )
+
+
 def boolean_search(
     docs: Optional[DataFrame] = None,
     *,
