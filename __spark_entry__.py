@@ -10026,7 +10026,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_cooccurrence": f"""
             -- association-ratio replay for seed 'spark': banded
-            -- positional join (0 < |dp| <= 5), pair counts >= 2,
+            -- positional join (|dp| <= 5, neighbor <> seed), pairs >= 2,
             -- lift = pairs*T*1e6 // (cnt_seed*cnt_term) in HUGEINT
             -- floor division, top-15 per seed (lift desc, term asc).
             WITH toks AS (
@@ -10047,7 +10047,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT so.seed, o.term, CAST(count(*) AS BIGINT) AS pairs
               FROM so JOIN occ o
                 ON so.doc_id = o.doc_id
-               AND abs(o.p - so.sp) <= 5 AND o.p <> so.sp
+               AND abs(o.p - so.sp) <= 5 AND o.term <> so.seed
               GROUP BY so.seed, o.term
               HAVING count(*) >= 2
             ), sc AS (

@@ -5041,3 +5041,92 @@ class TestPrefixSuggest:
             prefix_suggest(docs, ["a"], k=0)
         with _pytest.raises(ValueError):
             prefix_suggest(docs, ["a"], index=docs)
+
+
+class TestReviewFixesSearchOps:
+    """Regression pins for the round-5 review findings."""
+
+    def test_seed_never_its_own_related_term(self, spark):
+        from web_scrapper_spark.operators.textops import term_cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "alpha x alpha y alpha"), (2, "alpha alpha")],
+            "doc_id long, text string",
+        )
+        out = term_cooccurrence(
+            docs, ["alpha"], window=3, k=10, min_pairs=1
+        ).collect()
+        assert "alpha" not in {r["term"] for r in out}
+        assert {r["term"] for r in out} == {"x", "y"}
+
+    def test_seed_count_table_filtered_before_broadcast(self, spark):
+        from web_scrapper_spark.operators import textops
+
+        docs = spark.createDataFrame(
+            [(1, "seed n1 n2 n3")], "doc_id long, text string"
+        )
+        plan_buf = []
+        out = textops.term_cooccurrence(
+            docs, ["seed"], window=3, k=5, min_pairs=1
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        # the broadcast side must carry the seed filter (isin), not
+        # the whole vocabulary
+        plan = buf.getvalue()
+        assert "seed" in plan  # sanity: plan rendered
+        rows = out.collect()
+        assert {r["term"] for r in rows} == {"n1", "n2", "n3"}
+
+    def test_padded_prefix_is_stripped(self, spark):
+        from web_scrapper_spark.operators.textops import prefix_suggest
+
+        docs = spark.createDataFrame(
+            [(1, "berry berry apple")], "doc_id long, text string"
+        )
+        out = prefix_suggest(docs, ["  be "], k=3).collect()
+        assert [(r["prefix"], r["term"]) for r in out] == [("be", "berry")]
+
+    def test_cli_df_gates_refused_with_input_too(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        dpath = str(tmp_path / "d.parquet")
+        docs.write.parquet(dpath)
+        runner = CliRunner()
+        for mode in (["--must", "a"], ["--suggest", "a"],
+                     ["--complete", "a"], ["--phrase", "a b"]):
+            r = runner.invoke(
+                cli_mod.cli,
+                ["analyze", "search", "-i", dpath, "--min-df", "2",
+                 "--cpus", "4"] + mode,
+            )
+            assert r.exit_code != 0, mode
+            assert "df gates" in r.output, mode
+
+    def test_cli_phrase_usage_error_not_traceback(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        dpath = str(tmp_path / "d.parquet")
+        docs.write.parquet(dpath)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--phrase", "!!!",
+             "--cpus", "4"],
+        )
+        assert r.exit_code == 2
+        assert "at least one token" in r.output

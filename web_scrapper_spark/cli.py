@@ -393,6 +393,14 @@ def analyze() -> None:
     operators/ layer as a command-line surface."""
 
 
+def _emit_json_rows(rows, fields) -> None:
+    """Shared JSON renderer for the row-shaped analyze modes — one
+    place to change the output contract instead of one per branch."""
+    click.echo(json.dumps(
+        [{f: r[f] for f in fields} for r in rows], indent=2
+    ))
+
+
 def _analyze_docs(spark, in_path, id_col, text_col):
     df = spark.read.parquet(in_path)
     out = df
@@ -1011,10 +1019,11 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
     if (phrase_str or boolean_mode or suggest_terms or complete_prefixes) \
-            and store_dir and (min_df, max_df_ppm) != (1, 1_000_000):
-        raise click.UsageError("--phrase/boolean mode ignores df gates (a "
-                               "gate silently losing a clause term flips "
-                               "matches) — drop --min-df/--max-df-ppm")
+            and (min_df, max_df_ppm) != (1, 1_000_000):
+        raise click.UsageError("--phrase/boolean/suggest/complete ignores "
+                               "df gates (a gate silently losing a clause "
+                               "term flips matches) — drop "
+                               "--min-df/--max-df-ppm")
     if like_ids and anchors_path:
         raise click.UsageError("--like does not combine with --anchors")
     if store_dir and anchors_path:
@@ -1055,18 +1064,10 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     )
                 except ValueError as err:
                     raise click.UsageError(str(err)) from None
-                click.echo(json.dumps(
-                    [
-                        {
-                            "prefix": r["prefix"],
-                            "rank": r["rank"],
-                            "term": r["term"],
-                            "cnt": r["cnt"],
-                        }
-                        for r in out.orderBy("prefix", "rank").collect()
-                    ],
-                    indent=2,
-                ))
+                _emit_json_rows(
+                    out.orderBy("prefix", "rank").collect(),
+                    ("prefix", "rank", "term", "cnt"),
+                )
                 return
             if suggest_terms:
                 from .operators.textops import spell_correct
@@ -1078,19 +1079,10 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     )
                 except ValueError as err:
                     raise click.UsageError(str(err)) from None
-                click.echo(json.dumps(
-                    [
-                        {
-                            "query": r["query"],
-                            "rank": r["rank"],
-                            "suggestion": r["suggestion"],
-                            "distance": r["distance"],
-                            "cnt": r["cnt"],
-                        }
-                        for r in out.orderBy("query", "rank").collect()
-                    ],
-                    indent=2,
-                ))
+                _emit_json_rows(
+                    out.orderBy("query", "rank").collect(),
+                    ("query", "rank", "suggestion", "distance", "cnt"),
+                )
                 return
             if boolean_mode:
                 from .operators.textops import boolean_search
@@ -1103,13 +1095,7 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                     )
                 except ValueError as err:
                     raise click.UsageError(str(err)) from None
-                click.echo(json.dumps(
-                    [
-                        {"doc_id": r["doc_id"], "n_should": r["n_should"]}
-                        for r in out.collect()
-                    ],
-                    indent=2,
-                ))
+                _emit_json_rows(out.collect(), ("doc_id", "n_should"))
                 return
             if phrase_str:
                 from .operators.textops import phrase_search
@@ -1120,9 +1106,12 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                         "index_positions enabled first)", err=True,
                     )
                     sys.exit(2)
-                out = phrase_search(
-                    phrase=phrase_str, index=idx["positions"], k=topk
-                )
+                try:
+                    out = phrase_search(
+                        phrase=phrase_str, index=idx["positions"], k=topk
+                    )
+                except ValueError as err:
+                    raise click.UsageError(str(err)) from None
                 click.echo(json.dumps(
                     [
                         {
@@ -1202,18 +1191,10 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                 )
             except ValueError as err:
                 raise click.UsageError(str(err)) from None
-            click.echo(json.dumps(
-                [
-                    {
-                        "prefix": r["prefix"],
-                        "rank": r["rank"],
-                        "term": r["term"],
-                        "cnt": r["cnt"],
-                    }
-                    for r in out.orderBy("prefix", "rank").collect()
-                ],
-                indent=2,
-            ))
+            _emit_json_rows(
+                out.orderBy("prefix", "rank").collect(),
+                ("prefix", "rank", "term", "cnt"),
+            )
             return
         if suggest_terms:
             from .operators.textops import spell_correct
@@ -1224,19 +1205,10 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                 )
             except ValueError as err:
                 raise click.UsageError(str(err)) from None
-            click.echo(json.dumps(
-                [
-                    {
-                        "query": r["query"],
-                        "rank": r["rank"],
-                        "suggestion": r["suggestion"],
-                        "distance": r["distance"],
-                        "cnt": r["cnt"],
-                    }
-                    for r in out.orderBy("query", "rank").collect()
-                ],
-                indent=2,
-            ))
+            _emit_json_rows(
+                out.orderBy("query", "rank").collect(),
+                ("query", "rank", "suggestion", "distance", "cnt"),
+            )
             return
         if boolean_mode:
             from .operators.textops import boolean_search
@@ -1248,18 +1220,15 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                 )
             except ValueError as err:
                 raise click.UsageError(str(err)) from None
-            click.echo(json.dumps(
-                [
-                    {"doc_id": r["doc_id"], "n_should": r["n_should"]}
-                    for r in out.collect()
-                ],
-                indent=2,
-            ))
+            _emit_json_rows(out.collect(), ("doc_id", "n_should"))
             return
         if phrase_str:
             from .operators.textops import phrase_search, snippet_extract
 
-            out = phrase_search(docs, phrase_str, k=topk)
+            try:
+                out = phrase_search(docs, phrase_str, k=topk)
+            except ValueError as err:
+                raise click.UsageError(str(err)) from None
             rows = out.collect()
             snippets = {}
             if snippet_window and rows:
@@ -1397,19 +1366,10 @@ def analyze_related(in_path, seed_strs, id_col, text_col, window, topk,
             )
         except ValueError as err:
             raise click.UsageError(str(err)) from None
-        click.echo(json.dumps(
-            [
-                {
-                    "seed": r["seed"],
-                    "rank": r["rank"],
-                    "term": r["term"],
-                    "pairs": r["pairs"],
-                    "lift_ppm": r["lift_ppm"],
-                }
-                for r in out.orderBy("seed", "rank").collect()
-            ],
-            indent=2,
-        ))
+        _emit_json_rows(
+            out.orderBy("seed", "rank").collect(),
+            ("seed", "rank", "term", "pairs", "lift_ppm"),
+        )
     finally:
         if _owned:
             spark.stop()
@@ -1439,19 +1399,7 @@ def analyze_kwic(in_path, term, id_col, text_col, context, limit_n,
         except ValueError as err:
             raise click.UsageError(str(err)) from None
         rows = out.orderBy("doc_id", "pos").limit(limit_n).collect()
-        click.echo(json.dumps(
-            [
-                {
-                    "doc_id": r["doc_id"],
-                    "pos": r["pos"],
-                    "left": r["left"],
-                    "match": r["match"],
-                    "right": r["right"],
-                }
-                for r in rows
-            ],
-            indent=2,
-        ))
+        _emit_json_rows(rows, ("doc_id", "pos", "left", "match", "right"))
     finally:
         if _owned:
             spark.stop()

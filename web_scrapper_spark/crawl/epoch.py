@@ -267,6 +267,25 @@ class CrawlConfig:
     business: BusinessConfig = field(default_factory=BusinessConfig)
 
 
+def _gather_index_parts(spark, store, base_table, delta_table, as_of_epoch):
+    """Merge-on-read gather shared by every index-table family:
+    ``(parts, base_entry)`` where parts = [compacted base?] + [deltas
+    committed after it]. One place owns the after_epoch boundary (a
+    fix to it applies to plain postings, norms, and positions alike).
+    """
+    base_entry = store.latest_committed(base_table, as_of_epoch)
+    parts = []
+    if base_entry is not None:
+        parts.append(store.read(spark, base_table, base_entry["id"]))
+    deltas = store.read_committed(
+        spark, delta_table, as_of_epoch,
+        after_epoch=base_entry["epoch"] if base_entry else None,
+    )
+    if deltas is not None:
+        parts.append(deltas)
+    return parts, base_entry
+
+
 def load_search_index(
     spark: SparkSession,
     store: "SnapshotStore",
@@ -291,28 +310,12 @@ def load_search_index(
 
     # merge-on-read with a compacted base (cfg.index_compact_max_shards
     # crawls): O(base + recent deltas) files, never O(epochs)
-    base_entry = store.latest_committed("index_base", as_of_epoch)
-    parts = []
-    if base_entry is not None:
-        parts.append(store.read(spark, "index_base", base_entry["id"]))
-    deltas = store.read_committed(
-        spark, "index_shards", as_of_epoch,
-        after_epoch=base_entry["epoch"] if base_entry else None,
+    parts, base_entry = _gather_index_parts(
+        spark, store, "index_base", "index_shards", as_of_epoch
     )
-    if deltas is not None:
-        parts.append(deltas)
-    dl_base_entry = store.latest_committed("index_dl_base", as_of_epoch)
-    dl_parts = []
-    if dl_base_entry is not None:
-        dl_parts.append(
-            store.read(spark, "index_dl_base", dl_base_entry["id"])
-        )
-    dl_deltas = store.read_committed(
-        spark, "index_doclens", as_of_epoch,
-        after_epoch=dl_base_entry["epoch"] if dl_base_entry else None,
+    dl_parts, _dl_base = _gather_index_parts(
+        spark, store, "index_dl_base", "index_doclens", as_of_epoch
     )
-    if dl_deltas is not None:
-        dl_parts.append(dl_deltas)
     if not parts or not dl_parts:
         return None
     dls = dl_parts[0]
@@ -368,18 +371,10 @@ def load_search_index(
     # flag ON (a store that enabled it mid-crawl serves phrase over
     # the indexed suffix only — enable from the first epoch for full
     # coverage).
-    p_base_entry = store.latest_committed("index_positions_base", as_of_epoch)
-    p_parts = []
-    if p_base_entry is not None:
-        p_parts.append(
-            store.read(spark, "index_positions_base", p_base_entry["id"])
-        )
-    p_deltas = store.read_committed(
-        spark, "index_positions", as_of_epoch,
-        after_epoch=p_base_entry["epoch"] if p_base_entry else None,
+    p_parts, _p_base = _gather_index_parts(
+        spark, store, "index_positions_base", "index_positions",
+        as_of_epoch,
     )
-    if p_deltas is not None:
-        p_parts.append(p_deltas)
     if p_parts:
         from ..operators.textops import merge_positional_postings
 
@@ -931,16 +926,10 @@ class CrawlEngine:
         )
         if n_deltas < max(2, cfg.index_compact_max_shards):
             return {}
-        parts = []
-        if base_entry is not None:
-            parts.append(
-                self.store.read(self.spark, "index_base", base_entry["id"])
-            )
-        prev_deltas = self.store.read_committed(
-            self.spark, "index_shards", self._epoch, after_epoch=after
+        parts, _ = _gather_index_parts(
+            self.spark, self.store, "index_base", "index_shards",
+            self._epoch,
         )
-        if prev_deltas is not None:
-            parts.append(prev_deltas)
         parts.append(shard)
         n_total = self.store.committed_rows("index_doclens") + n_new
         folded = merge_postings(
@@ -950,22 +939,11 @@ class CrawlEngine:
             n_docs=n_total,
             block_size=cfg.index_block_size,
         )
-        dl_base_entry = self.store.latest_committed(
-            "index_dl_base", self._epoch
+        dl_parts, _ = _gather_index_parts(
+            self.spark, self.store, "index_dl_base", "index_doclens",
+            self._epoch,
         )
-        dl_parts = [dls]
-        if dl_base_entry is not None:
-            dl_parts.append(
-                self.store.read(
-                    self.spark, "index_dl_base", dl_base_entry["id"]
-                )
-            )
-        dl_after = dl_base_entry["epoch"] if dl_base_entry else None
-        prev_dls = self.store.read_committed(
-            self.spark, "index_doclens", self._epoch, after_epoch=dl_after
-        )
-        if prev_dls is not None:
-            dl_parts.append(prev_dls)
+        dl_parts = [dls] + dl_parts
         dl_folded = dl_parts[0]
         for p in dl_parts[1:]:
             dl_folded = dl_folded.unionByName(p, allowMissingColumns=True)
@@ -988,24 +966,10 @@ class CrawlEngine:
             # term anyway
             from ..operators.textops import merge_positional_postings
 
-            p_base_entry = self.store.latest_committed(
-                "index_positions_base", self._epoch
+            p_parts, _ = _gather_index_parts(
+                self.spark, self.store, "index_positions_base",
+                "index_positions", self._epoch,
             )
-            p_after = p_base_entry["epoch"] if p_base_entry else None
-            p_parts = []
-            if p_base_entry is not None:
-                p_parts.append(
-                    self.store.read(
-                        self.spark, "index_positions_base",
-                        p_base_entry["id"],
-                    )
-                )
-            p_prev = self.store.read_committed(
-                self.spark, "index_positions", self._epoch,
-                after_epoch=p_after,
-            )
-            if p_prev is not None:
-                p_parts.append(p_prev)
             p_parts.append(pshard)
             out["index_positions_base"] = self.store.commit(
                 "index_positions_base",

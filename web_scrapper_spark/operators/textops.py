@@ -1529,7 +1529,7 @@ def prefix_suggest(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    pfx = sorted({str(p).lower() for p in prefixes if str(p).strip()})
+    pfx = sorted({str(p).strip().lower() for p in prefixes if str(p).strip()})
     if not pfx:
         raise ValueError("prefixes must be non-empty")
     if (docs is None) == (index is None):
@@ -1755,7 +1755,8 @@ def term_cooccurrence(
       lift_ppm = pairs · T · 10⁶ // (cnt_seed · cnt_neighbor)
 
     where ``pairs`` counts (seed occurrence, neighbor occurrence)
-    position pairs with ``0 < |Δp| ≤ window``, ``cnt_·`` are corpus
+    position pairs with ``|Δp| ≤ window`` and neighbor ≠ seed (a seed
+    is never its own related term), ``cnt_·`` are corpus
     term frequencies and ``T`` the corpus token count (Church & Hanks
     1990's word-association ratio, integer-exact). Returns
     ``(seed, term, pairs, lift_ppm)`` top-``k`` per seed by
@@ -1792,13 +1793,18 @@ def term_cooccurrence(
         seed_occ.join(occ, "doc_id")
         .where(
             (F.abs(F.col("p") - F.col("sp")) <= window)
-            & (F.col("p") != F.col("sp"))
+            # a seed is not its own "related term": seed-seed pairs
+            # would be counted from BOTH occurrences (2x other
+            # neighbors' scale) and crowd a real neighbor out of k
+            & (F.col("term") != F.col("seed"))
         )
         .groupBy("seed", "term")
         .agg(F.count("*").cast("long").alias("pairs"))
         .where(F.col("pairs") >= min_pairs)
     )
-    seed_cnt = totals.select(
+    # seed counts only — broadcasting the unfiltered vocabulary would
+    # ship (and driver-collect) millions of rows at corpus scale
+    seed_cnt = totals.where(F.col("term").isin(seed_t)).select(
         F.col("term").alias("seed"), F.col("cnt").alias("seed_cnt")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
