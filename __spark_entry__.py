@@ -10110,14 +10110,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
               ) WHERE term = 'spark'
             )
+            -- DuckDB list slicing yields NULL (not []) when the
+            -- bounds fall outside the list; the engine's array_join
+            -- renders '' — coalesce to state the same rule.
             SELECT m.doc_id, m.p AS pos,
-                   array_to_string(
+                   coalesce(array_to_string(
                      t.t[CAST(greatest(0, m.p - 4) + 1 AS BIGINT)
-                         : CAST(m.p AS BIGINT)], ' ') AS "left",
+                         : CAST(m.p AS BIGINT)], ' '), '') AS "left",
                    'spark' AS match,
-                   array_to_string(
+                   coalesce(array_to_string(
                      t.t[CAST(m.p + 2 AS BIGINT)
-                         : CAST(m.p + 5 AS BIGINT)], ' ') AS "right"
+                         : CAST(m.p + 5 AS BIGINT)], ' '), '') AS "right"
             FROM m JOIN toks t USING (doc_id)
         """,
         "prefix_suggest": f"""
