@@ -4452,6 +4452,59 @@ def _q_prefix_suggest(spark, sf_dir):
     return prefix_suggest(docs, ["s", "c", "b", "w", "zz"], k=5)
 
 
+def _q_position_gaps(spark, sf_dir):
+    """Position-list gap encoding (operators/textops.py
+    delta_encode_positions): the postings_gaps layout at offset grain
+    — within a (term, doc) entry each position stores the gap from its
+    predecessor, first absolute. The oracle replays every gap with a
+    lag() window over the proven positional chain; the decode inverse
+    is pinned by the roundtrip unit test."""
+    from web_scrapper_spark.operators.textops import (
+        build_positional_postings,
+        delta_encode_positions,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_positional_postings(
+        docs, docs.count(), min_df=2, max_df_ppm=800_000, block_size=64
+    )
+    enc = delta_encode_positions(idx)
+    flat = enc.select(
+        "term",
+        "df",
+        "block",
+        F.posexplode(
+            F.arrays_zip("doc_ids", "tfs", "position_gaps")
+        ).alias("pos", "entry"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.doc_ids").alias("doc_id"),
+        F.col("entry.tfs").alias("tf"),
+        F.col("entry.position_gaps").alias("_pg"),
+    )
+    return flat.select(
+        "term",
+        "df",
+        "block",
+        "pos",
+        "doc_id",
+        "tf",
+        F.posexplode("_pg").alias("pidx", "gap"),
+    ).select(
+        "term",
+        "df",
+        "block",
+        "pos",
+        "doc_id",
+        "tf",
+        F.col("pidx").cast("long").alias("pidx"),
+        F.col("gap").cast("long").alias("gap"),
+    )
+
+
 def _q_token_budget(spark, sf_dir):
     """Token-budget corpus selection (operators/sampling.py
     token_budget_select): quality is the alpha-ratio ppm, tokens the
@@ -6007,6 +6060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "postings": _q_postings,
         "positional_postings": _q_positional_postings,
+        "position_gaps": _q_position_gaps,
         "phrase_search": _q_phrase_search,
         "phrase_from_index": _q_phrase_from_index,
         "proximity_search": _q_proximity_search,
@@ -9943,6 +9997,50 @@ def oracle_sql() -> dict[str, str]:
                      AS pidx,
                    CAST(unnest(positions) AS BIGINT) AS position
             FROM blocked
+        """,
+        "position_gaps": f"""
+            -- positional gap replay: the positional-postings chain,
+            -- then gap = position - lag(position) per (term, doc),
+            -- first offset absolute.
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(t) AS term,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+              FROM toks
+            ), ptf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                     list_sort(list(p)) AS positions
+              FROM occ GROUP BY term, doc_id
+            ), dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM ptf GROUP BY term
+            ), kept AS (
+              SELECT ptf.term, ptf.doc_id, ptf.tf, ptf.positions, dft.df
+              FROM ptf JOIN dft USING (term)
+              WHERE dft.df >= 2
+                AND dft.df <= (SELECT count(*) * 800000 // 1000000
+                               FROM documents)
+            ), blocked AS (
+              SELECT term, df,
+                     CAST((row_number() OVER w - 1) // 64 AS BIGINT) AS block,
+                     CAST((row_number() OVER w - 1) % 64 AS BIGINT) AS pos,
+                     doc_id, tf, positions
+              FROM kept
+              WINDOW w AS (PARTITION BY term ORDER BY doc_id ASC)
+            ), flat AS (
+              SELECT term, df, block, pos, doc_id, tf,
+                     CAST(generate_subscripts(positions, 1) - 1 AS BIGINT)
+                       AS pidx,
+                     CAST(unnest(positions) AS BIGINT) AS position
+              FROM blocked
+            )
+            SELECT term, df, block, pos, doc_id, tf, pidx,
+                   CAST(CASE WHEN pidx = 0 THEN position
+                        ELSE position - lag(position) OVER w2 END
+                     AS BIGINT) AS gap
+            FROM flat
+            WINDOW w2 AS (PARTITION BY term, doc_id ORDER BY pidx ASC)
         """,
         "phrase_search": f"""
             -- slot-alignment phrase replay for "value table": term_i

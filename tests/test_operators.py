@@ -5130,3 +5130,88 @@ class TestReviewFixesSearchOps:
         )
         assert r.exit_code == 2
         assert "at least one token" in r.output
+
+
+class TestPositionGaps:
+    """Position-list gap codec (textops.delta_encode/decode_positions)."""
+
+    def test_gaps_and_roundtrip(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            delta_decode_positions,
+            delta_encode_positions,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x a x b x"), (2, "x x x"), (3, "y x")],
+            "doc_id long, text string",
+        )
+        idx = build_positional_postings(docs, 3, block_size=2)
+        enc = delta_encode_positions(idx)
+        row = {
+            (r["term"], r["block"]): r for r in enc.collect()
+        }[("x", 0)]
+        # doc1 x@0,2,4 -> gaps [0,2,2]; doc2 x@0,1,2 -> [0,1,1]
+        assert [list(g) for g in row["position_gaps"]] == [
+            [0, 2, 2], [0, 1, 1]
+        ]
+        # python-side prefix-sum replay of every gap list
+        for r in enc.collect():
+            for gaps in r["position_gaps"]:
+                acc, out = 0, []
+                for g in gaps:
+                    acc += g
+                    out.append(acc)
+                assert out == sorted(out)
+        dec = delta_decode_positions(enc)
+
+        def canon(df):
+            return sorted(tuple(map(str, r)) for r in df.collect())
+
+        assert canon(dec.select(*sorted(idx.columns))) == canon(
+            idx.select(*sorted(idx.columns))
+        )
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import (
+            delta_encode_positions,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            delta_encode_positions(docs)
+
+
+class TestProximityFromIndex:
+    def test_index_path_equals_docs_path(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+            proximity_search,
+        )
+
+        rows = [
+            (1, "cat x dog y cat dog"),
+            (2, "cat x x x x x x x dog"),
+            (3, "dog cat"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_positional_postings(docs, 3, block_size=2)
+        a = proximity_search(docs, "cat dog", window=3, k=10).collect()
+        b = proximity_search(
+            query="cat dog", index=idx, window=3, k=10
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert [r["doc_id"] for r in a] == [1, 3]
+
+    def test_guard_both_sources(self, spark):
+        import pytest as _pytest
+
+        from web_scrapper_spark.operators.textops import proximity_search
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            proximity_search(docs, "x", index=docs)
+        with _pytest.raises(ValueError):
+            proximity_search(query="x")

@@ -967,6 +967,11 @@ if __name__ == "__main__":
 @click.option("--complete", "complete_prefixes", multiple=True,
               help="autocomplete mode: top completions for this prefix "
                    "by corpus frequency (repeatable)")
+@click.option("--near", "near_str", default=None, type=str,
+              help="proximity mode: docs where ALL these terms co-occur "
+                   "inside --near-window tokens (unordered SpanNear); "
+                   "with --from-store, serves from the positional index")
+@click.option("--near-window", default=12, show_default=True, type=int)
 @click.option("--topk", default=10, show_default=True, type=int)
 @click.option("--anchors", "anchors_path", default=None, type=str,
               help="parquet anchor table (doc_id, text) -> BM25F "
@@ -980,8 +985,8 @@ if __name__ == "__main__":
 def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                    like_ids, phrase_str, snippet_window, must_terms,
                    should_terms, must_not_terms, suggest_terms, max_edit,
-                   complete_prefixes, topk, anchors_path, min_df,
-                   max_df_ppm, block_size) -> None:
+                   complete_prefixes, near_str, near_window, topk,
+                   anchors_path, min_df, max_df_ppm, block_size) -> None:
     """BM25 retrieval over the corpus: builds the blocked postings
     index (norms-in-postings) and runs the queries DAAT; with
     --anchors, ranks fielded BM25F (body + anchor text); with --like,
@@ -1001,12 +1006,12 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
         raise click.UsageError("pass exactly one of -i/--input or --from-store")
     boolean_mode = bool(must_terms or should_terms or must_not_terms)
     n_modes = sum(map(bool, (query_strs, like_ids, phrase_str, boolean_mode,
-                             suggest_terms, complete_prefixes)))
+                             suggest_terms, complete_prefixes, near_str)))
     if n_modes != 1:
         raise click.UsageError("pass exactly one of -q/--query, --like, "
                                "--phrase, --must/--should/--must-not, "
-                               "--suggest, --complete")
-    if (boolean_mode or suggest_terms or complete_prefixes) \
+                               "--suggest, --complete, --near")
+    if (boolean_mode or suggest_terms or complete_prefixes or near_str) \
             and (anchors_path or snippet_window):
         raise click.UsageError("boolean/suggest mode does not combine with "
                                "--anchors/--snippet-window")
@@ -1018,8 +1023,8 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
     if snippet_window and (store_dir or like_ids):
         raise click.UsageError("--snippet-window requires -i/--input with "
                                "-q or --phrase (snippets re-read text)")
-    if (phrase_str or boolean_mode or suggest_terms or complete_prefixes) \
-            and (min_df, max_df_ppm) != (1, 1_000_000):
+    if (phrase_str or boolean_mode or suggest_terms or complete_prefixes
+            or near_str) and (min_df, max_df_ppm) != (1, 1_000_000):
         raise click.UsageError("--phrase/boolean/suggest/complete ignores "
                                "df gates (a gate silently losing a clause "
                                "term flips matches) — drop "
@@ -1096,6 +1101,26 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
                 except ValueError as err:
                     raise click.UsageError(str(err)) from None
                 _emit_json_rows(out.collect(), ("doc_id", "n_should"))
+                return
+            if near_str:
+                from .operators.textops import proximity_search
+
+                if "positions" not in idx:
+                    click.echo(
+                        "store index has no positions (crawl with "
+                        "index_positions enabled first)", err=True,
+                    )
+                    sys.exit(2)
+                try:
+                    out = proximity_search(
+                        query=near_str, index=idx["positions"],
+                        window=near_window, k=topk,
+                    )
+                except ValueError as err:
+                    raise click.UsageError(str(err)) from None
+                _emit_json_rows(
+                    out.collect(), ("doc_id", "n_windows", "best_start")
+                )
                 return
             if phrase_str:
                 from .operators.textops import phrase_search
@@ -1221,6 +1246,19 @@ def analyze_search(in_path, store_dir, id_col, text_col, cpus, query_strs,
             except ValueError as err:
                 raise click.UsageError(str(err)) from None
             _emit_json_rows(out.collect(), ("doc_id", "n_should"))
+            return
+        if near_str:
+            from .operators.textops import proximity_search
+
+            try:
+                out = proximity_search(
+                    docs, near_str, window=near_window, k=topk
+                )
+            except ValueError as err:
+                raise click.UsageError(str(err)) from None
+            _emit_json_rows(
+                out.collect(), ("doc_id", "n_windows", "best_start")
+            )
             return
         if phrase_str:
             from .operators.textops import phrase_search, snippet_extract

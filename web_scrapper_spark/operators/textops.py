@@ -1841,9 +1841,10 @@ def term_cooccurrence(
 
 
 def proximity_search(
-    docs: DataFrame,
-    query: str,
+    docs: Optional[DataFrame] = None,
+    query: str = "",
     *,
+    index: Optional[DataFrame] = None,
     window: int = 12,
     k: int = 10,
     id_col: str = "doc_id",
@@ -1860,6 +1861,11 @@ def proximity_search(
     ``best_start`` is the earliest such offset (the snippet anchor —
     feed it to :func:`snippet_extract`'s window for rendering).
 
+    Sources: ``docs`` (tokenize once, query-term filter first) or
+    ``index=`` (a :func:`build_positional_postings` frame — only the
+    query terms' blocks are read, the same contract as
+    :func:`phrase_search`).
+
     Scale shape: identical to :func:`snippet_extract` — matches
     filtered to query terms before anything wide, one per-doc
     range-frame window scores spans, map-side-combined (doc) aggregate,
@@ -1871,13 +1877,28 @@ def proximity_search(
         raise ValueError("query must contain at least one token")
     if window <= 0:
         raise ValueError("window must be positive")
-    staged = fan_out(docs).select(
-        F.col(id_col).alias("doc_id"),
-        tokens_col(F.col(text_col)).alias("_toks"),
-    )
-    matches = staged.select(
-        "doc_id", F.posexplode("_toks").alias("p", "term")
-    ).where(F.col("term").isin(q_terms))
+    if (docs is None) == (index is None):
+        raise ValueError("exactly one of docs / index is required")
+    if docs is not None:
+        matches = fan_out(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("p", "term"),
+        ).where(F.col("term").isin(q_terms))
+    else:
+        matches = (
+            index.where(F.col("term").isin(q_terms))
+            .select(
+                "term",
+                F.explode(
+                    F.arrays_zip("doc_ids", "position_lists")
+                ).alias("_e"),
+            )
+            .select(
+                "term",
+                F.col("_e.doc_ids").alias("doc_id"),
+                F.explode("_e.position_lists").alias("p"),
+            )
+        )
     w_span = (
         Window.partitionBy("doc_id")
         .orderBy(F.asc("p"))
@@ -2252,6 +2273,62 @@ def delta_decode_postings(encoded: DataFrame) -> DataFrame:
         c for c in encoded.columns if c not in ("first_doc", "doc_gaps")
     ]
     return encoded.select(*keep, ids.alias("doc_ids"))
+
+
+def delta_encode_positions(postings: DataFrame) -> DataFrame:
+    """Gap-encode the POSITION lists of a positional index — the same
+    compression layout :func:`delta_encode_postings` gives doc ids,
+    applied at offset grain (Lucene's proximity data is stored exactly
+    this way: positions are ascending within a (term, doc) entry, so
+    each stores the gap from its predecessor; the first keeps the
+    absolute offset). Within-document offsets are dense for frequent
+    terms, so the gap column bit-packs far better than raw offsets.
+
+    Pure nested ``transform`` — zero shuffle, zero Python; all other
+    columns pass through. Input is :func:`build_positional_postings`
+    output; inverse is :func:`delta_decode_positions` (roundtrip
+    asserted in tests).
+    """
+    if "position_lists" not in postings.columns:
+        raise ValueError(
+            "expected build_positional_postings output "
+            "(position_lists column)"
+        )
+    gaps = F.transform(
+        F.col("position_lists"),
+        lambda pl: F.transform(
+            pl,
+            lambda x, i: F.when(i == 0, x).otherwise(
+                x - F.element_at(pl, i)
+            ),
+        ),
+    )
+    keep = [c for c in postings.columns if c != "position_lists"]
+    return postings.select(*keep, gaps.alias("position_gaps"))
+
+
+def delta_decode_positions(encoded: DataFrame) -> DataFrame:
+    """Inverse of :func:`delta_encode_positions`: rebuild absolute
+    offsets with a per-list prefix-sum fold. Zero shuffle;
+    ``decode(encode(x)) == x`` is the tested contract."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("acc"),
+        F.expr("cast(array() as array<bigint>)").alias("ps"),
+    )
+    lists = F.transform(
+        F.col("position_gaps"),
+        lambda pg: F.aggregate(
+            pg,
+            init,
+            lambda st, g: F.struct(
+                (st["acc"] + g).alias("acc"),
+                F.concat(st["ps"], F.array(st["acc"] + g)).alias("ps"),
+            ),
+            lambda st: st["ps"],
+        ),
+    )
+    keep = [c for c in encoded.columns if c != "position_gaps"]
+    return encoded.select(*keep, lists.alias("position_lists"))
 
 
 def bm25f_search(
