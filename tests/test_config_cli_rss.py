@@ -1416,3 +1416,35 @@ class TestSearchCliCompleteKwic:
         assert [(x["doc_id"], x["pos"]) for x in krows] == [(1, 3), (2, 1)]
         assert krows[0]["left"] == "graphics graphite"
         assert krows[1]["left"] == "graph" and krows[1]["right"] == ""
+
+
+class TestSearchCliNear:
+    def test_near_docs_and_guards(self, spark, tmp_path):
+        import json as _json
+
+        from click.testing import CliRunner
+
+        import web_scrapper_spark.cli as cli_mod
+
+        docs = spark.createDataFrame(
+            [(1, "alpha x beta"), (2, "alpha x x x x x x x x x beta"),
+             (3, "beta only")],
+            "doc_id long, text string",
+        )
+        dpath = str(tmp_path / "docs.parquet")
+        docs.write.parquet(dpath)
+        runner = CliRunner()
+        r = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--near", "alpha beta",
+             "--near-window", "4", "--topk", "5", "--cpus", "4"],
+        )
+        assert r.exit_code == 0, r.output
+        rows = _json.loads(r.output.strip())
+        assert [(x["doc_id"], x["n_windows"]) for x in rows] == [(1, 1)]
+        both = runner.invoke(
+            cli_mod.cli,
+            ["analyze", "search", "-i", dpath, "--near", "a",
+             "-q", "b"],
+        )
+        assert both.exit_code != 0
