@@ -374,6 +374,30 @@ class TestOracleMutation:
             )
             monkeypatch.undo()
 
+    def test_spell_family_pins_candidate_generation(
+        self, spark, duck, frozen_oracles, monkeypatch
+    ):
+        """The spell_correct oracle does NO pruning (brute-force
+        query x vocab Levenshtein), so a candidate-generation bug —
+        here: deletion variants silently empty, leaving only exact-
+        match keys — MUST surface as missing suggestions and turn the
+        gate red. This is the completeness contract made executable."""
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators import textops
+
+        def mutate(mp):
+            mp.setattr(
+                textops,
+                "_deletion_variants",
+                lambda col: F.array().cast("array<string>"),
+            )
+
+        _assert_pins(
+            spark, duck, frozen_oracles, "spell_correct", mutate,
+            monkeypatch,
+        )
+
     def test_comparator_canary_single_cell(self):
         """One changed cell in one row must flip the value hash — the
         comparator itself is not order/format-forgiving."""
