@@ -408,3 +408,80 @@ class TestRound2SearchCrawlOpsPlans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPositionalSearchPlans:
+    """Round-5 positional family: from-index query paths must read
+    shard columns only (never text/html) and stay JVM-side; the
+    query-sized tables must broadcast."""
+
+    def _build_index(self, spark):
+        from pyspark.sql import functions as F
+
+        from web_scrapper_spark.operators.textops import (
+            build_positional_postings,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        idx = build_positional_postings(docs, 500, block_size=64)
+        # persist as parquet so the plan shows a real scan, like a
+        # crawl store serving the index
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="posidx_")
+        idx.write.mode("overwrite").parquet(d)
+        return spark.read.parquet(d)
+
+    def _assert_index_only(self, plan):
+        assert "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "text" not in line and "html" not in line, line
+
+    def test_phrase_from_index_reads_index_only(self, spark):
+        from web_scrapper_spark.operators.textops import phrase_search
+
+        idx = self._build_index(spark)
+        df = phrase_search(phrase="value table", index=idx, k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        self._assert_index_only(plan)
+        # the slots table is query-sized: must broadcast, and the
+        # final ranking is a TakeOrdered, not a global sort
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_proximity_from_index_reads_index_only(self, spark):
+        from web_scrapper_spark.operators.textops import proximity_search
+
+        idx = self._build_index(spark)
+        df = proximity_search(query="value table", index=idx, window=8, k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        self._assert_index_only(plan)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_boolean_from_index_reads_index_only(self, spark):
+        from web_scrapper_spark.operators.textops import boolean_search
+
+        idx = self._build_index(spark)
+        df = boolean_search(index=idx, must=("value",), should=("table",))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        self._assert_index_only(plan)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_vocab_services_from_index_read_index_only(self, spark):
+        from web_scrapper_spark.operators.textops import (
+            prefix_suggest,
+            spell_correct,
+        )
+
+        idx = self._build_index(spark)
+        for df in (
+            spell_correct(queries=["valu"], index=idx, max_edit=1),
+            prefix_suggest(prefixes=["va"], index=idx, k=3),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            self._assert_index_only(plan)
