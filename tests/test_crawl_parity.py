@@ -1673,3 +1673,68 @@ def test_positional_index_compaction_fold(spark, tmp_path):
         )
 
     assert canon_pos(idx["positions"]) == canon_pos(batch)
+
+
+def test_focused_crawl_prioritizes_relevant_anchors(spark, tmp_path):
+    """cfg.focus_terms: links whose anchor text (listing title) matches
+    the topic dequeue BEFORE irrelevant ones under the same politeness
+    budget — the focused-crawler rule, encoded as an ord_key prefix.
+    With focus_terms=None the scoring join must never enter the plan
+    (crawl ordering bit-identical, pinned by the existing
+    test_visit_order_parity)."""
+    from pyspark.sql import functions as F
+
+    spec = SiteSpec(n_hosts=2, n_articles=24, blog_page_size=8)
+
+    def crawl(focus):
+        store = SnapshotStore(str(tmp_path / f"store_{bool(focus)}"))
+        engine = CrawlEngine(
+            spark, store, pages_dataframe(spark, spec),
+            robots_dataframe(spark, spec),
+            CrawlConfig(focus_terms=focus),
+        )
+        engine.init(_seeds())
+        engine.run(max_epochs=30)
+        return engine
+
+    focused = crawl(["spark", "frontier"])
+    seen = (
+        focused.seen()
+        .filter(F.col("url").contains("/blog/post-"))
+        .select("url", "fetched_epoch")
+        .collect()
+    )
+    # recover each article's title word from the fixture's own rule
+    from web_scrapper_spark.fixtures.sitegen import _PARA_WORDS, _r
+
+    def is_relevant(url):
+        a = int(url.rsplit("-", 1)[1])
+        host = url.split("/")[2]
+        base = f"https://{host}"
+        # listing pages enumerate titles with _r(listing_url, f"art{a}")
+        for page in range(10):
+            u = f"{base}/blog" if page == 0 else f"{base}/blog/page/{page + 1}"
+            r = _r(u, f"art{a}")
+            w = _PARA_WORDS[r % len(_PARA_WORDS)]
+            if spec.blog_page_size * page <= a < spec.blog_page_size * (page + 1):
+                return w in ("spark", "frontier")
+        return False
+
+    rel_epochs = [e for (u, e) in seen if is_relevant(u)]
+    irr_epochs = [e for (u, e) in seen if not is_relevant(u)]
+    assert rel_epochs and irr_epochs
+    # relevance must buy priority: relevant articles are fetched no
+    # later than the irrelevant population on average, and the FIRST
+    # article fetched after the listings is a relevant one
+    assert sum(rel_epochs) / len(rel_epochs) \
+        <= sum(irr_epochs) / len(irr_epochs)
+    first_epoch = min(min(rel_epochs), min(irr_epochs))
+    firsts = [u for (u, e) in seen if e == first_epoch]
+    assert any(is_relevant(u) for u in firsts)
+
+    # unfocused twin on the same fixture still completes identically
+    # in COVERAGE (same seen set, different order)
+    plain = crawl(None)
+    assert sorted(r["url"] for r in plain.seen().collect()) == sorted(
+        r["url"] for r in focused.seen().collect()
+    )

@@ -146,6 +146,9 @@ class BoundJob:
     #: mid-crawl by ``analyze search --from-store``; yaml key
     #: ``scraper.index_articles``
     index_articles: bool = False
+    #: focused crawling: anchor-text relevance terms; discovered links
+    #: matching these dequeue first; yaml key ``scraper.focus_terms``
+    focus_terms: Optional[List[str]] = None
     #: positional incremental index (requires index_articles): the
     #: epoch shard carries per-occurrence token offsets, enabling
     #: ``analyze search --phrase --from-store``; yaml key
@@ -180,6 +183,7 @@ class BoundJob:
             respect_meta_robots=self.respect_meta_robots,
             max_outlinks_per_page=self.max_outlinks,
             index_articles=self.index_articles,
+            focus_terms=self.focus_terms,
             index_positions=self.index_positions,
             index_term_weights=self.index_term_weights,
         )
@@ -266,6 +270,24 @@ def _bind_revisit(scraper: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     return out
 
 
+def _bind_focus_terms(scraper: Dict[str, Any]):
+    """yaml ``scraper.focus_terms``: list of non-empty strings or
+    absent. A scalar string is accepted as a single-term list."""
+    raw = scraper.get("focus_terms")
+    if raw is None:
+        return None
+    if isinstance(raw, str):
+        raw = [raw]
+    if not isinstance(raw, (list, tuple)) or not raw or not all(
+        isinstance(x, str) and x.strip() for x in raw
+    ):
+        raise ConfigError(
+            "scraper.focus_terms must be a non-empty list of non-empty "
+            "strings"
+        )
+    return [str(x) for x in raw]
+
+
 def bind_job(config: Dict[str, Any]) -> BoundJob:
     """scraper config dict → engine configs (the get_scraper analog)."""
     validate_config(config)
@@ -299,6 +321,7 @@ def bind_job(config: Dict[str, Any]) -> BoundJob:
         content_seen=bool(scraper.get("content_seen", False)),
         respect_meta_robots=bool(scraper.get("respect_meta_robots", False)),
         index_articles=bool(scraper.get("index_articles", False)),
+        focus_terms=_bind_focus_terms(scraper),
         index_positions=bool(scraper.get("index_positions", False)),
         index_term_weights=bool(scraper.get("index_term_weights", False)),
         max_outlinks=(

@@ -232,6 +232,19 @@ class CrawlConfig:
     # pass over each epoch's new articles).
     index_articles: bool = False
     index_block_size: int = 1024
+    # focused (topical) crawling — Chakrabarti's focused-crawler
+    # priority as an ord_key prefix: when set, every discovered link
+    # is scored by its ANCHOR TEXT's overlap with these terms (the
+    # listing row's title for the same url — anchors describe the
+    # TARGET, the Brin & Page signal the ranker already uses) and the
+    # frontier dequeues high-relevance links first. None (default)
+    # leaves crawl ordering bit-identical to the unfocused engine —
+    # the scoring join never enters the plan. Because the in-batch
+    # first-discovery dedup keeps min(ord_key) AFTER scoring, a url
+    # discovered from several pages keeps its MOST RELEVANT anchor's
+    # priority. Pagination/anchor-less links score 0 (crawled last,
+    # original order preserved among themselves).
+    focus_terms: Optional[List[str]] = None
     # positional incremental index (requires index_articles): the
     # per-epoch shard is built POSITIONAL (per-occurrence token
     # offsets, the Lucene PositionsEnum layout) and committed as
@@ -1542,6 +1555,74 @@ class CrawlEngine:
                     )
                     .filter(F.col("depth") <= cfg.max_depth)
                 )
+                if cfg.focus_terms and content_rows is not None:
+                    # focused priority: anchor text = the listing row's
+                    # title for the same target url (the parse already
+                    # produced it — no second extraction); relevance =
+                    # matched-term fraction in ppm, prepended to
+                    # ord_key so the existing deterministic dequeue
+                    # needs no new machinery (the sitemap-priority
+                    # encoding, applied to every discovery)
+                    from ..operators.textops import (
+                        tokenize_query,
+                        tokens_col,
+                    )
+
+                    f_terms = sorted({
+                        t for s in cfg.focus_terms for t in tokenize_query(s)
+                    })
+                    if f_terms:
+                        anchors = (
+                            content_rows.filter(
+                                (F.col("row_kind") == "listing")
+                                & F.col("url").isNotNull()
+                                & F.col("title").isNotNull()
+                            )
+                            .select(
+                                canonical_url_col("url").alias("url"),
+                                F.col("title").alias("_anchor"),
+                            )
+                            .groupBy("url")
+                            .agg(F.max("_anchor").alias("_anchor"))
+                        )
+                        farr = F.array(*[F.lit(t) for t in f_terms])
+                        rel = (
+                            F.size(
+                                F.array_intersect(
+                                    tokens_col(
+                                        F.coalesce(
+                                            F.col("_anchor"), F.lit("")
+                                        )
+                                    ),
+                                    farr,
+                                )
+                            )
+                            * F.lit(1_000_000)
+                            / F.lit(len(f_terms))
+                        ).cast("int")
+                        candidates = (
+                            candidates.join(anchors, "url", "left")
+                            .withColumn(
+                                "_rel_ppm", F.coalesce(rel, F.lit(0))
+                            )
+                            .select(
+                                "url",
+                                F.concat(
+                                    F.lpad(
+                                        (
+                                            F.lit(1_000_000)
+                                            - F.col("_rel_ppm")
+                                        ).cast("string"),
+                                        7,
+                                        "0",
+                                    ),
+                                    F.lit("/"),
+                                    F.col("ord_key"),
+                                ).alias("ord_key"),
+                                "depth",
+                                "stype",
+                            )
+                        )
                 # robots first (broadcast lookup, narrow); the in-batch
                 # first-discovery dedup runs AFTER the seen anti-join below
                 # so both key on url and share ONE exchange — the groupBy
